@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational core: scans, projection, filter pushdown, joins (broadcast /
+  * semi / anti), aggregation, rollup, window top-N, sort/limit, set ops.
+  *
+  * The reference has no general relational surface (SURVEY.md §2.6) — these
+  * queries are the engine-level capabilities Catalyst gives us for free and
+  * they anchor the DuckDB-oracle harness.
+  *
+  * Oracle-exactness rules (SURVEY.md §7.4 dtype discipline):
+  *  - money sums go through integer cents: sum(cast(round(x*100) as long)) —
+  *    bit-exact in any summation order, unlike double sums of 2-decimal data;
+  *  - l_quantity is integral-valued double → its double sum is also exact;
+  *  - every query ends in a deterministic ORDER BY with full tiebreak.
+  */
+object Relational {
+
+  private def cents(c: String) = sum(round(col(c) * 100).cast("long")).as(c + "_cents")
+
+  def q1_agg(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        cents("l_extendedprice"),
+        avg("l_quantity").as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Star join: orders ⋈ customer ⋈ nation ⋈ region, all dims broadcast. */
+  def q2_join_agg(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .join(broadcast(customer(spark, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), cents("o_totalprice"))
+      .orderBy("r_name", "n_name")
+
+  /** Global top-k with deterministic tiebreak — sort + limit. */
+  def q3_topk(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+
+  /** Per-group top-N via window row_number (the per-request top-k idiom). */
+  def q4_window_topn(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Predicate + projection pushdown to the parquet scan. */
+  def q5_filter(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .filter(col("l_shipdate") < lit("1995-06-17").cast("timestamp") &&
+        col("l_quantity") >= 5 && col("l_quantity") <= 45)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** Hierarchical aggregate (rollup / grouping sets). */
+  def q6_rollup(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  /** Semi join: customers with at least one finished order. */
+  def q7_semi(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .join(orders(spark, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** Anti join: customers with no pending ('P') order. */
+  def q8_anti(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .join(orders(spark, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  /** Set difference: (brand,size) combos never shipped at near-max quantity. */
+  def q9_setop(spark: SparkSession, d: String): DataFrame = {
+    val allCombos = part(spark, d).select("p_brand", "p_size").distinct()
+    val bigQty = part(spark, d)
+      .join(lineitem(spark, d).filter(col("l_quantity") >= 49),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_brand", "p_size").distinct()
+    allCombos.except(bigQty).orderBy("p_brand", "p_size")
+  }
+
+  /** Event-log aggregate by day (timestamp handling). */
+  def q10_events(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), cents("value"))
+      .orderBy("day", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1_agg _),
+    "q2_join_agg" -> (q2_join_agg _),
+    "q3_topk" -> (q3_topk _),
+    "q4_window_topn" -> (q4_window_topn _),
+    "q5_filter" -> (q5_filter _),
+    "q6_rollup" -> (q6_rollup _),
+    "q7_semi" -> (q7_semi _),
+    "q8_anti" -> (q8_anti _),
+    "q9_setop" -> (q9_setop _),
+    "q10_events" -> (q10_events _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+        |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS l_extendedprice_cents,
+        |avg(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS o_totalprice_cents
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q5_filter" ->
+      """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-17' AND l_quantity >= 5 AND l_quantity <= 45
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+        |count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY 1,2""".stripMargin,
+    "q7_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_anti" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='P')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_setop" ->
+      """SELECT p_brand, p_size FROM (
+        |SELECT DISTINCT p_brand, p_size FROM part
+        |EXCEPT SELECT DISTINCT p_brand, p_size FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey=p_partkey AND l_quantity >= 49))
+        |ORDER BY p_brand, p_size""".stripMargin,
+    "q10_events" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n_events,
+        |CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+}
