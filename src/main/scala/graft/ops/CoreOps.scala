@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{transform => arrayTransform}
+import org.apache.spark.sql.types._
+import graft.core.EnsembleOp
+
+/** Column projection at graph roots (`["a"] >> op` in the reference;
+  * SURVEY.md §2.2 → `df.select`). */
+case class Selection(cols: Seq[String]) extends EnsembleOp {
+  override def transformSchema(in: StructType): StructType = {
+    cols.foreach(requireCol(in, _))
+    StructType(cols.map(c => in(c)))
+  }
+  override def transform(df: DataFrame): DataFrame = df.select(cols.map(col): _*)
+}
+
+/** Rename columns (NVTabular `Rename(postfix=...)`,
+  * /root/reference/tests/unit/systems/dag/test_graph.py:32-50). */
+case class Rename(mapping: Map[String, String]) extends EnsembleOp {
+  override def transformSchema(in: StructType): StructType = {
+    mapping.keys.foreach(requireCol(in, _))
+    StructType(in.map(f => if (mapping.contains(f.name)) f.copy(name = mapping(f.name)) else f))
+  }
+  override def transform(df: DataFrame): DataFrame = df.withColumnsRenamed(mapping)
+}
+
+/** Anti-filter of one id array by another, preserving order and duplicates:
+  * `candidate_ids.values[~np.isin(candidate_ids, filter_ids)]`
+  * (/root/reference/merlin/systems/dag/ops/session_filter.py:142-162).
+  *
+  * A pure per-row higher-order function — no shuffle, fully codegen'd; at
+  * 100 TB this runs map-side wherever the candidates already live. The
+  * relational twin (ids as rows, not arrays) is a `left_anti` join.
+  */
+case class FilterCandidates(
+    inputCol: String = "candidate_ids",
+    filterCol: String,
+    outputCol: String = "filtered_ids") extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    val ci = requireCol(in, inputCol); requireCol(in, filterCol)
+    (in(inputCol).dataType, in(filterCol).dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _)) =>
+        require(a == b, s"$name: element types differ: $a vs $b")
+      case (a, b) => throw new IllegalArgumentException(s"$name: need array columns, got $a / $b")
+    }
+    StructType(
+      in.filterNot(f => f.name == inputCol || f.name == filterCol) :+
+        in.fields(ci).copy(name = outputCol))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    df.withColumn(outputCol,
+        filter(col(inputCol), x => !array_contains(col(filterCol), x)))
+      .drop(inputCol, filterCol)
+}
+
+/** Weighted top-k sampling without replacement (Efraimidis–Spirakis
+  * exponential-sort trick), matching the reference math exactly:
+  * `w = exp(T*score)/sum(score); key = -ln(u)/w`, ascending sort, head k
+  * (/root/reference/merlin/systems/dag/ops/softmax_sampling.py:79-117).
+  *
+  * The reference draws unseeded uniforms; for reproducibility we derive
+  * `u` deterministically from `xxhash64(seedCol, position, seed)` —
+  * an explicit-seed variant of the same distribution (SURVEY.md §7.4).
+  * Entirely built-in HOFs: per-row, shuffle-free, codegen-friendly.
+  */
+case class SoftmaxSampling(
+    idsCol: String,
+    relevanceCol: String,
+    temperature: Double = 20.0,
+    topk: Int = 10,
+    seed: Long = 42L,
+    seedCol: String = "requestId") extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idsCol); requireCol(in, relevanceCol); requireCol(in, seedCol)
+    val idT = in(idsCol).dataType.asInstanceOf[ArrayType]
+    val scT = in(relevanceCol).dataType.asInstanceOf[ArrayType]
+    StructType(
+      in.filterNot(f => f.name == idsCol || f.name == relevanceCol) ++ Seq(
+        StructField("ordered_ids", idT),
+        StructField("ordered_scores", scT)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val ids = col(idsCol)
+    val scores = col(relevanceCol)
+    val sumS = aggregate(scores, lit(0.0), (acc, x) => acc + x.cast("double"))
+    // key_i = -ln(u_i) / w_i  with  w_i = exp(T*s_i)/sum(s);  u_i ∈ (0,1)
+    val keyed = arrayTransform(ids, (id, i) => {
+      val u = (pmod(xxhash64(col(seedCol), i, lit(seed)), lit(1000000007L)) + 1) /
+        lit(1000000009.0)
+      val s = element_at(scores, i + 1)
+      val key = -log(u) * sumS / exp(lit(temperature) * s.cast("double"))
+      struct(key.as("k"), id.as("id"), s.as("sc"))
+    })
+    // struct sort: ascending by key, ties by id — deterministic
+    val top = slice(array_sort(keyed), 1, topk)
+    df.withColumn("ordered_ids", arrayTransform(top, p => p.getField("id")))
+      .withColumn("ordered_scores", arrayTransform(top, p => p.getField("sc")))
+      .drop(idsCol, relevanceCol)
+  }
+}
+
+/** Broadcast user/request features onto candidate item rows with a name
+  * prefix (/root/reference/merlin/systems/dag/ops/unroll_features.py:53-66).
+  * The reference repeats rows with `np.repeat`; relationally this is a
+  * broadcast equi-join on the request key.
+  */
+case class UnrollFeatures(
+    userFeatures: DataFrame,
+    unrollCols: Seq[String],
+    on: String = "requestId",
+    prefix: String = "user_") extends EnsembleOp {
+
+  private def prefixed: DataFrame =
+    userFeatures.select(col(on) +: unrollCols.map(c => col(c).as(prefix + c)): _*)
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, on)
+    unrollCols.foreach(c => require(userFeatures.schema.fieldNames.contains(c),
+      s"$name: unroll column '$c' not in userFeatures"))
+    StructType(in ++ unrollCols.map(c => userFeatures.schema(c).copy(name = prefix + c)))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    df.join(broadcast(prefixed), Seq(on), "left")
+}
+
+/** Explode an id-array column into one row per candidate (the reference's
+  * implicit row-count change when a (1,k) batch feeds row-wise ops). */
+case class ExplodeCandidates(inputCol: String, outputCol: String = "item_id")
+    extends EnsembleOp {
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, inputCol)
+    val el = in(inputCol).dataType.asInstanceOf[ArrayType].elementType
+    StructType(in.filterNot(_.name == inputCol) :+ StructField(outputCol, el))
+  }
+  override def transform(df: DataFrame): DataFrame =
+    df.withColumn(outputCol, explode(col(inputCol))).drop(inputCol)
+}
+
+/** Pad/truncate a list column to fixed length (dataloader Padding op,
+  * /root/reference/tests/unit/systems/ops/padding_op.py:26-63). Spark arrays
+  * are natively ragged, so this is `slice(concat(a, fill), 1, len)`. */
+case class Padding(inputCol: String, length: Int, padValue: Double = 0.0)
+    extends EnsembleOp {
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, inputCol)
+    require(in(inputCol).dataType.isInstanceOf[ArrayType], s"$name: $inputCol must be array")
+    in
+  }
+  override def transform(df: DataFrame): DataFrame = {
+    val el = df.schema(inputCol).dataType.asInstanceOf[ArrayType].elementType
+    df.withColumn(inputCol,
+      slice(concat(col(inputCol), array_repeat(lit(padValue).cast(el), length)), 1, length))
+  }
+}

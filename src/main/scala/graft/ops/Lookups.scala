@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.core.EnsembleOp
+
+/** Point-lookup equi-join against a feature table — the Spark-native
+  * `QueryFeast` (/root/reference/merlin/systems/dag/ops/feast.py:196-279):
+  * for each entity id, fetch its feature row; optional output prefix and
+  * id passthrough; multi-hot features are plain ArrayType columns (the
+  * values/offsets encoding disappears, SURVEY.md §1.5).
+  *
+  * The feature view is broadcast: at 100 TB the request side streams
+  * map-side with zero shuffle as long as the dim table fits in executors;
+  * for giant feature tables drop the hint and let AQE pick shuffle-hash.
+  */
+case class QueryFeatureStore(
+    features: DataFrame,
+    entityCol: String,
+    featureCols: Seq[String] = Seq.empty,
+    includeId: Boolean = false,
+    outputPrefix: String = "",
+    broadcastDim: Boolean = true) extends EnsembleOp {
+
+  private def feats: Seq[String] =
+    if (featureCols.nonEmpty) featureCols
+    else features.schema.fieldNames.filterNot(_ == entityCol).toSeq
+
+  private def view: DataFrame =
+    features.select(col(entityCol) +: feats.map(c => col(c).as(outputPrefix + c)): _*)
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, entityCol)
+    feats.foreach(c => require(features.schema.fieldNames.contains(c),
+      s"$name: feature '$c' not in feature table"))
+    val joined = StructType(in ++ feats.map(c => features.schema(c).copy(name = outputPrefix + c)))
+    if (includeId) joined else StructType(joined.filterNot(_.name == entityCol))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val v = if (broadcastDim) broadcast(view) else view
+    val joined = df.join(v, Seq(entityCol), "left")
+    if (includeId) joined else joined.drop(entityCol)
+  }
+}
+
+/** Embedding lookup by id (NumpyEmbeddingOperator,
+  * /root/reference/tests/unit/systems/ops/embedding_op.py:26-57):
+  * broadcast join of a `(id, vector)` table onto request rows. */
+case class EmbeddingLookup(
+    embeddings: DataFrame,
+    idCol: String,
+    embIdCol: String = "vec_id",
+    embCol: String = "embedding",
+    outputCol: String = "embedding") extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol)
+    require(embeddings.schema(embCol).dataType.isInstanceOf[ArrayType],
+      s"$name: $embCol must be an array column")
+    StructType(in :+ embeddings.schema(embCol).copy(name = outputCol))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    df.join(
+      broadcast(embeddings.select(col(embIdCol).as(idCol), col(embCol).as(outputCol))),
+      Seq(idCol), "left")
+}
+
+/** Frequency-ordered categorical encoding — the Categorify stage of
+  * `TransformWorkflow` (/root/reference/merlin/systems/dag/ops/workflow.py;
+  * SURVEY.md §2.1 maps it to StringIndexer). Implemented natively so the
+  * code assignment is fully deterministic and oracle-checkable: code =
+  * dense rank of (frequency DESC, value ASC) − 1; unseen/null → −1.
+  *
+  * The mapping is a groupBy over distinct values only (tiny vs the data)
+  * and is broadcast back — two narrow shuffles of the dictionary, none of
+  * the fact table.
+  */
+case class Categorify(cols: Seq[String], suffix: String = "_idx") extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    cols.foreach(requireCol(in, _))
+    StructType(in ++ cols.map(c => StructField(c + suffix, IntegerType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val w = Window.orderBy(desc("cnt"), asc(c))
+      val mapping = df.filter(col(c).isNotNull).groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn(c + suffix, (row_number().over(w) - 1).cast("int"))
+        .drop("cnt")
+      d.join(broadcast(mapping), Seq(c), "left")
+        .withColumn(c + suffix, coalesce(col(c + suffix), lit(-1)))
+    }
+}
+
+/** Standard scaling of continuous columns (the normalize stage of
+  * `TransformWorkflow`). Fit = one aggregate row broadcast back onto the
+  * data — no driver-side collect, so it holds at any scale. */
+case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    cols.foreach(requireCol(in, _))
+    StructType(in ++ cols.map(c => StructField(c + suffix, DoubleType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      avg(col(c)).as(s"__mean_$c"), stddev_pop(col(c)).as(s"__std_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c + suffix,
+        (col(c) - col(s"__mean_$c")) / when(col(s"__std_$c") === 0, 1.0).otherwise(col(s"__std_$c")))
+    }
+    scaled.drop(cols.flatMap(c => Seq(s"__mean_$c", s"__std_$c")): _*)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.core.Ensemble
+import graft.ops._
+
+/** One driver-checked query per reference operator (SURVEY.md §2.1/§2.2),
+  * exercising the real graft op implementations over the driver testdata.
+  * The TPC-H-ish tables play recsys roles: customer = user, part = item,
+  * orders×lineitem = interactions, embeddings = item/query vectors.
+  */
+object OpQueries {
+
+  /** orders ⋈ lineitem interactions, the shared base for several ops. */
+  private def interactions(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d).join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("requestId"), col("l_partkey"), col("l_returnflag"),
+        col("l_quantity"), col("o_totalprice"), col("o_orderkey"))
+
+  /** QueryFeast analog: entity-id lookup against the part feature view. */
+  def featureLookup(spark: SparkSession, d: String): DataFrame = {
+    val requests = lineitem(spark, d).filter(col("l_quantity") >= 49)
+      .select(col("l_partkey").as("p_partkey")).distinct()
+    val op = QueryFeatureStore(part(spark, d), "p_partkey",
+      Seq("p_brand", "p_type", "p_retailprice"), includeId = true, outputPrefix = "item_")
+    op.transform(requests)
+      .select(col("p_partkey"), col("item_p_brand"), col("item_p_type"),
+        round(col("item_p_retailprice") * 100).cast("long").as("item_price_cents"))
+      .orderBy("p_partkey")
+  }
+
+  /** FilterCandidates: per-user candidate parts minus returned ('R') parts. */
+  def filterCandidates(spark: SparkSession, d: String): DataFrame = {
+    val perUser = interactions(spark, d)
+      .groupBy("requestId")
+      .agg(
+        sort_array(collect_set(col("l_partkey"))).as("candidate_ids"),
+        sort_array(collect_set(when(col("l_returnflag") === "R", col("l_partkey"))))
+          .as("seen_ids"))
+    val pipeline = Ensemble(Seq(
+      FilterCandidates(inputCol = "candidate_ids", filterCol = "seen_ids"),
+      ExplodeCandidates("filtered_ids", "item_id")), perUser.schema)
+    pipeline.transform(perUser).orderBy("requestId", "item_id")
+  }
+
+  /** UnrollFeatures: user features broadcast onto candidate item rows. */
+  def unrollFeatures(spark: SparkSession, d: String): DataFrame = {
+    val candidates = interactions(spark, d).filter(col("l_quantity") >= 48)
+      .select(col("requestId"), col("l_partkey").as("item_id")).distinct()
+    val users = customer(spark, d).select(
+      col("c_custkey").as("requestId"), col("c_mktsegment"), col("c_acctbal"))
+    val op = UnrollFeatures(users, Seq("c_mktsegment", "c_acctbal"))
+    op.transform(candidates)
+      .select(col("requestId"), col("item_id"), col("user_c_mktsegment"),
+        round(col("user_c_acctbal") * 100).cast("long").as("user_acctbal_cents"))
+      .orderBy("requestId", "item_id")
+  }
+
+  /** Embedding lookup by id (dataloader op). */
+  def embeddingLookup(spark: SparkSession, d: String): DataFrame = {
+    val requests = embeddings(spark, d).filter(col("label") === 1)
+      .select(col("vec_id").as("id"))
+    EmbeddingLookup(embeddings(spark, d), idCol = "id")
+      .transform(requests).orderBy("id")
+  }
+
+  /** Padding: ragged list → fixed length 6, zero-filled (truncates len 7). */
+  def padding(spark: SparkSession, d: String): DataFrame = {
+    val ragged = embeddings(spark, d).select(col("vec_id"),
+      slice(col("embedding"), lit(1), (col("vec_id") % 5 + 3).cast("int")).as("vals"))
+    Padding("vals", length = 6).transform(ragged).orderBy("vec_id")
+  }
+
+  /** Categorify: deterministic frequency-ordered category codes. */
+  def categorify(spark: SparkSession, d: String): DataFrame =
+    Categorify(Seq("c_mktsegment"))
+      .transform(customer(spark, d).select("c_custkey", "c_mktsegment"))
+      .select("c_custkey", "c_mktsegment", "c_mktsegment_idx")
+      .orderBy("c_custkey")
+
+  /** QueryFaiss analog: brute-force top-10 inner-product retrieval via the
+    * bounded-heap aggregator, exploded to (query, rank, item, score) rows. */
+  def topkRetrieval(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val items = emb.filter(col("label") =!= 0).select(col("vec_id").as("item_id"), col("embedding"))
+    TopKRetrieval(items, "vec_id", "embedding", k = 10, metric = "dot")
+      .asRows(queries).orderBy("vec_id", "rank")
+  }
+
+  /** SoftmaxSampling over per-user order candidates (seeded; rand-based so
+    * rows-only checked — no SQL oracle can reproduce the sampling). */
+  def softmaxSampling(spark: SparkSession, d: String): DataFrame = {
+    val perUser = interactions(spark, d)
+      .withColumn("rel", col("o_totalprice") / 100000)
+      .groupBy("requestId")
+      .agg(sort_array(collect_set(struct(col("o_orderkey"), col("rel")))).as("ps"))
+      .select(col("requestId"),
+        expr("transform(ps, p -> p.o_orderkey)").as("candidate_ids"),
+        expr("transform(ps, p -> p.rel)").as("relevance"))
+    SoftmaxSampling("candidate_ids", "relevance", temperature = 20.0, topk = 10)
+      .transform(perUser).orderBy("requestId")
+  }
+
+  /** Standard scaling (rows-only: double mean/std depend on partial-agg
+    * order, so cross-engine bit equality is not defined). */
+  def standardScale(spark: SparkSession, d: String): DataFrame =
+    StandardScale(Seq("c_acctbal"))
+      .transform(customer(spark, d).select("c_custkey", "c_acctbal"))
+      .orderBy("c_custkey")
+
+  /** A 3-stage Ensemble (Selection → Rename → QueryFeatureStore) feeding an
+    * aggregate — proves schema propagation end-to-end under the oracle. */
+  def pipelineEnsemble(spark: SparkSession, d: String): DataFrame = {
+    val li = lineitem(spark, d)
+    val ens = Ensemble(Seq(
+      Selection(Seq("l_partkey", "l_quantity")),
+      Rename(Map("l_partkey" -> "p_partkey")),
+      QueryFeatureStore(part(spark, d), "p_partkey", Seq("p_brand"), includeId = false)),
+      li.schema)
+    ens.transform(li)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_feature_lookup" -> (featureLookup _),
+    "op_filter_candidates" -> (filterCandidates _),
+    "op_unroll_features" -> (unrollFeatures _),
+    "op_embedding_lookup" -> (embeddingLookup _),
+    "op_padding" -> (padding _),
+    "op_categorify" -> (categorify _),
+    "op_topk_retrieval" -> (topkRetrieval _),
+    "op_softmax_sampling" -> (softmaxSampling _),
+    "op_standard_scale" -> (standardScale _),
+    "op_pipeline_ensemble" -> (pipelineEnsemble _))
+
+  val oracle: Map[String, String] = Map(
+    "op_feature_lookup" ->
+      """SELECT p_partkey, p_brand AS item_p_brand, p_type AS item_p_type,
+        |CAST(round(p_retailprice*100) AS BIGINT) AS item_price_cents
+        |FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey=p_partkey AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin,
+    "op_filter_candidates" ->
+      """SELECT requestId, item_id FROM (
+        |SELECT DISTINCT o_custkey AS requestId, l_partkey AS item_id
+        |FROM orders JOIN lineitem ON o_orderkey=l_orderkey
+        |EXCEPT
+        |SELECT DISTINCT o_custkey, l_partkey
+        |FROM orders JOIN lineitem ON o_orderkey=l_orderkey WHERE l_returnflag='R')
+        |ORDER BY requestId, item_id""".stripMargin,
+    "op_unroll_features" ->
+      """SELECT DISTINCT o_custkey AS requestId, l_partkey AS item_id,
+        |c_mktsegment AS user_c_mktsegment,
+        |CAST(round(c_acctbal*100) AS BIGINT) AS user_acctbal_cents
+        |FROM orders JOIN lineitem ON o_orderkey=l_orderkey JOIN customer ON c_custkey=o_custkey
+        |WHERE l_quantity >= 48 ORDER BY requestId, item_id""".stripMargin,
+    "op_embedding_lookup" ->
+      """SELECT vec_id AS id, embedding FROM embeddings WHERE label=1 ORDER BY id""".stripMargin,
+    "op_padding" ->
+      """SELECT vec_id, list_slice(list_concat(
+        |list_slice(embedding, 1, CAST(vec_id%5+3 AS BIGINT)),
+        |[0.0,0.0,0.0,0.0,0.0,0.0]), 1, 6) AS vals
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "op_categorify" ->
+      """WITH m AS (SELECT c_mktsegment AS v,
+        |CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS INTEGER) AS idx
+        |FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey, c_mktsegment, idx AS c_mktsegment_idx
+        |FROM customer JOIN m ON c_mktsegment=v ORDER BY c_custkey""".stripMargin,
+    "op_topk_retrieval" ->
+      """SELECT vec_id, rank, item_id, score FROM (
+        |SELECT q.vec_id AS vec_id, i.vec_id AS item_id,
+        |list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS score,
+        |row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) DESC, i.vec_id) AS rank
+        |FROM embeddings q, embeddings i WHERE q.label=0 AND i.label<>0)
+        |WHERE rank<=10 ORDER BY vec_id, rank""".stripMargin,
+    "op_pipeline_ensemble" ->
+      """SELECT p_brand, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON p_partkey=l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.core.Ensemble
+
+/** Per-op semantics in the reference's own test style (SURVEY.md §5):
+  * small seeded batches, exact counts/schemas/dtype preservation.
+  * F-numbers refer to FIXTURES.md.
+  */
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // F1: 100 distinct candidates, 20 overlap with filter list → exactly 80
+  // survive (reference tests/unit/systems/dag/test_executors.py:34-62).
+  test("FilterCandidates removes exactly the overlapping ids, keeps order") {
+    val rng = new scala.util.Random(7)
+    val candidates = rng.shuffle((0 until 100000).toList).take(100)
+    val seen = rng.shuffle(candidates).take(20)
+    val df = Seq((1, candidates, seen)).toDF("requestId", "candidate_ids", "movie_ids")
+    val out = FilterCandidates("candidate_ids", "movie_ids").transform(df)
+    val filtered = out.select("filtered_ids").as[Seq[Int]].head()
+    assert(filtered.size == 80)
+    assert(filtered.toSet.intersect(seen.toSet).isEmpty)
+    // order preserved relative to input
+    assert(filtered == candidates.filterNot(seen.toSet))
+    // schema propagation
+    val outSchema = FilterCandidates("candidate_ids", "movie_ids").transformSchema(df.schema)
+    assert(outSchema.fieldNames.toSeq == Seq("requestId", "filtered_ids"))
+  }
+
+  test("FilterCandidates rejects non-array columns") {
+    val schema = StructType(Seq(
+      StructField("candidate_ids", IntegerType), StructField("movie_ids", IntegerType)))
+    assertThrows[IllegalArgumentException] {
+      FilterCandidates("candidate_ids", "movie_ids").transformSchema(schema)
+    }
+  }
+
+  // F2: output dims (None, topk); int64/double dtypes preserved; output ids
+  // are a subset of candidates (reference test_ops.py:55-120).
+  test("SoftmaxSampling returns topk ids drawn from candidates, dtypes preserved") {
+    val ids = (1L to 100L).toArray
+    val scores = ids.map(i => i / 100.0)
+    val df = Seq((1, ids, scores), (2, ids, scores))
+      .toDF("requestId", "movie_ids", "relevance")
+    val op = SoftmaxSampling("movie_ids", "relevance", temperature = 20.0, topk = 10)
+    val out = op.transform(df)
+    assert(out.schema("ordered_ids").dataType.asInstanceOf[ArrayType].elementType == LongType)
+    assert(out.schema("ordered_scores").dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+    val rows = out.orderBy("requestId")
+      .select("ordered_ids", "ordered_scores").as[(Seq[Long], Seq[Double])].collect()
+    rows.foreach { case (oids, oscores) =>
+      assert(oids.size == 10 && oscores.size == 10)
+      assert(oids.toSet.subsetOf(ids.toSet))
+      assert(oids.distinct.size == 10, "sampling is without replacement")
+    }
+    // deterministic for a fixed seed, different across requestIds
+    val again = op.transform(df).orderBy("requestId")
+      .select("ordered_ids", "ordered_scores").as[(Seq[Long], Seq[Double])].collect()
+    assert(rows.toSeq == again.toSeq)
+    assert(rows(0)._1 != rows(1)._1, "different requests sample differently")
+    // high-temperature sampling should strongly prefer high scores: the very
+    // best candidate makes the top-10 with overwhelming probability
+    assert(rows(0)._1.contains(100L))
+  }
+
+  // F9 padding: values [1,2,3]/offsets[0,1,3] → (2,5) zero-padded
+  // (reference tests/unit/systems/ops/padding_op.py:26-41).
+  test("Padding pads ragged rows to fixed length and truncates long ones") {
+    val df = Seq((1, Seq(1, 2, 3)), (2, Seq(4)), (3, (1 to 8).toSeq)).toDF("id", "a")
+    val out = Padding("a", length = 5, padValue = 0).transform(df)
+      .orderBy("id").select("a").as[Seq[Int]].collect()
+    assert(out(0) == Seq(1, 2, 3, 0, 0))
+    assert(out(1) == Seq(4, 0, 0, 0, 0))
+    assert(out(2) == Seq(1, 2, 3, 4, 5))
+  }
+
+  // F9 embedding lookup: ids → (batch, dim) vectors.
+  test("EmbeddingLookup attaches vectors by id") {
+    val emb = (0 until 100).map(i => (i.toLong, Seq.fill(50)(i.toFloat))).toDF("vec_id", "embedding")
+    val req = Seq(1L, 2L, 3L).toDF("id")
+    val out = EmbeddingLookup(emb, "id").transform(req).orderBy("id")
+    val got = out.select("embedding").as[Seq[Float]].collect()
+    assert(got.length == 3 && got.forall(_.size == 50))
+    assert(got(1).head == 2.0f)
+  }
+
+  test("UnrollFeatures repeats user features across candidate rows with prefix") {
+    val cands = Seq((1, 10), (1, 11), (2, 12)).toDF("requestId", "item_id")
+    val users = Seq((1, "A", 25), (2, "B", 30)).toDF("requestId", "segment", "age")
+    val out = UnrollFeatures(users, Seq("segment", "age")).transform(cands)
+    assert(out.columns.toSeq == Seq("requestId", "item_id", "user_segment", "user_age"))
+    assert(out.count() == 3)
+    assert(out.filter($"requestId" === 1 && $"user_segment" === "A").count() == 2)
+  }
+
+  // Graph mechanics: eager schema propagation + failure on invalid chain
+  // (reference tests/unit/systems/dag/test_graph.py:32-50).
+  test("Ensemble propagates schemas eagerly and fails fast on bad wiring") {
+    val schema = StructType(Seq(
+      StructField("requestId", IntegerType),
+      StructField("candidate_ids", ArrayType(IntegerType)),
+      StructField("seen", ArrayType(IntegerType))))
+    val ens = Ensemble(Seq(
+      FilterCandidates("candidate_ids", "seen"),
+      Padding("filtered_ids", 5, 0)), schema)
+    assert(ens.outputSchema.fieldNames.toSeq == Seq("requestId", "filtered_ids"))
+    assertThrows[IllegalArgumentException] {
+      Ensemble(Seq(FilterCandidates("nope", "seen")), schema)
+    }
+  }
+
+  test("Selection and Rename behave like column selectors") {
+    val df = Seq((1, "x", 2.0)).toDF("a", "b", "c")
+    val out = Ensemble(Seq(Selection(Seq("a", "b")), Rename(Map("b" -> "b_nvt"))), df.schema)
+      .transform(df)
+    assert(out.columns.toSeq == Seq("a", "b_nvt"))
+  }
+}
