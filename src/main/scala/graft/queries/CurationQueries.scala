@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{transform => arrayTransform}
+import graft.Tables._
+import graft.functions.{TextFunctions => T}
+import graft.ops._
+
+/** LLM-data-pipeline surface over `documents` / `embeddings`: dedup
+  * (exact, normalized, n-gram Jaccard, MinHash-LSH, SimHash), text
+  * analysis (stats, language-ID, quality, fingerprint) and cosine
+  * near-dup. Oracle SQL is generated from the same constants as the
+  * Spark expressions wherever DuckDB can express the computation.
+  */
+object CurationQueries {
+
+  /** DuckDB rendering of TextFunctions.normalize. */
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  /** DuckDB rendering of TextFunctions.words. */
+  private val wordsSql = s"string_split($normSql, ' ')"
+
+  // ---- dedup ----------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, d: String): DataFrame =
+    ExactDedup().transform(documents(spark, d)).orderBy("content_hash")
+
+  def dedupExactNorm(spark: SparkSession, d: String): DataFrame =
+    ExactDedup(normalized = true).transform(documents(spark, d)).orderBy("content_hash")
+
+  def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame =
+    NgramJaccardDedup(thresholdBp = 8000).transform(documents(spark, d))
+      .orderBy("doc_a", "doc_b")
+
+  def dedupMinhash(spark: SparkSession, d: String): DataFrame =
+    MinHashDedup(thresholdBp = 8000).transform(documents(spark, d))
+      .orderBy("doc_a", "doc_b")
+
+  def dedupSimhash(spark: SparkSession, d: String): DataFrame =
+    SimHashDedup(maxHamming = 8).transform(documents(spark, d))
+      .orderBy("doc_a", "doc_b")
+
+  def neardupCosine(spark: SparkSession, d: String): DataFrame =
+    CosineNearDup(threshold = 0.45).transform(embeddings(spark, d))
+      .orderBy("id_a", "id_b")
+
+  // ---- text analysis --------------------------------------------------
+
+  def textStats(spark: SparkSession, d: String): DataFrame = {
+    val ws = T.words(col("text"))
+    documents(spark, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_txt"),
+      T.tokenCount(col("text")).as("n_tokens"),
+      T.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      size(array_distinct(ws)).as("n_distinct"),
+      T.bp(aggregate(ws, lit(0L), (acc, w) => acc + length(w)), size(ws))
+        .as("mean_word_len_bp"),
+      T.bp(size(array_distinct(ws)), size(ws)).as("ttr_bp"))
+      .orderBy("doc_id")
+  }
+
+  def textLangid(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"), col("lang"), T.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  def textFingerprint(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).select(
+      col("doc_id"),
+      T.fingerprint(col("text")).as("fp"),
+      T.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: integer signals + a composite score + keep flag.
+    * score = min(n_tokens,100) + ttr in percent + mean word length in
+    * tenths, all integers. */
+  def textQuality(spark: SparkSession, d: String): DataFrame = {
+    val ws = T.words(col("text"))
+    val nTok = size(ws).cast("long")
+    val ttrBp = T.bp(size(array_distinct(ws)), size(ws))
+    val mwlBp = T.bp(aggregate(ws, lit(0L), (acc, w) => acc + length(w)), size(ws))
+    val score = least(nTok, lit(100L)) +
+      floor(ttrBp / 100).cast("long") + floor(mwlBp / 1000).cast("long")
+    documents(spark, d).select(
+      col("doc_id"), nTok.as("n_tokens"), ttrBp.as("ttr_bp"), mwlBp.as("mwl_bp"),
+      score.as("quality_score"),
+      (nTok >= 20 && ttrBp >= 1500).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_exact_norm" -> (dedupExactNorm _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "neardup_cosine" -> (neardupCosine _),
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_quality" -> (textQuality _))
+
+  /** Language-ID oracle: same stopword lists, same priority order as
+    * TextFunctions.langId, rendered as DuckDB SQL. */
+  private def langidCaseSql: String = {
+    val scores = T.stopwords.map { case (lang, stops) =>
+      val inList = stops.map(s => s"'$s'").mkString(", ")
+      lang -> s"len(list_filter($wordsSql, w -> w IN ($inList)))"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val whens = scores.map { case (lang, s) =>
+      s"WHEN $s = $best AND $s > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+    "dedup_exact_norm" ->
+      s"""SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM documents GROUP BY $normSql ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),
+         |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM w WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+         |SELECT doc_a, doc_b, inter, CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter * 10000 >= (sa.n + sb.n - inter) * 8000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "neardup_cosine" ->
+      """SELECT id_a, id_b, cosine FROM (
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        | sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id, length(text) AS n_chars_txt,
+         |CAST(len($wordsSql) AS INTEGER) AS n_tokens,
+         |CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+         |CAST(len(list_distinct($wordsSql)) AS INTEGER) AS n_distinct,
+         |CAST((CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS BIGINT) * 10000)
+         |  // len($wordsSql) AS BIGINT) AS mean_word_len_bp,
+         |CAST((CAST(len(list_distinct($wordsSql)) AS BIGINT) * 10000)
+         |  // len($wordsSql) AS BIGINT) AS ttr_bp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang, $langidCaseSql AS pred_lang FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp, CAST(len($wordsSql) AS INTEGER) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id,
+         |CAST(len($wordsSql) AS BIGINT) AS n_tokens,
+         |CAST((CAST(len(list_distinct($wordsSql)) AS BIGINT) * 10000) // len($wordsSql) AS BIGINT) AS ttr_bp,
+         |CAST((CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS BIGINT) * 10000)
+         |  // len($wordsSql) AS BIGINT) AS mwl_bp
+         |FROM documents)
+         |SELECT doc_id, n_tokens, ttr_bp, mwl_bp,
+         |CAST(least(n_tokens, 100) + ttr_bp // 100 + mwl_bp // 1000 AS BIGINT) AS quality_score,
+         |(n_tokens >= 20 AND ttr_bp >= 1500) AS keep
+         |FROM t ORDER BY doc_id""".stripMargin)
+}

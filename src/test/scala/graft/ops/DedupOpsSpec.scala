@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (3L, "  The   quick brown FOX jumps over the lazy dog"), // norm-dup of 0
+    (4L, "completely different content about spark engines and data"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("ExactDedup groups identical texts, keeps min id") {
+    val out = ExactDedup().transform(docs).orderBy("keep_id").collect()
+    assert(out.length == 5) // 0==2; 3 differs raw
+    val g = out.find(_.getAs[Long]("keep_id") == 0L).get
+    assert(g.getAs[Long]("n_copies") == 2)
+  }
+
+  test("ExactDedup normalized also folds case/whitespace variants") {
+    val out = ExactDedup(normalized = true).transform(docs).collect()
+    assert(out.length == 4) // 0==2==3
+    val g = out.find(_.getAs[Long]("keep_id") == 0L).get
+    assert(g.getAs[Long]("n_copies") == 3)
+  }
+
+  test("NgramJaccard finds near-dup pairs above threshold only") {
+    val pairs = NgramJaccardDedup(thresholdBp = 6000).transform(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "near-dup pair detected")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 3L)), "exact dups trivially pass")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc not paired")
+  }
+
+  test("MinHashDedup recall matches exact jaccard on driver documents") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = NgramJaccardDedup(thresholdBp = 8000).transform(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = MinHashDedup(thresholdBp = 8000).transform(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(exact), "verification step guarantees precision 1.0")
+    assert(mh.size >= (exact.size * 0.9).toInt, s"recall ${mh.size}/${exact.size} >= 0.9")
+  }
+
+  test("SimHash: identical docs collide; near-dups closer than unrelated") {
+    val h = docs.select($"doc_id", T.simhash64(T.shingleSet($"text", 3)).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(2L) && h(0L) == h(3L), "exact/normalized dups → same simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(4L)), "near-dup closer than unrelated")
+    // the banded op surfaces the exact-dup pairs at radius 0
+    val pairs = SimHashDedup(maxHamming = 3).transform(docs)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 2L)) == 0 && m((0L, 3L)) == 0 && m((2L, 3L)) == 0)
+  }
+
+  test("CosineNearDup finds only pairs above threshold") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.04f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = CosineNearDup(threshold = 0.95).transform(vecs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val df = Seq(
+      (1, "the cat and the dog of a house"),
+      (2, "der hund und die katze ist von hier"),
+      (3, "le chat et la maison est une merveille"),
+      (4, "xyzzy plugh foobar")
+    ).toDF("id", "text")
+    val got = df.select($"id", T.langId($"text").as("l")).as[(Int, String)].collect().toMap
+    assert(got(1) == "en" && got(2) == "de" && got(3) == "fr" && got(4) == "und")
+  }
+
+  test("rollingHash is order-sensitive, whitespace-insensitive") {
+    val df = Seq(
+      (1, "alpha beta gamma"), (2, "  alpha   beta gamma "), (3, "gamma beta alpha")
+    ).toDF("id", "text")
+    val h = df.select($"id", T.rollingHash($"text").as("h")).as[(Int, Long)].collect().toMap
+    assert(h(1) == h(2))
+    assert(h(1) != h(3))
+  }
+}
