@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops._
+
+/** Model-op queries (rows-only checked: training-based outputs are not
+  * SQL-expressible; semantics are asserted by the ScalaTest suites). */
+object MlQueries {
+
+  /** PredictForest: RF regression of part retail price from size/brand. */
+  def mlForest(spark: SparkSession, d: String): DataFrame = {
+    val p = Categorify(Seq("p_brand", "p_type"))
+      .transform(part(spark, d))
+      .withColumn("p_size_d", col("p_size").cast("double"))
+    val feats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
+    val op = PredictForest.trainRegressor(p, feats, "p_retailprice")
+    op.transform(p).select("p_partkey", "output__0").orderBy("p_partkey")
+  }
+
+  /** PredictImplicit: ALS top-10 recommendations per user. */
+  def mlAlsRecommend(spark: SparkSession, d: String): DataFrame = {
+    val interactions = orders(spark, d)
+      .join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(sum("l_quantity").cast("float").as("strength"))
+    val model = PredictImplicit.train(interactions, "user", "item", "strength")
+    val users = customer(spark, d).select(col("c_custkey").as("user_id"))
+    PredictImplicit(model, numToRecommend = 10).transform(users).orderBy("user_id")
+  }
+
+  /** PredictClassifier: logistic regression over embedding vectors. */
+  def mlClassifier(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val op = PredictClassifier.trainLogistic(emb, "embedding", "label")
+    op.transform(emb).select("vec_id", "label", "prediction").orderBy("vec_id")
+  }
+
+  /** TransformWorkflow: fitted MLlib pipeline (indexers + scaler). */
+  def mlWorkflow(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d)
+    val wf = TransformWorkflow.fit(c, Seq("c_mktsegment"), Seq("c_acctbal"))
+    wf.transform(c)
+      .select(col("c_custkey"), col("c_mktsegment_idx"),
+        org.apache.spark.ml.functions.vector_to_array(col("cont_scaled"))
+          .getItem(0).as("acctbal_scaled"))
+      .orderBy("c_custkey")
+  }
+
+  /** The flagship 4-stage recommender pipeline end-to-end. */
+  def pipelineRecsys(spark: SparkSession, d: String): DataFrame =
+    graft.Flagship.recommend(spark, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_forest" -> (mlForest _),
+    "ml_als_recommend" -> (mlAlsRecommend _),
+    "ml_classifier" -> (mlClassifier _),
+    "ml_workflow" -> (mlWorkflow _),
+    "pipeline_recsys" -> (pipelineRecsys _))
+
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end smoke of the 4-stage pipeline on sf0.001 (t1 tier). */
+class FlagshipSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entry returns 10 ranked recommendations per known user") {
+    val out = SparkEntry.entry(spark).cache()
+    assert(out.count() > 0, "driver smoke contract: rows > 0")
+    val row = out.select("ordered_ids", "ordered_scores")
+      .as[(Seq[Long], Seq[Double])].head()
+    assert(row._1.size == 10 && row._2.size == 10)
+    assert(row._1.distinct.size == 10, "no duplicate recommendations")
+  }
+
+  test("recommendations exclude already-seen items") {
+    val d = "/root/testdata/sf0.001"
+    val recs = Flagship.recommend(spark, d)
+      .select($"user_id", explode($"ordered_ids").as("item_id"))
+    val seen = Tables.orders(spark, d)
+      .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .distinct()
+    assert(recs.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
+  }
+}
