@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.EnsembleOp
+import graft.functions.{TopKAggregator, VectorFunctions}
+
+/** Approximate nearest neighbour via sign-random-projection LSH — the
+  * scale path for [[TopKRetrieval]] when the item set cannot be broadcast
+  * (the analog of the reference's `IVF32,Flat` index with `nprobe=8`,
+  * /root/reference/merlin/systems/dag/ops/faiss.py:213-214).
+  *
+  * Index: each vector hashes to a `numBits`-bit bucket; bit p is the sign
+  * of the projection onto a deterministic ±1 hyperplane derived from
+  * `xxhash64(p, d)` — no stored model, any executor can recompute it.
+  * Query: probe the home bucket plus `nprobe-1` single-bit-flip neighbours,
+  * shuffle-join on bucket id (items partition by bucket — co-located,
+  * never all-pairs), then bounded-heap top-k per query. Recall rises with
+  * `nprobe`; cost per query is |bucket|·nprobe instead of |items|.
+  */
+case class AnnLsh(
+    items: DataFrame,
+    queryIdCol: String,
+    queryVecCol: String,
+    itemIdCol: String = "item_id",
+    itemVecCol: String = "embedding",
+    k: Int = 10,
+    numBits: Int = 8,
+    nprobe: Int = 4,
+    metric: String = "cosine") extends EnsembleOp {
+
+  require(nprobe >= 1 && nprobe <= numBits + 1, s"$name: nprobe in [1, numBits+1]")
+
+  /** ±1 random-hyperplane projection for plane `p` (deterministic). */
+  private def projection(vec: Column, p: Int): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, d) => when(xxhash64(lit(p), d).bitwiseAND(lit(1L)) === 1L,
+          x.cast("double")).otherwise(-x.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Bucket id: numBits sign bits packed into an int. */
+  private def bucket(vec: Column): Column =
+    (0 until numBits).map(p =>
+      when(projection(vec, p) > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private def score(q: Column, it: Column): Column = metric match {
+    case "dot"    => VectorFunctions.dot(q, it)
+    case "cosine" => VectorFunctions.cosine(q, it)
+    case m        => throw new IllegalArgumentException(s"$name: unknown metric $m")
+  }
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, queryIdCol); requireCol(in, queryVecCol)
+    StructType(Seq(
+      in(queryIdCol),
+      StructField("candidate_ids", ArrayType(LongType)),
+      StructField("candidate_scores", ArrayType(DoubleType))))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    val indexed = items.select(
+      col(itemIdCol).cast("long").as("__item_id"), col(itemVecCol).as("__item_vec"),
+      bucket(col(itemVecCol)).as("__bucket"))
+    // home bucket + single-bit-flip probes
+    val probes = array((0 until nprobe).map(i =>
+      if (i == 0) bucket(col(queryVecCol))
+      else bucket(col(queryVecCol)).bitwiseXOR(lit(1 << (i - 1)))): _*)
+    val probed = df.select(col(queryIdCol), col(queryVecCol))
+      .withColumn("__bucket", explode(probes))
+    probed.join(indexed, Seq("__bucket"))
+      .groupBy(col(queryIdCol))
+      .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))
+      .select(col(queryIdCol),
+        col("__top.ids").as("candidate_ids"),
+        col("__top.scores").as("candidate_scores"))
+  }
+}

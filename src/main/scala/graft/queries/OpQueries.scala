@@ -90,6 +90,26 @@ object OpQueries {
       .asRows(queries).orderBy("vec_id", "rank")
   }
 
+  /** Bucketed ANN (rows-only: LSH candidate sets are hash-dependent; the
+    * AnnLshSpec asserts recall against the brute-force ground truth). */
+  def annLsh(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val items = emb.filter(col("label") =!= 0).select(col("vec_id").as("item_id"), col("embedding"))
+    AnnLsh(items, "vec_id", "embedding", k = 10, numBits = 6, nprobe = 4, metric = "cosine")
+      .transform(queries).orderBy("vec_id")
+  }
+
+  /** Multimodal plumbing (rows-only): fake binary media derived
+    * deterministically from document hashes, decoded partition-parallel
+    * by the stubbed decoder (see MultimodalOps STUB NOTE). */
+  def multimodalDecode(spark: SparkSession, d: String): DataFrame = {
+    val media = documents(spark, d).select(
+      col("doc_id").as("media_id"),
+      unhex(concat(md5(col("text")), md5(col("source")))).as("content"))
+    DecodeMedia().transform(media).orderBy("media_id")
+  }
+
   /** SoftmaxSampling over per-user order candidates (seeded; rand-based so
     * rows-only checked — no SQL oracle can reproduce the sampling). */
   def softmaxSampling(spark: SparkSession, d: String): DataFrame = {
@@ -134,6 +154,8 @@ object OpQueries {
     "op_padding" -> (padding _),
     "op_categorify" -> (categorify _),
     "op_topk_retrieval" -> (topkRetrieval _),
+    "op_ann_lsh" -> (annLsh _),
+    "multimodal_decode" -> (multimodalDecode _),
     "op_softmax_sampling" -> (softmaxSampling _),
     "op_standard_scale" -> (standardScale _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming layer. The reference serves request/response only
+  * (SURVEY.md §2.6: no streams); this is the Spark-native serving analog —
+  * a request topic consumed as micro-batches (≈ Triton dynamic batching,
+  * fil.py:128 max_batch_size) plus the event-analytics ops a production
+  * recsys needs around it. All transforms below accept either a static or
+  * a streaming DataFrame: the plan is identical, only the source differs.
+  */
+object StreamingOps {
+
+  /** Watermarked sliding-window event aggregation: counts and value sums
+    * per (window, event_type); late data beyond the watermark is dropped. */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionAgg(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+  /** Gap-based sessionization with explicit state (the reference's
+    * per-session candidate tracking, done properly with
+    * flatMapGroupsWithState + processing-time timeout): a session closes
+    * when `gapMs` passes without events for that user. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](OutputMode.Append, timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionAgg]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionAgg(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming batch scorer: the §3.3 serving loop as a micro-batch flow —
+    * requests arrive on a stream, the fitted ensemble scores each batch.
+    * `scorer` is any DataFrame→DataFrame ensemble (static plan). */
+  def scoreStream(requests: DataFrame)(scorer: DataFrame => DataFrame): DataFrame =
+    scorer(requests)
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+import graft.SparkSpec
+import StreamingOps.{Event, SessionAgg}
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(3600_000L * 24 + min * 60_000L)
+
+  test("windowedEventCounts aggregates a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val agg = StreamingOps.windowedEventCounts(
+      src.toDF(), windowLen = "10 minutes", slide = "10 minutes", watermark = "20 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("win_counts").start()
+    src.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 11, "click", 2.5),
+      Event(3, ts(12), 10, "view", 1.0))
+    q.processAllAvailable()
+    // advance the watermark in later micro-batches so early windows close
+    src.addData(Event(4, ts(60), 12, "click", 0.5))
+    q.processAllAvailable()
+    src.addData(Event(5, ts(120), 12, "click", 0.5))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("win_counts")
+      .select($"event_type", $"n_events", $"value_cents").as[(String, Long, Long)]
+      .collect().toSet
+    assert(out.contains(("click", 2L, 350L)), s"got $out")
+    assert(out.contains(("view", 1L, 100L)))
+  }
+
+  test("sessionize closes sessions on gap and aggregates per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    // NoTimeout in the test: a processing-time timeout keeps the no-data
+    // batch loop spinning, which processAllAvailable never drains
+    val sessions = StreamingOps.sessionize(src.toDS(), gapMs = 10 * 60_000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    // user 10: two events 5 min apart (one session), then 30 min gap → new session
+    src.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "view", 2.0),
+      Event(3, ts(35), 10, "click", 4.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[SessionAgg].collect()
+    assert(closed.length == 1, s"first session closed by the 30-min gap: ${closed.toSeq}")
+    assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
+    q.stop()
+  }
+}
