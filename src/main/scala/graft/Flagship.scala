@@ -49,9 +49,12 @@ object Flagship {
       requests.schema).transform(requests)
       .filter(col("user_vec").isNotNull) // cold users have no factors
 
-    // stage 2: top-k retrieval against the item-factor "index"
-    val retrieved = TopKRetrieval(itemVecs, "user_id", "user_vec",
-      k = retrievalK, metric = "dot").transform(withVec)
+    // stage 2: top-k retrieval against the item-factor "index" via LSH
+    // buckets (the 100 TB path: candidates per user ≈ items/2^bits ×
+    // nprobe, not |items| — brute force here would score |users|·|items|
+    // pairs, which already times out at sf0.1)
+    val retrieved = AnnLsh(itemVecs, "user_id", "user_vec",
+      k = retrievalK, numBits = 6, nprobe = 4, metric = "dot").transform(withVec)
 
     // stage 3: drop seen items, re-attach profile, rank by dot score
     val filtered = Ensemble(Seq(

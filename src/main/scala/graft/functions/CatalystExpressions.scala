@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the numeric hot paths (SURVEY.md §7.3).
+  *
+  * The built-in higher-order functions (`zip_with`+`aggregate`) are
+  * interpreted per element — fine for per-document transforms, fatal for
+  * per-PAIR math (millions of dot products in similarity joins). These
+  * expressions evaluate as single tight JVM loops per row instead. Results
+  * are bit-identical to the HOF formulations (sequential fold, double
+  * accumulation) so the DuckDB oracle comparisons are unaffected.
+  */
+
+/** Dot product of two numeric array columns, accumulated sequentially in
+  * double — `Σ a(i)·b(i)` over the common prefix length. */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs numeric array inputs")
+  }
+
+  @inline private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case _ => 0.0
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val lt = elemType(left); val rt = elemType(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += get(a, lt, i) * get(b, rt, i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash of a string-array column: per-bit ±1 votes of
+  * xxhash64(element, seed=42) — same math as TextFunctions.simhash64 but
+  * one loop per row instead of 64 interpreted lambda passes per element. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** MinHash LSH band keys in one pass: k hashes per element (seed-chained
+  * like the builtin `xxhash64(elem, i)`), min-reduced into a k-signature,
+  * then each band of `rowsPerBand` signature values folded into one band
+  * key (chained with the band index so bands never collide across index).
+  */
+case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes % bands == 0, "numHashes must divide into bands")
+  private val rowsPerBand = numHashes / bands
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var k = 0
+      while (k < numHashes) {
+        // chain the hash-family index exactly like xxhash64(elem, k)
+        val h = XxHash64Function.hash(k, IntegerType, base)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = XxHash64Function.hash(sig(b * rowsPerBand + r), LongType, acc)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column wrappers (Spark 4: Column↔Expression bridge lives in
+  * sql.classic.ExpressionUtils). */
+object FastExpressions {
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+  def arrayDot(a: Column, b: Column): Column =
+    column(ArrayDotProduct(expression(a), expression(b)))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def minhashBandKeys(c: Column, numHashes: Int, bands: Int): Column =
+    column(MinHashBandKeys(expression(c), numHashes, bands))
+}

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array columns, accumulated in double. Backed by
+    * the custom [[graft.functions.ArrayDotProduct]] expression — one tight
+    * JVM loop per row; bit-identical to the HOF formulation
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` (sequential double fold). */
+  def dot(a: Column, b: Column): Column = FastExpressions.arrayDot(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

