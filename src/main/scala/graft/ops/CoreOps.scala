@@ -26,6 +26,24 @@ case class Rename(mapping: Map[String, String]) extends EnsembleOp {
   override def transform(df: DataFrame): DataFrame = df.withColumnsRenamed(mapping)
 }
 
+/** Column-wise union of two branch outputs keyed on the request id — the
+  * reference's `node_a + node_b` ConcatColumns (SURVEY.md §2.2,
+  * tests/unit/systems/dag/test_graph.py:53-62). Both branches must derive
+  * from the same root, so the join key is the request lineage column. */
+case class ConcatColumns(other: DataFrame, on: String = "requestId")
+    extends EnsembleOp {
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, on)
+    require(other.schema.fieldNames.contains(on), s"$name: '$on' missing in other branch")
+    val extra = other.schema.filterNot(f => in.fieldNames.contains(f.name))
+    StructType(in ++ extra)
+  }
+  override def transform(df: DataFrame): DataFrame = {
+    val extraCols = other.schema.fieldNames.filterNot(df.schema.fieldNames.contains)
+    df.join(other.select((on +: extraCols.toSeq).map(col): _*), Seq(on))
+  }
+}
+
 /** Anti-filter of one id array by another, preserving order and duplicates:
   * `candidate_ids.values[~np.isin(candidate_ids, filter_ids)]`
   * (/root/reference/merlin/systems/dag/ops/session_filter.py:142-162).

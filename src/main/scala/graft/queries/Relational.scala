@@ -115,7 +115,50 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), cents("value"))
       .orderBy("day", "event_type")
 
+  /** Batch gap-sessionization over the event log (lag + running sum —
+    * the batch twin of streaming.StreamingOps.sessionize). Timestamps are
+    * compared at whole-second epoch (floor) for cross-engine parity. */
+  def q11_sessionize(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts").cast("long")).as("start_s"),
+        max(col("ts").cast("long")).as("end_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact distinct-count aggregation. */
+  def q12_distinct(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** Full cube over two dimensions (grouping-sets coverage beyond q6's
+    * rollup). */
+  def q13_cube(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), cents("o_totalprice"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("o_totalprice_cents"))
+      .orderBy("status", "priority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_sessionize" -> (q11_sessionize _),
+    "q12_distinct" -> (q12_distinct _),
+    "q13_cube" -> (q13_cube _),
     "q1_agg" -> (q1_agg _),
     "q2_join_agg" -> (q2_join_agg _),
     "q3_topk" -> (q3_topk _),
@@ -128,6 +171,26 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q11_sessionize" ->
+      """WITH f AS (SELECT user_id, event_id, ts,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |THEN 1 ELSE 0 END AS new_s
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        |CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q12_distinct" ->
+      """SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+        |count(*) AS n_customers FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+        |count(*) AS n_orders,
+        |CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS o_totalprice_cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY 1,2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows,
         |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS l_extendedprice_cents,

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink coverage (SURVEY.md §2.6): parquet is exercised everywhere;
+  * this suite covers CSV (with and without header — the reference's
+  * conftest fixture variants) and partitioned parquet sinks. */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("csv round-trip (header) preserves values under an explicit schema") {
+    val src = Tables.customer(spark, "/root/testdata/sf0.001")
+    val dir = tmp("csv_h")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(src.schema).csv(dir)
+    assert(back.count() == src.count())
+    val a = src.orderBy("c_custkey").collect().toSeq
+    val b = back.orderBy("c_custkey").collect().toSeq
+    assert(a == b)
+  }
+
+  test("headerless csv reads positionally with a supplied schema") {
+    val src = Tables.nation(spark, "/root/testdata/sf0.001")
+    val dir = tmp("csv_nh")
+    src.write.mode("overwrite").csv(dir)
+    val back = spark.read.schema(src.schema).csv(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val src = Tables.orders(spark, "/root/testdata/sf0.001")
+    val dir = tmp("part_sink")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val expected = src.filter(col("o_orderstatus") === "F").count()
+    assert(back.count() == expected)
+    // partition pruning: the scan must touch only the o_orderstatus=F dir
+    val scan = back.queryExecution.executedPlan.toString
+    assert(!scan.contains("o_orderstatus=O"), "pruned partitions must not be listed")
+  }
+}
