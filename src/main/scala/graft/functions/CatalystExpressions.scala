@@ -149,6 +149,55 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a string in one pass — value-identical
+  * to TextFunctions.shingleSet (normalize → split on single space →
+  * positional n-grams → first-occurrence-distinct) but a single JVM loop
+  * instead of nested interpreted HOFs. Feeds every dedup operator. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    // mirror lower(trim(regexp_replace(s, "\s+", " "))) exactly:
+    // collapse whitespace runs, strip leading/trailing single space, lower
+    var s = v.asInstanceOf[UTF8String].toString.replaceAll("\\s+", " ")
+    if (s.startsWith(" ")) s = s.substring(1)
+    if (s.endsWith(" ")) s = s.substring(0, s.length - 1)
+    s = s.toLowerCase
+    val words = s.split(" ", -1)
+    if (words.length < n) ArrayData.toArrayData(Array.empty[UTF8String])
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size())
+      val it = seen.iterator(); var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column wrappers (Spark 4: Column↔Expression bridge lives in
   * sql.classic.ExpressionUtils). */
 object FastExpressions {
@@ -158,4 +207,5 @@ object FastExpressions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def minhashBandKeys(c: Column, numHashes: Int, bands: Int): Column =
     column(MinHashBandKeys(expression(c), numHashes, bands))
+  def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
 }

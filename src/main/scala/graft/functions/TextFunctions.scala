@@ -36,8 +36,10 @@ object TextFunctions {
         i => concat_ws(" ", slice(ws, i, lit(n)))))
   }
 
-  /** Distinct shingle set (the unit of Jaccard similarity). */
-  def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
+  /** Distinct shingle set (the unit of Jaccard similarity). Backed by the
+    * one-pass [[graft.functions.WordShingles]] expression; value-identical
+    * to `array_distinct(wordShingles(c, n))`. */
+  def shingleSet(c: Column, n: Int): Column = FastExpressions.wordShingles(c, n)
 
   /** MinHash signature: k independent hashes via xxhash64(shingle, i),
     * min-reduced per hash family. Null-free for non-empty shingle sets. */

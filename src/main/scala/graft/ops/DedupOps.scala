@@ -69,8 +69,11 @@ case class NgramJaccardDedup(
 
   override def transform(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the shingle table feeds three plan branches (freq, prefix, verify) —
+    // cache it so shingling runs once
     val docs = df.select(col(idCol).as("id"), T.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = docs.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix length ⌊(1−t)·|d|⌋+1 under (df ASC, shingle ASC) global order;
@@ -124,6 +127,7 @@ case class MinHashDedup(
     import graft.functions.FastExpressions
     val docs = df.select(col(idCol).as("id"), T.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // light (id, band) rows only — the shingle arrays join back in AFTER
     // candidate pairs are deduped, so band collisions never shuffle arrays.
     // 8 bands × 8 rows: P(noise pair at j≈0.45 collides) ≈ 8·0.45^8 ≈ 1.3%,
