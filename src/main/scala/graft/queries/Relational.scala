@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.Tables._
 
 /** Relational core: scans, projection, filter pushdown, joins (broadcast /
@@ -155,7 +156,20 @@ object Relational {
         col("n_orders"), col("o_totalprice_cents"))
       .orderBy("status", "priority")
 
+  /** JSON extraction from the event props payload (real JSON parsing on
+    * the Spark side; the oracle regexp-extracts the same field — equal on
+    * this uniform payload shape). */
+  def q14_json(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .withColumn("k",
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_json" -> (q14_json _),
     "q11_sessionize" -> (q11_sessionize _),
     "q12_distinct" -> (q12_distinct _),
     "q13_cube" -> (q13_cube _),
@@ -171,6 +185,11 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q14_json" ->
+      """SELECT event_type,
+        |CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |CAST(max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
+        |count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_sessionize" ->
       """WITH f AS (SELECT user_id, event_id, ts,
         |CASE WHEN lag(ts) OVER w IS NULL
