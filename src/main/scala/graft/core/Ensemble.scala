@@ -37,17 +37,25 @@ trait EnsembleOp extends Serializable {
   * Branching DAGs compose naturally as plain DataFrames fed into two-input
   * ops (joins); this class models the common linear spine.
   */
-case class Ensemble(ops: Seq[EnsembleOp], inputSchema: StructType) {
+case class Ensemble(ops: Seq[EnsembleOp], inputSchema: StructType)
+    extends EnsembleOp {
   /** Per-stage schemas; schemas(i) is the input of ops(i). */
   val schemas: Seq[StructType] =
     ops.scanLeft(inputSchema)((s, op) => op.transformSchema(s))
 
   def outputSchema: StructType = schemas.last
 
-  def transform(df: DataFrame): DataFrame = {
-    val have = df.schema.fieldNames.toSet
-    val missing = inputSchema.fieldNames.filterNot(have)
+  /** An Ensemble is itself an op, so whole pipelines embed as named
+    * subgraphs inside larger ones (the reference's subgraph support,
+    * tests/unit/systems/ops/tf/test_ensemble.py:234-285). */
+  override def transformSchema(in: StructType): StructType = {
+    val missing = inputSchema.fieldNames.filterNot(in.fieldNames.contains)
     require(missing.isEmpty, s"Ensemble input missing columns: ${missing.mkString(",")}")
+    ops.foldLeft(in)((s, op) => op.transformSchema(s))
+  }
+
+  def transform(df: DataFrame): DataFrame = {
+    transformSchema(df.schema) // revalidate against the actual frame
     ops.foldLeft(df)((d, op) => op.transform(d))
   }
 }

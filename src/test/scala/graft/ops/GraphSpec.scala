@@ -32,6 +32,22 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 12, 22), (2, 32, 42)))
   }
 
+  test("an Ensemble nests inside another Ensemble as a subgraph") {
+    val df = Seq((1, 5), (2, 6)).toDF("requestId", "x")
+    val inner = Ensemble(Seq(PlusTwoOp(Seq("x"))), df.schema)
+    val outer = Ensemble(Seq(inner, Rename(Map("x_plus_2" -> "y"))), df.schema)
+    assert(outer.outputSchema.fieldNames.toSeq == Seq("requestId", "x", "y"))
+    val out = outer.transform(df).orderBy("requestId").as[(Int, Int, Int)].collect()
+    assert(out.toSeq == Seq((1, 5, 7), (2, 6, 8)))
+  }
+
+  test("row union across sources aligns columns by name") {
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq(("y", 2)).toDF("v", "id")
+    val u = a.unionByName(b)
+    assert(u.count() == 2 && u.columns.toSeq == Seq("id", "v"))
+  }
+
   test("ConcatColumns unions two branch outputs on the request key") {
     val root = Seq((1, "a"), (2, "b")).toDF("requestId", "v")
     // two branches derived from the same root (reference test_graph.py:53-62)
