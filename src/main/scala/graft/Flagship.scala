@@ -29,7 +29,9 @@ object Flagship {
       .groupBy(col("o_custkey").cast("int").as("user"),
         col("l_partkey").cast("int").as("item"))
       .agg(sum("l_quantity").cast("float").as("strength"))
-    val als = PredictImplicit.train(interactions, "user", "item", "strength")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds ALS fit + seen-set
+    val als = PredictImplicit.train(interactions, "user", "item", "strength",
+      maxIter = 3)
 
     val userVecs = als.userFactors.select(col("id").as("user_id"),
       col("features").as("user_vec"))
