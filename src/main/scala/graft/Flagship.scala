@@ -54,9 +54,13 @@ object Flagship {
     // stage 2: top-k retrieval against the item-factor "index" via LSH
     // buckets (the 100 TB path: candidates per user ≈ items/2^bits ×
     // nprobe, not |items| — brute force here would score |users|·|items|
-    // pairs, which already times out at sf0.1)
+    // pairs, which already times out at sf0.1). Bucket bits scale with the
+    // catalog so buckets average ~64 items at any scale factor.
+    val nItems = itemVecs.count()
+    val numBits = math.max(4, math.min(12,
+      (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
     val retrieved = AnnLsh(itemVecs, "user_id", "user_vec",
-      k = retrievalK, numBits = 6, nprobe = 4, metric = "dot").transform(withVec)
+      k = retrievalK, numBits = numBits, nprobe = 4, metric = "dot").transform(withVec)
 
     // stage 3: drop seen items, re-attach profile, rank by dot score
     val filtered = Ensemble(Seq(
