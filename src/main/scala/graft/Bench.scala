@@ -38,15 +38,21 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      // setJobGroup is a thread-local: it must run on the thread that
+      // triggers the action (inside the Future), or cancelJobGroup would
+      // cancel nothing and a timed-out query would keep running.
       val ok = try {
-        Await.result(Future { fn(spark, sfDir).count() }, timeoutSec.seconds)
+        Await.result(Future {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).count()
+          finally spark.sparkContext.clearJobGroup()
+        }, timeoutSec.seconds)
         true
       } catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name); false
         case _: Throwable => false
-      } finally spark.sparkContext.clearJobGroup()
+      }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       System.err.println(f"[bench] $name%-24s ${sec}%.2fs")
       name -> sec

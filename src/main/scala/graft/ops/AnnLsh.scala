@@ -78,4 +78,14 @@ case class AnnLsh(
         col("__top.ids").as("candidate_ids"),
         col("__top.scores").as("candidate_scores"))
   }
+
+  /** Relational form: one row per (query, rank, item, score) — scalar
+    * columns only, the shape the correctness harness can sort and hash. */
+  def asRows(df: DataFrame): DataFrame =
+    transform(df).select(col(queryIdCol),
+      posexplode(arrays_zip(col("candidate_ids"), col("candidate_scores")))
+        .as(Seq("pos", "pair")))
+      .select(col(queryIdCol), (col("pos") + 1).as("rank"),
+        col("pair.candidate_ids").as("item_id"),
+        col("pair.candidate_scores").as("score"))
 }

@@ -69,9 +69,14 @@ case class FilterCandidates(
         in.fields(ci).copy(name = outputCol))
   }
 
+  // A NULL filter array means "nothing to filter" (the reference's empty
+  // np.isin set): array_contains(null, x) is NULL and filter() drops
+  // null-predicate elements, so without the coalesce a user missing a
+  // filter entry (e.g. from a left join) would lose ALL candidates.
   override def transform(df: DataFrame): DataFrame =
     df.withColumn(outputCol,
-        filter(col(inputCol), x => !array_contains(col(filterCol), x)))
+        filter(col(inputCol),
+          x => coalesce(!array_contains(col(filterCol), x), lit(true))))
       .drop(inputCol, filterCol)
 }
 

@@ -19,7 +19,8 @@ object MlQueries {
     op.transform(p).select("p_partkey", "output__0").orderBy("p_partkey")
   }
 
-  /** PredictImplicit: ALS top-10 recommendations per user. */
+  /** PredictImplicit: ALS top-10 recommendations per user, exploded to
+    * (user_id, rank, item_id, score) scalar rows for the driver compare. */
   def mlAlsRecommend(spark: SparkSession, d: String): DataFrame = {
     val interactions = orders(spark, d)
       .join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
@@ -28,7 +29,13 @@ object MlQueries {
       .agg(sum("l_quantity").cast("float").as("strength"))
     val model = PredictImplicit.train(interactions, "user", "item", "strength")
     val users = customer(spark, d).select(col("c_custkey").as("user_id"))
-    PredictImplicit(model, numToRecommend = 10).transform(users).orderBy("user_id")
+    PredictImplicit(model, numToRecommend = 10).transform(users)
+      .select(col("user_id"),
+        posexplode(arrays_zip(col("ids"), col("scores"))).as(Seq("pos0", "pair")))
+      .select(col("user_id"), (col("pos0") + 1).as("rank"),
+        col("pair.ids").cast("long").as("item_id"),
+        col("pair.scores").cast("double").as("score"))
+      .orderBy("user_id", "rank")
   }
 
   /** PredictClassifier: logistic regression over embedding vectors. */
@@ -49,9 +56,17 @@ object MlQueries {
       .orderBy("c_custkey")
   }
 
-  /** The flagship 4-stage recommender pipeline end-to-end. */
+  /** The flagship 4-stage recommender pipeline end-to-end, exploded to
+    * (user_id, rank, item_id, score) scalar rows for the driver compare. */
   def pipelineRecsys(spark: SparkSession, d: String): DataFrame =
     graft.Flagship.recommend(spark, d)
+      .select(col("user_id"),
+        posexplode(arrays_zip(col("ordered_ids"), col("ordered_scores")))
+          .as(Seq("pos0", "pair")))
+      .select(col("user_id"), (col("pos0") + 1).as("rank"),
+        col("pair.ordered_ids").as("item_id"),
+        col("pair.ordered_scores").cast("double").as("score"))
+      .orderBy("user_id", "rank")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_forest" -> (mlForest _),

@@ -58,19 +58,27 @@ object OpQueries {
       .orderBy("requestId", "item_id")
   }
 
-  /** Embedding lookup by id (dataloader op). */
+  /** Embedding lookup by id (dataloader op), exploded to one row per
+    * vector element so the driver compare sees only scalar columns. */
   def embeddingLookup(spark: SparkSession, d: String): DataFrame = {
     val requests = embeddings(spark, d).filter(col("label") === 1)
       .select(col("vec_id").as("id"))
     EmbeddingLookup(embeddings(spark, d), idCol = "id")
-      .transform(requests).orderBy("id")
+      .transform(requests)
+      .select(col("id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("v").cast("double").as("val"))
+      .orderBy("id", "pos")
   }
 
-  /** Padding: ragged list → fixed length 6, zero-filled (truncates len 7). */
+  /** Padding: ragged list → fixed length 6, zero-filled (truncates len 7);
+    * exploded to (vec_id, pos, val) scalar rows for the driver compare. */
   def padding(spark: SparkSession, d: String): DataFrame = {
     val ragged = embeddings(spark, d).select(col("vec_id"),
       slice(col("embedding"), lit(1), (col("vec_id") % 5 + 3).cast("int")).as("vals"))
-    Padding("vals", length = 6).transform(ragged).orderBy("vec_id")
+    Padding("vals", length = 6).transform(ragged)
+      .select(col("vec_id"), posexplode(col("vals")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v").cast("double").as("val"))
+      .orderBy("vec_id", "pos")
   }
 
   /** Categorify: deterministic frequency-ordered category codes. */
@@ -91,13 +99,14 @@ object OpQueries {
   }
 
   /** Bucketed ANN (rows-only: LSH candidate sets are hash-dependent; the
-    * AnnLshSpec asserts recall against the brute-force ground truth). */
+    * AnnLshSpec asserts recall against the brute-force ground truth).
+    * Exploded to (vec_id, rank, item_id, score) scalar rows. */
   def annLsh(spark: SparkSession, d: String): DataFrame = {
     val emb = embeddings(spark, d)
     val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
     val items = emb.filter(col("label") =!= 0).select(col("vec_id").as("item_id"), col("embedding"))
     AnnLsh(items, "vec_id", "embedding", k = 10, numBits = 6, nprobe = 4, metric = "cosine")
-      .transform(queries).orderBy("vec_id")
+      .asRows(queries).orderBy("vec_id", "rank")
   }
 
   /** Multimodal plumbing (rows-only): fake binary media derived
@@ -107,11 +116,17 @@ object OpQueries {
     val media = documents(spark, d).select(
       col("doc_id").as("media_id"),
       unhex(concat(md5(col("text")), md5(col("source")))).as("content"))
-    DecodeMedia().transform(media).orderBy("media_id")
+    DecodeMedia().transform(media)
+      .select(col("media_id"), col("width"), col("height"),
+        posexplode(col("features")).as(Seq("bin0", "v")))
+      .select(col("media_id"), col("width"), col("height"),
+        (col("bin0") + 1).as("bin"), col("v").cast("double").as("feat"))
+      .orderBy("media_id", "bin")
   }
 
   /** SoftmaxSampling over per-user order candidates (seeded; rand-based so
-    * rows-only checked — no SQL oracle can reproduce the sampling). */
+    * rows-only checked — no SQL oracle can reproduce the sampling).
+    * Exploded to (requestId, rank, item_id, score) scalar rows. */
   def softmaxSampling(spark: SparkSession, d: String): DataFrame = {
     val perUser = interactions(spark, d)
       .withColumn("rel", col("o_totalprice") / 100000)
@@ -121,7 +136,14 @@ object OpQueries {
         expr("transform(ps, p -> p.o_orderkey)").as("candidate_ids"),
         expr("transform(ps, p -> p.rel)").as("relevance"))
     SoftmaxSampling("candidate_ids", "relevance", temperature = 20.0, topk = 10)
-      .transform(perUser).orderBy("requestId")
+      .transform(perUser)
+      .select(col("requestId"),
+        posexplode(arrays_zip(col("ordered_ids"), col("ordered_scores")))
+          .as(Seq("pos0", "pair")))
+      .select(col("requestId"), (col("pos0") + 1).as("rank"),
+        col("pair.ordered_ids").as("item_id"),
+        col("pair.ordered_scores").cast("double").as("score"))
+      .orderBy("requestId", "rank")
   }
 
   /** Standard scaling (rows-only: double mean/std depend on partial-agg
@@ -181,12 +203,15 @@ object OpQueries {
         |FROM orders JOIN lineitem ON o_orderkey=l_orderkey JOIN customer ON c_custkey=o_custkey
         |WHERE l_quantity >= 48 ORDER BY requestId, item_id""".stripMargin,
     "op_embedding_lookup" ->
-      """SELECT vec_id AS id, embedding FROM embeddings WHERE label=1 ORDER BY id""".stripMargin,
+      """SELECT vec_id AS id, unnest(range(1, len(embedding)+1)) AS pos,
+        |CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings WHERE label=1 ORDER BY id, pos""".stripMargin,
     "op_padding" ->
-      """SELECT vec_id, list_slice(list_concat(
+      """SELECT vec_id, unnest(range(1, 7)) AS pos, CAST(unnest(vals) AS DOUBLE) AS val
+        |FROM (SELECT vec_id, list_slice(list_concat(
         |list_slice(embedding, 1, CAST(vec_id%5+3 AS BIGINT)),
-        |[0.0,0.0,0.0,0.0,0.0,0.0]), 1, 6) AS vals
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |[0.0,0.0,0.0,0.0,0.0,0.0]), 1, 6) AS vals FROM embeddings)
+        |ORDER BY vec_id, pos""".stripMargin,
     "op_categorify" ->
       """WITH m AS (SELECT c_mktsegment AS v,
         |CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS INTEGER) AS idx
