@@ -99,7 +99,13 @@ case class Categorify(cols: Seq[String], suffix: String = "_idx") extends Ensemb
 
 /** Standard scaling of continuous columns (the normalize stage of
   * `TransformWorkflow`). Fit = one aggregate row broadcast back onto the
-  * data — no driver-side collect, so it holds at any scale. */
+  * data — no driver-side collect, so it holds at any scale.
+  *
+  * For integral input columns the moments are exact integer sums
+  * (`sum(x)`, `sum(x*x)`, `count`) — order-independent, hence
+  * bit-deterministic across engines and partitionings (the fixed-point
+  * trick: feed money as cents). Double columns fall back to
+  * `avg`/`stddev_pop`, whose partial-agg order is unspecified. */
 case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends EnsembleOp {
 
   override def transformSchema(in: StructType): StructType = {
@@ -108,14 +114,33 @@ case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends 
   }
 
   override def transform(df: DataFrame): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      avg(col(c)).as(s"__mean_$c"), stddev_pop(col(c)).as(s"__std_$c")))
+    val integral = cols.filter(c => df.schema(c).dataType match {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
+      case _ => false
+    }).toSet
+    val aggs = cols.flatMap { c =>
+      if (integral(c)) Seq(
+        sum(col(c)).as(s"__s1_$c"),
+        sum(col(c) * col(c)).as(s"__s2_$c"),
+        count(col(c)).as(s"__n_$c"))
+      else Seq(
+        avg(col(c)).as(s"__mean_$c"), stddev_pop(col(c)).as(s"__std_$c"))
+    }
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val joined = df.crossJoin(broadcast(stats))
     val scaled = cols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c + suffix,
-        (col(c) - col(s"__mean_$c")) / when(col(s"__std_$c") === 0, 1.0).otherwise(col(s"__std_$c")))
+      if (integral(c)) {
+        // exact long sums → identical double math in any engine
+        val mean = col(s"__s1_$c").cast("double") / col(s"__n_$c")
+        val std = sqrt(col(s"__s2_$c").cast("double") / col(s"__n_$c") - mean * mean)
+        d.withColumn(c + suffix,
+          (col(c) - mean) / when(std === 0, 1.0).otherwise(std))
+      } else {
+        d.withColumn(c + suffix,
+          (col(c) - col(s"__mean_$c")) / when(col(s"__std_$c") === 0, 1.0).otherwise(col(s"__std_$c")))
+      }
     }
-    scaled.drop(cols.flatMap(c => Seq(s"__mean_$c", s"__std_$c")): _*)
+    scaled.drop(cols.flatMap(c =>
+      Seq(s"__mean_$c", s"__std_$c", s"__s1_$c", s"__s2_$c", s"__n_$c")): _*)
   }
 }

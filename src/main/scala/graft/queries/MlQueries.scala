@@ -45,14 +45,21 @@ object MlQueries {
     op.transform(emb).select("vec_id", "label", "prediction").orderBy("vec_id")
   }
 
-  /** TransformWorkflow: fitted MLlib pipeline (indexers + scaler). */
+  /** TransformWorkflow: fitted MLlib pipeline (indexers + scaler). The
+    * scaler's double stats aren't cross-engine reproducible, but scaling is
+    * strictly monotonic, so the oracle checks the scaled column through its
+    * rank (row_number is harness output shaping, not the operator). */
   def mlWorkflow(spark: SparkSession, d: String): DataFrame = {
     val c = customer(spark, d)
     val wf = TransformWorkflow.fit(c, Seq("c_mktsegment"), Seq("c_acctbal"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("acctbal_scaled"), col("c_custkey"))
     wf.transform(c)
-      .select(col("c_custkey"), col("c_mktsegment_idx"),
+      .select(col("c_custkey"), col("c_mktsegment_idx").cast("int").as("c_mktsegment_idx"),
         org.apache.spark.ml.functions.vector_to_array(col("cont_scaled"))
           .getItem(0).as("acctbal_scaled"))
+      .withColumn("acctbal_rank", row_number().over(w))
+      .drop("acctbal_scaled")
       .orderBy("c_custkey")
   }
 
@@ -75,5 +82,15 @@ object MlQueries {
     "ml_workflow" -> (mlWorkflow _),
     "pipeline_recsys" -> (pipelineRecsys _))
 
-  val oracle: Map[String, String] = Map.empty
+  /** ml_workflow is the one ML query with a SQL-expressible output:
+    * StringIndexer(frequencyDesc) == rank by (count DESC, value ASC), and
+    * the scaled column is checked through its (monotonic) rank. */
+  val oracle: Map[String, String] = Map(
+    "ml_workflow" ->
+      """WITH m AS (SELECT c_mktsegment AS v,
+        |CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS INTEGER) AS idx
+        |FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey, idx AS c_mktsegment_idx,
+        |row_number() OVER (ORDER BY c_acctbal, c_custkey) AS acctbal_rank
+        |FROM customer JOIN m ON c_mktsegment=v ORDER BY c_custkey""".stripMargin)
 }

@@ -146,12 +146,17 @@ object OpQueries {
       .orderBy("requestId", "rank")
   }
 
-  /** Standard scaling (rows-only: double mean/std depend on partial-agg
-    * order, so cross-engine bit equality is not defined). */
-  def standardScale(spark: SparkSession, d: String): DataFrame =
-    StandardScale(Seq("c_acctbal"))
-      .transform(customer(spark, d).select("c_custkey", "c_acctbal"))
+  /** Standard scaling over integer cents: the op's exact-integer-moments
+    * path makes mean/std bit-deterministic, so the scaled value (in basis
+    * points) hash-matches the DuckDB oracle exactly. */
+  def standardScale(spark: SparkSession, d: String): DataFrame = {
+    val cents = customer(spark, d).select(col("c_custkey"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    StandardScale(Seq("cents")).transform(cents)
+      .select(col("c_custkey"), col("cents"),
+        floor(col("cents_scaled") * 10000).cast("long").as("scaled_bp"))
       .orderBy("c_custkey")
+  }
 
   /** A 3-stage Ensemble (Selection → Rename → QueryFeatureStore) feeding an
     * aggregate — proves schema propagation end-to-end under the oracle. */
@@ -226,6 +231,15 @@ object OpQueries {
         |  ORDER BY list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) DESC, i.vec_id) AS rank
         |FROM embeddings q, embeddings i WHERE q.label=0 AND i.label<>0)
         |WHERE rank<=10 ORDER BY vec_id, rank""".stripMargin,
+    "op_standard_scale" ->
+      """WITH c AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer),
+        |s AS (SELECT count(cents) AS n, CAST(sum(cents) AS BIGINT) AS s1,
+        |CAST(sum(cents*cents) AS BIGINT) AS s2 FROM c)
+        |SELECT c_custkey, cents,
+        |CAST(floor((cents - CAST(s1 AS DOUBLE)/n)
+        |  / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |  * 10000) AS BIGINT) AS scaled_bp
+        |FROM c, s ORDER BY c_custkey""".stripMargin,
     "op_pipeline_ensemble" ->
       """SELECT p_brand, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON p_partkey=l_partkey

@@ -30,6 +30,22 @@ class CoreOpsSpec extends SparkSpec {
     assert(outSchema.fieldNames.toSeq == Seq("requestId", "filtered_ids"))
   }
 
+  // A NULL filter array (e.g. an unmatched left-join key) means "no filter
+  // entry" — all candidates must survive, matching the reference's np.isin
+  // with an empty set (session_filter.py:142-162).
+  test("FilterCandidates keeps all candidates when the filter array is NULL or empty") {
+    val df = Seq(
+      (1, Seq(10, 11, 12), Some(Seq(11))),
+      (2, Seq(20, 21), None),           // null filter list
+      (3, Seq(30, 31), Some(Seq.empty[Int])))
+      .toDF("requestId", "candidate_ids", "seen_ids")
+    val out = FilterCandidates("candidate_ids", "seen_ids").transform(df)
+      .orderBy("requestId").select("filtered_ids").as[Seq[Int]].collect()
+    assert(out(0) == Seq(10, 12))
+    assert(out(1) == Seq(20, 21), "null filter must keep all candidates")
+    assert(out(2) == Seq(30, 31))
+  }
+
   test("FilterCandidates rejects non-array columns") {
     val schema = StructType(Seq(
       StructField("candidate_ids", IntegerType), StructField("movie_ids", IntegerType)))
