@@ -57,6 +57,64 @@ object PredictForest {
   }
 }
 
+/** Forest classification (reference FIL classifier,
+  * fil.py:124-210 + 291-346): `output__0` is the class id when
+  * `outputClass` (binary decided by `P(class 1) >= threshold`, multiclass
+  * by argmax), the full per-class probability vector when `predictProba`,
+  * and the raw positive-class score otherwise. Scoring is a distributed
+  * `model.transform` — no driver loops, partition-parallel at any scale. */
+case class PredictForestClassifier(
+    model: org.apache.spark.ml.classification.RandomForestClassificationModel,
+    featureCols: Seq[String],
+    predictProba: Boolean = false,
+    outputClass: Boolean = true,
+    threshold: Double = 0.5,
+    outputCol: String = "output__0") extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    featureCols.foreach(requireCol(in, _))
+    val t = if (predictProba) ArrayType(DoubleType) else DoubleType
+    StructType(in :+ StructField(outputCol, t))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("__features")
+      .transform(df)
+    val scored = model.setFeaturesCol("__features")
+      .setPredictionCol("__pred").setProbabilityCol("__prob")
+      .setRawPredictionCol("__raw")
+      .transform(assembled)
+    val proba = org.apache.spark.ml.functions.vector_to_array(col("__prob"))
+    val out =
+      if (predictProba) proba
+      else if (outputClass) {
+        if (model.numClasses == 2)
+          when(proba.getItem(1) >= threshold, 1.0).otherwise(0.0)
+        else col("__pred") // multiclass: argmax (threshold is binary-only)
+      } else proba.getItem(model.numClasses - 1) // raw positive-class score
+    scored.withColumn(outputCol, out)
+      .drop("__features", "__pred", "__prob", "__raw")
+  }
+}
+
+object PredictForestClassifier {
+  /** Train a seeded random-forest classifier (reference packages XGBoost /
+    * LightGBM / sklearn classifiers; capability parity via MLlib trees). */
+  def train(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      numTrees: Int = 20, maxDepth: Int = 6, seed: Long = 42L,
+      predictProba: Boolean = false, outputClass: Boolean = true,
+      threshold: Double = 0.5): PredictForestClassifier = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("__features").transform(df)
+    val model = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(assembled)
+    PredictForestClassifier(model, featureCols, predictProba, outputClass, threshold)
+  }
+}
+
 /** Matrix-factorization recommend (reference PredictImplicit,
   * implicit.py:92-113): per user, top-N item ids + scores. */
 case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,

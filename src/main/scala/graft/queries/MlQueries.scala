@@ -19,6 +19,21 @@ object MlQueries {
     op.transform(p).select("p_partkey", "output__0").orderBy("p_partkey")
   }
 
+  /** PredictForestClassifier: binary class id + positive-class probability
+    * for "is this an expensive part" (rows-only: training-based). */
+  def mlForestClassify(spark: SparkSession, d: String): DataFrame = {
+    val p = Categorify(Seq("p_brand", "p_type"))
+      .transform(part(spark, d))
+      .withColumn("p_size_d", col("p_size").cast("double"))
+      .withColumn("is_premium", (col("p_retailprice") >= 950).cast("double"))
+    val feats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
+    val clf = PredictForestClassifier.train(p, feats, "is_premium")
+    val classId = clf.transform(p).select(col("p_partkey"), col("output__0").as("class_id"))
+    val proba = clf.copy(predictProba = true).transform(p)
+      .select(col("p_partkey"), col("output__0").getItem(1).as("p_class1"))
+    classId.join(proba, Seq("p_partkey")).orderBy("p_partkey")
+  }
+
   /** PredictImplicit: ALS top-10 recommendations per user, exploded to
     * (user_id, rank, item_id, score) scalar rows for the driver compare. */
   def mlAlsRecommend(spark: SparkSession, d: String): DataFrame = {
@@ -77,6 +92,7 @@ object MlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_forest" -> (mlForest _),
+    "ml_forest_classify" -> (mlForestClassify _),
     "ml_als_recommend" -> (mlAlsRecommend _),
     "ml_classifier" -> (mlClassifier _),
     "ml_workflow" -> (mlWorkflow _),

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Forest-classifier semantics mirroring the reference FIL contract
+  * (fil.py:124-210; tests/unit/systems/ops/fil/test_forest.py:44-84):
+  * output_class → class id via threshold, predict_proba → per-class
+  * scores, multiclass → argmax. */
+class ModelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Perfectly separable binary data: x < 50 → 0, x >= 50 → 1.
+  private lazy val binary = (0 until 100)
+    .map(i => (i.toLong, i.toDouble, if (i >= 50) 1.0 else 0.0))
+    .toDF("id", "x", "label")
+
+  private lazy val binaryClf =
+    PredictForestClassifier.train(binary, Seq("x"), "label", numTrees = 10, maxDepth = 4)
+
+  test("outputClass applies the threshold to P(class 1)") {
+    val proba = binaryClf.copy(predictProba = true).transform(binary)
+      .select($"id", $"output__0".getItem(1).as("p1"))
+    val classDefault = binaryClf.transform(binary)
+      .select($"id", $"output__0".as("cls"))
+    // hand-compute: class = 1 iff p1 >= 0.5 (default threshold)
+    val joined = proba.join(classDefault, "id")
+    assert(joined.filter(($"p1" >= 0.5) =!= ($"cls" === 1.0)).count() == 0)
+
+    // extreme thresholds pin the decision regardless of votes
+    val all1 = binaryClf.copy(threshold = 0.0).transform(binary)
+    assert(all1.filter($"output__0" =!= 1.0).count() == 0, "threshold 0 → always class 1")
+    val all0 = binaryClf.copy(threshold = 1.01).transform(binary)
+    assert(all0.filter($"output__0" =!= 0.0).count() == 0, "threshold >1 → never class 1")
+
+    // and the learned classes are actually right on separable data
+    val acc = binaryClf.transform(binary)
+      .filter($"output__0" === $"label").count()
+    assert(acc >= 95, s"expected near-perfect separation, got $acc/100")
+  }
+
+  test("predictProba emits a probability vector per class that sums to 1") {
+    val out = binaryClf.copy(predictProba = true).transform(binary)
+    assert(out.schema("output__0").dataType == ArrayType(DoubleType, false) ||
+      out.schema("output__0").dataType.isInstanceOf[ArrayType])
+    val sums = out.select(aggregate($"output__0", lit(0.0), _ + _).as("s"))
+      .select(abs($"s" - 1.0).as("d")).agg(max("d")).head.getDouble(0)
+    assert(sums < 1e-9, "per-row class probabilities must sum to 1")
+    assert(out.select(size($"output__0")).head.getInt(0) == 2)
+  }
+
+  test("multiclass outputs argmax class id and threshold is ignored") {
+    val tri = (0 until 150)
+      .map(i => (i.toLong, i.toDouble, (i / 50).toDouble))
+      .toDF("id", "x", "label")
+    val clf = PredictForestClassifier.train(tri, Seq("x"), "label",
+      numTrees = 10, maxDepth = 4, threshold = 0.99)
+    val out = clf.transform(tri)
+    // argmax of the probability vector == emitted class id
+    val withProba = clf.copy(predictProba = true).transform(tri)
+      .select($"id", $"output__0".as("p"))
+      .join(out.select($"id", $"output__0".as("cls")), "id")
+      .withColumn("argmax",
+        expr("array_position(p, array_max(p)) - 1").cast("double"))
+    assert(withProba.filter($"argmax" =!= $"cls").count() == 0)
+    // separable 3-class data → high accuracy
+    assert(out.filter($"output__0" === $"label").count() >= 140)
+  }
+
+  test("raw-score mode (outputClass=false) returns the positive-class score") {
+    val raw = binaryClf.copy(outputClass = false).transform(binary)
+      .select($"id", $"output__0".as("score"))
+    val proba = binaryClf.copy(predictProba = true).transform(binary)
+      .select($"id", $"output__0".getItem(1).as("p1"))
+    assert(raw.join(proba, "id").filter($"score" =!= $"p1").count() == 0)
+  }
+}
