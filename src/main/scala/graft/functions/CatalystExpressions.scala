@@ -13,13 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * The built-in higher-order functions (`zip_with`+`aggregate`) are
   * interpreted per element — fine for per-document transforms, fatal for
   * per-PAIR math (millions of dot products in similarity joins). These
-  * expressions evaluate as single tight JVM loops per row instead. Results
-  * are bit-identical to the HOF formulations (sequential fold, double
-  * accumulation) so the DuckDB oracle comparisons are unaffected.
+  * expressions evaluate as single tight JVM loops per row instead.
+  * ArrayDotProduct, SimHash64 and WordShingles are value-identical to the
+  * equivalent built-in formulations (sequential fold, double accumulation,
+  * Spark's own `lower()`); MinHashBandKeys defines its own band-key fold
+  * (self-consistent — nothing else derives these keys).
   */
 
 /** Dot product of two numeric array columns, accumulated sequentially in
-  * double — `Σ a(i)·b(i)` over the common prefix length. */
+  * double — `Σ a(i)·b(i)`. Matches `aggregate(zip_with(a,b,_*_),0.0,_+_)`
+  * exactly, including the null semantics: unequal lengths or a null
+  * element yield NULL (never a silently-truncated score). */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
@@ -48,12 +52,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     case _ => 0.0
   }
 
+  // zip_with pads the shorter array with null and a null product nulls the
+  // whole aggregate — so unequal lengths or null elements must return NULL
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val lt = elemType(left); val rt = elemType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0; var i = 0
-    while (i < n) { s += get(a, lt, i) * get(b, rt, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += get(a, lt, i) * get(b, rt, i); i += 1
+    }
     s
   }
 
@@ -99,7 +111,9 @@ case class SimHash64(child: Expression)
 /** MinHash LSH band keys in one pass: k hashes per element (seed-chained
   * like the builtin `xxhash64(elem, i)`), min-reduced into a k-signature,
   * then each band of `rowsPerBand` signature values folded into one band
-  * key (chained with the band index so bands never collide across index).
+  * key. The fold starts from the band index (so bands never collide
+  * across index) — this key derivation is this expression's own, not a
+  * replica of any built-in; all consumers derive keys through it.
   */
 case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression with CodegenFallback {
@@ -166,11 +180,14 @@ case class WordShingles(child: Expression, n: Int)
 
   override def nullSafeEval(v: Any): Any = {
     // mirror lower(trim(regexp_replace(s, "\s+", " "))) exactly:
-    // collapse whitespace runs, strip leading/trailing single space, lower
+    // collapse whitespace runs, strip leading/trailing single space, then
+    // lower via UTF8String — the same locale-independent lowering as
+    // Spark's lower() (JVM-default-locale toLowerCase would diverge under
+    // e.g. a Turkish locale: 'I' → dotless 'ı')
     var s = v.asInstanceOf[UTF8String].toString.replaceAll("\\s+", " ")
     if (s.startsWith(" ")) s = s.substring(1)
     if (s.endsWith(" ")) s = s.substring(0, s.length - 1)
-    s = s.toLowerCase
+    s = UTF8String.fromString(s).toLowerCase.toString
     val words = s.split(" ", -1)
     if (words.length < n) ArrayData.toArrayData(Array.empty[UTF8String])
     else {

@@ -41,17 +41,9 @@ object TextFunctions {
     * to `array_distinct(wordShingles(c, n))`. */
   def shingleSet(c: Column, n: Int): Column = FastExpressions.wordShingles(c, n)
 
-  /** MinHash signature: k independent hashes via xxhash64(shingle, i),
-    * min-reduced per hash family. Null-free for non-empty shingle sets. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    arrayTransform(sequence(lit(0), lit(k - 1)),
-      i => array_min(arrayTransform(shingles, s => xxhash64(s, i))))
-
-  /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
-    * each band hashed with its index so bands don't collide across index. */
-  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    arrayTransform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+  // (MinHash signature/banding live in the one-pass
+  // graft.functions.MinHashBandKeys expression — the interpreted HOF
+  // versions that used to sit here were unused and have been removed.)
 
   /** Bit j (as 0/1 long) of a long column; variable shift via the SQL
     * function (the Scala `shiftright` helper only takes literal shifts). */

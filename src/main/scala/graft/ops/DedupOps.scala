@@ -91,27 +91,37 @@ case class NgramJaccardDedup(
         col("b.n_sh") * thresholdBp <= col("a.n_sh") * 10000)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    cand
+    val result = cand
       .join(docs.select(col("id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
       .filter(col("inter") * 10000 >= col("uni") * thresholdBp)
       .select("doc_a", "doc_b", "inter", "uni")
+      // the pair list is tiny (collisions only) — materialize it eagerly so
+      // the corpus-sized shingle cache can be released instead of leaking
+      // across queries in a long-lived session
+      .localCheckpoint(true)
+    docs.unpersist()
+    result
   }
 }
 
 /** MinHash + LSH banding near-dup detection: k-hash signature → `bands`
   * band keys → candidates join on (band index, band hash) → verified with
   * exact Jaccard on the shingle sets. Probability a pair with Jaccard j
-  * surfaces: 1-(1-j^rows)^bands (≈0.99 at j=0.8 with 8×4). The scalable
-  * default for corpus dedup: candidate volume tracks collisions only. */
+  * surfaces: 1-(1-j^r)^b with r = numHashes/bands rows per band. The
+  * default 16 bands × 4 rows gives P ≈ 0.9998 at j = 0.8 (the default
+  * threshold) — near-threshold duplicates are not silently dropped; the
+  * exact-Jaccard verification keeps precision at 1.0 regardless. The
+  * scalable default for corpus dedup: candidate volume tracks collisions
+  * only. */
 case class MinHashDedup(
     idCol: String = "doc_id",
     textCol: String = "text",
     n: Int = 3,
     numHashes: Int = 64,
-    bands: Int = 8,
+    bands: Int = 16,
     thresholdBp: Int = 8000) extends EnsembleOp {
 
   require(numHashes % bands == 0, s"$name: numHashes must divide into bands")
@@ -130,8 +140,8 @@ case class MinHashDedup(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // light (id, band) rows only — the shingle arrays join back in AFTER
     // candidate pairs are deduped, so band collisions never shuffle arrays.
-    // 8 bands × 8 rows: P(noise pair at j≈0.45 collides) ≈ 8·0.45^8 ≈ 1.3%,
-    // while planted near-dups at j≥0.95 are caught with certainty ≈ 1.
+    // 16 bands × 4 rows: recall ≈ 0.9998 at j = 0.8; the cost is more noise
+    // candidates (P ≈ 0.49 at j = 0.45), all killed by the exact verify.
     val banded = docs.select(col("id"),
       posexplode(FastExpressions.minhashBandKeys(col("sh"), numHashes, bands))
         .as(Seq("band_idx", "band_hash")))
@@ -139,7 +149,7 @@ case class MinHashDedup(
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    cand
+    val result = cand
       .join(docs.select(col("id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(docs.select(col("id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -147,31 +157,54 @@ case class MinHashDedup(
       .filter(col("inter") * 10000 >= col("uni") * thresholdBp)
       .select(col("doc_a"), col("doc_b"),
         ((col("inter") * 10000) / col("uni")).cast("long").as("jaccard_bp"))
+      // eager pair materialization → release the corpus-sized cache
+      .localCheckpoint(true)
+    docs.unpersist()
+    result
   }
 }
 
-/** SimHash near-dup detection: 64-bit per-document hash, candidates share
-  * at least one of four 16-bit bands (guaranteed complete for hamming ≤ 3,
-  * high-recall beyond), verified by exact hamming distance. */
+/** SimHash near-dup detection: 64-bit per-document hash, banded so the
+  * candidate join is COMPLETE for the requested radius (pigeonhole: with
+  * `maxHamming+1` or more bands, any pair within `maxHamming` flips must
+  * share an untouched band). The band split adapts to the radius —
+  * 4×16-bit for hamming ≤ 3 (Manku et al.'s web-dedup operating point,
+  * the default), 8×8-bit for ≤ 7, 16×4-bit for ≤ 15 — wider radii trade
+  * shorter bands (more candidate collisions) for guaranteed recall.
+  * Candidates are verified by exact hamming distance.
+  *
+  * `hashCol` supplies a precomputed 64-bit hash column instead of hashing
+  * `textCol` (for pipelines that persist signatures — and for tests that
+  * plant exact bit flips). */
 case class SimHashDedup(
     idCol: String = "doc_id",
     textCol: String = "text",
     n: Int = 3,
-    maxHamming: Int = 8) extends EnsembleOp {
+    maxHamming: Int = 3,
+    hashCol: Option[String] = None) extends EnsembleOp {
+
+  require(maxHamming >= 0 && maxHamming <= 15,
+    s"$name: maxHamming in [0, 15] (16 four-bit bands is the widest complete split)")
+
+  /** Smallest power-of-two band count that keeps the radius complete. */
+  private val numBands = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
+  private val bandBits = 64 / numBands
 
   override def transformSchema(in: StructType): StructType = {
-    requireCol(in, idCol); requireCol(in, textCol)
+    requireCol(in, idCol); requireCol(in, hashCol.getOrElse(textCol))
     StructType(Seq(
       in(idCol).copy(name = "doc_a"), in(idCol).copy(name = "doc_b"),
       StructField("hamming", IntegerType)))
   }
 
   override def transform(df: DataFrame): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-      graft.functions.FastExpressions.simhash64(T.shingleSet(col(textCol), n)).as("h"))
-    val bandArr = array((0 until 4).map(b =>
+    val hash = hashCol.map(col).getOrElse(
+      graft.functions.FastExpressions.simhash64(T.shingleSet(col(textCol), n)))
+    val hashed = df.select(col(idCol).as("id"), hash.as("h"))
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandArr = array((0 until numBands).map(b =>
       concat_ws(":", lit(b),
-        shiftrightunsigned(col("h"), 16 * b).bitwiseAND(lit(0xFFFFL)))): _*)
+        shiftrightunsigned(col("h"), bandBits * b).bitwiseAND(lit(mask)))): _*)
     val banded = hashed.withColumn("band", explode(bandArr))
     banded.as("a").join(banded.as("b"), Seq("band"))
       .filter(col("a.id") < col("b.id"))

@@ -45,7 +45,10 @@ class DedupOpsSpec extends SparkSpec {
     val mh = MinHashDedup(thresholdBp = 8000).transform(d)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(mh.subsetOf(exact), "verification step guarantees precision 1.0")
-    assert(mh.size >= (exact.size * 0.9).toInt, s"recall ${mh.size}/${exact.size} >= 0.9")
+    // 16 bands × 4 rows: P(surface) ≈ 0.9998 at j = 0.8 — recall must be
+    // ≥ 0.99 at the advertised operating point, not just 0.9
+    assert(mh.size >= math.ceil(exact.size * 0.99).toInt,
+      s"recall ${mh.size}/${exact.size} >= 0.99")
   }
 
   test("SimHash: identical docs collide; near-dups closer than unrelated") {
@@ -59,6 +62,32 @@ class DedupOpsSpec extends SparkSpec {
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
     val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(m((0L, 2L)) == 0 && m((0L, 3L)) == 0 && m((2L, 3L)) == 0)
+  }
+
+  // Completeness guarantee: with planted exact bit flips, every pair
+  // within the radius MUST surface (pigeonhole over the adaptive bands) —
+  // and pairs beyond the radius must be excluded.
+  test("SimHashDedup banding is complete for the requested hamming radius") {
+    val h0 = 0x0123456789ABCDEFL
+    // hamming-3 pair: flips in 3 different 16-bit bands (4×16 must find it)
+    val h3 = h0 ^ (1L << 0) ^ (1L << 16) ^ (1L << 32)
+    // hamming-5 pair: one flip in EVERY 16-bit band (4×16 would miss it;
+    // 8×8 banding at maxHamming=5 must find it — bands 1,3,5 stay clean)
+    val h5 = h0 ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48) ^ (1L << 63)
+    val df = Seq((0L, h0), (3L, h3), (5L, h5)).toDF("doc_id", "h")
+      .withColumn("text", lit("")) // unused when hashCol is set
+
+    val r3 = SimHashDedup(maxHamming = 3, hashCol = Some("h")).transform(df)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(r3.contains((0L, 3L, 3)), "hamming-3 pair found at radius 3")
+    assert(!r3.exists(p => p._1 == 0L && p._2 == 5L), "hamming-5 excluded at radius 3")
+
+    val r5 = SimHashDedup(maxHamming = 5, hashCol = Some("h")).transform(df)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(r5.contains((0L, 5L, 5)), "hamming-5 pair found at radius 5 (8×8 bands)")
+    assert(r5.contains((0L, 3L, 3)))
+
+    assertThrows[IllegalArgumentException](SimHashDedup(maxHamming = 16))
   }
 
   test("CosineNearDup finds only pairs above threshold") {
