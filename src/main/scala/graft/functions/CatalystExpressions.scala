@@ -163,6 +163,82 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Sign-random-projection LSH bucket of a numeric vector in one pass:
+  * bit p = sign of Σ_d s(p,d)·(x_d − c_d), where the ±1 hyperplane entry
+  * s(p,d) is bit p of xxhash64(d, seed=42) — ONE hash per dimension
+  * yields up to 32 independent hyperplanes, evaluated in a single tight
+  * loop instead of numBits interpreted aggregate/zip_with passes per row
+  * (and the query side derives its probe buckets from this value with
+  * cheap XORs, so the projection runs once per row, not once per probe).
+  *
+  * `center` shifts the hyperplanes to pass through the data mean instead
+  * of the origin: clustered vectors (e.g. ALS factors, which live in a
+  * cone) would otherwise all land on the same side of most origin
+  * hyperplanes, collapsing the index into a handful of giant buckets. An
+  * empty center array means "no centering". */
+case class LshBucket(child: Expression, center: Expression, numBits: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  require(numBits >= 1 && numBits <= 32, "numBits in [1, 32]")
+
+  override def left: Expression = child
+  override def right: Expression = center
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(child, center).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs numeric array inputs")
+  }
+
+  @inline private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case _ => 0.0
+  }
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val ctr = c.asInstanceOf[ArrayData]
+    val t = elemType(child); val ct = elemType(center)
+    val nc = ctr.numElements()
+    val acc = new Array[Double](numBits)
+    val n = arr.numElements()
+    var d = 0
+    while (d < n) {
+      if (!arr.isNullAt(d)) {
+        val x = get(arr, t, d) -
+          (if (d < nc && !ctr.isNullAt(d)) get(ctr, ct, d) else 0.0)
+        val h = XxHash64Function.hash(d, IntegerType, 42L)
+        var p = 0
+        while (p < numBits) {
+          if (((h >>> p) & 1L) == 1L) acc(p) += x else acc(p) -= x
+          p += 1
+        }
+      }
+      d += 1
+    }
+    var bucket = 0
+    var p = 0
+    while (p < numBits) { if (acc(p) > 0) bucket |= (1 << p); p += 1 }
+    bucket
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(child = l, center = r)
+}
+
 /** Distinct word n-gram shingles of a string in one pass — value-identical
   * to TextFunctions.shingleSet (normalize → split on single space →
   * positional n-grams → first-occurrence-distinct) but a single JVM loop
@@ -224,5 +300,10 @@ object FastExpressions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def minhashBandKeys(c: Column, numHashes: Int, bands: Int): Column =
     column(MinHashBandKeys(expression(c), numHashes, bands))
+  def lshBucket(c: Column, numBits: Int): Column =
+    column(LshBucket(expression(c),
+      expression(org.apache.spark.sql.functions.array().cast("array<double>")), numBits))
+  def lshBucket(c: Column, center: Column, numBits: Int): Column =
+    column(LshBucket(expression(c), expression(center), numBits))
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
 }
