@@ -176,7 +176,8 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
   * cone) would otherwise all land on the same side of most origin
   * hyperplanes, collapsing the index into a handful of giant buckets. An
   * empty center array means "no centering". */
-case class LshBucket(child: Expression, center: Expression, numBits: Int)
+case class LshBucket(child: Expression, center: Expression, numBits: Int,
+    seed: Long = 42L)
     extends BinaryExpression with CodegenFallback {
 
   require(numBits >= 1 && numBits <= 32, "numBits in [1, 32]")
@@ -220,7 +221,7 @@ case class LshBucket(child: Expression, center: Expression, numBits: Int)
       if (!arr.isNullAt(d)) {
         val x = get(arr, t, d) -
           (if (d < nc && !ctr.isNullAt(d)) get(ctr, ct, d) else 0.0)
-        val h = XxHash64Function.hash(d, IntegerType, 42L)
+        val h = XxHash64Function.hash(d, IntegerType, seed)
         var p = 0
         while (p < numBits) {
           if (((h >>> p) & 1L) == 1L) acc(p) += x else acc(p) -= x
@@ -303,7 +304,7 @@ object FastExpressions {
   def lshBucket(c: Column, numBits: Int): Column =
     column(LshBucket(expression(c),
       expression(org.apache.spark.sql.functions.array().cast("array<double>")), numBits))
-  def lshBucket(c: Column, center: Column, numBits: Int): Column =
-    column(LshBucket(expression(c), expression(center), numBits))
+  def lshBucket(c: Column, center: Column, numBits: Int, seed: Long = 42L): Column =
+    column(LshBucket(expression(c), expression(center), numBits, seed))
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
 }

@@ -30,4 +30,15 @@ object VectorFunctions {
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x)
+
+  /** Per-dimension mean of a vector column, collected to the driver as a
+    * literal-sized array (#dims doubles — metadata scale, like AQE stats).
+    * The aggregation itself is distributed (map-side-combined avg over
+    * posexploded (dim, x) rows); only the final #dims-row frame is
+    * collected. Used to center LSH hyperplanes on the data. */
+  def meanVector(df: org.apache.spark.sql.DataFrame, vecCol: String): Array[Double] =
+    df.select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy("__d").agg(avg("__x").as("__m"))
+      .orderBy("__d")
+      .collect().map(_.getDouble(1))
 }

@@ -37,21 +37,13 @@ case class AnnLsh(
     * one-pass [[graft.functions.LshBucket]] expression (one xxhash per
     * dimension, all planes in a single loop; the old HOF formulation cost
     * numBits interpreted vector scans per row). Hyperplanes pass through
-    * the item-set mean (`centerCol`), not the origin: clustered catalogs
+    * the item-set mean, not the origin: clustered catalogs
     * (ALS factors live in a cone) would otherwise collapse into a few
     * giant buckets — measured 20k items → 138 buckets with a 1.9k-item
     * heavy hitter uncentered, vs a near-uniform spread centered. */
   private def bucket(vec: Column, centerCol: Column): Column =
     graft.functions.FastExpressions.lshBucket(vec, centerCol, numBits)
 
-  /** One-row frame holding the per-dimension mean of the item vectors —
-    * a map-side-combined aggregate (dims rows per partition), broadcast
-    * onto both sides so any executor can recompute buckets statelessly. */
-  private def itemMean: DataFrame =
-    items.select(posexplode(col(itemVecCol)).as(Seq("__d", "__x")))
-      .groupBy("__d").agg(avg("__x").as("__m"))
-      .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__s"))
-      .select(expr("transform(__s, p -> p.__m)").as("__mu"))
 
   private def score(q: Column, it: Column): Column = metric match {
     case "dot"    => VectorFunctions.dot(q, it)
@@ -69,20 +61,21 @@ case class AnnLsh(
 
   override def transform(df: DataFrame): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    val mu = broadcast(itemMean)
-    val indexed = items.crossJoin(mu).select(
+    // item mean as a literal (#dims doubles, metadata scale) — both sides
+    // bucket against the same centered hyperplanes, plans stay join-free
+    val mu = typedLit(VectorFunctions.meanVector(items, itemVecCol))
+    val indexed = items.select(
       col(itemIdCol).cast("long").as("__item_id"), col(itemVecCol).as("__item_vec"),
-      bucket(col(itemVecCol), col("__mu")).as("__bucket"))
+      bucket(col(itemVecCol), mu).as("__bucket"))
     // home bucket computed ONCE per query row; the nprobe-1 single-bit-flip
     // probes are cheap integer XORs of that value
     val probes = array((0 until nprobe).map(i =>
       if (i == 0) col("__home")
       else col("__home").bitwiseXOR(lit(1 << (i - 1)))): _*)
     val probed = df.select(col(queryIdCol), col(queryVecCol))
-      .crossJoin(mu)
-      .withColumn("__home", bucket(col(queryVecCol), col("__mu")))
+      .withColumn("__home", bucket(col(queryVecCol), mu))
       .withColumn("__bucket", explode(probes))
-      .drop("__home", "__mu")
+      .drop("__home")
     probed.join(indexed, Seq("__bucket"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))

@@ -68,6 +68,19 @@ case class NgramJaccardDedup(
   }
 
   override def transform(df: DataFrame): DataFrame = {
+    val (result, cached) = build(df)
+    // the pair list is tiny (collisions only) — materialize it eagerly so
+    // the corpus-sized shingle cache can be released instead of leaking
+    // across queries in a long-lived session
+    val out = result.localCheckpoint(true)
+    cached.unpersist()
+    out
+  }
+
+  /** The lazy pair plan (pre-materialization) — PlanSpec asserts on this. */
+  private[graft] def pairPlan(df: DataFrame): DataFrame = build(df)._1
+
+  private def build(df: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // the shingle table feeds three plan branches (freq, prefix, verify) —
     // cache it so shingling runs once
@@ -98,12 +111,7 @@ case class NgramJaccardDedup(
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
       .filter(col("inter") * 10000 >= col("uni") * thresholdBp)
       .select("doc_a", "doc_b", "inter", "uni")
-      // the pair list is tiny (collisions only) — materialize it eagerly so
-      // the corpus-sized shingle cache can be released instead of leaking
-      // across queries in a long-lived session
-      .localCheckpoint(true)
-    docs.unpersist()
-    result
+    (result, docs)
   }
 }
 
@@ -134,6 +142,17 @@ case class MinHashDedup(
   }
 
   override def transform(df: DataFrame): DataFrame = {
+    val (result, cached) = build(df)
+    // eager pair materialization → release the corpus-sized cache
+    val out = result.localCheckpoint(true)
+    cached.unpersist()
+    out
+  }
+
+  /** The lazy pair plan (pre-materialization) — PlanSpec asserts on this. */
+  private[graft] def pairPlan(df: DataFrame): DataFrame = build(df)._1
+
+  private def build(df: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.FastExpressions
     val docs = df.select(col(idCol).as("id"), T.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -157,10 +176,7 @@ case class MinHashDedup(
       .filter(col("inter") * 10000 >= col("uni") * thresholdBp)
       .select(col("doc_a"), col("doc_b"),
         ((col("inter") * 10000) / col("uni")).cast("long").as("jaccard_bp"))
-      // eager pair materialization → release the corpus-sized cache
-      .localCheckpoint(true)
-    docs.unpersist()
-    result
+    (result, docs)
   }
 }
 
@@ -215,13 +231,28 @@ case class SimHashDedup(
   }
 }
 
-/** Embedding cosine near-duplicate pairs. `bucketed = false` scans all
-  * pairs (oracle-checkable reference); the scale path is [[AnnLsh]]-style
-  * hyperplane bucketing. */
+/** Embedding cosine near-duplicate pairs. The default path buckets both
+  * sides with mean-centered sign-projection LSH ([[graft.functions.LshBucket]])
+  * across `numTables` independent hyperplane tables (OR-amplification, the
+  * cosine analog of MinHash banding: a pair is a candidate if it collides
+  * in ANY table), pair-joins light (id, table-bucket) rows, dedupes
+  * candidates, then verifies the exact cosine — candidate volume tracks
+  * bucket collisions, never n²/2. With P(bit agree) = 1 − θ/π per
+  * hyperplane, recall ≈ 1 − (1 − p^numBits)^numTables: more tables →
+  * higher recall, fewer bits → more (verified) noise candidates. Size
+  * `numBits` ~ log2(n/targetBucket) and `numTables` to the recall target
+  * at your threshold; precision is exactly 1.0 regardless (every emitted
+  * pair is verified).
+  *
+  * `exact = true` scans all pairs (broadcast nested loop) — the
+  * oracle-checkable reference path, only for data that fits one executor. */
 case class CosineNearDup(
     idCol: String = "vec_id",
     vecCol: String = "embedding",
-    threshold: Double = 0.45) extends EnsembleOp {
+    threshold: Double = 0.45,
+    exact: Boolean = false,
+    numBits: Int = 8,
+    numTables: Int = 8) extends EnsembleOp {
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idCol); requireCol(in, vecCol)
@@ -230,7 +261,14 @@ case class CosineNearDup(
       StructField("cosine", DoubleType)))
   }
 
-  override def transform(df: DataFrame): DataFrame = {
+  private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+    when(na * nb === 0, 0.0).otherwise(V.dot(va, vb) / (na * nb))
+
+  override def transform(df: DataFrame): DataFrame =
+    if (exact) transformExact(df) else transformBucketed(df)
+
+  /** Brute force: every pair scored. Same bits as the bucketed verify. */
+  private def transformExact(df: DataFrame): DataFrame = {
     // norms once per vector (not once per pair), dot via the codegen-free
     // tight-loop expression — same bits as sqrt-of-self-dot per pair
     val prepped = df.select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -238,10 +276,51 @@ case class CosineNearDup(
     val a = prepped.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
     val b = prepped.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        when(col("na") * col("nb") === 0, 0.0)
-          .otherwise(V.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .withColumn("cosine", cosine(col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Scale path: LSH-bucketed candidates, exact verification. */
+  private def transformBucketed(df: DataFrame): DataFrame = {
+    val (result, cached) = buildBucketed(df)
+    // eager pair materialization → release the corpus-sized cache
+    val out = result.localCheckpoint(true)
+    cached.unpersist()
+    out
+  }
+
+  /** The lazy pair plan (pre-materialization) — PlanSpec asserts on this. */
+  private[graft] def pairPlan(df: DataFrame): DataFrame =
+    if (exact) transformExact(df) else buildBucketed(df)._1
+
+  private def buildBucketed(df: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.FastExpressions
+    val prepped = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(V.dot(col(vecCol), col(vecCol))).as("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // mean-centered hyperplanes (clustered embeddings would otherwise
+    // collapse into a handful of buckets — see LshBucket scaladoc); the
+    // mean is a literal: #dims doubles, metadata scale
+    val mu = typedLit(graft.functions.VectorFunctions.meanVector(df, vecCol))
+    // one bucket per table, each table seeded with its own hyperplanes;
+    // the join key packs (table, bucket) so tables never collide
+    val tableBuckets = array((0 until numTables).map(t =>
+      (lit(t.toLong * (1L << 32))
+        + FastExpressions.lshBucket(col("v"), mu, numBits, seed = 42L + t)
+          .cast("long"))): _*)
+    // light (id, bucket) rows; vectors join back AFTER candidate dedupe
+    val buckets = prepped.select(col("id"), explode(tableBuckets).as("__bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"), Seq("__bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val result = cand
+      .join(prepped.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), Seq("id_a"))
+      .join(prepped.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+    (result, prepped)
   }
 }

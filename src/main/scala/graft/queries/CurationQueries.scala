@@ -40,8 +40,18 @@ object CurationQueries {
     SimHashDedup(maxHamming = 8).transform(documents(spark, d))
       .orderBy("doc_a", "doc_b")
 
+  /** exact=true: the all-pairs reference path the DuckDB oracle can mirror
+    * (the default bucketed path is covered rows-only + by DedupOpsSpec). */
   def neardupCosine(spark: SparkSession, d: String): DataFrame =
-    CosineNearDup(threshold = 0.45).transform(embeddings(spark, d))
+    CosineNearDup(threshold = 0.45, exact = true).transform(embeddings(spark, d))
+      .orderBy("id_a", "id_b")
+
+  /** The scale path: bucketed candidates, exact verification (rows-only:
+    * LSH candidate sets are hash-dependent; recall vs the exact path is
+    * asserted in DedupOpsSpec). */
+  def neardupCosineBucketed(spark: SparkSession, d: String): DataFrame =
+    CosineNearDup(threshold = 0.45, numBits = 6, numTables = 16)
+      .transform(embeddings(spark, d))
       .orderBy("id_a", "id_b")
 
   // ---- text analysis --------------------------------------------------
@@ -96,6 +106,7 @@ object CurationQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "neardup_cosine" -> (neardupCosine _),
+    "neardup_cosine_lsh" -> (neardupCosineBucketed _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),

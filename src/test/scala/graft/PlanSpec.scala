@@ -57,8 +57,18 @@ class PlanSpec extends SparkSpec {
 
   test("minhash candidate join shuffles only light band rows") {
     val docs = Tables.documents(spark, d)
-    val p = plan(ops.MinHashDedup().transform(docs))
+    val p = plan(ops.MinHashDedup().pairPlan(docs))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidate generation must be an equi-join on band keys")
+  }
+
+  test("cosine near-dup default path is bucketed, never an all-pairs join") {
+    val emb = Tables.embeddings(spark, d)
+    val p = plan(ops.CosineNearDup().pairPlan(emb))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"default must bucket, not scan n²/2 pairs:\n${p.take(800)}")
+    // the exact reference path IS the nested loop — by explicit request only
+    val pe = plan(ops.CosineNearDup(exact = true).pairPlan(emb))
+    assert(pe.contains("BroadcastNestedLoopJoin") || pe.contains("CartesianProduct"))
   }
 }

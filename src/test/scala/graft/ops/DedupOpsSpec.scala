@@ -96,9 +96,24 @@ class DedupOpsSpec extends SparkSpec {
       (1L, Seq(0.999f, 0.04f, 0.0f)),
       (2L, Seq(0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val out = CosineNearDup(threshold = 0.95).transform(vecs)
+    val out = CosineNearDup(threshold = 0.95, exact = true).transform(vecs)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((0L, 1L)))
+  }
+
+  test("bucketed CosineNearDup: precision 1.0, high recall vs exact path") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = CosineNearDup(threshold = 0.45, exact = true).transform(emb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every true pair here sits AT the 0.45 boundary (cos 0.45-0.48, so
+    // p = 1-θ/π ≈ 0.65 per plane) — 2 bits × 16 tables keeps the per-pair
+    // miss probability ≈ (1-p²)^16 ≈ 1e-4 even for boundary pairs
+    val lsh = CosineNearDup(threshold = 0.45, numBits = 2, numTables = 16)
+      .transform(emb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "exact verification guarantees precision 1.0")
+    assert(exact.nonEmpty && lsh.size >= math.ceil(exact.size * 0.8).toInt,
+      s"bucketed recall ${lsh.size}/${exact.size} too low")
   }
 
   test("langId picks the dominant stopword language, und when none") {
