@@ -16,7 +16,7 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   * candidates come from an inverted index (shared shingle / LSH band /
   * SimHash band), so the shuffle is proportional to true collisions, not
   * to n². The brute-force pair scan exists only inside
-  * [[CosineNearDup]] with `bucketed = false` for oracle checking.
+  * [[CosineNearDup]] with `exact = true` for oracle checking.
   */
 
 /** Exact dedup by content hash-group: one keep row per distinct content,
@@ -37,10 +37,12 @@ case class ExactDedup(
       StructField("n_copies", LongType)))
   }
 
+  // group by the 32-byte digest, never the text: the shuffle key for a
+  // 100 TB corpus must not carry the corpus (the digest IS the dedup
+  // identity we emit anyway)
   override def transform(df: DataFrame): DataFrame =
-    df.groupBy(key.as("__key"))
+    df.groupBy(md5(key).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(md5(col("__key")).as("content_hash"), col("keep_id"), col("n_copies"))
 }
 
 /** Exact n-gram Jaccard near-dup pairs with AllPairs/PPJoin-style prefix

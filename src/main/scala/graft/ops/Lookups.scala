@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.expressions.Window
 import graft.core.EnsembleOp
 
 /** Point-lookup equi-join against a feature table — the Spark-native
@@ -77,7 +76,10 @@ case class EmbeddingLookup(
   *
   * The mapping is a groupBy over distinct values only (tiny vs the data)
   * and is broadcast back — two narrow shuffles of the dictionary, none of
-  * the fact table.
+  * the fact table. Ranking the dictionary uses a range-partitioned sort +
+  * `zipWithIndex` — NOT a global window, which would funnel every distinct
+  * value through one partition (fatal exactly when Categorify matters:
+  * high-cardinality ids/URLs, NVTabular's main use).
   */
 case class Categorify(cols: Seq[String], suffix: String = "_idx") extends EnsembleOp {
 
@@ -86,13 +88,23 @@ case class Categorify(cols: Seq[String], suffix: String = "_idx") extends Ensemb
     StructType(in ++ cols.map(c => StructField(c + suffix, IntegerType)))
   }
 
+  /** The frequency-ranked dictionary for one column: (value, code). The
+    * sort is a parallel range-partitioned exchange; zipWithIndex assigns
+    * contiguous codes in partition order (= global sort order) with one
+    * extra count job, all at dictionary (distinct-value) scale. */
+  private[graft] def dictionary(df: DataFrame, c: String): DataFrame = {
+    val sorted = df.filter(col(c).isNotNull).groupBy(c).agg(count(lit(1)).as("cnt"))
+      .sort(desc("cnt"), asc(c)).select(col(c))
+    val schema = StructType(sorted.schema :+ StructField(c + suffix, IntegerType, nullable = false))
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toInt) },
+      schema)
+  }
+
   override def transform(df: DataFrame): DataFrame =
     cols.foldLeft(df) { (d, c) =>
-      val w = Window.orderBy(desc("cnt"), asc(c))
-      val mapping = df.filter(col(c).isNotNull).groupBy(c).agg(count(lit(1)).as("cnt"))
-        .withColumn(c + suffix, (row_number().over(w) - 1).cast("int"))
-        .drop("cnt")
-      d.join(broadcast(mapping), Seq(c), "left")
+      d.join(broadcast(dictionary(df, c)), Seq(c), "left")
         .withColumn(c + suffix, coalesce(col(c + suffix), lit(-1)))
     }
 }

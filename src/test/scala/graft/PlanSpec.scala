@@ -62,6 +62,18 @@ class PlanSpec extends SparkSpec {
       "candidate generation must be an equi-join on band keys")
   }
 
+  test("categorify and exact-dedup never shuffle wide keys or use a global window") {
+    val cust = Tables.customer(spark, d)
+    val p = plan(ops.Categorify(Seq("c_mktsegment")).transform(cust))
+    assert(!p.contains("Window"), "dictionary ranking must not use a global window")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition exchange anywhere in categorify:\n${p.take(800)}")
+    val docs = Tables.documents(spark, d)
+    val pd = plan(ops.ExactDedup().transform(docs))
+    assert(pd.contains("md5") && !pd.matches("(?s).*hashpartitioning\\(text.*"),
+      "shuffle key must be the digest, not the document text")
+  }
+
   test("cosine near-dup default path is bucketed, never an all-pairs join") {
     val emb = Tables.embeddings(spark, d)
     val p = plan(ops.CosineNearDup().pairPlan(emb))
