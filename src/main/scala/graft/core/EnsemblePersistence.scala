@@ -29,7 +29,9 @@ object EnsemblePersistence {
       ("format_version" -> FormatVersion) ~
       ("engine_version" -> "0.1.0") ~
       ("spark_version" -> spark.version) ~
-      ("input_schema_ddl" -> ensemble.inputSchema.toDDL) ~
+      // full JSON (not DDL): DDL drops StructField.metadata, which now
+      // carries schema tags (Tags.Key) that must survive the round-trip
+      ("input_schema_json" -> ensemble.inputSchema.json) ~
       ("ops" -> opsJson)
     Files.writeString(Paths.get(dir, "metadata.json"),
       JsonMethods.pretty(JsonMethods.render(meta)))
@@ -44,7 +46,8 @@ object EnsemblePersistence {
     val sv = (meta \ "spark_version").extract[String]
     if (sv != spark.version)
       System.err.println(s"[ensemble] WARNING: saved under Spark $sv, loading under ${spark.version}")
-    val schema = StructType.fromDDL((meta \ "input_schema_ddl").extract[String])
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      (meta \ "input_schema_json").extract[String]).asInstanceOf[StructType]
     val ops = (meta \ "ops").extract[List[JObject]].map(o => instantiate(o, spark))
     Ensemble(ops, schema)
   }
@@ -58,6 +61,8 @@ object EnsemblePersistence {
       spark: SparkSession): JObject = op match {
     case Selection(cols) =>
       ("type" -> "Selection") ~ ("cols" -> cols)
+    case SelectByTag(tags, keep) =>
+      ("type" -> "SelectByTag") ~ ("tags" -> tags) ~ ("keep" -> keep)
     case Rename(m) =>
       ("type" -> "Rename") ~ ("mapping" -> m)
     case FilterCandidates(in, f, out) =>
@@ -108,6 +113,7 @@ object EnsemblePersistence {
     def ss(f: String) = (o \ f).extract[List[String]]
     (o \ "type").extract[String] match {
       case "Selection" => Selection(ss("cols"))
+      case "SelectByTag" => SelectByTag(ss("tags"), ss("keep"))
       case "Rename" => Rename((o \ "mapping").extract[Map[String, String]])
       case "FilterCandidates" =>
         FilterCandidates(s("inputCol"), s("filterCol"), s("outputCol"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.{transform => arrayTransform}
 import org.apache.spark.sql.types._
-import graft.core.EnsembleOp
+import graft.core.{EnsembleOp, Tags}
 
 /** Column projection at graph roots (`["a"] >> op` in the reference;
   * SURVEY.md §2.2 → `df.select`). */
@@ -14,6 +14,28 @@ case class Selection(cols: Seq[String]) extends EnsembleOp {
     StructType(cols.map(c => in(c)))
   }
   override def transform(df: DataFrame): DataFrame = df.select(cols.map(col): _*)
+}
+
+/** Tag-based column selection — the reference's
+  * `schema.select_by_tag(Tags.CATEGORICAL)` feeding model inputs
+  * (/root/reference/merlin/systems/workflow/base.py:50-51). Tags live in
+  * `StructField.metadata` (see [[graft.core.Tags]]), so this is a plain
+  * projection: zero cost at any scale, and Catalyst prunes the unselected
+  * columns all the way down to the parquet scan. */
+case class SelectByTag(tags: Seq[String], keep: Seq[String] = Seq.empty)
+    extends EnsembleOp {
+  private def picked(in: StructType): Seq[String] = {
+    val byTag = Tags.columnsByTag(in, tags: _*)
+    require(byTag.nonEmpty,
+      s"$name: no columns tagged [${tags.mkString(",")}] in ${in.simpleString}")
+    (keep.filterNot(byTag.contains) ++ byTag).toSeq
+  }
+  override def transformSchema(in: StructType): StructType = {
+    keep.foreach(requireCol(in, _))
+    StructType(picked(in).map(c => in(c)))
+  }
+  override def transform(df: DataFrame): DataFrame =
+    df.select(picked(df.schema).map(col): _*)
 }
 
 /** Rename columns (NVTabular `Rename(postfix=...)`,

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.EnsembleOp
+import graft.core.{EnsembleOp, Tags}
 
 /** Point-lookup equi-join against a feature table — the Spark-native
   * `QueryFeast` (/root/reference/merlin/systems/dag/ops/feast.py:196-279):
@@ -27,14 +27,23 @@ case class QueryFeatureStore(
     if (featureCols.nonEmpty) featureCols
     else features.schema.fieldNames.filterNot(_ == entityCol).toSeq
 
+  // Fetched columns carry dtype-derived tags (continuous/categorical/
+  // embedding) in their metadata, like the reference's feature schema.
+  private def featField(c: String): StructField = {
+    val f = features.schema(c)
+    f.copy(name = outputPrefix + c,
+      metadata = Tags.metadataFor(Tags.forType(f.dataType), f.metadata))
+  }
+
   private def view: DataFrame =
-    features.select(col(entityCol) +: feats.map(c => col(c).as(outputPrefix + c)): _*)
+    features.select(col(entityCol) +:
+      feats.map(c => col(c).as(outputPrefix + c, featField(c).metadata)): _*)
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, entityCol)
     feats.foreach(c => require(features.schema.fieldNames.contains(c),
       s"$name: feature '$c' not in feature table"))
-    val joined = StructType(in ++ feats.map(c => features.schema(c).copy(name = outputPrefix + c)))
+    val joined = StructType(in ++ feats.map(featField))
     if (includeId) joined else StructType(joined.filterNot(_.name == entityCol))
   }
 
@@ -55,16 +64,19 @@ case class EmbeddingLookup(
     embCol: String = "embedding",
     outputCol: String = "embedding") extends EnsembleOp {
 
+  private def outMeta =
+    Tags.metadataFor(Seq(Tags.Embedding), embeddings.schema(embCol).metadata)
+
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idCol)
     require(embeddings.schema(embCol).dataType.isInstanceOf[ArrayType],
       s"$name: $embCol must be an array column")
-    StructType(in :+ embeddings.schema(embCol).copy(name = outputCol))
+    StructType(in :+ embeddings.schema(embCol).copy(name = outputCol, metadata = outMeta))
   }
 
   override def transform(df: DataFrame): DataFrame =
     df.join(
-      broadcast(embeddings.select(col(embIdCol).as(idCol), col(embCol).as(outputCol))),
+      broadcast(embeddings.select(col(embIdCol).as(idCol), col(embCol).as(outputCol, outMeta))),
       Seq(idCol), "left")
 }
 
@@ -85,7 +97,8 @@ case class Categorify(cols: Seq[String], suffix: String = "_idx") extends Ensemb
 
   override def transformSchema(in: StructType): StructType = {
     cols.foreach(requireCol(in, _))
-    StructType(in ++ cols.map(c => StructField(c + suffix, IntegerType)))
+    StructType(in ++ cols.map(c => StructField(c + suffix, IntegerType,
+      metadata = Tags.metadataFor(Seq(Tags.Categorical)))))
   }
 
   /** The frequency-ranked dictionary for one column: (value, code). The
@@ -102,11 +115,41 @@ case class Categorify(cols: Seq[String], suffix: String = "_idx") extends Ensemb
       schema)
   }
 
-  override def transform(df: DataFrame): DataFrame =
-    cols.foldLeft(df) { (d, c) =>
+  override def transform(df: DataFrame): DataFrame = {
+    val encoded = cols.foldLeft(df) { (d, c) =>
       d.join(broadcast(dictionary(df, c)), Seq(c), "left")
         .withColumn(c + suffix, coalesce(col(c + suffix), lit(-1)))
     }
+    Tags.tag(encoded, cols.map(c => (c + suffix) -> Seq(Tags.Categorical)): _*)
+  }
+
+  /** Exact per-column cardinalities + suggested embedding dims — the
+    * reference's `get_embedding_sizes` (workflow/__init__.py:18-65). One
+    * aggregate job for all columns; at 100 TB this is a partial-agg
+    * count-distinct, never a collect of values. */
+  def embeddingSizes(df: DataFrame): Map[String, (Long, Long)] = {
+    val aggs = cols.map(c => countDistinct(col(c)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val card = row.getLong(i)
+      (c + suffix) -> ((card, Tags.defaultDim(card)))
+    }.toMap
+  }
+
+  /** Transform + attach `graft.cardinality`/`graft.dimension` properties to
+    * each encoded column (fitted-workflow metadata in the reference). */
+  def transformWithSizes(df: DataFrame): DataFrame = {
+    val sizes = embeddingSizes(df)
+    val out = transform(df)
+    out.select(out.schema.map { f =>
+      sizes.get(f.name) match {
+        case Some((card, dim)) =>
+          col(f.name).as(f.name, Tags.metadataFor(Seq(Tags.Categorical), f.metadata,
+            Map(Tags.CardinalityKey -> card, Tags.DimensionKey -> dim)))
+        case None => col(f.name)
+      }
+    }: _*)
+  }
 }
 
 /** Standard scaling of continuous columns (the normalize stage of
@@ -122,7 +165,8 @@ case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends 
 
   override def transformSchema(in: StructType): StructType = {
     cols.foreach(requireCol(in, _))
-    StructType(in ++ cols.map(c => StructField(c + suffix, DoubleType)))
+    StructType(in ++ cols.map(c => StructField(c + suffix, DoubleType,
+      metadata = Tags.metadataFor(Seq(Tags.Continuous)))))
   }
 
   override def transform(df: DataFrame): DataFrame = {
@@ -140,7 +184,7 @@ case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends 
     }
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val joined = df.crossJoin(broadcast(stats))
-    val scaled = cols.foldLeft(joined) { (d, c) =>
+    val scaled0 = cols.foldLeft(joined) { (d, c) =>
       if (integral(c)) {
         // exact long sums → identical double math in any engine
         val mean = col(s"__s1_$c").cast("double") / col(s"__n_$c")
@@ -152,7 +196,8 @@ case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends 
           (col(c) - col(s"__mean_$c")) / when(col(s"__std_$c") === 0, 1.0).otherwise(col(s"__std_$c")))
       }
     }
-    scaled.drop(cols.flatMap(c =>
+    val scaled = scaled0.drop(cols.flatMap(c =>
       Seq(s"__mean_$c", s"__std_$c", s"__s1_$c", s"__s2_$c", s"__n_$c")): _*)
+    Tags.tag(scaled, cols.map(c => (c + suffix) -> Seq(Tags.Continuous)): _*)
   }
 }
