@@ -20,6 +20,52 @@ import graft.ops._
   */
 object Flagship {
 
+  /** The fitted 4-stage pipeline as a persistable [[Ensemble]] — train
+    * offline, `EnsemblePersistence.save`, serve the reloaded graph (the
+    * reference's §3.2 export workflow, ensemble.py:80-145). Returns the
+    * ensemble plus the request frame it expects. Unlike [[recommend]]
+    * (which explodes candidates to rows for relational ranking), the
+    * serving graph keeps (ids, scores) arrays aligned end-to-end — zero
+    * shuffles after retrieval. The LSH center is materialized once at fit
+    * time and travels as an op parameter so a reloaded ensemble buckets
+    * with bit-identical hyperplanes. */
+  def servingEnsemble(spark: SparkSession, d: String, retrievalK: Int = 100,
+      finalK: Int = 10): (Ensemble, DataFrame) = {
+    val interactions = orders(spark, d)
+      .join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(sum("l_quantity").cast("float").as("strength"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val als = PredictImplicit.train(interactions, "user", "item", "strength",
+      maxIter = 3)
+    val userVecs = als.userFactors.select(col("id").as("user_id"),
+      col("features").as("user_vec"))
+    val itemVecs = als.itemFactors.select(col("id").as("item_id"),
+      col("features").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = itemVecs.count()
+    val numBits = math.max(4, math.min(12,
+      (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
+    val center = graft.functions.VectorFunctions.meanVector(itemVecs, "embedding").toSeq
+    val seen = interactions.groupBy(col("user").cast("long").as("user_id"))
+      .agg(collect_set(col("item").cast("long")).as("seen_ids"))
+    val requests = customer(spark, d)
+      .select(col("c_custkey").cast("long").as("user_id"),
+        col("c_mktsegment"), col("c_acctbal"))
+    interactions.unpersist()
+    val ens = Ensemble(Seq(
+      QueryFeatureStore(userVecs, "user_id", Seq("user_vec"), includeId = true),
+      AnnLsh(itemVecs, "user_id", "user_vec", k = retrievalK,
+        numBits = numBits, nprobe = 4, metric = "dot", center = Some(center)),
+      QueryFeatureStore(seen, "user_id", Seq("seen_ids"), includeId = true),
+      FilterCandidatesWithScores("candidate_ids", "candidate_scores", "seen_ids"),
+      SoftmaxSampling("filtered_ids", "filtered_scores", temperature = 20.0,
+        topk = finalK, seedCol = "user_id")
+    ), requests.schema)
+    (ens, requests)
+  }
+
   def recommend(spark: SparkSession, d: String, retrievalK: Int = 100,
       finalK: Int = 10): DataFrame = {
     // stage 0: implicit-feedback ALS on purchase strength

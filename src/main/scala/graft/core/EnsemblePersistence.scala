@@ -23,7 +23,7 @@ object EnsemblePersistence {
   def save(ensemble: Ensemble, dir: String, spark: SparkSession): Unit = {
     Files.createDirectories(Paths.get(dir, "artifacts"))
     val opsJson = ensemble.ops.zipWithIndex.map { case (op, i) =>
-      describe(op, i, dir, spark)
+      describe(op, i.toString, dir, spark)
     }
     val meta: JObject =
       ("format_version" -> FormatVersion) ~
@@ -54,10 +54,10 @@ object EnsemblePersistence {
 
   // ---- per-op (de)serialization ---------------------------------------
 
-  private def artifactPath(dir: String, i: Int, kind: String) =
+  private def artifactPath(dir: String, i: String, kind: String) =
     s"$dir/artifacts/${i}_$kind"
 
-  private def describe(op: EnsembleOp, i: Int, dir: String,
+  private def describe(op: EnsembleOp, i: String, dir: String,
       spark: SparkSession): JObject = op match {
     case Selection(cols) =>
       ("type" -> "Selection") ~ ("cols" -> cols)
@@ -102,6 +102,89 @@ object EnsemblePersistence {
       val p = artifactPath(dir, i, "pipeline_model")
       w.model.write.overwrite().save(p)
       ("type" -> "TransformWorkflow") ~ ("path" -> p)
+    case c: ConcatColumns =>
+      val p = artifactPath(dir, i, "concat_branch")
+      c.other.write.mode("overwrite").parquet(p)
+      ("type" -> "ConcatColumns") ~ ("path" -> p) ~ ("on" -> c.on)
+    case FilterCandidatesWithScores(ids, sc, f, oi, os) =>
+      ("type" -> "FilterCandidatesWithScores") ~ ("idsCol" -> ids) ~
+        ("scoresCol" -> sc) ~ ("filterCol" -> f) ~
+        ("outIdsCol" -> oi) ~ ("outScoresCol" -> os)
+    // ---- retrieval ops: feature table as a parquet side artifact, the
+    // analog of the reference copying the FAISS index dir (faiss.py:75-78)
+    case t: TopKRetrieval =>
+      val p = artifactPath(dir, i, "topk_items")
+      t.items.write.mode("overwrite").parquet(p)
+      ("type" -> "TopKRetrieval") ~ ("path" -> p) ~
+        ("queryIdCol" -> t.queryIdCol) ~ ("queryVecCol" -> t.queryVecCol) ~
+        ("itemIdCol" -> t.itemIdCol) ~ ("itemVecCol" -> t.itemVecCol) ~
+        ("k" -> t.k) ~ ("metric" -> t.metric) ~ ("outputCol" -> t.outputCol)
+    case a: AnnLsh =>
+      val p = artifactPath(dir, i, "ann_items")
+      a.items.write.mode("overwrite").parquet(p)
+      // always persist the RESOLVED center: a reloaded op must bucket with
+      // the exact fit-time hyperplanes, not a recomputed (order-sensitive)
+      // mean
+      ("type" -> "AnnLsh") ~ ("path" -> p) ~
+        ("queryIdCol" -> a.queryIdCol) ~ ("queryVecCol" -> a.queryVecCol) ~
+        ("itemIdCol" -> a.itemIdCol) ~ ("itemVecCol" -> a.itemVecCol) ~
+        ("k" -> a.k) ~ ("numBits" -> a.numBits) ~ ("nprobe" -> a.nprobe) ~
+        ("metric" -> a.metric) ~ ("center" -> a.resolvedCenter)
+    // ---- model ops: MLlib's own writers (reference pickles model
+    // artifacts into the ensemble dir, ensemble.py:80-145 + implicit.py:58-71)
+    case f: PredictForest[_] =>
+      val p = artifactPath(dir, i, "forest_model")
+      f.model.asInstanceOf[org.apache.spark.ml.util.MLWritable]
+        .write.overwrite().save(p)
+      ("type" -> "PredictForest") ~ ("path" -> p) ~
+        ("modelClass" -> f.model.getClass.getName) ~
+        ("featureCols" -> f.featureCols) ~ ("outputCol" -> f.outputCol)
+    case f: PredictForestClassifier =>
+      val p = artifactPath(dir, i, "forest_classifier")
+      f.model.write.overwrite().save(p)
+      ("type" -> "PredictForestClassifier") ~ ("path" -> p) ~
+        ("featureCols" -> f.featureCols) ~ ("predictProba" -> f.predictProba) ~
+        ("outputClass" -> f.outputClass) ~ ("threshold" -> f.threshold) ~
+        ("outputCol" -> f.outputCol)
+    case m: PredictImplicit =>
+      val p = artifactPath(dir, i, "als_model")
+      m.model.write.overwrite().save(p)
+      ("type" -> "PredictImplicit") ~ ("path" -> p) ~
+        ("numToRecommend" -> m.numToRecommend) ~ ("userCol" -> m.userCol)
+    case c: PredictClassifier =>
+      val p = artifactPath(dir, i, "lr_model")
+      c.model.write.overwrite().save(p)
+      ("type" -> "PredictClassifier") ~ ("path" -> p) ~
+        ("featuresArrayCol" -> c.featuresArrayCol) ~ ("outputCol" -> c.outputCol)
+    // ---- dedup / multimodal ops are pure parameters
+    case ExactDedup(id, text, norm) =>
+      ("type" -> "ExactDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
+        ("normalized" -> norm)
+    case NgramJaccardDedup(id, text, n, bp) =>
+      ("type" -> "NgramJaccardDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
+        ("n" -> n) ~ ("thresholdBp" -> bp)
+    case MinHashDedup(id, text, n, h, b, bp) =>
+      ("type" -> "MinHashDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
+        ("n" -> n) ~ ("numHashes" -> h) ~ ("bands" -> b) ~ ("thresholdBp" -> bp)
+    case SimHashDedup(id, text, n, mh, hc) =>
+      ("type" -> "SimHashDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
+        ("n" -> n) ~ ("maxHamming" -> mh) ~ ("hashCol" -> hc)
+    case CosineNearDup(id, vec, th, exact, bits, tables) =>
+      ("type" -> "CosineNearDup") ~ ("idCol" -> id) ~ ("vecCol" -> vec) ~
+        ("threshold" -> th) ~ ("exact" -> exact) ~ ("numBits" -> bits) ~
+        ("numTables" -> tables)
+    case DecodeMedia(id, content, prefix) =>
+      ("type" -> "DecodeMedia") ~ ("idCol" -> id) ~ ("contentCol" -> content) ~
+        ("outputPrefix" -> prefix)
+    case SampleFrames(id, content, fb, st) =>
+      ("type" -> "SampleFrames") ~ ("idCol" -> id) ~ ("contentCol" -> content) ~
+        ("frameBytes" -> fb) ~ ("stride" -> st)
+    // ---- nested subgraphs recurse with a scoped artifact prefix
+    case e: Ensemble =>
+      ("type" -> "Ensemble") ~
+        ("input_schema_json" -> e.inputSchema.json) ~
+        ("ops" -> e.ops.zipWithIndex.map { case (sub, j) =>
+          describe(sub, s"${i}_$j", dir, spark) })
     case other =>
       throw new IllegalArgumentException(
         s"Ensemble.save: op '${other.name}' does not support persistence")
@@ -139,6 +222,74 @@ object EnsemblePersistence {
           s("on"), s("prefix"))
       case "TransformWorkflow" =>
         TransformWorkflow(org.apache.spark.ml.PipelineModel.load(s("path")))
+      case "ConcatColumns" =>
+        ConcatColumns(spark.read.parquet(s("path")), s("on"))
+      case "FilterCandidatesWithScores" =>
+        FilterCandidatesWithScores(s("idsCol"), s("scoresCol"), s("filterCol"),
+          s("outIdsCol"), s("outScoresCol"))
+      case "TopKRetrieval" =>
+        TopKRetrieval(spark.read.parquet(s("path")), s("queryIdCol"),
+          s("queryVecCol"), s("itemIdCol"), s("itemVecCol"),
+          (o \ "k").extract[Int], s("metric"), s("outputCol"))
+      case "AnnLsh" =>
+        AnnLsh(spark.read.parquet(s("path")), s("queryIdCol"), s("queryVecCol"),
+          s("itemIdCol"), s("itemVecCol"), (o \ "k").extract[Int],
+          (o \ "numBits").extract[Int], (o \ "nprobe").extract[Int], s("metric"),
+          center = Some((o \ "center").extract[List[Double]]))
+      case "PredictForest" =>
+        val mc = s("modelClass")
+        mc match {
+          case "org.apache.spark.ml.regression.RandomForestRegressionModel" =>
+            PredictForest(
+              org.apache.spark.ml.regression.RandomForestRegressionModel.load(s("path")),
+              ss("featureCols"), s("outputCol"))
+          case "org.apache.spark.ml.regression.GBTRegressionModel" =>
+            PredictForest(
+              org.apache.spark.ml.regression.GBTRegressionModel.load(s("path")),
+              ss("featureCols"), s("outputCol"))
+          case _ => throw new IllegalArgumentException(
+            s"Ensemble.load: unsupported forest model class '$mc'")
+        }
+      case "PredictForestClassifier" =>
+        PredictForestClassifier(
+          org.apache.spark.ml.classification.RandomForestClassificationModel.load(s("path")),
+          ss("featureCols"), (o \ "predictProba").extract[Boolean],
+          (o \ "outputClass").extract[Boolean], (o \ "threshold").extract[Double],
+          s("outputCol"))
+      case "PredictImplicit" =>
+        PredictImplicit(
+          org.apache.spark.ml.recommendation.ALSModel.load(s("path")),
+          (o \ "numToRecommend").extract[Int], s("userCol"))
+      case "PredictClassifier" =>
+        PredictClassifier(
+          org.apache.spark.ml.classification.LogisticRegressionModel.load(s("path")),
+          s("featuresArrayCol"), s("outputCol"))
+      case "ExactDedup" =>
+        ExactDedup(s("idCol"), s("textCol"), (o \ "normalized").extract[Boolean])
+      case "NgramJaccardDedup" =>
+        NgramJaccardDedup(s("idCol"), s("textCol"), (o \ "n").extract[Int],
+          (o \ "thresholdBp").extract[Int])
+      case "MinHashDedup" =>
+        MinHashDedup(s("idCol"), s("textCol"), (o \ "n").extract[Int],
+          (o \ "numHashes").extract[Int], (o \ "bands").extract[Int],
+          (o \ "thresholdBp").extract[Int])
+      case "SimHashDedup" =>
+        SimHashDedup(s("idCol"), s("textCol"), (o \ "n").extract[Int],
+          (o \ "maxHamming").extract[Int], (o \ "hashCol").extractOpt[String])
+      case "CosineNearDup" =>
+        CosineNearDup(s("idCol"), s("vecCol"), (o \ "threshold").extract[Double],
+          (o \ "exact").extract[Boolean], (o \ "numBits").extract[Int],
+          (o \ "numTables").extract[Int])
+      case "DecodeMedia" =>
+        DecodeMedia(s("idCol"), s("contentCol"), s("outputPrefix"))
+      case "SampleFrames" =>
+        SampleFrames(s("idCol"), s("contentCol"), (o \ "frameBytes").extract[Int],
+          (o \ "stride").extract[Int])
+      case "Ensemble" =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(
+          s("input_schema_json")).asInstanceOf[StructType]
+        val subOps = (o \ "ops").extract[List[JObject]].map(x => instantiate(x, spark))
+        Ensemble(subOps, schema)
       case t => throw new IllegalArgumentException(s"Ensemble.load: unknown op type '$t'")
     }
   }

@@ -29,7 +29,8 @@ case class AnnLsh(
     k: Int = 10,
     numBits: Int = 8,
     nprobe: Int = 4,
-    metric: String = "cosine") extends EnsembleOp {
+    metric: String = "cosine",
+    center: Option[Seq[Double]] = None) extends EnsembleOp {
 
   require(nprobe >= 1 && nprobe <= numBits + 1, s"$name: nprobe in [1, numBits+1]")
 
@@ -59,11 +60,18 @@ case class AnnLsh(
       StructField("candidate_scores", ArrayType(DoubleType))))
   }
 
+  /** The hyperplane center: the fit-time `center` when given (persisted
+    * ensembles MUST pass it — double partial-agg merge order makes a
+    * recomputed mean drift in the last bits, flipping borderline bucket
+    * signs), else the item mean computed here (one job, dictionary scale). */
+  def resolvedCenter: Seq[Double] =
+    center.getOrElse(VectorFunctions.meanVector(items, itemVecCol).toSeq)
+
   override def transform(df: DataFrame): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
     // item mean as a literal (#dims doubles, metadata scale) — both sides
     // bucket against the same centered hyperplanes, plans stay join-free
-    val mu = typedLit(VectorFunctions.meanVector(items, itemVecCol))
+    val mu = typedLit(resolvedCenter.toArray)
     val indexed = items.select(
       col(itemIdCol).cast("long").as("__item_id"), col(itemVecCol).as("__item_vec"),
       bucket(col(itemVecCol), mu).as("__bucket"))

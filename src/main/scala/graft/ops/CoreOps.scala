@@ -102,6 +102,41 @@ case class FilterCandidates(
       .drop(inputCol, filterCol)
 }
 
+/** [[FilterCandidates]] with an aligned score array: (id, score) pairs are
+  * zipped, filtered together against the seen-set, and re-split — the
+  * retrieval→filter hand-off of the reference's 4-stage ensemble where
+  * faiss candidate scores must stay aligned with the surviving ids
+  * (session_filter.py filtering the paired candidate block). Same
+  * null-filter semantics as [[FilterCandidates]]; per-row HOFs only, so it
+  * runs map-side wherever the candidates live. */
+case class FilterCandidatesWithScores(
+    idsCol: String = "candidate_ids",
+    scoresCol: String = "candidate_scores",
+    filterCol: String,
+    outIdsCol: String = "filtered_ids",
+    outScoresCol: String = "filtered_scores") extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    val ii = requireCol(in, idsCol); val si = requireCol(in, scoresCol)
+    requireCol(in, filterCol)
+    require(in(idsCol).dataType.isInstanceOf[ArrayType] &&
+      in(scoresCol).dataType.isInstanceOf[ArrayType],
+      s"$name: $idsCol/$scoresCol must be arrays")
+    StructType(
+      in.filterNot(f => Set(idsCol, scoresCol, filterCol)(f.name)) ++ Seq(
+        in.fields(ii).copy(name = outIdsCol),
+        in.fields(si).copy(name = outScoresCol)))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    df.withColumn("__kept",
+        filter(arrays_zip(col(idsCol), col(scoresCol)),
+          p => coalesce(!array_contains(col(filterCol), p.getField(idsCol)), lit(true))))
+      .withColumn(outIdsCol, arrayTransform(col("__kept"), p => p.getField(idsCol)))
+      .withColumn(outScoresCol, arrayTransform(col("__kept"), p => p.getField(scoresCol)))
+      .drop(idsCol, scoresCol, filterCol, "__kept")
+}
+
 /** Weighted top-k sampling without replacement (Efraimidis–Spirakis
   * exponential-sort trick), matching the reference math exactly:
   * `w = exp(T*score)/sum(score); key = -ln(u)/w`, ascending sort, head k

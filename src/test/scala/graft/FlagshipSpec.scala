@@ -15,6 +15,23 @@ class FlagshipSpec extends SparkSpec {
     assert(row._1.distinct.size == 10, "no duplicate recommendations")
   }
 
+  test("fitted serving ensemble round-trips: save → load → identical output") {
+    val d = "/root/testdata/sf0.001"
+    val (ens, requests) = Flagship.servingEnsemble(spark, d, retrievalK = 50)
+    val dir = java.nio.file.Files.createTempDirectory("flagship_ens").toString
+    graft.core.EnsemblePersistence.save(ens, dir, spark)
+    val loaded = graft.core.EnsemblePersistence.load(dir, spark)
+
+    val a = ens.transform(requests).orderBy("user_id").collect().toSeq
+    val b = loaded.transform(requests).orderBy("user_id").collect().toSeq
+    assert(a.nonEmpty, "serving ensemble must produce recommendations")
+    assert(a == b, "reloaded flagship ensemble must reproduce identical rows")
+    // sanity: the graph serves ranked, seen-filtered, k-bounded lists
+    val row = a.head
+    val ids = row.getSeq[Long](row.fieldIndex("ordered_ids"))
+    assert(ids.size <= 10 && ids.distinct.size == ids.size)
+  }
+
   test("recommendations exclude already-seen items") {
     val d = "/root/testdata/sf0.001"
     val recs = Flagship.recommend(spark, d)

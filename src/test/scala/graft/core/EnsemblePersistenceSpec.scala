@@ -39,13 +39,132 @@ class EnsemblePersistenceSpec extends SparkSpec {
     assert(a == b, "reloaded ensemble must produce identical rows")
   }
 
-  test("save rejects non-persistable ops; load rejects unknown types") {
-    val input = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
-    val items = input
-    val ens = Ensemble(Seq(TopKRetrieval(items, "vec_id", "embedding")), input.schema)
+  test("save rejects non-persistable (unregistered custom) ops") {
+    val input = Seq((1L, 2.0)).toDF("id", "x")
+    object CustomOp extends EnsembleOp {
+      def transformSchema(in: org.apache.spark.sql.types.StructType) = in
+      def transform(df: org.apache.spark.sql.DataFrame) = df
+    }
+    val ens = Ensemble(Seq(CustomOp), input.schema)
     assertThrows[IllegalArgumentException] {
       EnsemblePersistence.save(ens, Files.tmp("ens_bad"), spark)
     }
+  }
+
+  test("parameter-only ops round-trip by value (dedup/multimodal family)") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, sig BIGINT")
+    val ops = Seq(
+      ExactDedup("doc_id", "text", normalized = true),
+      NgramJaccardDedup("doc_id", "text", n = 4, thresholdBp = 7500),
+      MinHashDedup("doc_id", "text", n = 3, numHashes = 128, bands = 32, thresholdBp = 8500),
+      SimHashDedup("doc_id", "text", n = 3, maxHamming = 7, hashCol = Some("sig")))
+    // each op replaces the input schema entirely, so persist them as
+    // single-op ensembles and compare case-class equality
+    ops.foreach { op =>
+      val dir = Files.tmp("ens_param")
+      EnsemblePersistence.save(Ensemble(Seq(op), schema), dir, spark)
+      assert(EnsemblePersistence.load(dir, spark).ops.head == op)
+    }
+    val vecSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    val cos = CosineNearDup("vec_id", "embedding", 0.6, exact = false,
+      numBits = 6, numTables = 12)
+    val dir2 = Files.tmp("ens_param")
+    EnsemblePersistence.save(Ensemble(Seq(cos), vecSchema), dir2, spark)
+    assert(EnsemblePersistence.load(dir2, spark).ops.head == cos)
+
+    val mediaOps = Seq(
+      DecodeMedia("media_id", "content", "img_"),
+      SampleFrames("media_id", "content", frameBytes = 32, stride = 3))
+    mediaOps.foreach { op =>
+      val dir = Files.tmp("ens_media")
+      EnsemblePersistence.save(Ensemble(Seq(op), MultimodalOps.mediaSchema), dir, spark)
+      assert(EnsemblePersistence.load(dir, spark).ops.head == op)
+    }
+  }
+
+  test("retrieval ops round-trip: identical top-k after reload") {
+    val items = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.1, 0.9)), (5L, Seq(0.7, 0.7))
+    ).toDF("item_id", "embedding")
+    val queries = Seq((100L, Seq(1.0, 0.05)), (200L, Seq(0.05, 1.0)))
+      .toDF("qid", "qvec")
+
+    val topk = TopKRetrieval(items, "qid", "qvec", k = 3, metric = "dot")
+    val dir = Files.tmp("ens_topk")
+    EnsemblePersistence.save(Ensemble(Seq(topk), queries.schema), dir, spark)
+    val loadedTopK = EnsemblePersistence.load(dir, spark)
+    assert(loadedTopK.transform(queries).orderBy("qid").collect().toSeq ==
+      topk.transform(queries).orderBy("qid").collect().toSeq)
+
+    val ann = AnnLsh(items, "qid", "qvec", k = 3, numBits = 4, nprobe = 3,
+      metric = "dot", center = Some(Seq(0.54, 0.54)))
+    val dir2 = Files.tmp("ens_ann")
+    EnsemblePersistence.save(Ensemble(Seq(ann), queries.schema), dir2, spark)
+    val loadedAnn = EnsemblePersistence.load(dir2, spark)
+    val reloaded = loadedAnn.ops.head.asInstanceOf[AnnLsh]
+    assert(reloaded.center.contains(Seq(0.54, 0.54)),
+      "fit-time LSH center must persist as a parameter")
+    assert(loadedAnn.transform(queries).orderBy("qid").collect().toSeq ==
+      ann.transform(queries).orderBy("qid").collect().toSeq)
+  }
+
+  test("model ops round-trip: identical scores after reload") {
+    val train = Seq(
+      (1.0, 2.0, 10.0, 1.0), (2.0, 1.0, 8.0, 0.0), (3.0, 4.0, 20.0, 1.0),
+      (4.0, 3.0, 16.0, 0.0), (5.0, 6.0, 30.0, 1.0), (6.0, 5.0, 26.0, 0.0)
+    ).toDF("f1", "f2", "y", "label")
+
+    val forest = PredictForest.trainRegressor(train, Seq("f1", "f2"), "y",
+      numTrees = 5, maxDepth = 3)
+    val dir = Files.tmp("ens_forest")
+    EnsemblePersistence.save(Ensemble(Seq(forest), train.schema), dir, spark)
+    assert(EnsemblePersistence.load(dir, spark).transform(train)
+      .orderBy("f1").collect().toSeq ==
+      forest.transform(train).orderBy("f1").collect().toSeq)
+
+    val clf = PredictForestClassifier.train(train, Seq("f1", "f2"), "label",
+      numTrees = 5, maxDepth = 3, predictProba = false, outputClass = true,
+      threshold = 0.4)
+    val dir2 = Files.tmp("ens_clf")
+    EnsemblePersistence.save(Ensemble(Seq(clf), train.schema), dir2, spark)
+    val loadedClf = EnsemblePersistence.load(dir2, spark).ops.head
+      .asInstanceOf[PredictForestClassifier]
+    assert(loadedClf.threshold == 0.4 && loadedClf.outputClass)
+    assert(EnsemblePersistence.load(dir2, spark).transform(train)
+      .orderBy("f1").collect().toSeq ==
+      clf.transform(train).orderBy("f1").collect().toSeq)
+  }
+
+  test("PredictImplicit (ALS) round-trips via the MLlib writer") {
+    val inter = Seq(
+      (1, 1, 2.0f), (1, 2, 1.0f), (2, 1, 1.0f), (2, 3, 2.0f),
+      (3, 2, 1.0f), (3, 3, 2.0f), (4, 1, 2.0f), (4, 2, 2.0f)
+    ).toDF("user", "item", "strength")
+    val op = PredictImplicit(
+      PredictImplicit.train(inter, "user", "item", "strength", rank = 4, maxIter = 3),
+      numToRecommend = 2, userCol = "user_id")
+    val req = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("user_id")
+    val dir = Files.tmp("ens_als")
+    EnsemblePersistence.save(Ensemble(Seq(op), req.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.ops.head.asInstanceOf[PredictImplicit].numToRecommend == 2)
+    assert(loaded.transform(req).orderBy("user_id").collect().toSeq ==
+      op.transform(req).orderBy("user_id").collect().toSeq)
+  }
+
+  test("nested subgraph ensembles round-trip") {
+    val input = Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("id", "s", "v")
+    val inner = Ensemble(Seq(Rename(Map("s" -> "t"))), input.schema)
+    val outer = Ensemble(Seq(inner, Selection(Seq("id", "t"))), input.schema)
+    val dir = Files.tmp("ens_nested")
+    EnsemblePersistence.save(outer, dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.ops.head.isInstanceOf[Ensemble], "subgraph must reload as Ensemble")
+    assert(loaded.transform(input).orderBy("id").collect().toSeq ==
+      outer.transform(input).orderBy("id").collect().toSeq)
   }
 
   private object Files {
