@@ -14,6 +14,13 @@ import graft.core.{EnsembleOp, Tags}
   * The feature view is broadcast: at 100 TB the request side streams
   * map-side with zero shuffle as long as the dim table fits in executors;
   * for giant feature tables drop the hint and let AQE pick shuffle-hash.
+  *
+  * Edge semantics (EdgeCaseSpec pins these): an EMPTY request batch yields
+  * an empty result with the declared schema — the reference raises here
+  * (feast.py:215-219) because Feast's RPC needs at least one id, but a
+  * distributed plan runs empty partitions routinely, so empty-in →
+  * empty-out is the only composable choice. A NULL entity id keeps its
+  * row with null features (left-join semantics); unmatched ids likewise.
   */
 case class QueryFeatureStore(
     features: DataFrame,

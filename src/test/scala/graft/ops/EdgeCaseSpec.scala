@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Empty-batch and null-id semantics, pinned per op. The reference raises
+  * on an empty Feast batch (feast.py:215-219) — a Feast-RPC constraint;
+  * relational semantics here is empty-in → empty-out with the declared
+  * schema, and null ids follow left-join behavior (row kept, features
+  * null). These tests are the contract. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val features = Seq((10L, "A", 1.5), (11L, "B", 2.5))
+    .toDF("item_id", "brand", "price")
+
+  test("QueryFeatureStore: empty batch yields empty output with declared schema") {
+    val empty = Seq.empty[Tuple1[Long]].toDF("item_id")
+    val op = QueryFeatureStore(features, "item_id", includeId = true)
+    val out = op.transform(empty)
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.toSeq == op.transformSchema(empty.schema).fieldNames.toSeq)
+  }
+
+  test("QueryFeatureStore: null and unmatched entity ids keep rows, null features") {
+    val req = spark.createDataFrame(
+      java.util.Arrays.asList(Row(10L), Row(null.asInstanceOf[Any]), Row(99L)),
+      StructType(Seq(StructField("item_id", LongType))))
+    val out = QueryFeatureStore(features, "item_id", includeId = true)
+      .transform(req).orderBy(asc_nulls_first("item_id")).collect()
+    assert(out.length == 3, "null/unmatched ids must not drop rows")
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1), "null id → null features")
+    assert(out(1).getLong(0) == 10L && out(1).getString(1) == "A")
+    assert(out(2).getLong(0) == 99L && out(2).isNullAt(1), "unmatched id → null features")
+  }
+
+  test("FilterCandidates: null candidate array stays null; empty stays empty") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(1L, 2L), Seq(2L)),
+        Row(2L, null, Seq(1L)),
+        Row(3L, Seq.empty[Long], Seq(1L))),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("candidate_ids", ArrayType(LongType)),
+        StructField("seen", ArrayType(LongType)))))
+    val out = FilterCandidates("candidate_ids", "seen").transform(df)
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1) == Seq(1L))
+    assert(out(1).isNullAt(1), "null input array → null output, row kept")
+    assert(out(2).getSeq[Long](1).isEmpty)
+  }
+
+  test("SoftmaxSampling: empty candidate arrays yield empty ordered arrays") {
+    val df = Seq((1L, Seq.empty[Long], Seq.empty[Double]))
+      .toDF("requestId", "ids", "scores")
+    val out = SoftmaxSampling("ids", "scores", topk = 5).transform(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getSeq[Long](out(0).fieldIndex("ordered_ids")).isEmpty)
+    assert(out(0).getSeq[Double](out(0).fieldIndex("ordered_scores")).isEmpty)
+  }
+
+  test("SoftmaxSampling: empty batch yields empty output") {
+    val df = Seq.empty[(Long, Seq[Long], Seq[Double])]
+      .toDF("requestId", "ids", "scores")
+    assert(SoftmaxSampling("ids", "scores").transform(df).count() == 0)
+  }
+
+  test("Categorify: null values code to -1; empty batch yields empty output") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "x"), Row(2L, null.asInstanceOf[Any]), Row(3L, "x")),
+      StructType(Seq(StructField("id", LongType), StructField("c", StringType))))
+    val out = Categorify(Seq("c")).transform(df).orderBy("id").collect()
+    assert(out(0).getInt(2) == 0 && out(2).getInt(2) == 0)
+    assert(out(1).getInt(2) == -1, "null value must code to -1, not drop")
+
+    val empty = df.filter(lit(false))
+    assert(Categorify(Seq("c")).transform(empty).count() == 0)
+  }
+
+  test("StandardScale: empty batch yields empty output; null values pass through null") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 10L), Row(2L, null.asInstanceOf[Any]), Row(3L, 20L)),
+      StructType(Seq(StructField("id", LongType), StructField("v", LongType))))
+    val out = StandardScale(Seq("v")).transform(df).orderBy("id").collect()
+    assert(!out(0).isNullAt(2) && !out(2).isNullAt(2))
+    assert(out(1).isNullAt(2), "null input → null scaled value, row kept")
+    assert(StandardScale(Seq("v")).transform(df.filter(lit(false))).count() == 0)
+  }
+
+  test("EmbeddingLookup: unmatched id keeps row with null embedding") {
+    val embs = Seq((10L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val req = Seq(Tuple1(10L), Tuple1(11L)).toDF("id")
+    val out = EmbeddingLookup(embs, "id").transform(req).orderBy("id").collect()
+    assert(out(0).getSeq[Float](1) == Seq(1.0f))
+    assert(out(1).isNullAt(1))
+  }
+}
