@@ -37,6 +37,11 @@ object EnsemblePersistence {
       JsonMethods.pretty(JsonMethods.render(meta)))
   }
 
+  /** Load by registry lookup — the reference's `from_model_registry`
+    * entry point (model_registry.py:6-26). */
+  def load(registry: ModelRegistry, spark: SparkSession): Ensemble =
+    load(registry.artifactUri, spark)
+
   def load(dir: String, spark: SparkSession): Ensemble = {
     implicit val fmts: Formats = DefaultFormats
     val meta = JsonMethods.parse(Files.readString(Paths.get(dir, "metadata.json")))

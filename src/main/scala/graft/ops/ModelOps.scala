@@ -156,6 +156,11 @@ case class TransformWorkflow(model: PipelineModel) extends EnsembleOp {
 }
 
 object TransformWorkflow {
+  /** Load the fitted workflow a registry entry points at (reference
+    * `from_model_registry`, model_registry.py:14-19). */
+  def fromRegistry(registry: graft.core.ModelRegistry): TransformWorkflow =
+    TransformWorkflow(PipelineModel.load(registry.artifactUri))
+
   /** Categorify + scale, the canonical NVTabular serving workflow shape
     * (conftest.py:54-186): StringIndexer per cat col + StandardScaler via
     * our native ops happens in Categorify/StandardScale; this MLlib
