@@ -185,10 +185,12 @@ case class MinHashDedup(
 /** SimHash near-dup detection: 64-bit per-document hash, banded so the
   * candidate join is COMPLETE for the requested radius (pigeonhole: with
   * `maxHamming+1` or more bands, any pair within `maxHamming` flips must
-  * share an untouched band). The band split adapts to the radius —
-  * 4×16-bit for hamming ≤ 3 (Manku et al.'s web-dedup operating point,
-  * the default), 8×8-bit for ≤ 7, 16×4-bit for ≤ 15 — wider radii trade
-  * shorter bands (more candidate collisions) for guaranteed recall.
+  * share an untouched band). Exactly `maxHamming+1` bands are used — the
+  * MINIMAL complete count, hence the WIDEST bands (64 bits split as
+  * evenly as possible) and the fewest false collisions: a 4-bit band has
+  * only 16 values, so every extra band split multiplies candidate pairs
+  * quadratically. hamming ≤ 3 (Manku et al.'s web-dedup operating point,
+  * the default) gets 4×16-bit bands; ≤ 8 gets 9 bands of 7–8 bits.
   * Candidates are verified by exact hamming distance.
   *
   * `hashCol` supplies a precomputed 64-bit hash column instead of hashing
@@ -202,11 +204,16 @@ case class SimHashDedup(
     hashCol: Option[String] = None) extends EnsembleOp {
 
   require(maxHamming >= 0 && maxHamming <= 15,
-    s"$name: maxHamming in [0, 15] (16 four-bit bands is the widest complete split)")
+    s"$name: maxHamming in [0, 15] (wider radii make banding collision-bound)")
 
-  /** Smallest power-of-two band count that keeps the radius complete. */
-  private val numBands = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
-  private val bandBits = 64 / numBands
+  /** Minimal complete band count; 64 bits split as evenly as possible
+    * (e.g. 9 bands → one 8-bit + eight 7-bit). */
+  private val numBands = maxHamming + 1
+  private val widths: Seq[Int] = {
+    val base = 64 / numBands; val rem = 64 % numBands
+    Seq.tabulate(numBands)(b => if (b < rem) base + 1 else base)
+  }
+  private val offsets: Seq[Int] = widths.scanLeft(0)(_ + _)
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idCol); requireCol(in, hashCol.getOrElse(textCol))
@@ -219,10 +226,11 @@ case class SimHashDedup(
     val hash = hashCol.map(col).getOrElse(
       graft.functions.FastExpressions.simhash64(T.shingleSet(col(textCol), n)))
     val hashed = df.select(col(idCol).as("id"), hash.as("h"))
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val bandArr = array((0 until numBands).map(b =>
+    val bandArr = array((0 until numBands).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
       concat_ws(":", lit(b),
-        shiftrightunsigned(col("h"), bandBits * b).bitwiseAND(lit(mask)))): _*)
+        shiftrightunsigned(col("h"), offsets(b)).bitwiseAND(lit(mask)))
+    }: _*)
     val banded = hashed.withColumn("band", explode(bandArr))
     banded.as("a").join(banded.as("b"), Seq("band"))
       .filter(col("a.id") < col("b.id"))
