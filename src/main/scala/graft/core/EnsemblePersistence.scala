@@ -174,6 +174,16 @@ object EnsemblePersistence {
     case SimHashDedup(id, text, n, mh, hc) =>
       ("type" -> "SimHashDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("n" -> n) ~ ("maxHamming" -> mh) ~ ("hashCol" -> hc)
+    case dc: DupClusters =>
+      val base = ("type" -> "DupClusters") ~ ("docIdCol" -> dc.docIdCol) ~
+        ("aCol" -> dc.aCol) ~ ("bCol" -> dc.bCol) ~ ("maxIters" -> dc.maxIters)
+      dc.allDocs match {
+        case Some(d) =>
+          val p = artifactPath(dir, i, "all_docs")
+          d.select(dc.docIdCol).write.mode("overwrite").parquet(p)
+          base ~ ("path" -> p)
+        case None => base
+      }
     case CosineNearDup(id, vec, th, exact, bits, tables) =>
       ("type" -> "CosineNearDup") ~ ("idCol" -> id) ~ ("vecCol" -> vec) ~
         ("threshold" -> th) ~ ("exact" -> exact) ~ ("numBits" -> bits) ~
@@ -281,6 +291,9 @@ object EnsemblePersistence {
       case "SimHashDedup" =>
         SimHashDedup(s("idCol"), s("textCol"), (o \ "n").extract[Int],
           (o \ "maxHamming").extract[Int], (o \ "hashCol").extractOpt[String])
+      case "DupClusters" =>
+        DupClusters((o \ "path").extractOpt[String].map(spark.read.parquet(_)),
+          s("docIdCol"), s("aCol"), s("bCol"), (o \ "maxIters").extract[Int])
       case "CosineNearDup" =>
         CosineNearDup(s("idCol"), s("vecCol"), (o \ "threshold").extract[Double],
           (o \ "exact").extract[Boolean], (o \ "numBits").extract[Int],

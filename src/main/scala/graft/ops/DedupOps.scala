@@ -182,6 +182,78 @@ case class MinHashDedup(
   }
 }
 
+/** Connected components over a near-duplicate PAIR list → per-document
+  * cluster assignment — the step that turns any pair-emitting dedup op
+  * ([[NgramJaccardDedup]], [[MinHashDedup]], [[SimHashDedup]],
+  * [[CosineNearDup]]) into a keep/drop decision: `cluster_id` is the
+  * minimum doc id in the component and `is_keeper = (doc_id ==
+  * cluster_id)` marks the canonical copy (the public fuzzy-dedup recipe:
+  * LSH pairs → transitive closure → keep one per cluster).
+  *
+  * Algorithm: iterative min-label propagation over the symmetric edge
+  * list — each round every node takes the min of its own label and its
+  * neighbours' labels; converges in O(cluster diameter) rounds, and dedup
+  * graphs are band-induced near-cliques, so diameters are tiny. Each
+  * round is one shuffle of (id, label) longs; labels are eagerly
+  * localCheckpoint'ed to cut lineage (the standard Spark iterative-graph
+  * pattern), and convergence is detected by an exact decimal label-sum
+  * checksum (labels only ever decrease, so equal sum ⇔ fixpoint) — no
+  * driver-side collect of nodes.
+  *
+  * `allDocs` adds the full document table so untouched docs emit
+  * singleton clusters; without it only docs appearing in pairs are
+  * labeled. */
+case class DupClusters(
+    allDocs: Option[DataFrame] = None,
+    docIdCol: String = "doc_id",
+    aCol: String = "doc_a",
+    bCol: String = "doc_b",
+    maxIters: Int = 25) extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, aCol); requireCol(in, bCol)
+    StructType(Seq(
+      in(aCol).copy(name = docIdCol),
+      in(aCol).copy(name = "cluster_id"),
+      StructField("is_keeper", BooleanType, nullable = false)))
+  }
+
+  override def transform(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairNodes = edges.select(col("src").as("node"))
+    val nodes = allDocs
+      .map(d => d.select(col(docIdCol).as("node")).union(pairNodes))
+      .getOrElse(pairNodes)
+      .distinct()
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var prevSum = checksum(labels)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("label").as("nlabel"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val nextSum = checksum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as(docIdCol), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("is_keeper"))
+  }
+}
+
 /** SimHash near-dup detection: 64-bit per-document hash, banded so the
   * candidate join is COMPLETE for the requested radius (pigeonhole: with
   * `maxHamming+1` or more bands, any pair within `maxHamming` flips must

@@ -40,6 +40,19 @@ object CurationQueries {
     SimHashDedup(maxHamming = 8).transform(documents(spark, d))
       .orderBy("doc_a", "doc_b")
 
+  /** Fuzzy-dedup end game: exact Jaccard pairs → transitive closure →
+    * per-doc cluster id + keeper flag. Pairs come from the (exact,
+    * oracled) PPJoin path, so the clusters are exact too — the DuckDB
+    * oracle mirrors the closure with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val pairs = NgramJaccardDedup(thresholdBp = 8000).transform(docs)
+    DupClusters(allDocs = Some(docs)).transform(pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        col("is_keeper").cast("int").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** exact=true: the all-pairs reference path the DuckDB oracle can mirror
     * (the default bucketed path is covered rows-only + by DedupOpsSpec). */
   def neardupCosine(spark: SparkSession, d: String): DataFrame =
@@ -105,6 +118,7 @@ object CurationQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_clusters" -> (dedupClusters _),
     "neardup_cosine" -> (neardupCosine _),
     "neardup_cosine_lsh" -> (neardupCosineBucketed _),
     "text_stats" -> (textStats _),
@@ -144,6 +158,25 @@ object CurationQueries {
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE inter * 10000 >= (sa.n + sb.n - inter) * 8000
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),
+         |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM w WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+         |good AS (SELECT doc_a, doc_b FROM p
+         |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE inter * 10000 >= (sa.n + sb.n - inter) * 8000),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+         |  UNION ALL SELECT doc_b, doc_a FROM good),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+         |SELECT node AS doc_id, min(label) AS cluster_id,
+         |  CAST(node = min(label) AS INTEGER) AS is_keeper
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
     "neardup_cosine" ->
       """SELECT id_a, id_b, cosine FROM (
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -90,6 +90,23 @@ class DedupOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](SimHashDedup(maxHamming = 16))
   }
 
+  test("DupClusters: transitive closure labels components by min id, keeps singletons") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), clique {10,11}, singletons 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val out = DupClusters(allDocs = Some(docs)).transform(pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false), (20L, 20L, true), (21L, 21L, true)))
+    // without allDocs only paired nodes appear
+    val noSingles = DupClusters().transform(pairs)
+    assert(noSingles.count() == 6)
+  }
+
   test("CosineNearDup finds only pairs above threshold") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
