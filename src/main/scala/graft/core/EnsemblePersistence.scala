@@ -162,6 +162,9 @@ object EnsemblePersistence {
       ("type" -> "PredictClassifier") ~ ("path" -> p) ~
         ("featuresArrayCol" -> c.featuresArrayCol) ~ ("outputCol" -> c.outputCol)
     // ---- dedup / multimodal ops are pure parameters
+    case HashSplit(id, tr, va, salt, out) =>
+      ("type" -> "HashSplit") ~ ("idCol" -> id) ~ ("trainBp" -> tr) ~
+        ("validBp" -> va) ~ ("salt" -> salt) ~ ("outputCol" -> out)
     case ExactDedup(id, text, norm) =>
       ("type" -> "ExactDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("normalized" -> norm)
@@ -279,6 +282,9 @@ object EnsemblePersistence {
         PredictClassifier(
           org.apache.spark.ml.classification.LogisticRegressionModel.load(s("path")),
           s("featuresArrayCol"), s("outputCol"))
+      case "HashSplit" =>
+        HashSplit(s("idCol"), (o \ "trainBp").extract[Int],
+          (o \ "validBp").extract[Int], s("salt"), s("outputCol"))
       case "ExactDedup" =>
         ExactDedup(s("idCol"), s("textCol"), (o \ "normalized").extract[Boolean])
       case "NgramJaccardDedup" =>

@@ -223,6 +223,44 @@ case class ExplodeCandidates(inputCol: String, outputCol: String = "item_id")
     df.withColumn(outputCol, explode(col(inputCol))).drop(inputCol)
 }
 
+/** Deterministic hash-based dataset split — the train/valid/test
+  * assignment a training-data pipeline needs: stable under reshuffling,
+  * re-runs and engine changes because the bucket is pure content hash,
+  * never RNG. bucket = first 8 hex chars of md5(id ":" salt) mod 10000
+  * (md5 is engine-portable, so the split is oracle-checkable
+  * cross-engine; basis points give 0.01% granularity). Rows bucket <
+  * trainBp → "train", < trainBp+validBp → "valid", else "test". Per-row
+  * expression, shuffle-free, map-side at any scale. */
+case class HashSplit(
+    idCol: String,
+    trainBp: Int = 9000,
+    validBp: Int = 0,
+    salt: String = "graft",
+    outputCol: String = "split") extends EnsembleOp {
+
+  require(trainBp >= 0 && validBp >= 0 && trainBp + validBp <= 10000,
+    s"$name: trainBp + validBp must be within [0, 10000]")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol)
+    StructType(in ++ Seq(
+      StructField(outputCol + "_bucket", LongType),
+      StructField(outputCol, StringType)))
+  }
+
+  /** The bucket expression (exposed so oracle SQL can mirror it). */
+  def bucket: Column =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long") % 10000
+
+  override def transform(df: DataFrame): DataFrame =
+    df.withColumn(outputCol + "_bucket", bucket)
+      .withColumn(outputCol,
+        when(col(outputCol + "_bucket") < trainBp, "train")
+          .when(col(outputCol + "_bucket") < trainBp + validBp, "valid")
+          .otherwise("test"))
+}
+
 /** Pad/truncate a list column to fixed length (dataloader Padding op,
   * /root/reference/tests/unit/systems/ops/padding_op.py:26-63). Spark arrays
   * are natively ragged, so this is `slice(concat(a, fill), 1, len)`. */

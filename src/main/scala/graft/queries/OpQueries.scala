@@ -173,7 +173,16 @@ object OpQueries {
       .orderBy("p_brand")
   }
 
+  /** Deterministic 80/10/10 split over documents — stable content-hash
+    * buckets both engines compute identically. */
+  def hashSplit(spark: SparkSession, d: String): DataFrame =
+    HashSplit("doc_id", trainBp = 8000, validBp = 1000)
+      .transform(documents(spark, d))
+      .select(col("doc_id"), col("split_bucket"), col("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_hash_split" -> (hashSplit _),
     "op_feature_lookup" -> (featureLookup _),
     "op_filter_candidates" -> (filterCandidates _),
     "op_unroll_features" -> (unrollFeatures _),
@@ -188,6 +197,12 @@ object OpQueries {
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
 
   val oracle: Map[String, String] = Map(
+    "op_hash_split" ->
+      """SELECT doc_id, b AS split_bucket,
+        |CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
     "op_feature_lookup" ->
       """SELECT p_partkey, p_brand AS item_p_brand, p_type AS item_p_type,
         |CAST(round(p_retailprice*100) AS BIGINT) AS item_price_cents

@@ -84,6 +84,25 @@ class CoreOpsSpec extends SparkSpec {
 
   // F9 padding: values [1,2,3]/offsets[0,1,3] → (2,5) zero-padded
   // (reference tests/unit/systems/ops/padding_op.py:26-41).
+  test("HashSplit is deterministic, salt-sensitive, and near the requested ratios") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val op = HashSplit("id", trainBp = 8000, validBp = 1000)
+    val counts = op.transform(df).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 1600L) < 100, s"train ~80%: $counts")
+    assert(math.abs(counts("valid") - 200L) < 60, s"valid ~10%: $counts")
+    assert(math.abs(counts("test") - 200L) < 60, s"test ~10%: $counts")
+    // determinism: identical assignment on re-run
+    val a = op.transform(df).select("id", "split").collect().toSet
+    val b = op.transform(df).select("id", "split").collect().toSet
+    assert(a == b)
+    // a different salt reshuffles assignments
+    val salted = HashSplit("id", 8000, 1000, salt = "other").transform(df)
+      .select("id", "split").collect().toSet
+    assert(salted != a)
+  }
+
   test("Padding pads ragged rows to fixed length and truncates long ones") {
     val df = Seq((1, Seq(1, 2, 3)), (2, Seq(4)), (3, (1 to 8).toSeq)).toDF("id", "a")
     val out = Padding("a", length = 5, padValue = 0).transform(df)
