@@ -83,4 +83,26 @@ object StreamingOps {
     * `scorer` is any DataFrame→DataFrame ensemble (static plan). */
   def scoreStream(requests: DataFrame)(scorer: DataFrame => DataFrame): DataFrame =
     scorer(requests)
+
+  /** Streaming exact dedup — the ingest-time twin of
+    * [[graft.ops.ExactDedup]]: emit only the FIRST document per content
+    * digest. State is the digest set, bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`), so the query runs forever on an
+    * unbounded corpus with finite state: a duplicate arriving within the
+    * watermark of its original is dropped, and state older than the
+    * watermark is evicted. The dedup key is the 32-byte md5 digest, never
+    * the text — same shuffle-key discipline as the batch op. */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermark: String = "1 hour",
+      normalized: Boolean = false): DataFrame = {
+    val key =
+      if (normalized) graft.functions.TextFunctions.normalize(col(textCol))
+      else col(textCol)
+    docs.withColumn("content_hash", md5(key))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
 }

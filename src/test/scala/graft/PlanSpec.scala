@@ -55,6 +55,25 @@ class PlanSpec extends SparkSpec {
       "no global sort for top-k")
   }
 
+  test("SelectByTag prunes untagged columns all the way to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("tags_prune").toString
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.0, "junk")).toDF("id", "cat", "cont", "extra")
+    core.Tags.tag(df, "cat" -> Seq(core.Tags.Categorical),
+      "cont" -> Seq(core.Tags.Continuous))
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val p = plan(ops.SelectByTag(Seq(core.Tags.Categorical, core.Tags.Continuous))
+      .transform(spark.read.parquet(s"$dir/t.parquet")))
+    assert(p.contains("ReadSchema: struct<cat:string,cont:double>"),
+      s"scan must read only tagged columns:\n${p.take(600)}")
+    assert(!p.contains("extra"), "untagged columns must not be scanned")
+  }
+
+  test("hash split is a shuffle-free per-row projection") {
+    val p = plan(ops.HashSplit("doc_id").transform(Tables.documents(spark, d)))
+    assert(!p.contains("Exchange"), s"no shuffle expected:\n${p.take(600)}")
+  }
+
   test("minhash candidate join shuffles only light band rows") {
     val docs = Tables.documents(spark, d)
     val p = plan(ops.MinHashDedup().pairPlan(docs))

@@ -36,6 +36,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.contains(("view", 1L, 100L)))
   }
 
+  test("dedupStream emits only the first document per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamingOps.dedupStream(
+      src.toDF().toDF("doc_id", "ts", "text"), watermark = "30 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    src.addData((1L, ts(0), "alpha"), (2L, ts(1), "beta"), (3L, ts(2), "alpha"))
+    q.processAllAvailable()
+    // later micro-batch: one more dup within the watermark + one new doc
+    src.addData((4L, ts(5), "beta"), (5L, ts(6), "gamma"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_stream").select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")),
+      s"dups 3 and 4 must be dropped, got $out")
+  }
+
   test("sessionize closes sessions on gap and aggregates per user") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
