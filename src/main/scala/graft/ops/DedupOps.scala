@@ -223,25 +223,27 @@ case class DupClusters(
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairNodes = edges.select(col("src").as("node"))
-    val nodes = allDocs
-      .map(d => d.select(col(docIdCol).as("node")).union(pairNodes))
-      .getOrElse(pairNodes)
-      .distinct()
+    // iterate ONLY over nodes that appear in some pair: the propagation
+    // state is ∝ |dup graph|, not |corpus| — singletons (the vast
+    // majority of a deduped corpus) join in once at the end
+    val nodes = edges.select(col("src").as("node")).distinct()
     def checksum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    // lazy localCheckpoint: the checksum action both materializes the
+    // round's labels AND tests convergence — one Spark job per round
     var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = checksum(labels)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("label").as("nlabel"))
-      val next = labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      // every paired node has ≥1 neighbour, so the propagation covers all
+      // of `labels`; inner-join + least keeps the node's own label in play
+      val next = labels.join(prop, Seq("node"))
+        .select(col("node"), least(col("label"), col("nlabel")).as("label"))
+        .localCheckpoint(false)
       val nextSum = checksum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -249,8 +251,15 @@ case class DupClusters(
       iters += 1
     }
     edges.unpersist()
-    labels.select(col("node").as(docIdCol), col("label").as("cluster_id"),
-      (col("node") === col("label")).as("is_keeper"))
+    val clustered = labels.select(col("node").as(docIdCol), col("label").as("cluster_id"))
+    val full = allDocs match {
+      case Some(d) =>
+        d.select(col(docIdCol)).join(clustered, Seq(docIdCol), "left")
+          .select(col(docIdCol),
+            coalesce(col("cluster_id"), col(docIdCol)).as("cluster_id"))
+      case None => clustered
+    }
+    full.withColumn("is_keeper", col(docIdCol) === col("cluster_id"))
   }
 }
 

@@ -27,11 +27,15 @@ object MlQueries {
       .withColumn("p_size_d", col("p_size").cast("double"))
       .withColumn("is_premium", (col("p_retailprice") >= 950).cast("double"))
     val feats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
-    val clf = PredictForestClassifier.train(p, feats, "is_premium")
-    val classId = clf.transform(p).select(col("p_partkey"), col("output__0").as("class_id"))
-    val proba = clf.copy(predictProba = true).transform(p)
-      .select(col("p_partkey"), col("output__0").getItem(1).as("p_class1"))
-    classId.join(proba, Seq("p_partkey")).orderBy("p_partkey")
+    val clf = PredictForestClassifier.train(p, feats, "is_premium",
+      predictProba = true)
+    // one scoring pass: class id is the 0.5-threshold on P(class 1), the
+    // same decision the outputClass path takes (no second transform+join)
+    clf.transform(p)
+      .select(col("p_partkey"),
+        when(col("output__0").getItem(1) >= 0.5, 1.0).otherwise(0.0).as("class_id"),
+        col("output__0").getItem(1).as("p_class1"))
+      .orderBy("p_partkey")
   }
 
   /** PredictImplicit: ALS top-10 recommendations per user, exploded to
@@ -42,7 +46,10 @@ object MlQueries {
       .groupBy(col("o_custkey").cast("int").as("user"),
         col("l_partkey").cast("int").as("item"))
       .agg(sum("l_quantity").cast("float").as("strength"))
-    val model = PredictImplicit.train(interactions, "user", "item", "strength")
+    // 3 iterations: pipeline shape and serving cost are what the bench
+    // measures; factor quality is irrelevant to both (same as Flagship)
+    val model = PredictImplicit.train(interactions, "user", "item", "strength",
+      maxIter = 3)
     val users = customer(spark, d).select(col("c_custkey").as("user_id"))
     PredictImplicit(model, numToRecommend = 10).transform(users)
       .select(col("user_id"),
