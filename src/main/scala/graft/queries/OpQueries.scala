@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.core.Ensemble
+import graft.core.{Ensemble, Tags}
 import graft.ops._
 
 /** One driver-checked query per reference operator (SURVEY.md §2.1/§2.2),
@@ -158,6 +158,28 @@ object OpQueries {
       .orderBy("c_custkey")
   }
 
+  /** ConcatColumns (`node_a + node_b`) + SelectByTag under the oracle:
+    * two branches derived from the same root — Categorify codes and
+    * basis-point standard scaling — column-concatenated on the request
+    * key, then projected purely by schema tag. Proves both the branch
+    * union AND that tags ride metadata through real joins. */
+  def concatSelectTags(spark: SparkSession, d: String): DataFrame = {
+    val base = customer(spark, d).select(col("c_custkey").as("requestId"),
+      col("c_mktsegment"), round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val branchA = Categorify(Seq("c_mktsegment")).transform(base)
+      .select(col("requestId"), col("c_mktsegment_idx"))
+    val branchB = Tags.tag(
+      StandardScale(Seq("cents")).transform(base)
+        .select(col("requestId"),
+          floor(col("cents_scaled") * 10000).cast("long").as("scaled_bp")),
+      "scaled_bp" -> Seq(Tags.Continuous))
+    val joined = ConcatColumns(branchA, on = "requestId")
+      .transform(ConcatColumns(branchB, on = "requestId").transform(base))
+    SelectByTag(Seq(Tags.Categorical, Tags.Continuous), keep = Seq("requestId"))
+      .transform(joined)
+      .orderBy("requestId")
+  }
+
   /** A 3-stage Ensemble (Selection → Rename → QueryFeatureStore) feeding an
     * aggregate — proves schema propagation end-to-end under the oracle. */
   def pipelineEnsemble(spark: SparkSession, d: String): DataFrame = {
@@ -194,6 +216,7 @@ object OpQueries {
     "multimodal_decode" -> (multimodalDecode _),
     "op_softmax_sampling" -> (softmaxSampling _),
     "op_standard_scale" -> (standardScale _),
+    "op_concat_select_tags" -> (concatSelectTags _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
 
   val oracle: Map[String, String] = Map(
@@ -255,6 +278,20 @@ object OpQueries {
         |  / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
         |  * 10000) AS BIGINT) AS scaled_bp
         |FROM c, s ORDER BY c_custkey""".stripMargin,
+    "op_concat_select_tags" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer),
+        |dict AS (SELECT c_mktsegment,
+        |  CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS INTEGER) AS idx
+        |  FROM c GROUP BY c_mktsegment),
+        |s AS (SELECT count(cents) AS n, CAST(sum(cents) AS BIGINT) AS s1,
+        |  CAST(sum(cents*cents) AS BIGINT) AS s2 FROM c)
+        |SELECT c_custkey AS requestId,
+        |CAST(floor((cents - CAST(s1 AS DOUBLE)/n)
+        |  / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |  * 10000) AS BIGINT) AS scaled_bp,
+        |d.idx AS c_mktsegment_idx
+        |FROM c JOIN dict d USING (c_mktsegment), s ORDER BY requestId""".stripMargin,
     "op_pipeline_ensemble" ->
       """SELECT p_brand, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON p_partkey=l_partkey
