@@ -30,6 +30,28 @@ class SourcesSpec extends SparkSpec {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("json lines round-trip under an explicit schema") {
+    val src = Tables.region(spark, "/root/testdata/sf0.001")
+    val dir = tmp("jsonl")
+    src.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(src.schema).json(dir)
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      src.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("orc round-trip preserves values and pushes filters") {
+    val src = Tables.supplier(spark, "/root/testdata/sf0.001")
+    val dir = tmp("orc")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      src.orderBy("s_suppkey").collect().toSeq)
+    val filtered = back.filter(col("s_suppkey") >= 10)
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(s_suppkey), GreaterThanOrEqual(s_suppkey,10)]"),
+      "predicate must reach the ORC scan")
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val src = Tables.orders(spark, "/root/testdata/sf0.001")
     val dir = tmp("part_sink")
