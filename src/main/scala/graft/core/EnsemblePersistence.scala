@@ -135,6 +135,14 @@ object EnsemblePersistence {
         ("itemIdCol" -> a.itemIdCol) ~ ("itemVecCol" -> a.itemVecCol) ~
         ("k" -> a.k) ~ ("numBits" -> a.numBits) ~ ("nprobe" -> a.nprobe) ~
         ("metric" -> a.metric) ~ ("center" -> a.resolvedCenter)
+    case a: AnnIvf =>
+      val p = artifactPath(dir, i, "ivf_items")
+      a.items.write.mode("overwrite").parquet(p)
+      ("type" -> "AnnIvf") ~ ("path" -> p) ~
+        ("queryIdCol" -> a.queryIdCol) ~ ("queryVecCol" -> a.queryVecCol) ~
+        ("itemIdCol" -> a.itemIdCol) ~ ("itemVecCol" -> a.itemVecCol) ~
+        ("k" -> a.k) ~ ("nprobe" -> a.nprobe) ~ ("metric" -> a.metric) ~
+        ("centers" -> a.centers.map(_.toList).toList)
     // ---- model ops: MLlib's own writers (reference pickles model
     // artifacts into the ensemble dir, ensemble.py:80-145 + implicit.py:58-71)
     case f: PredictForest[_] =>
@@ -254,6 +262,11 @@ object EnsemblePersistence {
           s("itemIdCol"), s("itemVecCol"), (o \ "k").extract[Int],
           (o \ "numBits").extract[Int], (o \ "nprobe").extract[Int], s("metric"),
           center = Some((o \ "center").extract[List[Double]]))
+      case "AnnIvf" =>
+        AnnIvf(spark.read.parquet(s("path")),
+          (o \ "centers").extract[List[List[Double]]],
+          s("queryIdCol"), s("queryVecCol"), s("itemIdCol"), s("itemVecCol"),
+          (o \ "k").extract[Int], (o \ "nprobe").extract[Int], s("metric"))
       case "PredictForest" =>
         val mc = s("modelClass")
         mc match {

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.EnsembleOp
+import graft.functions.{TopKAggregator, VectorFunctions}
+
+/** IVF approximate nearest neighbour — the literal analog of the
+  * reference's `IVF32,Flat` FAISS index with `nprobe` probing
+  * (/root/reference/merlin/systems/dag/ops/faiss.py:213-214): a k-means
+  * coarse quantizer partitions items into `nlist` inverted lists; a query
+  * scores only the lists of its `nprobe` nearest centroids.
+  *
+  * Spark shape: centroids are fit-time parameters (plain doubles — they
+  * persist as JSON, no model artifact), so both sides assign lists with
+  * pure expressions: per-centroid distance via the tight-loop dot
+  * expression using d²(x,c) = |x|² − 2x·c + |c|² (the |x|² term is
+  * rank-invariant and dropped). Items shuffle-partition by list id —
+  * co-located, never all-pairs; per-query cost is nprobe·|list| instead
+  * of |items|, and the final top-k is the bounded-heap aggregator (no
+  * global sort). Versus [[AnnLsh]]: trained centroids adapt to the data
+  * distribution (clustered catalogs get balanced lists where fixed
+  * hyperplanes need centering), at the price of a k-means fit.
+  */
+case class AnnIvf(
+    items: DataFrame,
+    centers: Seq[Seq[Double]],
+    queryIdCol: String,
+    queryVecCol: String,
+    itemIdCol: String = "item_id",
+    itemVecCol: String = "embedding",
+    k: Int = 10,
+    nprobe: Int = 8,
+    metric: String = "dot") extends EnsembleOp {
+
+  require(centers.nonEmpty, s"$name: need at least one centroid")
+  require(nprobe >= 1 && nprobe <= centers.size, s"$name: nprobe in [1, nlist]")
+
+  private def score(q: Column, it: Column): Column = metric match {
+    case "dot"    => VectorFunctions.dot(q, it)
+    case "cosine" => VectorFunctions.cosine(q, it)
+    case m        => throw new IllegalArgumentException(s"$name: unknown metric $m")
+  }
+
+  /** array<struct<d,cid>> of (rank-equivalent distance, centroid id) —
+    * struct ordering makes array_min/array_sort pick nearest centroids
+    * with deterministic id tie-breaks. */
+  private def centroidStructs(vec: Column): Column =
+    array(centers.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * VectorFunctions.dot(vec, typedLit(c.toArray))).as("d"),
+        lit(i).as("cid"))
+    }: _*)
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, queryIdCol); requireCol(in, queryVecCol)
+    StructType(Seq(
+      in(queryIdCol),
+      StructField("candidate_ids", ArrayType(LongType)),
+      StructField("candidate_scores", ArrayType(DoubleType))))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    val indexed = items.select(
+      col(itemIdCol).cast("long").as("__item_id"), col(itemVecCol).as("__item_vec"),
+      array_min(centroidStructs(col(itemVecCol))).getField("cid").as("__cid"))
+    val probed = df.select(col(queryIdCol), col(queryVecCol))
+      .withColumn("__cid", explode(
+        arrayTransformCol(slice(array_sort(centroidStructs(col(queryVecCol))), 1, nprobe))))
+    probed.join(indexed, Seq("__cid"))
+      .groupBy(col(queryIdCol))
+      .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))
+      .select(col(queryIdCol),
+        col("__top.ids").as("candidate_ids"),
+        col("__top.scores").as("candidate_scores"))
+  }
+
+  private def arrayTransformCol(sorted: Column): Column =
+    org.apache.spark.sql.functions.transform(sorted, s => s.getField("cid"))
+
+  /** Relational form: one row per (query, rank, item, score). */
+  def asRows(df: DataFrame): DataFrame =
+    transform(df).select(col(queryIdCol),
+      posexplode(arrays_zip(col("candidate_ids"), col("candidate_scores")))
+        .as(Seq("pos", "pair")))
+      .select(col(queryIdCol), (col("pos") + 1).as("rank"),
+        col("pair.candidate_ids").as("item_id"),
+        col("pair.candidate_scores").as("score"))
+}
+
+object AnnIvf {
+  /** Train the coarse quantizer (seeded MLlib k-means over the item
+    * vectors) and build the fitted op — `setup_faiss` with `IVF<nlist>`
+    * (faiss.py:191-218). Centroids come back as plain doubles: the whole
+    * fitted index is (items table, centers), both trivially persistable. */
+  def fit(items: DataFrame, queryIdCol: String, queryVecCol: String,
+      itemIdCol: String = "item_id", itemVecCol: String = "embedding",
+      k: Int = 10, nlist: Int = 32, nprobe: Int = 8, metric: String = "dot",
+      maxIter: Int = 10, seed: Long = 42L): AnnIvf = {
+    val assembled = items.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(itemVecCol).cast("array<double>")).as("__features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("__features")
+      .fit(assembled)
+    val centers = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    AnnIvf(items, centers, queryIdCol, queryVecCol, itemIdCol, itemVecCol,
+      k, math.min(nprobe, centers.size), metric)
+  }
+}

@@ -109,6 +109,18 @@ object OpQueries {
       .asRows(queries).orderBy("vec_id", "rank")
   }
 
+  /** IVF ANN — the reference's IVF32,Flat/nprobe index shape (rows-only:
+    * the inverted lists depend on the k-means fit; AnnIvfSpec asserts
+    * recall vs brute force and full-probe exactness). */
+  def annIvf(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val items = emb.filter(col("label") =!= 0).select(col("vec_id").as("item_id"), col("embedding"))
+    AnnIvf.fit(items, "vec_id", "embedding", k = 10, nlist = 32, nprobe = 8,
+      metric = "dot")
+      .asRows(queries).orderBy("vec_id", "rank")
+  }
+
   /** Multimodal plumbing (rows-only): fake binary media derived
     * deterministically from document hashes, decoded partition-parallel
     * by the stubbed decoder (see MultimodalOps STUB NOTE). */
@@ -213,6 +225,7 @@ object OpQueries {
     "op_categorify" -> (categorify _),
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
+    "op_ann_ivf" -> (annIvf _),
     "multimodal_decode" -> (multimodalDecode _),
     "op_softmax_sampling" -> (softmaxSampling _),
     "op_standard_scale" -> (standardScale _),
