@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
@@ -13,7 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * The built-in higher-order functions (`zip_with`+`aggregate`) are
   * interpreted per element — fine for per-document transforms, fatal for
   * per-PAIR math (millions of dot products in similarity joins). These
-  * expressions evaluate as single tight JVM loops per row instead.
+  * expressions evaluate as single tight JVM loops per row instead, and
+  * all implement `doGenCode` (inline loop for the dot product, an
+  * unboxed `compute` call for the hash loops) so they never break the
+  * enclosing WholeStageCodegen span the way CodegenFallback's per-row
+  * InternalRow boxing would.
   * ArrayDotProduct, SimHash64 and WordShingles are value-identical to the
   * equivalent built-in formulations (sequential fold, double accumulation,
   * Spark's own `lower()`); MinHashBandKeys defines its own band-key fold
@@ -23,9 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Dot product of two numeric array columns, accumulated sequentially in
   * double — `Σ a(i)·b(i)`. Matches `aggregate(zip_with(a,b,_*_),0.0,_+_)`
   * exactly, including the null semantics: unequal lengths or a null
-  * element yield NULL (never a silently-truncated score). */
+  * element yield NULL (never a silently-truncated score).
+  *
+  * Fully codegen'd: `doGenCode` emits the tight loop inline, so the
+  * similarity joins that evaluate this per PAIR stay inside one
+  * WholeStageCodegen span (no CodegenFallback row boxing in the hot
+  * path). */
 case class ArrayDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
@@ -69,15 +78,45 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     s
   }
 
+  private def getterJava(v: String, t: DataType, i: String): String = t match {
+    case DoubleType => s"$v.getDouble($i)"
+    case FloatType => s"(double) $v.getFloat($i)"
+    case LongType => s"(double) $v.getLong($i)"
+    case _ => s"(double) $v.getInt($i)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lt = elemType(left); val rt = elemType(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ${getterJava(a, lt, i)} * ${getterJava(b, rt, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
 
 /** 64-bit SimHash of a string-array column: per-bit ±1 votes of
   * xxhash64(element, seed=42) — same math as TextFunctions.simhash64 but
-  * one loop per row instead of 64 interpreted lambda passes per element. */
+  * one loop per row instead of 64 interpreted lambda passes per element.
+  * Codegen calls `compute` on unboxed ArrayData (no fallback row boxing),
+  * keeping the enclosing WholeStageCodegen span intact. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -87,8 +126,7 @@ case class SimHash64(child: Expression)
     case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -105,6 +143,13 @@ case class SimHash64(child: Expression)
     out
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -116,7 +161,7 @@ case class SimHash64(child: Expression)
   * replica of any built-in; all consumers derive keys through it.
   */
 case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(numHashes % bands == 0, "numHashes must divide into bands")
   private val rowsPerBand = numHashes / bands
@@ -129,8 +174,7 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -160,6 +204,13 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     ArrayData.toArrayData(out)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashBands", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -178,7 +229,7 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
   * empty center array means "no centering". */
 case class LshBucket(child: Expression, center: Expression, numBits: Int,
     seed: Long = 42L)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   require(numBits >= 1 && numBits <= 32, "numBits in [1, 32]")
 
@@ -209,9 +260,7 @@ case class LshBucket(child: Expression, center: Expression, numBits: Int,
     case _ => 0.0
   }
 
-  override def nullSafeEval(v: Any, c: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val ctr = c.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData, ctr: ArrayData): Int = {
     val t = elemType(child); val ct = elemType(center)
     val nc = ctr.numElements()
     val acc = new Array[Double](numBits)
@@ -236,6 +285,14 @@ case class LshBucket(child: Expression, center: Expression, numBits: Int,
     bucket
   }
 
+  override def nullSafeEval(v: Any, c: Any): Any =
+    compute(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBucket", this)
+    nullSafeCodeGen(ctx, ev, (a, c) => s"${ev.value} = $ref.compute($a, $c);")
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(child = l, center = r)
 }
@@ -245,7 +302,7 @@ case class LshBucket(child: Expression, center: Expression, numBits: Int,
   * positional n-grams → first-occurrence-distinct) but a single JVM loop
   * instead of nested interpreted HOFs. Feeds every dedup operator. */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -255,13 +312,13 @@ case class WordShingles(child: Expression, n: Int)
     case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
   }
 
-  override def nullSafeEval(v: Any): Any = {
+  def compute(v: UTF8String): ArrayData = {
     // mirror lower(trim(regexp_replace(s, "\s+", " "))) exactly:
     // collapse whitespace runs, strip leading/trailing single space, then
     // lower via UTF8String — the same locale-independent lowering as
     // Spark's lower() (JVM-default-locale toLowerCase would diverge under
     // e.g. a Turkish locale: 'I' → dotless 'ı')
-    var s = v.asInstanceOf[UTF8String].toString.replaceAll("\\s+", " ")
+    var s = v.toString.replaceAll("\\s+", " ")
     if (s.startsWith(" ")) s = s.substring(1)
     if (s.endsWith(" ")) s = s.substring(0, s.length - 1)
     s = UTF8String.fromString(s).toLowerCase.toString
@@ -287,6 +344,13 @@ case class WordShingles(child: Expression, n: Int)
       while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
       ArrayData.toArrayData(out)
     }
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
