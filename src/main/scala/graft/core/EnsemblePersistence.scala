@@ -20,6 +20,26 @@ object EnsemblePersistence {
 
   private val FormatVersion = "1"
 
+  /** Extension point for persisting CUSTOM ops — the JVM answer to the
+    * reference cloudpickling arbitrary user operators (ensemble.py:80-145):
+    * code can't be serialized safely on the JVM, so a custom op ships a
+    * codec that writes its parameters/artifacts and re-instantiates it.
+    * Registered codecs are consulted before the built-in table throws. */
+  trait OpCodec {
+    /** Unique type tag written to metadata.json. */
+    def tpe: String
+    def canHandle(op: EnsembleOp): Boolean
+    /** Serialize params (the "type" field is added by the framework);
+      * `artifactPath(kind)` yields a scoped path for side artifacts. */
+    def describe(op: EnsembleOp, artifactPath: String => String,
+        spark: SparkSession): JObject
+    def instantiate(o: JObject, spark: SparkSession): EnsembleOp
+  }
+
+  private val codecs = new java.util.concurrent.ConcurrentHashMap[String, OpCodec]()
+
+  def registerCodec(codec: OpCodec): Unit = codecs.put(codec.tpe, codec)
+
   def save(ensemble: Ensemble, dir: String, spark: SparkSession): Unit = {
     Files.createDirectories(Paths.get(dir, "artifacts"))
     val opsJson = ensemble.ops.zipWithIndex.map { case (op, i) =>
@@ -212,8 +232,15 @@ object EnsemblePersistence {
         ("ops" -> e.ops.zipWithIndex.map { case (sub, j) =>
           describe(sub, s"${i}_$j", dir, spark) })
     case other =>
-      throw new IllegalArgumentException(
-        s"Ensemble.save: op '${other.name}' does not support persistence")
+      import scala.jdk.CollectionConverters._
+      codecs.values.asScala.find(_.canHandle(other)) match {
+        case Some(codec) =>
+          ("type" -> codec.tpe) ~
+            codec.describe(other, kind => artifactPath(dir, i, kind), spark)
+        case None => throw new IllegalArgumentException(
+          s"Ensemble.save: op '${other.name}' does not support persistence " +
+            "(register an EnsemblePersistence.OpCodec for custom ops)")
+      }
   }
 
   private def instantiate(o: JObject, spark: SparkSession): EnsembleOp = {
@@ -327,7 +354,11 @@ object EnsemblePersistence {
           s("input_schema_json")).asInstanceOf[StructType]
         val subOps = (o \ "ops").extract[List[JObject]].map(x => instantiate(x, spark))
         Ensemble(subOps, schema)
-      case t => throw new IllegalArgumentException(s"Ensemble.load: unknown op type '$t'")
+      case t => codecs.get(t) match {
+        case null =>
+          throw new IllegalArgumentException(s"Ensemble.load: unknown op type '$t'")
+        case codec => codec.instantiate(o, spark)
+      }
     }
   }
 }

@@ -155,6 +155,34 @@ class EnsemblePersistenceSpec extends SparkSpec {
       op.transform(req).orderBy("user_id").collect().toSeq)
   }
 
+  test("custom ops persist through a registered OpCodec") {
+    val input = Seq((1L, 2.0), (2L, 5.0)).toDF("id", "x")
+    case class AddConst(amount: Double) extends EnsembleOp {
+      def transformSchema(in: org.apache.spark.sql.types.StructType) = in
+      def transform(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("x", col("x") + amount)
+    }
+    EnsemblePersistence.registerCodec(new EnsemblePersistence.OpCodec {
+      import org.json4s._
+      import org.json4s.JsonDSL._
+      val tpe = "test.AddConst"
+      def canHandle(op: EnsembleOp) = op.isInstanceOf[AddConst]
+      def describe(op: EnsembleOp, artifactPath: String => String,
+          spark: org.apache.spark.sql.SparkSession): JObject =
+        "amount" -> op.asInstanceOf[AddConst].amount
+      def instantiate(o: JObject, spark: org.apache.spark.sql.SparkSession) = {
+        implicit val fmts: Formats = DefaultFormats
+        AddConst((o \ "amount").extract[Double])
+      }
+    })
+    val ens = Ensemble(Seq(AddConst(2.5)), input.schema)
+    val dir = Files.tmp("ens_codec")
+    EnsemblePersistence.save(ens, dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.transform(input).orderBy("id").collect().map(_.getDouble(1)).toSeq ==
+      Seq(4.5, 7.5))
+  }
+
   test("nested subgraph ensembles round-trip") {
     val input = Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("id", "s", "v")
     val inner = Ensemble(Seq(Rename(Map("s" -> "t"))), input.schema)
