@@ -168,7 +168,25 @@ object Relational {
       .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Ordered-set aggregates: exact interpolated percentiles per group.
+    * l_quantity is integral-valued, so scaling to integer cents before
+    * comparing removes any float-formatting drift; the interpolation
+    * formula ((n−1)·p) is the same in both engines. The HLL/approx
+    * twin (approx_count_distinct) is sketch-based and engine-specific —
+    * covered by SketchSpec error bounds instead of the oracle. */
+  def q15_percentiles(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(
+        floor(percentile_approx(col("l_quantity"), lit(0.5), lit(100000)) * 100)
+          .cast("long").as("p50_cents"),
+        floor(expr("percentile(l_quantity, 0.5)") * 100).cast("long").as("p50x_cents"),
+        floor(expr("percentile(l_quantity, 0.95)") * 100).cast("long").as("p95x_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_percentiles" -> (q15_percentiles _),
     "q14_json" -> (q14_json _),
     "q11_sessionize" -> (q11_sessionize _),
     "q12_distinct" -> (q12_distinct _),
@@ -185,6 +203,13 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        |CAST(floor(quantile_disc(l_quantity, 0.5) * 100) AS BIGINT) AS p50_cents,
+        |CAST(floor(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50x_cents,
+        |CAST(floor(quantile_cont(l_quantity, 0.95) * 100) AS BIGINT) AS p95x_cents,
+        |count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_json" ->
       """SELECT event_type,
         |CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
