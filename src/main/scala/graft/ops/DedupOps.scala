@@ -250,6 +250,10 @@ case class DupClusters(
       labels = next
       iters += 1
     }
+    if (!converged)
+      System.err.println(s"[$name] WARNING: labels not converged after " +
+        s"$maxIters rounds — components wider than $maxIters hops keep " +
+        "partial (still valid, non-minimal) cluster ids")
     edges.unpersist()
     val clustered = labels.select(col("node").as(docIdCol), col("label").as("cluster_id"))
     val full = allDocs match {
