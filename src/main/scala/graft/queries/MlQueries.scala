@@ -70,17 +70,24 @@ object MlQueries {
   /** TransformWorkflow: fitted MLlib pipeline (indexers + scaler). The
     * scaler's double stats aren't cross-engine reproducible, but scaling is
     * strictly monotonic, so the oracle checks the scaled column through its
-    * rank (row_number is harness output shaping, not the operator). */
+    * global rank. The rank is harness output shaping, not the operator —
+    * and it is computed with a range-partitioned sort + zipWithIndex (the
+    * Categorify dictionary trick), NOT a single-partition global window. */
   def mlWorkflow(spark: SparkSession, d: String): DataFrame = {
     val c = customer(spark, d)
     val wf = TransformWorkflow.fit(c, Seq("c_mktsegment"), Seq("c_acctbal"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("acctbal_scaled"), col("c_custkey"))
-    wf.transform(c)
+    val scaled = wf.transform(c)
       .select(col("c_custkey"), col("c_mktsegment_idx").cast("int").as("c_mktsegment_idx"),
         org.apache.spark.ml.functions.vector_to_array(col("cont_scaled"))
           .getItem(0).as("acctbal_scaled"))
-      .withColumn("acctbal_rank", row_number().over(w))
+      .sort(col("acctbal_scaled"), col("c_custkey"))
+    val schema = org.apache.spark.sql.types.StructType(
+      scaled.schema :+ org.apache.spark.sql.types.StructField(
+        "acctbal_rank", org.apache.spark.sql.types.IntegerType, nullable = false))
+    scaled.sparkSession.createDataFrame(
+      scaled.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt) },
+      schema)
       .drop("acctbal_scaled")
       .orderBy("c_custkey")
   }
