@@ -112,6 +112,12 @@ object EnsemblePersistence {
         ("entityCol" -> q.entityCol) ~ ("featureCols" -> q.featureCols) ~
         ("includeId" -> q.includeId) ~ ("outputPrefix" -> q.outputPrefix) ~
         ("broadcastDim" -> q.broadcastDim)
+    case p: PointInTimeJoin =>
+      val pth = artifactPath(dir, i, "pit_features")
+      p.features.write.mode("overwrite").parquet(pth)
+      ("type" -> "PointInTimeJoin") ~ ("path" -> pth) ~
+        ("entityCol" -> p.entityCol) ~ ("tsCol" -> p.tsCol) ~
+        ("featureCols" -> p.featureCols) ~ ("outputPrefix" -> p.outputPrefix)
     case e: EmbeddingLookup =>
       val p = artifactPath(dir, i, "embeddings")
       e.embeddings.write.mode("overwrite").parquet(p)
@@ -267,6 +273,9 @@ object EnsemblePersistence {
         QueryFeatureStore(spark.read.parquet(s("path")), s("entityCol"),
           ss("featureCols"), (o \ "includeId").extract[Boolean],
           s("outputPrefix"), (o \ "broadcastDim").extract[Boolean])
+      case "PointInTimeJoin" =>
+        PointInTimeJoin(spark.read.parquet(s("path")), s("entityCol"),
+          s("tsCol"), ss("featureCols"), s("outputPrefix"))
       case "EmbeddingLookup" =>
         EmbeddingLookup(spark.read.parquet(s("path")), s("idCol"),
           s("embIdCol"), s("embCol"), s("outputCol"))

@@ -61,6 +61,63 @@ case class QueryFeatureStore(
   }
 }
 
+/** Point-in-time (as-of) feature join — the OFFLINE twin of
+  * [[QueryFeatureStore]]: for each request row (entity, ts), attach the
+  * feature values as of the LATEST feature row with `feature.ts <=
+  * request.ts` (Feast's point-in-time correctness when building training
+  * sets — the online op serves only the current snapshot; this one never
+  * leaks future features into a training example).
+  *
+  * Spark has no native as-of join, so this is the union-sort pattern
+  * (custom-op preference (a): compose existing ops): tag request/feature
+  * rows, union on the entity key, and last-observation-carry-forward each
+  * feature over a PARTITIONED window ordered by (ts, isRequest) — one
+  * shuffle on the entity key, linear in rows, never a global window and
+  * never the request×featureVersions pair blowup of a naive join+max.
+  * Features at exactly the request ts are visible (`<=`, the DuckDB
+  * ASOF JOIN the oracle uses). Feature rows must be unique per
+  * (entity, ts) — pre-aggregate otherwise, or ties resolve arbitrarily.
+  */
+case class PointInTimeJoin(
+    features: DataFrame,
+    entityCol: String,
+    tsCol: String,
+    featureCols: Seq[String] = Seq.empty,
+    outputPrefix: String = "") extends EnsembleOp {
+
+  private def feats: Seq[String] =
+    if (featureCols.nonEmpty) featureCols
+    else features.schema.fieldNames.filterNot(c => c == entityCol || c == tsCol).toSeq
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, entityCol); requireCol(in, tsCol)
+    feats.foreach { c =>
+      require(features.schema.fieldNames.contains(c),
+        s"$name: feature '$c' not in feature table")
+      require(!in.fieldNames.contains(outputPrefix + c),
+        s"$name: output column '${outputPrefix + c}' collides with the request schema")
+    }
+    StructType(in ++ feats.map(c =>
+      features.schema(c).copy(name = outputPrefix + c, nullable = true)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pf = features.select(
+      col(entityCol) +: col(tsCol) +: feats.map(c => col(c).as(outputPrefix + c)): _*)
+      .withColumn("__pit_req", lit(0))
+    val rq = df.withColumn("__pit_req", lit(1))
+    val unioned = rq.unionByName(pf, allowMissingColumns = true)
+    // feature rows sort before request rows at equal ts → "<=" visibility
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col("__pit_req"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = feats.foldLeft(unioned)((d, c) =>
+      d.withColumn(outputPrefix + c,
+        last(col(outputPrefix + c), ignoreNulls = true).over(w)))
+    filled.filter(col("__pit_req") === 1).drop("__pit_req")
+  }
+}
+
 /** Embedding lookup by id (NumpyEmbeddingOperator,
   * /root/reference/tests/unit/systems/ops/embedding_op.py:26-57):
   * broadcast join of a `(id, vector)` table onto request rows. */

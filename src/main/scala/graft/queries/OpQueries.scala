@@ -170,6 +170,23 @@ object OpQueries {
       .orderBy("c_custkey")
   }
 
+  /** Point-in-time join under the oracle: click events form a per-user
+    * profile history (unique per (user, second)); every non-click event
+    * asks for the latest profile value as of its own timestamp. The
+    * DuckDB oracle is a literal ASOF LEFT JOIN. */
+  def asofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_s"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"))
+    val profile = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_s").agg(max("value_cents").as("profile_cents"))
+    val requests = ev.filter(col("event_type") =!= "click")
+      .select("event_id", "user_id", "ts_s")
+    PointInTimeJoin(profile, "user_id", "ts_s", Seq("profile_cents"))
+      .transform(requests)
+      .orderBy("event_id")
+  }
+
   /** ConcatColumns (`node_a + node_b`) + SelectByTag under the oracle:
     * two branches derived from the same root — Categorify codes and
     * basis-point standard scaling — column-concatenated on the request
@@ -230,6 +247,7 @@ object OpQueries {
     "op_softmax_sampling" -> (softmaxSampling _),
     "op_standard_scale" -> (standardScale _),
     "op_concat_select_tags" -> (concatSelectTags _),
+    "op_asof_join" -> (asofJoin _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
 
   val oracle: Map[String, String] = Map(
@@ -291,6 +309,16 @@ object OpQueries {
         |  / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
         |  * 10000) AS BIGINT) AS scaled_bp
         |FROM c, s ORDER BY c_custkey""".stripMargin,
+    "op_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  event_type, CAST(round(value*100) AS BIGINT) AS value_cents FROM events),
+        |profile AS (SELECT user_id, ts_s, max(value_cents) AS profile_cents FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |req AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type <> 'click')
+        |SELECT r.event_id, r.user_id, r.ts_s, p.profile_cents
+        |FROM req r ASOF LEFT JOIN profile p
+        |  ON r.user_id = p.user_id AND p.ts_s <= r.ts_s
+        |ORDER BY r.event_id""".stripMargin,
     "op_concat_select_tags" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment,
         |  CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer),

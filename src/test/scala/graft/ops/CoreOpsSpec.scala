@@ -84,6 +84,23 @@ class CoreOpsSpec extends SparkSpec {
 
   // F9 padding: values [1,2,3]/offsets[0,1,3] → (2,5) zero-padded
   // (reference tests/unit/systems/ops/padding_op.py:26-41).
+  test("PointInTimeJoin attaches the latest feature at or before each request ts") {
+    import spark.implicits._
+    val features = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"))
+      .toDF("id", "ts", "v")
+    val requests = Seq((1L, 5L), (1L, 10L), (1L, 25L), (2L, 14L), (3L, 9L))
+      .toDF("id", "ts")
+    val out = PointInTimeJoin(features, "id", "ts", Seq("v"))
+      .transform(requests).orderBy("id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    // matches DuckDB `ASOF LEFT JOIN ... ON f.ts <= r.ts` exactly:
+    // before-first → null, equal ts → visible, between versions → latest
+    assert(out.toSeq == Seq(
+      (1L, 5L, null), (1L, 10L, "a"), (1L, 25L, "b"),
+      (2L, 14L, null), (3L, 9L, null)))
+  }
+
   test("HashSplit is deterministic, salt-sensitive, and near the requested ratios") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("id")
