@@ -36,6 +36,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.contains(("view", 1L, 100L)))
   }
 
+  test("scoreStream serves a per-row ensemble over a request stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.Ensemble
+    import graft.ops._
+    // stateless serving slice of the flagship graph: feature lookup →
+    // seen-filter with aligned scores → seeded softmax — all per-row ops,
+    // so the streaming plan needs no stateful aggregation
+    val seen = Seq((10L, Seq(2L)), (11L, Seq.empty[Long])).toDF("user_id", "seen_ids")
+    val src = MemoryStream[(Long, Seq[Long], Seq[Double])]
+    val requests = src.toDF().toDF("user_id", "candidate_ids", "candidate_scores")
+    val ens = Ensemble(Seq(
+      QueryFeatureStore(seen, "user_id", Seq("seen_ids"), includeId = true),
+      FilterCandidatesWithScores("candidate_ids", "candidate_scores", "seen_ids"),
+      SoftmaxSampling("filtered_ids", "filtered_scores", topk = 2, seedCol = "user_id")
+    ), requests.schema)
+    val q = StreamingOps.scoreStream(requests)(ens.transform)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("served").start()
+    src.addData((10L, Seq(1L, 2L, 3L), Seq(0.5, 0.9, 0.1)),
+      (11L, Seq(4L, 5L), Seq(0.2, 0.8)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("served")
+      .select($"user_id", $"ordered_ids").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(out(10L).toSet == Set(1L, 3L), "seen item 2 must be filtered")
+    assert(out(11L).toSet == Set(4L, 5L))
+  }
+
   test("dedupStream emits only the first document per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String)]
