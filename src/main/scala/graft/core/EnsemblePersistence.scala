@@ -112,6 +112,13 @@ object EnsemblePersistence {
         ("entityCol" -> q.entityCol) ~ ("featureCols" -> q.featureCols) ~
         ("includeId" -> q.includeId) ~ ("outputPrefix" -> q.outputPrefix) ~
         ("broadcastDim" -> q.broadcastDim)
+    case iv: IntervalJoin =>
+      val pth = artifactPath(dir, i, "intervals")
+      iv.intervals.write.mode("overwrite").parquet(pth)
+      ("type" -> "IntervalJoin") ~ ("path" -> pth) ~
+        ("keyCol" -> iv.keyCol) ~ ("startCol" -> iv.startCol) ~
+        ("endCol" -> iv.endCol) ~ ("pointTsCol" -> iv.pointTsCol) ~
+        ("bucketSize" -> iv.bucketSize) ~ ("outputPrefix" -> iv.outputPrefix)
     case p: PointInTimeJoin =>
       val pth = artifactPath(dir, i, "pit_features")
       p.features.write.mode("overwrite").parquet(pth)
@@ -273,6 +280,10 @@ object EnsemblePersistence {
         QueryFeatureStore(spark.read.parquet(s("path")), s("entityCol"),
           ss("featureCols"), (o \ "includeId").extract[Boolean],
           s("outputPrefix"), (o \ "broadcastDim").extract[Boolean])
+      case "IntervalJoin" =>
+        IntervalJoin(spark.read.parquet(s("path")), s("keyCol"), s("startCol"),
+          s("endCol"), s("pointTsCol"), (o \ "bucketSize").extract[Long],
+          s("outputPrefix"))
       case "PointInTimeJoin" =>
         PointInTimeJoin(spark.read.parquet(s("path")), s("entityCol"),
           s("tsCol"), ss("featureCols"), s("outputPrefix"))

@@ -223,6 +223,55 @@ case class ExplodeCandidates(inputCol: String, outputCol: String = "item_id")
     df.withColumn(outputCol, explode(col(inputCol))).drop(inputCol)
 }
 
+/** Interval (range) join via bucket expansion: attach every interval
+  * `[start, end)` of the same key that contains the point's timestamp.
+  * A naive `a.join(b, a.ts >= b.start && a.ts < b.end)` plans as a
+  * BroadcastNestedLoopJoin — O(|points|·|intervals|) and a scale-killer;
+  * here each interval explodes to its covering fixed-size buckets, the
+  * point maps to exactly ONE bucket, and the join is a plain shuffle
+  * equi-join on (key, bucket) with a residual containment filter. A point
+  * meets each interval in at most one bucket, so no dedup is needed; the
+  * shuffle carries interval rows × ⌈len/bucketSize⌉, so size `bucketSize`
+  * near the typical interval length. */
+case class IntervalJoin(
+    intervals: DataFrame,
+    keyCol: String,
+    startCol: String,
+    endCol: String,
+    pointTsCol: String,
+    bucketSize: Long = 3600L,
+    outputPrefix: String = "iv_") extends EnsembleOp {
+
+  require(bucketSize > 0, s"$name: bucketSize must be positive")
+
+  private def ivCols: Seq[String] =
+    intervals.schema.fieldNames.filterNot(_ == keyCol).toSeq
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, keyCol); requireCol(in, pointTsCol)
+    Seq(startCol, endCol).foreach(c => require(
+      intervals.schema.fieldNames.contains(c), s"$name: '$c' not in intervals"))
+    ivCols.foreach(c => require(!in.fieldNames.contains(outputPrefix + c),
+      s"$name: output column '${outputPrefix + c}' collides with the input schema"))
+    StructType(in ++ ivCols.map(c => intervals.schema(c).copy(name = outputPrefix + c)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val iv = intervals
+      .filter(col(startCol) < col(endCol)) // empty intervals match nothing
+      .select(col(keyCol) +: ivCols.map(c => col(c).as(outputPrefix + c)): _*)
+      .withColumn("__bucket", explode(sequence(
+        floor(col(outputPrefix + startCol) / bucketSize).cast("long"),
+        floor((col(outputPrefix + endCol) - 1) / bucketSize).cast("long"))))
+    val out = transformSchema(df.schema)
+    df.withColumn("__bucket", floor(col(pointTsCol) / bucketSize).cast("long"))
+      .join(iv, Seq(keyCol, "__bucket"))
+      .filter(col(outputPrefix + startCol) <= col(pointTsCol) &&
+        col(pointTsCol) < col(outputPrefix + endCol))
+      .select(out.fieldNames.map(col).toSeq: _*)
+  }
+}
+
 /** Deterministic hash-based dataset split — the train/valid/test
   * assignment a training-data pipeline needs: stable under reshuffling,
   * re-runs and engine changes because the bucket is pure content hash,

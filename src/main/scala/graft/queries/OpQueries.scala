@@ -187,6 +187,24 @@ object OpQueries {
       .orderBy("event_id")
   }
 
+  /** Interval (range) join under the oracle: each click opens a 5-minute
+    * attribution window; every purchase inside a window of the same user
+    * attributes to that click. Bucket-expansion equi-join on the Spark
+    * side, a plain inequality join in DuckDB. */
+  def intervalJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_s"), col("event_type"))
+    val windows = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_s").as("w_start"),
+        (col("ts_s") + 300L).as("w_end"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s"))
+    IntervalJoin(windows, "user_id", "w_start", "w_end", "ts_s",
+      bucketSize = 300L, outputPrefix = "")
+      .transform(purchases)
+      .orderBy("event_id", "click_id")
+  }
+
   /** ConcatColumns (`node_a + node_b`) + SelectByTag under the oracle:
     * two branches derived from the same root — Categorify codes and
     * basis-point standard scaling — column-concatenated on the request
@@ -248,6 +266,7 @@ object OpQueries {
     "op_standard_scale" -> (standardScale _),
     "op_concat_select_tags" -> (concatSelectTags _),
     "op_asof_join" -> (asofJoin _),
+    "op_interval_join" -> (intervalJoin _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
 
   val oracle: Map[String, String] = Map(
@@ -309,6 +328,16 @@ object OpQueries {
         |  / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
         |  * 10000) AS BIGINT) AS scaled_bp
         |FROM c, s ORDER BY c_custkey""".stripMargin,
+    "op_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  event_type FROM events),
+        |w AS (SELECT user_id, ts_s AS w_start, ts_s + 300 AS w_end, event_id AS click_id
+        |  FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_s, w.w_start, w.w_end, w.click_id
+        |FROM p JOIN w ON p.user_id = w.user_id
+        |  AND w.w_start <= p.ts_s AND p.ts_s < w.w_end
+        |ORDER BY p.event_id, w.click_id""".stripMargin,
     "op_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
         |  event_type, CAST(round(value*100) AS BIGINT) AS value_cents FROM events),

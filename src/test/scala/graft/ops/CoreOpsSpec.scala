@@ -84,6 +84,26 @@ class CoreOpsSpec extends SparkSpec {
 
   // F9 padding: values [1,2,3]/offsets[0,1,3] → (2,5) zero-padded
   // (reference tests/unit/systems/ops/padding_op.py:26-41).
+  test("IntervalJoin matches points to containing intervals across bucket boundaries") {
+    import spark.implicits._
+    // interval [95, 210) spans three size-100 buckets; [300, 300) is empty
+    val intervals = Seq((1L, 95L, 210L, "w1"), (1L, 300L, 300L, "w2"),
+      (2L, 0L, 50L, "w3")).toDF("key", "s", "e", "tag")
+    val points = Seq((1L, 95L), (1L, 150L), (1L, 209L), (1L, 210L), (1L, 300L),
+      (2L, 49L), (2L, 50L)).toDF("key", "ts")
+    val op = IntervalJoin(intervals, "key", "s", "e", "ts", bucketSize = 100L,
+      outputPrefix = "iv_")
+    val out = op.transform(points).select("key", "ts", "iv_tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 95L, "w1"), (1L, 150L, "w1"), (1L, 209L, "w1"),
+      (2L, 49L, "w3")), s"start inclusive, end exclusive, empties skipped: $out")
+    // each (point, interval) pair appears exactly once despite multi-bucket spans
+    assert(op.transform(points).count() == 4)
+    // and the plan is an equi-join, not a nested loop
+    val plan = op.transform(points).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
   test("PointInTimeJoin attaches the latest feature at or before each request ts") {
     import spark.implicits._
     val features = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"))
