@@ -90,6 +90,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(StandardScale(Seq("v")).transform(df.filter(lit(false))).count() == 0)
   }
 
+  test("PointInTimeJoin: empty feature table keeps requests with null features") {
+    val feats = Seq.empty[(Long, Long, String)].toDF("id", "ts", "v")
+    val req = Seq((1L, 5L)).toDF("id", "ts")
+    val out = PointInTimeJoin(feats, "id", "ts", Seq("v")).transform(req).collect()
+    assert(out.length == 1 && out(0).isNullAt(2),
+      "no feature history → request kept, feature null")
+  }
+
+  test("IntervalJoin: empty intervals and empty points both yield empty output") {
+    val ivs = Seq.empty[(Long, Long, Long)].toDF("id", "s", "e")
+    val pts = Seq((1L, 5L)).toDF("id", "ts")
+    assert(IntervalJoin(ivs, "id", "s", "e", "ts").transform(pts).count() == 0)
+    val ivs2 = Seq((1L, 0L, 10L)).toDF("id", "s", "e")
+    assert(IntervalJoin(ivs2, "id", "s", "e", "ts")
+      .transform(pts.filter(lit(false))).count() == 0)
+  }
+
   test("EmbeddingLookup: unmatched id keeps row with null embedding") {
     val embs = Seq((10L, Seq(1.0f))).toDF("vec_id", "embedding")
     val req = Seq(Tuple1(10L), Tuple1(11L)).toDF("id")
