@@ -30,7 +30,7 @@ object Flagship {
     * time and travels as an op parameter so a reloaded ensemble buckets
     * with bit-identical hyperplanes. */
   def servingEnsemble(spark: SparkSession, d: String, retrievalK: Int = 100,
-      finalK: Int = 10): (Ensemble, DataFrame) = {
+      finalK: Int = 10, retriever: String = "lsh"): (Ensemble, DataFrame) = {
     val interactions = orders(spark, d)
       .join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").cast("int").as("user"),
@@ -45,19 +45,31 @@ object Flagship {
       col("features").as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = itemVecs.count()
-    val numBits = math.max(4, math.min(12,
-      (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
-    val center = graft.functions.VectorFunctions.meanVector(itemVecs, "embedding").toSeq
     val seen = interactions.groupBy(col("user").cast("long").as("user_id"))
       .agg(collect_set(col("item").cast("long")).as("seen_ids"))
     val requests = customer(spark, d)
       .select(col("c_custkey").cast("long").as("user_id"),
         col("c_mktsegment"), col("c_acctbal"))
     interactions.unpersist()
+    // interchangeable ANN backends, both persistable with their fitted
+    // state as plain parameters: hyperplane LSH (fit = one mean vector)
+    // or k-means IVF (fit = nlist centroids, lists sized ~64 items)
+    val retrieval: graft.core.EnsembleOp = retriever match {
+      case "lsh" =>
+        val numBits = math.max(4, math.min(12,
+          (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
+        val center = graft.functions.VectorFunctions.meanVector(itemVecs, "embedding").toSeq
+        AnnLsh(itemVecs, "user_id", "user_vec", k = retrievalK,
+          numBits = numBits, nprobe = 4, metric = "dot", center = Some(center))
+      case "ivf" =>
+        val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
+        AnnIvf.fit(itemVecs, "user_id", "user_vec", k = retrievalK,
+          nlist = nlist, nprobe = math.min(8, nlist), metric = "dot")
+      case r => throw new IllegalArgumentException(s"unknown retriever '$r' (lsh|ivf)")
+    }
     val ens = Ensemble(Seq(
       QueryFeatureStore(userVecs, "user_id", Seq("user_vec"), includeId = true),
-      AnnLsh(itemVecs, "user_id", "user_vec", k = retrievalK,
-        numBits = numBits, nprobe = 4, metric = "dot", center = Some(center)),
+      retrieval,
       QueryFeatureStore(seen, "user_id", Seq("seen_ids"), includeId = true),
       FilterCandidatesWithScores("candidate_ids", "candidate_scores", "seen_ids"),
       SoftmaxSampling("filtered_ids", "filtered_scores", temperature = 20.0,
