@@ -121,6 +121,23 @@ class CoreOpsSpec extends SparkSpec {
       (2L, 14L, null), (3L, 9L, null)))
   }
 
+  test("PointInTimeJoin matches a brute-force as-of reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val feats = Seq.fill(80)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong))
+      .distinct.map { case (id, ts) => (id, ts, s"v${id}_$ts") }
+    val reqs = Seq.fill(60)((rnd.nextInt(10).toLong, rnd.nextInt(60).toLong))
+    val out = PointInTimeJoin(feats.toDF("id", "ts", "v"), "id", "ts", Seq("v"))
+      .transform(reqs.toDF("id", "ts"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    reqs.foreach { case (id, ts) =>
+      val expect = feats.filter(f => f._1 == id && f._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3).orNull
+      assert(out((id, ts)) == expect, s"request ($id,$ts)")
+    }
+  }
+
   test("HashSplit is deterministic, salt-sensitive, and near the requested ratios") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("id")
