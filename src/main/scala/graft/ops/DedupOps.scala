@@ -227,8 +227,12 @@ case class DupClusters(
     // state is ∝ |dup graph|, not |corpus| — singletons (the vast
     // majority of a deduped corpus) join in once at the end
     val nodes = edges.select(col("src").as("node")).distinct()
-    def checksum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    def checksum(l: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is NULL → normalize so an empty pair list
+      // converges on the first round instead of NPE-ing the comparison
+      val v = l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
     // lazy localCheckpoint: the checksum action both materializes the
     // round's labels AND tests convergence — one Spark job per round
     var labels = nodes.select(col("node"), col("node").as("label"))

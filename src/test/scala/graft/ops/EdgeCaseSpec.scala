@@ -107,6 +107,17 @@ class EdgeCaseSpec extends SparkSpec {
       .transform(pts.filter(lit(false))).count() == 0)
   }
 
+  test("DupClusters: empty pair list yields all-singleton clusters (or empty)") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DupClusters().transform(noPairs).count() == 0)
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val out = DupClusters(allDocs = Some(docs)).transform(noPairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 2L, true)))
+  }
+
   test("EmbeddingLookup: unmatched id keeps row with null embedding") {
     val embs = Seq((10L, Seq(1.0f))).toDF("vec_id", "embedding")
     val req = Seq(Tuple1(10L), Tuple1(11L)).toDF("id")
