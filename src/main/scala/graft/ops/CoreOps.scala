@@ -302,10 +302,13 @@ case class HashSplit(
     conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
       16, 10).cast("long") % 10000
 
+  // null ids yield null bucket AND null split — falling through to
+  // `otherwise` would silently dump every null-id row into "test"
   override def transform(df: DataFrame): DataFrame =
     df.withColumn(outputCol + "_bucket", bucket)
       .withColumn(outputCol,
-        when(col(outputCol + "_bucket") < trainBp, "train")
+        when(col(outputCol + "_bucket").isNull, lit(null).cast("string"))
+          .when(col(outputCol + "_bucket") < trainBp, "train")
           .when(col(outputCol + "_bucket") < trainBp + validBp, "valid")
           .otherwise("test"))
 }

@@ -107,6 +107,15 @@ class EdgeCaseSpec extends SparkSpec {
       .transform(pts.filter(lit(false))).count() == 0)
   }
 
+  test("HashSplit: null id yields null split, not a silent test-set assignment") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L), Row(null.asInstanceOf[Any])),
+      StructType(Seq(StructField("id", LongType))))
+    val out = HashSplit("id").transform(df).orderBy(asc_nulls_first("id")).collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("split")), "null id → null split")
+    assert(!out(1).isNullAt(out(1).fieldIndex("split")))
+  }
+
   test("DupClusters: empty pair list yields all-singleton clusters (or empty)") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
