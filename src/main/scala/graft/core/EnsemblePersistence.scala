@@ -136,6 +136,12 @@ object EnsemblePersistence {
       u.userFeatures.write.mode("overwrite").parquet(p)
       ("type" -> "UnrollFeatures") ~ ("path" -> p) ~
         ("unrollCols" -> u.unrollCols) ~ ("on" -> u.on) ~ ("prefix" -> u.prefix)
+    case sj: SaltedJoin =>
+      val p = artifactPath(dir, i, "salted_dim")
+      sj.dim.write.mode("overwrite").parquet(p)
+      ("type" -> "SaltedJoin") ~ ("path" -> p) ~ ("on" -> sj.on) ~
+        ("saltBy" -> sj.saltBy) ~ ("saltBuckets" -> sj.saltBuckets) ~
+        ("joinType" -> sj.joinType)
     case w: TransformWorkflow =>
       val p = artifactPath(dir, i, "pipeline_model")
       w.model.write.overwrite().save(p)
@@ -293,6 +299,9 @@ object EnsemblePersistence {
       case "UnrollFeatures" =>
         UnrollFeatures(spark.read.parquet(s("path")), ss("unrollCols"),
           s("on"), s("prefix"))
+      case "SaltedJoin" =>
+        SaltedJoin(spark.read.parquet(s("path")), s("on"), s("saltBy"),
+          (o \ "saltBuckets").extract[Int], s("joinType"))
       case "TransformWorkflow" =>
         TransformWorkflow(org.apache.spark.ml.PipelineModel.load(s("path")))
       case "ConcatColumns" =>

@@ -329,3 +329,48 @@ case class Padding(inputCol: String, length: Int, padValue: Double = 0.0)
       slice(concat(col(inputCol), array_repeat(lit(padValue).cast(el), length)), 1, length))
   }
 }
+
+/** Skew-mitigating equi-join: replicate the dimension side once per salt
+  * bucket and split the fact side's hot keys across buckets with a
+  * deterministic hash of a spreading column, so a single hot key's rows
+  * land on `saltBuckets` shuffle partitions instead of one straggler
+  * task. The salt never changes which rows match — dim rows exist for
+  * every bucket — so the result is exactly the plain equi-join and the
+  * op stays fully oracle-checkable by unsalted SQL.
+  *
+  * Scale stance: this is the explicit fallback for skew that AQE's
+  * skew-join splitting cannot fix (one key larger than any split, or a
+  * non-sort-merge plan); prefer `spark.sql.adaptive.skewJoin` first and
+  * reach for salting when a known hot key (a null-ish default id, a
+  * power-law head item) dominates. Dim replication costs saltBuckets× of
+  * the SMALL side only; the fact side is never replicated. */
+case class SaltedJoin(
+    dim: DataFrame,
+    on: String,
+    saltBy: String,
+    saltBuckets: Int = 8,
+    joinType: String = "inner") extends EnsembleOp {
+
+  require(saltBuckets >= 1, s"$name: saltBuckets must be >= 1")
+  require(Seq("inner", "left").contains(joinType),
+    s"$name: joinType must be inner or left (got $joinType)")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, on); requireCol(in, saltBy)
+    require(dim.schema.fieldNames.contains(on), s"$name: '$on' missing in dim")
+    val dup = dim.schema.fieldNames.filter(f => f != on && in.fieldNames.contains(f))
+    require(dup.isEmpty, s"$name: ambiguous columns ${dup.mkString(",")}")
+    val nullableDim = dim.schema.filter(_.name != on)
+      .map(f => if (joinType == "left") f.copy(nullable = true) else f)
+    StructType(in ++ nullableDim)
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val out = transformSchema(df.schema)
+    val salted = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    df.withColumn("__salt", pmod(xxhash64(col(saltBy)), lit(saltBuckets.toLong)))
+      .join(salted, Seq(on, "__salt"), joinType)
+      .select(out.fieldNames.map(col).toSeq: _*)
+  }
+}

@@ -121,6 +121,20 @@ object OpQueries {
       .asRows(queries).orderBy("vec_id", "rank")
   }
 
+  /** IVF with nprobe = nlist: every inverted list is probed, so the
+    * result is exactly the brute-force top-k — which puts the whole IVF
+    * machinery (k-means fit, list assignment, probe-expansion equi-join,
+    * bounded-heap top-k) under the hash oracle, while the nprobe<nlist
+    * query above keeps the approximate path honest on recall. */
+  def annIvfFull(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val items = emb.filter(col("label") =!= 0).select(col("vec_id").as("item_id"), col("embedding"))
+    AnnIvf.fit(items, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 16,
+      metric = "dot")
+      .asRows(queries).orderBy("vec_id", "rank")
+  }
+
   /** Multimodal plumbing (rows-only): fake binary media derived
     * deterministically from document hashes, decoded partition-parallel
     * by the stubbed decoder (see MultimodalOps STUB NOTE). */
@@ -227,6 +241,20 @@ object OpQueries {
       .orderBy("requestId")
   }
 
+  /** SaltedJoin under the oracle: the skew-fallback join must return
+    * EXACTLY the rows of the plain equi-join it replaces — the oracle is
+    * the unsalted SQL join, so any salt-induced row loss or duplication
+    * hash-mismatches. */
+  def saltedJoin(spark: SparkSession, d: String): DataFrame = {
+    val dim = part(spark, d).select(col("p_partkey").as("l_partkey"),
+      col("p_brand"), col("p_type"))
+    SaltedJoin(dim, on = "l_partkey", saltBy = "l_orderkey", saltBuckets = 8)
+      .transform(lineitem(spark, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty")))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** A 3-stage Ensemble (Selection → Rename → QueryFeatureStore) feeding an
     * aggregate — proves schema propagation end-to-end under the oracle. */
   def pipelineEnsemble(spark: SparkSession, d: String): DataFrame = {
@@ -261,12 +289,14 @@ object OpQueries {
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
     "op_ann_ivf" -> (annIvf _),
+    "op_ann_ivf_full" -> (annIvfFull _),
     "multimodal_decode" -> (multimodalDecode _),
     "op_softmax_sampling" -> (softmaxSampling _),
     "op_standard_scale" -> (standardScale _),
     "op_concat_select_tags" -> (concatSelectTags _),
     "op_asof_join" -> (asofJoin _),
     "op_interval_join" -> (intervalJoin _),
+    "op_salted_join" -> (saltedJoin _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
 
   val oracle: Map[String, String] = Map(
@@ -319,6 +349,14 @@ object OpQueries {
         |  ORDER BY list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) DESC, i.vec_id) AS rank
         |FROM embeddings q, embeddings i WHERE q.label=0 AND i.label<>0)
         |WHERE rank<=10 ORDER BY vec_id, rank""".stripMargin,
+    "op_ann_ivf_full" ->
+      """SELECT vec_id, rank, item_id, score FROM (
+        |SELECT q.vec_id AS vec_id, i.vec_id AS item_id,
+        |list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS score,
+        |row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) DESC, i.vec_id) AS rank
+        |FROM embeddings q, embeddings i WHERE q.label=0 AND i.label<>0)
+        |WHERE rank<=10 ORDER BY vec_id, rank""".stripMargin,
     "op_standard_scale" ->
       """WITH c AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer),
         |s AS (SELECT count(cents) AS n, CAST(sum(cents) AS BIGINT) AS s1,
@@ -362,6 +400,11 @@ object OpQueries {
         |  * 10000) AS BIGINT) AS scaled_bp,
         |d.idx AS c_mktsegment_idx
         |FROM c JOIN dict d USING (c_mktsegment), s ORDER BY requestId""".stripMargin,
+    "op_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |CAST(l_quantity AS BIGINT) AS qty, p_brand, p_type
+        |FROM lineitem JOIN part ON p_partkey=l_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "op_pipeline_ensemble" ->
       """SELECT p_brand, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON p_partkey=l_partkey

@@ -207,4 +207,38 @@ class CoreOpsSpec extends SparkSpec {
       .transform(df)
     assert(out.columns.toSeq == Seq("a", "b_nvt"))
   }
+
+  // SaltedJoin must be row-identical to the plain equi-join it replaces:
+  // the salt only splits a hot key across shuffle partitions, never
+  // changes what matches. A 90%-hot-key fact side exercises the skew path.
+  test("SaltedJoin returns exactly the plain-join rows under heavy skew") {
+    val fact = (1 to 200).map(i => (i.toLong, if (i <= 180) 7L else (i % 5).toLong))
+      .toDF("row_id", "key")
+    val dim = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("key", "label")
+    val salted = SaltedJoin(dim, on = "key", saltBy = "row_id", saltBuckets = 4)
+      .transform(fact).orderBy("row_id").collect()
+    val plain = fact.join(dim, Seq("key")).select("row_id", "key", "label")
+      .orderBy("row_id").collect()
+    assert(salted.length == plain.length)
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key's rows really do spread over multiple salt buckets
+    val spread = fact.filter(col("key") === 7L)
+      .select(pmod(xxhash64(col("row_id")), lit(4L)).as("s"))
+      .distinct().count()
+    assert(spread > 1, "salting must split the hot key across buckets")
+    // schema: fact columns then dim payload, no __salt remnant
+    assert(SaltedJoin(dim, "key", "row_id").transformSchema(fact.schema)
+      .fieldNames.toSeq == Seq("row_id", "key", "label"))
+  }
+
+  test("SaltedJoin left join keeps unmatched fact rows with null payload") {
+    val fact = Seq((1L, 7L), (2L, 99L)).toDF("row_id", "key")
+    val dim = Seq((7L, "hot")).toDF("key", "label")
+    val out = SaltedJoin(dim, "key", "row_id", saltBuckets = 3, joinType = "left")
+      .transform(fact).orderBy("row_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(2) == "hot")
+    assert(out(1).isNullAt(2), "unmatched key must survive with null payload")
+  }
 }
