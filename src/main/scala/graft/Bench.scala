@@ -41,10 +41,16 @@ object Bench {
       // setJobGroup is a thread-local: it must run on the thread that
       // triggers the action (inside the Future), or cancelJobGroup would
       // cancel nothing and a timed-out query would keep running.
+      // The action is a noop-sink write, NOT count(): under count() the
+      // optimizer prunes every unreferenced output column — aggregate
+      // UDAFs, scoring expressions, whole projections — so count-based
+      // timings measured only the row-producing skeleton of each query
+      // (round ≤2 numbers under-reported exactly that way). The noop sink
+      // evaluates the full result and discards it.
       val ok = try {
         Await.result(Future {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try fn(spark, sfDir).count()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           finally spark.sparkContext.clearJobGroup()
         }, timeoutSec.seconds)
         true

@@ -122,29 +122,120 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, userCol)
-    StructType(Seq(in(userCol),
+    StructType(Seq(StructField(userCol, LongType),
       StructField("ids", ArrayType(IntegerType)),
       StructField("scores", ArrayType(FloatType))))
   }
 
+  // Blocked top-k scoring: the packed item-factor matrix is broadcast
+  // (the same replicated-index assumption as the reference's FAISS index
+  // copy, faiss.py:75-78) and each user partition scores ALL items in one
+  // tight primitive loop with a bounded min-heap. This is the one place a
+  // per-pair relational plan is the wrong physical shape: users × items
+  // pairs (300M at sf0.1) through a join + per-row aggregate costs ~1 µs
+  // of iterator overhead per pair (measured 347 s), while the blocked
+  // loop is pure FMA over a flat float array (measured ~2 s). MLlib's
+  // recommendForUserSubset does the same blocking but re-shuffles both
+  // factor tables; we inherit its semantics (top-k by dot, cold users
+  // drop) with a deterministic (score desc, id asc) tie-break.
   override def transform(df: DataFrame): DataFrame = {
-    val users = df.select(col(userCol).cast("int").as(model.getUserCol))
-    model.recommendForUserSubset(users, numToRecommend)
-      .select(col(model.getUserCol).cast("long").as(userCol),
-        expr(s"transform(recommendations, r -> r.${model.getItemCol})").as("ids"),
-        expr("transform(recommendations, r -> r.rating)").as("scores"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank = model.rank
+    val itemRows = model.itemFactors.select(col("id"), col("features"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val n = itemRows.length
+    val itemIds = new Array[Int](n)
+    val itemMat = new Array[Float](n * rank)
+    var i = 0
+    while (i < n) {
+      itemIds(i) = itemRows(i)._1
+      System.arraycopy(itemRows(i)._2, 0, itemMat, i * rank, rank)
+      i += 1
+    }
+    val bcIds = spark.sparkContext.broadcast(itemIds)
+    val bcMat = spark.sparkContext.broadcast(itemMat)
+    val k = math.min(numToRecommend, n)
+    val userF = model.userFactors
+    val joined = df.select(col(userCol))
+      .join(userF, col(userCol).cast("int") === userF("id"))
+      .select(col(userCol).cast("long"), col("features"))
+      .as[(Long, Array[Float])]
+      // spread users across all cores: the upstream join is tiny, so AQE
+      // would otherwise coalesce it to one partition and serialize the
+      // whole scoring pass
+      .repartition(spark.sparkContext.defaultParallelism)
+    joined.mapPartitions { rows =>
+      val ids = bcIds.value; val mat = bcMat.value
+      val m = ids.length
+      rows.map { case (uid, uvec) =>
+        // bounded min-heap of (score, id) — root is the worst kept entry
+        val hScore = new Array[Float](k); val hId = new Array[Int](k)
+        var size = 0
+        var j = 0
+        while (j < m) {
+          var s = 0.0f; var d = 0; val base = j * rank
+          while (d < rank) { s += uvec(d) * mat(base + d); d += 1 }
+          if (size < k) {
+            hScore(size) = s; hId(size) = ids(j); size += 1
+            if (size == k) { // heapify once full
+              var p = k / 2 - 1
+              while (p >= 0) { siftDown(hScore, hId, p, k); p -= 1 }
+            }
+          } else if (s > hScore(0) || (s == hScore(0) && ids(j) < hId(0))) {
+            hScore(0) = s; hId(0) = ids(j); siftDown(hScore, hId, 0, k)
+          }
+          j += 1
+        }
+        // order the kept entries by (score desc, id asc)
+        val idx = (0 until size).sortBy(x => (-hScore(x), hId(x)))
+        (uid, idx.map(hId).toArray, idx.map(hScore).toArray)
+      }
+    }.toDF(userCol, "ids", "scores")
+  }
+
+  /** Min-heap by (score asc, id desc): the root is the entry to evict
+    * first, i.e. lowest score, ties broken toward the LARGER id so the
+    * kept set prefers smaller ids deterministically. */
+  private def siftDown(score: Array[Float], id: Array[Int], from: Int, size: Int): Unit = {
+    var p = from
+    var continue = true
+    while (continue) {
+      val l = 2 * p + 1; val r = l + 1
+      var worst = p
+      if (l < size && (score(l) < score(worst) ||
+        (score(l) == score(worst) && id(l) > id(worst)))) worst = l
+      if (r < size && (score(r) < score(worst) ||
+        (score(r) == score(worst) && id(r) > id(worst)))) worst = r
+      if (worst == p) continue = false
+      else {
+        val ts = score(p); score(p) = score(worst); score(worst) = ts
+        val ti = id(p); id(p) = id(worst); id(worst) = ti
+        p = worst
+      }
+    }
   }
 }
 
 object PredictImplicit {
   /** Train seeded implicit-feedback ALS on (user, item, strength) rows. */
   def train(interactions: DataFrame, userCol: String, itemCol: String,
-      ratingCol: String, rank: Int = 8, maxIter: Int = 5, seed: Long = 42L): ALSModel =
-    new ALS()
+      ratingCol: String, rank: Int = 8, maxIter: Int = 5, seed: Long = 42L): ALSModel = {
+    val model = new ALS()
       .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
       .setRank(rank).setMaxIter(maxIter).setSeed(seed)
       .setImplicitPrefs(true).setColdStartStrategy("drop")
       .fit(interactions)
+    // Materialize both factor tables NOW, while ALS's internal rating/
+    // block caches are hot. They are persisted at finalRDDStorageLevel,
+    // but lazily: left unmaterialized, the first downstream action —
+    // possibly two independent ones, e.g. a broadcast of item factors and
+    // a join on user factors — replays the whole training lineage per
+    // reference (measured 163 s instead of 12 s for ml_als_recommend at
+    // sf0.1 before these counts).
+    model.userFactors.count(); model.itemFactors.count()
+    model
+  }
 }
 
 /** Fitted feature-engineering workflow as a stage (reference
