@@ -19,6 +19,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesces shuffles by INPUT size and cannot see that the next
+      // stage multiplies rows (ANN bucket joins emit ~bucket×nprobe rows
+      // per query row, posexplode emits k rows per user): a few-MB
+      // shuffle would collapse to 1 partition and run the multiplied
+      // stage on one core. 64k floors keep small-but-explosive shuffles
+      // parallel; at real scale partitions dwarf 64k and this is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // TypedImperativeAggregates (the bounded-heap top-k) fall back to
+      // SORT-BASED aggregation beyond 128 distinct keys per partition by
+      // default — an external sort of every pair row. 128k keys × ~2 KB
+      // heap buffer ≈ 256 MB worst case per partition, well within the
+      // executor budget, and keeps top-k hash-aggregated. Measured 3× on
+      // the flagship pipeline (61 s → 21 s cold at sf0.1/local[16]).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

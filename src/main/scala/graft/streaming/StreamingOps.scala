@@ -84,6 +84,31 @@ object StreamingOps {
   def scoreStream(requests: DataFrame)(scorer: DataFrame => DataFrame): DataFrame =
     scorer(requests)
 
+  /** Watermarked stream-stream attribution join — the streaming twin of
+    * [[graft.ops.IntervalJoin]]: each click opens a `[ts, ts+windowSec)`
+    * attribution window; purchases by the same user inside the window
+    * attribute to that click. Both inputs carry event-time watermarks and
+    * the join condition time-bounds the purchase against the click, so
+    * Spark evicts click state once the purchase watermark passes
+    * `click_ts + windowSec` — finite state on unbounded streams (the
+    * batch op instead bounds work via bucket-expansion equi-join; same
+    * semantics, each engine's native shape). */
+  def attributeStream(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowSec: Int = 300,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    p.join(c, col("user_id") === col("click_user") &&
+        col("ts") >= col("click_ts") &&
+        col("ts") < col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .drop("click_user")
+  }
+
   /** Streaming exact dedup — the ingest-time twin of
     * [[graft.ops.ExactDedup]]: emit only the FIRST document per content
     * digest. State is the digest set, bounded by the event-time watermark

@@ -63,4 +63,33 @@ class SourcesSpec extends SparkSpec {
     val scan = back.queryExecution.executedPlan.toString
     assert(!scan.contains("o_orderstatus=O"), "pruned partitions must not be listed")
   }
+
+  // The 100 TB co-location story: two fact tables bucketed on the join key
+  // join WITHOUT any shuffle — the scan partitioning satisfies the join's
+  // distribution requirement. At cluster scale this is how repeated joins
+  // on the same key (user_id, item_id) amortize their shuffle to zero.
+  test("bucketed tables join with no shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_partkey"), col("o_totalprice"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join over bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      val expected = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

@@ -82,6 +82,27 @@ class StreamingOpsSpec extends SparkSpec {
       s"dups 3 and 4 must be dropped, got $out")
   }
 
+  test("attributeStream joins purchases to their in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    def frame(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("event_id", "ts", "user_id")
+    val joined = StreamingOps.attributeStream(
+      frame(clicks), frame(purchases), windowSec = 300, watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attributed").start()
+    // user 10: click at t0, purchases at +2 min (in window) and +9 min (out);
+    // user 11: purchase with no prior click
+    clicks.addData((100L, ts(0), 10L))
+    purchases.addData((200L, ts(2), 10L), (201L, ts(9), 10L), (202L, ts(3), 11L))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("attributed").select($"event_id", $"click_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((200L, 100L)),
+      s"only the +2min purchase of user 10 attributes, got $out")
+  }
+
   test("sessionize closes sessions on gap and aggregates per user") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
