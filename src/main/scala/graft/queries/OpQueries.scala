@@ -135,9 +135,15 @@ object OpQueries {
       .asRows(queries).orderBy("vec_id", "rank")
   }
 
-  /** Multimodal plumbing (rows-only): fake binary media derived
-    * deterministically from document hashes, decoded partition-parallel
-    * by the stubbed decoder (see MultimodalOps STUB NOTE). */
+  /** Multimodal plumbing under the oracle: fake binary media derived
+    * deterministically from document hashes, decoded partition-parallel by
+    * the stubbed decoder (see MultimodalOps STUB NOTE). The stub is pure
+    * byte arithmetic — header nibbles → (width, height), low nibble of
+    * each payload byte → histogram bin — so DuckDB reproduces it from the
+    * same md5 hex strings and the whole mapPartitions pipeline
+    * (binary column, declared schema, per-partition decode) hash-checks.
+    * Features come back as exact integer bin counts (feature × 28 payload
+    * bytes), keeping the compare float-free. */
   def multimodalDecode(spark: SparkSession, d: String): DataFrame = {
     val media = documents(spark, d).select(
       col("doc_id").as("media_id"),
@@ -146,8 +152,22 @@ object OpQueries {
       .select(col("media_id"), col("width"), col("height"),
         posexplode(col("features")).as(Seq("bin0", "v")))
       .select(col("media_id"), col("width"), col("height"),
-        (col("bin0") + 1).as("bin"), col("v").cast("double").as("feat"))
+        (col("bin0") + 1).cast("int").as("bin"),
+        round(col("v").cast("double") * (32 - 4)).cast("long").as("cnt"))
       .orderBy("media_id", "bin")
+  }
+
+  /** SampleFrames under the oracle: every 2nd fixed-size chunk of the fake
+    * binary media emitted as a frame row. The op is pure substring/explode
+    * expressions over the binary column, so DuckDB mirrors it exactly on
+    * the hex strings the bytes came from. */
+  def sampleFrames(spark: SparkSession, d: String): DataFrame = {
+    val media = documents(spark, d).select(
+      col("doc_id").as("media_id"),
+      unhex(concat(md5(col("text")), md5(col("source")))).as("content"))
+    SampleFrames(frameBytes = 8, stride = 2).transform(media)
+      .select(col("media_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+      .orderBy("media_id", "frame_idx")
   }
 
   /** SoftmaxSampling over per-user order candidates (seeded; rand-based so
@@ -291,6 +311,7 @@ object OpQueries {
     "op_ann_ivf" -> (annIvf _),
     "op_ann_ivf_full" -> (annIvfFull _),
     "multimodal_decode" -> (multimodalDecode _),
+    "op_sample_frames" -> (sampleFrames _),
     "op_softmax_sampling" -> (softmaxSampling _),
     "op_standard_scale" -> (standardScale _),
     "op_concat_select_tags" -> (concatSelectTags _),
@@ -400,6 +421,31 @@ object OpQueries {
         |  * 10000) AS BIGINT) AS scaled_bp,
         |d.idx AS c_mktsegment_idx
         |FROM c JOIN dict d USING (c_mktsegment), s ORDER BY requestId""".stripMargin,
+    "op_sample_frames" ->
+      """SELECT doc_id AS media_id, CAST(f.i AS INTEGER) AS frame_idx,
+        |upper(substring(md5(text) || md5(source), CAST(f.i*16+1 AS INTEGER), 16)) AS frame_hex
+        |FROM documents, (SELECT unnest(range(0, 4, 2)) AS i) f
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "multimodal_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id, md5(text) AS h1, md5(source) AS h2
+        |  FROM documents),
+        |digits AS (
+        |  SELECT media_id, ('0x' || substring(h1, 2*i.i + 2, 1))::INT AS bin
+        |  FROM m, (SELECT unnest(range(4, 16)) AS i) i
+        |  UNION ALL
+        |  SELECT media_id, ('0x' || substring(h2, 2*j.j + 2, 1))::INT AS bin
+        |  FROM m, (SELECT unnest(range(0, 16)) AS j) j),
+        |counts AS (SELECT media_id, bin, count(*) AS n FROM digits GROUP BY 1, 2),
+        |grid AS (SELECT media_id, h1, b.bin
+        |  FROM m, (SELECT unnest(range(0, 16)) AS bin) b)
+        |SELECT g.media_id,
+        |  ('0x' || substring(g.h1, 1, 4))::INT AS width,
+        |  ('0x' || substring(g.h1, 5, 4))::INT AS height,
+        |  CAST(g.bin + 1 AS INTEGER) AS bin,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+        |FROM grid g
+        |LEFT JOIN counts c ON c.media_id = g.media_id AND c.bin = g.bin
+        |ORDER BY g.media_id, g.bin""".stripMargin,
     "op_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_partkey,
         |CAST(l_quantity AS BIGINT) AS qty, p_brand, p_type
