@@ -157,7 +157,9 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
     val bcMat = spark.sparkContext.broadcast(itemMat)
     val k = math.min(numToRecommend, n)
     val userF = model.userFactors
-    val joined = df.select(col(userCol))
+    // one output row per DISTINCT requested user, matching MLlib's
+    // recommendForUserSubset contract for duplicated request rows
+    val joined = df.select(col(userCol)).distinct()
       .join(userF, col(userCol).cast("int") === userF("id"))
       .select(col(userCol).cast("long"), col("features"))
       .as[(Long, Array[Float])]
