@@ -112,7 +112,14 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition filters (RepetitionStats): top 2-/3-gram and
+    * duplicate 5-gram character fractions in basis points, plus the keep
+    * verdict at the Gopher thresholds. */
+  def textRepetition(spark: SparkSession, d: String): DataFrame =
+    RepetitionStats().transform(documents(spark, d)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -140,7 +147,47 @@ object CurationQueries {
     s"CASE $whens ELSE 'und' END"
   }
 
+  /** DuckDB positional n-gram list over `ws` (duplicates preserved) —
+    * mirrors TextFunctions.wordShingles. */
+  private def gramSql(n: Int): String = {
+    val parts = (0 until n)
+      .map(k => if (k == 0) "ws[i]" else s"ws[i+$k]").mkString("||' '||")
+    s"list_transform(range(1, len(ws) - ${n - 2}), i -> $parts)"
+  }
+
+  private val repetitionSql: String = {
+    val ns = Seq(2, 3, 5)
+    val gramUnion = ns.zipWithIndex.map { case (n, i) =>
+      val proj = if (i == 0) s"$n AS n, unnest(${gramSql(n)}) AS g"
+      else s"$n, unnest(${gramSql(n)})"
+      s"SELECT doc_id, $proj FROM w WHERE len(ws) >= $n"
+    }.mkString("\nUNION ALL ")
+    val t2 = "coalesce(t2, 0) * 10000 // n_chars_norm"
+    val t3 = "coalesce(t3, 0) * 10000 // n_chars_norm"
+    val d5 = "coalesce(d5, 0) * 10000 // n_chars_norm"
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws, length($normSql) AS n_chars_norm
+       |  FROM documents),
+       |g AS ($gramUnion),
+       |c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+       |p AS (SELECT doc_id, n, max(cnt * length(g)) AS top_chars,
+       |  sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+       |  FROM c GROUP BY 1, 2),
+       |wide AS (SELECT doc_id,
+       |  max(CASE WHEN n = 2 THEN top_chars END) AS t2,
+       |  max(CASE WHEN n = 3 THEN top_chars END) AS t3,
+       |  max(CASE WHEN n = 5 THEN dup_chars END) AS d5
+       |  FROM p GROUP BY 1)
+       |SELECT w.doc_id, CAST(n_chars_norm AS INTEGER) AS n_chars_norm,
+       |  CAST($t2 AS BIGINT) AS top2_bp,
+       |  CAST($t3 AS BIGINT) AS top3_bp,
+       |  CAST($d5 AS BIGINT) AS dup5_bp,
+       |  ($t2 <= 2000 AND $t3 <= 1800 AND $d5 <= 1500) AS keep
+       |FROM w LEFT JOIN wide ON w.doc_id = wide.doc_id
+       |ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

@@ -81,6 +81,22 @@ object OpQueries {
       .orderBy("vec_id", "pos")
   }
 
+  /** L2-normalization (NormalizeEmbeddings), exploded to scalar rows.
+    * Bit-exact vs the oracle: both sides sum squares sequentially in
+    * double, one sqrt, one IEEE division per component. */
+  def embedNormalize(spark: SparkSession, d: String): DataFrame =
+    NormalizeEmbeddings().transform(embeddings(spark, d))
+      .select(col("vec_id"), posexplode(col("embedding_norm")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v").as("val"))
+      .orderBy("vec_id", "pos")
+
+  /** Mean-pooled class centroids (MeanPoolEmbeddings): exact integer-micro
+    * sums per (label, dim) — order-independent, so shuffle nondeterminism
+    * cannot break the oracle match. */
+  def embedPool(spark: SparkSession, d: String): DataFrame =
+    MeanPoolEmbeddings().transform(embeddings(spark, d))
+      .orderBy("label", "pos")
+
   /** Categorify: deterministic frequency-ordered category codes. */
   def categorify(spark: SparkSession, d: String): DataFrame =
     Categorify(Seq("c_mktsegment"))
@@ -307,6 +323,8 @@ object OpQueries {
     "op_unroll_features" -> (unrollFeatures _),
     "op_embedding_lookup" -> (embeddingLookup _),
     "op_padding" -> (padding _),
+    "op_embed_normalize" -> (embedNormalize _),
+    "op_embed_pool" -> (embedPool _),
     "op_categorify" -> (categorify _),
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
@@ -358,6 +376,21 @@ object OpQueries {
         |list_slice(embedding, 1, CAST(vec_id%5+3 AS BIGINT)),
         |[0.0,0.0,0.0,0.0,0.0,0.0]), 1, 6) AS vals FROM embeddings)
         |ORDER BY vec_id, pos""".stripMargin,
+    "op_embed_normalize" ->
+      """SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+        |CAST(unnest(embedding) AS DOUBLE) / nrm AS val
+        |FROM (SELECT vec_id, embedding,
+        |  sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings) WHERE nrm > 0
+        |ORDER BY vec_id, pos""".stripMargin,
+    "op_embed_pool" ->
+      """WITH e AS (SELECT label,
+        |  CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT label, pos, count(*) AS n_vecs, CAST(sum(q) AS BIGINT) AS sum_micros,
+        |CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS mean
+        |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "op_categorify" ->
       """WITH m AS (SELECT c_mktsegment AS v,
         |CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS INTEGER) AS idx

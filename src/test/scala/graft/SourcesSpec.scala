@@ -72,6 +72,15 @@ class SourcesSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a killed previous JVM can leave the warehouse dirs behind with no
+    // catalog entry — DROP above won't clear them, so remove the locations
+    val wh = new java.io.File("spark-warehouse")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     Tables.orders(spark, sf).write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
     Tables.lineitem(spark, sf).write.mode("overwrite")

