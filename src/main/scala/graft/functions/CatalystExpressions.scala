@@ -356,6 +356,96 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** One-pass Gopher repetition signals over the normalized word sequence:
+  * for each configured n-gram size, the characters covered by the single
+  * most frequent n-gram (`count × gram chars`) and by all n-grams that
+  * occur more than once. Output is a flat long array
+  * `[n_chars_norm, top(ns0), dup(ns0), top(ns1), dup(ns1), …]`.
+  *
+  * Semantically identical to exploding positional
+  * [[graft.functions.TextFunctions.wordShingles]] grams and aggregating
+  * `max(cnt*length(g))` / `sum(cnt*length(g)) filter cnt>1` per doc — but
+  * row-local: one normalize, one split, and one hash-count per n, instead
+  * of shuffling every gram occurrence of the corpus (at 100 TB that
+  * shuffle carries ~3× the corpus in gram strings; this carries nothing).
+  * Gram char lengths count codepoints (Spark `length()` semantics, same
+  * as the DuckDB oracle's `length()`).
+  */
+case class RepetitionSignals(child: Expression, ns: Seq[Int])
+    extends UnaryExpression {
+
+  require(ns.nonEmpty && ns.forall(_ >= 1), "need at least one n >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_signals"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+  }
+
+  def compute(v: UTF8String): ArrayData = {
+    // identical normal form to WordShingles.compute / TextFunctions.words
+    var s = v.toString.replaceAll("\\s+", " ")
+    if (s.startsWith(" ")) s = s.substring(1)
+    if (s.endsWith(" ")) s = s.substring(0, s.length - 1)
+    s = UTF8String.fromString(s).toLowerCase.toString
+    val words = s.split(" ", -1)
+    val wordChars = new Array[Long](words.length)
+    var w = 0
+    while (w < words.length) {
+      wordChars(w) = words(w).codePointCount(0, words(w).length); w += 1
+    }
+    val out = new Array[Long](1 + 2 * ns.length)
+    out(0) = s.codePointCount(0, s.length)
+    var k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      if (words.length >= n) {
+        val counts = new java.util.HashMap[String, Array[Long]]()
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= words.length - n) {
+          sb.setLength(0)
+          var chars = (n - 1).toLong // separator spaces
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            chars += wordChars(i + j)
+            j += 1
+          }
+          val e = counts.get(sb.toString)
+          if (e == null) counts.put(sb.toString, Array(1L, chars))
+          else e(0) += 1L
+          i += 1
+        }
+        var top = 0L; var dup = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val covered = e(0) * e(1)
+          if (covered > top) top = covered
+          if (e(0) > 1L) dup += covered
+        }
+        out(1 + 2 * k) = top
+        out(2 + 2 * k) = dup
+      }
+      k += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetitionSignals", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column wrappers (Spark 4: Column↔Expression bridge lives in
   * sql.classic.ExpressionUtils). */
 object FastExpressions {
@@ -371,4 +461,6 @@ object FastExpressions {
   def lshBucket(c: Column, center: Column, numBits: Int, seed: Long = 42L): Column =
     column(LshBucket(expression(c), expression(center), numBits, seed))
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
+  def repetitionSignals(c: Column, ns: Seq[Int]): Column =
+    column(RepetitionSignals(expression(c), ns))
 }

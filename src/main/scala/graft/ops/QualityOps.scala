@@ -2,10 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.functions.{transform => arrayTransform}
 import org.apache.spark.sql.types._
 import graft.core.EnsembleOp
-import graft.functions.{TextFunctions => T}
+import graft.functions.{FastExpressions, TextFunctions => T}
 
 /** Repetition-based quality signals for LLM pre-training corpora — the
   * Gopher/MassiveText repetition filters (Rae et al. 2021, §A1.1): the
@@ -14,16 +13,14 @@ import graft.functions.{TextFunctions => T}
   * in n-grams that occur more than once (n larger: catches templated /
   * machine-generated spam). Documents dominated by repetition are dropped.
   *
-  * Scale design: one pass builds (n, gram) pairs for ALL configured n per
-  * row (codegen'd array expressions, no shuffle), a single explode +
-  * groupBy(doc, n, gram) counts occurrences — this is the only shuffle and
-  * it is keyed by (doc_id, n, gram), so it partial-aggregates map-side and
-  * spreads evenly regardless of document-length skew — then one conditional
-  * aggregation per doc pivots the per-n signals wide and a final join
-  * attaches them to the ids. Never all-pairs, never a window, never a
-  * driver collect; at 100 TB the cost is ~k scans of each word array per
-  * row plus one gram-keyed shuffle (the same order of work as shingling
-  * for MinHash).
+  * Scale design: a document's n-gram counts are a ROW-LOCAL fact, so the
+  * whole computation is one map over the corpus — the
+  * [[graft.functions.RepetitionSignals]] expression normalizes, splits and
+  * hash-counts each doc's grams in a single pass and returns all signals
+  * as a flat long array. Zero shuffles, zero joins, zero windows; the
+  * first cut of this op exploded grams through a (doc, n, gram)-keyed
+  * groupBy and was 20× slower at sf0.1 — and at 100 TB that shuffle would
+  * have carried ~3× the corpus in gram strings.
   *
   * All ratios are integer basis points over the normalized character count
   * (floor(chars*10000/totalChars)) so the DuckDB oracle matches bit-for-bit.
@@ -52,38 +49,21 @@ case class RepetitionStats(
   }
 
   override def transform(df: DataFrame): DataFrame = {
-    val base = df.select(col(idCol), T.normalize(col(textCol)).as("_norm"))
-      .withColumn("_chars", length(col("_norm")))
-    // one (n, gram) pair per positional n-gram occurrence, all n at once
-    val tagged = flatten(array(allNs.map { n =>
-      arrayTransform(T.wordShingles(col("_norm"), n),
-        g => struct(lit(n).as("n"), g.as("g")))
-    }: _*))
-    val counts = base
-      .select(col(idCol), explode(tagged).as("t"))
-      .groupBy(col(idCol), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("cnt"))
-    // per-(doc, n): chars covered by the top gram / by duplicated grams
-    val perN = counts.groupBy(col(idCol), col("n")).agg(
-      max(col("cnt") * length(col("g"))).as("top_chars"),
-      sum(when(col("cnt") > 1, col("cnt") * length(col("g"))).otherwise(lit(0L)))
-        .as("dup_chars"))
-    // pivot wide with conditional aggregation (no Spark `pivot` — this way
-    // the output columns and their order are statically known)
-    val aggCols =
-      allNs.map(n => max(when(col("n") === n, col("top_chars"))).as(s"_top$n")) ++
-        allNs.map(n => max(when(col("n") === n, col("dup_chars"))).as(s"_dup$n"))
-    val wide = perN.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
-    val joined = base.join(wide, Seq(idCol), "left")
-    def bpOf(chars: Column): Column = T.bp(coalesce(chars, lit(0L)), col("_chars"))
-    val topCols = topNs.map(n => bpOf(col(s"_top$n")).as(s"top${n}_bp"))
-    val dupCols = dupNs.map(n => bpOf(col(s"_dup$n")).as(s"dup${n}_bp"))
+    val sig = FastExpressions.repetitionSignals(col(textCol), allNs)
+    val base = df.select(col(idCol), sig.as("_s"))
+      .withColumn("_chars", element_at(col("_s"), 1))
+    def bpOf(n: Int, dup: Boolean): Column = {
+      val idx = 1 + 2 * allNs.indexOf(n) + (if (dup) 1 else 0) + 1
+      T.bp(element_at(col("_s"), idx), col("_chars"))
+    }
+    val topCols = topNs.map(n => bpOf(n, dup = false).as(s"top${n}_bp"))
+    val dupCols = dupNs.map(n => bpOf(n, dup = true).as(s"dup${n}_bp"))
     val keep = (
-      topNs.map(n => bpOf(col(s"_top$n")) <= topBpMax(n)) ++
-        dupNs.map(n => bpOf(col(s"_dup$n")) <= dupBpMax(n))
+      topNs.map(n => bpOf(n, dup = false) <= topBpMax(n)) ++
+        dupNs.map(n => bpOf(n, dup = true) <= dupBpMax(n))
     ).reduce(_ && _)
-    joined.select(
-      col(idCol) +: col("_chars").as("n_chars_norm") +:
+    base.select(
+      col(idCol) +: col("_chars").cast("int").as("n_chars_norm") +:
         (topCols ++ dupCols) :+ keep.as("keep"): _*)
   }
 }

@@ -118,8 +118,43 @@ object CurationQueries {
   def textRepetition(spark: SparkSession, d: String): DataFrame =
     RepetitionStats().transform(documents(spark, d)).orderBy("doc_id")
 
+  /** The curation flagship: the full pre-training data pass a corpus
+    * owner runs — quality filter → repetition filter → fuzzy dedup among
+    * the survivors (n-gram Jaccard pairs → connected components → one
+    * keeper per cluster). Every stage is the exact, already-oracled path,
+    * so the composite verdict is exact too. Per doc: the two filter
+    * verdicts and the final `kept` flag.
+    *
+    * Scale shape: three document scans (signals are row-local), one
+    * gram-keyed shuffle for repetition, one prefix-filtered candidate
+    * join for Jaccard among survivors only (filters first, dedup second —
+    * the cheap stages shrink the expensive one's input), label
+    * propagation bounded by the dup-graph size, and doc_id-keyed joins to
+    * stitch the verdicts. No collects, no windows, no all-pairs. */
+  def pipelineCuration(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val ws = T.words(col("text"))
+    val qual = docs.select(col("doc_id"),
+      (size(ws).cast("long") >= 20 &&
+        T.bp(size(array_distinct(ws)), size(ws)) >= 1500).as("keep_quality"))
+    val rep = RepetitionStats().transform(docs)
+      .select(col("doc_id"), col("keep").as("keep_repetition"))
+    val flags = qual.join(rep, "doc_id")
+    val survivors = docs.join(
+      flags.filter(col("keep_quality") && col("keep_repetition"))
+        .select("doc_id"), "doc_id")
+    val pairs = NgramJaccardDedup(thresholdBp = 8000).transform(survivors)
+    val clusters = DupClusters(allDocs = Some(survivors)).transform(pairs)
+    flags.join(clusters.select("doc_id", "is_keeper"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_quality"), col("keep_repetition"),
+        (col("keep_quality") && col("keep_repetition") &&
+          coalesce(col("is_keeper"), lit(false))).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
+    "pipeline_curation" -> (pipelineCuration _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -155,19 +190,20 @@ object CurationQueries {
     s"list_transform(range(1, len(ws) - ${n - 2}), i -> $parts)"
   }
 
-  private val repetitionSql: String = {
-    val ns = Seq(2, 3, 5)
-    val gramUnion = ns.zipWithIndex.map { case (n, i) =>
+  private def gramUnionSql(ns: Seq[Int]): String =
+    ns.zipWithIndex.map { case (n, i) =>
       val proj = if (i == 0) s"$n AS n, unnest(${gramSql(n)}) AS g"
       else s"$n, unnest(${gramSql(n)})"
       s"SELECT doc_id, $proj FROM w WHERE len(ws) >= $n"
     }.mkString("\nUNION ALL ")
+
+  /** Repetition CTE chain `g → c → p → wide → rep` over a CTE `w(doc_id,
+    * ws, n_chars_norm)`; `rep` has the per-doc keep_repetition verdict. */
+  private val repCtes: String = {
     val t2 = "coalesce(t2, 0) * 10000 // n_chars_norm"
     val t3 = "coalesce(t3, 0) * 10000 // n_chars_norm"
     val d5 = "coalesce(d5, 0) * 10000 // n_chars_norm"
-    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws, length($normSql) AS n_chars_norm
-       |  FROM documents),
-       |g AS ($gramUnion),
+    s"""g AS (${gramUnionSql(Seq(2, 3, 5))}),
        |c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
        |p AS (SELECT doc_id, n, max(cnt * length(g)) AS top_chars,
        |  sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_chars
@@ -176,18 +212,67 @@ object CurationQueries {
        |  max(CASE WHEN n = 2 THEN top_chars END) AS t2,
        |  max(CASE WHEN n = 3 THEN top_chars END) AS t3,
        |  max(CASE WHEN n = 5 THEN dup_chars END) AS d5
-       |  FROM p GROUP BY 1)
-       |SELECT w.doc_id, CAST(n_chars_norm AS INTEGER) AS n_chars_norm,
+       |  FROM p GROUP BY 1),
+       |rep AS (SELECT w.doc_id, n_chars_norm, t2, t3, d5,
+       |  ($t2 <= 2000 AND $t3 <= 1800 AND $d5 <= 1500) AS keep_repetition
+       |  FROM w LEFT JOIN wide ON w.doc_id = wide.doc_id)""".stripMargin
+  }
+
+  private val repetitionSql: String = {
+    val t2 = "coalesce(t2, 0) * 10000 // n_chars_norm"
+    val t3 = "coalesce(t3, 0) * 10000 // n_chars_norm"
+    val d5 = "coalesce(d5, 0) * 10000 // n_chars_norm"
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws, length($normSql) AS n_chars_norm
+       |  FROM documents),
+       |$repCtes
+       |SELECT doc_id, CAST(n_chars_norm AS INTEGER) AS n_chars_norm,
        |  CAST($t2 AS BIGINT) AS top2_bp,
        |  CAST($t3 AS BIGINT) AS top3_bp,
        |  CAST($d5 AS BIGINT) AS dup5_bp,
-       |  ($t2 <= 2000 AND $t3 <= 1800 AND $d5 <= 1500) AS keep
-       |FROM w LEFT JOIN wide ON w.doc_id = wide.doc_id
+       |  keep_repetition AS keep
+       |FROM rep ORDER BY 1""".stripMargin
+  }
+
+  /** pipeline_curation oracle: quality + repetition verdicts, then the
+    * exact Jaccard clusters among survivors, composed as one recursive
+    * query from the already-verified fragments. */
+  private val curationSql: String = {
+    s"""WITH RECURSIVE
+       |w AS (SELECT doc_id, $wordsSql AS ws, length($normSql) AS n_chars_norm
+       |  FROM documents),
+       |$repCtes,
+       |q AS (SELECT doc_id, (len(ws) >= 20 AND
+       |  (CAST(len(list_distinct(ws)) AS BIGINT) * 10000) // len(ws) >= 1500)
+       |  AS keep_quality FROM w),
+       |flags AS (SELECT q.doc_id, keep_quality, keep_repetition
+       |  FROM q JOIN rep ON q.doc_id = rep.doc_id),
+       |surv AS (SELECT doc_id FROM flags WHERE keep_quality AND keep_repetition),
+       |sws AS (SELECT w.doc_id, ws FROM w JOIN surv ON w.doc_id = surv.doc_id),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),
+       |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM sws WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |good AS (SELECT doc_a, doc_b FROM pr
+       |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE inter * 10000 >= (sa.n + sb.n - inter) * 8000),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+       |  UNION ALL SELECT doc_b, doc_a FROM good),
+       |cc(node, label) AS (
+       |  SELECT doc_id, doc_id FROM surv
+       |  UNION
+       |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+       |keepers AS (SELECT node AS doc_id, (node = min(label)) AS is_keeper
+       |  FROM cc GROUP BY node)
+       |SELECT f.doc_id, keep_quality, keep_repetition,
+       |  (keep_quality AND keep_repetition AND coalesce(is_keeper, FALSE)) AS kept
+       |FROM flags f LEFT JOIN keepers k ON f.doc_id = k.doc_id
        |ORDER BY 1""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "text_repetition" -> repetitionSql,
+    "pipeline_curation" -> curationSql,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
