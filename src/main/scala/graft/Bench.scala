@@ -51,6 +51,15 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
     val results = selected.map { case (name, fn) =>
+      // Per-query isolation: earlier queries leave cached blocks behind
+      // (MLlib fits persist factor/tree RDDs internally and never release
+      // them; ops legitimately persist inside one query's lifetime). On a
+      // real cluster each query would start from a fresh session — without
+      // this, late-alphabet queries pay GC/eviction for the whole run's
+      // leftovers (measured: pipeline_recsys 74 s contaminated vs ~30 s
+      // isolated at sf0.1).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val t0 = System.nanoTime()
       // setJobGroup is a thread-local: it must run on the thread that
       // triggers the action (inside the Future), or cancelJobGroup would

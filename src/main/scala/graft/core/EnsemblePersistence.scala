@@ -238,6 +238,15 @@ object EnsemblePersistence {
       ("type" -> "CosineNearDup") ~ ("idCol" -> id) ~ ("vecCol" -> vec) ~
         ("threshold" -> th) ~ ("exact" -> exact) ~ ("numBits" -> bits) ~
         ("numTables" -> tables)
+    case r: RepetitionStats =>
+      ("type" -> "RepetitionStats") ~ ("textCol" -> r.textCol) ~
+        ("idCol" -> r.idCol) ~ ("topNs" -> r.topNs) ~ ("dupNs" -> r.dupNs) ~
+        ("topBpMax" -> r.topBpMax.map { case (k, v) => k.toString -> v }) ~
+        ("dupBpMax" -> r.dupBpMax.map { case (k, v) => k.toString -> v })
+    case NormalizeEmbeddings(vec, out) =>
+      ("type" -> "NormalizeEmbeddings") ~ ("vecCol" -> vec) ~ ("outCol" -> out)
+    case MeanPoolEmbeddings(key, vec) =>
+      ("type" -> "MeanPoolEmbeddings") ~ ("keyCol" -> key) ~ ("vecCol" -> vec)
     case DecodeMedia(id, content, prefix) =>
       ("type" -> "DecodeMedia") ~ ("idCol" -> id) ~ ("contentCol" -> content) ~
         ("outputPrefix" -> prefix)
@@ -373,6 +382,15 @@ object EnsemblePersistence {
         CosineNearDup(s("idCol"), s("vecCol"), (o \ "threshold").extract[Double],
           (o \ "exact").extract[Boolean], (o \ "numBits").extract[Int],
           (o \ "numTables").extract[Int])
+      case "RepetitionStats" =>
+        RepetitionStats(s("textCol"), s("idCol"),
+          (o \ "topNs").extract[Seq[Int]], (o \ "dupNs").extract[Seq[Int]],
+          (o \ "topBpMax").extract[Map[String, Long]].map { case (k, v) => k.toInt -> v },
+          (o \ "dupBpMax").extract[Map[String, Long]].map { case (k, v) => k.toInt -> v })
+      case "NormalizeEmbeddings" =>
+        NormalizeEmbeddings(s("vecCol"), s("outCol"))
+      case "MeanPoolEmbeddings" =>
+        MeanPoolEmbeddings(s("keyCol"), s("vecCol"))
       case "DecodeMedia" =>
         DecodeMedia(s("idCol"), s("contentCol"), s("outputPrefix"))
       case "SampleFrames" =>

@@ -82,6 +82,22 @@ class EnsemblePersistenceSpec extends SparkSpec {
       EnsemblePersistence.save(Ensemble(Seq(op), MultimodalOps.mediaSchema), dir, spark)
       assert(EnsemblePersistence.load(dir, spark).ops.head == op)
     }
+
+    val rep = RepetitionStats("text", "doc_id", topNs = Seq(2, 4),
+      dupNs = Seq(6), topBpMax = Map(2 -> 1900L, 4 -> 1700L),
+      dupBpMax = Map(6 -> 1400L))
+    val dir3 = Files.tmp("ens_param")
+    EnsemblePersistence.save(Ensemble(Seq(rep), schema), dir3, spark)
+    assert(EnsemblePersistence.load(dir3, spark).ops.head == rep)
+
+    val embOps = Seq(
+      NormalizeEmbeddings("embedding", "unit_vec"),
+      MeanPoolEmbeddings("vec_id", "embedding"))
+    embOps.foreach { op =>
+      val dir = Files.tmp("ens_emb")
+      EnsemblePersistence.save(Ensemble(Seq(op), vecSchema), dir, spark)
+      assert(EnsemblePersistence.load(dir, spark).ops.head == op)
+    }
   }
 
   test("retrieval ops round-trip: identical top-k after reload") {
