@@ -49,19 +49,23 @@ case class RepetitionStats(
   }
 
   override def transform(df: DataFrame): DataFrame = {
-    val sig = FastExpressions.repetitionSignals(col(textCol), allNs)
+    // null text → empty doc: zero signals, bp columns null (0-char
+    // denominator), keep=false — never a null verdict (EdgeCaseSpec)
+    val sig = FastExpressions.repetitionSignals(
+      coalesce(col(textCol), lit("")), allNs)
     val base = df.select(col(idCol), sig.as("_s"))
       .withColumn("_chars", element_at(col("_s"), 1))
     def bpOf(n: Int, dup: Boolean): Column = {
       val idx = 1 + 2 * allNs.indexOf(n) + (if (dup) 1 else 0) + 1
-      T.bp(element_at(col("_s"), idx), col("_chars"))
+      // ANSI-safe: a 0-char doc has no ratio (null → keep coalesces false)
+      when(col("_chars") > 0, T.bp(element_at(col("_s"), idx), col("_chars")))
     }
     val topCols = topNs.map(n => bpOf(n, dup = false).as(s"top${n}_bp"))
     val dupCols = dupNs.map(n => bpOf(n, dup = true).as(s"dup${n}_bp"))
-    val keep = (
-      topNs.map(n => bpOf(n, dup = false) <= topBpMax(n)) ++
+    val keep = coalesce(
+      (topNs.map(n => bpOf(n, dup = false) <= topBpMax(n)) ++
         dupNs.map(n => bpOf(n, dup = true) <= dupBpMax(n))
-    ).reduce(_ && _)
+      ).reduce(_ && _), lit(false))
     base.select(
       col(idCol) +: col("_chars").cast("int").as("n_chars_norm") +:
         (topCols ++ dupCols) :+ keep.as("keep"): _*)

@@ -102,4 +102,20 @@ class PlanSpec extends SparkSpec {
     val pe = plan(ops.CosineNearDup(exact = true).pairPlan(emb))
     assert(pe.contains("BroadcastNestedLoopJoin") || pe.contains("CartesianProduct"))
   }
+
+  test("repetition stats is a shuffle-free per-row map") {
+    val p = plan(ops.RepetitionStats().transform(Tables.documents(spark, d)))
+    assert(!p.contains("Exchange"), s"row-local signals must not shuffle:\n${p.take(600)}")
+    assert(p.contains("repetition_signals"), "must use the one-pass expression")
+  }
+
+  test("embedding normalize is shuffle-free; mean-pool partial-aggregates") {
+    val emb = Tables.embeddings(spark, d)
+    val pn = plan(ops.NormalizeEmbeddings().transform(emb))
+    assert(!pn.contains("Exchange"), s"normalize must not shuffle:\n${pn.take(600)}")
+    val pp = plan(ops.MeanPoolEmbeddings().transform(emb))
+    assert(pp.contains("partial_"), "pool must map-side combine before its shuffle")
+    assert(pp.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      "exactly one shuffle: the (key, dim) aggregation")
+  }
 }

@@ -134,4 +134,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(0).getSeq[Float](1) == Seq(1.0f))
     assert(out(1).isNullAt(1))
   }
+
+  test("RepetitionStats: null or empty text yields keep=false, never null") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, null.asInstanceOf[Any]), Row(2L, ""),
+        Row(3L, "the quick brown fox jumps over one lazy dog soon while " +
+          "distant owls watch silver clouds drift across autumn skies")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val out = RepetitionStats().transform(df).orderBy("doc_id").collect()
+    val keepIdx = out(0).fieldIndex("keep")
+    assert(!out(0).getBoolean(keepIdx), "null text must not keep")
+    assert(!out(1).getBoolean(keepIdx), "empty text must not keep")
+    assert(out(2).getBoolean(keepIdx))
+    assert(out.forall(!_.isNullAt(keepIdx)), "verdict is never null")
+  }
+
+  test("MeanPoolEmbeddings: empty input and null vectors yield empty output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Array[Float])].toDF("label", "embedding")
+    assert(MeanPoolEmbeddings().transform(empty).count() == 0)
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1, null.asInstanceOf[Any])),
+      StructType(Seq(StructField("label", IntegerType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(MeanPoolEmbeddings().transform(withNull).count() == 0,
+      "a null vector contributes no (key, dim) rows")
+  }
 }
