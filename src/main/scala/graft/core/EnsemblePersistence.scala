@@ -243,6 +243,10 @@ object EnsemblePersistence {
         ("idCol" -> r.idCol) ~ ("topNs" -> r.topNs) ~ ("dupNs" -> r.dupNs) ~
         ("topBpMax" -> r.topBpMax.map { case (k, v) => k.toString -> v }) ~
         ("dupBpMax" -> r.dupBpMax.map { case (k, v) => k.toString -> v })
+    case t: TrainingSequences =>
+      ("type" -> "TrainingSequences") ~ ("entityCol" -> t.entityCol) ~
+        ("orderCol" -> t.orderCol) ~ ("tieCol" -> t.tieCol) ~
+        ("featureCol" -> t.featureCol) ~ ("contextLen" -> t.contextLen)
     case NormalizeEmbeddings(vec, out) =>
       ("type" -> "NormalizeEmbeddings") ~ ("vecCol" -> vec) ~ ("outCol" -> out)
     case MeanPoolEmbeddings(key, vec) =>
@@ -387,6 +391,9 @@ object EnsemblePersistence {
           (o \ "topNs").extract[Seq[Int]], (o \ "dupNs").extract[Seq[Int]],
           (o \ "topBpMax").extract[Map[String, Long]].map { case (k, v) => k.toInt -> v },
           (o \ "dupBpMax").extract[Map[String, Long]].map { case (k, v) => k.toInt -> v })
+      case "TrainingSequences" =>
+        TrainingSequences(s("entityCol"), s("orderCol"), s("tieCol"),
+          s("featureCol"), (o \ "contextLen").extract[Int])
       case "NormalizeEmbeddings" =>
         NormalizeEmbeddings(s("vecCol"), s("outCol"))
       case "MeanPoolEmbeddings" =>

@@ -152,9 +152,22 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary statistics (tokenizer/vocab construction input):
+    * per token, total occurrences and document frequency, top 100 under a
+    * strict (count DESC, token ASC) total order. One token-keyed shuffle
+    * with map-side partial aggregation; the distinct-doc count shuffles
+    * (token, doc_id) pairs — the standard two-level agg, no collects. */
+  def textVocab(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"), explode(T.words(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("doc_freq"))
+      .orderBy(desc("n_occurrences"), asc("token")).limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "pipeline_curation" -> (pipelineCuration _),
+    "text_vocab" -> (textVocab _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -273,6 +286,11 @@ object CurationQueries {
   val oracle: Map[String, String] = Map(
     "text_repetition" -> repetitionSql,
     "pipeline_curation" -> curationSql,
+    "text_vocab" ->
+      s"""SELECT token, count(*) AS n_occurrences,
+         |count(DISTINCT doc_id) AS doc_freq
+         |FROM (SELECT doc_id, unnest($wordsSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

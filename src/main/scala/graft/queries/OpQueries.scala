@@ -97,6 +97,15 @@ object OpQueries {
     MeanPoolEmbeddings().transform(embeddings(spark, d))
       .orderBy("label", "pos")
 
+  /** TrainingSequences: per-user ordered (context, label) pairs for
+    * next-event prediction — context emitted as the joined string so the
+    * driver compare stays scalar. */
+  def trainingSequences(spark: SparkSession, d: String): DataFrame =
+    TrainingSequences().transform(
+      events(spark, d).select("user_id", "ts", "event_id", "event_type"))
+      .select("user_id", "label_event_id", "context_str", "label")
+      .orderBy("label_event_id")
+
   /** Categorify: deterministic frequency-ordered category codes. */
   def categorify(spark: SparkSession, d: String): DataFrame =
     Categorify(Seq("c_mktsegment"))
@@ -325,6 +334,7 @@ object OpQueries {
     "op_padding" -> (padding _),
     "op_embed_normalize" -> (embedNormalize _),
     "op_embed_pool" -> (embedPool _),
+    "op_training_sequences" -> (trainingSequences _),
     "op_categorify" -> (categorify _),
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
@@ -376,6 +386,16 @@ object OpQueries {
         |list_slice(embedding, 1, CAST(vec_id%5+3 AS BIGINT)),
         |[0.0,0.0,0.0,0.0,0.0,0.0]), 1, 6) AS vals FROM embeddings)
         |ORDER BY vec_id, pos""".stripMargin,
+    "op_training_sequences" ->
+      """SELECT user_id, event_id AS label_event_id,
+        |concat_ws('|', c1, c2, c3) AS context_str, event_type AS label
+        |FROM (SELECT user_id, event_id, event_type,
+        |  lag(event_type, 3) OVER w AS c1,
+        |  lag(event_type, 2) OVER w AS c2,
+        |  lag(event_type, 1) OVER w AS c3,
+        |  row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE rn > 3 ORDER BY label_event_id""".stripMargin,
     "op_embed_normalize" ->
       """SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
         |CAST(unnest(embedding) AS DOUBLE) / nrm AS val

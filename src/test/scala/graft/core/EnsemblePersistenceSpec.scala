@@ -90,6 +90,13 @@ class EnsemblePersistenceSpec extends SparkSpec {
     EnsemblePersistence.save(Ensemble(Seq(rep), schema), dir3, spark)
     assert(EnsemblePersistence.load(dir3, spark).ops.head == rep)
 
+    val seqSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING")
+    val seqOp = TrainingSequences("user_id", "ts", "event_id", "event_type", 5)
+    val dir4 = Files.tmp("ens_seq")
+    EnsemblePersistence.save(Ensemble(Seq(seqOp), seqSchema), dir4, spark)
+    assert(EnsemblePersistence.load(dir4, spark).ops.head == seqOp)
+
     val embOps = Seq(
       NormalizeEmbeddings("embedding", "unit_vec"),
       MeanPoolEmbeddings("vec_id", "embedding"))
