@@ -109,6 +109,40 @@ object StreamingOps {
       .drop("click_user")
   }
 
+  case class SeqExample(user_id: Long, label_event_id: Long,
+      context: Seq[String], context_str: String, label: String)
+  case class SeqState(lastFeats: Seq[String])
+
+  /** Streaming twin of [[graft.ops.TrainingSequences]]: as events arrive
+    * per user, emit a (context, label) training example for every event
+    * with `contextLen` predecessors — online training-set construction
+    * (the continuous version of the batch lag-window op; same output
+    * shape). State per user is exactly the last `contextLen` feature
+    * values — O(users × contextLen), independent of stream length.
+    * Within a micro-batch events are ordered by (ts, event_id),
+    * matching the batch op's total order; cross-batch ordering follows
+    * arrival, as in any online builder. */
+  def sequenceStream(events: Dataset[Event], contextLen: Int = 3)
+      : Dataset[SeqExample] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, SeqExample](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SeqState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var feats = state.getOption.map(_.lastFeats).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[SeqExample]
+          sorted.foreach { e =>
+            if (feats.length == contextLen)
+              out += SeqExample(userId, e.event_id, feats,
+                feats.mkString("|"), e.event_type)
+            feats = (feats :+ e.event_type).takeRight(contextLen)
+          }
+          state.update(SeqState(feats))
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the ingest-time twin of
     * [[graft.ops.ExactDedup]]: emit only the FIRST document per content
     * digest. State is the digest set, bounded by the event-time watermark

@@ -123,4 +123,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
     q.stop()
   }
+
+  test("sequenceStream matches the batch TrainingSequences output") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val seqs = StreamingOps.sequenceStream(src.toDS(), contextLen = 3)
+    val q = seqs.writeStream.outputMode("append").format("memory")
+      .queryName("seq_examples").start()
+    val evs = Seq(
+      Event(1, ts(0), 10, "a", 0), Event(2, ts(1), 10, "b", 0),
+      Event(3, ts(2), 10, "c", 0), Event(4, ts(3), 10, "d", 0),
+      Event(5, ts(4), 11, "x", 0))
+    // split across two micro-batches: state must carry the context over
+    src.addData(evs.take(3): _*)
+    q.processAllAvailable()
+    src.addData(evs.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("seq_examples")
+      .select($"user_id", $"label_event_id", $"context_str", $"label")
+      .as[(Long, Long, String, String)].collect().toSet
+    val batch = graft.ops.TrainingSequences(contextLen = 3)
+      .transform(evs.toDF())
+      .select($"user_id", $"label_event_id", $"context_str", $"label")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed == Set((10L, 4L, "a|b|c", "d")))
+  }
 }
