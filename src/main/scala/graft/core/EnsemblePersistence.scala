@@ -243,6 +243,11 @@ object EnsemblePersistence {
         ("idCol" -> r.idCol) ~ ("topNs" -> r.topNs) ~ ("dupNs" -> r.dupNs) ~
         ("topBpMax" -> r.topBpMax.map { case (k, v) => k.toString -> v }) ~
         ("dupBpMax" -> r.dupBpMax.map { case (k, v) => k.toString -> v })
+    case MaskPii(text, out) =>
+      ("type" -> "MaskPii") ~ ("textCol" -> text) ~ ("outCol" -> out)
+    case b: Bucketize =>
+      ("type" -> "Bucketize") ~ ("suffix" -> b.suffix) ~
+        ("splits" -> b.splits.map { case (c, s) => c -> s.toList })
     case t: TrainingSequences =>
       ("type" -> "TrainingSequences") ~ ("entityCol" -> t.entityCol) ~
         ("orderCol" -> t.orderCol) ~ ("tieCol" -> t.tieCol) ~
@@ -391,6 +396,10 @@ object EnsemblePersistence {
           (o \ "topNs").extract[Seq[Int]], (o \ "dupNs").extract[Seq[Int]],
           (o \ "topBpMax").extract[Map[String, Long]].map { case (k, v) => k.toInt -> v },
           (o \ "dupBpMax").extract[Map[String, Long]].map { case (k, v) => k.toInt -> v })
+      case "MaskPii" =>
+        MaskPii(s("textCol"), s("outCol"))
+      case "Bucketize" =>
+        Bucketize((o \ "splits").extract[Map[String, Seq[Double]]], s("suffix"))
       case "TrainingSequences" =>
         TrainingSequences(s("entityCol"), s("orderCol"), s("tieCol"),
           s("featureCol"), (o \ "contextLen").extract[Int])

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{EnsembleOp, Tags}
@@ -264,4 +264,38 @@ case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends 
       Seq(s"__mean_$c", s"__std_$c", s"__s1_$c", s"__s2_$c", s"__n_$c")): _*)
     Tags.tag(scaled, cols.map(c => (c + suffix) -> Seq(Tags.Continuous)): _*)
   }
+}
+
+/** Fixed-split feature binning — NVTabular's `Bucketize` inside
+  * TransformWorkflow (reference workflow stages, workflow.py:86-112;
+  * SURVEY §2.1 maps bucketing to Spark's Bucketizer). Bin index = number
+  * of split points <= x, giving bins (-inf,s0), [s0,s1), …, [sk,+inf) —
+  * a row-local sum of comparisons: shuffle-free, codegen'd, and exactly
+  * mirrored by a CASE-sum in the oracle SQL (no float rounding: bin
+  * edges compare, they don't arithmetize). Null input → null bin.
+  * Output columns carry the categorical tag plus the bin cardinality,
+  * like [[Categorify]]. */
+case class Bucketize(splits: Map[String, Seq[Double]], suffix: String = "_bucket")
+    extends EnsembleOp {
+
+  require(splits.nonEmpty && splits.values.forall(s =>
+    s.nonEmpty && s == s.sorted && s.distinct == s),
+    "Bucketize: each column needs a sorted list of distinct split points")
+
+  private def meta(c: String) = Tags.metadataFor(Seq(Tags.Categorical),
+    props = Map(Tags.CardinalityKey -> (splits(c).length + 1L)))
+
+  override def transformSchema(in: StructType): StructType = {
+    splits.keys.foreach(requireCol(in, _))
+    StructType(in ++ splits.keys.toSeq.sorted.map(c =>
+      StructField(c + suffix, IntegerType, metadata = meta(c))))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    splits.keys.toSeq.sorted.foldLeft(df) { (d, c) =>
+      val bin = splits(c).map(s =>
+        when(col(c) >= lit(s), 1).otherwise(0): Column).reduce(_ + _)
+      d.withColumn(c + suffix,
+        when(col(c).isNotNull, bin).as(c + suffix, meta(c)))
+    }
 }

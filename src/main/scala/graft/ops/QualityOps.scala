@@ -25,6 +25,43 @@ import graft.functions.{FastExpressions, TextFunctions => T}
   * All ratios are integer basis points over the normalized character count
   * (floor(chars*10000/totalChars)) so the DuckDB oracle matches bit-for-bit.
   */
+/** PII scrubbing for corpus curation (the C4/Dolma-style masking pass):
+  * replaces email addresses and IPv4 literals with fixed placeholder
+  * tokens and reports per-doc match counts. Row-local regexp work —
+  * shuffle-free, codegen'd, linear at any scale. The patterns are chosen
+  * to evaluate identically under Java regex (Spark) and RE2 (the DuckDB
+  * oracle): character classes, bounded repetition and word boundaries
+  * only — no backreferences, no lookaround. */
+case class MaskPii(
+    textCol: String = "text",
+    outCol: String = "text_masked") extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, textCol)
+    StructType(in ++ Seq(
+      StructField(outCol, StringType),
+      StructField("n_emails", IntegerType),
+      StructField("n_ips", IntegerType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(MaskPii.EmailRe), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(MaskPii.Ipv4Re), lit(0))))
+      .withColumn(outCol,
+        regexp_replace(
+          regexp_replace(col(textCol), MaskPii.EmailRe, MaskPii.EmailToken),
+          MaskPii.Ipv4Re, MaskPii.IpToken))
+}
+
+object MaskPii {
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val EmailToken = "<EMAIL>"
+  val IpToken = "<IP>"
+}
+
 case class RepetitionStats(
     textCol: String = "text",
     idCol: String = "doc_id",

@@ -164,10 +164,21 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("doc_freq"))
       .orderBy(desc("n_occurrences"), asc("token")).limit(100)
 
+  /** PII masking pass: match counts + fingerprint of the masked text
+    * (the synthetic corpus is PII-free, so counts are 0 and the mask is
+    * the identity — QualityOpsSpec plants real PII; this query pins the
+    * regexp dialect parity with the oracle). */
+  def textPii(spark: SparkSession, d: String): DataFrame =
+    MaskPii().transform(documents(spark, d))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        md5(col("text_masked")).as("masked_fp"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_vocab" -> (textVocab _),
+    "text_pii" -> (textPii _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -291,6 +302,18 @@ object CurationQueries {
          |count(DISTINCT doc_id) AS doc_freq
          |FROM (SELECT doc_id, unnest($wordsSql) AS token FROM documents)
          |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+    "text_pii" -> {
+      // DuckDB single-quoted strings pass backslashes through verbatim,
+      // so the Java pattern strings embed as-is (\. \b survive)
+      val email = graft.ops.MaskPii.EmailRe
+      val ip = graft.ops.MaskPii.Ipv4Re
+      s"""SELECT doc_id,
+         |CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+         |CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips,
+         |md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |  '$ip', '<IP>', 'g')) AS masked_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

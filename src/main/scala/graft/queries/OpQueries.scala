@@ -106,6 +106,15 @@ object OpQueries {
       .select("user_id", "label_event_id", "context_str", "label")
       .orderBy("label_event_id")
 
+  /** Bucketize: fixed-split binning of retail price and size. */
+  def bucketize(spark: SparkSession, d: String): DataFrame =
+    Bucketize(Map(
+      "p_retailprice" -> Seq(950.0, 1200.0, 1500.0),
+      "p_size" -> Seq(10.0, 25.0, 40.0)))
+      .transform(part(spark, d).select("p_partkey", "p_retailprice", "p_size"))
+      .select("p_partkey", "p_retailprice_bucket", "p_size_bucket")
+      .orderBy("p_partkey")
+
   /** Categorify: deterministic frequency-ordered category codes. */
   def categorify(spark: SparkSession, d: String): DataFrame =
     Categorify(Seq("c_mktsegment"))
@@ -335,6 +344,7 @@ object OpQueries {
     "op_embed_normalize" -> (embedNormalize _),
     "op_embed_pool" -> (embedPool _),
     "op_training_sequences" -> (trainingSequences _),
+    "op_bucketize" -> (bucketize _),
     "op_categorify" -> (categorify _),
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
@@ -386,6 +396,17 @@ object OpQueries {
         |list_slice(embedding, 1, CAST(vec_id%5+3 AS BIGINT)),
         |[0.0,0.0,0.0,0.0,0.0,0.0]), 1, 6) AS vals FROM embeddings)
         |ORDER BY vec_id, pos""".stripMargin,
+    "op_bucketize" ->
+      """SELECT p_partkey,
+        |CAST((CASE WHEN p_retailprice >= 950 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN p_retailprice >= 1200 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN p_retailprice >= 1500 THEN 1 ELSE 0 END) AS INTEGER)
+        |  AS p_retailprice_bucket,
+        |CAST((CASE WHEN p_size >= 10 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN p_size >= 40 THEN 1 ELSE 0 END) AS INTEGER)
+        |  AS p_size_bucket
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "op_training_sequences" ->
       """SELECT user_id, event_id AS label_event_id,
         |concat_ws('|', c1, c2, c3) AS context_str, event_type AS label

@@ -90,6 +90,16 @@ class EnsemblePersistenceSpec extends SparkSpec {
     EnsemblePersistence.save(Ensemble(Seq(rep), schema), dir3, spark)
     assert(EnsemblePersistence.load(dir3, spark).ops.head == rep)
 
+    val pii = MaskPii("text", "clean_text")
+    val dir5 = Files.tmp("ens_pii")
+    EnsemblePersistence.save(Ensemble(Seq(pii), schema), dir5, spark)
+    assert(EnsemblePersistence.load(dir5, spark).ops.head == pii)
+
+    val bkt = Bucketize(Map("sig" -> Seq(1.5, 2.5, 9.0)), "_bin")
+    val dir6 = Files.tmp("ens_bkt")
+    EnsemblePersistence.save(Ensemble(Seq(bkt), schema), dir6, spark)
+    assert(EnsemblePersistence.load(dir6, spark).ops.head == bkt)
+
     val seqSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING")
     val seqOp = TrainingSequences("user_id", "ts", "event_id", "event_type", 5)

@@ -135,6 +135,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("Bucketize: half-open bin edges, null passes through null") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 5.0), Row(2L, 10.0), Row(3L, 24.999), Row(4L, 25.0),
+        Row(5L, 100.0), Row(6L, null.asInstanceOf[Any])),
+      StructType(Seq(StructField("id", LongType), StructField("x", DoubleType))))
+    val out = Bucketize(Map("x" -> Seq(10.0, 25.0))).transform(df)
+      .orderBy("id").collect()
+    val bins = out.map(r => if (r.isNullAt(2)) null else r.getInt(2))
+    assert(bins.toSeq == Seq(0, 1, 1, 2, 2, null), s"got ${bins.toSeq}")
+    // schema: categorical tag + cardinality = #splits + 1
+    val f = Bucketize(Map("x" -> Seq(10.0, 25.0)))
+      .transformSchema(df.schema).apply("x_bucket")
+    assert(graft.core.Tags.of(f).contains(graft.core.Tags.Categorical))
+    assert(f.metadata.getLong(graft.core.Tags.CardinalityKey) == 3L)
+  }
+
   test("RepetitionStats: null or empty text yields keep=false, never null") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(

@@ -50,6 +50,29 @@ class QualityOpsSpec extends SparkSpec {
     assert(!out.getAs[Boolean]("keep")) // 118/71 > 15%
   }
 
+  test("MaskPii masks planted emails and IPs and counts matches") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.255.1 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: a@b.io c@d.org and ip 192.168.1.1")).toDF("doc_id", "text")
+    val out = MaskPii().transform(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_masked") == "contact <EMAIL> or <IP> now")
+    assert(out(0).getAs[Int]("n_emails") == 1 && out(0).getAs[Int]("n_ips") == 1)
+    assert(out(1).getAs[String]("text_masked") == "no pii here at all")
+    assert(out(1).getAs[Int]("n_emails") == 0 && out(1).getAs[Int]("n_ips") == 0)
+    assert(out(2).getAs[String]("text_masked") == "two mails: <EMAIL> <EMAIL> and ip <IP>")
+    assert(out(2).getAs[Int]("n_emails") == 2)
+  }
+
+  test("MaskPii patterns stay within the RE2-compatible subset") {
+    // the text_pii oracle replays these patterns under DuckDB's RE2 —
+    // lookaround and backreferences would silently diverge the dialects
+    Seq(MaskPii.EmailRe, MaskPii.Ipv4Re).foreach { p =>
+      assert(!p.contains("(?"), s"no lookaround/inline flags: $p")
+      assert(!p.matches(".*\\\\[0-9].*"), s"no backreferences: $p")
+    }
+  }
+
   test("short docs (< n words) get zero repetition signals and keep=true") {
     val out = statsOf(1L -> "only three words")(1L)
     assert(out.getAs[Long]("top3_bp") > 0)  // exactly one 3-gram = the doc
