@@ -47,7 +47,12 @@ case class TopKRetrieval(
     val topk = udaf(new TopKAggregator(k))
     val it = broadcast(items.select(
       col(itemIdCol).cast("long").as("__item_id"), col(itemVecCol).as("__item_vec")))
-    df.join(it)  // broadcast nested loop: every query scores every item
+    // a null query vector has no similarity to anything: drop the row
+    // (same contract as AnnLsh, whose null bucket never joins) — without
+    // this, the tuple encoder silently coerces the null score to 0.0 and
+    // the user receives arbitrary candidates "scored" 0
+    df.where(col(queryVecCol).isNotNull)
+      .join(it)  // broadcast nested loop: every query scores every item
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))
       .select(col(queryIdCol),

@@ -135,6 +135,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("retrieval ops: empty request batch yields empty output, declared schema") {
+    import spark.implicits._
+    val items = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("item_id", "embedding")
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("user_id", "user_vec")
+    val topk = TopKRetrieval(items, "user_id", "user_vec", k = 2)
+    assert(topk.transform(empty).count() == 0)
+    assert(topk.transform(empty).schema.fieldNames.toSeq ==
+      Seq("user_id", "candidate_ids", "candidate_scores"))
+    val lsh = AnnLsh(items, "user_id", "user_vec", k = 2, numBits = 4,
+      metric = "dot", center = Some(Seq(0.5, 0.5)))
+    assert(lsh.transform(empty).count() == 0)
+  }
+
+  test("retrieval ops: null query vector contributes no candidates") {
+    import spark.implicits._
+    val items = Seq((1L, Seq(1.0, 0.0))).toDF("item_id", "embedding")
+    val req = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(7L, Seq(1.0, 0.0)), Row(8L, null.asInstanceOf[Any])),
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("user_vec", ArrayType(DoubleType)))))
+    val out = TopKRetrieval(items, "user_id", "user_vec", k = 1).transform(req)
+      .orderBy("user_id").collect()
+    // a null vector is dropped up front (AnnLsh-consistent) — previously
+    // the encoder coerced the null score to 0.0 and user 8 got arbitrary
+    // candidates "scored" zero
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L))
+    assert(out(0).getSeq[Long](1) == Seq(1L))
+  }
+
   test("Bucketize: half-open bin edges, null passes through null") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(
