@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{FastExpressions, TextFunctions => T}
+
+/** The SQL surface must evaluate identically to the Column API — same
+  * expression classes, so this pins the registration plumbing. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val registered = { GraftExtensions.register(spark); true }
+
+  test("array_dot and lsh_bucket work from pure SQL") {
+    assert(registered)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val sql = spark.sql("SELECT array_dot(a, b) AS d FROM vecs").head().getDouble(0)
+    assert(sql == 11.0)
+    val viaApi = spark.table("vecs")
+      .select(FastExpressions.lshBucket(col("a"), array(lit(0.0), lit(0.0)), 4).as("bkt"))
+      .head().getInt(0)
+    val viaSql = spark.sql(
+      "SELECT lsh_bucket(a, array(0.0D, 0.0D), 4) AS bkt FROM vecs").head().getInt(0)
+    assert(viaApi == viaSql)
+  }
+
+  test("word_shingles, simhash64 and repetition_signals work from pure SQL") {
+    assert(registered)
+    Seq(("the cat sat on the mat the cat sat")).toDF("text")
+      .createOrReplaceTempView("docs")
+    val apiShingles = spark.table("docs")
+      .select(T.shingleSet(col("text"), 3).as("sh")).head().getSeq[String](0)
+    val sqlShingles = spark.sql("SELECT word_shingles(text, 3) AS sh FROM docs")
+      .head().getSeq[String](0)
+    assert(apiShingles == sqlShingles)
+    val apiHash = spark.table("docs")
+      .select(FastExpressions.simhash64(T.shingleSet(col("text"), 3))).head().getLong(0)
+    val sqlHash = spark.sql(
+      "SELECT simhash64(word_shingles(text, 3)) FROM docs").head().getLong(0)
+    assert(apiHash == sqlHash)
+    val sig = spark.sql(
+      "SELECT repetition_signals(text, 2, 3) AS s FROM docs").head().getSeq[Long](0)
+    assert(sig.length == 5 && sig.head > 0, s"got $sig")
+  }
+
+  test("non-literal integer parameters are rejected with a clear error") {
+    assert(registered)
+    Seq(("x y z", 2)).toDF("text", "n").createOrReplaceTempView("docs2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, n) FROM docs2").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+}
