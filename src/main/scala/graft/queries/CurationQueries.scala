@@ -174,11 +174,35 @@ object CurationQueries {
         md5(col("text_masked")).as("masked_fp"))
       .orderBy("doc_id")
 
+  /** Per-document keyword extraction: top 3 tokens by tf/df rarity score.
+    * The score is integer micros (`tf * 1e6 div df`) rather than a float
+    * tf·idf — same ordering for a fixed corpus, zero cross-engine float
+    * risk (libm `ln` is not bit-portable). Two token-keyed aggregations
+    * (both map-side combined) + one doc-partitioned window for the top-3:
+    * every shuffle is keyed and partial, nothing global. */
+  def textKeywords(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(spark, d)
+      .select(col("doc_id"), explode(T.words(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score_micro"), asc("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score_micro", expr("tf * 1000000 DIV df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        col("score_micro"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_vocab" -> (textVocab _),
     "text_pii" -> (textPii _),
+    "text_keywords" -> (textKeywords _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -302,6 +326,18 @@ object CurationQueries {
          |count(DISTINCT doc_id) AS doc_freq
          |FROM (SELECT doc_id, unnest($wordsSql) AS token FROM documents)
          |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+    "text_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |scored AS (SELECT doc_id, token, tf, df,
+         |  tf * 1000000 // df AS score_micro,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tf * 1000000 // df DESC, token) AS rank
+         |  FROM tf JOIN dfreq USING (token))
+         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df,
+         |  CAST(score_micro AS BIGINT) AS score_micro
+         |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_pii" -> {
       // DuckDB single-quoted strings pass backslashes through verbatim,
       // so the Java pattern strings embed as-is (\. \b survive)
