@@ -139,17 +139,26 @@ object CurationQueries {
         T.bp(size(array_distinct(ws)), size(ws)) >= 1500).as("keep_quality"))
     val rep = RepetitionStats().transform(docs)
       .select(col("doc_id"), col("keep").as("keep_repetition"))
+    // flags feed three plan branches (survivor filter, DupClusters'
+    // allDocs, final verdict join): persist the 3-column frame so the
+    // signal expressions run once per doc, not once per branch
     val flags = qual.join(rep, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val survivors = docs.join(
       flags.filter(col("keep_quality") && col("keep_repetition"))
         .select("doc_id"), "doc_id")
     val pairs = NgramJaccardDedup(thresholdBp = 8000).transform(survivors)
     val clusters = DupClusters(allDocs = Some(survivors)).transform(pairs)
-    flags.join(clusters.select("doc_id", "is_keeper"), Seq("doc_id"), "left")
+    val out = flags.join(clusters.select("doc_id", "is_keeper"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_quality"), col("keep_repetition"),
         (col("keep_quality") && col("keep_repetition") &&
           coalesce(col("is_keeper"), lit(false))).as("kept"))
       .orderBy("doc_id")
+      // pairs and clusters are already materialized (localCheckpoint), so
+      // eagerly materializing the verdict lets the flag cache release now
+      .localCheckpoint(true)
+    flags.unpersist()
+    out
   }
 
   /** Corpus vocabulary statistics (tokenizer/vocab construction input):
