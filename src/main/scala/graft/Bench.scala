@@ -60,6 +60,11 @@ object Bench {
       // isolated at sf0.1).
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // take the previous query's garbage-collection debt HERE, outside
+      // the timed window — without this the query after a heavy one paid
+      // its predecessor's full GC inside its own timing (dedup_exact_norm
+      // measured 0.9 s isolated vs 9-13 s after dedup_clusters)
+      System.gc()
       val t0 = System.nanoTime()
       // setJobGroup is a thread-local: it must run on the thread that
       // triggers the action (inside the Future), or cancelJobGroup would
