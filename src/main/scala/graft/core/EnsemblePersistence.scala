@@ -243,6 +243,10 @@ object EnsemblePersistence {
         ("idCol" -> r.idCol) ~ ("topNs" -> r.topNs) ~ ("dupNs" -> r.dupNs) ~
         ("topBpMax" -> r.topBpMax.map { case (k, v) => k.toString -> v }) ~
         ("dupBpMax" -> r.dupBpMax.map { case (k, v) => k.toString -> v })
+    case v: ValidateRequests =>
+      ("type" -> "ValidateRequests") ~ ("nonNull" -> v.nonNull) ~
+        ("errorCol" -> v.errorCol) ~
+        ("ranges" -> v.ranges.map { case (c, (lo, hi)) => c -> List(lo, hi) })
     case MaskPii(text, out) =>
       ("type" -> "MaskPii") ~ ("textCol" -> text) ~ ("outCol" -> out)
     case b: Bucketize =>
@@ -396,6 +400,11 @@ object EnsemblePersistence {
           (o \ "topNs").extract[Seq[Int]], (o \ "dupNs").extract[Seq[Int]],
           (o \ "topBpMax").extract[Map[String, Long]].map { case (k, v) => k.toInt -> v },
           (o \ "dupBpMax").extract[Map[String, Long]].map { case (k, v) => k.toInt -> v })
+      case "ValidateRequests" =>
+        ValidateRequests(ss("nonNull"),
+          (o \ "ranges").extract[Map[String, List[Double]]]
+            .map { case (c, List(lo, hi)) => c -> (lo, hi) },
+          s("errorCol"))
       case "MaskPii" =>
         MaskPii(s("textCol"), s("outCol"))
       case "Bucketize" =>

@@ -374,3 +374,47 @@ case class SaltedJoin(
       .select(out.fieldNames.map(col).toSeq: _*)
   }
 }
+
+/** Per-request validation — the Spark-native analog of the reference's
+  * `triton_error_handling` decorator (triton/utils.py:21-46): a malformed
+  * request must produce a per-request error, never fail the batch. The
+  * relational form annotates each row with the FIRST failing check
+  * (null where valid); [[valid]]/[[rejected]] split the frame for the
+  * serve-vs-quarantine fork. Row-local CASE evaluation: shuffle-free,
+  * codegen'd, linear at any scale.
+  */
+case class ValidateRequests(
+    nonNull: Seq[String] = Seq.empty,
+    ranges: Map[String, (Double, Double)] = Map.empty,
+    errorCol: String = "error") extends EnsembleOp {
+
+  require(nonNull.nonEmpty || ranges.nonEmpty, s"$name: no checks configured")
+
+  override def transformSchema(in: StructType): StructType = {
+    (nonNull ++ ranges.keys).foreach(requireCol(in, _))
+    StructType(in :+ StructField(errorCol, StringType))
+  }
+
+  private def error: Column = {
+    val checks: Seq[(Column, Column)] =
+      nonNull.map(c => (col(c).isNull, lit(s"null: $c"))) ++
+        ranges.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          (col(c).isNotNull && (col(c) < lo || col(c) > hi),
+            lit(s"out of range [$lo, $hi]: $c"))
+        }
+    checks.foldRight(lit(null).cast(StringType): Column) {
+      case ((cond, msg), els) => when(cond, msg).otherwise(els)
+    }
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    df.withColumn(errorCol, error)
+
+  /** Rows that passed every check, error column dropped. */
+  def valid(df: DataFrame): DataFrame =
+    transform(df).filter(col(errorCol).isNull).drop(errorCol)
+
+  /** Rows that failed, with their first error — the quarantine stream. */
+  def rejected(df: DataFrame): DataFrame =
+    transform(df).filter(col(errorCol).isNotNull)
+}

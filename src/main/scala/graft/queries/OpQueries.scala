@@ -106,6 +106,17 @@ object OpQueries {
       .select("user_id", "label_event_id", "context_str", "label")
       .orderBy("label_event_id")
 
+  /** ValidateRequests: per-request error annotation (batch survives bad
+    * rows — triton_error_handling analog). The range check quarantines
+    * high-value events; counts per error class prove the split. */
+  def validate(spark: SparkSession, d: String): DataFrame =
+    ValidateRequests(nonNull = Seq("user_id"), ranges = Map("value" -> (0.0, 25.0)))
+      .transform(events(spark, d).select("event_id", "user_id", "value"))
+      .groupBy("error")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(asc_nulls_first("error"))
+
   /** Bucketize: fixed-split binning of retail price and size. */
   def bucketize(spark: SparkSession, d: String): DataFrame =
     Bucketize(Map(
@@ -345,6 +356,7 @@ object OpQueries {
     "op_embed_pool" -> (embedPool _),
     "op_training_sequences" -> (trainingSequences _),
     "op_bucketize" -> (bucketize _),
+    "op_validate" -> (validate _),
     "op_categorify" -> (categorify _),
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
@@ -396,6 +408,13 @@ object OpQueries {
         |list_slice(embedding, 1, CAST(vec_id%5+3 AS BIGINT)),
         |[0.0,0.0,0.0,0.0,0.0,0.0]), 1, 6) AS vals FROM embeddings)
         |ORDER BY vec_id, pos""".stripMargin,
+    "op_validate" ->
+      """SELECT CASE WHEN user_id IS NULL THEN 'null: user_id'
+        |  WHEN value IS NOT NULL AND (value < 0.0 OR value > 25.0)
+        |    THEN 'out of range [0.0, 25.0]: value' END AS error,
+        |count(*) AS n_rows,
+        |CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "op_bucketize" ->
       """SELECT p_partkey,
         |CAST((CASE WHEN p_retailprice >= 950 THEN 1 ELSE 0 END) +

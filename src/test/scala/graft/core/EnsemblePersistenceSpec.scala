@@ -90,6 +90,11 @@ class EnsemblePersistenceSpec extends SparkSpec {
     EnsemblePersistence.save(Ensemble(Seq(rep), schema), dir3, spark)
     assert(EnsemblePersistence.load(dir3, spark).ops.head == rep)
 
+    val vr = ValidateRequests(Seq("doc_id"), Map("sig" -> (0.0, 10.0)), "err")
+    val dirV = Files.tmp("ens_vr")
+    EnsemblePersistence.save(Ensemble(Seq(vr), schema), dirV, spark)
+    assert(EnsemblePersistence.load(dirV, spark).ops.head == vr)
+
     val pii = MaskPii("text", "clean_text")
     val dir5 = Files.tmp("ens_pii")
     EnsemblePersistence.save(Ensemble(Seq(pii), schema), dir5, spark)

@@ -135,6 +135,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("ValidateRequests: per-row errors, batch survives, splits cleanly") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 5.0), Row(null.asInstanceOf[Any], 5.0),
+        Row(3L, 99.0), Row(4L, null.asInstanceOf[Any])),
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType))))
+    val op = ValidateRequests(nonNull = Seq("user_id"),
+      ranges = Map("value" -> (0.0, 25.0)))
+    val out = op.transform(df).orderBy(asc_nulls_first("user_id")).collect()
+    assert(out.length == 4, "no row may be dropped by validation")
+    assert(out(0).getString(2) == "null: user_id")
+    assert(out(1).isNullAt(2), "valid row → null error")
+    assert(out(2).getString(2) == "out of range [0.0, 25.0]: value")
+    assert(out(3).isNullAt(2), "null range value is a missing feature, not a range error")
+    assert(op.valid(df).count() == 2 && op.rejected(df).count() == 2)
+    assert(!op.valid(df).columns.contains("error"))
+  }
+
   test("retrieval ops: empty request batch yields empty output, declared schema") {
     import spark.implicits._
     val items = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
