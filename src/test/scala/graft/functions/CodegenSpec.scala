@@ -42,6 +42,16 @@ class CodegenSpec extends SparkSpec {
     assert(row.getLong(0) != 0L && row.getSeq[Long](1).size == 4)
   }
 
+  test("RepetitionSignals stays inside whole-stage codegen") {
+    val df = spark.range(3)
+      .select(concat(lit("a b a b c d e"), $"id").as("t"))
+      .select(FastExpressions.repetitionSignals($"t", Seq(2, 3)).as("s"))
+    val code = generatedCode(df)
+    assert(code.contains(".compute("), "expected unboxed compute call")
+    val sig = df.head().getSeq[Long](0)
+    assert(sig.length == 5 && sig.head > 0) // [chars, top2, dup2, top3, dup3]
+  }
+
   test("lsh bucket codegen result matches interpreted eval") {
     val vecs = Seq((1L, Seq(0.5, -0.25, 1.0)), (2L, Seq(-1.0, 0.75, 0.1)))
       .toDF("id", "v")
