@@ -117,6 +117,22 @@ object OpQueries {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .orderBy(asc_nulls_first("error"))
 
+  /** The offline training-set flagship: ordered event sequences →
+    * (context, label) examples → deterministic content-hash split. Every
+    * stage is exact, so the whole pipeline is end-to-end oracled — and
+    * because the split hashes the example id, the assignment is stable
+    * under reruns, repartitioning and backfills (the property a
+    * random() split loses the moment the cluster changes). */
+  def pipelineTrainingSet(spark: SparkSession, d: String): DataFrame = {
+    val seqs = TrainingSequences().transform(
+      events(spark, d).select("user_id", "ts", "event_id", "event_type"))
+      .select("user_id", "label_event_id", "context_str", "label")
+    HashSplit("label_event_id", trainBp = 8000, validBp = 1000)
+      .transform(seqs)
+      .select("user_id", "label_event_id", "context_str", "label", "split")
+      .orderBy("label_event_id")
+  }
+
   /** Bucketize: fixed-split binning of retail price and size. */
   def bucketize(spark: SparkSession, d: String): DataFrame =
     Bucketize(Map(
@@ -357,6 +373,7 @@ object OpQueries {
     "op_training_sequences" -> (trainingSequences _),
     "op_bucketize" -> (bucketize _),
     "op_validate" -> (validate _),
+    "pipeline_training_set" -> (pipelineTrainingSet _),
     "op_categorify" -> (categorify _),
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
@@ -408,6 +425,23 @@ object OpQueries {
         |list_slice(embedding, 1, CAST(vec_id%5+3 AS BIGINT)),
         |[0.0,0.0,0.0,0.0,0.0,0.0]), 1, 6) AS vals FROM embeddings)
         |ORDER BY vec_id, pos""".stripMargin,
+    "pipeline_training_set" ->
+      """WITH seqs AS (
+        |  SELECT user_id, event_id AS label_event_id,
+        |    concat_ws('|', c1, c2, c3) AS context_str, event_type AS label
+        |  FROM (SELECT user_id, event_id, event_type,
+        |    lag(event_type, 3) OVER w AS c1,
+        |    lag(event_type, 2) OVER w AS c2,
+        |    lag(event_type, 1) OVER w AS c3,
+        |    row_number() OVER w AS rn
+        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |  WHERE rn > 3)
+        |SELECT user_id, label_event_id, context_str, label,
+        |CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
+        |FROM (SELECT *,
+        |  ('0x' || substring(md5(label_event_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b
+        |  FROM seqs)
+        |ORDER BY label_event_id""".stripMargin,
     "op_validate" ->
       """SELECT CASE WHEN user_id IS NULL THEN 'null: user_id'
         |  WHEN value IS NOT NULL AND (value < 0.0 OR value > 25.0)
