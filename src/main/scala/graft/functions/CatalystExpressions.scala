@@ -297,6 +297,24 @@ case class LshBucket(child: Expression, center: Expression, numBits: Int,
     copy(child = l, center = r)
 }
 
+/** The shared normal form for all text expressions: mirror
+  * `lower(trim(regexp_replace(s, "\s+", " ")))` exactly — collapse
+  * whitespace runs, strip leading/trailing single space, then lower via
+  * UTF8String (the same locale-independent lowering as Spark's `lower()`;
+  * JVM-default-locale toLowerCase would diverge under e.g. a Turkish
+  * locale: 'I' → dotless 'ı'). ONE implementation so shingling and
+  * repetition signals can never drift apart — or away from the DuckDB
+  * oracle's rendering of the same normal form. */
+private[functions] object TextNormal {
+  def normalizedWords(v: UTF8String): Array[String] = {
+    var s = v.toString.replaceAll("\\s+", " ")
+    if (s.startsWith(" ")) s = s.substring(1)
+    if (s.endsWith(" ")) s = s.substring(0, s.length - 1)
+    s = UTF8String.fromString(s).toLowerCase.toString
+    s.split(" ", -1)
+  }
+}
+
 /** Distinct word n-gram shingles of a string in one pass — value-identical
   * to TextFunctions.shingleSet (normalize → split on single space →
   * positional n-grams → first-occurrence-distinct) but a single JVM loop
@@ -313,16 +331,7 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   def compute(v: UTF8String): ArrayData = {
-    // mirror lower(trim(regexp_replace(s, "\s+", " "))) exactly:
-    // collapse whitespace runs, strip leading/trailing single space, then
-    // lower via UTF8String — the same locale-independent lowering as
-    // Spark's lower() (JVM-default-locale toLowerCase would diverge under
-    // e.g. a Turkish locale: 'I' → dotless 'ı')
-    var s = v.toString.replaceAll("\\s+", " ")
-    if (s.startsWith(" ")) s = s.substring(1)
-    if (s.endsWith(" ")) s = s.substring(0, s.length - 1)
-    s = UTF8String.fromString(s).toLowerCase.toString
-    val words = s.split(" ", -1)
+    val words = TextNormal.normalizedWords(v)
     if (words.length < n) ArrayData.toArrayData(Array.empty[UTF8String])
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -385,19 +394,18 @@ case class RepetitionSignals(child: Expression, ns: Seq[Int])
   }
 
   def compute(v: UTF8String): ArrayData = {
-    // identical normal form to WordShingles.compute / TextFunctions.words
-    var s = v.toString.replaceAll("\\s+", " ")
-    if (s.startsWith(" ")) s = s.substring(1)
-    if (s.endsWith(" ")) s = s.substring(0, s.length - 1)
-    s = UTF8String.fromString(s).toLowerCase.toString
-    val words = s.split(" ", -1)
+    val words = TextNormal.normalizedWords(v) // shared with WordShingles
     val wordChars = new Array[Long](words.length)
     var w = 0
+    var totalChars = 0L
     while (w < words.length) {
-      wordChars(w) = words(w).codePointCount(0, words(w).length); w += 1
+      wordChars(w) = words(w).codePointCount(0, words(w).length)
+      totalChars += wordChars(w)
+      w += 1
     }
     val out = new Array[Long](1 + 2 * ns.length)
-    out(0) = s.codePointCount(0, s.length)
+    // normalized string = words joined by single spaces
+    out(0) = totalChars + (words.length - 1)
     var k = 0
     while (k < ns.length) {
       val n = ns(k)

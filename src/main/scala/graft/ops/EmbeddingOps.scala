@@ -35,11 +35,16 @@ case class NormalizeEmbeddings(
 
   override def transform(df: DataFrame): DataFrame = {
     val v = col(vecCol)
-    val norm = sqrt(V.dot(v, v))
-    val normalized = when(norm > 0,
-      arrayTransform(v, x => x.cast("double") / norm))
-    df.withColumn(outCol, normalized.as(outCol,
-      Tags.metadataFor(Seq(Tags.Embedding))))
+    // the norm must be a REAL projected column, not an expression inside
+    // the transform lambda: higher-order-function lambda bodies re-evaluate
+    // per element and CSE does not reach into them, so an inlined norm
+    // would recompute the full dot product dims times per row
+    df.withColumn("__norm", sqrt(V.dot(v, v)))
+      .withColumn(outCol,
+        when(col("__norm") > 0,
+          arrayTransform(v, x => x.cast("double") / col("__norm")))
+          .as(outCol, Tags.metadataFor(Seq(Tags.Embedding))))
+      .drop("__norm")
   }
 }
 

@@ -6,25 +6,6 @@ import org.apache.spark.sql.types._
 import graft.core.EnsembleOp
 import graft.functions.{FastExpressions, TextFunctions => T}
 
-/** Repetition-based quality signals for LLM pre-training corpora — the
-  * Gopher/MassiveText repetition filters (Rae et al. 2021, §A1.1): the
-  * fraction of characters covered by the single most-frequent word n-gram
-  * (n small: catches boilerplate headers) and the fraction of characters
-  * in n-grams that occur more than once (n larger: catches templated /
-  * machine-generated spam). Documents dominated by repetition are dropped.
-  *
-  * Scale design: a document's n-gram counts are a ROW-LOCAL fact, so the
-  * whole computation is one map over the corpus — the
-  * [[graft.functions.RepetitionSignals]] expression normalizes, splits and
-  * hash-counts each doc's grams in a single pass and returns all signals
-  * as a flat long array. Zero shuffles, zero joins, zero windows; the
-  * first cut of this op exploded grams through a (doc, n, gram)-keyed
-  * groupBy and was 20× slower at sf0.1 — and at 100 TB that shuffle would
-  * have carried ~3× the corpus in gram strings.
-  *
-  * All ratios are integer basis points over the normalized character count
-  * (floor(chars*10000/totalChars)) so the DuckDB oracle matches bit-for-bit.
-  */
 /** PII scrubbing for corpus curation (the C4/Dolma-style masking pass):
   * replaces email addresses and IPv4 literals with fixed placeholder
   * tokens and reports per-doc match counts. Row-local regexp work —
@@ -39,9 +20,9 @@ case class MaskPii(
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, textCol)
     StructType(in ++ Seq(
-      StructField(outCol, StringType),
       StructField("n_emails", IntegerType),
-      StructField("n_ips", IntegerType)))
+      StructField("n_ips", IntegerType),
+      StructField(outCol, StringType)))
   }
 
   override def transform(df: DataFrame): DataFrame =
@@ -62,6 +43,25 @@ object MaskPii {
   val IpToken = "<IP>"
 }
 
+/** Repetition-based quality signals for LLM pre-training corpora — the
+  * Gopher/MassiveText repetition filters (Rae et al. 2021, §A1.1): the
+  * fraction of characters covered by the single most-frequent word n-gram
+  * (n small: catches boilerplate headers) and the fraction of characters
+  * in n-grams that occur more than once (n larger: catches templated /
+  * machine-generated spam). Documents dominated by repetition are dropped.
+  *
+  * Scale design: a document's n-gram counts are a ROW-LOCAL fact, so the
+  * whole computation is one map over the corpus — the
+  * [[graft.functions.RepetitionSignals]] expression normalizes, splits and
+  * hash-counts each doc's grams in a single pass and returns all signals
+  * as a flat long array. Zero shuffles, zero joins, zero windows; the
+  * first cut of this op exploded grams through a (doc, n, gram)-keyed
+  * groupBy and was 20× slower at sf0.1 — and at 100 TB that shuffle would
+  * have carried ~3× the corpus in gram strings.
+  *
+  * All ratios are integer basis points over the normalized character count
+  * (floor(chars*10000/totalChars)) so the DuckDB oracle matches bit-for-bit.
+  */
 case class RepetitionStats(
     textCol: String = "text",
     idCol: String = "doc_id",
@@ -73,6 +73,9 @@ case class RepetitionStats(
     dupBpMax: Map[Int, Long] = Map(5 -> 1500L)) extends EnsembleOp {
 
   require(topNs.nonEmpty || dupNs.nonEmpty, s"$name: no n-gram sizes configured")
+  require(topNs.forall(topBpMax.contains) && dupNs.forall(dupBpMax.contains),
+    s"$name: every configured n needs a threshold (topNs=$topNs topBpMax keys=" +
+      s"${topBpMax.keys.toSeq.sorted}; dupNs=$dupNs dupBpMax keys=${dupBpMax.keys.toSeq.sorted})")
   private def allNs: Seq[Int] = (topNs ++ dupNs).distinct.sorted
 
   override def transformSchema(in: StructType): StructType = {

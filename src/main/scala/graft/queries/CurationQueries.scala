@@ -256,10 +256,15 @@ object CurationQueries {
 
   /** Repetition CTE chain `g → c → p → wide → rep` over a CTE `w(doc_id,
     * ws, n_chars_norm)`; `rep` has the per-doc keep_repetition verdict. */
+  /** Zero-char docs have no ratio: NULL bp (mirrors the op's ANSI-safe
+    * guard), and the keep verdict coalesces to FALSE on both sides. */
+  private def bpSql(c: String) =
+    s"CASE WHEN n_chars_norm > 0 THEN coalesce($c, 0) * 10000 // n_chars_norm END"
+
   private val repCtes: String = {
-    val t2 = "coalesce(t2, 0) * 10000 // n_chars_norm"
-    val t3 = "coalesce(t3, 0) * 10000 // n_chars_norm"
-    val d5 = "coalesce(d5, 0) * 10000 // n_chars_norm"
+    val t2 = bpSql("t2")
+    val t3 = bpSql("t3")
+    val d5 = bpSql("d5")
     s"""g AS (${gramUnionSql(Seq(2, 3, 5))}),
        |c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
        |p AS (SELECT doc_id, n, max(cnt * length(g)) AS top_chars,
@@ -271,16 +276,17 @@ object CurationQueries {
        |  max(CASE WHEN n = 5 THEN dup_chars END) AS d5
        |  FROM p GROUP BY 1),
        |rep AS (SELECT w.doc_id, n_chars_norm, t2, t3, d5,
-       |  ($t2 <= 2000 AND $t3 <= 1800 AND $d5 <= 1500) AS keep_repetition
+       |  coalesce($t2 <= 2000 AND $t3 <= 1800 AND $d5 <= 1500, FALSE)
+       |    AS keep_repetition
        |  FROM w LEFT JOIN wide ON w.doc_id = wide.doc_id)""".stripMargin
   }
 
   private val repetitionSql: String = {
-    val t2 = "coalesce(t2, 0) * 10000 // n_chars_norm"
-    val t3 = "coalesce(t3, 0) * 10000 // n_chars_norm"
-    val d5 = "coalesce(d5, 0) * 10000 // n_chars_norm"
-    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws, length($normSql) AS n_chars_norm
-       |  FROM documents),
+    val t2 = bpSql("t2")
+    val t3 = bpSql("t3")
+    val d5 = bpSql("d5")
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws,
+       |  coalesce(length($normSql), 0) AS n_chars_norm FROM documents),
        |$repCtes
        |SELECT doc_id, CAST(n_chars_norm AS INTEGER) AS n_chars_norm,
        |  CAST($t2 AS BIGINT) AS top2_bp,
@@ -295,8 +301,8 @@ object CurationQueries {
     * query from the already-verified fragments. */
   private val curationSql: String = {
     s"""WITH RECURSIVE
-       |w AS (SELECT doc_id, $wordsSql AS ws, length($normSql) AS n_chars_norm
-       |  FROM documents),
+       |w AS (SELECT doc_id, $wordsSql AS ws,
+       |  coalesce(length($normSql), 0) AS n_chars_norm FROM documents),
        |$repCtes,
        |q AS (SELECT doc_id, (len(ws) >= 20 AND
        |  (CAST(len(list_distinct(ws)) AS BIGINT) * 10000) // len(ws) >= 1500)

@@ -129,7 +129,13 @@ object StreamingOps {
       .flatMapGroupsWithState[SeqState, SeqExample](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SeqState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // Timestamp.compareTo includes sub-millisecond precision —
+          // getTime truncates to millis and would diverge from the batch
+          // op's (ts, event_id) total order on same-millisecond events
+          val sorted = rows.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
           var feats = state.getOption.map(_.lastFeats).getOrElse(Seq.empty)
           val out = Seq.newBuilder[SeqExample]
           sorted.foreach { e =>

@@ -74,13 +74,13 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     // a killed previous JVM can leave the warehouse dirs behind with no
     // catalog entry — DROP above won't clear them, so remove the locations
-    val wh = new java.io.File("spark-warehouse")
-    Seq("b_orders", "b_lineitem").foreach { t =>
-      val d = new java.io.File(wh, t)
-      if (d.exists()) {
-        d.listFiles().foreach(_.delete()); d.delete()
-      }
+    // recursively (a mid-write kill leaves nested _temporary/... dirs)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
     }
+    val wh = new java.io.File("spark-warehouse")
+    Seq("b_orders", "b_lineitem").foreach(t => rmTree(new java.io.File(wh, t)))
     Tables.orders(spark, sf).write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
     Tables.lineitem(spark, sf).write.mode("overwrite")
