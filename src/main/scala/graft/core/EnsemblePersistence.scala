@@ -212,6 +212,22 @@ object EnsemblePersistence {
     case HashSplit(id, tr, va, salt, out) =>
       ("type" -> "HashSplit") ~ ("idCol" -> id) ~ ("trainBp" -> tr) ~
         ("validBp" -> va) ~ ("salt" -> salt) ~ ("outputCol" -> out)
+    case StratifiedSample(id, strata, fr, dflt, salt) =>
+      ("type" -> "StratifiedSample") ~ ("idCol" -> id) ~
+        ("strataCol" -> strata) ~ ("fractionsBp" -> fr) ~
+        ("defaultBp" -> dflt) ~ ("salt" -> salt)
+    case DocumentChunks(id, text, cs, ov) =>
+      ("type" -> "DocumentChunks") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
+        ("chunkSize" -> cs) ~ ("overlap" -> ov)
+    case QuantizeEmbeddings(id, vec, lv) =>
+      ("type" -> "QuantizeEmbeddings") ~ ("idCol" -> id) ~ ("vecCol" -> vec) ~
+        ("levels" -> lv)
+    case m: MaterializeFeatureView =>
+      val p = artifactPath(dir, i, "mv_updates")
+      m.updates.write.mode("overwrite").parquet(p)
+      ("type" -> "MaterializeFeatureView") ~ ("path" -> p) ~
+        ("keyCols" -> m.keyCols) ~ ("orderCol" -> m.orderCol) ~
+        ("tieCol" -> m.tieCol)
     case ExactDedup(id, text, norm) =>
       ("type" -> "ExactDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("normalized" -> norm)
@@ -376,6 +392,18 @@ object EnsemblePersistence {
       case "HashSplit" =>
         HashSplit(s("idCol"), (o \ "trainBp").extract[Int],
           (o \ "validBp").extract[Int], s("salt"), s("outputCol"))
+      case "StratifiedSample" =>
+        StratifiedSample(s("idCol"), s("strataCol"),
+          (o \ "fractionsBp").extract[Map[String, Int]],
+          (o \ "defaultBp").extract[Int], s("salt"))
+      case "DocumentChunks" =>
+        DocumentChunks(s("idCol"), s("textCol"),
+          (o \ "chunkSize").extract[Int], (o \ "overlap").extract[Int])
+      case "QuantizeEmbeddings" =>
+        QuantizeEmbeddings(s("idCol"), s("vecCol"), (o \ "levels").extract[Int])
+      case "MaterializeFeatureView" =>
+        MaterializeFeatureView(spark.read.parquet(s("path")), ss("keyCols"),
+          s("orderCol"), s("tieCol"))
       case "ExactDedup" =>
         ExactDedup(s("idCol"), s("textCol"), (o \ "normalized").extract[Boolean])
       case "NgramJaccardDedup" =>

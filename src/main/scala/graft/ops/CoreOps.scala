@@ -313,6 +313,49 @@ case class HashSplit(
           .otherwise("test"))
 }
 
+/** Deterministic stratified sampling — per-stratum downsampling rates,
+  * the data-mixing knob of a pre-training pipeline (e.g. keep 100% of
+  * books, 15% of web crawl). Same content-hash trick as [[HashSplit]]:
+  * a row is kept iff `md5(id ":" salt) mod 10000 < fractionBp(stratum)`,
+  * so the sample is stable under reshuffling/re-runs, consistent across
+  * engines (oracle-checkable), and — because the bucket is a pure
+  * per-row expression — shuffle-free and map-side at any scale. Strata
+  * not in `fractionsBp` fall back to `defaultBp`; a NULL stratum uses
+  * `defaultBp`; a NULL id hashes to a NULL bucket and is dropped (no
+  * deterministic fate exists for it). The bucket survives in the output
+  * for audit (`sample_bucket`). */
+case class StratifiedSample(
+    idCol: String,
+    strataCol: String,
+    fractionsBp: Map[String, Int],
+    defaultBp: Int = 0,
+    salt: String = "graft") extends EnsembleOp {
+
+  require((defaultBp +: fractionsBp.values.toSeq).forall(b => b >= 0 && b <= 10000),
+    s"$name: all fractions must be basis points within [0, 10000]")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, strataCol)
+    StructType(in :+ StructField("sample_bucket", LongType))
+  }
+
+  /** The bucket expression (exposed so oracle SQL can mirror it). */
+  def bucket: Column =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long") % 10000
+
+  /** Per-row keep threshold: CASE over strata in sorted-key order (a
+    * canonical plan for any Map insertion order). */
+  def thresholdBp: Column =
+    fractionsBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp): Column) {
+      case ((k, bp), els) => when(col(strataCol) === k, lit(bp)).otherwise(els)
+    }
+
+  override def transform(df: DataFrame): DataFrame =
+    df.withColumn("sample_bucket", bucket)
+      .filter(col("sample_bucket") < thresholdBp)
+}
+
 /** Pad/truncate a list column to fixed length (dataloader Padding op,
   * /root/reference/tests/unit/systems/ops/padding_op.py:26-63). Spark arrays
   * are natively ragged, so this is `slice(concat(a, fill), 1, len)`. */

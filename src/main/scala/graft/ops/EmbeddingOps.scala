@@ -48,6 +48,66 @@ case class NormalizeEmbeddings(
   }
 }
 
+/** Per-vector min–max int8 quantization — the storage/bandwidth saver for
+  * embedding corpora (a float32 100 TB embedding store quantizes to
+  * ~25 TB plus two longs per vector). Affine codes: `code =
+  * (x − min) · levels / (max − min)` per component, carried out entirely
+  * in integer micros so both engines compute bit-identical codes:
+  * components quantize to `floor(x · 1e6)` longs FIRST, then the code is
+  * one exact integer-ratio floor (products stay far below 2^53 for any
+  * realistic embedding magnitude). A constant vector (max == min) has no
+  * spread: every code is 0 and dequantization returns the min. Output is
+  * already scalar rows (id, min/max micros, pos, code) — the driver-
+  * comparable shape, one row per component.
+  *
+  * Scale: row-local expressions + one posexplode, shuffle-free; the
+  * explode multiplies rows ×dims but each row is 4 longs. Dequantize:
+  * `min_micros/1e6 + code · (max_micros − min_micros) / (levels · 1e6)`
+  * — max error (max−min)/levels/2 + 1e-6, asserted in EmbeddingOpsSpec.
+  */
+case class QuantizeEmbeddings(
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    levels: Int = 255) extends EnsembleOp {
+
+  require(levels >= 1 && levels <= 255, s"$name: levels must be in [1, 255]")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol)
+    val i = requireCol(in, vecCol)
+    in(i).dataType match {
+      case ArrayType(FloatType | DoubleType, _) => ()
+      case t => throw new IllegalArgumentException(
+        s"$name: '$vecCol' must be a float/double array, got ${t.simpleString}")
+    }
+    StructType(Seq(
+      in(idCol),
+      StructField("mn_micros", LongType),
+      StructField("mx_micros", LongType),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("code", IntegerType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val rng = col("mx_micros") - col("mn_micros")
+    df.select(col(idCol),
+        arrayTransform(col(vecCol),
+          x => floor(x.cast("double") * 1e6).cast("long")).as("__xm"))
+      .select(col(idCol), col("__xm"),
+        array_min(col("__xm")).as("mn_micros"),
+        array_max(col("__xm")).as("mx_micros"))
+      .select(col(idCol), col("mn_micros"), col("mx_micros"),
+        posexplode(arrayTransform(col("__xm"), q =>
+          when(rng > 0,
+            // exact: both factors are longs, the product < 2^53, and a
+            // double ratio of exact longs floors identically to integer
+            // division (the TextFunctions.bp discipline)
+            floor((q - col("mn_micros")).cast("double") * levels / rng.cast("double")))
+            .otherwise(lit(0L))
+            .cast("int"))).as(Seq("pos", "code")))
+  }
+}
+
 /** Mean-pooling of embeddings per group key — centroid construction
   * (class prototypes, user profiles from item embeddings, IVF seeding).
   *

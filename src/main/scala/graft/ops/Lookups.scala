@@ -118,6 +118,49 @@ case class PointInTimeJoin(
   }
 }
 
+/** Incremental feature-view materialization — the refresh job behind
+  * [[QueryFeatureStore]]'s online table (Feast's
+  * `materialize_incremental`, reference feast.py:167-169: the online
+  * store holds the LATEST feature row per entity; this op builds that
+  * snapshot). Input = the current snapshot, `updates` = the new feature
+  * log batch; output = one row per key set: the row with the greatest
+  * `(orderCol, tieCol)` across both. Because "latest" is associative,
+  * incremental refresh is exact: materializing base ∪ updates equals
+  * materializing the full history in one shot (pinned in CoreOpsSpec),
+  * so snapshots can be folded forward batch after batch forever.
+  *
+  * Scale: one shuffle on the entity key; the max-per-key runs as a
+  * per-key window over that exchange — never global, linear in rows.
+  * The tie column makes the order total, so the snapshot is
+  * deterministic (an untied `ts` would pick an arbitrary same-ts row).
+  */
+case class MaterializeFeatureView(
+    updates: DataFrame,
+    keyCols: Seq[String],
+    orderCol: String,
+    tieCol: String) extends EnsembleOp {
+
+  require(keyCols.nonEmpty, s"$name: at least one key column required")
+
+  override def transformSchema(in: StructType): StructType = {
+    (keyCols :+ orderCol :+ tieCol).foreach(requireCol(in, _))
+    require(updates.schema.fieldNames.sorted.sameElements(in.fieldNames.sorted),
+      s"$name: updates schema ${updates.schema.simpleString} must carry the " +
+        s"same columns as the snapshot ${in.simpleString}")
+    in
+  }
+
+  override def transform(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(desc(orderCol), desc(tieCol))
+    base.unionByName(updates.select(base.columns.map(col).toSeq: _*))
+      .withColumn("__mv_rn", row_number().over(w))
+      .filter(col("__mv_rn") === 1)
+      .drop("__mv_rn")
+  }
+}
+
 /** Embedding lookup by id (NumpyEmbeddingOperator,
   * /root/reference/tests/unit/systems/ops/embedding_op.py:26-57):
   * broadcast join of a `(id, vector)` table onto request rows. */

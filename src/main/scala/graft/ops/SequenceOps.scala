@@ -24,6 +24,62 @@ import graft.core.EnsembleOp
   * are per-entity, never global. Lag chains reuse the single sorted pass —
   * at 1000 executors this is the textbook distributed window.
   */
+/** Overlapping token-window chunking — the document → training-example
+  * splitter every LLM data pipeline runs before tokenization: each
+  * document becomes ⌈(len − overlap) / stride⌉ windows of `chunkSize`
+  * whitespace tokens advancing by `stride = chunkSize − overlap`. The
+  * LAST chunk is the first window that reaches the end of the document,
+  * so a trailing window that would be a pure suffix of its predecessor
+  * is never emitted; documents at or under `chunkSize` tokens yield
+  * exactly one chunk.
+  *
+  * Tokenization is [[graft.functions.TextFunctions.words]] (normalize +
+  * whitespace split), shared with the dedup/quality family so chunk
+  * boundaries and dedup shingles can never disagree on what a token is.
+  * A NULL text yields no chunks (explode of a null sequence).
+  *
+  * Scale: per-row expressions + one explode — shuffle-free, row-local,
+  * linear in corpus size; the only data motion is the scan itself.
+  */
+case class DocumentChunks(
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    chunkSize: Int = 32,
+    overlap: Int = 8) extends EnsembleOp {
+
+  require(chunkSize >= 1, s"$name: chunkSize must be >= 1")
+  require(overlap >= 0 && overlap < chunkSize,
+    s"$name: overlap must be in [0, chunkSize)")
+
+  /** Window advance per chunk. */
+  val stride: Int = chunkSize - overlap
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    StructType(Seq(
+      in(idCol),
+      StructField("chunk_id", IntegerType, nullable = false),
+      StructField("n_tokens", IntegerType),
+      StructField("chunk_text", StringType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val n = size(col("__ws"))
+    // 1 + ceil(max(0, n − chunkSize) / stride); int magnitudes keep the
+    // double division exact, so floor matches integer division
+    val nc = (lit(1) + floor((greatest(n - chunkSize, lit(0)) + lit(stride - 1))
+      / lit(stride))).cast("int")
+    df.select(col(idCol), graft.functions.TextFunctions.words(col(textCol)).as("__ws"))
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0), nc - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__ws"), col("chunk_id") * stride + 1, lit(chunkSize)).as("__cw"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__cw")).as("n_tokens"),
+        concat_ws(" ", col("__cw")).as("chunk_text"))
+  }
+}
+
 case class TrainingSequences(
     entityCol: String = "user_id",
     orderCol: String = "ts",

@@ -161,6 +161,14 @@ object CurationQueries {
     out
   }
 
+  /** Overlapping token-window chunking (32-token windows, 8-token
+    * overlap): the document → training-example splitter. Row-local +
+    * one explode, shuffle-free. */
+  def textChunks(spark: SparkSession, d: String): DataFrame =
+    DocumentChunks(chunkSize = 32, overlap = 8)
+      .transform(documents(spark, d))
+      .orderBy("doc_id", "chunk_id")
+
   /** Corpus vocabulary statistics (tokenizer/vocab construction input):
     * per token, total occurrences and document frequency, top 100 under a
     * strict (count DESC, token ASC) total order. One token-keyed shuffle
@@ -212,6 +220,7 @@ object CurationQueries {
     "text_vocab" -> (textVocab _),
     "text_pii" -> (textPii _),
     "text_keywords" -> (textKeywords _),
+    "text_chunks" -> (textChunks _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -334,6 +343,17 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_chunks" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |c AS (SELECT doc_id, ws, len(ws) AS n,
+         |  1 + (greatest(len(ws) - 32, 0) + 23) // 24 AS nc FROM w)
+         |SELECT doc_id,
+         |CAST(unnest(range(0, nc)) AS INTEGER) AS chunk_id,
+         |CAST(unnest(list_transform(range(0, nc),
+         |  i -> least(i*24 + 32, n) - i*24)) AS INTEGER) AS n_tokens,
+         |unnest(list_transform(range(0, nc),
+         |  i -> array_to_string(ws[CAST(i*24 + 1 AS BIGINT):CAST(least(i*24 + 32, n) AS BIGINT)], ' '))) AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_repetition" -> repetitionSql,
     "pipeline_curation" -> curationSql,
     "text_vocab" ->
