@@ -143,9 +143,12 @@ case class FilterCandidatesWithScores(
   * (/root/reference/merlin/systems/dag/ops/softmax_sampling.py:79-117).
   *
   * The reference draws unseeded uniforms; for reproducibility we derive
-  * `u` deterministically from `xxhash64(seedCol, position, seed)` —
-  * an explicit-seed variant of the same distribution (SURVEY.md §7.4).
-  * Entirely built-in HOFs: per-row, shuffle-free, codegen-friendly.
+  * `u` deterministically from `md5(seedCol ":" position ":" seed)` — an
+  * explicit-seed variant of the same distribution (SURVEY.md §7.4). md5
+  * (not xxhash64) so the DuckDB oracle mirrors the full
+  * Efraimidis–Spirakis key and the sampled output hash-checks
+  * cross-engine. Entirely built-in HOFs: per-row, shuffle-free,
+  * codegen-friendly.
   */
 case class SoftmaxSampling(
     idsCol: String,
@@ -170,9 +173,12 @@ case class SoftmaxSampling(
     val scores = col(relevanceCol)
     val sumS = aggregate(scores, lit(0.0), (acc, x) => acc + x.cast("double"))
     // key_i = -ln(u_i) / w_i  with  w_i = exp(T*s_i)/sum(s);  u_i ∈ (0,1)
+    // u from the first 8 md5 hex chars (engine-portable, uniform on
+    // [0, 2^32)); +0.5 keeps u strictly inside (0, 1)
     val keyed = arrayTransform(ids, (id, i) => {
-      val u = (pmod(xxhash64(col(seedCol), i, lit(seed)), lit(1000000007L)) + 1) /
-        lit(1000000009.0)
+      val u = (conv(substring(md5(concat_ws(":",
+        col(seedCol).cast("string"), i.cast("string"), lit(seed.toString))),
+        1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
       val s = element_at(scores, i + 1)
       val key = -log(u) * sumS / exp(lit(temperature) * s.cast("double"))
       struct(key.as("k"), id.as("id"), s.as("sc"))
@@ -336,6 +342,8 @@ case class StratifiedSample(
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idCol); requireCol(in, strataCol)
+    require(!in.fieldNames.contains("sample_bucket"),
+      s"$name: output column 'sample_bucket' collides with the input schema")
     StructType(in :+ StructField("sample_bucket", LongType))
   }
 

@@ -61,9 +61,11 @@ case class NormalizeEmbeddings(
   * comparable shape, one row per component.
   *
   * Scale: row-local expressions + one posexplode, shuffle-free; the
-  * explode multiplies rows ×dims but each row is 4 longs. Dequantize:
-  * `min_micros/1e6 + code · (max_micros − min_micros) / (levels · 1e6)`
-  * — max error (max−min)/levels/2 + 1e-6, asserted in EmbeddingOpsSpec.
+  * explode multiplies rows ×dims but each row is 4 longs. Dequantize at
+  * the cell midpoint, `(mn_micros + (code + 0.5)·(mx_micros − mn_micros)
+  * / levels) / 1e6` — max error (max−min)/(2·levels) + 1e-6 (half a
+  * quantization cell plus the micro round-down), asserted in
+  * EmbeddingOpsSpec.
   */
 case class QuantizeEmbeddings(
     idCol: String = "vec_id",

@@ -144,9 +144,12 @@ case class MaterializeFeatureView(
 
   override def transformSchema(in: StructType): StructType = {
     (keyCols :+ orderCol :+ tieCol).foreach(requireCol(in, _))
-    require(updates.schema.fieldNames.sorted.sameElements(in.fieldNames.sorted),
+    // compare (name, type) pairs, not just names: a dtype mismatch must
+    // fail here with this op's message, not later inside unionByName
+    def sig(s: StructType) = s.map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
+    require(sig(updates.schema) == sig(in),
       s"$name: updates schema ${updates.schema.simpleString} must carry the " +
-        s"same columns as the snapshot ${in.simpleString}")
+        s"same columns and types as the snapshot ${in.simpleString}")
     in
   }
 

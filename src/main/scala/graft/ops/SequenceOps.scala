@@ -6,24 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.EnsembleOp
 
-/** Training-example construction for sequential models: per entity,
-  * order events and emit one (context, label) pair per position — the
-  * last `contextLen` feature values as the context, the current value as
-  * the label. This is the offline twin of the reference's session-based
-  * serving path (Transformer4Rec sequences rebuilt from values/offsets in
-  * /root/reference/merlin/systems/triton/models/pytorch_model.py:44-221):
-  * the same sequences, built as a training set instead of a request.
-  *
-  * Positions with fewer than `contextLen` predecessors are dropped
-  * (fixed-shape contexts only — the padded variant is [[Padding]] over
-  * the ragged form). The context is emitted both as an array and as a
-  * `|`-joined string so downstream can choose shape; ordering is made
-  * total by (orderCol, tieCol), so the output is deterministic.
-  *
-  * Scale: one shuffle on the entity key (the window partition); windows
-  * are per-entity, never global. Lag chains reuse the single sorted pass —
-  * at 1000 executors this is the textbook distributed window.
-  */
 /** Overlapping token-window chunking — the document → training-example
   * splitter every LLM data pipeline runs before tokenization: each
   * document becomes ⌈(len − overlap) / stride⌉ windows of `chunkSize`
@@ -70,6 +52,9 @@ case class DocumentChunks(
     val nc = (lit(1) + floor((greatest(n - chunkSize, lit(0)) + lit(stride - 1))
       / lit(stride))).cast("int")
     df.select(col(idCol), graft.functions.TextFunctions.words(col(textCol)).as("__ws"))
+      // size(NULL) is -1, which would make nc = 1 and emit one bogus
+      // empty chunk for a NULL text — filter, don't arithmetize
+      .filter(col("__ws").isNotNull)
       .select(col(idCol), col("__ws"),
         explode(sequence(lit(0), nc - 1)).as("chunk_id"))
       .select(col(idCol), col("chunk_id"),
@@ -80,6 +65,24 @@ case class DocumentChunks(
   }
 }
 
+/** Training-example construction for sequential models: per entity,
+  * order events and emit one (context, label) pair per position — the
+  * last `contextLen` feature values as the context, the current value as
+  * the label. This is the offline twin of the reference's session-based
+  * serving path (Transformer4Rec sequences rebuilt from values/offsets in
+  * /root/reference/merlin/systems/triton/models/pytorch_model.py:44-221):
+  * the same sequences, built as a training set instead of a request.
+  *
+  * Positions with fewer than `contextLen` predecessors are dropped
+  * (fixed-shape contexts only — the padded variant is [[Padding]] over
+  * the ragged form). The context is emitted both as an array and as a
+  * `|`-joined string so downstream can choose shape; ordering is made
+  * total by (orderCol, tieCol), so the output is deterministic.
+  *
+  * Scale: one shuffle on the entity key (the window partition); windows
+  * are per-entity, never global. Lag chains reuse the single sorted pass —
+  * at 1000 executors this is the textbook distributed window.
+  */
 case class TrainingSequences(
     entityCol: String = "user_id",
     orderCol: String = "ts",

@@ -233,9 +233,12 @@ object OpQueries {
       .orderBy("media_id", "frame_idx")
   }
 
-  /** SoftmaxSampling over per-user order candidates (seeded; rand-based so
-    * rows-only checked — no SQL oracle can reproduce the sampling).
-    * Exploded to (requestId, rank, item_id, score) scalar rows. */
+  /** SoftmaxSampling over per-user order candidates, fully under the hash
+    * oracle: u derives from md5 (engine-portable), so DuckDB reproduces
+    * the exact Efraimidis–Spirakis keys. The oracle ranks by
+    * -ln(u)/exp(T*s) — the op's key times the per-request constant
+    * sum(s) > 0, hence the identical ordering — with the same id
+    * tie-break. Exploded to (requestId, rank, item_id, score) rows. */
   def softmaxSampling(spark: SparkSession, d: String): DataFrame = {
     val perUser = interactions(spark, d)
       .withColumn("rel", col("o_totalprice") / 100000)
@@ -353,6 +356,37 @@ object OpQueries {
       .orderBy("p_brand")
   }
 
+  /** StratifiedSample under the oracle: per-language keep rates over the
+    * document corpus (the pre-training data-mixing knob). The md5 bucket
+    * is pure content hash, so DuckDB reproduces the exact surviving set —
+    * not just the rate. */
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame =
+    StratifiedSample("doc_id", "lang",
+      Map("en" -> 10000, "de" -> 5000, "zh" -> 2000), defaultBp = 1000)
+      .transform(documents(spark, d).select("doc_id", "lang"))
+      .orderBy("doc_id")
+
+  /** QuantizeEmbeddings under the oracle: integer-micro affine codes are
+    * bit-deterministic, so every (vector, component) code hash-checks. */
+  def quantizeEmbeddings(spark: SparkSession, d: String): DataFrame =
+    QuantizeEmbeddings().transform(embeddings(spark, d))
+      .orderBy("vec_id", "pos")
+
+  /** MaterializeFeatureView under the oracle: fold an update batch onto a
+    * snapshot; the survivor per user is the (ts, event_id)-max row — the
+    * oracle materializes the full history in one row_number pass, which
+    * must coincide exactly (the associativity CoreOpsSpec pins). */
+  def materializeView(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d).select(col("user_id"),
+      col("ts").cast("long").as("ts_s"), col("event_id"),
+      round(col("value") * 100).cast("long").as("value_cents"))
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val updates = ev.filter(col("event_id") % 2 =!= 0)
+    MaterializeFeatureView(updates, Seq("user_id"), "ts_s", "event_id")
+      .transform(base)
+      .orderBy("user_id")
+  }
+
   /** Deterministic 80/10/10 split over documents — stable content-hash
     * buckets both engines compute identically. */
   def hashSplit(spark: SparkSession, d: String): DataFrame =
@@ -387,6 +421,9 @@ object OpQueries {
     "op_asof_join" -> (asofJoin _),
     "op_interval_join" -> (intervalJoin _),
     "op_salted_join" -> (saltedJoin _),
+    "op_stratified_sample" -> (stratifiedSample _),
+    "op_quantize_embeddings" -> (quantizeEmbeddings _),
+    "op_materialize_view" -> (materializeView _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
 
   val oracle: Map[String, String] = Map(
@@ -583,5 +620,51 @@ object OpQueries {
     "op_pipeline_ensemble" ->
       """SELECT p_brand, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON p_partkey=l_partkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "op_softmax_sampling" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS requestId, o_orderkey,
+        |    o_totalprice/100000 AS rel
+        |  FROM orders JOIN lineitem ON o_orderkey=l_orderkey),
+        |pos AS (
+        |  SELECT requestId, o_orderkey, rel,
+        |    row_number() OVER (PARTITION BY requestId ORDER BY o_orderkey, rel) - 1 AS i
+        |  FROM pairs),
+        |keyed AS (
+        |  SELECT requestId, o_orderkey, rel,
+        |    -ln((('0x' || substring(md5(requestId::VARCHAR || ':' || i::VARCHAR || ':42'),
+        |      1, 8))::BIGINT + 0.5) / 4294967296.0) / exp(20.0 * rel) AS k
+        |  FROM pos)
+        |SELECT requestId, CAST(rank AS INTEGER) AS rank, item_id, score FROM (
+        |  SELECT requestId, o_orderkey AS item_id, rel AS score,
+        |    row_number() OVER (PARTITION BY requestId ORDER BY k, o_orderkey) AS rank
+        |  FROM keyed)
+        |WHERE rank <= 10 ORDER BY requestId, rank""".stripMargin,
+    "op_stratified_sample" ->
+      """SELECT doc_id, lang, b AS sample_bucket FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b
+        |  FROM documents)
+        |WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+        |  WHEN 'zh' THEN 2000 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+    "op_quantize_embeddings" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, xm, list_min(xm) AS mn, list_max(xm) AS mx FROM q)
+        |SELECT vec_id, mn AS mn_micros, mx AS mx_micros,
+        |  CAST(unnest(range(0, len(xm))) AS INTEGER) AS pos,
+        |  CAST(CASE WHEN mx > mn
+        |    THEN floor(CAST(unnest(xm) - mn AS DOUBLE) * 255 / CAST(mx - mn AS DOUBLE))
+        |    ELSE 0 END AS INTEGER) AS code
+        |FROM m ORDER BY vec_id, pos""".stripMargin,
+    "op_materialize_view" ->
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  event_id, CAST(round(value*100) AS BIGINT) AS value_cents FROM events)
+        |SELECT user_id, ts_s, event_id, value_cents FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_s DESC, event_id DESC) AS rn FROM ev)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
 }

@@ -122,6 +122,42 @@ class EnsemblePersistenceSpec extends SparkSpec {
     }
   }
 
+  test("sampling/chunking/quantize ops round-trip by value") {
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    val ss = StratifiedSample("doc_id", "lang",
+      Map("en" -> 10000, "de" -> 500), defaultBp = 100, salt = "s3")
+    val dirS = Files.tmp("ens_strat")
+    EnsemblePersistence.save(Ensemble(Seq(ss), docSchema), dirS, spark)
+    assert(EnsemblePersistence.load(dirS, spark).ops.head == ss)
+
+    val dc = DocumentChunks("doc_id", "text", chunkSize = 16, overlap = 4)
+    val dirD = Files.tmp("ens_chunks")
+    EnsemblePersistence.save(Ensemble(Seq(dc), docSchema), dirD, spark)
+    assert(EnsemblePersistence.load(dirD, spark).ops.head == dc)
+
+    val vecSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val qe = QuantizeEmbeddings(levels = 127)
+    val dirQ = Files.tmp("ens_quant")
+    EnsemblePersistence.save(Ensemble(Seq(qe), vecSchema), dirQ, spark)
+    assert(EnsemblePersistence.load(dirQ, spark).ops.head == qe)
+  }
+
+  test("MaterializeFeatureView round-trips its updates table as a side artifact") {
+    val snap = Seq((1L, 10L, 1L, "old"), (2L, 10L, 1L, "keep"))
+      .toDF("id", "ts", "seq", "v")
+    val updates = Seq((1L, 20L, 2L, "new")).toDF("id", "ts", "seq", "v")
+    val op = MaterializeFeatureView(updates, Seq("id"), "ts", "seq")
+    val dir = Files.tmp("ens_mv")
+    EnsemblePersistence.save(Ensemble(Seq(op), snap.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.transform(snap).orderBy("id").collect().toSeq ==
+      op.transform(snap).orderBy("id").collect().toSeq)
+    val got = loaded.transform(snap).orderBy("id").collect()
+    assert(got.map(_.getString(3)).toSeq == Seq("new", "keep"))
+  }
+
   test("retrieval ops round-trip: identical top-k after reload") {
     val items = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)),

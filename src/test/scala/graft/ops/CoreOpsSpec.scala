@@ -232,6 +232,81 @@ class CoreOpsSpec extends SparkSpec {
       .fieldNames.toSeq == Seq("row_id", "key", "label"))
   }
 
+  test("StratifiedSample keeps per-stratum fractions deterministically") {
+    val df = (1L to 3000L).map(i =>
+      (i, i % 3 match { case 0 => "books"; case 1 => "web"; case _ => "other" }))
+      .toDF("id", "stratum")
+    val op = StratifiedSample("id", "stratum",
+      Map("books" -> 10000, "web" -> 2000), defaultBp = 0)
+    val counts = op.transform(df).groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("books") == 1000L, s"100% stratum keeps every row: $counts")
+    assert(math.abs(counts.getOrElse("web", 0L) - 200L) < 80, s"~20% of web: $counts")
+    assert(!counts.contains("other"), s"defaultBp=0 drops unlisted strata: $counts")
+    // deterministic under re-run AND independent of the stratum column:
+    // a row's bucket depends only on (id, salt), so changing a stratum's
+    // rate never reshuffles which ids survive in OTHER strata
+    val a = op.transform(df).select("id").as[Long].collect().toSet
+    assert(a == op.transform(df).select("id").as[Long].collect().toSet)
+    val webOnly = StratifiedSample("id", "stratum", Map("web" -> 2000), 0)
+      .transform(df).select("id").as[Long].collect().toSet
+    assert(webOnly == a.filter(_ % 3 == 1), "per-id fate is stratum-independent")
+  }
+
+  test("StratifiedSample null semantics and output-collision check") {
+    val nulls = Seq((Option(1L), Option("books")), (Option(2L), None),
+      (None, Option("books"))).toDF("id", "stratum")
+    // defaultBp=10000: the null-stratum row is kept via the default rate,
+    // the null-id row is dropped (no deterministic fate exists for it)
+    val kept = StratifiedSample("id", "stratum", Map.empty, defaultBp = 10000)
+      .transform(nulls).select("id").as[Option[Long]].collect().toSet
+    assert(kept == Set(Option(1L), Option(2L)))
+    // an input already carrying sample_bucket must fail at schema time
+    val clash = Seq((1L, "a", 0L)).toDF("id", "stratum", "sample_bucket")
+    assertThrows[IllegalArgumentException] {
+      StratifiedSample("id", "stratum", Map.empty).transformSchema(clash.schema)
+    }
+  }
+
+  // The scaladoc's associativity claim: folding snapshots forward batch
+  // by batch lands on exactly the one-shot materialization of the full
+  // history — the property that makes incremental refresh exact.
+  test("MaterializeFeatureView incremental refresh equals full-history materialization") {
+    val rnd = new scala.util.Random(11)
+    val history = Seq.tabulate(120)(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(40).toLong, i.toLong, s"v$i"))
+    val schema = Seq.empty[(Long, Long, Long, String)]
+      .toDF("id", "ts", "seq", "v").schema
+    def frame(rows: Seq[(Long, Long, Long, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromTuple)), schema)
+    val batches = history.grouped(40).toSeq
+    val empty = frame(Seq.empty)
+    val incremental = batches.foldLeft(empty)((snap, b) =>
+      MaterializeFeatureView(frame(b), Seq("id"), "ts", "seq").transform(snap))
+    val oneShot = MaterializeFeatureView(frame(history), Seq("id"), "ts", "seq")
+      .transform(empty)
+    assert(incremental.collect().toSet == oneShot.collect().toSet)
+    assert(incremental.count() == history.map(_._1).distinct.size.toLong,
+      "exactly one row per key survives")
+    // the survivor per key really is the (ts, seq)-max row
+    val got = incremental.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    history.groupBy(_._1).foreach { case (id, rows) =>
+      assert(got(id) == rows.map(r => (r._2, r._3)).max, s"key $id")
+    }
+  }
+
+  test("MaterializeFeatureView rejects updates with mismatched dtypes at schema time") {
+    val snap = Seq((1L, 10L, 1L, "a")).toDF("id", "ts", "seq", "v")
+    val badTyped = Seq((1L, 10L, 1L, 2.5)).toDF("id", "ts", "seq", "v") // v: DOUBLE
+    val err = intercept[IllegalArgumentException] {
+      MaterializeFeatureView(badTyped, Seq("id"), "ts", "seq")
+        .transformSchema(snap.schema)
+    }
+    assert(err.getMessage.contains("same columns and types"),
+      s"mismatch must surface with the op's message: ${err.getMessage}")
+  }
+
   test("SaltedJoin left join keeps unmatched fact rows with null payload") {
     val fact = Seq((1L, 7L), (2L, 99L)).toDF("row_id", "key")
     val dim = Seq((7L, "hot")).toDF("key", "label")

@@ -39,6 +39,40 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(out(3).getAs[Long]("sum_micros") == 250000L)
   }
 
+  // The scaladoc's error bound: midpoint dequantization reconstructs each
+  // component within (max−min)/(2·levels) + the micro round-down.
+  test("QuantizeEmbeddings codes dequantize within the documented error bound") {
+    val rnd = new scala.util.Random(5)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val op = QuantizeEmbeddings(levels = 255)
+    val out = op.transform(df).collect()
+    assert(out.length == 40 * 16, "one row per (vector, component)")
+    val byVec = vecs.toMap
+    out.foreach { r =>
+      val (id, mn, mx, pos, code) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))
+      val x = byVec(id)(pos).toDouble
+      val range = (mx - mn) / 1e6
+      val dequant = (mn + (code + 0.5) * (mx - mn).toDouble / 255) / 1e6
+      assert(math.abs(x - dequant) <= range / (2 * 255) + 2e-6,
+        s"vec $id pos $pos: x=$x dequant=$dequant range=$range")
+      assert(code >= 0 && code <= 255, s"code out of [0, levels]: $code")
+    }
+    // re-run is bit-identical (pure integer arithmetic, no RNG)
+    assert(op.transform(df).collect().toSet == out.toSet)
+  }
+
+  test("QuantizeEmbeddings maps a constant vector to all-zero codes") {
+    val df = Seq((7L, Array(1.25f, 1.25f, 1.25f))).toDF("vec_id", "embedding")
+    val out = QuantizeEmbeddings().transform(df).orderBy("pos").collect()
+    assert(out.forall(_.getInt(4) == 0), "no spread → every code 0")
+    assert(out.forall(r => r.getLong(1) == r.getLong(2)), "mn == mx")
+    // dequantize-at-min returns the (micro-floored) constant
+    assert(math.abs(out.head.getLong(1) / 1e6 - 1.25) <= 1e-6)
+  }
+
   test("NormalizeEmbeddings rejects non-array columns") {
     val df = Seq((1L, "x")).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

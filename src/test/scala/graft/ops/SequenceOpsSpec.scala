@@ -29,6 +29,34 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out(1).getAs[String]("label") == "e")
   }
 
+  test("DocumentChunks windows overlap by the configured stride; short docs yield one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens, chunk 4/overlap 2
+      (2L, "a b c"),                                   // under chunkSize → one chunk
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = DocumentChunks(chunkSize = 4, overlap = 2).transform(docs)
+      .orderBy("doc_id", "chunk_id").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).map(r =>
+      (r.getInt(1), r.getInt(2), r.getString(3)))
+    // stride 2: windows start at tokens 1,3,5,7 — the 7-start window
+    // reaches the end, so no pure-suffix 9-start window is emitted
+    assert(doc1.toSeq == Seq(
+      (0, 4, "w1 w2 w3 w4"), (1, 4, "w3 w4 w5 w6"),
+      (2, 4, "w5 w6 w7 w8"), (3, 4, "w7 w8 w9 w10")))
+    assert(out.filter(_.getLong(0) == 2L).map(r => (r.getInt(2), r.getString(3))).toSeq ==
+      Seq((3, "a b c")))
+    assert(out.filter(_.getLong(0) == 3L).length == 1)
+  }
+
+  test("DocumentChunks yields zero chunks for NULL text") {
+    val docs = Seq((1L, Option("one two three")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = DocumentChunks(chunkSize = 8, overlap = 2).transform(docs).collect()
+    assert(out.length == 1, "a NULL text must emit no chunk rows")
+    assert(out.head.getLong(0) == 1L)
+  }
+
   test("TrainingSequences breaks timestamp ties deterministically by tie column") {
     val events = Seq(
       (1L, ts(10), 1L, "a"),
