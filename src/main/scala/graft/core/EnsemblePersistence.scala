@@ -198,6 +198,19 @@ object EnsemblePersistence {
         ("featureCols" -> f.featureCols) ~ ("predictProba" -> f.predictProba) ~
         ("outputClass" -> f.outputClass) ~ ("threshold" -> f.threshold) ~
         ("outputCol" -> f.outputCol)
+    case x: XgbForest =>
+      // the parsed node arrays ARE the model — no side artifact; the
+      // saved ensemble round-trips even without the original json file
+      ("type" -> "XgbForest") ~
+        ("trees" -> x.trees.map(t =>
+          ("left" -> t.leftChildren.toList) ~ ("right" -> t.rightChildren.toList) ~
+            ("idx" -> t.splitIndices.toList) ~ ("cond" -> t.splitConditions.toList) ~
+            ("dflt" -> t.defaultLeft.toList)).toList) ~
+        ("treeInfo" -> x.treeInfo.toList) ~ ("baseScore" -> x.baseScore) ~
+        ("objective" -> x.objective) ~ ("numClass" -> x.numClass) ~
+        ("featureCols" -> x.featureCols) ~ ("predictProba" -> x.predictProba) ~
+        ("outputClass" -> x.outputClass) ~ ("threshold" -> x.threshold) ~
+        ("outputMargin" -> x.outputMargin) ~ ("outputCol" -> x.outputCol)
     case m: PredictImplicit =>
       val p = artifactPath(dir, i, "als_model")
       m.model.write.overwrite().save(p)
@@ -380,6 +393,17 @@ object EnsemblePersistence {
           org.apache.spark.ml.classification.RandomForestClassificationModel.load(s("path")),
           ss("featureCols"), (o \ "predictProba").extract[Boolean],
           (o \ "outputClass").extract[Boolean], (o \ "threshold").extract[Double],
+          s("outputCol"))
+      case "XgbForest" =>
+        XgbForest(
+          (o \ "trees").extract[List[JObject]].map(t => graft.ops.XgbTree(
+            (t \ "left").extract[Vector[Int]], (t \ "right").extract[Vector[Int]],
+            (t \ "idx").extract[Vector[Int]], (t \ "cond").extract[Vector[Double]],
+            (t \ "dflt").extract[Vector[Boolean]])).toVector,
+          (o \ "treeInfo").extract[Vector[Int]], (o \ "baseScore").extract[Double],
+          s("objective"), (o \ "numClass").extract[Int], ss("featureCols"),
+          (o \ "predictProba").extract[Boolean], (o \ "outputClass").extract[Boolean],
+          (o \ "threshold").extract[Double], (o \ "outputMargin").extract[Boolean],
           s("outputCol"))
       case "PredictImplicit" =>
         PredictImplicit(

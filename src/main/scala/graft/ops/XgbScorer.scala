@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.core.EnsembleOp
+
+/** One tree of an XGBoost model, scored as a nested CASE expression.
+  *
+  * Node layout follows the public XGBoost JSON model schema (the
+  * `xgboost.json` dump the reference's FIL wrapper saves and reloads,
+  * /root/reference/merlin/systems/dag/ops/fil.py:349-415): parallel
+  * arrays indexed by node id; `left_children[i] == -1` marks a leaf, in
+  * which case `split_conditions[i]` holds the leaf VALUE; otherwise the
+  * decision is `x[split_indices[i]] < split_conditions[i]` → left, and a
+  * missing (null) feature follows `default_left[i]`.
+  *
+  * Scoring an expression tree instead of looping nodes keeps the whole
+  * forest inside Catalyst: codegen'd, shuffle-free, map-side at any
+  * scale — and, unlike the trained-MLlib queries, exactly mirrorable by
+  * CASE SQL, which finally puts forest inference SEMANTICS (margin sum,
+  * threshold, missing-value routing) under the hash oracle.
+  */
+case class XgbTree(
+    leftChildren: Vector[Int],
+    rightChildren: Vector[Int],
+    splitIndices: Vector[Int],
+    splitConditions: Vector[Double],
+    defaultLeft: Vector[Boolean]) {
+
+  def expr(features: Seq[Column]): Column = node(0, features)
+
+  private def node(i: Int, features: Seq[Column]): Column =
+    if (leftChildren(i) == -1) lit(splitConditions(i))
+    else {
+      val f = features(splitIndices(i))
+      val dflt = if (defaultLeft(i)) leftChildren(i) else rightChildren(i)
+      when(f.isNull, node(dflt, features))
+        .when(f < lit(splitConditions(i)), node(leftChildren(i), features))
+        .otherwise(node(rightChildren(i), features))
+    }
+}
+
+/** Expression-based scorer for public XGBoost JSON model dumps — the
+  * portable-artifact half of the reference's forest surface: FIL loads
+  * `xgboost.json` (fil.py:349-415); we compile the same file into
+  * per-tree Catalyst CASE expressions and score with plain column math.
+  * [[PredictForest]] remains the trained-in-Spark path; this op covers
+  * models trained elsewhere.
+  *
+  * Supported objectives: `reg:*` (margin = Σ leaf + base_score),
+  * `binary:logistic` (probability = sigmoid(Σ leaf + logit(base_score)),
+  * class = margin >= logit(threshold) — threshold applied in margin
+  * space, so class output involves no transcendental at score time),
+  * and `multi:softmax`/`multi:softprob` (per-class margins via
+  * `tree_info`, argmax class, softmax probabilities). Mirroring the
+  * reference's explicit rejections (fil.py:360-373): `binary:hinge` and
+  * multi-target models fail fast at parse time with the same contract.
+  *
+  * Output (FIL param parity, fil.py:124-210, plus xgboost's public
+  * `output_margin` predict flag): `outputMargin` → raw margin (per-class
+  * array for multiclass); else `predictProba` → per-class probability
+  * array; else `outputClass` → class id; else the objective's natural
+  * prediction (probability for binary:logistic, margin for reg).
+  */
+case class XgbForest(
+    trees: Vector[XgbTree],
+    treeInfo: Vector[Int],
+    baseScore: Double,
+    objective: String,
+    numClass: Int,
+    featureCols: Seq[String],
+    predictProba: Boolean = false,
+    outputClass: Boolean = false,
+    threshold: Double = 0.5,
+    outputMargin: Boolean = false,
+    outputCol: String = "output__0") extends EnsembleOp {
+
+  require(trees.nonEmpty, s"$name: model has no trees")
+  require(objective != "binary:hinge",
+    s"$name: objective binary:hinge is not supported. Only sigmoid and " +
+      "identity values of pred_transform are supported for binary classification.")
+  require(objective.startsWith("reg:") || objective == "binary:logistic" ||
+    objective.startsWith("multi:"),
+    s"$name: unsupported objective '$objective'")
+  require(!predictProba || !objective.startsWith("reg:"),
+    s"$name: predictProba requires a classification objective")
+
+  private def isMulti: Boolean = numClass > 2 && objective.startsWith("multi:")
+
+  /** Per-class raw margins (a single margin for non-multiclass models).
+    * Trees sum in model order — the exact left-to-right fold the oracle
+    * SQL mirrors, so the double result is bit-identical cross-engine. */
+  def margins(in: Seq[Column]): Seq[Column] =
+    if (isMulti)
+      (0 until numClass).map { c =>
+        treeInfo.zipWithIndex.collect { case (ci, t) if ci == c => trees(t).expr(in) }
+          .reduceLeft(_ + _) + lit(baseScore)
+      }
+    else Seq(trees.map(_.expr(in)).reduceLeft(_ + _) + lit(intercept))
+
+  private def intercept: Double = objective match {
+    case "binary:logistic" => math.log(baseScore / (1.0 - baseScore))
+    case _ => baseScore
+  }
+
+  /** The class-decision margin cut for binary:logistic: `P(1) >= t` is
+    * exactly `margin >= ln(t/(1-t))` — exposed so oracle SQL can embed
+    * the precomputed constant instead of re-deriving ln cross-engine. */
+  def thresholdMargin: Double = math.log(threshold / (1.0 - threshold))
+
+  override def transformSchema(in: StructType): StructType = {
+    featureCols.foreach(requireCol(in, _))
+    val arrayOut =
+      if (outputMargin) isMulti
+      else predictProba || (isMulti && !outputClass)
+    val t = if (arrayOut) ArrayType(DoubleType, containsNull = false) else DoubleType
+    StructType(in :+ StructField(outputCol, t))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val in = featureCols.map(c => col(c).cast("double"))
+    val ms = margins(in)
+    val out: Column =
+      if (outputMargin) {
+        if (isMulti) array(ms: _*) else ms.head
+      } else if (isMulti) {
+        val exps = ms.map(exp(_))
+        val z = exps.reduceLeft(_ + _)
+        if (predictProba) array(exps.map(_ / z): _*)
+        else if (outputClass) {
+          // argmax by margin, ties to the lowest class id
+          val pairs = ms.zipWithIndex.map { case (m, c) => struct(m.as("m"), lit(-c).as("nc")) }
+          -greatest(pairs: _*).getField("nc").cast("double")
+        } else array(ms: _*)
+      } else objective match {
+        case "binary:logistic" =>
+          val p = lit(1.0) / (lit(1.0) + exp(-ms.head))
+          if (predictProba) array(lit(1.0) - p, p)
+          else if (outputClass) when(ms.head >= lit(thresholdMargin), 1.0).otherwise(0.0)
+          else p
+        case _ => ms.head
+      }
+    df.withColumn(outputCol, out)
+  }
+}
+
+object XgbForest {
+  /** Parse a public XGBoost JSON model dump (`booster.save_model("m.json")`
+    * format, version 1.6+: `learner.gradient_booster.model.trees[]` with
+    * parallel node arrays). Only the documented public schema is read. */
+  def fromJson(json: String, featureCols: Seq[String],
+      predictProba: Boolean = false, outputClass: Boolean = false,
+      threshold: Double = 0.5, outputMargin: Boolean = false,
+      outputCol: String = "output__0"): XgbForest = {
+    implicit val fmts: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+    val learner = root \ "learner"
+    val lmp = learner \ "learner_model_param"
+    def intOf(f: String, dflt: Int): Int =
+      (lmp \ f).toOption.map(_.extract[String].toInt).getOrElse(dflt)
+    require(intOf("num_target", 1) <= 1,
+      "XgbForest: Only single target objectives are supported.")
+    val numFeature = intOf("num_feature", featureCols.length)
+    require(featureCols.length == numFeature,
+      s"XgbForest: model expects $numFeature features, got ${featureCols.length}")
+    val objective = (learner \ "objective" \ "name").extract[String]
+    val baseScore = (lmp \ "base_score").extract[String].toDouble
+    val model = learner \ "gradient_booster" \ "model"
+    val treeInfo = (model \ "tree_info").extract[Vector[Int]]
+    val trees = (model \ "trees").extract[Vector[JObject]].map { t =>
+      XgbTree(
+        (t \ "left_children").extract[Vector[Int]],
+        (t \ "right_children").extract[Vector[Int]],
+        (t \ "split_indices").extract[Vector[Int]],
+        (t \ "split_conditions").extract[Vector[Double]],
+        (t \ "default_left").extract[Vector[Int]].map(_ != 0))
+    }
+    XgbForest(trees, treeInfo, baseScore, objective, intOf("num_class", 0),
+      featureCols, predictProba, outputClass, threshold, outputMargin, outputCol)
+  }
+}

@@ -92,6 +92,80 @@ object MlQueries {
       .orderBy("c_custkey")
   }
 
+  /** Hand-written 3-tree binary:logistic model in the PUBLIC XGBoost JSON
+    * dump schema (the `xgboost.json` artifact the reference's FIL wrapper
+    * saves/loads, fil.py:349-415). Leaf values are multiples of 1/16, so
+    * every margin sum is an exact double and the query hash-checks. */
+  private[graft] val portableModelJson: String =
+    """{"learner":{
+      |"attributes":{},"feature_names":[],"feature_types":[],
+      |"gradient_booster":{"model":{
+      | "gbtree_model_param":{"num_parallel_tree":"1","num_trees":"3"},
+      | "iteration_indptr":[0,1,2,3],
+      | "tree_info":[0,0,0],
+      | "trees":[
+      |  {"base_weights":[0,0,0,0,0,0,0],"categories":[],"categories_nodes":[],
+      |   "categories_segments":[],"categories_sizes":[],
+      |   "default_left":[1,0,1,0,0,0,0],"id":0,
+      |   "left_children":[1,3,5,-1,-1,-1,-1],
+      |   "loss_changes":[0,0,0,0,0,0,0],
+      |   "parents":[2147483647,0,0,1,1,2,2],
+      |   "right_children":[2,4,6,-1,-1,-1,-1],
+      |   "split_conditions":[25.0,0.05,30000.0,0.125,-0.0625,0.25,-0.125],
+      |   "split_indices":[0,1,2,0,0,0,0],
+      |   "split_type":[0,0,0,0,0,0,0],
+      |   "sum_hessian":[0,0,0,0,0,0,0],
+      |   "tree_param":{"num_deleted":"0","num_feature":"3","num_nodes":"7","size_leaf_vector":"1"}},
+      |  {"base_weights":[0,0,0,0,0],"categories":[],"categories_nodes":[],
+      |   "categories_segments":[],"categories_sizes":[],
+      |   "default_left":[0,0,1,0,0],"id":1,
+      |   "left_children":[1,-1,3,-1,-1],
+      |   "loss_changes":[0,0,0,0,0],
+      |   "parents":[2147483647,0,0,2,2],
+      |   "right_children":[2,-1,4,-1,-1],
+      |   "split_conditions":[0.03,0.5,10.0,-0.25,0.0625],
+      |   "split_indices":[1,0,0,0,0],
+      |   "split_type":[0,0,0,0,0],
+      |   "sum_hessian":[0,0,0,0,0],
+      |   "tree_param":{"num_deleted":"0","num_feature":"3","num_nodes":"5","size_leaf_vector":"1"}},
+      |  {"base_weights":[0,0,0],"categories":[],"categories_nodes":[],
+      |   "categories_segments":[],"categories_sizes":[],
+      |   "default_left":[1,0,0],"id":2,
+      |   "left_children":[1,-1,-1],
+      |   "loss_changes":[0,0,0],
+      |   "parents":[2147483647,0,0],
+      |   "right_children":[2,-1,-1],
+      |   "split_conditions":[15000.0,-0.5,0.375],
+      |   "split_indices":[2,0,0],
+      |   "split_type":[0,0,0],
+      |   "sum_hessian":[0,0,0],
+      |   "tree_param":{"num_deleted":"0","num_feature":"3","num_nodes":"3","size_leaf_vector":"1"}}]},
+      | "name":"gbtree"},
+      |"learner_model_param":{"base_score":"5E-1","boost_from_average":"1",
+      | "num_class":"0","num_feature":"3","num_target":"1"},
+      |"objective":{"name":"binary:logistic","reg_loss_param":{"scale_pos_weight":"1"}}},
+      |"version":[2,0,0]}""".stripMargin
+
+  private[graft] val portableFeatures =
+    Seq("l_quantity", "l_discount", "l_extendedprice")
+
+  /** XgbForest over the portable JSON artifact: margin sum + thresholded
+    * class in one pass, both under the hash oracle (the one forest query
+    * where INFERENCE semantics — CASE routing, model-order margin fold,
+    * margin-space threshold — are oracle-checked; trained-model queries
+    * can never be). */
+  def mlForestPortable(spark: SparkSession, d: String): DataFrame = {
+    val marginOp = XgbForest.fromJson(portableModelJson, portableFeatures,
+      outputMargin = true, outputCol = "margin")
+    val classOp = marginOp.copy(outputMargin = false, outputClass = true,
+      threshold = 0.7, outputCol = "class_id")
+    classOp.transform(marginOp.transform(
+      lineitem(spark, d).select((Seq("l_orderkey", "l_linenumber") ++ portableFeatures)
+        .map(col): _*)))
+      .select("l_orderkey", "l_linenumber", "margin", "class_id")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** The flagship 4-stage recommender pipeline end-to-end, exploded to
     * (user_id, rank, item_id, score) scalar rows for the driver compare. */
   def pipelineRecsys(spark: SparkSession, d: String): DataFrame =
@@ -110,12 +184,31 @@ object MlQueries {
     "ml_als_recommend" -> (mlAlsRecommend _),
     "ml_classifier" -> (mlClassifier _),
     "ml_workflow" -> (mlWorkflow _),
+    "ml_forest_portable" -> (mlForestPortable _),
     "pipeline_recsys" -> (pipelineRecsys _))
 
   /** ml_workflow is the one ML query with a SQL-expressible output:
     * StringIndexer(frequencyDesc) == rank by (count DESC, value ASC), and
     * the scaled column is checked through its (monotonic) rank. */
   val oracle: Map[String, String] = Map(
+    // the trees' CASE mirror, summed in model order like the op's fold;
+    // the class cut is the op's precomputed margin-space threshold
+    // constant (ln(0.7/0.3)), interpolated so neither engine re-derives ln
+    "ml_forest_portable" -> {
+      val t = XgbForest.fromJson(portableModelJson, portableFeatures,
+        outputClass = true, threshold = 0.7).thresholdMargin
+      s"""SELECT l_orderkey, l_linenumber, margin,
+         |CASE WHEN margin >= $t THEN 1.0 ELSE 0.0 END AS class_id
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |  ((CASE WHEN l_quantity < 25.0
+         |      THEN (CASE WHEN l_discount < 0.05 THEN 0.125 ELSE -0.0625 END)
+         |      ELSE (CASE WHEN l_extendedprice < 30000.0 THEN 0.25 ELSE -0.125 END) END)
+         |  + (CASE WHEN l_discount < 0.03 THEN 0.5
+         |      ELSE (CASE WHEN l_quantity < 10.0 THEN -0.25 ELSE 0.0625 END) END))
+         |  + (CASE WHEN l_extendedprice < 15000.0 THEN -0.5 ELSE 0.375 END) AS margin
+         |  FROM lineitem)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "ml_workflow" ->
       """WITH m AS (SELECT c_mktsegment AS v,
         |CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS INTEGER) AS idx

@@ -158,6 +158,19 @@ class EnsemblePersistenceSpec extends SparkSpec {
     assert(got.map(_.getString(3)).toSeq == Seq("new", "keep"))
   }
 
+  test("XgbForest round-trips its parsed trees without the original json") {
+    val op = XgbForest.fromJson(graft.queries.MlQueries.portableModelJson,
+      graft.queries.MlQueries.portableFeatures,
+      outputClass = true, threshold = 0.7)
+    val df = Seq((20.0, 0.04, 20000.0), (30.0, 0.02, 40000.0))
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+    val dir = Files.tmp("ens_xgb")
+    EnsemblePersistence.save(Ensemble(Seq(op), df.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.ops.head == op, "trees, params and objective persist by value")
+    assert(loaded.transform(df).collect().toSeq == op.transform(df).collect().toSeq)
+  }
+
   test("retrieval ops round-trip: identical top-k after reload") {
     val items = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)),

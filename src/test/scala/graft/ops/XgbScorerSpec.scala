@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** XgbForest semantics against hand-computed expectations: the portable
+  * forest path must reproduce XGBoost's documented predict behavior
+  * (margin fold, missing-value routing, sigmoid, margin-space threshold,
+  * multiclass argmax) from the public JSON dump alone. */
+class XgbScorerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one tree: f0 < 2 ? leaf 0.5 : (f1 < 10 ? leaf -0.25 : leaf 0.125);
+  // missing f0 goes LEFT, missing f1 goes RIGHT
+  private def binaryJson(objective: String = "binary:logistic") =
+    s"""{"learner":{
+       |"gradient_booster":{"model":{
+       | "tree_info":[0,0],
+       | "trees":[
+       |  {"default_left":[1,0,0,0,0],
+       |   "left_children":[1,-1,3,-1,-1],
+       |   "right_children":[2,-1,4,-1,-1],
+       |   "split_conditions":[2.0,0.5,10.0,-0.25,0.125],
+       |   "split_indices":[0,0,1,0,0]},
+       |  {"default_left":[0,0,0],
+       |   "left_children":[1,-1,-1],
+       |   "right_children":[2,-1,-1],
+       |   "split_conditions":[5.0,0.0625,-0.5],
+       |   "split_indices":[1,0,0]}]},
+       | "name":"gbtree"},
+       |"learner_model_param":{"base_score":"5E-1","num_class":"0",
+       | "num_feature":"2","num_target":"1"},
+       |"objective":{"name":"$objective"}},
+       |"version":[2,0,0]}""".stripMargin
+
+  private def margin(f0: Option[Double], f1: Option[Double]): Double = {
+    val t0 = f0 match {
+      case None => 0.5 // default_left → leaf 0.5
+      case Some(x) if x < 2.0 => 0.5
+      case _ => f1 match {
+        case Some(y) if y < 10.0 => -0.25
+        case _ => 0.125 // >= 10 or missing (default right)
+      }
+    }
+    val t1 = f1 match {
+      case Some(y) if y < 5.0 => 0.0625
+      case _ => -0.5 // >= 5 or missing (default right)
+    }
+    t0 + t1
+  }
+
+  private val rows = Seq(
+    (1L, Option(1.0), Option(3.0)),
+    (2L, Option(4.0), Option(7.0)),
+    (3L, Option(4.0), Option(12.0)),
+    (4L, None, Option(1.0)),          // missing f0 → default left
+    (5L, Option(9.0), None),          // missing f1 → default right twice
+    (6L, None, None))
+
+  test("XgbForest margin matches the hand-walked trees incl. missing-value routing") {
+    val df = rows.toDF("id", "f0", "f1")
+    val op = XgbForest.fromJson(binaryJson(), Seq("f0", "f1"),
+      outputMargin = true, outputCol = "m")
+    val got = op.transform(df).orderBy("id").select("id", "m")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, f0, f1) =>
+      assert(got(id) == margin(f0, f1), s"row $id")
+    }
+  }
+
+  test("XgbForest probability is sigmoid(margin); class is the margin-space threshold") {
+    val df = rows.toDF("id", "f0", "f1")
+    val proba = XgbForest.fromJson(binaryJson(), Seq("f0", "f1"),
+      predictProba = true).transform(df).orderBy("id")
+      .select("output__0").as[Seq[Double]].collect()
+    rows.zip(proba).foreach { case ((_, f0, f1), p) =>
+      val expect = 1.0 / (1.0 + math.exp(-margin(f0, f1)))
+      assert(math.abs(p(1) - expect) < 1e-15 && math.abs(p(0) + p(1) - 1.0) < 1e-15)
+    }
+    val op = XgbForest.fromJson(binaryJson(), Seq("f0", "f1"),
+      outputClass = true, threshold = 0.6)
+    val classes = op.transform(df).orderBy("id")
+      .select("output__0").as[Double].collect()
+    rows.zip(classes).foreach { case ((_, f0, f1), c) =>
+      val p = 1.0 / (1.0 + math.exp(-margin(f0, f1)))
+      assert(c == (if (p >= 0.6) 1.0 else 0.0), s"threshold cut at p=$p")
+    }
+    // the margin-space cut really is logit(threshold)
+    assert(math.abs(op.thresholdMargin - math.log(0.6 / 0.4)) < 1e-15)
+  }
+
+  test("XgbForest multiclass: per-class margins via tree_info, argmax class, softmax proba") {
+    val json =
+      """{"learner":{
+        |"gradient_booster":{"model":{
+        | "tree_info":[0,1,2],
+        | "trees":[
+        |  {"default_left":[1,0,0],"left_children":[1,-1,-1],"right_children":[2,-1,-1],
+        |   "split_conditions":[3.0,0.5,-0.5],"split_indices":[0,0,0]},
+        |  {"default_left":[1,0,0],"left_children":[1,-1,-1],"right_children":[2,-1,-1],
+        |   "split_conditions":[6.0,0.25,0.75],"split_indices":[0,0,0]},
+        |  {"default_left":[1,0,0],"left_children":[1,-1,-1],"right_children":[2,-1,-1],
+        |   "split_conditions":[4.5,-0.25,1.0],"split_indices":[0,0,0]}]},
+        | "name":"gbtree"},
+        |"learner_model_param":{"base_score":"0","num_class":"3",
+        | "num_feature":"1","num_target":"1"},
+        |"objective":{"name":"multi:softmax"}},
+        |"version":[2,0,0]}""".stripMargin
+    val df = Seq((1L, 1.0), (2L, 5.0), (3L, 9.0)).toDF("id", "f0")
+    // margins per x: x=1 → (0.5, 0.25, -0.25) argmax 0; x=5 → (-0.5, 0.25, 1.0)
+    // argmax 2; x=9 → (-0.5, 0.75, 1.0) argmax 2
+    val classes = XgbForest.fromJson(json, Seq("f0"), outputClass = true)
+      .transform(df).orderBy("id").select("output__0").as[Double].collect()
+    assert(classes.toSeq == Seq(0.0, 2.0, 2.0))
+    val proba = XgbForest.fromJson(json, Seq("f0"), predictProba = true)
+      .transform(df).orderBy("id").select("output__0").as[Seq[Double]].collect()
+    val expect = Seq(0.5, 0.25, -0.25).map(math.exp)
+    val z = expect.sum
+    proba(0).zip(expect.map(_ / z)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-15) }
+    // raw multiclass margins come back as an array
+    val margins = XgbForest.fromJson(json, Seq("f0"), outputMargin = true)
+      .transform(df).orderBy("id").select("output__0").as[Seq[Double]].collect()
+    assert(margins(1).toSeq == Seq(-0.5, 0.25, 1.0))
+  }
+
+  test("XgbForest mirrors the reference's explicit rejections") {
+    // binary:hinge (fil.py:360-366)
+    val hinge = intercept[IllegalArgumentException] {
+      XgbForest.fromJson(binaryJson("binary:hinge"), Seq("f0", "f1"))
+    }
+    assert(hinge.getMessage.contains("binary:hinge is not supported"))
+    // multi-target (fil.py:369-373)
+    val multiTarget = binaryJson().replace("\"num_target\":\"1\"", "\"num_target\":\"2\"")
+    val mt = intercept[IllegalArgumentException] {
+      XgbForest.fromJson(multiTarget, Seq("f0", "f1"))
+    }
+    assert(mt.getMessage.contains("single target"))
+    // feature arity mismatch fails at parse, not at scoring
+    val arity = intercept[IllegalArgumentException] {
+      XgbForest.fromJson(binaryJson(), Seq("f0"))
+    }
+    assert(arity.getMessage.contains("expects 2 features"))
+    // unknown objective fails fast with the objective named
+    val unknown = intercept[IllegalArgumentException] {
+      XgbForest.fromJson(binaryJson("rank:pairwise"), Seq("f0", "f1"))
+    }
+    assert(unknown.getMessage.contains("rank:pairwise"))
+  }
+
+  test("the shipped portable model scores lineitem identically to its CASE mirror") {
+    // the ml_forest_portable query's own consistency: margin exactness
+    // means re-running is bit-identical, and class follows the margin cut
+    val df = Seq((1L, 1, 20.0, 0.04, 20000.0), (2L, 1, 30.0, 0.02, 40000.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice")
+    val op = XgbForest.fromJson(graft.queries.MlQueries.portableModelJson,
+      graft.queries.MlQueries.portableFeatures, outputMargin = true, outputCol = "m")
+    val got = op.transform(df).orderBy("l_orderkey").select("m").as[Double].collect()
+    // row 1: t0 = (q<25, d<0.05) → 0.125; t1 = d>=0.03, q>=10 → 0.0625; t2 = e>=15000 → 0.375
+    assert(got(0) == 0.125 + 0.0625 + 0.375)
+    // row 2: t0 = q>=25, e>=30000 → -0.125; t1 = d<0.03 → 0.5; t2 → 0.375
+    assert(got(1) == -0.125 + 0.5 + 0.375)
+  }
+}
