@@ -215,7 +215,8 @@ object EnsemblePersistence {
       val p = artifactPath(dir, i, "als_model")
       m.model.write.overwrite().save(p)
       ("type" -> "PredictImplicit") ~ ("path" -> p) ~
-        ("numToRecommend" -> m.numToRecommend) ~ ("userCol" -> m.userCol)
+        ("numToRecommend" -> m.numToRecommend) ~ ("userCol" -> m.userCol) ~
+        ("broadcastBudgetBytes" -> m.broadcastBudgetBytes)
     case c: PredictClassifier =>
       val p = artifactPath(dir, i, "lr_model")
       c.model.write.overwrite().save(p)
@@ -408,7 +409,8 @@ object EnsemblePersistence {
       case "PredictImplicit" =>
         PredictImplicit(
           org.apache.spark.ml.recommendation.ALSModel.load(s("path")),
-          (o \ "numToRecommend").extract[Int], s("userCol"))
+          (o \ "numToRecommend").extract[Int], s("userCol"),
+          (o \ "broadcastBudgetBytes").extract[Long])
       case "PredictClassifier" =>
         PredictClassifier(
           org.apache.spark.ml.classification.LogisticRegressionModel.load(s("path")),

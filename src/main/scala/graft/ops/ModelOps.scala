@@ -118,7 +118,8 @@ object PredictForestClassifier {
 /** Matrix-factorization recommend (reference PredictImplicit,
   * implicit.py:92-113): per user, top-N item ids + scores. */
 case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
-    userCol: String = "user_id") extends EnsembleOp {
+    userCol: String = "user_id",
+    broadcastBudgetBytes: Long = 1L << 30) extends EnsembleOp {
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, userCol)
@@ -138,7 +139,54 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
   // recommendForUserSubset does the same blocking but re-shuffles both
   // factor tables; we inherit its semantics (top-k by dot, cold users
   // drop) with a deterministic (score desc, id asc) tie-break.
+  //
+  // SIZE GATE: the replicated-matrix assumption dies at a 100× catalog
+  // (100M items × rank 64 ≈ 25 GB through the driver), so when the packed
+  // matrix would exceed `broadcastBudgetBytes` the op falls back to
+  // [[partitionedTopN]] — item factors never leave their partitions.
   override def transform(df: DataFrame): DataFrame = {
+    val itemCount = model.itemFactors.count()
+    if (itemCount * model.rank * 4L > broadcastBudgetBytes)
+      partitionedTopN(df)
+    else blockedTopN(df)
+  }
+
+  /** Requested users joined to their factors: one row per DISTINCT
+    * requested user (MLlib's recommendForUserSubset contract for
+    * duplicated request rows); cold users drop via the inner join. */
+  private def requestedUsers(df: DataFrame): DataFrame = {
+    val userF = model.userFactors
+    df.select(col(userCol)).distinct()
+      .join(userF, col(userCol).cast("int") === userF("id"))
+      .select(col(userCol).cast("long").as(userCol), col("features").as("__uvec"))
+  }
+
+  /** Beyond-broadcast fallback: users × item factors as a partitioned
+    * cartesian shuffle join, per-pair dot, and the bounded-heap
+    * [[graft.functions.TopKAggregator]] with map-side combine — no driver
+    * collect, no broadcast, no global sort; both factor tables stay
+    * distributed, so the path survives any catalog size (at ~1 µs/pair
+    * iterator cost: correctness headroom, not the fast path — index
+    * retrieval at that scale is [[AnnIvf]]). Same (score desc, id asc)
+    * order as the blocked loop; scores accumulate in double here vs float
+    * there, so sub-1e-6 near-ties can order differently — the gate spec
+    * pins id-level equality on real factors. */
+  private def partitionedTopN(df: DataFrame): DataFrame = {
+    import graft.functions.{TopKAggregator, VectorFunctions}
+    val topk = udaf(new TopKAggregator(numToRecommend))
+    val items = model.itemFactors.select(
+      col("id").cast("long").as("__iid"), col("features").as("__ivec"))
+    requestedUsers(df)
+      .join(items) // cartesian: |users|/p × |items|/q tasks, all parallel
+      .groupBy(col(userCol))
+      .agg(topk(col("__iid"),
+        VectorFunctions.dot(col("__uvec"), col("__ivec"))).as("__top"))
+      .select(col(userCol),
+        col("__top.ids").cast("array<int>").as("ids"),
+        col("__top.scores").cast("array<float>").as("scores"))
+  }
+
+  private def blockedTopN(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rank = model.rank
@@ -156,12 +204,7 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
     val bcIds = spark.sparkContext.broadcast(itemIds)
     val bcMat = spark.sparkContext.broadcast(itemMat)
     val k = math.min(numToRecommend, n)
-    val userF = model.userFactors
-    // one output row per DISTINCT requested user, matching MLlib's
-    // recommendForUserSubset contract for duplicated request rows
-    val joined = df.select(col(userCol)).distinct()
-      .join(userF, col(userCol).cast("int") === userF("id"))
-      .select(col(userCol).cast("long"), col("features"))
+    val joined = requestedUsers(df)
       .as[(Long, Array[Float])]
       // spread users across all cores: the upstream join is tiny, so AQE
       // would otherwise coalesce it to one partition and serialize the

@@ -75,4 +75,38 @@ class ModelOpsSpec extends SparkSpec {
       .select($"id", $"output__0".getItem(1).as("p1"))
     assert(raw.join(proba, "id").filter($"score" =!= $"p1").count() == 0)
   }
+
+  // The broadcast-budget gate: a forced-tiny budget routes scoring through
+  // the partitioned (no-driver-collect) path, which must return the same
+  // per-user top-N ids as the blocked broadcast loop.
+  test("PredictImplicit size gate: partitioned fallback matches the blocked path") {
+    val rnd = new scala.util.Random(3)
+    val inter = (for {
+      u <- 1 to 30; _ <- 1 to 6
+    } yield (u, rnd.nextInt(40) + 1, rnd.nextInt(5) + 1.0f)).toDF("user", "item", "strength")
+    val model = PredictImplicit.train(inter, "user", "item", "strength",
+      rank = 4, maxIter = 3)
+    val req = (1 to 30).map(_.toLong).toDF("user_id")
+    val blocked = PredictImplicit(model, numToRecommend = 5).transform(req)
+    val gated = PredictImplicit(model, numToRecommend = 5,
+      broadcastBudgetBytes = 1L) // any catalog exceeds 1 byte → fallback
+      .transform(req)
+    // the fallback really is partition-parallel: no broadcast of factors
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct"), plan.take(500))
+    def byUser(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toSeq, r.getSeq[Float](2).toSeq))).toMap
+    val (b, g) = (byUser(blocked), byUser(gated))
+    assert(b.keySet == g.keySet)
+    b.foreach { case (u, (ids, scores)) =>
+      assert(g(u)._1 == ids, s"user $u: ids must match the blocked path")
+      ids.indices.foreach(i =>
+        assert(math.abs(g(u)._2(i) - scores(i)) < 1e-5f, s"user $u score $i"))
+    }
+    // schema parity between the two physical paths (modulo nullability,
+    // which encoders vs casts legitimately disagree on)
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).toSeq
+    assert(shape(blocked.schema) == shape(gated.schema))
+  }
 }
