@@ -107,6 +107,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(noSingles.count() == 6)
   }
 
+  test("DupClusters: pointer doubling converges a 60-node chain within 8 rounds") {
+    import spark.implicits._
+    // diameter 59: plain min-propagation needs 59 rounds; label(label)
+    // compression needs ~log2(59). 8 rounds only suffice with doubling.
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DupClusters(maxIters = 8).transform(pairs).collect()
+    assert(out.length == 60)
+    assert(out.forall(_.getLong(1) == 1L), "whole chain must collapse to label 1")
+    assert(out.count(_.getBoolean(2)) == 1, "exactly one keeper")
+  }
+
   test("CosineNearDup finds only pairs above threshold") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
