@@ -35,10 +35,41 @@ object StreamingOps {
       session_end: Timestamp, n_events: Int, total_value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
 
+  /** The shared per-group session fold: sort the batch's events by
+    * (ts, event_id) — the batch op's total order, sub-millisecond aware —
+    * and split on `gapMs`. Returns sessions closed by IN-BATCH gaps plus
+    * the still-open state. */
+  private def foldSessions(userId: Long, rows: Iterator[Event],
+      prior: Option[SessionState], gapMs: Long)
+      : (List[SessionAgg], Option[SessionState]) = {
+    val sorted = rows.toSeq.sortWith { (a, b) =>
+      val c = a.ts.compareTo(b.ts)
+      c < 0 || (c == 0 && a.event_id < b.event_id)
+    }
+    var closed = List.empty[SessionAgg]
+    var cur = prior
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+        case Some(s) =>
+          closed ::= SessionAgg(userId, new Timestamp(s.start),
+            new Timestamp(s.last), s.n, s.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   /** Gap-based sessionization with explicit state (the reference's
     * per-session candidate tracking, done properly with
     * flatMapGroupsWithState + processing-time timeout): a session closes
-    * when `gapMs` passes without events for that user. */
+    * when `gapMs` of WALL CLOCK passes without events for that user —
+    * low-latency serving behavior, but replay-dependent (see
+    * [[sessionizeByEventTime]] for the deterministic twin). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[SessionAgg] = {
@@ -52,28 +83,50 @@ object StreamingOps {
             Iterator.single(SessionAgg(userId, new Timestamp(s.start),
               new Timestamp(s.last), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[SessionAgg]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
-                  closed ::= SessionAgg(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (closed, cur) = foldSessions(userId, rows, state.getOption, gapMs)
             cur.foreach { s =>
               state.update(s)
               if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
                 state.setTimeoutDuration(gapMs)
             }
-            closed.reverseIterator
+            closed.iterator
+          }
+      }
+  }
+
+  /** Event-time sessionization — the REPLAY-DETERMINISTIC twin of
+    * [[sessionize]]: the session-closing clock is the stream's own
+    * watermark, not the machine's. State times out when the event-time
+    * watermark passes `last + gapMs`, so replaying the same events — at
+    * any speed, with any micro-batch boundaries — closes exactly the same
+    * sessions with the same bounds (StreamingOpsSpec pins replay
+    * equivalence across different batchings). Late events inside the
+    * watermark extend their session as usual; state is evicted the moment
+    * the watermark clears the gap, so memory stays O(active users). */
+  def sessionizeByEventTime(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val (closed, cur) = foldSessions(userId, rows, state.getOption, gapMs)
+            cur.foreach { s =>
+              state.update(s)
+              // a timeout timestamp must sit beyond the current watermark;
+              // heavily-late sessions time out on the very next trigger
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
       }
   }

@@ -124,6 +124,43 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionizeByEventTime closes sessions on the watermark clock and replays deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 10: t0,t5 (session A), t35 (session B); user 11: t2 (session C)
+    val evs = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "view", 2.0),
+      Event(3, ts(35), 10, "click", 4.0),
+      Event(4, ts(2), 11, "view", 7.0))
+    val sentinel = Event(99, ts(300), 99, "click", 0.0) // advances the watermark
+    def run(name: String, batches: Seq[Seq[Event]]): Set[(Long, Long, Long, Int, Double)] = {
+      val src = MemoryStream[Event]
+      val q = StreamingOps.sessionizeByEventTime(src.toDS(),
+        gapMs = 10 * 60_000L, watermark = "5 minutes")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      src.addData(sentinel); q.processAllAvailable()
+      // one extra empty-ish trigger so timeouts scheduled against the
+      // sentinel-advanced watermark actually fire
+      src.addData(Event(100, ts(301), 99, "click", 0.0)); q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[SessionAgg].collect()
+        .filter(_.user_id != 99) // the sentinel user's own session is noise
+        .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+          s.n_events, s.total_value)).toSet
+    }
+    val oneBatch = run("sess_et_a", Seq(evs))
+    assert(oneBatch == Set(
+      (10L, ts(0).getTime, ts(5).getTime, 2, 3.0),
+      (10L, ts(35).getTime, ts(35).getTime, 1, 4.0),
+      (11L, ts(2).getTime, ts(2).getTime, 1, 7.0)), s"got $oneBatch")
+    // replay with completely different micro-batch boundaries — the
+    // event-time clock must reproduce the identical session set
+    val replayed = run("sess_et_b",
+      Seq(Seq(evs(3), evs(0)), Seq(evs(1)), Seq(evs(2))))
+    assert(replayed == oneBatch, s"replay drift: $replayed vs $oneBatch")
+  }
+
   test("sequenceStream matches the batch TrainingSequences output") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
