@@ -71,13 +71,34 @@ case class PredictForestClassifier(
     threshold: Double = 0.5,
     outputCol: String = "output__0") extends EnsembleOp {
 
+  require(threshold >= 0.0 && threshold <= 1.0,
+    s"$name: threshold must be a probability in [0, 1], got $threshold")
+
+  // Mirror the reference's fail-fast stance on unsupported shapes
+  // (fil.py:360-373 rejects at wrap time, never silently degrades):
+  // threshold and the raw positive-class score are BINARY semantics —
+  // a multiclass model must ask for proba or argmax explicitly.
+  private def validateShape(): Unit = {
+    if (model.numClasses > 2) {
+      require(threshold == 0.5,
+        s"$name: threshold applies to binary classifiers only " +
+          s"(model has ${model.numClasses} classes); use the default 0.5")
+      require(predictProba || outputClass,
+        s"$name: raw positive-class score is binary-only " +
+          s"(model has ${model.numClasses} classes); set predictProba=true " +
+          "for per-class scores or outputClass=true for argmax")
+    }
+  }
+
   override def transformSchema(in: StructType): StructType = {
+    validateShape()
     featureCols.foreach(requireCol(in, _))
     val t = if (predictProba) ArrayType(DoubleType) else DoubleType
     StructType(in :+ StructField(outputCol, t))
   }
 
   override def transform(df: DataFrame): DataFrame = {
+    validateShape()
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("__features")
       .transform(df)

@@ -28,11 +28,15 @@ class ModelOpsSpec extends SparkSpec {
     val joined = proba.join(classDefault, "id")
     assert(joined.filter(($"p1" >= 0.5) =!= ($"cls" === 1.0)).count() == 0)
 
-    // extreme thresholds pin the decision regardless of votes
+    // extreme (but in-contract) thresholds pin the decision
     val all1 = binaryClf.copy(threshold = 0.0).transform(binary)
     assert(all1.filter($"output__0" =!= 1.0).count() == 0, "threshold 0 → always class 1")
-    val all0 = binaryClf.copy(threshold = 1.01).transform(binary)
-    assert(all0.filter($"output__0" =!= 0.0).count() == 0, "threshold >1 → never class 1")
+    val strict = binaryClf.copy(threshold = 1.0).transform(binary)
+      .select($"id", $"output__0".as("cls"))
+      .join(binaryClf.copy(predictProba = true).transform(binary)
+        .select($"id", $"output__0".getItem(1).as("p1")), "id")
+    assert(strict.filter(($"cls" === 1.0) =!= ($"p1" >= 1.0)).count() == 0,
+      "threshold 1 → class 1 only on unanimous votes")
 
     // and the learned classes are actually right on separable data
     val acc = binaryClf.transform(binary)
@@ -50,12 +54,12 @@ class ModelOpsSpec extends SparkSpec {
     assert(out.select(size($"output__0")).head.getInt(0) == 2)
   }
 
-  test("multiclass outputs argmax class id and threshold is ignored") {
+  test("multiclass outputs argmax class id; unsupported shapes fail fast") {
     val tri = (0 until 150)
       .map(i => (i.toLong, i.toDouble, (i / 50).toDouble))
       .toDF("id", "x", "label")
     val clf = PredictForestClassifier.train(tri, Seq("x"), "label",
-      numTrees = 10, maxDepth = 4, threshold = 0.99)
+      numTrees = 10, maxDepth = 4)
     val out = clf.transform(tri)
     // argmax of the probability vector == emitted class id
     val withProba = clf.copy(predictProba = true).transform(tri)
@@ -66,6 +70,24 @@ class ModelOpsSpec extends SparkSpec {
     assert(withProba.filter($"argmax" =!= $"cls").count() == 0)
     // separable 3-class data → high accuracy
     assert(out.filter($"output__0" === $"label").count() >= 140)
+    // the reference rejects unsupported shapes at wrap time
+    // (fil.py:360-373); so do we, with the shape named in the message:
+    // a binary-only threshold on a 3-class model...
+    val thresholdErr = intercept[IllegalArgumentException] {
+      clf.copy(threshold = 0.99).transform(tri)
+    }
+    assert(thresholdErr.getMessage.contains("binary classifiers only") &&
+      thresholdErr.getMessage.contains("3 classes"), thresholdErr.getMessage)
+    // ...raw positive-class score on a 3-class model...
+    val rawErr = intercept[IllegalArgumentException] {
+      clf.copy(outputClass = false).transformSchema(tri.schema)
+    }
+    assert(rawErr.getMessage.contains("binary-only"), rawErr.getMessage)
+    // ...and a threshold that is not a probability at all
+    val rangeErr = intercept[IllegalArgumentException] {
+      binaryClf.copy(threshold = 1.5)
+    }
+    assert(rangeErr.getMessage.contains("[0, 1]"), rangeErr.getMessage)
   }
 
   test("raw-score mode (outputClass=false) returns the positive-class score") {
