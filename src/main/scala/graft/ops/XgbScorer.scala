@@ -88,7 +88,7 @@ case class XgbForest(
   require(!predictProba || !objective.startsWith("reg:"),
     s"$name: predictProba requires a classification objective")
 
-  private def isMulti: Boolean = numClass > 2 && objective.startsWith("multi:")
+  private def isMulti: Boolean = numClass >= 2 && objective.startsWith("multi:")
 
   /** Per-class raw margins (a single margin for non-multiclass models).
     * Trees sum in model order — the exact left-to-right fold the oracle
@@ -144,6 +144,90 @@ case class XgbForest(
         case _ => ms.head
       }
     df.withColumn(outputCol, out)
+  }
+}
+
+/** Parser for public LightGBM `model.txt` dumps — the other portable
+  * forest artifact the reference's FIL wrapper exchanges
+  * (/root/reference/merlin/systems/dag/ops/fil.py:418-449 saves/loads
+  * `model.txt`). The text model is translated into an [[XgbForest]], so
+  * both portable formats share one expression scorer:
+  *
+  *  - LightGBM decides `x <= threshold` → left; xgboost decides
+  *    `x < threshold`. `x <= t` ⇔ `x < nextUp(t)` EXACTLY for finite
+  *    doubles, so thresholds are stored as `Math.nextUp(t)` — no
+  *    epsilon, no behavior change.
+  *  - Children encode leaves as negative ids (`-1` = leaf 0, `-2` =
+  *    leaf 1, …); they are re-indexed to xgboost's layout (leaves
+  *    appended after the internal nodes, value in `split_conditions`).
+  *  - `decision_type` bit 1 is the default-left (missing) direction;
+  *    bit 0 marks a categorical split, which is rejected fast.
+  *  - Objectives: `regression` → margin sum; `binary` → sigmoid;
+  *    `multiclass` → round-robin trees per class (num_tree_per_iteration
+  *    = num_class), argmax/softmax. Anything else fails fast.
+  */
+object LgbForest {
+  def fromText(modelTxt: String, featureCols: Seq[String],
+      predictProba: Boolean = false, outputClass: Boolean = false,
+      threshold: Double = 0.5, outputMargin: Boolean = false,
+      outputCol: String = "output__0"): XgbForest = {
+    val blocks = modelTxt.split("\n\\s*\n").map(_.trim).filter(_.nonEmpty)
+    def kv(block: String): Map[String, String] =
+      block.linesIterator.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val header = kv(blocks.head)
+    val objective = header.getOrElse("objective",
+      throw new IllegalArgumentException("LgbForest: no objective in model.txt"))
+    val (xgbObjective, baseScore) = objective.split(' ').head match {
+      case "regression" | "regression_l1" | "huber" => ("reg:squarederror", 0.0)
+      case "binary" => ("binary:logistic", 0.5) // logit(0.5) = 0: init is in the leaves
+      case "multiclass" => ("multi:softmax", 0.0) // softmax form only:
+      // multiclassova would need per-class sigmoid probabilities
+      case o => throw new IllegalArgumentException(
+        s"LgbForest: unsupported objective '$o' (regression, binary and " +
+          "multiclass models are supported)")
+    }
+    val numClass = header.get("num_class").map(_.toInt).getOrElse(1)
+    val numFeature = header.get("max_feature_idx").map(_.toInt + 1)
+      .getOrElse(featureCols.length)
+    require(featureCols.length == numFeature,
+      s"LgbForest: model expects $numFeature features, got ${featureCols.length}")
+    val treeBlocks = blocks.filter(_.startsWith("Tree="))
+    require(treeBlocks.nonEmpty, "LgbForest: no Tree= blocks in model.txt")
+    val trees = treeBlocks.map { b =>
+      val t = kv(b)
+      def ints(f: String): Vector[Int] =
+        t.get(f).filter(_.nonEmpty).map(_.split("\\s+").map(_.toInt).toVector)
+          .getOrElse(Vector.empty)
+      def doubles(f: String): Vector[Double] =
+        t.get(f).filter(_.nonEmpty).map(_.split("\\s+").map(_.toDouble).toVector)
+          .getOrElse(Vector.empty)
+      val leafValue = doubles("leaf_value")
+      val splitFeature = ints("split_feature")
+      val n = splitFeature.length
+      if (n == 0) // single-leaf tree: a constant
+        XgbTree(Vector(-1), Vector(-1), Vector(0), Vector(leafValue.head), Vector(false))
+      else {
+        val thresholds = doubles("threshold")
+        val decisionType = ints("decision_type")
+        decisionType.foreach(dt => require((dt & 1) == 0,
+          "LgbForest: categorical splits are not supported"))
+        def mapChild(c: Int): Int = if (c >= 0) c else n + (-c - 1)
+        XgbTree(
+          ints("left_child").map(mapChild) ++ Vector.fill(leafValue.length)(-1),
+          ints("right_child").map(mapChild) ++ Vector.fill(leafValue.length)(-1),
+          splitFeature ++ Vector.fill(leafValue.length)(0),
+          thresholds.map(Math.nextUp) ++ leafValue,
+          decisionType.map(dt => (dt & 2) != 0) ++ Vector.fill(leafValue.length)(false))
+      }
+    }.toVector
+    // round-robin class assignment: tree t scores class t mod num_class
+    val treeInfo =
+      if (numClass > 1) trees.indices.map(_ % numClass).toVector
+      else Vector.fill(trees.length)(0)
+    XgbForest(trees, treeInfo, baseScore, xgbObjective,
+      if (numClass > 1) numClass else 0, featureCols,
+      predictProba, outputClass, threshold, outputMargin, outputCol)
   }
 }
 

@@ -149,6 +149,55 @@ object MlQueries {
   private[graft] val portableFeatures =
     Seq("l_quantity", "l_discount", "l_extendedprice")
 
+  /** Hand-written LightGBM model.txt (the reference FIL wrapper's other
+    * portable artifact, fil.py:418-449): two trees over the same lineitem
+    * features, `<=` split semantics, one constant tree. Leaf values are
+    * multiples of 1/16 → exact margins. */
+  private[graft] val portableLgbText: String =
+    """tree
+      |version=v4
+      |num_class=1
+      |num_tree_per_iteration=1
+      |max_feature_idx=2
+      |objective=regression
+      |feature_names=l_quantity l_discount l_extendedprice
+      |
+      |Tree=0
+      |num_leaves=3
+      |num_cat=0
+      |split_feature=0 2
+      |threshold=25.0 30000.0
+      |decision_type=2 2
+      |left_child=-1 -2
+      |right_child=1 -3
+      |leaf_value=0.25 -0.125 0.0625
+      |shrinkage=1
+      |
+      |Tree=1
+      |num_leaves=2
+      |num_cat=0
+      |split_feature=1
+      |threshold=0.05
+      |decision_type=2
+      |left_child=-1
+      |right_child=-2
+      |leaf_value=0.5 -0.25
+      |shrinkage=1
+      |
+      |end of trees
+      |""".stripMargin
+
+  /** LgbForest margin over the text artifact, hash-checked against `<=`
+    * CASE SQL — proves the nextUp(threshold) translation is exact at the
+    * split boundaries (l_quantity == 25 rows land LEFT in both engines). */
+  def mlForestLgb(spark: SparkSession, d: String): DataFrame =
+    LgbForest.fromText(portableLgbText, portableFeatures,
+      outputMargin = true, outputCol = "margin")
+      .transform(lineitem(spark, d)
+        .select((Seq("l_orderkey", "l_linenumber") ++ portableFeatures).map(col): _*))
+      .select("l_orderkey", "l_linenumber", "margin")
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** XgbForest over the portable JSON artifact: margin sum + thresholded
     * class in one pass, both under the hash oracle (the one forest query
     * where INFERENCE semantics — CASE routing, model-order margin fold,
@@ -185,6 +234,7 @@ object MlQueries {
     "ml_classifier" -> (mlClassifier _),
     "ml_workflow" -> (mlWorkflow _),
     "ml_forest_portable" -> (mlForestPortable _),
+    "ml_forest_lgb" -> (mlForestLgb _),
     "pipeline_recsys" -> (pipelineRecsys _))
 
   /** ml_workflow is the one ML query with a SQL-expressible output:
@@ -209,6 +259,12 @@ object MlQueries {
          |  FROM lineitem)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "ml_forest_lgb" ->
+      """SELECT l_orderkey, l_linenumber,
+        |(CASE WHEN l_quantity <= 25.0 THEN 0.25
+        |  ELSE (CASE WHEN l_extendedprice <= 30000.0 THEN -0.125 ELSE 0.0625 END) END)
+        |+ (CASE WHEN l_discount <= 0.05 THEN 0.5 ELSE -0.25 END) AS margin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "ml_workflow" ->
       """WITH m AS (SELECT c_mktsegment AS v,
         |CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS INTEGER) AS idx

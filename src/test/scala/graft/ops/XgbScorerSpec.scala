@@ -147,6 +147,104 @@ class XgbScorerSpec extends SparkSpec {
     assert(unknown.getMessage.contains("rank:pairwise"))
   }
 
+  // LightGBM model.txt: tree0 = (f0 <= 2 ? 0.5 : (f1 <= 10 ? -0.25 : 0.125)),
+  // tree1 = constant 0.0625. decision_type 2 = numerical, default LEFT.
+  private def lgbText(objective: String = "regression") =
+    s"""tree
+       |version=v4
+       |num_class=1
+       |num_tree_per_iteration=1
+       |max_feature_idx=1
+       |objective=$objective
+       |feature_names=f0 f1
+       |
+       |Tree=0
+       |num_leaves=3
+       |num_cat=0
+       |split_feature=0 1
+       |threshold=2.0 10.0
+       |decision_type=2 0
+       |left_child=-1 -2
+       |right_child=1 -3
+       |leaf_value=0.5 -0.25 0.125
+       |shrinkage=1
+       |
+       |Tree=1
+       |num_leaves=1
+       |leaf_value=0.0625
+       |shrinkage=1
+       |
+       |end of trees
+       |""".stripMargin
+
+  test("LgbForest: <= split semantics, leaf re-indexing, default directions, constant trees") {
+    val df = Seq(
+      (1L, Option(2.0), Option(3.0)),   // f0 == threshold: <= goes LEFT (xgb < would go right)
+      (2L, Option(4.0), Option(10.0)),  // f1 == 10: <= → leaf -0.25
+      (3L, Option(4.0), Option(10.5)),  // f1 > 10 → leaf 0.125
+      (4L, None, Option(1.0)),          // missing f0: decision_type 2 → default left
+      (5L, Option(9.0), None))          // missing f1: decision_type 0 → default right
+      .toDF("id", "f0", "f1")
+    val got = LgbForest.fromText(lgbText(), Seq("f0", "f1"),
+      outputMargin = true, outputCol = "m").transform(df)
+      .orderBy("id").select("m").as[Double].collect()
+    assert(got.toSeq == Seq(
+      0.5 + 0.0625, -0.25 + 0.0625, 0.125 + 0.0625,
+      0.5 + 0.0625, 0.125 + 0.0625))
+  }
+
+  test("LgbForest binary objective applies the sigmoid; multiclass trees round-robin") {
+    val df = Seq((1L, Option(1.0), Option(1.0))).toDF("id", "f0", "f1")
+    val p = LgbForest.fromText(lgbText("binary sigmoid:1"), Seq("f0", "f1"))
+      .transform(df).select("output__0").as[Double].head()
+    assert(math.abs(p - 1.0 / (1.0 + math.exp(-(0.5 + 0.0625)))) < 1e-15)
+    // 4 trees, num_class=2 → treeInfo 0,1,0,1
+    val multi =
+      """tree
+        |num_class=2
+        |num_tree_per_iteration=2
+        |max_feature_idx=0
+        |objective=multiclass num_class:2
+        |
+        |Tree=0
+        |num_leaves=1
+        |leaf_value=1.0
+        |
+        |Tree=1
+        |num_leaves=1
+        |leaf_value=2.0
+        |
+        |Tree=2
+        |num_leaves=1
+        |leaf_value=0.25
+        |
+        |Tree=3
+        |num_leaves=1
+        |leaf_value=0.5
+        |
+        |end of trees
+        |""".stripMargin
+    val margins = LgbForest.fromText(multi, Seq("f0"), outputMargin = true)
+      .transform(Seq(Tuple1(1.0)).toDF("f0")).select("output__0").as[Seq[Double]].head()
+    assert(margins == Seq(1.25, 2.5), "class margins sum their round-robin trees")
+  }
+
+  test("LgbForest fails fast on categorical splits and unsupported objectives") {
+    val cat = lgbText().replace("decision_type=2 0", "decision_type=2 1")
+    val catErr = intercept[IllegalArgumentException] {
+      LgbForest.fromText(cat, Seq("f0", "f1"))
+    }
+    assert(catErr.getMessage.contains("categorical"), catErr.getMessage)
+    val rankErr = intercept[IllegalArgumentException] {
+      LgbForest.fromText(lgbText("lambdarank"), Seq("f0", "f1"))
+    }
+    assert(rankErr.getMessage.contains("lambdarank"), rankErr.getMessage)
+    val arityErr = intercept[IllegalArgumentException] {
+      LgbForest.fromText(lgbText(), Seq("f0"))
+    }
+    assert(arityErr.getMessage.contains("expects 2 features"), arityErr.getMessage)
+  }
+
   test("the shipped portable model scores lineitem identically to its CASE mirror") {
     // the ml_forest_portable query's own consistency: margin exactness
     // means re-running is bit-identical, and class follows the margin cut
