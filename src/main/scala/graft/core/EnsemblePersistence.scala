@@ -242,6 +242,16 @@ object EnsemblePersistence {
       ("type" -> "MaterializeFeatureView") ~ ("path" -> p) ~
         ("keyCols" -> m.keyCols) ~ ("orderCol" -> m.orderCol) ~
         ("tieCol" -> m.tieCol)
+    case dc: Decontaminate =>
+      val p = artifactPath(dir, i, "eval_corpus")
+      dc.eval.select(dc.evalTextCol).write.mode("overwrite").parquet(p)
+      ("type" -> "Decontaminate") ~ ("path" -> p) ~ ("idCol" -> dc.idCol) ~
+        ("textCol" -> dc.textCol) ~ ("evalTextCol" -> dc.evalTextCol) ~
+        ("n" -> dc.n)
+    case PackChunks(id, ord, tok, budget, shards, salt) =>
+      ("type" -> "PackChunks") ~ ("idCol" -> id) ~ ("orderCol" -> ord) ~
+        ("tokensCol" -> tok) ~ ("budget" -> budget) ~ ("shards" -> shards) ~
+        ("salt" -> salt)
     case ExactDedup(id, text, norm) =>
       ("type" -> "ExactDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("normalized" -> norm)
@@ -430,6 +440,12 @@ object EnsemblePersistence {
       case "MaterializeFeatureView" =>
         MaterializeFeatureView(spark.read.parquet(s("path")), ss("keyCols"),
           s("orderCol"), s("tieCol"))
+      case "Decontaminate" =>
+        Decontaminate(spark.read.parquet(s("path")), s("idCol"), s("textCol"),
+          s("evalTextCol"), (o \ "n").extract[Int])
+      case "PackChunks" =>
+        PackChunks(s("idCol"), s("orderCol"), s("tokensCol"),
+          (o \ "budget").extract[Int], (o \ "shards").extract[Int], s("salt"))
       case "ExactDedup" =>
         ExactDedup(s("idCol"), s("textCol"), (o \ "normalized").extract[Boolean])
       case "NgramJaccardDedup" =>

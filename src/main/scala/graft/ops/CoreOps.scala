@@ -138,17 +138,23 @@ case class FilterCandidatesWithScores(
 }
 
 /** Weighted top-k sampling without replacement (Efraimidis–Spirakis
-  * exponential-sort trick), matching the reference math exactly:
-  * `w = exp(T*score)/sum(score); key = -ln(u)/w`, ascending sort, head k
-  * (/root/reference/merlin/systems/dag/ops/softmax_sampling.py:79-117).
+  * exponential-sort trick), matching the reference sampling distribution
+  * exactly: the reference computes `w = exp(T*score)/sum(score); key =
+  * -ln(u)/w` (softmax_sampling.py:79-117); we compute `key =
+  * -ln(u)/exp(T*score)` — the same keys times the per-request POSITIVE
+  * constant `sum(score)`, hence the identical ordering, identical sample
+  * and identical distribution (E–S keys are scale-invariant in the
+  * weights). Dropping the constant matters: `sum(score)` inside the
+  * per-element lambda would re-run the O(n) aggregate for every element
+  * (HOF lambda bodies re-evaluate; CSE does not reach into them — the
+  * NormalizeEmbeddings lesson), turning each row O(n²).
   *
   * The reference draws unseeded uniforms; for reproducibility we derive
   * `u` deterministically from `md5(seedCol ":" position ":" seed)` — an
   * explicit-seed variant of the same distribution (SURVEY.md §7.4). md5
-  * (not xxhash64) so the DuckDB oracle mirrors the full
-  * Efraimidis–Spirakis key and the sampled output hash-checks
-  * cross-engine. Entirely built-in HOFs: per-row, shuffle-free,
-  * codegen-friendly.
+  * (not xxhash64) so the DuckDB oracle mirrors the full key and the
+  * sampled output hash-checks cross-engine. Entirely built-in HOFs:
+  * per-row, shuffle-free, codegen-friendly.
   */
 case class SoftmaxSampling(
     idsCol: String,
@@ -171,8 +177,7 @@ case class SoftmaxSampling(
   override def transform(df: DataFrame): DataFrame = {
     val ids = col(idsCol)
     val scores = col(relevanceCol)
-    val sumS = aggregate(scores, lit(0.0), (acc, x) => acc + x.cast("double"))
-    // key_i = -ln(u_i) / w_i  with  w_i = exp(T*s_i)/sum(s);  u_i ∈ (0,1)
+    // key_i = -ln(u_i) / exp(T*s_i)  (≡ reference keys × sum(s) > 0);
     // u from the first 8 md5 hex chars (engine-portable, uniform on
     // [0, 2^32)); +0.5 keeps u strictly inside (0, 1)
     val keyed = arrayTransform(ids, (id, i) => {
@@ -180,14 +185,16 @@ case class SoftmaxSampling(
         col(seedCol).cast("string"), i.cast("string"), lit(seed.toString))),
         1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
       val s = element_at(scores, i + 1)
-      val key = -log(u) * sumS / exp(lit(temperature) * s.cast("double"))
+      val key = -log(u) / exp(lit(temperature) * s.cast("double"))
       struct(key.as("k"), id.as("id"), s.as("sc"))
     })
-    // struct sort: ascending by key, ties by id — deterministic
-    val top = slice(array_sort(keyed), 1, topk)
-    df.withColumn("ordered_ids", arrayTransform(top, p => p.getField("id")))
-      .withColumn("ordered_scores", arrayTransform(top, p => p.getField("sc")))
-      .drop(idsCol, relevanceCol)
+    // struct sort: ascending by key, ties by id — deterministic. __top is
+    // a REAL projected column referenced twice below, so the sort+slice
+    // runs once instead of once per output column.
+    df.withColumn("__top", slice(array_sort(keyed), 1, topk))
+      .withColumn("ordered_ids", arrayTransform(col("__top"), p => p.getField("id")))
+      .withColumn("ordered_scores", arrayTransform(col("__top"), p => p.getField("sc")))
+      .drop(idsCol, relevanceCol, "__top")
   }
 }
 

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{transform => arrayTransform}
+import org.apache.spark.sql.types._
+import graft.core.EnsembleOp
+import graft.functions.{TextFunctions => T}
+
+/** Benchmark-decontamination: flag every training document that shares at
+  * least one word n-gram with an evaluation corpus — the standard
+  * pre-training hygiene step (the GPT-3 appendix's 13-gram overlap rule;
+  * public method). Exact, not probabilistic: a document is contaminated
+  * iff an n-gram of its normalized text literally appears in the eval
+  * set's n-gram inventory.
+  *
+  * Scale shape: the eval side collapses to DISTINCT n-gram digests
+  * (eval sets are MB-scale against a 100 TB corpus), the train side
+  * explodes to (doc, gram digest) pairs, and contamination is a semi-join
+  * on the digest — an equi-join whose shuffle carries 8-byte hashes, not
+  * text, proportional to corpus tokens. No broadcast assumption: if the
+  * eval inventory is small Spark's planner broadcasts it on its own; if a
+  * user decontaminates against something huge, the shuffle path is
+  * already correct.
+  *
+  * Output: one row per train document — (id, n_grams, matched_grams,
+  * contaminated) — so callers can either drop contaminated docs or audit
+  * the overlap rate. Documents shorter than n grams have no n-grams and
+  * are clean by definition (matching the public rule).
+  */
+case class Decontaminate(
+    eval: DataFrame,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    evalTextCol: String = "text",
+    n: Int = 13) extends EnsembleOp {
+
+  require(n >= 1, s"$name: n must be >= 1")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    require(eval.schema.fieldNames.contains(evalTextCol),
+      s"$name: '$evalTextCol' missing in eval frame")
+    StructType(Seq(
+      in(idCol),
+      StructField("n_grams", IntegerType),
+      StructField("matched_grams", LongType, nullable = false),
+      StructField("contaminated", BooleanType, nullable = false)))
+  }
+
+  private def gramHashes(text: Column): Column =
+    arrayTransform(T.wordShingles(text, n), g => xxhash64(g))
+
+  override def transform(df: DataFrame): DataFrame = {
+    val evalGrams = eval
+      .select(explode(gramHashes(col(evalTextCol))).as("__gram"))
+      .distinct()
+    val trainGrams = df.select(col(idCol),
+      gramHashes(col(textCol)).as("__grams"))
+    val matches = trainGrams
+      .select(col(idCol), explode(col("__grams")).as("__gram"))
+      .join(evalGrams, Seq("__gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("matched_grams"))
+    trainGrams
+      .select(col(idCol), size(col("__grams")).as("n_grams"))
+      .join(matches, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        (coalesce(col("matched_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+}
+
+/** Sequence packing: assign chunks to fixed-token-budget training rows by
+  * GREEDY SEQUENTIAL packing within hash shards — the step between
+  * [[DocumentChunks]] and a trainer that wants dense fixed-size batches.
+  * Within a shard, chunks pack in (id, chunk order) order: a chunk joins
+  * the current pack if it fits, else opens the next one, so no pack ever
+  * exceeds `budget` tokens. Chunks at or above the budget get a pack of
+  * their own (splitting is [[DocumentChunks]]' job, not this op's).
+  *
+  * Determinism is the design point: pack = a pure fold over (shard,
+  * total chunk order), no RNG, no load-balancing heuristics — so packing
+  * is reproducible across engines (the DuckDB oracle replays the fold as
+  * a recursive CTE) and across reruns/backfills, the same property as
+  * [[HashSplit]]. A true greedy fold is inherently sequential, which is
+  * exactly why it runs per-shard: shard = content hash of the doc id
+  * (HashSplit discipline), shards are embarrassingly parallel, and the
+  * fold state is one counter.
+  *
+  * Scale shape: the fold shuffles ONLY chunk metadata — (shard, id,
+  * order, tokens), ~32 bytes per chunk, never the text; callers join
+  * `pack_id` back to the corpus by (id, order). Size `shards` so one
+  * shard's metadata fits an executor comfortably (at 25 B chunks and
+  * 64 K shards that is ~400 K rows/shard); pack ids are globally unique
+  * as (shard, pack_in_shard).
+  */
+case class PackChunks(
+    idCol: String = "doc_id",
+    orderCol: String = "chunk_id",
+    tokensCol: String = "n_tokens",
+    budget: Int = 2048,
+    shards: Int = 64,
+    salt: String = "graft") extends EnsembleOp {
+
+  require(budget >= 1, s"$name: budget must be >= 1")
+  require(shards >= 1, s"$name: shards must be >= 1")
+
+  override def transformSchema(in: StructType): StructType = {
+    Seq(idCol, orderCol, tokensCol).foreach(requireCol(in, _))
+    // key/metadata columns are emitted as longs (the fold's working type)
+    StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(orderCol, LongType, nullable = false),
+      StructField(tokensCol, LongType, nullable = false),
+      StructField("shard", LongType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_pos", IntegerType, nullable = false)))
+  }
+
+  /** The shard expression (exposed so oracle SQL can mirror it). */
+  def shard: Column =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long") % shards
+
+  override def transform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = transformSchema(df.schema)
+    df.select(shard.as("__shard"), col(idCol).cast("long"),
+        col(orderCol).cast("long"), col(tokensCol).cast("long"))
+      // a null id has no shard and a null token count has no size: both
+      // are undefined for packing — drop rather than invent a fate
+      .na.drop()
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sh: Long, rows: Iterator[(Long, Long, Long, Long)]) =>
+        // metadata-only sort: ~32 bytes per chunk, bounded by shard sizing
+        val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+        var pack = 0L; var used = 0L; var pos = 0
+        sorted.iterator.map { case (_, id, ord, tok) =>
+          val t = math.min(math.max(tok, 0L), budget.toLong)
+          if (used > 0 && used + t > budget) { pack += 1; used = 0L; pos = 0 }
+          used += t
+          val r = (id, ord, tok, sh, pack, pos)
+          pos += 1
+          r
+        }
+      }
+      .toDF(out.fieldNames.toIndexedSeq: _*)
+      .select(out.fieldNames.map(col).toIndexedSeq: _*)
+  }
+}

@@ -214,7 +214,28 @@ object CurationQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Benchmark decontamination under the oracle: the src0 slice plays the
+    * eval set; every doc sharing a 5-gram with it is flagged. The hash is
+    * an equality surrogate, so DuckDB mirrors the decision by comparing
+    * the grams themselves. */
+  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    Decontaminate(docs.filter(col("source") === "src0"), n = 5)
+      .transform(docs)
+      .orderBy("doc_id")
+  }
+
+  /** Greedy per-shard sequence packing under the oracle: DuckDB replays
+    * the fold as a recursive CTE over the same (shard, doc, chunk)
+    * order, so every pack assignment hash-checks. */
+  def packChunks(spark: SparkSession, d: String): DataFrame =
+    PackChunks(budget = 128, shards = 8)
+      .transform(DocumentChunks().transform(documents(spark, d)))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> (decontaminate _),
+    "pack_chunks" -> (packChunks _),
     "text_repetition" -> (textRepetition _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_vocab" -> (textVocab _),
@@ -343,6 +364,47 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
+         |tg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(ws)-3),
+         |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
+         |  FROM w WHERE len(ws) >= 5),
+         |eg AS (SELECT DISTINCT g FROM tg WHERE source = 'src0'),
+         |m AS (SELECT doc_id, count(*) AS matched FROM tg
+         |  WHERE g IN (SELECT g FROM eg) GROUP BY 1)
+         |SELECT w.doc_id,
+         |CAST(CASE WHEN len(ws) >= 5 THEN len(ws) - 4 ELSE 0 END AS INTEGER) AS n_grams,
+         |CAST(coalesce(m.matched, 0) AS BIGINT) AS matched_grams,
+         |coalesce(m.matched, 0) > 0 AS contaminated
+         |FROM w LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "pack_chunks" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |c AS (SELECT doc_id, ws, len(ws) AS n,
+         |  1 + (greatest(len(ws) - 32, 0) + 23) // 24 AS nc FROM w),
+         |ch AS (SELECT doc_id,
+         |  CAST(unnest(range(0, nc)) AS BIGINT) AS chunk_id,
+         |  CAST(unnest(list_transform(range(0, nc),
+         |    i -> least(i*24 + 32, n) - i*24)) AS BIGINT) AS n_tokens FROM c),
+         |o AS (SELECT
+         |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 8 AS shard,
+         |  doc_id, chunk_id, n_tokens, least(n_tokens, 128) AS t,
+         |  row_number() OVER (
+         |    PARTITION BY ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 8
+         |    ORDER BY doc_id, chunk_id) AS rn
+         |  FROM ch),
+         |rec AS (
+         |  SELECT shard, rn, doc_id, chunk_id, n_tokens, t,
+         |    CAST(0 AS BIGINT) AS pack_id, t AS used, 0 AS pack_pos
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id, o.chunk_id, o.n_tokens, o.t,
+         |    CASE WHEN r.used + o.t > 128 THEN r.pack_id + 1 ELSE r.pack_id END,
+         |    CASE WHEN r.used + o.t > 128 THEN o.t ELSE r.used + o.t END,
+         |    CASE WHEN r.used + o.t > 128 THEN 0 ELSE r.pack_pos + 1 END
+         |  FROM o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1)
+         |SELECT doc_id, chunk_id, n_tokens, shard, pack_id,
+         |  CAST(pack_pos AS INTEGER) AS pack_pos
+         |FROM rec ORDER BY doc_id, chunk_id""".stripMargin,
     "text_chunks" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
          |c AS (SELECT doc_id, ws, len(ws) AS n,

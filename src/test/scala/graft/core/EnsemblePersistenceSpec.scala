@@ -142,6 +142,26 @@ class EnsemblePersistenceSpec extends SparkSpec {
     val dirQ = Files.tmp("ens_quant")
     EnsemblePersistence.save(Ensemble(Seq(qe), vecSchema), dirQ, spark)
     assert(EnsemblePersistence.load(dirQ, spark).ops.head == qe)
+
+    val chunkSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, chunk_id BIGINT, n_tokens BIGINT")
+    val pk = PackChunks(budget = 512, shards = 16, salt = "p1")
+    val dirP = Files.tmp("ens_pack")
+    EnsemblePersistence.save(Ensemble(Seq(pk), chunkSchema), dirP, spark)
+    assert(EnsemblePersistence.load(dirP, spark).ops.head == pk)
+  }
+
+  test("Decontaminate round-trips its eval corpus as a side artifact") {
+    val train = Seq((1L, "alpha beta gamma delta"), (2L, "nothing in common at all"))
+      .toDF("doc_id", "text")
+    val eval = Seq((9L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val op = Decontaminate(eval, n = 3)
+    val dir = Files.tmp("ens_decon")
+    EnsemblePersistence.save(Ensemble(Seq(op), train.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.transform(train).orderBy("doc_id").collect().toSeq ==
+      op.transform(train).orderBy("doc_id").collect().toSeq)
+    assert(loaded.transform(train).filter(col("contaminated")).count() == 1)
   }
 
   test("MaterializeFeatureView round-trips its updates table as a side artifact") {
