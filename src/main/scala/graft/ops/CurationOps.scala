@@ -55,14 +55,15 @@ case class Decontaminate(
     val evalGrams = eval
       .select(explode(gramHashes(col(evalTextCol))).as("__gram"))
       .distinct()
-    val trainGrams = df.select(col(idCol),
-      gramHashes(col(textCol)).as("__grams"))
-    val matches = trainGrams
-      .select(col(idCol), explode(col("__grams")).as("__gram"))
+    val matches = df
+      .select(col(idCol), explode(gramHashes(col(textCol))).as("__gram"))
       .join(evalGrams, Seq("__gram"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("matched_grams"))
-    trainGrams
-      .select(col(idCol), size(col("__grams")).as("n_grams"))
+    // the gram COUNT needs no shingle materialization: it is just the
+    // token count minus n−1 (shingling the text twice measured ~2× the
+    // whole op at sf0.1)
+    val nGrams = greatest(T.tokenCount(col(textCol)) - (n - 1), lit(0))
+    df.select(col(idCol), nGrams.cast("int").as("n_grams"))
       .join(matches, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
