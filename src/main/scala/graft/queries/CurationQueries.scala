@@ -227,9 +227,12 @@ object CurationQueries {
 
   /** Greedy per-shard sequence packing under the oracle: DuckDB replays
     * the fold as a recursive CTE over the same (shard, doc, chunk)
-    * order, so every pack assignment hash-checks. */
+    * order, so every pack assignment hash-checks. 64 shards: the CTE
+    * recurses once per chunk of the DEEPEST shard, and DuckDB pays fixed
+    * overhead per recursion level, so shard count bounds oracle cost
+    * (8 shards measured 212 s at sf0.1; 64 cuts the depth 8x). */
   def packChunks(spark: SparkSession, d: String): DataFrame =
-    PackChunks(budget = 128, shards = 8)
+    PackChunks(budget = 128, shards = 64)
       .transform(DocumentChunks().transform(documents(spark, d)))
       .orderBy("doc_id", "chunk_id")
 
@@ -386,10 +389,10 @@ object CurationQueries {
          |  CAST(unnest(list_transform(range(0, nc),
          |    i -> least(i*24 + 32, n) - i*24)) AS BIGINT) AS n_tokens FROM c),
          |o AS (SELECT
-         |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 8 AS shard,
+         |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 64 AS shard,
          |  doc_id, chunk_id, n_tokens, least(n_tokens, 128) AS t,
          |  row_number() OVER (
-         |    PARTITION BY ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 8
+         |    PARTITION BY ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 64
          |    ORDER BY doc_id, chunk_id) AS rn
          |  FROM ch),
          |rec AS (

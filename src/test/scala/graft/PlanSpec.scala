@@ -118,4 +118,31 @@ class PlanSpec extends SparkSpec {
     assert(pp.sliding("Exchange".length).count(_ == "Exchange") <= 1,
       "exactly one shuffle: the (key, dim) aggregation")
   }
+
+  test("portable forest scoring is a shuffle-free whole-stage-codegen'd projection") {
+    val p = plan(graft.queries.MlQueries.mlForestPortable(spark, d))
+    // the forest is plan-side CASE expressions: scoring itself moves no
+    // data (the single exchange is the query's final presentation sort)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      s"scoring must not shuffle:\n${p.take(600)}")
+    // the forest lives in a single Project directly over the scan, and
+    // the scan reads exactly the key + feature columns
+    assert(p.contains("Project") && p.contains("FileScan parquet"))
+    assert(!p.contains("l_shipdate"), "unused columns must not be read")
+  }
+
+  test("decontamination joins gram digests, never text, and never nested-loops") {
+    val docs = Tables.documents(spark, d)
+    val p = plan(ops.Decontaminate(docs.limit(50), n = 5).transform(docs))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"gram match must be an equi-join:\n${p.take(600)}")
+    assert(p.contains("LeftSemi"), "contamination test is a semi-join")
+  }
+
+  test("sequence packing shuffles chunk metadata only, never the text") {
+    val chunks = ops.DocumentChunks().transform(Tables.documents(spark, d))
+    val p = plan(ops.PackChunks(budget = 128, shards = 8).transform(chunks))
+    assert(!p.contains("chunk_text"),
+      s"the fold must not carry chunk text through its shuffle:\n${p.take(800)}")
+  }
 }
