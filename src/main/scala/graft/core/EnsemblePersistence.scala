@@ -420,7 +420,9 @@ object EnsemblePersistence {
         PredictImplicit(
           org.apache.spark.ml.recommendation.ALSModel.load(s("path")),
           (o \ "numToRecommend").extract[Int], s("userCol"),
-          (o \ "broadcastBudgetBytes").extract[Long])
+          // optional for artifacts saved before the size gate existed;
+          // default mirrors the case class
+          (o \ "broadcastBudgetBytes").extractOpt[Long].getOrElse(1L << 30))
       case "PredictClassifier" =>
         PredictClassifier(
           org.apache.spark.ml.classification.LogisticRegressionModel.load(s("path")),

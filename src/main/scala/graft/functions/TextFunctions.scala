@@ -14,6 +14,17 @@ import org.apache.spark.sql.types._
   */
 object TextFunctions {
 
+  /** Content-addressed bucket: first 8 md5 hex chars of `id ":" salt` mod
+    * `buckets` — the engine-portable hash discipline shared by HashSplit,
+    * StratifiedSample and PackChunks (oracle SQL mirrors it as
+    * `('0x' || substring(md5(id::VARCHAR || ':salt'), 1, 8))::BIGINT % buckets`).
+    * Pure per-row expression: deterministic across engines, reruns and
+    * repartitioning. A null id yields a null bucket (no deterministic
+    * fate exists for it — each caller decides). */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
   /** lower + trim + whitespace collapse — the canonical dedup normal form. */
   def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 

@@ -312,8 +312,7 @@ case class HashSplit(
 
   /** The bucket expression (exposed so oracle SQL can mirror it). */
   def bucket: Column =
-    conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
-      16, 10).cast("long") % 10000
+    graft.functions.TextFunctions.hashBucket(col(idCol), salt, 10000)
 
   // null ids yield null bucket AND null split — falling through to
   // `otherwise` would silently dump every null-id row into "test"
@@ -356,8 +355,7 @@ case class StratifiedSample(
 
   /** The bucket expression (exposed so oracle SQL can mirror it). */
   def bucket: Column =
-    conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
-      16, 10).cast("long") % 10000
+    graft.functions.TextFunctions.hashBucket(col(idCol), salt, 10000)
 
   /** Per-row keep threshold: CASE over strata in sorted-key order (a
     * canonical plan for any Map insertion order). */

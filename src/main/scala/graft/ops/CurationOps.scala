@@ -10,9 +10,13 @@ import graft.functions.{TextFunctions => T}
 /** Benchmark-decontamination: flag every training document that shares at
   * least one word n-gram with an evaluation corpus — the standard
   * pre-training hygiene step (the GPT-3 appendix's 13-gram overlap rule;
-  * public method). Exact, not probabilistic: a document is contaminated
-  * iff an n-gram of its normalized text literally appears in the eval
-  * set's n-gram inventory.
+  * public method). A document is contaminated iff an n-gram of its
+  * normalized text appears in the eval set's n-gram inventory, decided on
+  * a PAIR of independent 64-bit gram digests — textual equality up to a
+  * simultaneous 128-bit collision (P ≈ n²/2^129: negligible even at 10^13
+  * corpus grams, where a single 64-bit digest would already birthday-
+  * collide), while the shuffle still carries 16 bytes per gram, never
+  * text.
   *
   * Scale shape: the eval side collapses to DISTINCT n-gram digests
   * (eval sets are MB-scale against a 100 TB corpus), the train side
@@ -48,8 +52,10 @@ case class Decontaminate(
       StructField("contaminated", BooleanType, nullable = false)))
   }
 
+  // two independent digests per gram: the join key is effectively 128-bit
   private def gramHashes(text: Column): Column =
-    arrayTransform(T.wordShingles(text, n), g => xxhash64(g))
+    arrayTransform(T.wordShingles(text, n),
+      g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(7919)).as("h2")))
 
   override def transform(df: DataFrame): DataFrame = {
     val evalGrams = eval
@@ -108,7 +114,15 @@ case class PackChunks(
 
   override def transformSchema(in: StructType): StructType = {
     Seq(idCol, orderCol, tokensCol).foreach(requireCol(in, _))
-    // key/metadata columns are emitted as longs (the fold's working type)
+    // the fold works in longs; a non-integral id would cast to null and
+    // silently drop EVERY row — fail at schema time instead
+    Seq(idCol, orderCol, tokensCol).foreach { c =>
+      in(c).dataType match {
+        case _: LongType | _: IntegerType | _: ShortType | _: ByteType => ()
+        case t => throw new IllegalArgumentException(
+          s"$name: '$c' must be an integral column, got ${t.simpleString}")
+      }
+    }
     StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField(orderCol, LongType, nullable = false),
@@ -119,9 +133,7 @@ case class PackChunks(
   }
 
   /** The shard expression (exposed so oracle SQL can mirror it). */
-  def shard: Column =
-    conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
-      16, 10).cast("long") % shards
+  def shard: Column = T.hashBucket(col(idCol), salt, shards)
 
   override def transform(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

@@ -165,12 +165,14 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
   // (100M items × rank 64 ≈ 25 GB through the driver), so when the packed
   // matrix would exceed `broadcastBudgetBytes` the op falls back to
   // [[partitionedTopN]] — item factors never leave their partitions.
-  override def transform(df: DataFrame): DataFrame = {
-    val itemCount = model.itemFactors.count()
+  // memoized: the model is immutable, so the gate's count job runs once
+  // per op instance, not once per transform call
+  @transient private lazy val itemCount: Long = model.itemFactors.count()
+
+  override def transform(df: DataFrame): DataFrame =
     if (itemCount * model.rank * 4L > broadcastBudgetBytes)
       partitionedTopN(df)
     else blockedTopN(df)
-  }
 
   /** Requested users joined to their factors: one row per DISTINCT
     * requested user (MLlib's recommendForUserSubset contract for

@@ -32,13 +32,22 @@ case class XgbTree(
 
   def expr(features: Seq[Column]): Column = node(0, features)
 
+  // Each node emits exactly one `when` over its two child subtrees, so the
+  // expression is LINEAR in node count. A third explicit-null branch that
+  // re-inlined the default child's subtree would grow ~3^depth — a
+  // depth-10, 500-tree model would explode into tens of millions of
+  // Catalyst nodes. Null routing costs nothing extra: a null comparison
+  // predicate is null, which `when` treats as false and falls through to
+  // `otherwise` — already the right direction for default-right; for
+  // default-left the isNull disjunct redirects it.
   private def node(i: Int, features: Seq[Column]): Column =
     if (leftChildren(i) == -1) lit(splitConditions(i))
     else {
       val f = features(splitIndices(i))
-      val dflt = if (defaultLeft(i)) leftChildren(i) else rightChildren(i)
-      when(f.isNull, node(dflt, features))
-        .when(f < lit(splitConditions(i)), node(leftChildren(i), features))
+      val goLeft =
+        if (defaultLeft(i)) f.isNull || f < lit(splitConditions(i))
+        else f < lit(splitConditions(i))
+      when(goLeft, node(leftChildren(i), features))
         .otherwise(node(rightChildren(i), features))
     }
 }
@@ -79,6 +88,8 @@ case class XgbForest(
     outputCol: String = "output__0") extends EnsembleOp {
 
   require(trees.nonEmpty, s"$name: model has no trees")
+  require(threshold >= 0.0 && threshold <= 1.0,
+    s"$name: threshold must be a probability in [0, 1], got $threshold")
   require(objective != "binary:hinge",
     s"$name: objective binary:hinge is not supported. Only sigmoid and " +
       "identity values of pred_transform are supported for binary classification.")
@@ -108,7 +119,10 @@ case class XgbForest(
 
   /** The class-decision margin cut for binary:logistic: `P(1) >= t` is
     * exactly `margin >= ln(t/(1-t))` — exposed so oracle SQL can embed
-    * the precomputed constant instead of re-deriving ln cross-engine. */
+    * the precomputed constant instead of re-deriving ln cross-engine.
+    * The cut lives in EXACT margin space: t = 0 → -Inf (always class 1),
+    * t = 1 → +Inf (never class 1 — in exact math no finite margin reaches
+    * probability 1, even where the double sigmoid saturates). */
   def thresholdMargin: Double = math.log(threshold / (1.0 - threshold))
 
   override def transformSchema(in: StructType): StructType = {
@@ -160,8 +174,14 @@ case class XgbForest(
   *  - Children encode leaves as negative ids (`-1` = leaf 0, `-2` =
   *    leaf 1, …); they are re-indexed to xgboost's layout (leaves
   *    appended after the internal nodes, value in `split_conditions`).
-  *  - `decision_type` bit 1 is the default-left (missing) direction;
-  *    bit 0 marks a categorical split, which is rejected fast.
+  *  - `decision_type` bit 0 marks a categorical split (rejected fast);
+  *    bit 1 is the default-left direction; bits 2-3 are the missing
+  *    type: NaN (2) routes nulls by the default bit, None (0) means
+  *    LightGBM converts missing to 0.0 and compares — emulated by
+  *    resolving the null direction to (0 <= threshold) at parse time.
+  *    Zero (1) treats literal zero VALUES as missing, which an
+  *    expression comparing the raw column cannot reproduce — rejected
+  *    fast rather than silently mis-routed.
   *  - Objectives: `regression` → margin sum; `binary` → sigmoid;
   *    `multiclass` → round-robin trees per class (num_tree_per_iteration
   *    = num_class), argmax/softmax. Anything else fails fast.
@@ -212,13 +232,21 @@ object LgbForest {
         val decisionType = ints("decision_type")
         decisionType.foreach(dt => require((dt & 1) == 0,
           "LgbForest: categorical splits are not supported"))
+        // missing_type in bits 2-3: 0 = None, 1 = Zero, 2 = NaN
+        decisionType.foreach(dt => require(((dt >> 2) & 3) != 1,
+          "LgbForest: missing_type=Zero (zero_as_missing) is not supported — " +
+            "an expression over the raw column cannot treat literal zeros as missing"))
         def mapChild(c: Int): Int = if (c >= 0) c else n + (-c - 1)
+        val nullGoesLeft = decisionType.zip(thresholds).map { case (dt, t) =>
+          if (((dt >> 2) & 3) == 2) (dt & 2) != 0 // NaN type: the default bit
+          else 0.0 <= t // None type: missing becomes 0.0 and compares (<=)
+        }
         XgbTree(
           ints("left_child").map(mapChild) ++ Vector.fill(leafValue.length)(-1),
           ints("right_child").map(mapChild) ++ Vector.fill(leafValue.length)(-1),
           splitFeature ++ Vector.fill(leafValue.length)(0),
           thresholds.map(Math.nextUp) ++ leafValue,
-          decisionType.map(dt => (dt & 2) != 0) ++ Vector.fill(leafValue.length)(false))
+          nullGoesLeft ++ Vector.fill(leafValue.length)(false))
       }
     }.toVector
     // round-robin class assignment: tree t scores class t mod num_class

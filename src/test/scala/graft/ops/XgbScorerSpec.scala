@@ -148,7 +148,9 @@ class XgbScorerSpec extends SparkSpec {
   }
 
   // LightGBM model.txt: tree0 = (f0 <= 2 ? 0.5 : (f1 <= 10 ? -0.25 : 0.125)),
-  // tree1 = constant 0.0625. decision_type 2 = numerical, default LEFT.
+  // tree1 = constant 0.0625. decision_type 2 = missing_type None (missing
+  // compares as 0.0 → here 0 <= 2 → LEFT); decision_type 8 = missing_type
+  // NaN with default bit unset (missing → RIGHT).
   private def lgbText(objective: String = "regression") =
     s"""tree
        |version=v4
@@ -163,7 +165,7 @@ class XgbScorerSpec extends SparkSpec {
        |num_cat=0
        |split_feature=0 1
        |threshold=2.0 10.0
-       |decision_type=2 0
+       |decision_type=2 8
        |left_child=-1 -2
        |right_child=1 -3
        |leaf_value=0.5 -0.25 0.125
@@ -182,8 +184,8 @@ class XgbScorerSpec extends SparkSpec {
       (1L, Option(2.0), Option(3.0)),   // f0 == threshold: <= goes LEFT (xgb < would go right)
       (2L, Option(4.0), Option(10.0)),  // f1 == 10: <= → leaf -0.25
       (3L, Option(4.0), Option(10.5)),  // f1 > 10 → leaf 0.125
-      (4L, None, Option(1.0)),          // missing f0: decision_type 2 → default left
-      (5L, Option(9.0), None))          // missing f1: decision_type 0 → default right
+      (4L, None, Option(1.0)),          // missing f0: None type, 0 <= 2 → left
+      (5L, Option(9.0), None))          // missing f1: NaN type, default → right
       .toDF("id", "f0", "f1")
     val got = LgbForest.fromText(lgbText(), Seq("f0", "f1"),
       outputMargin = true, outputCol = "m").transform(df)
@@ -230,11 +232,18 @@ class XgbScorerSpec extends SparkSpec {
   }
 
   test("LgbForest fails fast on categorical splits and unsupported objectives") {
-    val cat = lgbText().replace("decision_type=2 0", "decision_type=2 1")
+    val cat = lgbText().replace("decision_type=2 8", "decision_type=2 1")
     val catErr = intercept[IllegalArgumentException] {
       LgbForest.fromText(cat, Seq("f0", "f1"))
     }
     assert(catErr.getMessage.contains("categorical"), catErr.getMessage)
+    // missing_type=Zero (bits 2-3 = 01) cannot be reproduced over the raw
+    // column — reject, don't silently mis-route zeros
+    val zero = lgbText().replace("decision_type=2 8", "decision_type=2 6")
+    val zeroErr = intercept[IllegalArgumentException] {
+      LgbForest.fromText(zero, Seq("f0", "f1"))
+    }
+    assert(zeroErr.getMessage.contains("missing_type=Zero"), zeroErr.getMessage)
     val rankErr = intercept[IllegalArgumentException] {
       LgbForest.fromText(lgbText("lambdarank"), Seq("f0", "f1"))
     }
