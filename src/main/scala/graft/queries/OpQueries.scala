@@ -192,9 +192,9 @@ object OpQueries {
     val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
     val items = emb.filter(col("label") =!= 0).select(col("vec_id").as("item_id"), col("embedding"))
     // centroid quality cannot change the (exact) full-probe result, so a
-    // short fit keeps the oracle query honest AND cheap
+    // minimal fit keeps the oracle query honest AND cheap
     AnnIvf.fit(items, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 16,
-      metric = "dot", maxIter = 5)
+      metric = "dot", maxIter = 1)
       .asRows(queries).orderBy("vec_id", "rank")
   }
 

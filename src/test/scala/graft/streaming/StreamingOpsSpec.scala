@@ -64,6 +64,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out(11L).toSet == Set(4L, 5L))
   }
 
+  test("scoreStream serves a portable (xgboost.json) forest over a request stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // stateless plan-side CASE trees: the portable model scores micro-batches
+    // with zero state — the serving path for externally-trained forests
+    val src = MemoryStream[(Long, Double, Double, Double)]
+    val requests = src.toDF()
+      .toDF("req_id", "l_quantity", "l_discount", "l_extendedprice")
+    val op = graft.ops.XgbForest.fromJson(
+      graft.queries.MlQueries.portableModelJson,
+      graft.queries.MlQueries.portableFeatures,
+      outputMargin = true, outputCol = "margin")
+    val q = StreamingOps.scoreStream(requests)(op.transform)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("forest_served").start()
+    src.addData((1L, 20.0, 0.04, 20000.0), (2L, 30.0, 0.02, 40000.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("forest_served").select($"req_id", $"margin")
+      .as[(Long, Double)].collect().toMap
+    // same hand-walked margins as XgbScorerSpec's batch test
+    assert(out(1L) == 0.125 + 0.0625 + 0.375)
+    assert(out(2L) == -0.125 + 0.5 + 0.375)
+  }
+
   test("dedupStream emits only the first document per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String)]
