@@ -236,9 +236,39 @@ object CurationQueries {
       .transform(DocumentChunks().transform(documents(spark, d)))
       .orderBy("doc_id", "chunk_id")
 
+  /** The LLM pre-training flagship, end-to-end and FULLY oracled — the
+    * curation story as one composed plan: benchmark decontamination
+    * (drop any doc sharing a 5-gram with the src0 eval slice) → quality
+    * gate (≥ 10 tokens) → exact normalized dedup (keep the min-id copy)
+    * → deterministic train split (80% by content hash) → overlapping
+    * chunking → greedy per-shard packing. Every stage is exact, so the
+    * whole pipeline hash-checks against a single DuckDB query; and
+    * because every decision is content-addressed (grams, digests, hash
+    * buckets), the emitted training set is bit-stable under reruns,
+    * repartitioning and backfills — the property that makes incremental
+    * pre-training data builds auditable. Splitting happens on DOCUMENTS
+    * before packing, so no pack ever straddles train/held-out. */
+  def pipelinePretraining(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val clean = Decontaminate(docs.filter(col("source") === "src0"), n = 5)
+      .transform(docs)
+      .filter(!col("contaminated"))
+      .join(docs, Seq("doc_id"))
+      .filter(T.tokenCount(col("text")) >= 10)
+    val keepers = ExactDedup(normalized = true).transform(clean)
+      .select(col("keep_id").as("doc_id"))
+    val train = HashSplit("doc_id", trainBp = 8000)
+      .transform(clean.join(keepers, Seq("doc_id"), "left_semi"))
+      .filter(col("split") === "train")
+    PackChunks(budget = 128, shards = 64)
+      .transform(DocumentChunks().transform(train))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate" -> (decontaminate _),
     "pack_chunks" -> (packChunks _),
+    "pipeline_pretraining" -> (pipelinePretraining _),
     "text_repetition" -> (textRepetition _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_vocab" -> (textVocab _),
@@ -367,6 +397,46 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "pipeline_pretraining" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, source, text, $wordsSql AS ws FROM documents),
+         |tg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(ws)-3),
+         |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
+         |  FROM w WHERE len(ws) >= 5),
+         |eg AS (SELECT DISTINCT g FROM tg WHERE source = 'src0'),
+         |bad AS (SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM eg)),
+         |clean AS (SELECT doc_id, text, ws FROM w
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND len(ws) >= 10),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5($normSql)),
+         |train AS (SELECT c.doc_id, c.ws FROM clean c JOIN keep k USING (doc_id)
+         |  WHERE ('0x' || substring(md5(c.doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT
+         |    % 10000 < 8000),
+         |c AS (SELECT doc_id, ws, len(ws) AS n,
+         |  1 + (greatest(len(ws) - 32, 0) + 23) // 24 AS nc FROM train),
+         |ch AS (SELECT doc_id,
+         |  CAST(unnest(range(0, nc)) AS BIGINT) AS chunk_id,
+         |  CAST(unnest(list_transform(range(0, nc),
+         |    i -> least(i*24 + 32, n) - i*24)) AS BIGINT) AS n_tokens FROM c),
+         |o AS (SELECT
+         |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 64 AS shard,
+         |  doc_id, chunk_id, n_tokens, least(n_tokens, 128) AS t,
+         |  row_number() OVER (
+         |    PARTITION BY ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 64
+         |    ORDER BY doc_id, chunk_id) AS rn
+         |  FROM ch),
+         |rec AS (
+         |  SELECT shard, rn, doc_id, chunk_id, n_tokens, t,
+         |    CAST(0 AS BIGINT) AS pack_id, t AS used, 0 AS pack_pos
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id, o.chunk_id, o.n_tokens, o.t,
+         |    CASE WHEN r.used + o.t > 128 THEN r.pack_id + 1 ELSE r.pack_id END,
+         |    CASE WHEN r.used + o.t > 128 THEN o.t ELSE r.used + o.t END,
+         |    CASE WHEN r.used + o.t > 128 THEN 0 ELSE r.pack_pos + 1 END
+         |  FROM o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1)
+         |SELECT doc_id, chunk_id, n_tokens, shard, pack_id,
+         |  CAST(pack_pos AS INTEGER) AS pack_pos
+         |FROM rec ORDER BY doc_id, chunk_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
          |tg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(ws)-3),
