@@ -202,6 +202,37 @@ object StreamingOps {
       }
   }
 
+  /** Streaming decontamination — the ingest-time twin of
+    * [[graft.ops.Decontaminate]]: as documents arrive, emit the id of
+    * every doc sharing an n-gram with the STATIC eval-set inventory (a
+    * contamination alert stream / quarantine feed). Stream side explodes
+    * to gram digests (row-local); the semi-join against the static
+    * inventory is stateless; the only state is the watermark-bounded
+    * doc-id dedup that collapses multiple matching grams to one alert.
+    * Same 128-bit digest discipline as the batch op. */
+  def decontaminateStream(
+      docs: DataFrame,
+      eval: DataFrame,
+      tsCol: String = "ts",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      evalTextCol: String = "text",
+      n: Int = 13,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    def gramHashes(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.transform(T.wordShingles(c, n),
+        g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(7919)).as("h2")))
+    val inventory = eval
+      .select(explode(gramHashes(col(evalTextCol))).as("__gram")).distinct()
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), explode(gramHashes(col(textCol))).as("__gram"))
+      .join(inventory, Seq("__gram"), "left_semi")
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(idCol, tsCol)
+  }
+
   /** Streaming exact dedup — the ingest-time twin of
     * [[graft.ops.ExactDedup]]: emit only the FIRST document per content
     * digest. State is the digest set, bounded by the event-time watermark

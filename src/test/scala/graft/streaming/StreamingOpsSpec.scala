@@ -105,6 +105,25 @@ class StreamingOpsSpec extends SparkSpec {
       s"dups 3 and 4 must be dropped, got $out")
   }
 
+  test("decontaminateStream alerts once per contaminated document") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, "a quick brown fox jumps around")).toDF("doc_id", "text")
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val alerts = StreamingOps.decontaminateStream(
+      src.toDF().toDF("doc_id", "ts", "text"), eval, n = 4, watermark = "30 minutes")
+    val q = alerts.writeStream.outputMode("append").format("memory")
+      .queryName("contam_alerts").start()
+    src.addData(
+      (1L, ts(0), "the quick brown fox jumps over the lazy dog"), // 1 matching gram
+      (2L, ts(1), "completely different content here entirely"),
+      // 2 matching grams THROUGH case/space normalization — but one alert
+      (3L, ts(2), "A  QUICK brown Fox jumps onward"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("contam_alerts").select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L),
+      s"one alert per contaminated doc, none for clean docs: $out")
+  }
+
   test("attributeStream joins purchases to their in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
