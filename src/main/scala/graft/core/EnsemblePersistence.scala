@@ -278,6 +278,9 @@ object EnsemblePersistence {
       ("type" -> "CosineNearDup") ~ ("idCol" -> id) ~ ("vecCol" -> vec) ~
         ("threshold" -> th) ~ ("exact" -> exact) ~ ("numBits" -> bits) ~
         ("numTables" -> tables)
+    case SemanticNearDup(cs, id, vec, th) =>
+      ("type" -> "SemanticNearDup") ~ ("centers" -> cs.map(_.toList).toList) ~
+        ("idCol" -> id) ~ ("vecCol" -> vec) ~ ("threshold" -> th)
     case r: RepetitionStats =>
       ("type" -> "RepetitionStats") ~ ("textCol" -> r.textCol) ~
         ("idCol" -> r.idCol) ~ ("topNs" -> r.topNs) ~ ("dupNs" -> r.dupNs) ~
@@ -460,6 +463,9 @@ object EnsemblePersistence {
       case "SimHashDedup" =>
         SimHashDedup(s("idCol"), s("textCol"), (o \ "n").extract[Int],
           (o \ "maxHamming").extract[Int], (o \ "hashCol").extractOpt[String])
+      case "SemanticNearDup" =>
+        SemanticNearDup((o \ "centers").extract[List[List[Double]]],
+          s("idCol"), s("vecCol"), (o \ "threshold").extract[Double])
       case "DupClusters" =>
         DupClusters((o \ "path").extractOpt[String].map(spark.read.parquet(_)),
           s("docIdCol"), s("aCol"), s("bCol"), (o \ "maxIters").extract[Int])

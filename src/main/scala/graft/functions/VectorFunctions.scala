@@ -31,6 +31,17 @@ object VectorFunctions {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x)
 
+  /** Id of the nearest centroid (squared euclidean, deterministic lowest-id
+    * tie-break). Centroids are literals (metadata scale), so assignment is
+    * a pure per-row expression: d²(x,c) = |x|² − 2x·c + |c|², with the
+    * rank-invariant |x|² dropped — the same trick as AnnIvf's quantizer. */
+  def nearestCentroid(vec: Column, centers: Seq[Seq[Double]]): Column =
+    array_min(array(centers.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(vec, typedLit(c.toArray))).as("d"),
+        lit(i).as("cid"))
+    }: _*)).getField("cid")
+
   /** Per-dimension mean of a vector column, collected to the driver as a
     * literal-sized array (#dims doubles — metadata scale, like AQE stats).
     * The aggregation itself is distributed (map-side-combined avg over

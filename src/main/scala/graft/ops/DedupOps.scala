@@ -440,3 +440,80 @@ case class CosineNearDup(
     (result, prepped)
   }
 }
+
+/** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication" — public method): k-means clusters bucket the
+  * embeddings, and only WITHIN-cluster pairs are scored — candidates ∝
+  * Σ|cluster|², never n². Pairs whose members land in different clusters
+  * are the method's (documented) recall loss, exactly as in the paper;
+  * every emitted pair is exactly verified, so precision is 1.0.
+  *
+  * This is the third candidate-generation geometry in the family:
+  * [[CosineNearDup]] buckets by fixed hyperplanes (no fit, multi-table
+  * recall), [[SemanticNearDup]] by trained centroids (adapts to clustered
+  * corpora, one bucket per vector — cheapest shuffle), [[MinHashDedup]] /
+  * [[SimHashDedup]] by text. `centers` of size 1 degenerates to the exact
+  * all-pairs scan, which puts the full machinery under the hash oracle.
+  *
+  * Scale shape: centroid assignment is a per-row expression over literal
+  * centers (metadata scale); the pair join is a shuffle equi-join on the
+  * cluster id with light (id, cluster) rows — vectors join back per SIDE
+  * for verification. Size nlist so clusters average ~√(pair budget).
+  */
+case class SemanticNearDup(
+    centers: Seq[Seq[Double]],
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    threshold: Double = 0.45) extends EnsembleOp {
+
+  require(centers.nonEmpty, s"$name: need at least one centroid")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, vecCol)
+    StructType(Seq(
+      in(idCol).copy(name = "id_a"), in(idCol).copy(name = "id_b"),
+      StructField("cosine", DoubleType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val prepped = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(V.dot(col(vecCol), col(vecCol))).as("norm"),
+      V.nearestCentroid(col(vecCol), centers).as("__cid"))
+    val a = prepped.select(col("__cid"), col("id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = prepped.select(col("__cid"), col("id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("__cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        when(col("na") * col("nb") === 0, 0.0)
+          .otherwise(V.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}
+
+object SemanticNearDup {
+  /** Fit the cluster buckets (seeded MLlib k-means, like [[AnnIvf.fit]])
+    * and build the op; centroids persist as plain parameter doubles. */
+  def fit(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.45, nlist: Int = 32, maxIter: Int = 10,
+      seed: Long = 42L): SemanticNearDup = {
+    // nlist=1: assignment is constant whatever the center, and MLlib
+    // k-means requires k >= 2 — the mean is the natural single center
+    if (nlist == 1)
+      return SemanticNearDup(
+        Seq(graft.functions.VectorFunctions.meanVector(df, vecCol).toSeq),
+        idCol, vecCol, threshold)
+    val assembled = df.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("__features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("__features")
+      .fit(assembled)
+    SemanticNearDup(model.clusterCenters.map(_.toArray.toSeq).toSeq,
+      idCol, vecCol, threshold)
+  }
+}

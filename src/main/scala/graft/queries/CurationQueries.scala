@@ -236,6 +236,21 @@ object CurationQueries {
       .transform(DocumentChunks().transform(documents(spark, d)))
       .orderBy("doc_id", "chunk_id")
 
+  /** SemanticNearDup with a single cluster — degenerates to the exact
+    * all-pairs scan, putting centroid assignment, the within-cluster
+    * join and cosine verification under the hash oracle (the same
+    * full-probe trick as op_ann_ivf_full). */
+  def neardupSemanticFull(spark: SparkSession, d: String): DataFrame =
+    SemanticNearDup.fit(embeddings(spark, d), nlist = 1, maxIter = 1)
+      .transform(embeddings(spark, d)).orderBy("id_a", "id_b")
+
+  /** The real SemDeDup shape (rows-only: cluster buckets depend on the
+    * k-means fit; DedupOpsSpec pins precision 1.0 and a recall floor vs
+    * the exact path). */
+  def neardupSemantic(spark: SparkSession, d: String): DataFrame =
+    SemanticNearDup.fit(embeddings(spark, d), nlist = 8, maxIter = 5)
+      .transform(embeddings(spark, d)).orderBy("id_a", "id_b")
+
   /** The LLM pre-training flagship, end-to-end and FULLY oracled — the
     * curation story as one composed plan: benchmark decontamination
     * (drop any doc sharing a 5-gram with the src0 eval slice) → quality
@@ -269,6 +284,8 @@ object CurationQueries {
     "text_decontaminate" -> (decontaminate _),
     "pack_chunks" -> (packChunks _),
     "pipeline_pretraining" -> (pipelinePretraining _),
+    "neardup_semantic_full" -> (neardupSemanticFull _),
+    "neardup_semantic" -> (neardupSemantic _),
     "text_repetition" -> (textRepetition _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_vocab" -> (textVocab _),
@@ -556,6 +573,14 @@ object CurationQueries {
          |SELECT node AS doc_id, min(label) AS cluster_id,
          |  CAST(node = min(label) AS INTEGER) AS is_keeper
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+    "neardup_semantic_full" ->
+      """SELECT id_a, id_b, cosine FROM (
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        | sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "neardup_cosine" ->
       """SELECT id_a, id_b, cosine FROM (
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

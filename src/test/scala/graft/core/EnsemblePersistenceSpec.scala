@@ -74,6 +74,13 @@ class EnsemblePersistenceSpec extends SparkSpec {
     EnsemblePersistence.save(Ensemble(Seq(cos), vecSchema), dir2, spark)
     assert(EnsemblePersistence.load(dir2, spark).ops.head == cos)
 
+    val sem = SemanticNearDup(Seq(Seq(0.1, 0.2), Seq(-0.3, 0.4)),
+      "vec_id", "embedding", 0.55)
+    val dirSem = Files.tmp("ens_sem")
+    EnsemblePersistence.save(Ensemble(Seq(sem), vecSchema), dirSem, spark)
+    assert(EnsemblePersistence.load(dirSem, spark).ops.head == sem,
+      "fitted centroids persist as parameter doubles")
+
     val mediaOps = Seq(
       DecodeMedia("media_id", "content", "img_"),
       SampleFrames("media_id", "content", frameBytes = 32, stride = 3))

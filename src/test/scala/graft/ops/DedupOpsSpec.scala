@@ -129,6 +129,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("SemanticNearDup: single cluster equals exact; clustered path is precise with bounded recall loss") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = CosineNearDup(threshold = 0.45, exact = true).transform(emb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // nlist = 1 → every pair shares the cluster → identical to brute force
+    val full = SemanticNearDup.fit(emb, nlist = 1, maxIter = 1).transform(emb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full == exact, s"single-cluster must equal the exact scan")
+    // the real SemDeDup shape: everything emitted is a true pair
+    // (precision 1.0); cross-cluster pairs are the documented recall loss
+    val clustered = SemanticNearDup.fit(emb, nlist = 8, maxIter = 5).transform(emb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(clustered.subsetOf(exact), "no false pairs: exact verification")
+    assert(exact.isEmpty || clustered.size * 10 >= exact.size * 4,
+      s"recall ≥ 0.4 vs exact: ${clustered.size}/${exact.size}")
+  }
+
   test("bucketed CosineNearDup: precision 1.0, high recall vs exact path") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = CosineNearDup(threshold = 0.45, exact = true).transform(emb)
