@@ -218,6 +218,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.forall(!_.isNullAt(keepIdx)), "verdict is never null")
   }
 
+  test("Decontaminate: empty eval set marks everything clean; null text is clean") {
+    import spark.implicits._
+    val train = Seq((1L, Option("alpha beta gamma")), (2L, None))
+      .toDF("doc_id", "text")
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Decontaminate(emptyEval, n = 2).transform(train)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(!_.getBoolean(3)), "nothing to match against → all clean")
+    assert(out(1).getLong(2) == 0L, "null text has zero matched grams")
+  }
+
+  test("PackChunks: empty input yields empty output with the declared schema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("doc_id", "chunk_id", "n_tokens")
+    val op = PackChunks(budget = 64, shards = 4)
+    val out = op.transform(empty)
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "chunk_id", "n_tokens", "shard", "pack_id", "pack_pos"))
+    // non-integral ids fail at schema time, not as silent row loss
+    val stringy = Seq(("doc-1", 0L, 10L)).toDF("doc_id", "chunk_id", "n_tokens")
+    assertThrows[IllegalArgumentException](op.transformSchema(stringy.schema))
+  }
+
+  test("SemanticNearDup: empty input and sub-threshold corpora yield no pairs") {
+    import spark.implicits._
+    val op = SemanticNearDup(Seq(Seq(0.0, 0.0)))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(op.transform(empty).count() == 0)
+    val orthogonal = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(op.transform(orthogonal).count() == 0, "cos 0 < threshold")
+  }
+
   test("MeanPoolEmbeddings: empty input and null vectors yield empty output") {
     import spark.implicits._
     val empty = Seq.empty[(Int, Array[Float])].toDF("label", "embedding")
