@@ -26,8 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: local[32] bench runs at 8g spent multi-second GC pauses
-  // on the training-heavy queries (ALS/forest timings swung 2-3x between
-  // runs); the box has 128 GiB
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default: at 16g a 75+-query bench run accumulated enough heap
+  // debt (broadcasts, codegen classes, MLlib internals) that G1 thrashed
+  // during the heaviest late-alphabet query — pipeline_recsys swung
+  // 13s/31s/66s across identical runs; at 48g it is a stable ~12s.
+  // (8g was worse still: multi-second pauses on every training query.)
+  // The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
