@@ -31,16 +31,37 @@ object VectorFunctions {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x)
 
-  /** Id of the nearest centroid (squared euclidean, deterministic lowest-id
-    * tie-break). Centroids are literals (metadata scale), so assignment is
-    * a pure per-row expression: d²(x,c) = |x|² − 2x·c + |c|², with the
-    * rank-invariant |x|² dropped — the same trick as AnnIvf's quantizer. */
-  def nearestCentroid(vec: Column, centers: Seq[Seq[Double]]): Column =
-    array_min(array(centers.zipWithIndex.map { case (c, i) =>
+  /** array<struct<d, cid>> of (rank-equivalent squared distance, centroid
+    * id) per literal centroid: d²(x,c) = |x|² − 2x·c + |c|² with the
+    * rank-invariant |x|² dropped. Struct ordering makes array_min /
+    * array_sort pick nearest centroids with deterministic lowest-id
+    * tie-breaks — the single quantizer formula shared by AnnIvf (probe
+    * lists) and SemanticNearDup (cluster buckets). */
+  def centroidStructs(vec: Column, centers: Seq[Seq[Double]]): Column =
+    array(centers.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * dot(vec, typedLit(c.toArray))).as("d"),
         lit(i).as("cid"))
-    }: _*)).getField("cid")
+    }: _*)
+
+  /** Id of the nearest centroid (deterministic lowest-id tie-break). */
+  def nearestCentroid(vec: Column, centers: Seq[Seq[Double]]): Column =
+    array_min(centroidStructs(vec, centers)).getField("cid")
+
+  /** Seeded MLlib k-means over an ArrayType vector column, returned as
+    * plain parameter doubles (trivially persistable; metadata scale) —
+    * the shared fit behind AnnIvf.fit and SemanticNearDup.fit. */
+  def fitCenters(df: org.apache.spark.sql.DataFrame, vecCol: String,
+      k: Int, maxIter: Int, seed: Long): Seq[Seq[Double]] = {
+    val assembled = df.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("__features"))
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("__features")
+      .fit(assembled)
+      .clusterCenters.map(_.toArray.toSeq).toSeq
+  }
 
   /** Per-dimension mean of a vector column, collected to the driver as a
     * literal-sized array (#dims doubles — metadata scale, like AQE stats).

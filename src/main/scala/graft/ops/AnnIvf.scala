@@ -43,16 +43,9 @@ case class AnnIvf(
     case m        => throw new IllegalArgumentException(s"$name: unknown metric $m")
   }
 
-  /** array<struct<d,cid>> of (rank-equivalent distance, centroid id) —
-    * struct ordering makes array_min/array_sort pick nearest centroids
-    * with deterministic id tie-breaks. */
+  /** Shared quantizer formula — see VectorFunctions.centroidStructs. */
   private def centroidStructs(vec: Column): Column =
-    array(centers.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct(
-        (lit(c2) - lit(2.0) * VectorFunctions.dot(vec, typedLit(c.toArray))).as("d"),
-        lit(i).as("cid"))
-    }: _*)
+    VectorFunctions.centroidStructs(vec, centers)
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, queryIdCol); requireCol(in, queryVecCol)
@@ -100,14 +93,7 @@ object AnnIvf {
       itemIdCol: String = "item_id", itemVecCol: String = "embedding",
       k: Int = 10, nlist: Int = 32, nprobe: Int = 8, metric: String = "dot",
       maxIter: Int = 10, seed: Long = 42L): AnnIvf = {
-    val assembled = items.select(
-      org.apache.spark.ml.functions.array_to_vector(
-        col(itemVecCol).cast("array<double>")).as("__features"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("__features")
-      .fit(assembled)
-    val centers = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centers = VectorFunctions.fitCenters(items, itemVecCol, nlist, maxIter, seed)
     AnnIvf(items, centers, queryIdCol, queryVecCol, itemIdCol, itemVecCol,
       k, math.min(nprobe, centers.size), metric)
   }

@@ -52,17 +52,13 @@ case class Decontaminate(
       StructField("contaminated", BooleanType, nullable = false)))
   }
 
-  // two independent digests per gram: the join key is effectively 128-bit
-  private def gramHashes(text: Column): Column =
-    arrayTransform(T.wordShingles(text, n),
-      g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(7919)).as("h2")))
-
   override def transform(df: DataFrame): DataFrame = {
+    import Decontaminate.gramDigests
     val evalGrams = eval
-      .select(explode(gramHashes(col(evalTextCol))).as("__gram"))
+      .select(explode(gramDigests(col(evalTextCol), n)).as("__gram"))
       .distinct()
     val matches = df
-      .select(col(idCol), explode(gramHashes(col(textCol))).as("__gram"))
+      .select(col(idCol), explode(gramDigests(col(textCol), n)).as("__gram"))
       .join(evalGrams, Seq("__gram"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("matched_grams"))
     // the gram COUNT needs no shingle materialization: it is just the
@@ -75,6 +71,17 @@ case class Decontaminate(
         coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
         (coalesce(col("matched_grams"), lit(0L)) > 0).as("contaminated"))
   }
+}
+
+object Decontaminate {
+  /** The ONE definition of the contamination digest — two independent
+    * 64-bit xxhash64 digests per word n-gram (128-bit join key). Shared
+    * by the batch op and [[graft.streaming.StreamingOps.decontaminateStream]]
+    * so a seed or shingling change can never make the stream twin
+    * silently stop matching the batch inventory. */
+  def gramDigests(text: Column, n: Int): Column =
+    arrayTransform(T.wordShingles(text, n),
+      g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(7919)).as("h2")))
 }
 
 /** Sequence packing: assign chunks to fixed-token-budget training rows by

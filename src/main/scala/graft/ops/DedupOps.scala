@@ -458,8 +458,10 @@ case class CosineNearDup(
   *
   * Scale shape: centroid assignment is a per-row expression over literal
   * centers (metadata scale); the pair join is a shuffle equi-join on the
-  * cluster id with light (id, cluster) rows — vectors join back per SIDE
-  * for verification. Size nlist so clusters average ~√(pair budget).
+  * cluster id carrying each vector ONCE PER SIDE (2× the corpus through
+  * the shuffle — fine because the expensive term is the |cluster|²
+  * verification fan-out, not the linear shuffle). Size nlist so clusters
+  * average ~√(pair budget).
   */
 case class SemanticNearDup(
     centers: Seq[Seq[Double]],
@@ -503,17 +505,9 @@ object SemanticNearDup {
     // nlist=1: assignment is constant whatever the center, and MLlib
     // k-means requires k >= 2 — the mean is the natural single center
     if (nlist == 1)
-      return SemanticNearDup(
-        Seq(graft.functions.VectorFunctions.meanVector(df, vecCol).toSeq),
+      return SemanticNearDup(Seq(V.meanVector(df, vecCol).toSeq),
         idCol, vecCol, threshold)
-    val assembled = df.select(
-      org.apache.spark.ml.functions.array_to_vector(
-        col(vecCol).cast("array<double>")).as("__features"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("__features")
-      .fit(assembled)
-    SemanticNearDup(model.clusterCenters.map(_.toArray.toSeq).toSeq,
+    SemanticNearDup(V.fitCenters(df, vecCol, nlist, maxIter, seed),
       idCol, vecCol, threshold)
   }
 }

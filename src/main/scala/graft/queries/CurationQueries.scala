@@ -573,20 +573,28 @@ object CurationQueries {
          |SELECT node AS doc_id, min(label) AS cluster_id,
          |  CAST(node = min(label) AS INTEGER) AS is_keeper
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+    // zero-norm guard mirrors the op (cosine := 0): without it DuckDB's
+    // 0/0 = NaN, which its total order ranks above every threshold
     "neardup_semantic_full" ->
       """SELECT id_a, id_b, cosine FROM (
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        | sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+        |CASE WHEN sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |          sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
+        |  THEN 0.0
+        |  ELSE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |   (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |    sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) END AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "neardup_cosine" ->
       """SELECT id_a, id_b, cosine FROM (
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        | sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+        |CASE WHEN sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |          sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
+        |  THEN 0.0
+        |  ELSE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |   (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |    sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) END AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "text_stats" ->

@@ -219,15 +219,16 @@ object StreamingOps {
       evalTextCol: String = "text",
       n: Int = 13,
       watermark: String = "1 hour"): DataFrame = {
-    import graft.functions.{TextFunctions => T}
-    def gramHashes(c: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.functions.transform(T.wordShingles(c, n),
-        g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(7919)).as("h2")))
+    import graft.ops.Decontaminate.gramDigests
+    // persist: Spark re-evaluates the static side of a stream-static join
+    // every micro-batch — without this the explode+distinct over the
+    // whole eval corpus would re-run per batch for the query's lifetime
     val inventory = eval
-      .select(explode(gramHashes(col(evalTextCol))).as("__gram")).distinct()
+      .select(explode(gramDigests(col(evalTextCol), n)).as("__gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs
       .withWatermark(tsCol, watermark)
-      .select(col(idCol), col(tsCol), explode(gramHashes(col(textCol))).as("__gram"))
+      .select(col(idCol), col(tsCol), explode(gramDigests(col(textCol), n)).as("__gram"))
       .join(inventory, Seq("__gram"), "left_semi")
       .dropDuplicatesWithinWatermark(idCol)
       .select(idCol, tsCol)
