@@ -236,6 +236,74 @@ object CurationQueries {
       .transform(DocumentChunks().transform(documents(spark, d)))
       .orderBy("doc_id", "chunk_id")
 
+  /** Self-validating pair-recall harness — the dedup twin of OpQueries'
+    * ANN recall rows: compares an approximate pair set against the exact
+    * ground truth in-Spark and THROWS below the floor (and on any false
+    * pair: the family's exact-verification designs promise precision
+    * 1.0), so the driver artifact carries the evidence. */
+  private def pairRecall(spark: SparkSession, approx: DataFrame,
+      exact: DataFrame, floorBp: Int,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    import spark.implicits._
+    val truth = exact.select(col(aCol), col(bCol))
+    val ap = approx.select(col(aCol), col(bCol))
+    val matched = ap.join(truth, Seq(aCol, bCol), "left_semi")
+    val row = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(ap.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(matched.agg(count(lit(1)).as("n_matched"))).head()
+    val (nt, na, nm) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val recallBp = if (nt == 0) 10000L else nm * 10000 / nt
+    require(nm == na, s"precision 1.0 violated: $na approx pairs, $nm real")
+    require(recallBp >= floorBp,
+      s"pair recall floor violated: $recallBp bp < $floorBp bp of $nt pairs")
+    Seq((nt, na, nm, recallBp, floorBp.toLong))
+      .toDF("n_truth", "n_approx", "n_matched", "recall_bp", "floor_bp")
+  }
+
+  /** MinHash recall vs the exact PPJoin truth at the same shingles and
+    * threshold (16 bands × 4 rows: P(surface) ≈ 0.9998 at j = 0.8). */
+  def dedupMinhashRecall(spark: SparkSession, d: String): DataFrame =
+    pairRecall(spark,
+      MinHashDedup(thresholdBp = 8000).transform(documents(spark, d)),
+      NgramJaccardDedup(thresholdBp = 8000).transform(documents(spark, d)),
+      floorBp = 9000)
+
+  /** SimHash banding is COMPLETE for the radius (pigeonhole) — so the
+    * banded pair set must EQUAL the brute-force all-pairs scan, not
+    * approximate it; this query proves that equality in-harness. */
+  def dedupSimhashCheck(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, d)
+    val banded = SimHashDedup(maxHamming = 8).transform(docs)
+      .select("doc_a", "doc_b")
+    val hashed = docs.select(col("doc_id").as("id"),
+      graft.functions.FastExpressions.simhash64(
+        T.shingleSet(col("text"), 3)).as("h"))
+    // the one legitimate all-pairs scan: it exists to indict the banded
+    // path, so it must not share its candidate generation
+    val brute = hashed.as("a").join(hashed.as("b"), col("a.id") < col("b.id"))
+      .filter(T.hamming64(col("a.h"), col("b.h")) <= 8)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    val row = banded.agg(count(lit(1)).as("nb"))
+      .crossJoin(brute.agg(count(lit(1)).as("nf")))
+      .crossJoin(banded.join(brute, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("nm"))).head()
+    val (nb, nf, nm) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    require(nb == nf && nm == nb,
+      s"banding must be complete and exact: banded=$nb brute=$nf matched=$nm")
+    Seq((nb, nf, nm)).toDF("n_banded", "n_bruteforce", "n_matched")
+  }
+
+  /** Hyperplane-LSH cosine recall vs the exact scan at the same
+    * threshold (measured 8571 bp at sf0.01, 7152 bp at sf0.1 — the
+    * corpus sits AT the 0.45 boundary, the hardest regime for LSH). */
+  def neardupCosineLshRecall(spark: SparkSession, d: String): DataFrame =
+    pairRecall(spark,
+      CosineNearDup(threshold = 0.45, numBits = 6, numTables = 16)
+        .transform(embeddings(spark, d)),
+      CosineNearDup(threshold = 0.45, exact = true).transform(embeddings(spark, d)),
+      floorBp = 6000, aCol = "id_a", bCol = "id_b")
+
   /** SemanticNearDup with a single cluster — degenerates to the exact
     * all-pairs scan, putting centroid assignment, the within-cluster
     * join and cosine verification under the hash oracle (the same
@@ -286,6 +354,9 @@ object CurationQueries {
     "pipeline_pretraining" -> (pipelinePretraining _),
     "neardup_semantic_full" -> (neardupSemanticFull _),
     "neardup_semantic" -> (neardupSemantic _),
+    "dedup_minhash_recall" -> (dedupMinhashRecall _),
+    "dedup_simhash_check" -> (dedupSimhashCheck _),
+    "neardup_cosine_lsh_recall" -> (neardupCosineLshRecall _),
     "text_repetition" -> (textRepetition _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_vocab" -> (textVocab _),
