@@ -166,6 +166,9 @@ case class SoftmaxSampling(
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idsCol); requireCol(in, relevanceCol); requireCol(in, seedCol)
+    Seq("ordered_ids", "ordered_scores", "__top").foreach(c =>
+      require(!in.fieldNames.contains(c) || c == idsCol || c == relevanceCol,
+        s"$name: output column '$c' collides with the input schema"))
     val idT = in(idsCol).dataType.asInstanceOf[ArrayType]
     val scT = in(relevanceCol).dataType.asInstanceOf[ArrayType]
     StructType(

@@ -154,8 +154,11 @@ case class PackChunks(
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (sh: Long, rows: Iterator[(Long, Long, Long, Long)]) =>
-        // metadata-only sort: ~32 bytes per chunk, bounded by shard sizing
-        val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+        // metadata-only sort: ~32 bytes per chunk, bounded by shard sizing.
+        // The token count joins the sort key so duplicate (id, order) rows
+        // (a retried upstream write) still fold in a TOTAL order — pack
+        // assignment stays deterministic instead of partition-order-bound
+        val sorted = rows.toArray.sortBy(r => (r._2, r._3, r._4))
         var pack = 0L; var used = 0L; var pos = 0
         sorted.iterator.map { case (_, id, ord, tok) =>
           val t = math.min(math.max(tok, 0L), budget.toLong)

@@ -44,8 +44,11 @@ case class XgbTree(
     if (leftChildren(i) == -1) lit(splitConditions(i))
     else {
       val f = features(splitIndices(i))
+      // missing = null OR NaN (xgboost treats NaN as missing); NaN needs
+      // its own disjunct on the left-default branch because NaN < cond is
+      // false, which would otherwise silently route it right
       val goLeft =
-        if (defaultLeft(i)) f.isNull || f < lit(splitConditions(i))
+        if (defaultLeft(i)) f.isNull || isnan(f) || f < lit(splitConditions(i))
         else f < lit(splitConditions(i))
       when(goLeft, node(leftChildren(i), features))
         .otherwise(node(rightChildren(i), features))
@@ -230,6 +233,12 @@ object LgbForest {
       else {
         val thresholds = doubles("threshold")
         val decisionType = ints("decision_type")
+        // fail fast on ragged node arrays: a missing decision_type line
+        // would misalign the leaf padding into internal-node positions
+        // and silently default-right every split
+        require(thresholds.length == n && decisionType.length == n,
+          s"LgbForest: tree arrays misaligned (split_feature=$n, " +
+            s"threshold=${thresholds.length}, decision_type=${decisionType.length})")
         decisionType.foreach(dt => require((dt & 1) == 0,
           "LgbForest: categorical splits are not supported"))
         // missing_type in bits 2-3: 0 = None, 1 = Zero, 2 = NaN

@@ -236,29 +236,14 @@ object CurationQueries {
       .transform(DocumentChunks().transform(documents(spark, d)))
       .orderBy("doc_id", "chunk_id")
 
-  /** Self-validating pair-recall harness — the dedup twin of OpQueries'
-    * ANN recall rows: compares an approximate pair set against the exact
-    * ground truth in-Spark and THROWS below the floor (and on any false
-    * pair: the family's exact-verification designs promise precision
-    * 1.0), so the driver artifact carries the evidence. */
+  /** Self-validating pair recall — the dedup face of the shared
+    * [[Evidence.recallRow]] harness, with the family's precision-1.0
+    * contract asserted (every emitted pair is exactly verified). */
   private def pairRecall(spark: SparkSession, approx: DataFrame,
       exact: DataFrame, floorBp: Int,
-      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    import spark.implicits._
-    val truth = exact.select(col(aCol), col(bCol))
-    val ap = approx.select(col(aCol), col(bCol))
-    val matched = ap.join(truth, Seq(aCol, bCol), "left_semi")
-    val row = truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(ap.agg(count(lit(1)).as("n_approx")))
-      .crossJoin(matched.agg(count(lit(1)).as("n_matched"))).head()
-    val (nt, na, nm) = (row.getLong(0), row.getLong(1), row.getLong(2))
-    val recallBp = if (nt == 0) 10000L else nm * 10000 / nt
-    require(nm == na, s"precision 1.0 violated: $na approx pairs, $nm real")
-    require(recallBp >= floorBp,
-      s"pair recall floor violated: $recallBp bp < $floorBp bp of $nt pairs")
-    Seq((nt, na, nm, recallBp, floorBp.toLong))
-      .toDF("n_truth", "n_approx", "n_matched", "recall_bp", "floor_bp")
-  }
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    Evidence.recallRow(spark, approx, exact, Seq(aCol, bCol), floorBp,
+      requirePrecision = true)
 
   /** MinHash recall vs the exact PPJoin truth at the same shingles and
     * threshold (16 bands × 4 rows: P(surface) ≈ 0.9998 at j = 0.8). */

@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE self-validating recall harness behind the rows-only driver
+  * queries (ANN recall, dedup pair recall): compares an approximate
+  * result against exact ground truth in-Spark on the given key columns
+  * and THROWS below the floor — so the driver artifact carries the
+  * evidence, and the floor/zero-truth semantics cannot drift between
+  * query families. Empty truth counts as full recall (nothing to find).
+  * `requirePrecision` additionally asserts approx ⊆ truth — the
+  * exact-verification contract of the dedup family. */
+object Evidence {
+  def recallRow(spark: SparkSession, approx: DataFrame, exact: DataFrame,
+      keyCols: Seq[String], floorBp: Int,
+      requirePrecision: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val truth = exact.select(keyCols.map(col): _*)
+    val ap = approx.select(keyCols.map(col): _*)
+    val matched = ap.join(truth, keyCols, "left_semi")
+    val row = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(ap.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(matched.agg(count(lit(1)).as("n_matched"))).head()
+    val (nt, na, nm) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val recallBp = if (nt == 0) 10000L else nm * 10000 / nt
+    if (requirePrecision)
+      require(nm == na, s"precision 1.0 violated: $na approx rows, $nm real")
+    require(recallBp >= floorBp,
+      s"recall floor violated: $recallBp bp < $floorBp bp over $nt truth rows")
+    Seq((nt, na, nm, recallBp, floorBp.toLong))
+      .toDF("n_truth", "n_approx", "n_matched", "recall_bp", "floor_bp")
+  }
+}

@@ -198,40 +198,17 @@ object OpQueries {
       .asRows(queries).orderBy("vec_id", "rank")
   }
 
-  /** Recall harness shared by the ANN driver queries (rows-only by nature
-    * — candidate sets are hash/fit-dependent — but SELF-VALIDATING: the
-    * query computes recall@k against the exact [[TopKRetrieval]] ground
-    * truth in-Spark and throws if it undercuts the floor, so the driver
-    * artifact carries recall evidence, not just row counts). The compare
-    * is a left-semi join on (query, item): one shuffle of id pairs. */
-  private def annRecall(spark: SparkSession, approx: DataFrame,
-      exact: DataFrame, floorBp: Int): DataFrame = {
-    import spark.implicits._
-    val truth = exact.select(col("vec_id"), col("item_id"))
-    val matched = approx.select(col("vec_id"), col("item_id"))
-      .join(truth, Seq("vec_id", "item_id"), "left_semi")
-    val row = truth
-      .agg(countDistinct("vec_id").as("n_queries"), count(lit(1)).as("n_truth"))
-      .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
-      .select(col("n_queries"), col("n_truth"), col("n_matched"),
-        floor(col("n_matched") * 10000 / col("n_truth")).cast("long").as("recall_bp"))
-      .head()
-    val recallBp = row.getAs[Long]("recall_bp")
-    require(recallBp >= floorBp,
-      s"ANN recall floor violated: $recallBp bp < $floorBp bp over " +
-        s"${row.getAs[Long]("n_queries")} queries")
-    Seq((row.getAs[Long]("n_queries"), row.getAs[Long]("n_truth"),
-      row.getAs[Long]("n_matched"), recallBp, floorBp.toLong))
-      .toDF("n_queries", "n_truth", "n_matched", "recall_bp", "floor_bp")
-  }
-
-  /** AnnLsh recall@10 vs brute force, floor-asserted in the query. */
+  /** AnnLsh recall@10 vs brute force, floor-asserted via the shared
+    * [[Evidence.recallRow]] harness (rows-only by nature — candidate
+    * sets are hash-dependent — but self-validating in the artifact). */
   def annLshRecall(spark: SparkSession, d: String): DataFrame =
-    annRecall(spark, annLsh(spark, d), topkRetrieval(spark, d), floorBp = 2000)
+    Evidence.recallRow(spark, annLsh(spark, d), topkRetrieval(spark, d),
+      Seq("vec_id", "item_id"), floorBp = 2000)
 
   /** AnnIvf recall@10 vs brute force, floor-asserted in the query. */
   def annIvfRecall(spark: SparkSession, d: String): DataFrame =
-    annRecall(spark, annIvf(spark, d), topkRetrieval(spark, d), floorBp = 5000)
+    Evidence.recallRow(spark, annIvf(spark, d), topkRetrieval(spark, d),
+      Seq("vec_id", "item_id"), floorBp = 5000)
 
   /** Multimodal plumbing under the oracle: fake binary media derived
     * deterministically from document hashes, decoded partition-parallel by

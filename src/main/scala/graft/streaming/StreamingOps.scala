@@ -52,7 +52,12 @@ object StreamingOps {
       val t = e.ts.getTime
       cur match {
         case Some(s) if t - s.last <= gapMs =>
-          cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          // min/max, not assignment: an in-watermark LATE event (t before
+          // the carried state's bounds) must widen the session exactly as
+          // a sorted replay would — otherwise end < start and the output
+          // depends on batch boundaries
+          cur = Some(s.copy(start = math.min(s.start, t),
+            last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
         case Some(s) =>
           closed ::= SessionAgg(userId, new Timestamp(s.start),
             new Timestamp(s.last), s.n, s.total)

@@ -203,6 +203,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(replayed == oneBatch, s"replay drift: $replayed vs $oneBatch")
   }
 
+  test("sessionizeByEventTime widens the session for in-watermark late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamingOps.sessionizeByEventTime(src.toDS(),
+      gapMs = 10 * 60_000L, watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late").start()
+    src.addData(Event(1, ts(5), 10, "a", 1.0)); q.processAllAvailable()
+    // late but strictly inside the watermark (wm = t5 − 5min = t0 < t2):
+    // must EXTEND the session backwards, never regress last (a bug here
+    // emits session_end < session_start)
+    src.addData(Event(2, ts(2), 10, "b", 2.0)); q.processAllAvailable()
+    src.addData(Event(98, ts(300), 99, "x", 0.0)); q.processAllAvailable()
+    src.addData(Event(99, ts(301), 99, "x", 0.0)); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_late").as[SessionAgg].collect()
+      .filter(_.user_id == 10L)
+    assert(out.length == 1, out.toSeq.toString)
+    assert(out.head.session_start.getTime == ts(2).getTime &&
+      out.head.session_end.getTime == ts(5).getTime &&
+      out.head.n_events == 2 && out.head.total_value == 3.0,
+      out.head.toString)
+  }
+
   test("sequenceStream matches the batch TrainingSequences output") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
