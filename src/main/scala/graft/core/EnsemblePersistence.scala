@@ -230,6 +230,14 @@ object EnsemblePersistence {
       ("type" -> "StratifiedSample") ~ ("idCol" -> id) ~
         ("strataCol" -> strata) ~ ("fractionsBp" -> fr) ~
         ("defaultBp" -> dflt) ~ ("salt" -> salt)
+    case UpsampleMix(id, strata, w, dflt, salt, ep) =>
+      ("type" -> "UpsampleMix") ~ ("idCol" -> id) ~
+        ("strataCol" -> strata) ~ ("weightsBp" -> w) ~
+        ("defaultBp" -> dflt) ~ ("salt" -> salt) ~ ("epochCol" -> ep)
+    case TopFractionByGroup(strata, score, id, fr, dflt, approx, rank) =>
+      ("type" -> "TopFractionByGroup") ~ ("strataCol" -> strata) ~
+        ("scoreCol" -> score) ~ ("idCol" -> id) ~ ("fracsBp" -> fr) ~
+        ("defaultBp" -> dflt) ~ ("approx" -> approx) ~ ("rankCol" -> rank)
     case DocumentChunks(id, text, cs, ov) =>
       ("type" -> "DocumentChunks") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("chunkSize" -> cs) ~ ("overlap" -> ov)
@@ -437,6 +445,15 @@ object EnsemblePersistence {
         StratifiedSample(s("idCol"), s("strataCol"),
           (o \ "fractionsBp").extract[Map[String, Int]],
           (o \ "defaultBp").extract[Int], s("salt"))
+      case "UpsampleMix" =>
+        UpsampleMix(s("idCol"), s("strataCol"),
+          (o \ "weightsBp").extract[Map[String, Int]],
+          (o \ "defaultBp").extract[Int], s("salt"), s("epochCol"))
+      case "TopFractionByGroup" =>
+        TopFractionByGroup(s("strataCol"), s("scoreCol"), s("idCol"),
+          (o \ "fracsBp").extract[Map[String, Int]],
+          (o \ "defaultBp").extract[Int],
+          (o \ "approx").extract[Boolean], s("rankCol"))
       case "DocumentChunks" =>
         DocumentChunks(s("idCol"), s("textCol"),
           (o \ "chunkSize").extract[Int], (o \ "overlap").extract[Int])

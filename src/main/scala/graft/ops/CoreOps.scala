@@ -372,6 +372,71 @@ case class StratifiedSample(
       .filter(col("sample_bucket") < thresholdBp)
 }
 
+/** Deterministic epoch-weighted upsampling — the other half of the
+  * data-mixing knob beside [[StratifiedSample]]: mixing to target domain
+  * proportions usually means REPEATING the high-value strata (books ×2.5,
+  * wiki ×3) while crawl stays at ≤1 epoch. Weights are basis points of an
+  * epoch (25000 = 2.5 copies): every row gets `weightBp / 10000` whole
+  * copies, plus one more iff `md5(id ":" salt) mod 10000 < weightBp mod
+  * 10000` — the same content-hash coin as [[HashSplit]], so WHICH rows
+  * carry the fractional epoch is stable under reshuffling/re-runs and
+  * cross-engine checkable (weights < 10000 degenerate to exactly
+  * [[StratifiedSample]]'s keep rule). Copies are emitted with a 0-based
+  * `epoch` column so downstream shuffles/packing can decorrelate them.
+  *
+  * Scale shape: one `explode(sequence(...))` over a per-row expression —
+  * shuffle-free, map-side, output volume ∝ Σ weights, which is the
+  * physical lower bound for materialized mixing. (At 100 TB one would
+  * often keep mixing virtual — union N references to the same parquet —
+  * but a materialized mix is what shuffled/packed pre-training input
+  * wants, and this op is the deterministic way to get it.)
+  *
+  * Strata not in `weightsBp` fall back to `defaultBp`; a NULL stratum
+  * uses `defaultBp`; a NULL id has no deterministic coin and is dropped
+  * (same contract as [[StratifiedSample]]). */
+case class UpsampleMix(
+    idCol: String,
+    strataCol: String,
+    weightsBp: Map[String, Int],
+    defaultBp: Int = 10000,
+    salt: String = "graft",
+    epochCol: String = "epoch") extends EnsembleOp {
+
+  require((defaultBp +: weightsBp.values.toSeq).forall(w => w >= 0 && w <= 1000000),
+    s"$name: weights must be basis points within [0, 1000000] (100 epochs)")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, strataCol)
+    require(!in.fieldNames.contains(epochCol),
+      s"$name: output column '$epochCol' collides with the input schema")
+    StructType(in :+ StructField(epochCol, IntegerType))
+  }
+
+  /** The fractional-epoch coin (exposed so oracle SQL can mirror it). */
+  def bucket: Column =
+    graft.functions.TextFunctions.hashBucket(col(idCol), salt, 10000)
+
+  /** Per-row weight in basis points: CASE over strata in sorted-key order
+    * (a canonical plan for any Map insertion order). */
+  def weightBp: Column =
+    weightsBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp): Column) {
+      case ((k, w), els) => when(col(strataCol) === k, lit(w)).otherwise(els)
+    }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val out = transformSchema(df.schema)
+    val copies = (col("__w") / 10000).cast("int") +
+      when(col("__b") < col("__w") % 10000, 1).otherwise(0)
+    // sequence(0, -1) would COUNT DOWN, not return empty — guard the
+    // zero-copy case explicitly so those rows vanish under the explode
+    df.withColumn("__b", bucket).withColumn("__w", weightBp)
+      .filter(col("__b").isNotNull)
+      .withColumn(epochCol, explode(when(copies > 0,
+        sequence(lit(0), copies - 1)).otherwise(array().cast("array<int>"))))
+      .select(out.fieldNames.map(col).toSeq: _*)
+  }
+}
+
 /** Pad/truncate a list column to fixed length (dataloader Padding op,
   * /root/reference/tests/unit/systems/ops/padding_op.py:26-63). Spark arrays
   * are natively ragged, so this is `slice(concat(a, fill), 1, len)`. */

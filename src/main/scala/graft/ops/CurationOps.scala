@@ -108,6 +108,93 @@ object Decontaminate {
   * 64 K shards that is ~400 K rows/shard); pack ids are globally unique
   * as (shard, pack_in_shard).
   */
+/** Per-stratum top-fraction selection — the per-domain QUALITY BUDGET of
+  * a curation pipeline: "keep the best 20% of web crawl by quality score,
+  * the best 90% of books". Two modes sharing one contract:
+  *
+  * EXACT (default): rank rows within each stratum by (score desc, id asc
+  * — the id tiebreak makes the cut deterministic, not partition-order
+  * luck) and keep a row iff `rank * 10000 <= fracBp * stratum_count`.
+  * The rank survives as `quality_rank` for audit. Cost: one shuffle on
+  * the stratum key plus a per-stratum sort — fine while every stratum
+  * fits a spillable sort, which holds for domain-sized strata (dozens of
+  * sources), NOT for pathological single-domain corpora.
+  *
+  * APPROX (`approx = true`): the 100 TB path. Per-stratum score
+  * thresholds come from `percentile_approx` over a fixed 101-point
+  * quantile grid — a partial-aggregable sketch (map-side combine, no
+  * global sort), after which selection is a broadcast threshold join +
+  * scan-local filter. Keeps ≈ the requested fraction (sketch-accurate,
+  * not exact), emits no rank column, and never sorts anything.
+  *
+  * Strata not in `fracsBp` fall back to `defaultBp`; a NULL stratum forms
+  * its own group under `defaultBp`; NULL scores sort last (exact) /
+  * never pass the threshold (approx). */
+case class TopFractionByGroup(
+    strataCol: String,
+    scoreCol: String,
+    idCol: String,
+    fracsBp: Map[String, Int],
+    defaultBp: Int = 10000,
+    approx: Boolean = false,
+    rankCol: String = "quality_rank") extends EnsembleOp {
+
+  require((defaultBp +: fracsBp.values.toSeq).forall(b => b >= 0 && b <= 10000),
+    s"$name: all fractions must be basis points within [0, 10000]")
+
+  override def transformSchema(in: StructType): StructType = {
+    Seq(strataCol, scoreCol, idCol).foreach(requireCol(in, _))
+    if (approx) in
+    else {
+      require(!in.fieldNames.contains(rankCol),
+        s"$name: output column '$rankCol' collides with the input schema")
+      StructType(in :+ StructField(rankCol, IntegerType, nullable = false))
+    }
+  }
+
+  /** Per-row budget in basis points: CASE over strata in sorted-key order
+    * (a canonical plan for any Map insertion order). */
+  def fracBp: Column =
+    fracsBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp): Column) {
+      case ((k, bp), els) => when(col(strataCol) === k, lit(bp)).otherwise(els)
+    }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val out = transformSchema(df.schema)
+    if (!approx) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strataCol).orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+      df.withColumn(rankCol, row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(strataCol)))
+        .filter(col(rankCol).cast("long") * 10000 <= fracBp.cast("long") * col("__cnt"))
+        .select(out.fieldNames.map(col).toSeq: _*)
+    } else {
+      // 101-point grid: threshold = the (1 - frac) quantile, grid-rounded.
+      // percentile_approx needs a foldable percentage, so sketch the whole
+      // grid once per stratum and index into it per-stratum afterwards —
+      // the sketch agg is partial-aggregable, the result is strata-sized
+      val grid = array((0 to 100).map(i => lit(i / 100.0)): _*)
+      val thresholds = df
+        .groupBy(col(strataCol).as("__stratum"))
+        .agg(percentile_approx(col(scoreCol), grid, lit(10000)).as("__q"))
+        .withColumn("__fracBp", fracsBp.toSeq.sortBy(_._1)
+          .foldRight(lit(defaultBp): Column) { case ((k, bp), els) =>
+            when(col("__stratum") === k, lit(bp)).otherwise(els) })
+        // keep-all needs no threshold; element_at is 1-based
+        .withColumn("__thr", when(col("__fracBp") === 10000, lit(null))
+          .otherwise(element_at(col("__q"),
+            (lit(101) - (col("__fracBp") / lit(100.0)).cast("int")))))
+        .select(col("__stratum"), col("__fracBp"), col("__thr"))
+      df.join(broadcast(thresholds),
+          df(strataCol) <=> col("__stratum"), "left")
+        .filter(col("__fracBp") > 0 &&
+          (col("__thr").isNull || col(scoreCol) >= col("__thr")))
+        .select(out.fieldNames.map(col).toSeq: _*)
+    }
+  }
+}
+
 case class PackChunks(
     idCol: String = "doc_id",
     orderCol: String = "chunk_id",

@@ -333,7 +333,38 @@ object CurationQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** TopFractionByGroup under the oracle: per-source quality budgets over
+    * the document corpus (keep the longest 20% of src0, 50% of src1, none
+    * of src2, 80% elsewhere), n_chars standing in for the quality score.
+    * Exact mode — rank, count and the id tiebreak all hash-check. */
+  def topFraction(spark: SparkSession, d: String): DataFrame =
+    TopFractionByGroup("source", "n_chars", "doc_id",
+      Map("src0" -> 2000, "src1" -> 5000, "src2" -> 0), defaultBp = 8000)
+      .transform(documents(spark, d).select("doc_id", "source", "n_chars"))
+      .orderBy("doc_id")
+
+  /** The training-mixture flagship: per-domain quality budget →
+    * epoch-weighted upsampling → content-hash split, composed as ONE
+    * Catalyst plan and hash-checked end-to-end. Every stage is the
+    * deterministic md5-coin discipline, so the oracle replays the whole
+    * mixture — which documents survived the budget, which copies exist,
+    * and which split each copy landed in (copies share the doc's coin, so
+    * a document's epochs never straddle train/test — the leak-safe
+    * default). */
+  def pipelineMix(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d).select("doc_id", "source", "lang", "n_chars")
+    val selected = TopFractionByGroup("source", "n_chars", "doc_id",
+      Map("src0" -> 2000, "src1" -> 5000), defaultBp = 8000).transform(docs)
+    val mixed = UpsampleMix("doc_id", "lang",
+      Map("en" -> 20000, "zh" -> 15000), defaultBp = 10000).transform(selected)
+    HashSplit("doc_id", trainBp = 9000, validBp = 500).transform(mixed)
+      .select("doc_id", "source", "lang", "n_chars", "quality_rank", "epoch", "split")
+      .orderBy("doc_id", "epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_top_fraction" -> (topFraction _),
+    "pipeline_mix" -> (pipelineMix _),
     "text_decontaminate" -> (decontaminate _),
     "pack_chunks" -> (packChunks _),
     "pipeline_pretraining" -> (pipelinePretraining _),
@@ -470,6 +501,37 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "curation_top_fraction" ->
+      """SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS quality_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents)
+        |WHERE rn * 10000 <= CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+        |  WHEN 'src2' THEN 0 ELSE 8000 END * cnt
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_mix" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id, source, lang, n_chars, CAST(rn AS INTEGER) AS quality_rank
+        |  FROM ranked
+        |  WHERE rn * 10000 <= CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+        |    ELSE 8000 END * cnt),
+        |mix AS (
+        |  SELECT *, ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b,
+        |    CASE lang WHEN 'en' THEN 20000 WHEN 'zh' THEN 15000 ELSE 10000 END AS w
+        |  FROM sel),
+        |rep AS (
+        |  SELECT doc_id, source, lang, n_chars, quality_rank, b,
+        |    CAST(unnest(range(0, w // 10000 + CASE WHEN b < w % 10000 THEN 1 ELSE 0 END)) AS INTEGER) AS epoch
+        |  FROM mix)
+        |SELECT doc_id, source, lang, n_chars, quality_rank, epoch,
+        |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid' ELSE 'test' END AS split
+        |FROM rep ORDER BY doc_id, epoch""".stripMargin,
     "pipeline_pretraining" ->
       s"""WITH RECURSIVE
          |w AS (SELECT doc_id, source, text, $wordsSql AS ws FROM documents),

@@ -378,6 +378,16 @@ object OpQueries {
       .transform(documents(spark, d).select("doc_id", "lang"))
       .orderBy("doc_id")
 
+  /** UpsampleMix under the oracle: epoch-weighted repeat of the document
+    * corpus (the upsampling half of data mixing — en ×2.5, zh ×1.5, de ×1,
+    * rest ×0.5). The md5 coin decides which rows carry the fractional
+    * epoch, so DuckDB reproduces the exact multiset, not just the rates. */
+  def upsampleMix(spark: SparkSession, d: String): DataFrame =
+    UpsampleMix("doc_id", "lang",
+      Map("en" -> 25000, "de" -> 10000, "zh" -> 15000), defaultBp = 5000)
+      .transform(documents(spark, d).select("doc_id", "lang"))
+      .orderBy("doc_id", "epoch")
+
   /** QuantizeEmbeddings under the oracle: integer-micro affine codes are
     * bit-deterministic, so every (vector, component) code hash-checks. */
   def quantizeEmbeddings(spark: SparkSession, d: String): DataFrame =
@@ -436,6 +446,7 @@ object OpQueries {
     "op_interval_join" -> (intervalJoin _),
     "op_salted_join" -> (saltedJoin _),
     "op_stratified_sample" -> (stratifiedSample _),
+    "op_upsample_mix" -> (upsampleMix _),
     "op_quantize_embeddings" -> (quantizeEmbeddings _),
     "op_materialize_view" -> (materializeView _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
@@ -654,6 +665,17 @@ object OpQueries {
         |    row_number() OVER (PARTITION BY requestId ORDER BY k, o_orderkey) AS rank
         |  FROM keyed)
         |WHERE rank <= 10 ORDER BY requestId, rank""".stripMargin,
+    "op_upsample_mix" ->
+      """SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS INTEGER) AS epoch
+        |FROM (
+        |  SELECT doc_id, lang, w // 10000 + CASE WHEN b < w % 10000 THEN 1 ELSE 0 END AS copies
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b,
+        |      CASE lang WHEN 'en' THEN 25000 WHEN 'de' THEN 10000
+        |        WHEN 'zh' THEN 15000 ELSE 5000 END AS w
+        |    FROM documents))
+        |ORDER BY doc_id, epoch""".stripMargin,
     "op_stratified_sample" ->
       """SELECT doc_id, lang, b AS sample_bucket FROM (
         |  SELECT doc_id, lang,

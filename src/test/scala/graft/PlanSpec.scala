@@ -145,4 +145,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("chunk_text"),
       s"the fold must not carry chunk text through its shuffle:\n${p.take(800)}")
   }
+
+  test("upsample mix is a shuffle-free per-row explode") {
+    val p = plan(ops.UpsampleMix("doc_id", "lang", Map("en" -> 25000))
+      .transform(Tables.documents(spark, d)))
+    assert(!p.contains("Exchange"), s"no shuffle expected:\n${p.take(600)}")
+    assert(p.contains("Generate explode"), "mixing materializes via explode")
+  }
+
+  test("top-fraction approx mode has no sort and broadcasts its thresholds") {
+    val docs = Tables.documents(spark, d)
+    val p = plan(ops.TopFractionByGroup("lang", "n_chars", "doc_id",
+      Map("en" -> 4000), defaultBp = 7000, approx = true).transform(docs))
+    assert(!p.toLowerCase.contains("sort "),
+      s"the 100 TB path must never sort:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"), "thresholds join must broadcast")
+    // exact mode pays exactly one stratum shuffle (window sort), no more
+    val pe = plan(ops.TopFractionByGroup("lang", "n_chars", "doc_id",
+      Map("en" -> 4000), defaultBp = 7000).transform(docs))
+    assert("Exchange hashpartitioning".r.findAllIn(pe).length == 1,
+      s"one shuffle on the stratum key:\n${pe.take(800)}")
+  }
 }

@@ -156,6 +156,22 @@ class EnsemblePersistenceSpec extends SparkSpec {
     val dirP = Files.tmp("ens_pack")
     EnsemblePersistence.save(Ensemble(Seq(pk), chunkSchema), dirP, spark)
     assert(EnsemblePersistence.load(dirP, spark).ops.head == pk)
+
+    val um = UpsampleMix("doc_id", "lang",
+      Map("en" -> 25000, "zh" -> 15000), defaultBp = 5000, salt = "m1")
+    val dirU = Files.tmp("ens_mix")
+    EnsemblePersistence.save(Ensemble(Seq(um), docSchema), dirU, spark)
+    assert(EnsemblePersistence.load(dirU, spark).ops.head == um)
+
+    val scoreSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, score DOUBLE")
+    Seq(false, true).foreach { approx =>
+      val tf = TopFractionByGroup("source", "score", "doc_id",
+        Map("src0" -> 2000), defaultBp = 9000, approx = approx)
+      val dirT = Files.tmp("ens_topfrac")
+      EnsemblePersistence.save(Ensemble(Seq(tf), scoreSchema), dirT, spark)
+      assert(EnsemblePersistence.load(dirT, spark).ops.head == tf)
+    }
   }
 
   test("Decontaminate round-trips its eval corpus as a side artifact") {

@@ -253,6 +253,58 @@ class CoreOpsSpec extends SparkSpec {
     assert(webOnly == a.filter(_ % 3 == 1), "per-id fate is stratum-independent")
   }
 
+  test("UpsampleMix emits floor(weight) epochs plus a hash-deterministic fractional copy") {
+    val df = (1L to 3000L).map(i =>
+      (i, i % 3 match { case 0 => "books"; case 1 => "web"; case _ => "other" }))
+      .toDF("id", "stratum")
+    val op = UpsampleMix("id", "stratum",
+      Map("books" -> 20000, "web" -> 15000), defaultBp = 0)
+    val out = op.transform(df).cache()
+    try {
+      val copies = out.groupBy("id", "stratum").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      // whole-epoch stratum: every books row exactly twice, epochs 0 and 1
+      assert(copies.filter(_._1._2 == "books").values.toSet == Set(2L))
+      assert(out.filter($"stratum" === "books").select("epoch").distinct()
+        .as[Int].collect().toSet == Set(0, 1))
+      // fractional stratum: 1 or 2 copies, ~1.5 on average, and the 2-copy
+      // set is exactly the md5-coin winners (bucket < 5000)
+      val webCopies = copies.filter(_._1._2 == "web")
+      assert(webCopies.values.toSet == Set(1L, 2L))
+      val twoCopyIds = webCopies.filter(_._2 == 2L).keys.map(_._1).toSet
+      val coinWinners = df.filter($"stratum" === "web")
+        .filter(graft.functions.TextFunctions.hashBucket(col("id"), "graft", 10000) < 5000)
+        .select("id").as[Long].collect().toSet
+      assert(twoCopyIds == coinWinners, "fractional copy = the content-hash coin")
+      // zero-weight stratum vanishes entirely
+      assert(!copies.keys.exists(_._2 == "other"))
+    } finally out.unpersist()
+    // weight < 10000 degenerates to exactly StratifiedSample's keep rule
+    val mixed = UpsampleMix("id", "stratum", Map.empty, defaultBp = 2000)
+      .transform(df)
+    assert(mixed.select("epoch").distinct().as[Int].collect().toSet == Set(0))
+    val sampled = StratifiedSample("id", "stratum", Map.empty, defaultBp = 2000)
+      .transform(df)
+    assert(mixed.select("id").as[Long].collect().toSet ==
+      sampled.select("id").as[Long].collect().toSet)
+  }
+
+  test("UpsampleMix null semantics, collision check and weight bounds") {
+    val nulls = Seq((Option(1L), Option("books")), (Option(2L), None),
+      (None, Option("books"))).toDF("id", "stratum")
+    // null stratum takes the default weight; null id has no coin → dropped
+    val out = UpsampleMix("id", "stratum", Map.empty, defaultBp = 10000)
+      .transform(nulls).select("id").as[Option[Long]].collect().toSet
+    assert(out == Set(Option(1L), Option(2L)))
+    val clash = Seq((1L, "a", 0)).toDF("id", "stratum", "epoch")
+    assertThrows[IllegalArgumentException] {
+      UpsampleMix("id", "stratum", Map.empty).transformSchema(clash.schema)
+    }
+    assertThrows[IllegalArgumentException] {
+      UpsampleMix("id", "stratum", Map("a" -> 1000001))
+    }
+  }
+
   test("StratifiedSample null semantics and output-collision check") {
     val nulls = Seq((Option(1L), Option("books")), (Option(2L), None),
       (None, Option("books"))).toDF("id", "stratum")

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class CurationOpsSpec extends SparkSpec {
@@ -73,5 +74,59 @@ class CurationOpsSpec extends SparkSpec {
     val withNull = Seq((1L, 0L, Some(50L)), (2L, 0L, None))
       .toDF("doc_id", "chunk_id", "n_tokens")
     assert(op.transform(withNull).count() == 1)
+  }
+
+  test("TopFractionByGroup exact mode keeps the top fraction per stratum, id-tiebroken") {
+    // src a: scores 9,8,7,7,6 — 40% of 5 = top 2 (ids 1,2); the 7-tie
+    // (ids 3 < 4) must cut on id order, not partition luck
+    val df = Seq(
+      (1L, "a", 9.0), (2L, "a", 8.0), (3L, "a", 7.0), (4L, "a", 7.0), (5L, "a", 6.0),
+      (6L, "b", 1.0), (7L, "b", 2.0),
+      (8L, "c", 5.0), (9L, "c", 4.0)).toDF("doc_id", "source", "score")
+    val op = TopFractionByGroup("source", "score", "doc_id",
+      Map("a" -> 4000, "b" -> 0), defaultBp = 5000)
+    val out = op.transform(df).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(out == Map(1L -> 1, 2L -> 2, 8L -> 1), s"got $out")
+    // 60% of the tie group: rank 3 passes (3*10000 <= 6000*5), rank 4 not —
+    // the id tiebreak decides WHICH of the tied docs survives
+    val out60 = TopFractionByGroup("source", "score", "doc_id",
+      Map("a" -> 6000), defaultBp = 0).transform(df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out60 == Set(1L, 2L, 3L), s"tied doc 3 (lower id) survives, 4 does not: $out60")
+    // rank-column collision fails at schema time
+    assertThrows[IllegalArgumentException] {
+      op.transformSchema(df.withColumn("quality_rank", lit(0)).schema)
+    }
+  }
+
+  test("TopFractionByGroup approx mode lands near the budget with no sort and no rank") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "lang", "n_chars")
+    val op = TopFractionByGroup("lang", "n_chars", "doc_id",
+      Map("en" -> 4000), defaultBp = 7000, approx = true)
+    assert(op.transformSchema(docs.schema) == docs.schema, "approx emits no rank column")
+    val kept = op.transform(docs)
+    val rates = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = rates("en").toDouble / totals("en")
+    assert(math.abs(enRate - 0.4) < 0.1, s"en keep-rate ~40%: $enRate")
+    totals.keys.filterNot(_ == "en").foreach { l =>
+      val r = rates.getOrElse(l, 0L).toDouble / totals(l)
+      assert(math.abs(r - 0.7) < 0.15, s"$l keep-rate ~70%: $r")
+    }
+    // every survivor outscores every dropped row of its stratum (threshold
+    // semantics) — the property that makes approx a faithful scale path
+    val minKept = kept.groupBy("lang").agg(min("n_chars").as("mn"))
+    val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val violations = dropped.join(minKept, "lang")
+      .filter(col("n_chars") > col("mn")).count()
+    assert(violations == 0, "no dropped row outscores a kept row in its stratum")
+    // frac=0 keeps nothing even though the stratum max would pass >= max
+    val none = TopFractionByGroup("lang", "n_chars", "doc_id",
+      Map.empty, defaultBp = 0, approx = true).transform(docs)
+    assert(none.count() == 0)
   }
 }
