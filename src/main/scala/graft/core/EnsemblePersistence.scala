@@ -274,7 +274,8 @@ object EnsemblePersistence {
         ("n" -> n) ~ ("maxHamming" -> mh) ~ ("hashCol" -> hc)
     case dc: DupClusters =>
       val base = ("type" -> "DupClusters") ~ ("docIdCol" -> dc.docIdCol) ~
-        ("aCol" -> dc.aCol) ~ ("bCol" -> dc.bCol) ~ ("maxIters" -> dc.maxIters)
+        ("aCol" -> dc.aCol) ~ ("bCol" -> dc.bCol) ~ ("maxIters" -> dc.maxIters) ~
+        ("edgeBudget" -> dc.edgeBudget)
       dc.allDocs match {
         case Some(d) =>
           val p = artifactPath(dir, i, "all_docs")
@@ -485,7 +486,8 @@ object EnsemblePersistence {
           s("idCol"), s("vecCol"), (o \ "threshold").extract[Double])
       case "DupClusters" =>
         DupClusters((o \ "path").extractOpt[String].map(spark.read.parquet(_)),
-          s("docIdCol"), s("aCol"), s("bCol"), (o \ "maxIters").extract[Int])
+          s("docIdCol"), s("aCol"), s("bCol"), (o \ "maxIters").extract[Int],
+          (o \ "edgeBudget").extractOpt[Long].getOrElse(4000000L))
       case "CosineNearDup" =>
         CosineNearDup(s("idCol"), s("vecCol"), (o \ "threshold").extract[Double],
           (o \ "exact").extract[Boolean], (o \ "numBits").extract[Int],

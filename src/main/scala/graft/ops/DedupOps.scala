@@ -205,13 +205,26 @@ case class MinHashDedup(
   *
   * `allDocs` adds the full document table so untouched docs emit
   * singleton clusters; without it only docs appearing in pairs are
-  * labeled. */
+  * labeled.
+  *
+  * Size gate (same discipline as the ALS scorer's broadcast gate): the
+  * dup graph is edge METADATA — two ids per pair, not documents — and in
+  * a deduped corpus it is orders of magnitude smaller than the corpus.
+  * When the persisted edge list holds at most `edgeBudget` pairs, the op
+  * collects the ids and runs exact union-find on the driver (path
+  * compression + min-root, O(E α)) — one job, no iteration, no
+  * per-round scheduler overhead. Above the budget it switches to the
+  * distributed propagation, whose state stays ∝ |dup graph|. At 4 M
+  * pairs the collected edge list is ~64 MB — far inside driver headroom —
+  * while a 100 TB corpus whose dup graph exceeds the budget gets the
+  * iterative path automatically. */
 case class DupClusters(
     allDocs: Option[DataFrame] = None,
     docIdCol: String = "doc_id",
     aCol: String = "doc_a",
     bCol: String = "doc_b",
-    maxIters: Int = 25) extends EnsembleOp {
+    maxIters: Int = 25,
+    edgeBudget: Long = 4000000L) extends EnsembleOp {
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, aCol); requireCol(in, bCol)
@@ -221,11 +234,49 @@ case class DupClusters(
       StructField("is_keeper", BooleanType, nullable = false)))
   }
 
+  /** Exact driver-side union-find over a collected edge list (the
+    * below-budget path). Min-root union keeps `cluster_id` = the
+    * component's minimum id — identical semantics to the propagation. */
+  private def driverClusters(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idField = edges.schema("src")
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r).exists(_ != r)) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.na.drop().collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (cmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keysIterator
+      .map(k => org.apache.spark.sql.Row(k, find(k))).toSeq
+    val schema = StructType(Seq(
+      idField.copy(name = docIdCol), idField.copy(name = "cluster_id")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1 + rows.length / 500000), schema)
+  }
+
   override def transform(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one action materializes the persisted edge list AND decides the
+    // path: below the budget the graph is driver-sized metadata
+    if (edges.count() / 2 <= edgeBudget) {
+      val clustered = driverClusters(edges)
+      edges.unpersist()
+      return finish(clustered)
+    }
     // iterate ONLY over nodes that appear in some pair: the propagation
     // state is ∝ |dup graph|, not |corpus| — singletons (the vast
     // majority of a deduped corpus) join in once at the end
@@ -276,7 +327,11 @@ case class DupClusters(
         s"$maxIters rounds — components wider than $maxIters hops keep " +
         "partial (still valid, non-minimal) cluster ids")
     edges.unpersist()
-    val clustered = labels.select(col("node").as(docIdCol), col("label").as("cluster_id"))
+    finish(labels.select(col("node").as(docIdCol), col("label").as("cluster_id")))
+  }
+
+  /** Shared tail: fold in singleton docs and mark the canonical copy. */
+  private def finish(clustered: DataFrame): DataFrame = {
     val full = allDocs match {
       case Some(d) =>
         d.select(col(docIdCol)).join(clustered, Seq(docIdCol), "left")

@@ -362,9 +362,29 @@ object CurationQueries {
       .orderBy("doc_id", "epoch")
   }
 
+  /** The dataset card: per (source, lang) document/char/token accounting
+    * plus each cell's share of corpus tokens — the audit artifact a
+    * mixture pipeline ships beside its output. One partial-aggregable
+    * groupBy over the corpus; the share window runs over the AGGREGATED
+    * frame (cells = sources × langs, trivially small at any corpus
+    * scale), never the corpus itself. */
+  def corpusReport(spark: SparkSession, d: String): DataFrame = {
+    val per = documents(spark, d).select(col("source"), col("lang"),
+      col("n_chars").cast("long").as("n_chars"),
+      T.tokenCount(col("text")).cast("long").as("toks"))
+    per.groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        sum("n_chars").as("total_chars"))
+      .withColumn("token_share_bp",
+        expr("CAST(total_tokens * 10000 DIV sum(total_tokens) OVER () AS BIGINT)"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_top_fraction" -> (topFraction _),
     "pipeline_mix" -> (pipelineMix _),
+    "corpus_report" -> (corpusReport _),
     "text_decontaminate" -> (decontaminate _),
     "pack_chunks" -> (packChunks _),
     "pipeline_pretraining" -> (pipelinePretraining _),
@@ -501,6 +521,20 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "corpus_report" ->
+      s"""WITH per AS (
+         |  SELECT source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         |    CAST(len($wordsSql) AS BIGINT) AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |    CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM per GROUP BY 1, 2)
+         |SELECT source, lang, n_docs, total_tokens, total_chars,
+         |  CAST(total_tokens * 10000 // (SELECT sum(total_tokens) FROM g) AS BIGINT)
+         |    AS token_share_bp
+         |FROM g ORDER BY source, lang""".stripMargin,
     "curation_top_fraction" ->
       """SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS quality_rank FROM (
         |  SELECT doc_id, source, n_chars,

@@ -112,10 +112,26 @@ class DedupOpsSpec extends SparkSpec {
     // diameter 59: plain min-propagation needs 59 rounds; label(label)
     // compression needs ~log2(59). 8 rounds only suffice with doubling.
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = DupClusters(maxIters = 8).transform(pairs).collect()
+    // edgeBudget = 0 forces the distributed propagation path
+    val out = DupClusters(maxIters = 8, edgeBudget = 0L).transform(pairs).collect()
     assert(out.length == 60)
     assert(out.forall(_.getLong(1) == 1L), "whole chain must collapse to label 1")
     assert(out.count(_.getBoolean(2)) == 1, "exactly one keeper")
+  }
+
+  test("DupClusters driver union-find path equals the distributed propagation") {
+    import spark.implicits._
+    // messy graph: chains, a clique, self-pairs, duplicate + reversed edges
+    val rnd = new scala.util.Random(13)
+    val pairs = ((1L until 60L).map(i => (i, i + 1)) ++
+      Seq((100L, 103L), (103L, 100L), (101L, 103L), (102L, 101L), (200L, 200L)) ++
+      Seq.tabulate(80)(_ => { val a = 300L + rnd.nextInt(40); (a, 300L + rnd.nextInt(40)) }))
+      .toDF("doc_a", "doc_b")
+    def run(budget: Long) =
+      DupClusters(edgeBudget = budget).transform(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(Long.MaxValue) == run(0L),
+      "both paths must assign identical min-label clusters and keepers")
   }
 
   test("CosineNearDup finds only pairs above threshold") {

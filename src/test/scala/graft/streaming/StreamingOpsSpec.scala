@@ -252,4 +252,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
     assert(streamed == Set((10L, 4L, "a|b|c", "d")))
   }
+
+  test("stateless mixing ops apply unchanged to a document stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // UpsampleMix/StratifiedSample are pure per-row expressions, so the
+    // SAME op instance drives batch backfill and streaming ingest — and,
+    // because the coin is content hash, the two paths emit identical rows
+    val src = MemoryStream[(Long, String)]
+    val op = graft.ops.UpsampleMix("doc_id", "lang", Map("en" -> 20000, "zh" -> 0))
+    val q = op.transform(src.toDF().toDF("doc_id", "lang"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_stream").start()
+    src.addData((1L, "en"), (2L, "zh"), (3L, "fr"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("mix_stream")
+      .as[(Long, String, Int)].collect().toSet
+    val batch = op.transform(
+        Seq((1L, "en"), (2L, "zh"), (3L, "fr")).toDF("doc_id", "lang"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed == Set((1L, "en", 0), (1L, "en", 1), (3L, "fr", 0)),
+      s"en ×2, zh dropped, fr default ×1: $streamed")
+  }
 }
