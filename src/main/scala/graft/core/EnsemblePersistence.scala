@@ -234,6 +234,9 @@ object EnsemblePersistence {
       ("type" -> "UpsampleMix") ~ ("idCol" -> id) ~
         ("strataCol" -> strata) ~ ("weightsBp" -> w) ~
         ("defaultBp" -> dflt) ~ ("salt" -> salt) ~ ("epochCol" -> ep)
+    case ScrubSharedGrams(id, text, n, md, out) =>
+      ("type" -> "ScrubSharedGrams") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
+        ("n" -> n) ~ ("minDocs" -> md) ~ ("outputCol" -> out)
     case TopFractionByGroup(strata, score, id, fr, dflt, approx, rank) =>
       ("type" -> "TopFractionByGroup") ~ ("strataCol" -> strata) ~
         ("scoreCol" -> score) ~ ("idCol" -> id) ~ ("fracsBp" -> fr) ~
@@ -450,6 +453,9 @@ object EnsemblePersistence {
         UpsampleMix(s("idCol"), s("strataCol"),
           (o \ "weightsBp").extract[Map[String, Int]],
           (o \ "defaultBp").extract[Int], s("salt"), s("epochCol"))
+      case "ScrubSharedGrams" =>
+        ScrubSharedGrams(s("idCol"), s("textCol"), (o \ "n").extract[Int],
+          (o \ "minDocs").extract[Int], s("outputCol"))
       case "TopFractionByGroup" =>
         TopFractionByGroup(s("strataCol"), s("scoreCol"), s("idCol"),
           (o \ "fracsBp").extract[Map[String, Int]],

@@ -39,13 +39,16 @@ object TextFunctions {
     size(regexp_extract_all(normalize(c), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
 
   /** Positional word n-gram shingles (duplicates preserved). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ws = words(c)
-    when(size(ws) < n, array().cast(ArrayType(StringType)))
-      .otherwise(arrayTransform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n)))))
-  }
+  def wordShingles(c: Column, n: Int): Column =
+    // bind the token array ONCE as a lambda variable: inlining `words(c)`
+    // into the per-gram lambda would re-run the normalize regex + split
+    // per element (CSE cannot reach into lambda bodies — measured ~30µs
+    // per gram, the whole cost of every gram-based op)
+    element_at(arrayTransform(array(words(c)), ws =>
+      when(size(ws) < n, array().cast(ArrayType(StringType)))
+        .otherwise(arrayTransform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))), 1)
 
   /** Distinct shingle set (the unit of Jaccard similarity). Backed by the
     * one-pass [[graft.functions.WordShingles]] expression; value-identical

@@ -108,6 +108,76 @@ object Decontaminate {
   * 64 K shards that is ~400 K rows/shard); pack ids are globally unique
   * as (shard, pack_in_shard).
   */
+/** Cross-document repeated-span removal — sub-document dedup, the
+  * granularity the doc-level family ([[ExactDedup]]…[[DupClusters]])
+  * cannot reach: boilerplate headers, license blocks and templated
+  * passages repeat across MANY documents that are otherwise distinct
+  * (the public ExactSubstr observation of Lee et al. 2021, "Deduplicating
+  * Training Data Makes Language Models Better", simplified from suffix
+  * arrays to fixed n-gram windows). A word n-gram occurring in at least
+  * `minDocs` DISTINCT documents is "shared"; every token lying inside any
+  * shared-gram occurrence is scrubbed from every document, and the
+  * cleaned text is the surviving tokens of the NORMALIZED form (the same
+  * normalization the whole dedup family keys on). Documents shorter than
+  * n tokens have no grams and pass through untouched; a NULL text stays
+  * NULL with zero counts.
+  *
+  * Scale shape: the shared-gram inventory is a count-distinct over
+  * 128-bit gram digests (two independent xxhash64s — textual equality up
+  * to a simultaneous collision; the shuffle carries 16-byte digests +
+  * int positions, never text), start positions flow back as one
+  * id-keyed aggregate, and reconstruction is a row-local HOF filter —
+  * the corpus text itself crosses exactly one shuffle (the final id
+  * join). Reconstruction is O(tokens × shared starts) per document —
+  * fine while shared spans are sparse, which is the regime the op
+  * targets (merging starts into disjoint spans first is the known
+  * upgrade if a corpus is boilerplate-dominated). */
+case class ScrubSharedGrams(
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    n: Int = 8,
+    minDocs: Int = 2,
+    outputCol: String = "cleaned_text") extends EnsembleOp {
+
+  require(n >= 1, s"$name: n must be >= 1")
+  require(minDocs >= 2, s"$name: minDocs must be >= 2 (a gram always occurs in its own doc)")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    require(!in.fieldNames.contains(outputCol),
+      s"$name: output column '$outputCol' collides with the input schema")
+    StructType(Seq(
+      in(idCol),
+      StructField("n_tokens", IntegerType),
+      StructField("n_removed", IntegerType),
+      StructField(outputCol, StringType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val grams = df
+      .select(col(idCol), posexplode(T.wordShingles(col(textCol), n)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"),
+        xxhash64(col("g")).as("g1"), xxhash64(col("g"), lit(7919)).as("g2"))
+    val shared = grams.groupBy("g1", "g2")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("g1", "g2")
+    val starts = grams.join(shared, Seq("g1", "g2"), "left_semi")
+      .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    val ws = when(col(textCol).isNotNull, T.words(col(textCol)))
+    val covered = (i: Column) => exists(col("__starts"),
+      s => s <= i && i < s + n)
+    df.join(starts, Seq(idCol), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__ws", ws)
+      .withColumn("__kept", filter(col("__ws"), (t, i) => not(covered(i))))
+      .select(col(idCol),
+        coalesce(size(col("__ws")), lit(0)).cast("int").as("n_tokens"),
+        coalesce(size(col("__ws")) - size(col("__kept")), lit(0)).cast("int").as("n_removed"),
+        array_join(col("__kept"), " ").as(outputCol))
+  }
+}
+
 /** Per-stratum top-fraction selection — the per-domain QUALITY BUDGET of
   * a curation pipeline: "keep the best 20% of web crawl by quality score,
   * the best 90% of books". Two modes sharing one contract:

@@ -381,10 +381,21 @@ object CurationQueries {
       .orderBy("source", "lang")
   }
 
+  /** ScrubSharedGrams under the oracle: remove every token inside an
+    * 8-gram that repeats across ≥2 documents (sub-document boilerplate
+    * removal). The oracle groups by the gram STRING where Spark groups by
+    * the 128-bit digest pair — equal up to a simultaneous collision, the
+    * same contract the decontamination oracle already hash-checks. */
+  def textScrubSpans(spark: SparkSession, d: String): DataFrame =
+    ScrubSharedGrams(n = 8, minDocs = 2)
+      .transform(documents(spark, d))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_top_fraction" -> (topFraction _),
     "pipeline_mix" -> (pipelineMix _),
     "corpus_report" -> (corpusReport _),
+    "text_scrub_spans" -> (textScrubSpans _),
     "text_decontaminate" -> (decontaminate _),
     "pack_chunks" -> (packChunks _),
     "pipeline_pretraining" -> (pipelinePretraining _),
@@ -521,6 +532,35 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_scrub_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE $wordsSql END AS ws
+         |  FROM documents),
+         |tg AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(1, len(ws) - 6)) AS INTEGER) AS pos1,
+         |    unnest(list_transform(range(1, len(ws) - 6),
+         |      i -> array_to_string(ws[i:i+7], ' '))) AS g
+         |  FROM w WHERE len(ws) >= 8),
+         |shared AS (SELECT g FROM tg GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |st AS (
+         |  SELECT doc_id, list(DISTINCT pos1) AS starts
+         |  FROM tg WHERE g IN (SELECT g FROM shared) GROUP BY doc_id),
+         |r AS (
+         |  SELECT w.doc_id, ws, coalesce(starts, []) AS starts
+         |  FROM w LEFT JOIN st USING (doc_id)),
+         |k AS (
+         |  SELECT doc_id, ws,
+         |    list_filter(list_transform(range(1, len(ws) + 1),
+         |      i -> CASE WHEN len(list_filter(starts, s -> s <= i AND i < s + 8)) = 0
+         |           THEN ws[i] END), x -> x IS NOT NULL) AS kept
+         |  FROM r)
+         |SELECT doc_id,
+         |  CAST(coalesce(len(ws), 0) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(len(ws) - len(kept), 0) AS INTEGER) AS n_removed,
+         |  CASE WHEN ws IS NULL THEN NULL
+         |    ELSE coalesce(array_to_string(kept, ' '), '') END AS cleaned_text
+         |FROM k ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
       s"""WITH per AS (
          |  SELECT source, lang, CAST(n_chars AS BIGINT) AS n_chars,

@@ -146,6 +146,14 @@ class PlanSpec extends SparkSpec {
       s"the fold must not carry chunk text through its shuffle:\n${p.take(800)}")
   }
 
+  test("shared-gram scrub joins digests, never nested-loops, text crosses one join") {
+    val docs = Tables.documents(spark, d)
+    val p = plan(ops.ScrubSharedGrams(n = 8, minDocs = 2).transform(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"inventory and starts must be equi-joins:\n${p.take(600)}")
+    assert(p.contains("LeftSemi"), "shared-gram membership is a semi-join")
+  }
+
   test("upsample mix is a shuffle-free per-row explode") {
     val p = plan(ops.UpsampleMix("doc_id", "lang", Map("en" -> 25000))
       .transform(Tables.documents(spark, d)))

@@ -163,6 +163,11 @@ class EnsemblePersistenceSpec extends SparkSpec {
     EnsemblePersistence.save(Ensemble(Seq(um), docSchema), dirU, spark)
     assert(EnsemblePersistence.load(dirU, spark).ops.head == um)
 
+    val sg = ScrubSharedGrams(n = 6, minDocs = 3)
+    val dirG = Files.tmp("ens_scrub")
+    EnsemblePersistence.save(Ensemble(Seq(sg), docSchema), dirG, spark)
+    assert(EnsemblePersistence.load(dirG, spark).ops.head == sg)
+
     val scoreSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, source STRING, score DOUBLE")
     Seq(false, true).foreach { approx =>

@@ -76,6 +76,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(op.transform(withNull).count() == 1)
   }
 
+  test("ScrubSharedGrams removes exactly the tokens inside cross-document shared n-grams") {
+    val df = Seq(
+      (1L, "aa bb cc dd tail1 one"),        // shares 4-gram "aa bb cc dd" with doc 2
+      (2L, "head2 aa bb cc dd tail2"),
+      (3L, "totally unrelated words here today"),
+      (4L, "aa bb cc"),                      // sub-n: no grams, untouched
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = ScrubSharedGrams(n = 4, minDocs = 2).transform(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) == ((1L, 6, 4, "tail1 one")), s"doc1 loses the shared span: ${out(0)}")
+    assert(out(1) == ((2L, 6, 4, "head2 tail2")), s"doc2 keeps its unique flanks: ${out(1)}")
+    assert(out(2) == ((3L, 5, 0, "totally unrelated words here today")), "unique doc untouched")
+    assert(out(3) == ((4L, 3, 0, "aa bb cc")), "sub-n doc has no grams to share")
+    assert(out(4) == ((5L, 0, 0, null)), "null text stays null with zero counts")
+    // overlapping shared grams cover their union, not double-remove:
+    // docs share "a b c d" AND "b c d e" → tokens a..e all go, once
+    val ov = Seq((1L, "a b c d e x"), (2L, "a b c d e y")).toDF("doc_id", "text")
+    val o = ScrubSharedGrams(n = 4, minDocs = 2).transform(ov).orderBy("doc_id")
+      .collect().map(r => (r.getInt(2), r.getString(3)))
+    assert(o.toSeq == Seq((5, "x"), (5, "y")), s"span union removed: ${o.toSeq}")
+    // minDocs guards the trivial self-match
+    assertThrows[IllegalArgumentException] { ScrubSharedGrams(minDocs = 1) }
+  }
+
   test("TopFractionByGroup exact mode keeps the top fraction per stratum, id-tiebroken") {
     // src a: scores 9,8,7,7,6 — 40% of 5 = top 2 (ids 1,2); the 7-tie
     // (ids 3 < 4) must cut on id order, not partition luck
