@@ -288,6 +288,17 @@ case class IntervalJoin(
   }
 }
 
+/** Shared helper for the sampling/mixing family: one canonical CASE fold
+  * over per-stratum basis points (sorted-key order gives a canonical
+  * plan for any Map insertion order). Every op's per-stratum dispatch
+  * must build through here so a fix lands once. */
+private[ops] object Strata {
+  def caseOver(key: Column, m: Map[String, Int], default: Int): Column =
+    m.toSeq.sortBy(_._1).foldRight(lit(default): Column) {
+      case ((k, v), els) => when(key === k, lit(v)).otherwise(els)
+    }
+}
+
 /** Deterministic hash-based dataset split — the train/valid/test
   * assignment a training-data pipeline needs: stable under reshuffling,
   * re-runs and engine changes because the bucket is pure content hash,
@@ -295,12 +306,18 @@ case class IntervalJoin(
   * (md5 is engine-portable, so the split is oracle-checkable
   * cross-engine; basis points give 0.01% granularity). Rows bucket <
   * trainBp → "train", < trainBp+validBp → "valid", else "test". Per-row
-  * expression, shuffle-free, map-side at any scale. */
+  * expression, shuffle-free, map-side at any scale.
+  *
+  * The default salt is namespaced ("graft-split") so the split draws an
+  * INDEPENDENT coin from [[StratifiedSample]] ("graft-sample") and
+  * [[UpsampleMix]] ("graft-mix"): with a shared stream, a 50% sample's
+  * survivors all carry bucket < 5000 and would land entirely in "train".
+  * Set equal salts explicitly if correlation is the intent. */
 case class HashSplit(
     idCol: String,
     trainBp: Int = 9000,
     validBp: Int = 0,
-    salt: String = "graft",
+    salt: String = "graft-split",
     outputCol: String = "split") extends EnsembleOp {
 
   require(trainBp >= 0 && validBp >= 0 && trainBp + validBp <= 10000,
@@ -338,13 +355,15 @@ case class HashSplit(
   * not in `fractionsBp` fall back to `defaultBp`; a NULL stratum uses
   * `defaultBp`; a NULL id hashes to a NULL bucket and is dropped (no
   * deterministic fate exists for it). The bucket survives in the output
-  * for audit (`sample_bucket`). */
+  * for audit (`sample_bucket`). Default salt is namespaced
+  * ("graft-sample") — see [[HashSplit]] for why the sampling family must
+  * not share one coin stream. */
 case class StratifiedSample(
     idCol: String,
     strataCol: String,
     fractionsBp: Map[String, Int],
     defaultBp: Int = 0,
-    salt: String = "graft") extends EnsembleOp {
+    salt: String = "graft-sample") extends EnsembleOp {
 
   require((defaultBp +: fractionsBp.values.toSeq).forall(b => b >= 0 && b <= 10000),
     s"$name: all fractions must be basis points within [0, 10000]")
@@ -360,12 +379,8 @@ case class StratifiedSample(
   def bucket: Column =
     graft.functions.TextFunctions.hashBucket(col(idCol), salt, 10000)
 
-  /** Per-row keep threshold: CASE over strata in sorted-key order (a
-    * canonical plan for any Map insertion order). */
-  def thresholdBp: Column =
-    fractionsBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp): Column) {
-      case ((k, bp), els) => when(col(strataCol) === k, lit(bp)).otherwise(els)
-    }
+  /** Per-row keep threshold (the shared [[Strata.caseOver]] fold). */
+  def thresholdBp: Column = Strata.caseOver(col(strataCol), fractionsBp, defaultBp)
 
   override def transform(df: DataFrame): DataFrame =
     df.withColumn("sample_bucket", bucket)
@@ -393,13 +408,17 @@ case class StratifiedSample(
   *
   * Strata not in `weightsBp` fall back to `defaultBp`; a NULL stratum
   * uses `defaultBp`; a NULL id has no deterministic coin and is dropped
-  * (same contract as [[StratifiedSample]]). */
+  * (same contract as [[StratifiedSample]]). Default salt is namespaced
+  * ("graft-mix") — see [[HashSplit]]: a shared stream would make the
+  * fractional epoch perfectly correlated with upstream sampling, so a
+  * 0.5-sample → 1.5-mix composition would realize exactly 2.0 epochs on
+  * every survivor instead of 1.5 on average. */
 case class UpsampleMix(
     idCol: String,
     strataCol: String,
     weightsBp: Map[String, Int],
     defaultBp: Int = 10000,
-    salt: String = "graft",
+    salt: String = "graft-mix",
     epochCol: String = "epoch") extends EnsembleOp {
 
   require((defaultBp +: weightsBp.values.toSeq).forall(w => w >= 0 && w <= 1000000),
@@ -416,12 +435,8 @@ case class UpsampleMix(
   def bucket: Column =
     graft.functions.TextFunctions.hashBucket(col(idCol), salt, 10000)
 
-  /** Per-row weight in basis points: CASE over strata in sorted-key order
-    * (a canonical plan for any Map insertion order). */
-  def weightBp: Column =
-    weightsBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp): Column) {
-      case ((k, w), els) => when(col(strataCol) === k, lit(w)).otherwise(els)
-    }
+  /** Per-row weight in basis points (the shared [[Strata.caseOver]] fold). */
+  def weightBp: Column = Strata.caseOver(col(strataCol), weightsBp, defaultBp)
 
   override def transform(df: DataFrame): DataFrame = {
     val out = transformSchema(df.schema)

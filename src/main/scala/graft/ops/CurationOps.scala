@@ -154,10 +154,13 @@ case class ScrubSharedGrams(
   }
 
   override def transform(df: DataFrame): DataFrame = {
+    // the ONE gram-digest definition (Decontaminate.gramDigests) — scrub,
+    // decontamination and its streaming twin must never drift apart
     val grams = df
-      .select(col(idCol), posexplode(T.wordShingles(col(textCol), n)).as(Seq("pos", "g")))
+      .select(col(idCol),
+        posexplode(Decontaminate.gramDigests(col(textCol), n)).as(Seq("pos", "gd")))
       .select(col(idCol), col("pos"),
-        xxhash64(col("g")).as("g1"), xxhash64(col("g"), lit(7919)).as("g2"))
+        col("gd.h1").as("g1"), col("gd.h2").as("g2"))
     val shared = grams.groupBy("g1", "g2")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -199,7 +202,10 @@ case class ScrubSharedGrams(
   *
   * Strata not in `fracsBp` fall back to `defaultBp`; a NULL stratum forms
   * its own group under `defaultBp`; NULL scores sort last (exact) /
-  * never pass the threshold (approx). */
+  * never pass a threshold (approx — so an all-NULL-score stratum keeps
+  * nothing rather than silently bypassing its budget). The one
+  * exception: a 10000 bp budget means keep-all and keeps NULL scores
+  * too, in both modes. */
 case class TopFractionByGroup(
     strataCol: String,
     scoreCol: String,
@@ -222,12 +228,8 @@ case class TopFractionByGroup(
     }
   }
 
-  /** Per-row budget in basis points: CASE over strata in sorted-key order
-    * (a canonical plan for any Map insertion order). */
-  def fracBp: Column =
-    fracsBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp): Column) {
-      case ((k, bp), els) => when(col(strataCol) === k, lit(bp)).otherwise(els)
-    }
+  /** Per-row budget in basis points (the shared [[Strata.caseOver]] fold). */
+  def fracBp: Column = Strata.caseOver(col(strataCol), fracsBp, defaultBp)
 
   override def transform(df: DataFrame): DataFrame = {
     val out = transformSchema(df.schema)
@@ -248,18 +250,17 @@ case class TopFractionByGroup(
       val thresholds = df
         .groupBy(col(strataCol).as("__stratum"))
         .agg(percentile_approx(col(scoreCol), grid, lit(10000)).as("__q"))
-        .withColumn("__fracBp", fracsBp.toSeq.sortBy(_._1)
-          .foldRight(lit(defaultBp): Column) { case ((k, bp), els) =>
-            when(col("__stratum") === k, lit(bp)).otherwise(els) })
-        // keep-all needs no threshold; element_at is 1-based
-        .withColumn("__thr", when(col("__fracBp") === 10000, lit(null))
-          .otherwise(element_at(col("__q"),
-            (lit(101) - (col("__fracBp") / lit(100.0)).cast("int")))))
+        .withColumn("__fracBp", Strata.caseOver(col("__stratum"), fracsBp, defaultBp))
+        // element_at is 1-based; an all-NULL-score stratum has a NULL
+        // sketch, which must NOT read as keep-all — only fracBp=10000 may
+        .withColumn("__thr", element_at(col("__q"),
+          (lit(101) - (col("__fracBp") / lit(100.0)).cast("int"))))
         .select(col("__stratum"), col("__fracBp"), col("__thr"))
       df.join(broadcast(thresholds),
           df(strataCol) <=> col("__stratum"), "left")
-        .filter(col("__fracBp") > 0 &&
-          (col("__thr").isNull || col(scoreCol) >= col("__thr")))
+        .filter(col("__fracBp") === 10000 ||
+          (col("__fracBp") > 0 && col("__thr").isNotNull &&
+            col(scoreCol) >= col("__thr")))
         .select(out.fieldNames.map(col).toSeq: _*)
     }
   }

@@ -211,13 +211,16 @@ case class MinHashDedup(
   * dup graph is edge METADATA — two ids per pair, not documents — and in
   * a deduped corpus it is orders of magnitude smaller than the corpus.
   * When the persisted edge list holds at most `edgeBudget` pairs, the op
-  * collects the ids and runs exact union-find on the driver (path
-  * compression + min-root, O(E α)) — one job, no iteration, no
-  * per-round scheduler overhead. Above the budget it switches to the
-  * distributed propagation, whose state stays ∝ |dup graph|. At 4 M
-  * pairs the collected edge list is ~64 MB — far inside driver headroom —
-  * while a 100 TB corpus whose dup graph exceeds the budget gets the
-  * iterative path automatically. */
+  * streams the id pairs to the driver (`toLocalIterator`, partition by
+  * partition — the driver holds the union-find map, not a collected Row
+  * array) and runs exact union-find (path compression + min-root,
+  * O(E α)) — one job, no iteration, no per-round scheduler overhead.
+  * Above the budget it switches to the distributed propagation, whose
+  * state stays ∝ |dup graph|. At the 4 M-pair default the union-find
+  * map holds a few million entries (tens of MB of driver heap) — far
+  * inside headroom even for a default driver — while a 100 TB corpus
+  * whose dup graph exceeds the budget gets the iterative path
+  * automatically. */
 case class DupClusters(
     allDocs: Option[DataFrame] = None,
     docIdCol: String = "doc_id",
@@ -234,12 +237,16 @@ case class DupClusters(
       StructField("is_keeper", BooleanType, nullable = false)))
   }
 
-  /** Exact driver-side union-find over a collected edge list (the
-    * below-budget path). Min-root union keeps `cluster_id` = the
+  /** Exact driver-side union-find over the UN-doubled pair list (the
+    * below-budget path; union-find is direction-agnostic, so collecting
+    * the symmetric edge list would double the transfer for nothing).
+    * Pairs stream through `toLocalIterator` partition by partition —
+    * the driver holds the union-find map (two entries per node), never
+    * the full Row array. Min-root union keeps `cluster_id` = the
     * component's minimum id — identical semantics to the propagation. */
-  private def driverClusters(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    val idField = edges.schema("src")
+  private def driverClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idField = pairs.schema(aCol)
     def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
@@ -249,14 +256,15 @@ case class DupClusters(
       while (c != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.na.drop().collect().foreach { row =>
-      val a = row.get(0); val b = row.get(1)
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) {
-        if (cmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb
+    pairs.select(col(aCol), col(bCol)).na.drop().toLocalIterator()
+      .forEachRemaining { row =>
+        val a = row.get(0); val b = row.get(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (cmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb
+        }
       }
-    }
     val rows = parent.keysIterator
       .map(k => org.apache.spark.sql.Row(k, find(k))).toSeq
     val schema = StructType(Seq(
@@ -267,16 +275,18 @@ case class DupClusters(
 
   override def transform(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // persist the LIGHT pair projection once: the count that decides the
+    // path and whichever path runs must not re-evaluate an expensive
+    // upstream pair generator (PPJoin etc.)
+    val light = pairs.select(col(aCol), col(bCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one action materializes the persisted edge list AND decides the
-    // path: below the budget the graph is driver-sized metadata
-    if (edges.count() / 2 <= edgeBudget) {
-      val clustered = driverClusters(edges)
-      edges.unpersist()
+    if (light.count() <= edgeBudget) {
+      val clustered = driverClusters(light)
+      light.unpersist()
       return finish(clustered)
     }
+    val edges = light.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(light.select(col(bCol).as("src"), col(aCol).as("dst")))
     // iterate ONLY over nodes that appear in some pair: the propagation
     // state is ∝ |dup graph|, not |corpus| — singletons (the vast
     // majority of a deduped corpus) join in once at the end
@@ -326,7 +336,7 @@ case class DupClusters(
       System.err.println(s"[$name] WARNING: labels not converged after " +
         s"$maxIters rounds — components wider than $maxIters hops keep " +
         "partial (still valid, non-minimal) cluster ids")
-    edges.unpersist()
+    light.unpersist()
     finish(labels.select(col("node").as(docIdCol), col("label").as("cluster_id")))
   }
 

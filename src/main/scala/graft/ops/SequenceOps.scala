@@ -52,8 +52,11 @@ case class DocumentChunks(
     val nc = (lit(1) + floor((greatest(n - chunkSize, lit(0)) + lit(stride - 1))
       / lit(stride))).cast("int")
     df.select(col(idCol), graft.functions.TextFunctions.words(col(textCol)).as("__ws"))
-      // size(NULL) is -1, which would make nc = 1 and emit one bogus
-      // empty chunk for a NULL text — filter, don't arithmetize
+      // a NULL text has no chunks by contract. (On this build size(NULL)
+      // is NULL, and NULL arithmetic would silently drop the row anyway;
+      // under legacy sizeOfNull=true it is -1, which would make nc = 1
+      // and emit one bogus empty chunk — filter explicitly so the
+      // contract never depends on that config.)
       .filter(col("__ws").isNotNull)
       .select(col(idCol), col("__ws"),
         explode(sequence(lit(0), nc - 1)).as("chunk_id"))

@@ -91,6 +91,14 @@ case class XgbForest(
     outputCol: String = "output__0") extends EnsembleOp {
 
   require(trees.nonEmpty, s"$name: model has no trees")
+  require(treeInfo.length == trees.length,
+    s"$name: tree_info length ${treeInfo.length} != tree count ${trees.length}")
+  // fail at construction, not as an empty.reduceLeft inside transform:
+  // every class must score through at least one tree
+  require(numClass < 2 || !objective.startsWith("multi:") ||
+    (0 until numClass).forall(treeInfo.contains),
+    s"$name: multiclass model is missing trees for " +
+      s"classes ${(0 until numClass).filterNot(treeInfo.contains).mkString(",")}")
   require(threshold >= 0.0 && threshold <= 1.0,
     s"$name: threshold must be a probability in [0, 1], got $threshold")
   require(objective != "binary:hinge",

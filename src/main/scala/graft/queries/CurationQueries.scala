@@ -596,15 +596,17 @@ object CurationQueries {
         |  WHERE rn * 10000 <= CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
         |    ELSE 8000 END * cnt),
         |mix AS (
-        |  SELECT *, ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b,
+        |  SELECT *,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':graft-mix'), 1, 8))::BIGINT % 10000 AS bm,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':graft-split'), 1, 8))::BIGINT % 10000 AS bs,
         |    CASE lang WHEN 'en' THEN 20000 WHEN 'zh' THEN 15000 ELSE 10000 END AS w
         |  FROM sel),
         |rep AS (
-        |  SELECT doc_id, source, lang, n_chars, quality_rank, b,
-        |    CAST(unnest(range(0, w // 10000 + CASE WHEN b < w % 10000 THEN 1 ELSE 0 END)) AS INTEGER) AS epoch
+        |  SELECT doc_id, source, lang, n_chars, quality_rank, bs,
+        |    CAST(unnest(range(0, w // 10000 + CASE WHEN bm < w % 10000 THEN 1 ELSE 0 END)) AS INTEGER) AS epoch
         |  FROM mix)
         |SELECT doc_id, source, lang, n_chars, quality_rank, epoch,
-        |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid' ELSE 'test' END AS split
+        |  CASE WHEN bs < 9000 THEN 'train' WHEN bs < 9500 THEN 'valid' ELSE 'test' END AS split
         |FROM rep ORDER BY doc_id, epoch""".stripMargin,
     "pipeline_pretraining" ->
       s"""WITH RECURSIVE
@@ -618,7 +620,7 @@ object CurationQueries {
          |  WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND len(ws) >= 10),
          |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5($normSql)),
          |train AS (SELECT c.doc_id, c.ws FROM clean c JOIN keep k USING (doc_id)
-         |  WHERE ('0x' || substring(md5(c.doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT
+         |  WHERE ('0x' || substring(md5(c.doc_id::VARCHAR || ':graft-split'), 1, 8))::BIGINT
          |    % 10000 < 8000),
          |c AS (SELECT doc_id, ws, len(ws) AS n,
          |  1 + (greatest(len(ws) - 32, 0) + 23) // 24 AS nc FROM train),

@@ -456,7 +456,7 @@ object OpQueries {
       """SELECT doc_id, b AS split_bucket,
         |CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b
+        |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft-split'), 1, 8))::BIGINT % 10000 AS b
         |  FROM documents) ORDER BY doc_id""".stripMargin,
     "op_feature_lookup" ->
       """SELECT p_partkey, p_brand AS item_p_brand, p_type AS item_p_type,
@@ -501,7 +501,7 @@ object OpQueries {
         |SELECT user_id, label_event_id, context_str, label,
         |CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
         |FROM (SELECT *,
-        |  ('0x' || substring(md5(label_event_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b
+        |  ('0x' || substring(md5(label_event_id::VARCHAR || ':graft-split'), 1, 8))::BIGINT % 10000 AS b
         |  FROM seqs)
         |ORDER BY label_event_id""".stripMargin,
     "op_validate" ->
@@ -671,7 +671,7 @@ object OpQueries {
         |  SELECT doc_id, lang, w // 10000 + CASE WHEN b < w % 10000 THEN 1 ELSE 0 END AS copies
         |  FROM (
         |    SELECT doc_id, lang,
-        |      ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b,
+        |      ('0x' || substring(md5(doc_id::VARCHAR || ':graft-mix'), 1, 8))::BIGINT % 10000 AS b,
         |      CASE lang WHEN 'en' THEN 25000 WHEN 'de' THEN 10000
         |        WHEN 'zh' THEN 15000 ELSE 5000 END AS w
         |    FROM documents))
@@ -679,7 +679,7 @@ object OpQueries {
     "op_stratified_sample" ->
       """SELECT doc_id, lang, b AS sample_bucket FROM (
         |  SELECT doc_id, lang,
-        |    ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 10000 AS b
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':graft-sample'), 1, 8))::BIGINT % 10000 AS b
         |  FROM documents)
         |WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
         |  WHEN 'zh' THEN 2000 ELSE 1000 END

@@ -273,20 +273,30 @@ class CoreOpsSpec extends SparkSpec {
       assert(webCopies.values.toSet == Set(1L, 2L))
       val twoCopyIds = webCopies.filter(_._2 == 2L).keys.map(_._1).toSet
       val coinWinners = df.filter($"stratum" === "web")
-        .filter(graft.functions.TextFunctions.hashBucket(col("id"), "graft", 10000) < 5000)
+        .filter(graft.functions.TextFunctions.hashBucket(col("id"), "graft-mix", 10000) < 5000)
         .select("id").as[Long].collect().toSet
       assert(twoCopyIds == coinWinners, "fractional copy = the content-hash coin")
       // zero-weight stratum vanishes entirely
       assert(!copies.keys.exists(_._2 == "other"))
     } finally out.unpersist()
-    // weight < 10000 degenerates to exactly StratifiedSample's keep rule
-    val mixed = UpsampleMix("id", "stratum", Map.empty, defaultBp = 2000)
+    // weight < 10000 degenerates to exactly StratifiedSample's keep rule —
+    // under a SHARED salt (defaults deliberately differ so composed
+    // sampling stages draw independent coins)
+    val mixed = UpsampleMix("id", "stratum", Map.empty, defaultBp = 2000, salt = "same")
       .transform(df)
     assert(mixed.select("epoch").distinct().as[Int].collect().toSet == Set(0))
-    val sampled = StratifiedSample("id", "stratum", Map.empty, defaultBp = 2000)
+    val sampled = StratifiedSample("id", "stratum", Map.empty, defaultBp = 2000, salt = "same")
       .transform(df)
     assert(mixed.select("id").as[Long].collect().toSet ==
       sampled.select("id").as[Long].collect().toSet)
+    // and the DEFAULT salts are distinct streams: a 50% sample composed
+    // with a 50%-fractional mix keeps ~25%, not 0% or 50%
+    val sampledHalf = StratifiedSample("id", "stratum", Map.empty, defaultBp = 5000)
+      .transform(df)
+    val remixed = UpsampleMix("id", "stratum", Map.empty, defaultBp = 5000)
+      .transform(sampledHalf.drop("sample_bucket"))
+    val rate = remixed.count().toDouble / df.count()
+    assert(math.abs(rate - 0.25) < 0.05, s"independent coins compose to ~25%: $rate")
   }
 
   test("UpsampleMix null semantics, collision check and weight bounds") {

@@ -153,5 +153,24 @@ class CurationOpsSpec extends SparkSpec {
     val none = TopFractionByGroup("lang", "n_chars", "doc_id",
       Map.empty, defaultBp = 0, approx = true).transform(docs)
     assert(none.count() == 0)
+    // an all-NULL-score stratum must NOT bypass its budget (a NULL sketch
+    // is not the keep-all sentinel); only fracBp=10000 keeps NULL scores
+    val nullScores = Seq(
+      (1L, "broken", None), (2L, "broken", None),
+      (3L, "ok", Some(5.0)), (4L, "ok", Some(1.0)))
+      .toDF("doc_id", "source", "score")
+    val got = TopFractionByGroup("source", "score", "doc_id",
+      Map("broken" -> 2000, "ok" -> 5000), approx = true)
+      .transform(nullScores).select("doc_id").as[Long].collect().toSet
+    // the budgeted-but-unscoreable stratum keeps NOTHING; the scored
+    // stratum keeps a top-suffix (sketch granularity may round the
+    // 2-element stratum's threshold down, so doc 4 may legally survive)
+    assert(!got.contains(1L) && !got.contains(2L),
+      s"broken stratum must not bypass its budget: $got")
+    assert(got.contains(3L), s"top of the scored stratum always survives: $got")
+    val keepAll = TopFractionByGroup("source", "score", "doc_id",
+      Map.empty, defaultBp = 10000, approx = true)
+      .transform(nullScores).count()
+    assert(keepAll == 4, "10000 bp keeps everything, NULL scores included")
   }
 }

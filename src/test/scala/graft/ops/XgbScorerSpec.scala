@@ -145,6 +145,13 @@ class XgbScorerSpec extends SparkSpec {
       XgbForest.fromJson(binaryJson("rank:pairwise"), Seq("f0", "f1"))
     }
     assert(unknown.getMessage.contains("rank:pairwise"))
+    // a multiclass model missing all trees for some class must fail at
+    // construction, not as an empty.reduceLeft inside transform
+    val leaf = XgbTree(Vector(-1), Vector(-1), Vector(0), Vector(0.5), Vector(false))
+    val missing = intercept[IllegalArgumentException] {
+      XgbForest(Vector(leaf), Vector(0), 0.5, "multi:softmax", 2, Seq("f0"))
+    }
+    assert(missing.getMessage.contains("missing trees for classes 1"))
   }
 
   // LightGBM model.txt: tree0 = (f0 <= 2 ? 0.5 : (f1 <= 10 ? -0.25 : 0.125)),
