@@ -239,6 +239,63 @@ object StreamingOps {
       .select(idCol, tsCol)
   }
 
+  /** Streaming repeated-span scrub — the ingest-time twin of
+    * [[graft.ops.ScrubSharedGrams]] against a STATIC shared-gram
+    * inventory (mined by the batch op over the historical corpus;
+    * cross-document sharedness is a corpus property, so the stream
+    * consults it rather than recomputing it). One pass, no join-back:
+    * the stream explodes to positioned gram digests (`posexplode_outer`
+    * so sub-n and NULL-text docs survive with no grams), left-joins the
+    * static inventory (stateless stream-static join), and re-assembles
+    * per (id, ts, text) under the watermark — the document text rides
+    * the group key, so reconstruction is the batch op's row-local HOF
+    * filter on the aggregate output. State = in-watermark documents.
+    * Emits (id, ts, n_tokens, n_removed, cleaned) on window close. */
+  def scrubStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      tsCol: String = "ts",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      corpusIdCol: String = "doc_id",
+      corpusTextCol: String = "text",
+      n: Int = 8,
+      minDocs: Int = 2,
+      watermark: String = "1 hour",
+      outputCol: String = "cleaned_text"): DataFrame = {
+    import graft.ops.Decontaminate.gramDigests
+    import graft.functions.{TextFunctions => T}
+    // shared-gram inventory from the static corpus — the same digest
+    // definition and sharedness rule (distinct DOC count) as the batch
+    // op; persisted because Spark re-evaluates the static side per
+    // micro-batch
+    val inventory = corpus
+      .select(col(corpusIdCol).as("__cid"),
+        posexplode(gramDigests(col(corpusTextCol), n)).as(Seq("__p", "gd")))
+      .groupBy(col("gd.h1").as("g1"), col("gd.h2").as("g2"))
+      .agg(countDistinct(col("__cid")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("g1"), col("g2"), lit(1).as("__hit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ws = when(col(textCol).isNotNull, T.words(col(textCol)))
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(textCol),
+        posexplode_outer(gramDigests(col(textCol), n)).as(Seq("pos", "gd")))
+      .select(col(idCol), col(tsCol), col(textCol), col("pos"),
+        col("gd.h1").as("g1"), col("gd.h2").as("g2"))
+      .join(inventory, Seq("g1", "g2"), "left")
+      .groupBy(col(idCol), col(tsCol), col(textCol))
+      .agg(sort_array(collect_set(when(col("__hit") === 1, col("pos")))).as("__starts"))
+      .withColumn("__ws", ws)
+      .withColumn("__kept", filter(col("__ws"), (t, i) =>
+        not(exists(col("__starts"), s => s <= i && i < s + n))))
+      .select(col(idCol), col(tsCol),
+        coalesce(size(col("__ws")), lit(0)).cast("int").as("n_tokens"),
+        coalesce(size(col("__ws")) - size(col("__kept")), lit(0)).cast("int").as("n_removed"),
+        array_join(col("__kept"), " ").as(outputCol))
+  }
+
   /** Streaming exact dedup — the ingest-time twin of
     * [[graft.ops.ExactDedup]]: emit only the FIRST document per content
     * digest. State is the digest set, bounded by the event-time watermark

@@ -253,6 +253,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == Set((10L, 4L, "a|b|c", "d")))
   }
 
+  test("scrubStream scrubs exactly the spans the batch op finds in the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "aa bb cc dd tail one"),
+      (2L, "head aa bb cc dd tail2"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val stream = StreamingOps.scrubStream(
+      src.toDF().toDF("doc_id", "ts", "text"), corpus, n = 4)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("scrub_stream").start()
+    // replay the corpus through the stream, then advance the watermark
+    src.addData(
+      (1L, ts(1), "aa bb cc dd tail one"),
+      (2L, ts(2), "head aa bb cc dd tail2"),
+      (3L, ts(3), "totally different words here"))
+    q.processAllAvailable()
+    src.addData((9L, ts(600), "aa bb cc dd fresh arrival"))
+    q.processAllAvailable()
+    src.addData((10L, ts(1200), "watermark advancer entirely novel"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scrub_stream")
+      .select($"doc_id", $"n_tokens", $"n_removed", $"cleaned_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val batch = graft.ops.ScrubSharedGrams(n = 4).transform(corpus)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(batch.subsetOf(streamed),
+      s"stream twin must equal the batch op on the corpus docs: $streamed vs $batch")
+    // a NEW doc carrying a known-shared span is scrubbed on arrival
+    assert(streamed.contains((9L, 6, 4, "fresh arrival")), s"got $streamed")
+  }
+
   test("stateless mixing ops apply unchanged to a document stream") {
     implicit val sqlCtx = spark.sqlContext
     // UpsampleMix/StratifiedSample are pure per-row expressions, so the
