@@ -63,8 +63,12 @@ object Bench {
       // take the previous query's garbage-collection debt HERE, outside
       // the timed window — without this the query after a heavy one paid
       // its predecessor's full GC inside its own timing (dedup_exact_norm
-      // measured 0.9 s isolated vs 9-13 s after dedup_clusters)
-      System.gc()
+      // measured 0.9 s isolated vs 9-13 s after dedup_clusters). Twice
+      // with a settle pause: System.gc() only STARTS a concurrent G1
+      // cycle, and a cycle still running when the timer starts bleeds
+      // into the measurement (observed as rare 4-12x per-query outliers
+      // on queries that are flat in isolation)
+      System.gc(); Thread.sleep(150); System.gc()
       val t0 = System.nanoTime()
       // setJobGroup is a thread-local: it must run on the thread that
       // triggers the action (inside the Future), or cancelJobGroup would

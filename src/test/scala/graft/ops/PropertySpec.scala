@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkSpec
+
+/** The property layer the reference lacks (SURVEY.md §5): algebraic
+  * invariants of the sampling/mixing/packing family over GENERATED
+  * inputs, not fixtures. Iteration counts stay small because every case
+  * runs real Spark jobs; the point is the invariant, not the case count. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val idsGen: Gen[List[Long]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 10000L))).map(_.distinct)
+
+  test("HashSplit: every id labeled, labels partition, assignment is order-independent") {
+    check(Prop.forAll(idsGen, Gen.chooseNum(0, 9000), Gen.chooseNum(0, 1000)) {
+      (ids, trainBp, validBp) =>
+        val op = HashSplit("id", trainBp, validBp)
+        val a = op.transform(ids.toDF("id"))
+          .select("id", "split").as[(Long, String)].collect().toMap
+        val b = op.transform(ids.reverse.toDF("id").repartition(3))
+          .select("id", "split").as[(Long, String)].collect().toMap
+        a == b &&
+          a.keySet == ids.toSet &&
+          a.values.forall(Set("train", "valid", "test"))
+    })
+  }
+
+  test("StratifiedSample: kept set grows monotonically with the keep fraction") {
+    check(Prop.forAll(idsGen, Gen.chooseNum(0, 10000), Gen.chooseNum(0, 10000)) {
+      (ids, bp1, bp2) =>
+        val (lo, hi) = (math.min(bp1, bp2), math.max(bp1, bp2))
+        val df = ids.map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "stratum")
+        def kept(bp: Int) = StratifiedSample("id", "stratum", Map.empty, defaultBp = bp)
+          .transform(df).select("id").as[Long].collect().toSet
+        kept(lo).subsetOf(kept(hi))
+    })
+  }
+
+  test("UpsampleMix: per-id copies are floor(w) or floor(w)+1 and epochs are dense") {
+    check(Prop.forAll(idsGen, Gen.chooseNum(0, 30000)) { (ids, w) =>
+      val df = ids.map(i => (i, "s")).toDF("id", "stratum")
+      val out = UpsampleMix("id", "stratum", Map.empty, defaultBp = w)
+        .transform(df).select("id", "epoch").as[(Long, Int)].collect()
+      val byId = out.groupBy(_._1)
+      byId.values.forall { copies =>
+        val n = copies.length
+        (n == w / 10000 || n == w / 10000 + 1) &&
+          copies.map(_._2).sorted.sameElements(0 until n)
+      }
+    })
+  }
+
+  test("SoftmaxSampling: output ids come from the candidates, size min(k,n), runs repeat") {
+    val rowGen = for {
+      req <- Gen.chooseNum(1L, 5L)
+      n <- Gen.chooseNum(0, 12)
+      ids <- Gen.listOfN(n, Gen.chooseNum(0, 1000))
+    } yield (req, ids.distinct, ids.distinct.map(_ / 7.0))
+    check(Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.chooseNum(1, 6)) { (rows, k) =>
+      val df = rows.toDF("requestId", "candidate_ids", "scores")
+      val op = SoftmaxSampling("candidate_ids", "scores", topk = k)
+      def run() = op.transform(df)
+        .select("requestId", "ordered_ids").as[(Long, Seq[Int])].collect()
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList.sorted).toMap
+      val got = run()
+      val cand = rows.groupBy(_._1).view
+        .mapValues(_.flatMap(_._2).toSet).toMap
+      got == run() && got.forall { case (req, out) =>
+        out.toSet.subsetOf(cand(req))
+      }
+    }, n = 8)
+  }
+
+  test("TopFractionByGroup exact: per-stratum kept count is exactly floor(frac*n/10000)") {
+    val strataGen = Gen.nonEmptyListOf(for {
+      s <- Gen.oneOf("a", "b", "c")
+      score <- Gen.chooseNum(0, 1000)
+    } yield (s, score))
+    check(Prop.forAll(strataGen, Gen.chooseNum(0, 10000)) { (rows, frac) =>
+      val df = rows.zipWithIndex.map { case ((s, sc), i) => (i.toLong, s, sc) }
+        .toDF("id", "stratum", "score")
+      val kept = TopFractionByGroup("stratum", "score", "id", Map.empty, defaultBp = frac)
+        .transform(df).groupBy("stratum").count()
+        .as[(String, Long)].collect().toMap
+      rows.groupBy(_._1).forall { case (s, g) =>
+        kept.getOrElse(s, 0L) == frac.toLong * g.size / 10000
+      }
+    })
+  }
+
+  test("PackChunks: packs never exceed budget and every chunk lands in exactly one slot") {
+    val chunksGen = Gen.nonEmptyListOf(Gen.chooseNum(1, 200)).map(_.zipWithIndex)
+    check(Prop.forAll(chunksGen, Gen.chooseNum(50, 300)) { (chunks, budget) =>
+      val df = chunks.map { case (tok, i) => (i.toLong, 0L, tok.toLong) }
+        .toDF("doc_id", "chunk_id", "n_tokens")
+      val out = PackChunks(budget = budget, shards = 3).transform(df)
+        .select("doc_id", "shard", "pack_id", "n_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+      val packSums = out.groupBy(r => (r._2, r._3)).values.map { pk =>
+        pk.map(r => math.min(r._4, budget.toLong)).sum
+      }
+      out.length == chunks.length &&
+        out.map(_._1).sorted.sameElements(chunks.map(_._2.toLong).sorted) &&
+        packSums.forall(_ <= budget.toLong)
+    }, n = 8)
+  }
+
+  test("ScrubSharedGrams: cleaned text is an ordered subsequence of the normalized tokens") {
+    val vocab = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, vocab)).map(_.mkString(" "))
+    check(Prop.forAll(Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, docGen))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = ScrubSharedGrams(n = 3, minDocs = 2).transform(df)
+        .select("doc_id", "n_tokens", "n_removed", "cleaned_text")
+        .as[(Long, Int, Int, String)].collect()
+      out.forall { case (id, nt, nr, cleaned) =>
+        val orig = texts(id.toInt).split(" ").toList
+        val kept = if (cleaned.isEmpty) Nil else cleaned.split(" ").toList
+        // subsequence check + bookkeeping consistency
+        def isSubseq(xs: List[String], ys: List[String]): Boolean = xs match {
+          case Nil => true
+          case h :: t => ys.dropWhile(_ != h) match {
+            case _ :: rest => isSubseq(t, rest)
+            case Nil => false
+          }
+        }
+        nt == orig.length && nr == nt - kept.length && isSubseq(kept, orig)
+      }
+    }, n = 8)
+  }
+}
