@@ -127,6 +127,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, true), (2L, 2L, true)))
   }
 
+  test("mixing ops: empty inputs yield empty outputs with the declared schema") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("id", "stratum")
+    val mix = UpsampleMix("id", "stratum", Map("a" -> 25000))
+    assert(mix.transform(docs).count() == 0)
+    assert(mix.transform(docs).schema.fieldNames.toSeq ==
+      mix.transformSchema(docs.schema).fieldNames.toSeq)
+    val scored = Seq.empty[(Long, String, Double)].toDF("id", "stratum", "score")
+    Seq(false, true).foreach { approx =>
+      val tf = TopFractionByGroup("stratum", "score", "id", Map("a" -> 5000),
+        approx = approx)
+      assert(tf.transform(scored).count() == 0)
+      assert(tf.transform(scored).schema.fieldNames.toSeq ==
+        tf.transformSchema(scored.schema).fieldNames.toSeq)
+    }
+  }
+
+  test("ScrubSharedGrams: single-doc and empty corpora scrub nothing") {
+    import spark.implicits._
+    val one = Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val out = ScrubSharedGrams(n = 3, minDocs = 2).transform(one).collect().head
+    assert(out.getInt(2) == 0 && out.getString(3) == "aa bb cc dd ee",
+      "no second document → nothing is shared → nothing scrubbed")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(ScrubSharedGrams().transform(none).count() == 0)
+  }
+
   test("EmbeddingLookup: unmatched id keeps row with null embedding") {
     val embs = Seq((10L, Seq(1.0f))).toDF("vec_id", "embedding")
     val req = Seq(Tuple1(10L), Tuple1(11L)).toDF("id")
