@@ -63,12 +63,13 @@ object Bench {
       // take the previous query's garbage-collection debt HERE, outside
       // the timed window — without this the query after a heavy one paid
       // its predecessor's full GC inside its own timing (dedup_exact_norm
-      // measured 0.9 s isolated vs 9-13 s after dedup_clusters). Twice
-      // with a settle pause: System.gc() only STARTS a concurrent G1
-      // cycle, and a cycle still running when the timer starts bleeds
-      // into the measurement (observed as rare 4-12x per-query outliers
-      // on queries that are flat in isolation)
-      System.gc(); Thread.sleep(150); System.gc()
+      // measured 0.9 s isolated vs 9-13 s after dedup_clusters). The
+      // settle pause comes AFTER the collection: the full GC itself is
+      // synchronous, but G1 schedules concurrent/mixed follow-up work
+      // (and executors finish async cleanup) right after it — starting
+      // the timer immediately showed rare 4-12x per-query outliers on
+      // queries that are flat in isolation
+      System.gc(); Thread.sleep(150)
       val t0 = System.nanoTime()
       // setJobGroup is a thread-local: it must run on the thread that
       // triggers the action (inside the Future), or cancelJobGroup would

@@ -214,7 +214,9 @@ object StreamingOps {
     * to gram digests (row-local); the semi-join against the static
     * inventory is stateless; the only state is the watermark-bounded
     * doc-id dedup that collapses multiple matching grams to one alert.
-    * Same 128-bit digest discipline as the batch op. */
+    * Same 128-bit digest discipline as the batch op. The persisted
+    * inventory lives until released (`spark.catalog.clearCache()`) —
+    * same lifecycle note as [[scrubStream]]. */
   def decontaminateStream(
       docs: DataFrame,
       eval: DataFrame,
@@ -250,7 +252,20 @@ object StreamingOps {
     * per (id, ts, text) under the watermark — the document text rides
     * the group key, so reconstruction is the batch op's row-local HOF
     * filter on the aggregate output. State = in-watermark documents.
-    * Emits (id, ts, n_tokens, n_removed, cleaned) on window close. */
+    * Emits (id, ts, n_tokens, n_removed, cleaned) on window close.
+    *
+    * Contract notes. (1) Exact duplicate (id, ts, text) records in one
+    * stream collapse to ONE output row — idempotence under producer
+    * retries, where the batch op emits per input row. (2) The exploded
+    * gram rows carry the text only through PIPELINED operators: grams of
+    * a doc stay in their input partition, the inventory join is
+    * broadcast, and the map-side partial aggregate collapses back to one
+    * row per document before anything shuffles — so the network carries
+    * each text once, and the per-gram text copies are transient CPU cost
+    * (the price of staying UDF-free). (3) The persisted inventory lives
+    * for the application's lifetime; after stopping a long-lived scrub
+    * query, release it (`spark.catalog.clearCache()`) before starting a
+    * replacement with a refreshed corpus. */
   def scrubStream(
       docs: DataFrame,
       corpus: DataFrame,
@@ -265,13 +280,18 @@ object StreamingOps {
       outputCol: String = "cleaned_text"): DataFrame = {
     import graft.ops.Decontaminate.gramDigests
     import graft.functions.{TextFunctions => T}
+    // same parameter contract as the batch op — fail here, not as a
+    // silently-degenerate query
+    require(n >= 1, s"scrubStream: n must be >= 1")
+    require(minDocs >= 2,
+      "scrubStream: minDocs must be >= 2 (a gram always occurs in its own doc)")
     // shared-gram inventory from the static corpus — the same digest
     // definition and sharedness rule (distinct DOC count) as the batch
     // op; persisted because Spark re-evaluates the static side per
     // micro-batch
     val inventory = corpus
       .select(col(corpusIdCol).as("__cid"),
-        posexplode(gramDigests(col(corpusTextCol), n)).as(Seq("__p", "gd")))
+        explode(gramDigests(col(corpusTextCol), n)).as("gd"))
       .groupBy(col("gd.h1").as("g1"), col("gd.h2").as("g2"))
       .agg(countDistinct(col("__cid")).as("__nd"))
       .filter(col("__nd") >= minDocs)

@@ -54,27 +54,31 @@ class PropertySpec extends SparkSpec {
         val n = copies.length
         (n == w / 10000 || n == w / 10000 + 1) &&
           copies.map(_._2).sorted.sameElements(0 until n)
-      }
+      } &&
+        // not vacuous: at >= 1 whole epoch EVERY input id must appear
+        (w < 10000 || byId.keySet == ids.toSet)
     })
   }
 
   test("SoftmaxSampling: output ids come from the candidates, size min(k,n), runs repeat") {
     val rowGen = for {
-      req <- Gen.chooseNum(1L, 5L)
       n <- Gen.chooseNum(0, 12)
       ids <- Gen.listOfN(n, Gen.chooseNum(0, 1000))
-    } yield (req, ids.distinct, ids.distinct.map(_ / 7.0))
-    check(Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.chooseNum(1, 6)) { (rows, k) =>
+    } yield (ids.distinct, ids.distinct.map(_ / 7.0))
+    check(Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.chooseNum(1, 6)) { (rows0, k) =>
+      // unique requestId per row so every assertion is per-row exact
+      val rows = rows0.zipWithIndex.map { case ((ids, sc), i) => (i.toLong, ids, sc) }
       val df = rows.toDF("requestId", "candidate_ids", "scores")
       val op = SoftmaxSampling("candidate_ids", "scores", topk = k)
       def run() = op.transform(df)
         .select("requestId", "ordered_ids").as[(Long, Seq[Int])].collect()
-        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList.sorted).toMap
+        .map { case (req, out) => req -> out.toList }.toMap
       val got = run()
-      val cand = rows.groupBy(_._1).view
-        .mapValues(_.flatMap(_._2).toSet).toMap
+      val cand = rows.map { case (req, ids, _) => req -> ids }.toMap
       got == run() && got.forall { case (req, out) =>
-        out.toSet.subsetOf(cand(req))
+        out.length == math.min(k, cand(req).length) &&
+          out.toSet.subsetOf(cand(req).toSet) &&
+          out.distinct == out // sampling WITHOUT replacement
       }
     }, n = 8)
   }
