@@ -391,8 +391,24 @@ object CurationQueries {
       .transform(documents(spark, d))
       .orderBy("doc_id")
 
+  /** The approx (sketch-threshold) budget path under the evidence
+    * harness: its kept set must recover ≥ the floor of the exact ranked
+    * selection on the same budgets. Rows-only by nature — the sketch's
+    * partition-merge order can move boundary ties — so the recall floor
+    * IS the check, thrown in-query and recorded in the driver artifact. */
+  def topFractionApproxRecall(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d).select("doc_id", "lang", "n_chars")
+    val fracs = Map("en" -> 4000)
+    def run(approx: Boolean) =
+      TopFractionByGroup("lang", "n_chars", "doc_id", fracs,
+        defaultBp = 7000, approx = approx).transform(docs)
+    Evidence.recallRow(spark, run(approx = true), run(approx = false),
+      Seq("doc_id"), floorBp = 9000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_top_fraction" -> (topFraction _),
+    "curation_top_fraction_recall" -> (topFractionApproxRecall _),
     "pipeline_mix" -> (pipelineMix _),
     "corpus_report" -> (corpusReport _),
     "text_scrub_spans" -> (textScrubSpans _),
