@@ -230,6 +230,10 @@ object EnsemblePersistence {
       ("type" -> "StratifiedSample") ~ ("idCol" -> id) ~
         ("strataCol" -> strata) ~ ("fractionsBp" -> fr) ~
         ("defaultBp" -> dflt) ~ ("salt" -> salt)
+    case WeightedSampleByGroup(strata, wc, id, k, salt, rank) =>
+      ("type" -> "WeightedSampleByGroup") ~ ("strataCol" -> strata) ~
+        ("weightCol" -> wc) ~ ("idCol" -> id) ~ ("k" -> k) ~
+        ("salt" -> salt) ~ ("rankCol" -> rank)
     case UpsampleMix(id, strata, w, dflt, salt, ep) =>
       ("type" -> "UpsampleMix") ~ ("idCol" -> id) ~
         ("strataCol" -> strata) ~ ("weightsBp" -> w) ~
@@ -449,6 +453,9 @@ object EnsemblePersistence {
         StratifiedSample(s("idCol"), s("strataCol"),
           (o \ "fractionsBp").extract[Map[String, Int]],
           (o \ "defaultBp").extract[Int], s("salt"))
+      case "WeightedSampleByGroup" =>
+        WeightedSampleByGroup(s("strataCol"), s("weightCol"), s("idCol"),
+          (o \ "k").extract[Int], s("salt"), s("rankCol"))
       case "UpsampleMix" =>
         UpsampleMix(s("idCol"), s("strataCol"),
           (o \ "weightsBp").extract[Map[String, Int]],

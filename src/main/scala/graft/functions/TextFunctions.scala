@@ -25,6 +25,15 @@ object TextFunctions {
     conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
       .cast("long") % buckets
 
+  /** Deterministic uniform on (0, 1) from the first 8 md5 hex chars of
+    * `key` — the engine-portable stand-in for rand() used wherever a
+    * sampling decision must be reproducible cross-engine (the DuckDB
+    * oracle replays `(('0x' || substring(md5(key), 1, 8))::BIGINT + 0.5)
+    * / 4294967296.0`). +0.5 keeps u strictly inside (0, 1) so ln(u) is
+    * finite. */
+  def md5Uniform(key: Column): Column =
+    (conv(substring(md5(key), 1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
+
   /** lower + trim + whitespace collapse — the canonical dedup normal form. */
   def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 

@@ -184,9 +184,8 @@ case class SoftmaxSampling(
     // u from the first 8 md5 hex chars (engine-portable, uniform on
     // [0, 2^32)); +0.5 keeps u strictly inside (0, 1)
     val keyed = arrayTransform(ids, (id, i) => {
-      val u = (conv(substring(md5(concat_ws(":",
-        col(seedCol).cast("string"), i.cast("string"), lit(seed.toString))),
-        1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
+      val u = graft.functions.TextFunctions.md5Uniform(concat_ws(":",
+        col(seedCol).cast("string"), i.cast("string"), lit(seed.toString)))
       val s = element_at(scores, i + 1)
       val key = -log(u) / exp(lit(temperature) * s.cast("double"))
       struct(key.as("k"), id.as("id"), s.as("sc"))
@@ -385,6 +384,59 @@ case class StratifiedSample(
   override def transform(df: DataFrame): DataFrame =
     df.withColumn("sample_bucket", bucket)
       .filter(col("sample_bucket") < thresholdBp)
+}
+
+/** Per-stratum weighted sampling WITHOUT replacement — "pick the k best
+  * candidates per domain, probability proportional to weight": the
+  * quality-weighted cousin of [[TopFractionByGroup]] (which keeps a
+  * deterministic top fraction) and the per-corpus analog of
+  * [[SoftmaxSampling]] (which re-ranks one request's candidate array).
+  * Efraimidis–Spirakis: key = -ln(u)/w with u uniform per row, ascending
+  * keys are an exact weighted sample without replacement. u derives from
+  * md5(id ":" salt) — the engine-portable coin, so the SAMPLE ITSELF is
+  * oracle-checkable, reproducible across reruns/backfills, and
+  * independent of the other sampling ops' namespaced streams. Ties
+  * break by id; rows with NULL id, or NULL/zero/negative weight, carry
+  * no probability mass and are dropped. `sample_rank` (1..k within the
+  * stratum) survives for audit.
+  *
+  * Scale shape: one shuffle on the stratum key + a per-stratum sort —
+  * the same window cost envelope as [[TopFractionByGroup]]'s exact mode
+  * (a bounded-heap per-group top-k aggregate is the upgrade if k is
+  * small and strata are pathological). */
+case class WeightedSampleByGroup(
+    strataCol: String,
+    weightCol: String,
+    idCol: String,
+    k: Int,
+    salt: String = "graft-wsample",
+    rankCol: String = "sample_rank") extends EnsembleOp {
+
+  require(k >= 1, s"$name: k must be >= 1")
+
+  override def transformSchema(in: StructType): StructType = {
+    Seq(strataCol, weightCol, idCol).foreach(requireCol(in, _))
+    require(!in.fieldNames.contains(rankCol),
+      s"$name: output column '$rankCol' collides with the input schema")
+    StructType(in :+ StructField(rankCol, IntegerType, nullable = false))
+  }
+
+  /** The per-row sampling key (exposed so oracle SQL can mirror it). */
+  def key: Column =
+    -log(graft.functions.TextFunctions.md5Uniform(
+      concat(col(idCol).cast("string"), lit(":" + salt)))) /
+      col(weightCol).cast("double")
+
+  override def transform(df: DataFrame): DataFrame = {
+    val out = transformSchema(df.schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(key.asc, col(idCol).asc)
+    df.filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0)
+      .withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+      .select(out.fieldNames.map(col).toSeq: _*)
+  }
 }
 
 /** Deterministic epoch-weighted upsampling — the other half of the

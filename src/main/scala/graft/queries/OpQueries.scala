@@ -378,6 +378,15 @@ object OpQueries {
       .transform(documents(spark, d).select("doc_id", "lang"))
       .orderBy("doc_id")
 
+  /** WeightedSampleByGroup under the oracle: per-language quality-weighted
+    * sample of 5 documents (weight = n_chars). The md5-derived uniform
+    * makes the Efraimidis–Spirakis keys — and therefore the exact sampled
+    * SET and its ranks — reproducible in DuckDB. */
+  def weightedSample(spark: SparkSession, d: String): DataFrame =
+    WeightedSampleByGroup("lang", "n_chars", "doc_id", k = 5)
+      .transform(documents(spark, d).select("doc_id", "lang", "n_chars"))
+      .orderBy("doc_id")
+
   /** UpsampleMix under the oracle: epoch-weighted repeat of the document
     * corpus (the upsampling half of data mixing — en ×2.5, zh ×1.5, de ×1,
     * rest ×0.5). The md5 coin decides which rows carry the fractional
@@ -447,6 +456,7 @@ object OpQueries {
     "op_salted_join" -> (saltedJoin _),
     "op_stratified_sample" -> (stratifiedSample _),
     "op_upsample_mix" -> (upsampleMix _),
+    "op_weighted_sample" -> (weightedSample _),
     "op_quantize_embeddings" -> (quantizeEmbeddings _),
     "op_materialize_view" -> (materializeView _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
@@ -665,6 +675,17 @@ object OpQueries {
         |    row_number() OVER (PARTITION BY requestId ORDER BY k, o_orderkey) AS rank
         |  FROM keyed)
         |WHERE rank <= 10 ORDER BY requestId, rank""".stripMargin,
+    "op_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars, CAST(rn AS INTEGER) AS sample_rank FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY -ln(u) / CAST(n_chars AS DOUBLE) ASC, doc_id ASC) AS rn
+        |  FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      (('0x' || substring(md5(doc_id::VARCHAR || ':graft-wsample'), 1, 8))::BIGINT + 0.5)
+        |        / 4294967296.0 AS u
+        |    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0))
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
     "op_upsample_mix" ->
       """SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS INTEGER) AS epoch
         |FROM (

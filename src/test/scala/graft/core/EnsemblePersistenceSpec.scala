@@ -163,6 +163,13 @@ class EnsemblePersistenceSpec extends SparkSpec {
     EnsemblePersistence.save(Ensemble(Seq(um), docSchema), dirU, spark)
     assert(EnsemblePersistence.load(dirU, spark).ops.head == um)
 
+    val wsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    val wsOp = WeightedSampleByGroup("lang", "n_chars", "doc_id", k = 7, salt = "w1")
+    val dirW = Files.tmp("ens_wsample")
+    EnsemblePersistence.save(Ensemble(Seq(wsOp), wsSchema), dirW, spark)
+    assert(EnsemblePersistence.load(dirW, spark).ops.head == wsOp)
+
     val sg = ScrubSharedGrams(n = 6, minDocs = 3)
     val dirG = Files.tmp("ens_scrub")
     EnsemblePersistence.save(Ensemble(Seq(sg), docSchema), dirG, spark)

@@ -253,6 +253,38 @@ class CoreOpsSpec extends SparkSpec {
     assert(webOnly == a.filter(_ % 3 == 1), "per-id fate is stratum-independent")
   }
 
+  test("WeightedSampleByGroup: exactly k per stratum, weight-proportional, deterministic") {
+    val rnd = new scala.util.Random(23)
+    // two strata; stratum "a" has one heavy row per id-block — heavy rows
+    // must be strongly over-represented in the sample
+    val df = (1L to 2000L).map { i =>
+      val stratum = if (i % 2 == 0) "a" else "b"
+      val w = if (i % 100 == 0) 1000.0 else 1.0
+      (i, stratum, w)
+    }.toDF("id", "stratum", "w")
+    val op = WeightedSampleByGroup("stratum", "w", "id", k = 20)
+    val out = op.transform(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // exactly k per stratum, ranks dense 1..k
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.length == 20, s"stratum $s")
+      assert(rows.map(_._3).sorted.sameElements(1 to 20))
+    }
+    // determinism across runs and partitionings
+    val again = op.transform(df.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    assert(out.toSet == again.toSet)
+    // the 20 heavy rows (w=1000 vs 1) carry ~95% of stratum "a"'s mass —
+    // they must dominate its 20 slots
+    val heavyPicked = out.count { case (id, s, _) => s == "a" && id % 100 == 0 }
+    assert(heavyPicked >= 15, s"heavy rows must dominate the sample: $heavyPicked/20")
+    // zero/negative/null weights carry no mass
+    val degenerate = Seq((1L, "a", Some(0.0)), (2L, "a", Some(-1.0)),
+      (3L, "a", None), (4L, "a", Some(2.0))).toDF("id", "stratum", "w")
+    val kept = op.transform(degenerate).select("id").as[Long].collect().toSeq
+    assert(kept == Seq(4L))
+  }
+
   test("UpsampleMix emits floor(weight) epochs plus a hash-deterministic fractional copy") {
     val df = (1L to 3000L).map(i =>
       (i, i % 3 match { case 0 => "books"; case 1 => "web"; case _ => "other" }))
