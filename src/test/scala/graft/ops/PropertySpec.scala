@@ -83,6 +83,25 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("WeightedSampleByGroup: exactly min(k, eligible) rows per stratum, order-independent") {
+    val rowGen = for {
+      s <- Gen.oneOf("a", "b")
+      w <- Gen.chooseNum(-2.0, 50.0) // negatives/zeros must be ineligible
+    } yield (s, w)
+    check(Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.chooseNum(1, 8)) { (rows0, k) =>
+      val rows = rows0.zipWithIndex.map { case ((s, w), i) => (i.toLong, s, w) }
+      val df = rows.toDF("id", "stratum", "w")
+      val op = WeightedSampleByGroup("stratum", "w", "id", k)
+      val out = op.transform(df).select("id", "stratum").as[(Long, String)].collect()
+      val eligible = rows.filter(_._3 > 0).groupBy(_._2).view.mapValues(_.length).toMap
+      val counts = out.groupBy(_._2).view.mapValues(_.length).toMap
+      out.toSet == op.transform(df.repartition(5)).select("id", "stratum")
+        .as[(Long, String)].collect().toSet &&
+        eligible.forall { case (s, n) => counts.getOrElse(s, 0) == math.min(k, n) } &&
+        out.map(_._1).toSet.subsetOf(rows.filter(_._3 > 0).map(_._1).toSet)
+    }, n = 8)
+  }
+
   test("TopFractionByGroup exact: per-stratum kept count is exactly floor(frac*n/10000)") {
     val strataGen = Gen.nonEmptyListOf(for {
       s <- Gen.oneOf("a", "b", "c")
