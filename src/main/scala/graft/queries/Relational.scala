@@ -99,11 +99,16 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("c_nationkey")
 
-  /** Set difference: (brand,size) combos never shipped at near-max quantity. */
+  /** Set difference: (brand,size) combos never shipped returned at max quantity.
+    * The predicate (quantity = max AND returned) is rare enough that the EXCEPT
+    * stays non-empty and non-trivial at every test scale factor (151 / 681 / 65
+    * rows at sf0.001/0.01/0.1) — a saturating predicate would make the larger-SF
+    * check vacuous (0 rows matches any bug that empties the result). */
   def q9_setop(spark: SparkSession, d: String): DataFrame = {
     val allCombos = part(spark, d).select("p_brand", "p_size").distinct()
     val bigQty = part(spark, d)
-      .join(lineitem(spark, d).filter(col("l_quantity") >= 49),
+      .join(lineitem(spark, d)
+          .filter(col("l_quantity") >= 50 && col("l_returnflag") === "R"),
         col("p_partkey") === col("l_partkey"), "left_semi")
       .select("p_brand", "p_size").distinct()
     allCombos.except(bigQty).orderBy("p_brand", "p_size")
@@ -273,7 +278,7 @@ object Relational {
       """SELECT p_brand, p_size FROM (
         |SELECT DISTINCT p_brand, p_size FROM part
         |EXCEPT SELECT DISTINCT p_brand, p_size FROM part
-        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey=p_partkey AND l_quantity >= 49))
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey=p_partkey AND l_quantity >= 50 AND l_returnflag='R'))
         |ORDER BY p_brand, p_size""".stripMargin,
     "q10_events" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n_events,
