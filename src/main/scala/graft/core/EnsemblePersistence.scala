@@ -112,6 +112,14 @@ object EnsemblePersistence {
         ("entityCol" -> q.entityCol) ~ ("featureCols" -> q.featureCols) ~
         ("includeId" -> q.includeId) ~ ("outputPrefix" -> q.outputPrefix) ~
         ("broadcastDim" -> q.broadcastDim)
+    case ns: NegativeSampling =>
+      val p = artifactPath(dir, i, "neg_catalog")
+      ns.catalog.write.mode("overwrite").parquet(p)
+      ("type" -> "NegativeSampling") ~ ("path" -> p) ~
+        ("userCol" -> ns.userCol) ~ ("itemCol" -> ns.itemCol) ~
+        ("catalogItemCol" -> ns.catalogItemCol) ~ ("k" -> ns.k) ~
+        ("attempts" -> ns.attempts) ~ ("salt" -> ns.salt) ~
+        ("outputCol" -> ns.outputCol) ~ ("rankCol" -> ns.rankCol)
     case iv: IntervalJoin =>
       val pth = artifactPath(dir, i, "intervals")
       iv.intervals.write.mode("overwrite").parquet(pth)
@@ -367,6 +375,10 @@ object EnsemblePersistence {
         QueryFeatureStore(spark.read.parquet(s("path")), s("entityCol"),
           ss("featureCols"), (o \ "includeId").extract[Boolean],
           s("outputPrefix"), (o \ "broadcastDim").extract[Boolean])
+      case "NegativeSampling" =>
+        NegativeSampling(spark.read.parquet(s("path")), s("userCol"),
+          s("itemCol"), s("catalogItemCol"), (o \ "k").extract[Int],
+          (o \ "attempts").extract[Int], s("salt"), s("outputCol"), s("rankCol"))
       case "IntervalJoin" =>
         IntervalJoin(spark.read.parquet(s("path")), s("keyCol"), s("startCol"),
           s("endCol"), s("pointTsCol"), (o \ "bucketSize").extract[Long],

@@ -439,6 +439,115 @@ case class WeightedSampleByGroup(
   }
 }
 
+/** Deterministic uniform negative sampling — the training-time counterpart
+  * of [[FilterCandidates]] (which removes seen items at serving time,
+  * /root/reference/merlin/systems/dag/ops/session_filter.py:142-162): a
+  * ranking model's training set needs, for every observed positive
+  * (user, item) pair, k items the user did NOT interact with. Each input
+  * row draws `attempts` catalog indices via the engine-portable md5 coin
+  * (`md5(user ":" item ":" t ":" salt)` → index mod catalog size), maps
+  * them to items through a dense id-ordered catalog index, drops draws
+  * that hit ANY of the user's seen items (the distinct pairs of the input
+  * frame — the pair's own item included), deduplicates repeated draws
+  * (first attempt wins), and keeps the first k survivors in attempt order
+  * as `outputCol` with `rankCol` 1..k. Everything derives from content
+  * hashes, so the exact sampled set — not just its size — is reproducible
+  * across engines, reruns and repartitioning (oracle-checkable), unlike
+  * `rand()`-based negative samplers whose output changes under retry or
+  * partition reordering.
+  *
+  * Contracts: input rows must be DISTINCT (user, item) pairs (duplicate
+  * pairs would interleave in the rank window); rows with a NULL user or
+  * item carry no deterministic coin and are dropped; a pair can yield
+  * FEWER than k negatives when the user has seen much of the catalog or
+  * draws collide — raise `attempts` (default 3k) for dense users rather
+  * than resampling, which would break determinism.
+  *
+  * Scale shape: the candidate explode is map-side (input × attempts); the
+  * catalog index is dictionary-scale (range-partitioned sort +
+  * zipWithIndex, same discipline as [[graft.ops.Categorify]] — never a
+  * global window) and joins broadcast; the seen-set anti join and the
+  * rank window shuffle on the (user, item) pair key with groups bounded
+  * by `attempts` — no global sort, no driver collects, skew bounded by
+  * the hottest user's interaction count. */
+case class NegativeSampling(
+    catalog: DataFrame,
+    userCol: String,
+    itemCol: String,
+    catalogItemCol: String,
+    k: Int,
+    attempts: Int = -1,
+    salt: String = "graft-neg",
+    outputCol: String = "neg_item",
+    rankCol: String = "neg_rank") extends EnsembleOp {
+
+  require(k >= 1, s"$name: k must be >= 1")
+  require(attempts == -1 || attempts >= k,
+    s"$name: attempts must be >= k (or -1 for the default 3k)")
+  require(catalog.schema.fieldNames.contains(catalogItemCol),
+    s"$name: '$catalogItemCol' missing in catalog")
+
+  /** Draws per positive pair (-1 → 3k: with uniform draws over a large
+    * catalog, k of 3k surviving is overwhelmingly likely for users who
+    * have seen < ~60% of it). */
+  def numAttempts: Int = if (attempts == -1) 3 * k else attempts
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, userCol); requireCol(in, itemCol)
+    Seq(outputCol, rankCol).foreach(c => require(!in.fieldNames.contains(c),
+      s"$name: output column '$c' collides with the input schema"))
+    StructType(in :+
+      StructField(outputCol, catalog.schema(catalogItemCol).dataType) :+
+      StructField(rankCol, IntegerType, nullable = false))
+  }
+
+  /** The candidate-index coin (exposed so oracle SQL can mirror it):
+    * first 8 md5 hex chars of `user ":" item ":" attempt ":" salt`,
+    * modulo the catalog size carried in `__n`. */
+  def candidateIndex: Column =
+    conv(substring(md5(concat(
+      col(userCol).cast("string"), lit(":"), col(itemCol).cast("string"),
+      lit(":"), col("__t").cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long") % col("__n")
+
+  /** The dense id-ordered catalog index (item value, `__idx`) — unique ids
+    * make partition-order zipWithIndex coincide with the oracle's
+    * `row_number() OVER (ORDER BY item) - 1`. */
+  private def indexedCatalog: DataFrame = {
+    val sorted = catalog.select(col(catalogItemCol).as("__cand"))
+      .filter(col("__cand").isNotNull).distinct().sort("__cand")
+    val schema = StructType(sorted.schema :+ StructField("__idx", LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val out = transformSchema(df.schema)
+    val idx = indexedCatalog
+    val nDf = idx.agg(count(lit(1)).as("__n"))
+    val seen = df.select(col(userCol).as("__su"), col(itemCol).as("__si")).distinct()
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(itemCol), col("__cand")).orderBy("__t")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(itemCol)).orderBy("__t")
+    df.filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .withColumn("__t", explode(sequence(lit(0), lit(numAttempts - 1))))
+      .crossJoin(broadcast(nDf))
+      .withColumn("__idx", candidateIndex)
+      .join(broadcast(idx), Seq("__idx"))
+      .join(seen, col(userCol) === col("__su") && col("__cand") === col("__si"),
+        "left_anti")
+      .withColumn("__first", row_number().over(wDedup))
+      .filter(col("__first") === 1)
+      .withColumn(rankCol, row_number().over(wRank))
+      .filter(col(rankCol) <= k)
+      .withColumn(outputCol, col("__cand"))
+      .select(out.fieldNames.map(col).toSeq: _*)
+  }
+}
+
 /** Deterministic epoch-weighted upsampling — the other half of the
   * data-mixing knob beside [[StratifiedSample]]: mixing to target domain
   * proportions usually means REPEATING the high-value strata (books ×2.5,

@@ -397,6 +397,20 @@ object OpQueries {
       .transform(documents(spark, d).select("doc_id", "lang"))
       .orderBy("doc_id", "epoch")
 
+  /** NegativeSampling under the oracle: 3 unseen parts per high-quantity
+    * (customer, part) interaction, drawn by the md5 coin over the part
+    * catalog. Fully content-addressed, so DuckDB reproduces the exact
+    * negative set and ranks — the property that makes a 100 TB training
+    * set rebuildable bit-for-bit. */
+  def negativeSampling(spark: SparkSession, d: String): DataFrame = {
+    val pos = interactions(spark, d).filter(col("l_quantity") >= 45)
+      .select(col("requestId").as("user_id"), col("l_partkey").as("item_id"))
+      .distinct()
+    NegativeSampling(part(spark, d), "user_id", "item_id", "p_partkey", k = 3)
+      .transform(pos)
+      .orderBy("user_id", "item_id", "neg_rank")
+  }
+
   /** QuantizeEmbeddings under the oracle: integer-micro affine codes are
     * bit-deterministic, so every (vector, component) code hash-checks. */
   def quantizeEmbeddings(spark: SparkSession, d: String): DataFrame =
@@ -457,6 +471,7 @@ object OpQueries {
     "op_stratified_sample" -> (stratifiedSample _),
     "op_upsample_mix" -> (upsampleMix _),
     "op_weighted_sample" -> (weightedSample _),
+    "op_negative_sampling" -> (negativeSampling _),
     "op_quantize_embeddings" -> (quantizeEmbeddings _),
     "op_materialize_view" -> (materializeView _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
@@ -705,6 +720,35 @@ object OpQueries {
         |WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
         |  WHEN 'zh' THEN 2000 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+    "op_negative_sampling" ->
+      """WITH cat AS (
+        |  SELECT p_partkey AS item, row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+        |  FROM part WHERE p_partkey IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM cat),
+        |pos AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 45),
+        |cand AS (
+        |  SELECT user_id, item_id, t,
+        |    ('0x' || substring(md5(user_id::VARCHAR || ':' || item_id::VARCHAR
+        |      || ':' || t::VARCHAR || ':graft-neg'), 1, 8))::BIGINT
+        |      % (SELECT n FROM n) AS idx
+        |  FROM pos CROSS JOIN (SELECT unnest(range(0, 9)) AS t)),
+        |unseen AS (
+        |  SELECT c.user_id, c.item_id, c.t, cat.item AS neg
+        |  FROM cand c JOIN cat ON c.idx = cat.idx
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |    WHERE p.user_id = c.user_id AND p.item_id = cat.item)),
+        |dedup AS (
+        |  SELECT user_id, item_id, t, neg, row_number() OVER (
+        |    PARTITION BY user_id, item_id, neg ORDER BY t) AS f FROM unseen)
+        |SELECT user_id, item_id, neg AS neg_item, CAST(rn AS INTEGER) AS neg_rank
+        |FROM (
+        |  SELECT user_id, item_id, neg, row_number() OVER (
+        |    PARTITION BY user_id, item_id ORDER BY t) AS rn
+        |  FROM dedup WHERE f = 1)
+        |WHERE rn <= 3 ORDER BY user_id, item_id, neg_rank""".stripMargin,
     "op_quantize_embeddings" ->
       """WITH q AS (SELECT vec_id,
         |  list_transform(embedding,

@@ -74,6 +74,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"no shuffle expected:\n${p.take(600)}")
   }
 
+  test("negative sampling broadcasts the catalog index; no cartesian blowup") {
+    val p = plan(queries.OpQueries.negativeSampling(spark, d))
+    // the dense catalog index and the 1-row count frame must broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      "candidate mapping must be an equi-join on the drawn index")
+    // rank/dedup windows repartition on the pair key only
+    assert(p.contains("hashpartitioning(user_id"),
+      "windows must partition on the (user, item) pair key")
+  }
+
   test("minhash candidate join shuffles only light band rows") {
     val docs = Tables.documents(spark, d)
     val p = plan(ops.MinHashDedup().pairPlan(docs))

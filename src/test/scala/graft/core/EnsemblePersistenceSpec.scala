@@ -213,6 +213,20 @@ class EnsemblePersistenceSpec extends SparkSpec {
     assert(got.map(_.getString(3)).toSeq == Seq("new", "keep"))
   }
 
+  test("NegativeSampling round-trips its catalog as a side artifact") {
+    val pos = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("user_id", "item_id")
+    val catalog = (10L to 29L).toDF("item")
+    val op = NegativeSampling(catalog, "user_id", "item_id", "item",
+      k = 2, attempts = 8, salt = "rt-neg")
+    val dir = Files.tmp("ens_neg")
+    EnsemblePersistence.save(Ensemble(Seq(op), pos.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.transform(pos).orderBy("user_id", "item_id", "neg_rank")
+      .collect().toSeq ==
+      op.transform(pos).orderBy("user_id", "item_id", "neg_rank")
+        .collect().toSeq)
+  }
+
   test("XgbForest round-trips its parsed trees without the original json") {
     val op = XgbForest.fromJson(graft.queries.MlQueries.portableModelJson,
       graft.queries.MlQueries.portableFeatures,

@@ -285,6 +285,66 @@ class CoreOpsSpec extends SparkSpec {
     assert(kept == Seq(4L))
   }
 
+  test("NegativeSampling: unseen-only, deduped, ranked, deterministic") {
+    // 40 users × 3 positives each over a 50-item catalog
+    val rnd = new scala.util.Random(31)
+    val pos = (1L to 40L).flatMap { u =>
+      rnd.shuffle((0L until 50L).toList).take(3).map(i => (u, i))
+    }.distinct
+    val df = pos.toDF("user_id", "item_id")
+    val catalog = (0L until 50L).toDF("item")
+    val op = NegativeSampling(catalog, "user_id", "item_id", "item", k = 4)
+    val outSchema = op.transformSchema(df.schema)
+    assert(outSchema.fieldNames.toSeq ==
+      Seq("user_id", "item_id", "neg_item", "neg_rank"))
+    assert(outSchema("neg_item").dataType == LongType)
+
+    val out = op.transform(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val seenByUser = pos.groupBy(_._1).map { case (u, ps) => u -> ps.map(_._2).toSet }
+    // negatives never collide with ANY of the user's positives
+    out.foreach { case (u, _, neg, _) =>
+      assert(!seenByUser(u).contains(neg), s"user $u drew seen item $neg") }
+    // per pair: no duplicate negatives, ranks dense 1..n, n <= k
+    out.groupBy(t => (t._1, t._2)).foreach { case (pair, rows) =>
+      assert(rows.map(_._3).distinct.length == rows.length, s"dup negative in $pair")
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length), s"ranks in $pair")
+      assert(rows.length <= 4)
+    }
+    // 9 of 12 attempts surviving a 47/50-unseen catalog: k=4 essentially always
+    assert(out.groupBy(t => (t._1, t._2)).forall(_._2.length == 4))
+    // deterministic across reruns and partitionings
+    val again = op.transform(df.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("NegativeSampling exhaustion, null and collision contracts") {
+    // catalog of 3; the user has seen 2 → only 1 negative exists, despite k=3
+    val df = Seq((100L, 1L), (100L, 2L)).toDF("user_id", "item_id")
+    val catalog = Seq(1L, 2L, 3L).toDF("item")
+    val op = NegativeSampling(catalog, "user_id", "item_id", "item",
+      k = 3, attempts = 30)
+    val out = op.transform(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSet == Set((100L, 1L, 3L, 1), (100L, 2L, 3L, 1)),
+      "the single unseen item is each pair's only negative, rank 1")
+    // NULL user/item rows carry no deterministic coin — dropped
+    val nulls = Seq((Option(1L), Option(1L)), (None, Option(2L)),
+      (Option(2L), None)).toDF("user_id", "item_id")
+    val fromNulls = op.transform(nulls).select("user_id").collect()
+    assert(fromNulls.forall(_.getLong(0) == 1L))
+    // output-name collisions and parameter bounds fail fast
+    val clash = Seq((1L, 1L, 1L)).toDF("user_id", "item_id", "neg_item")
+    assertThrows[IllegalArgumentException] { op.transformSchema(clash.schema) }
+    assertThrows[IllegalArgumentException] {
+      NegativeSampling(catalog, "user_id", "item_id", "item", k = 5, attempts = 4)
+    }
+    assertThrows[IllegalArgumentException] {
+      NegativeSampling(catalog, "user_id", "item_id", "missing", k = 1)
+    }
+  }
+
   test("UpsampleMix emits floor(weight) epochs plus a hash-deterministic fractional copy") {
     val df = (1L to 3000L).map(i =>
       (i, i % 3 match { case 0 => "books"; case 1 => "web"; case _ => "other" }))
