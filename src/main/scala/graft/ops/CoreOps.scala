@@ -466,10 +466,12 @@ case class WeightedSampleByGroup(
   * Scale shape: the candidate explode is map-side (input × attempts); the
   * catalog index is dictionary-scale (range-partitioned sort +
   * zipWithIndex, same discipline as [[graft.ops.Categorify]] — never a
-  * global window) and joins broadcast; the seen-set anti join and the
-  * rank window shuffle on the (user, item) pair key with groups bounded
-  * by `attempts` — no global sort, no driver collects, skew bounded by
-  * the hottest user's interaction count. */
+  * global window) and joins broadcast; the seen-set anti join shuffles
+  * on the (user, candidate) key and the dedup/rank windows share a
+  * single (user, item) exchange (lag-based run dedup, PlanSpec-pinned —
+  * a per-candidate row_number would force a third, wider exchange), with
+  * groups bounded by `attempts`: no global sort, no driver collects,
+  * skew bounded by the hottest user's interaction count. */
 case class NegativeSampling(
     catalog: DataFrame,
     userCol: String,
@@ -528,10 +530,15 @@ case class NegativeSampling(
     val idx = indexedCatalog
     val nDf = idx.agg(count(lit(1)).as("__n"))
     val seen = df.select(col(userCol).as("__su"), col(itemCol).as("__si")).distinct()
-    val wDedup = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol), col(itemCol), col("__cand")).orderBy("__t")
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol), col(itemCol)).orderBy("__t")
+    // both windows partition on the pair key alone, so they share ONE
+    // exchange (two local sorts): dedup detects the first attempt of each
+    // candidate as the head of its (cand, t)-ordered run via lag, instead
+    // of a per-candidate row_number that would force a second, wider
+    // hashpartitioning on (user, item, cand)
+    val pair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(itemCol))
+    val byCand = pair.orderBy("__cand", "__t")
+    val byT = pair.orderBy("__t")
     df.filter(col(userCol).isNotNull && col(itemCol).isNotNull)
       .withColumn("__t", explode(sequence(lit(0), lit(numAttempts - 1))))
       .crossJoin(broadcast(nDf))
@@ -539,9 +546,9 @@ case class NegativeSampling(
       .join(broadcast(idx), Seq("__idx"))
       .join(seen, col(userCol) === col("__su") && col("__cand") === col("__si"),
         "left_anti")
-      .withColumn("__first", row_number().over(wDedup))
-      .filter(col("__first") === 1)
-      .withColumn(rankCol, row_number().over(wRank))
+      .withColumn("__prev", lag("__cand", 1).over(byCand))
+      .filter(col("__prev").isNull || col("__prev") =!= col("__cand"))
+      .withColumn(rankCol, row_number().over(byT))
       .filter(col(rankCol) <= k)
       .withColumn(outputCol, col("__cand"))
       .select(out.fieldNames.map(col).toSeq: _*)

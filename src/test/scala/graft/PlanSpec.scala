@@ -80,9 +80,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
     assert(!p.contains("CartesianProduct"),
       "candidate mapping must be an equi-join on the drawn index")
-    // rank/dedup windows repartition on the pair key only
+    // rank/dedup windows repartition on the pair key only — the lag-based
+    // run dedup must NOT introduce a second, wider exchange on the
+    // candidate column
     assert(p.contains("hashpartitioning(user_id"),
       "windows must partition on the (user, item) pair key")
+    // the anti join legitimately shuffles on (user, candidate); the windows
+    // must NOT add a third, wider (user, item, candidate) exchange — the
+    // lag-based run dedup reuses the (user, item) one
+    assert("hashpartitioning\\([^)]*item_id[^)]*__cand".r.findFirstIn(p).isEmpty,
+      "dedup must reuse the pair-key window exchange, never partition by candidate")
   }
 
   test("minhash candidate join shuffles only light band rows") {
