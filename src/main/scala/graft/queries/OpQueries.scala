@@ -411,6 +411,44 @@ object OpQueries {
       .orderBy("user_id", "item_id", "neg_rank")
   }
 
+  /** The ranking-training-set flagship: positives → deterministic
+    * negatives → labeled union → item-feature join → content-hash split,
+    * one composed lazy plan, end-to-end hash-oracled — the recsys
+    * counterpart of `pipeline_pretraining` (every stage deterministic, so
+    * the full training set rebuilds bit-for-bit on any engine). The
+    * (user, item, cand) triple is a total order: positive rows carry
+    * cand = item, negatives exclude seen items and are per-pair deduped. */
+  def pipelineRanking(spark: SparkSession, d: String): DataFrame = {
+    // pos feeds three plan branches (NegativeSampling's input, its seen
+    // set, the positive half of the union): persist so the interactions
+    // join + distinct runs once, not once per branch
+    val pos = interactions(spark, d).filter(col("l_quantity") >= 45)
+      .select(col("requestId").as("user_id"), col("l_partkey").as("item_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val negs = NegativeSampling(part(spark, d), "user_id", "item_id", "p_partkey", k = 3)
+      .transform(pos)
+    val examples = pos
+      .withColumn("cand_id", col("item_id")).withColumn("label", lit(1))
+      .unionByName(negs.select(col("user_id"), col("item_id"),
+        col("neg_item").as("cand_id"), lit(0).as("label")))
+      .withColumn("example_key",
+        concat(col("user_id").cast("string"), lit("#"),
+          col("cand_id").cast("string"), lit("#"), col("label").cast("string")))
+    val out = HashSplit("example_key", trainBp = 9000, validBp = 500).transform(examples)
+      .join(broadcast(part(spark, d).select(col("p_partkey").as("cand_id"),
+        col("p_brand"), col("p_retailprice"))), Seq("cand_id"), "left")
+      .select(col("user_id"), col("item_id"), col("cand_id"), col("label"),
+        col("p_brand"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("split"))
+      .orderBy("user_id", "item_id", "cand_id")
+      // eagerly materialize so the pos cache can release now
+      .localCheckpoint(true)
+    pos.unpersist()
+    out
+  }
+
   /** QuantizeEmbeddings under the oracle: integer-micro affine codes are
     * bit-deterministic, so every (vector, component) code hash-checks. */
   def quantizeEmbeddings(spark: SparkSession, d: String): DataFrame =
@@ -472,6 +510,7 @@ object OpQueries {
     "op_upsample_mix" -> (upsampleMix _),
     "op_weighted_sample" -> (weightedSample _),
     "op_negative_sampling" -> (negativeSampling _),
+    "pipeline_ranking" -> (pipelineRanking _),
     "op_quantize_embeddings" -> (quantizeEmbeddings _),
     "op_materialize_view" -> (materializeView _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
@@ -749,6 +788,49 @@ object OpQueries {
         |    PARTITION BY user_id, item_id ORDER BY t) AS rn
         |  FROM dedup WHERE f = 1)
         |WHERE rn <= 3 ORDER BY user_id, item_id, neg_rank""".stripMargin,
+    "pipeline_ranking" ->
+      """WITH cat AS (
+        |  SELECT p_partkey AS item, row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+        |  FROM part WHERE p_partkey IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM cat),
+        |pos AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 45),
+        |cand AS (
+        |  SELECT user_id, item_id, t,
+        |    ('0x' || substring(md5(user_id::VARCHAR || ':' || item_id::VARCHAR
+        |      || ':' || t::VARCHAR || ':graft-neg'), 1, 8))::BIGINT
+        |      % (SELECT n FROM n) AS idx
+        |  FROM pos CROSS JOIN (SELECT unnest(range(0, 9)) AS t)),
+        |unseen AS (
+        |  SELECT c.user_id, c.item_id, c.t, cat.item AS neg
+        |  FROM cand c JOIN cat ON c.idx = cat.idx
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |    WHERE p.user_id = c.user_id AND p.item_id = cat.item)),
+        |dedup AS (
+        |  SELECT user_id, item_id, t, neg, row_number() OVER (
+        |    PARTITION BY user_id, item_id, neg ORDER BY t) AS f FROM unseen),
+        |negs AS (
+        |  SELECT user_id, item_id, neg AS cand_id FROM (
+        |    SELECT user_id, item_id, neg, row_number() OVER (
+        |      PARTITION BY user_id, item_id ORDER BY t) AS rn
+        |    FROM dedup WHERE f = 1)
+        |  WHERE rn <= 3),
+        |examples AS (
+        |  SELECT user_id, item_id, item_id AS cand_id, 1 AS label FROM pos
+        |  UNION ALL
+        |  SELECT user_id, item_id, cand_id, 0 AS label FROM negs)
+        |SELECT e.user_id, e.item_id, e.cand_id, e.label, p.p_brand,
+        |  CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+        |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid'
+        |    ELSE 'test' END AS split
+        |FROM (
+        |  SELECT *, ('0x' || substring(md5(user_id::VARCHAR || '#' || cand_id::VARCHAR
+        |    || '#' || label::VARCHAR || ':graft-split'), 1, 8))::BIGINT % 10000 AS b
+        |  FROM examples) e
+        |LEFT JOIN part p ON e.cand_id = p.p_partkey
+        |ORDER BY user_id, item_id, cand_id""".stripMargin,
     "op_quantize_embeddings" ->
       """WITH q AS (SELECT vec_id,
         |  list_transform(embedding,
