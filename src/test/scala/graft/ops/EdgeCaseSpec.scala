@@ -144,6 +144,23 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("NegativeSampling: empty input and empty catalog yield empty output") {
+    val catalog = Seq(1L, 2L, 3L).toDF("item")
+    val op = NegativeSampling(catalog, "user_id", "item_id", "item", k = 2)
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "item_id")
+    val out = op.transform(empty)
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("user_id", "item_id", "neg_item", "neg_rank"))
+    // an empty catalog has no drawable index (idx mod 0 is null) — every
+    // draw vanishes at the index join instead of crashing
+    val emptyCat = Seq.empty[Tuple1[Long]].toDF("item")
+    val pos = Seq((1L, 5L)).toDF("user_id", "item_id")
+    val fromEmptyCat = NegativeSampling(emptyCat, "user_id", "item_id", "item", k = 2)
+      .transform(pos)
+    assert(fromEmptyCat.count() == 0)
+  }
+
   test("ScrubSharedGrams: single-doc and empty corpora scrub nothing") {
     import spark.implicits._
     val one = Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
