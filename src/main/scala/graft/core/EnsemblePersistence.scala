@@ -119,7 +119,8 @@ object EnsemblePersistence {
         ("userCol" -> ns.userCol) ~ ("itemCol" -> ns.itemCol) ~
         ("catalogItemCol" -> ns.catalogItemCol) ~ ("k" -> ns.k) ~
         ("attempts" -> ns.attempts) ~ ("salt" -> ns.salt) ~
-        ("outputCol" -> ns.outputCol) ~ ("rankCol" -> ns.rankCol)
+        ("outputCol" -> ns.outputCol) ~ ("rankCol" -> ns.rankCol) ~
+        ("broadcastBudgetBytes" -> ns.broadcastBudgetBytes)
     case iv: IntervalJoin =>
       val pth = artifactPath(dir, i, "intervals")
       iv.intervals.write.mode("overwrite").parquet(pth)
@@ -378,7 +379,10 @@ object EnsemblePersistence {
       case "NegativeSampling" =>
         NegativeSampling(spark.read.parquet(s("path")), s("userCol"),
           s("itemCol"), s("catalogItemCol"), (o \ "k").extract[Int],
-          (o \ "attempts").extract[Int], s("salt"), s("outputCol"), s("rankCol"))
+          (o \ "attempts").extract[Int], s("salt"), s("outputCol"), s("rankCol"),
+          // absent in pre-gate manifests → the default budget
+          (o \ "broadcastBudgetBytes").toOption.map(_.extract[Long])
+            .getOrElse(1L << 30))
       case "IntervalJoin" =>
         IntervalJoin(spark.read.parquet(s("path")), s("keyCol"), s("startCol"),
           s("endCol"), s("pointTsCol"), (o \ "bucketSize").extract[Long],

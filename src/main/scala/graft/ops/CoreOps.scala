@@ -166,9 +166,13 @@ case class SoftmaxSampling(
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idsCol); requireCol(in, relevanceCol); requireCol(in, seedCol)
+    // unconditional: an input literally named 'ordered_ids' would be
+    // dropped together with idsCol/relevanceCol after the outputs are
+    // computed, silently deleting the fresh output column
     Seq("ordered_ids", "ordered_scores", "__top").foreach(c =>
-      require(!in.fieldNames.contains(c) || c == idsCol || c == relevanceCol,
-        s"$name: output column '$c' collides with the input schema"))
+      require(!in.fieldNames.contains(c),
+        s"$name: output column '$c' collides with the input schema — " +
+          "rename the input column first"))
     val idT = in(idsCol).dataType.asInstanceOf[ArrayType]
     val scT = in(relevanceCol).dataType.asInstanceOf[ArrayType]
     StructType(
@@ -466,12 +470,17 @@ case class WeightedSampleByGroup(
   * Scale shape: the candidate explode is map-side (input × attempts); the
   * catalog index is dictionary-scale (range-partitioned sort +
   * zipWithIndex, same discipline as [[graft.ops.Categorify]] — never a
-  * global window) and joins broadcast; the seen-set anti join shuffles
-  * on the (user, candidate) key and the dedup/rank windows share a
-  * single (user, item) exchange (lag-based run dedup, PlanSpec-pinned —
-  * a per-candidate row_number would force a third, wider exchange), with
-  * groups bounded by `attempts`: no global sort, no driver collects,
-  * skew bounded by the hottest user's interaction count. */
+  * global window) and joins broadcast while its estimated bytes fit
+  * `broadcastBudgetBytes`; above the budget (a 100M–1B item catalog
+  * would die in the driver exactly like the ungated [[PredictImplicit]]
+  * path) the index equi-joins on `__idx` WITHOUT the hint — a shuffle
+  * join on an 8-byte key, catalog-size-proof and result-identical. The
+  * seen-set anti join shuffles on the (user, candidate) key and the
+  * dedup/rank windows share a single (user, item) exchange (lag-based
+  * run dedup, PlanSpec-pinned — a per-candidate row_number would force a
+  * third, wider exchange), with groups bounded by `attempts`: no global
+  * sort, no driver collects, skew bounded by the hottest user's
+  * interaction count. */
 case class NegativeSampling(
     catalog: DataFrame,
     userCol: String,
@@ -481,7 +490,8 @@ case class NegativeSampling(
     attempts: Int = -1,
     salt: String = "graft-neg",
     outputCol: String = "neg_item",
-    rankCol: String = "neg_rank") extends EnsembleOp {
+    rankCol: String = "neg_rank",
+    broadcastBudgetBytes: Long = 1L << 30) extends EnsembleOp {
 
   require(k >= 1, s"$name: k must be >= 1")
   require(attempts == -1 || attempts >= k,
@@ -496,6 +506,13 @@ case class NegativeSampling(
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, userCol); requireCol(in, itemCol)
+    // the seen-set anti join compares itemCol against catalog items; under
+    // a dtype mismatch the implicit cast could silently stop excluding
+    // seen items (positives re-emitted as negatives) — fail fast instead
+    require(in(itemCol).dataType == catalog.schema(catalogItemCol).dataType,
+      s"$name: itemCol '$itemCol' dtype ${in(itemCol).dataType.simpleString} must " +
+        s"equal catalog '$catalogItemCol' dtype " +
+        catalog.schema(catalogItemCol).dataType.simpleString)
     Seq(outputCol, rankCol).foreach(c => require(!in.fieldNames.contains(c),
       s"$name: output column '$c' collides with the input schema"))
     StructType(in :+
@@ -525,10 +542,29 @@ case class NegativeSampling(
       schema)
   }
 
+  /** Distinct drawable catalog size. Memoized: the catalog frame is
+    * immutable, so the gate's count job runs once per op instance, not
+    * once per transform call (same discipline as
+    * [[PredictImplicit.itemCount]]). Doubles as the coin modulus `__n`,
+    * replacing a 1-row aggregate crossJoin with a literal. */
+  @transient private lazy val catalogCount: Long =
+    catalog.select(col(catalogItemCol)).filter(col(catalogItemCol).isNotNull)
+      .distinct().count()
+
+  /** Conservative broadcast-bytes estimate per index row: the item value
+    * plus the 8-byte `__idx`, with hash-relation overhead. */
+  private def catalogRowBytes: Long =
+    32L + catalog.schema(catalogItemCol).dataType.defaultSize
+
   override def transform(df: DataFrame): DataFrame = {
     val out = transformSchema(df.schema)
     val idx = indexedCatalog
-    val nDf = idx.agg(count(lit(1)).as("__n"))
+    // SIZE GATE: broadcast the dense index only while it fits the budget;
+    // a billion-item catalog instead shuffle-hash-joins on the 8-byte
+    // __idx key (hinted, so planner statistics can never re-broadcast an
+    // over-budget catalog — and never sort-merge a uniform synthetic key)
+    val idxSide = if (catalogCount * catalogRowBytes <= broadcastBudgetBytes)
+      broadcast(idx) else idx.hint("shuffle_hash")
     val seen = df.select(col(userCol).as("__su"), col(itemCol).as("__si")).distinct()
     // both windows partition on the pair key alone, so they share ONE
     // exchange (two local sorts): dedup detects the first attempt of each
@@ -541,9 +577,11 @@ case class NegativeSampling(
     val byT = pair.orderBy("__t")
     df.filter(col(userCol).isNotNull && col(itemCol).isNotNull)
       .withColumn("__t", explode(sequence(lit(0), lit(numAttempts - 1))))
-      .crossJoin(broadcast(nDf))
+      // idx mod 0 is null, so an empty catalog drops every draw at the
+      // index join instead of crashing — same contract as before the gate
+      .withColumn("__n", lit(catalogCount))
       .withColumn("__idx", candidateIndex)
-      .join(broadcast(idx), Seq("__idx"))
+      .join(idxSide, Seq("__idx"))
       .join(seen, col(userCol) === col("__su") && col("__cand") === col("__si"),
         "left_anti")
       .withColumn("__prev", lag("__cand", 1).over(byCand))

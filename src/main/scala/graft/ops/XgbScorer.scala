@@ -300,6 +300,19 @@ object XgbForest {
     val model = learner \ "gradient_booster" \ "model"
     val treeInfo = (model \ "tree_info").extract[Vector[Int]]
     val trees = (model \ "trees").extract[Vector[JObject]].map { t =>
+      // Fail fast on categorical splits (xgboost >= 1.6 enable_categorical
+      // writes `split_type` 1 + `categories_nodes` per tree): the numeric
+      // arrays parse fine, so without this check a categorical model would
+      // route every row as if the split were `x < condition` — a silent
+      // wrong answer. Mirrors LgbForest's rejection above and the
+      // reference's fail-fast stance (fil.py:360-373).
+      val splitTypes =
+        (t \ "split_type").toOption.map(_.extract[Vector[Int]]).getOrElse(Vector.empty)
+      val catNodes =
+        (t \ "categories_nodes").toOption.map(_.extract[Vector[Int]]).getOrElse(Vector.empty)
+      require(splitTypes.forall(_ == 0) && catNodes.isEmpty,
+        "XgbForest: categorical splits are not supported — the model was " +
+          "trained with enable_categorical; export it with numeric encodings instead")
       XgbTree(
         (t \ "left_children").extract[Vector[Int]],
         (t \ "right_children").extract[Vector[Int]],

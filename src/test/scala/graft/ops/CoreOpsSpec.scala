@@ -343,6 +343,38 @@ class CoreOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       NegativeSampling(catalog, "user_id", "item_id", "missing", k = 1)
     }
+    // dtype mismatch between itemCol and the catalog would let the seen-set
+    // anti join cast implicitly and silently re-emit positives — fail fast
+    val intCatalog = Seq(1, 2, 3).toDF("item")
+    assertThrows[IllegalArgumentException] {
+      NegativeSampling(intCatalog, "user_id", "item_id", "item", k = 1)
+        .transformSchema(df.schema)
+    }
+  }
+
+  test("NegativeSampling size gate: the shuffle-join fallback returns the identical set") {
+    val rnd = new scala.util.Random(7)
+    val pos = (1L to 20L).flatMap { u =>
+      rnd.shuffle((0L until 40L).toList).take(3).map(i => (u, i))
+    }.distinct
+    val df = pos.toDF("user_id", "item_id")
+    val catalog = (0L until 40L).toDF("item")
+    val base = NegativeSampling(catalog, "user_id", "item_id", "item", k = 3)
+    val gated = base.copy(broadcastBudgetBytes = 1L) // forces the fallback
+    val broadcastOut = base.transform(df)
+    val gatedOut = gated.transform(df)
+    // above the budget the index must NOT broadcast (the whole point of
+    // the gate: a 1B-item catalog cannot pass through the driver)
+    assert("BroadcastHashJoin \\[__idx".r
+      .findFirstIn(gatedOut.queryExecution.executedPlan.toString).isEmpty,
+      "gated plan must not broadcast the catalog index")
+    assert("BroadcastHashJoin \\[__idx".r
+      .findFirstIn(broadcastOut.queryExecution.executedPlan.toString).isDefined,
+      "under the budget the index broadcast is the fast path")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows(broadcastOut) == rows(gatedOut),
+      "both physical shapes must draw the exact same negative set")
   }
 
   test("UpsampleMix emits floor(weight) epochs plus a hash-deterministic fractional copy") {

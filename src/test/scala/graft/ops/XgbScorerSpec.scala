@@ -145,6 +145,26 @@ class XgbScorerSpec extends SparkSpec {
       XgbForest.fromJson(binaryJson("rank:pairwise"), Seq("f0", "f1"))
     }
     assert(unknown.getMessage.contains("rank:pairwise"))
+    // categorical splits (xgboost >= 1.6 enable_categorical): the numeric
+    // node arrays parse fine, so without an explicit check the model would
+    // silently score every categorical split as `x < condition` — reject
+    val catJson = binaryJson().replace(
+      "\"split_indices\":[0,0,1,0,0]}",
+      "\"split_indices\":[0,0,1,0,0],\"split_type\":[0,1,0,0,0]," +
+        "\"categories_nodes\":[1],\"categories\":[3]," +
+        "\"categories_segments\":[0],\"categories_sizes\":[1]}")
+    val cat = intercept[IllegalArgumentException] {
+      XgbForest.fromJson(catJson, Seq("f0", "f1"))
+    }
+    assert(cat.getMessage.contains("categorical splits are not supported"),
+      cat.getMessage)
+    // …but a modern dump that carries the fields with all-numeric values
+    // (split_type all 0, categories_nodes empty) must still parse
+    val numericJson = binaryJson().replace(
+      "\"split_indices\":[0,0,1,0,0]}",
+      "\"split_indices\":[0,0,1,0,0],\"split_type\":[0,0,0,0,0]," +
+        "\"categories_nodes\":[]}")
+    XgbForest.fromJson(numericJson, Seq("f0", "f1"))
     // a multiclass model missing all trees for some class must fail at
     // construction, not as an empty.reduceLeft inside transform
     val leaf = XgbTree(Vector(-1), Vector(-1), Vector(0), Vector(0.5), Vector(false))
