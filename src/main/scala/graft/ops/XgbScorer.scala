@@ -75,7 +75,9 @@ case class XgbTree(
   * `output_margin` predict flag): `outputMargin` → raw margin (per-class
   * array for multiclass); else `predictProba` → per-class probability
   * array; else `outputClass` → class id; else the objective's natural
-  * prediction (probability for binary:logistic, margin for reg).
+  * prediction — probability for binary:logistic, margin for reg, the
+  * argmax class id for multi:softmax and the probability array for
+  * multi:softprob (exactly xgboost's default `predict` per objective).
   */
 case class XgbForest(
     trees: Vector[XgbTree],
@@ -140,7 +142,8 @@ case class XgbForest(
     featureCols.foreach(requireCol(in, _))
     val arrayOut =
       if (outputMargin) isMulti
-      else predictProba || (isMulti && !outputClass)
+      else predictProba ||
+        (isMulti && !outputClass && objective == "multi:softprob")
     val t = if (arrayOut) ArrayType(DoubleType, containsNull = false) else DoubleType
     StructType(in :+ StructField(outputCol, t))
   }
@@ -154,12 +157,15 @@ case class XgbForest(
       } else if (isMulti) {
         val exps = ms.map(exp(_))
         val z = exps.reduceLeft(_ + _)
+        // argmax by margin, ties to the lowest class id
+        val pairs = ms.zipWithIndex.map { case (m, c) => struct(m.as("m"), lit(-c).as("nc")) }
+        val argmax = -greatest(pairs: _*).getField("nc").cast("double")
         if (predictProba) array(exps.map(_ / z): _*)
-        else if (outputClass) {
-          // argmax by margin, ties to the lowest class id
-          val pairs = ms.zipWithIndex.map { case (m, c) => struct(m.as("m"), lit(-c).as("nc")) }
-          -greatest(pairs: _*).getField("nc").cast("double")
-        } else array(ms: _*)
+        else if (outputClass) argmax
+        // no flags → the objective's natural predict: softmax returns the
+        // class id, softprob the probability vector (xgboost parity)
+        else if (objective == "multi:softprob") array(exps.map(_ / z): _*)
+        else argmax
       } else objective match {
         case "binary:logistic" =>
           val p = lit(1.0) / (lit(1.0) + exp(-ms.head))

@@ -149,6 +149,52 @@ object MlQueries {
   private[graft] val portableFeatures =
     Seq("l_quantity", "l_discount", "l_extendedprice")
 
+  /** Hand-written 6-tree, 3-class `multi:softmax` model in the same public
+    * JSON schema (reference multiclass FIL surface: fil.py:372-428
+    * `output_class`/num_classes config). Round-robin `tree_info`
+    * [0,1,2,0,1,2]; leaf values are multiples of 1/16 so per-class margin
+    * sums are exact doubles and both the margins AND the argmax class
+    * hash-check cross-engine. The leaves are chosen so real lineitem rows
+    * hit an exact m0 == m2 margin tie (q<25, d>=0.05, 15000<=e<30000),
+    * putting the lowest-class-id tie-break under the oracle too. */
+  private[graft] val portableMultiJson: String =
+    """{"learner":{
+      |"attributes":{},"feature_names":[],"feature_types":[],
+      |"gradient_booster":{"model":{
+      | "gbtree_model_param":{"num_parallel_tree":"1","num_trees":"6"},
+      | "iteration_indptr":[0,3,6],
+      | "tree_info":[0,1,2,0,1,2],
+      | "trees":[
+      |  {"default_left":[1,0,0],"id":0,"left_children":[1,-1,-1],
+      |   "right_children":[2,-1,-1],"split_conditions":[25.0,0.5,-0.25],
+      |   "split_indices":[0,0,0],"split_type":[0,0,0],
+      |   "categories":[],"categories_nodes":[],"categories_segments":[],"categories_sizes":[]},
+      |  {"default_left":[0,0,0],"id":1,"left_children":[1,-1,-1],
+      |   "right_children":[2,-1,-1],"split_conditions":[30000.0,0.25,0.625],
+      |   "split_indices":[2,0,0],"split_type":[0,0,0],
+      |   "categories":[],"categories_nodes":[],"categories_segments":[],"categories_sizes":[]},
+      |  {"default_left":[1,0,0],"id":2,"left_children":[1,-1,-1],
+      |   "right_children":[2,-1,-1],"split_conditions":[0.03,-0.5,0.375],
+      |   "split_indices":[1,0,0],"split_type":[0,0,0],
+      |   "categories":[],"categories_nodes":[],"categories_segments":[],"categories_sizes":[]},
+      |  {"default_left":[0,0,0],"id":3,"left_children":[1,-1,-1],
+      |   "right_children":[2,-1,-1],"split_conditions":[0.05,0.125,-0.0625],
+      |   "split_indices":[1,0,0],"split_type":[0,0,0],
+      |   "categories":[],"categories_nodes":[],"categories_segments":[],"categories_sizes":[]},
+      |  {"default_left":[1,0,0],"id":4,"left_children":[1,-1,-1],
+      |   "right_children":[2,-1,-1],"split_conditions":[40.0,-0.125,0.3125],
+      |   "split_indices":[0,0,0],"split_type":[0,0,0],
+      |   "categories":[],"categories_nodes":[],"categories_segments":[],"categories_sizes":[]},
+      |  {"default_left":[0,0,0],"id":5,"left_children":[1,-1,-1],
+      |   "right_children":[2,-1,-1],"split_conditions":[15000.0,0.6875,0.0625],
+      |   "split_indices":[2,0,0],"split_type":[0,0,0],
+      |   "categories":[],"categories_nodes":[],"categories_segments":[],"categories_sizes":[]}]},
+      | "name":"gbtree"},
+      |"learner_model_param":{"base_score":"0","boost_from_average":"1",
+      | "num_class":"3","num_feature":"3","num_target":"1"},
+      |"objective":{"name":"multi:softmax","softmax_multiclass_param":{"num_class":"3"}}},
+      |"version":[2,0,0]}""".stripMargin
+
   /** Hand-written LightGBM model.txt (the reference FIL wrapper's other
     * portable artifact, fil.py:418-449): two trees over the same lineitem
     * features, `<=` split semantics, one constant tree. Leaf values are
@@ -215,6 +261,25 @@ object MlQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Multiclass XgbForest over the portable JSON artifact: per-class
+    * margins (tree_info round-robin fold) + argmax class with the
+    * lowest-id tie-break, all under the hash oracle — the multiclass
+    * twin of [[mlForestPortable]], exercising the softmax/argmax paths
+    * the binary query cannot. */
+  def mlForestPortableMulti(spark: SparkSession, d: String): DataFrame = {
+    val marginOp = XgbForest.fromJson(portableMultiJson, portableFeatures,
+      outputMargin = true, outputCol = "m")
+    // no flags: multi:softmax's natural predict IS the argmax class id
+    val classOp = marginOp.copy(outputMargin = false, outputCol = "class_id")
+    classOp.transform(marginOp.transform(
+      lineitem(spark, d).select((Seq("l_orderkey", "l_linenumber") ++ portableFeatures)
+        .map(col): _*)))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("m").getItem(0).as("m0"), col("m").getItem(1).as("m1"),
+        col("m").getItem(2).as("m2"), col("class_id"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** The flagship 4-stage recommender pipeline end-to-end, exploded to
     * (user_id, rank, item_id, score) scalar rows for the driver compare. */
   def pipelineRecsys(spark: SparkSession, d: String): DataFrame =
@@ -234,6 +299,7 @@ object MlQueries {
     "ml_classifier" -> (mlClassifier _),
     "ml_workflow" -> (mlWorkflow _),
     "ml_forest_portable" -> (mlForestPortable _),
+    "ml_forest_portable_multi" -> (mlForestPortableMulti _),
     "ml_forest_lgb" -> (mlForestLgb _),
     "pipeline_recsys" -> (pipelineRecsys _))
 
@@ -259,6 +325,22 @@ object MlQueries {
          |  FROM lineitem)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    // per-class CASE sums folded in model order (class c = tree c + tree
+    // c+3); argmax mirrors the op's lowest-class-id tie-break: m0 wins
+    // any tie it is part of, then m1
+    "ml_forest_portable_multi" ->
+      """SELECT l_orderkey, l_linenumber, m0, m1, m2,
+        |CASE WHEN m0 >= m1 AND m0 >= m2 THEN 0.0
+        |     WHEN m1 >= m2 THEN 1.0 ELSE 2.0 END AS class_id
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |  (CASE WHEN l_quantity < 25.0 THEN 0.5 ELSE -0.25 END)
+        |  + (CASE WHEN l_discount < 0.05 THEN 0.125 ELSE -0.0625 END) AS m0,
+        |  (CASE WHEN l_extendedprice < 30000.0 THEN 0.25 ELSE 0.625 END)
+        |  + (CASE WHEN l_quantity < 40.0 THEN -0.125 ELSE 0.3125 END) AS m1,
+        |  (CASE WHEN l_discount < 0.03 THEN -0.5 ELSE 0.375 END)
+        |  + (CASE WHEN l_extendedprice < 15000.0 THEN 0.6875 ELSE 0.0625 END) AS m2
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "ml_forest_lgb" ->
       """SELECT l_orderkey, l_linenumber,
         |(CASE WHEN l_quantity <= 25.0 THEN 0.25

@@ -121,6 +121,16 @@ class XgbScorerSpec extends SparkSpec {
     val margins = XgbForest.fromJson(json, Seq("f0"), outputMargin = true)
       .transform(df).orderBy("id").select("output__0").as[Seq[Double]].collect()
     assert(margins(1).toSeq == Seq(-0.5, 0.25, 1.0))
+    // no flags → the objective's NATURAL predict (xgboost parity):
+    // softmax returns the argmax class id, softprob the probability vector
+    val natural = XgbForest.fromJson(json, Seq("f0"))
+      .transform(df).orderBy("id").select("output__0").as[Double].collect()
+    assert(natural.toSeq == Seq(0.0, 2.0, 2.0))
+    val softprob = XgbForest.fromJson(
+      json.replace("multi:softmax", "multi:softprob"), Seq("f0"))
+      .transform(df).orderBy("id").select("output__0").as[Seq[Double]].collect()
+    softprob(0).zip(expect.map(_ / z)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-15) }
   }
 
   test("XgbForest mirrors the reference's explicit rejections") {
