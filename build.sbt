@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (8g was worse still: multi-second pauses on every training query.)
   // The box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // A 90-query bench run compiles thousands of generated classes; the
+  // JVM default ~240m code cache can fill mid-run, at which point the
+  // JIT silently stops compiling and late-alphabet queries run partly
+  // interpreted — a 2-3x slowdown that looks exactly like the r3
+  // pipeline_curation 30.5s-vs-9.9s-isolated contamination.
+  "-XX:ReservedCodeCacheSize=512m",
 )
