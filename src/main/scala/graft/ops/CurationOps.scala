@@ -126,12 +126,13 @@ object Decontaminate {
   * 128-bit gram digests (two independent xxhash64s — textual equality up
   * to a simultaneous collision; the shuffle carries 16-byte digests +
   * int positions, never text), start positions flow back as one
-  * id-keyed aggregate, and reconstruction is a row-local HOF filter —
-  * the corpus text itself crosses exactly one shuffle (the final id
-  * join). Reconstruction is O(tokens × shared starts) per document —
-  * fine while shared spans are sparse, which is the regime the op
-  * targets (merging starts into disjoint spans first is the known
-  * upgrade if a corpus is boilerplate-dominated). */
+  * id-keyed aggregate, and reconstruction is the row-local
+  * [[ScrubSharedGrams.keptTokens]] HOF — sorted starts merge into
+  * disjoint (start, end) spans and the surviving gaps are sliced once
+  * each, O(tokens + spans) per document, so a boilerplate-dominated
+  * corpus (starts ≈ tokens, few merged spans) costs the same as a clean
+  * one. The corpus text itself crosses exactly one shuffle (the final
+  * id join). */
 case class ScrubSharedGrams(
     idCol: String = "doc_id",
     textCol: String = "text",
@@ -168,16 +169,58 @@ case class ScrubSharedGrams(
     val starts = grams.join(shared, Seq("g1", "g2"), "left_semi")
       .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("__starts"))
     val ws = when(col(textCol).isNotNull, T.words(col(textCol)))
-    val covered = (i: Column) => exists(col("__starts"),
-      s => s <= i && i < s + n)
     df.join(starts, Seq(idCol), "left")
       .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
       .withColumn("__ws", ws)
-      .withColumn("__kept", filter(col("__ws"), (t, i) => not(covered(i))))
+      .withColumn("__kept",
+        ScrubSharedGrams.keptTokens(col("__ws"), col("__starts"), n))
       .select(col(idCol),
         coalesce(size(col("__ws")), lit(0)).cast("int").as("n_tokens"),
         coalesce(size(col("__ws")) - size(col("__kept")), lit(0)).cast("int").as("n_removed"),
         array_join(col("__kept"), " ").as(outputCol))
+  }
+}
+
+object ScrubSharedGrams {
+  /** Tokens of `ws` outside every `[s, s+n)` occurrence window of the
+    * SORTED, distinct `starts` array — the ONE reconstruction definition,
+    * shared with [[graft.streaming.StreamingOps.scrubStream]] so the
+    * twins can never drift.
+    *
+    * A naive `filter(ws, (t, i) => !exists(starts, ...))` is
+    * O(tokens × starts): in the boilerplate-dominated regime this op
+    * exists for, starts approaches tokens and reconstruction goes
+    * quadratic per document. Instead the sorted starts first merge into
+    * disjoint (a, b) spans — two linear filters + a zip (start i opens a
+    * span iff its predecessor's window does not reach it; closes one iff
+    * its own window does not reach the next start) — and the kept array
+    * is the concatenation of the gap slices between spans, each token
+    * sliced exactly once: O(tokens + spans). */
+  def keptTokens(ws: Column, starts: Column, n: Int): Column = {
+    val m = size(starts)
+    // sequence(0, -1) would count DOWN — guard the empty case explicitly
+    val idxs = when(m > 0, sequence(lit(0), m - 1))
+      .otherwise(array().cast("array<int>"))
+    val begins = filter(idxs, i =>
+      (i === 0) || (element_at(starts, i) + n <= element_at(starts, i + 1)))
+    val ends = filter(idxs, i =>
+      (i === m - 1) || (element_at(starts, i + 2) >= element_at(starts, i + 1) + n))
+    // begins and ends pair up in order (every span has exactly one of each)
+    val spans = zip_with(begins, ends, (b, e) =>
+      struct(element_at(starts, b + 1).as("a"),
+        (element_at(starts, e + 1) + n).as("b")))
+    // gap lengths are >= 0 for any starts produced by gram extraction
+    // (s + n <= tokens); the clamp keeps hand-fed out-of-range starts
+    // from erroring the whole query instead of scrubbing to the end
+    aggregate(spans,
+      struct(lit(0).as("p"), array().cast("array<string>").as("acc")),
+      (st, sp) => struct(sp.getField("b").as("p"),
+        concat(st.getField("acc"),
+          slice(ws, st.getField("p") + 1,
+            greatest(sp.getField("a") - st.getField("p"), lit(0)))).as("acc")),
+      st => concat(st.getField("acc"),
+        slice(ws, st.getField("p") + 1,
+          greatest(size(ws) - st.getField("p"), lit(0)))))
   }
 }
 

@@ -308,8 +308,10 @@ object StreamingOps {
       .groupBy(col(idCol), col(tsCol), col(textCol))
       .agg(sort_array(collect_set(when(col("__hit") === 1, col("pos")))).as("__starts"))
       .withColumn("__ws", ws)
-      .withColumn("__kept", filter(col("__ws"), (t, i) =>
-        not(exists(col("__starts"), s => s <= i && i < s + n))))
+      // the one shared reconstruction (span-merge + gap slicing) — see
+      // ScrubSharedGrams.keptTokens
+      .withColumn("__kept",
+        graft.ops.ScrubSharedGrams.keptTokens(col("__ws"), col("__starts"), n))
       .select(col(idCol), col(tsCol),
         coalesce(size(col("__ws")), lit(0)).cast("int").as("n_tokens"),
         coalesce(size(col("__ws")) - size(col("__kept")), lit(0)).cast("int").as("n_removed"),

@@ -159,4 +159,29 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 8)
   }
+
+  test("keptTokens span-merge reconstruction equals the brute-force covered filter") {
+    // the O(tokens + spans) gap-slicing path must be EXACTLY the naive
+    // O(tokens × starts) filter it replaced, for any sorted start set —
+    // including chained/overlapping windows and all-covered documents
+    val caseGen = for {
+      nTok <- Gen.chooseNum(0, 30)
+      n <- Gen.chooseNum(1, 5)
+      starts <- Gen.someOf(0 until math.max(1, nTok - n + 1))
+    } yield (nTok, n, starts.toList.sorted)
+    check(Prop.forAll(Gen.nonEmptyListOf(caseGen)) { cases =>
+      val rows = cases.zipWithIndex.map { case ((nTok, n, starts), i) =>
+        (i.toLong, (0 until nTok).map(t => s"t$t"), starts, n)
+      }
+      val df = rows.toDF("id", "ws", "starts", "n")
+      cases.map(_._2).distinct.forall { n =>
+        val sub = df.filter(col("n") === n)
+        val got = sub.withColumn("__kept",
+          ScrubSharedGrams.keptTokens(col("ws"), col("starts"), n))
+        val naive = got.withColumn("__naive", filter(col("ws"), (t, i) =>
+          not(exists(col("starts"), s => s <= i && i < s + n))))
+        naive.filter(not(col("__kept") <=> col("__naive"))).count() == 0
+      }
+    }, n = 8)
+  }
 }
