@@ -53,3 +53,49 @@ case class FileModelRegistry(root: String, name: String,
 object FileModelRegistry {
   val Latest = "latest"
 }
+
+/** Remote registry over HTTP — the reference's MLflow-backed shape
+  * (/root/reference/merlin/systems/model_registry.py:28-61): one GET to
+  * the tracking server's public model-versions/get-download-uri endpoint,
+  * the response's `artifact_uri` is the model path. The resolved URI is
+  * whatever the server registered (absolute fs path, s3a://, hdfs://) and
+  * feeds the same loaders as [[FileModelRegistry]]
+  * (`TransformWorkflow.fromRegistry`, `EnsemblePersistence.load`).
+  * Resolution is one driver-side request; nothing touches executors.
+  */
+case class HttpModelRegistry(name: String, version: String,
+    trackingUri: String) extends ModelRegistry {
+
+  override def artifactUri: String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val url = new java.net.URI(trackingUri.stripSuffix("/") +
+      "/ajax-api/2.0/preview/mlflow/model-versions/get-download-uri" +
+      s"?name=${enc(name)}&version=${enc(version)}").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(10000)
+    try {
+      require(conn.getResponseCode == 200,
+        s"ModelRegistry: could not find a model version for model '$name' " +
+          s"with version '$version' (HTTP ${conn.getResponseCode})")
+      val body = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      (org.json4s.jackson.JsonMethods.parse(body) \ "artifact_uri")
+        .toOption.map(_.extract[String])
+        .getOrElse(throw new IllegalArgumentException(
+          s"ModelRegistry: response for '$name'/'$version' has no artifact_uri"))
+    } finally conn.disconnect()
+  }
+}
+
+object HttpModelRegistry {
+  /** Build from an MLflow-style `models:/name/version` URI. */
+  def fromUri(modelsUri: String, trackingUri: String): HttpModelRegistry = {
+    val rest = modelsUri.stripPrefix("models:/")
+    require(rest != modelsUri && rest.contains('/'),
+      s"HttpModelRegistry: expected models:/<name>/<version>, got '$modelsUri'")
+    val i = rest.lastIndexOf('/')
+    HttpModelRegistry(rest.take(i), rest.drop(i + 1), trackingUri)
+  }
+}
