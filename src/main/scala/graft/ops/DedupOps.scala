@@ -231,6 +231,24 @@ case class DupClusters(
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, aCol); requireCol(in, bCol)
+    require(in(aCol).dataType == in(bCol).dataType,
+      s"$name: pair columns disagree on dtype (${in(aCol).dataType.simpleString} " +
+        s"vs ${in(bCol).dataType.simpleString})")
+    // both paths ORDER ids (min-root union / min-label propagation), but
+    // only the distributed one would handle a non-Comparable JVM type —
+    // the driver path casts to Comparable and an array/struct/binary id
+    // would throw an opaque ClassCastException on the below-budget path
+    // only. Validate once, schema-time, with the op named.
+    val dt = in(aCol).dataType
+    val orderableAtomic = dt match {
+      case _: NumericType => true
+      case StringType | BooleanType | DateType | TimestampType => true
+      case _ => false
+    }
+    require(orderableAtomic,
+      s"$name: doc id dtype ${dt.simpleString} is not an orderable atomic " +
+        "type — use a numeric/string/date id (binary, array and struct ids " +
+        "are not supported)")
     StructType(Seq(
       in(aCol).copy(name = docIdCol),
       in(aCol).copy(name = "cluster_id"),
@@ -274,6 +292,7 @@ case class DupClusters(
   }
 
   override def transform(pairs: DataFrame): DataFrame = {
+    transformSchema(pairs.schema) // id-dtype validation for direct callers
     import org.apache.spark.storage.StorageLevel
     // persist the LIGHT pair projection once: the count that decides the
     // path and whichever path runs must not re-evaluate an expensive

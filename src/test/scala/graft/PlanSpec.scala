@@ -92,6 +92,20 @@ class PlanSpec extends SparkSpec {
       "dedup must reuse the pair-key window exchange, never partition by candidate")
   }
 
+  test("salted join broadcasts the replicated dim; the fact side never re-shuffles") {
+    val p = plan(queries.OpQueries.saltedJoin(spark, d))
+    // the salted dim is saltBuckets x the SMALL side — it must stay the
+    // broadcast build side, never flip the join to a sort-merge that
+    // shuffles the fact table on (key, salt)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "salting must not demote the dim join to a fact-side shuffle")
+    // the only exchange is the deterministic output orderBy's range
+    // partitioning — no hashpartitioning of the fact side anywhere
+    assert(!p.contains("hashpartitioning"),
+      s"no hash exchange expected in a broadcast salted join:\n${p.take(800)}")
+  }
+
   test("minhash candidate join shuffles only light band rows") {
     val docs = Tables.documents(spark, d)
     val p = plan(ops.MinHashDedup().pairPlan(docs))

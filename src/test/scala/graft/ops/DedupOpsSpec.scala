@@ -134,6 +134,20 @@ class DedupOpsSpec extends SparkSpec {
       "both paths must assign identical min-label clusters and keepers")
   }
 
+  test("DupClusters rejects non-orderable and mismatched id dtypes up front") {
+    import spark.implicits._
+    // array ids would ClassCastException deep inside the DRIVER path only
+    // (the distributed path would happily order them) — both paths must
+    // instead fail schema-time with the op named
+    val arrayIds = Seq((Seq(1L), Seq(2L))).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      DupClusters().transform(arrayIds)
+    }
+    assert(e.getMessage.contains("orderable atomic"), e.getMessage)
+    val mixed = Seq((1L, "x")).toDF("doc_a", "doc_b")
+    assertThrows[IllegalArgumentException] { DupClusters().transform(mixed) }
+  }
+
   test("CosineNearDup finds only pairs above threshold") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
