@@ -220,6 +220,16 @@ object EnsemblePersistence {
         ("featureCols" -> x.featureCols) ~ ("predictProba" -> x.predictProba) ~
         ("outputClass" -> x.outputClass) ~ ("threshold" -> x.threshold) ~
         ("outputMargin" -> x.outputMargin) ~ ("outputCol" -> x.outputCol)
+    case x: SklForest =>
+      // like XgbForest: the parsed per-class node arrays ARE the model
+      ("type" -> "SklForest") ~
+        ("trees" -> x.trees.map(_.map(t =>
+          ("left" -> t.leftChildren.toList) ~ ("right" -> t.rightChildren.toList) ~
+            ("idx" -> t.splitIndices.toList) ~ ("cond" -> t.splitConditions.toList) ~
+            ("dflt" -> t.defaultLeft.toList)).toList).toList) ~
+        ("classes" -> x.classes.toList) ~ ("featureCols" -> x.featureCols) ~
+        ("predictProba" -> x.predictProba) ~ ("failOnNull" -> x.failOnNull) ~
+        ("outputCol" -> x.outputCol)
     case m: PredictImplicit =>
       val p = artifactPath(dir, i, "als_model")
       m.model.write.overwrite().save(p)
@@ -451,6 +461,15 @@ object EnsemblePersistence {
           (o \ "predictProba").extract[Boolean], (o \ "outputClass").extract[Boolean],
           (o \ "threshold").extract[Double], (o \ "outputMargin").extract[Boolean],
           s("outputCol"))
+      case "SklForest" =>
+        SklForest(
+          (o \ "trees").extract[List[List[JObject]]].map(_.map(t => graft.ops.XgbTree(
+            (t \ "left").extract[Vector[Int]], (t \ "right").extract[Vector[Int]],
+            (t \ "idx").extract[Vector[Int]], (t \ "cond").extract[Vector[Double]],
+            (t \ "dflt").extract[Vector[Boolean]])).toVector).toVector,
+          (o \ "classes").extract[Vector[Double]], ss("featureCols"),
+          (o \ "predictProba").extract[Boolean],
+          (o \ "failOnNull").extract[Boolean], s("outputCol"))
       case "PredictImplicit" =>
         PredictImplicit(
           org.apache.spark.ml.recommendation.ALSModel.load(s("path")),

@@ -280,6 +280,46 @@ object MlQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Hand-written 2-tree, 3-class sklearn RandomForestClassifier export in
+    * the documented [[SklForest]] JSON schema (the reference FIL wrapper's
+    * SKLearn/CUML families, fil.py:452-530). Leaf rows are raw COUNTS
+    * summing to 16 — the parser's normalization and the 2-tree mean make
+    * every probability an exact multiple of 1/32, so the per-class
+    * probabilities AND the argmax label both hash-check. Classes are
+    * [10, 20, 30] (non-contiguous on purpose: proves the label mapping,
+    * not just the argmax index). */
+  private[graft] val sklearnModelJson: String =
+    """{"model_type":"RandomForestClassifier","n_features":3,
+      |"classes":[10.0,20.0,30.0],
+      |"trees":[
+      | {"children_left":[1,-1,3,-1,-1],
+      |  "children_right":[2,-1,4,-1,-1],
+      |  "feature":[0,-2,2,-2,-2],
+      |  "threshold":[25.0,-2.0,30000.0,-2.0,-2.0],
+      |  "value":[[0,0,0],[8,4,4],[0,0,0],[2,10,4],[4,4,8]]},
+      | {"children_left":[1,-1,-1],
+      |  "children_right":[2,-1,-1],
+      |  "feature":[1,-2,-2],
+      |  "threshold":[0.05,-2.0,-2.0],
+      |  "value":[[0,0,0],[12,2,2],[2,2,12]]}]}""".stripMargin
+
+  /** SklForest over the sklearn JSON export: per-class mean probabilities
+    * + predicted class LABEL in one pass, both under the hash oracle —
+    * sklearn's `<=`-split and tree-AVERAGING semantics (vs boosting's `<`
+    * and margin sum), plus the classes_ label mapping, oracle-checked. */
+  def mlForestSklearn(spark: SparkSession, d: String): DataFrame = {
+    val probaOp = SklForest.fromJson(sklearnModelJson, portableFeatures,
+      predictProba = true, outputCol = "proba")
+    val labelOp = probaOp.copy(predictProba = false, outputCol = "pred_label")
+    labelOp.transform(probaOp.transform(
+      lineitem(spark, d).select((Seq("l_orderkey", "l_linenumber") ++ portableFeatures)
+        .map(col): _*)))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("proba").getItem(0).as("p0"), col("proba").getItem(1).as("p1"),
+        col("proba").getItem(2).as("p2"), col("pred_label"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** The flagship 4-stage recommender pipeline end-to-end, exploded to
     * (user_id, rank, item_id, score) scalar rows for the driver compare. */
   def pipelineRecsys(spark: SparkSession, d: String): DataFrame =
@@ -301,6 +341,7 @@ object MlQueries {
     "ml_forest_portable" -> (mlForestPortable _),
     "ml_forest_portable_multi" -> (mlForestPortableMulti _),
     "ml_forest_lgb" -> (mlForestLgb _),
+    "ml_forest_sklearn" -> (mlForestSklearn _),
     "pipeline_recsys" -> (pipelineRecsys _))
 
   /** ml_workflow is the one ML query with a SQL-expressible output:
@@ -347,6 +388,25 @@ object MlQueries {
         |  ELSE (CASE WHEN l_extendedprice <= 30000.0 THEN -0.125 ELSE 0.0625 END) END)
         |+ (CASE WHEN l_discount <= 0.05 THEN 0.5 ELSE -0.25 END) AS margin
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // per-class CASE means over `<=` splits (sklearn's decision), folded
+    // tree 0 + tree 1 then one /2.0 — the op's exact fold; argmax mirrors
+    // the lowest-class-INDEX tie-break, then maps to the class label
+    "ml_forest_sklearn" ->
+      """SELECT l_orderkey, l_linenumber, p0, p1, p2,
+        |CASE WHEN p0 >= p1 AND p0 >= p2 THEN 10.0
+        |     WHEN p1 >= p2 THEN 20.0 ELSE 30.0 END AS pred_label
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |  ((CASE WHEN l_quantity <= 25.0 THEN 0.5
+        |     ELSE (CASE WHEN l_extendedprice <= 30000.0 THEN 0.125 ELSE 0.25 END) END)
+        |   + (CASE WHEN l_discount <= 0.05 THEN 0.75 ELSE 0.125 END)) / 2.0 AS p0,
+        |  ((CASE WHEN l_quantity <= 25.0 THEN 0.25
+        |     ELSE (CASE WHEN l_extendedprice <= 30000.0 THEN 0.625 ELSE 0.25 END) END)
+        |   + (CASE WHEN l_discount <= 0.05 THEN 0.125 ELSE 0.125 END)) / 2.0 AS p1,
+        |  ((CASE WHEN l_quantity <= 25.0 THEN 0.25
+        |     ELSE (CASE WHEN l_extendedprice <= 30000.0 THEN 0.25 ELSE 0.5 END) END)
+        |   + (CASE WHEN l_discount <= 0.05 THEN 0.125 ELSE 0.75 END)) / 2.0 AS p2
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "ml_workflow" ->
       """WITH m AS (SELECT c_mktsegment AS v,
         |CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS INTEGER) AS idx
