@@ -372,12 +372,18 @@ object CurationQueries {
     val per = documents(spark, d).select(col("source"), col("lang"),
       col("n_chars").cast("long").as("n_chars"),
       T.tokenCount(col("text")).cast("long").as("toks"))
-    per.groupBy("source", "lang").agg(
-        count(lit(1)).as("n_docs"),
-        sum("toks").as("total_tokens"),
-        sum("n_chars").as("total_chars"))
+    val cells = per.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("toks").as("total_tokens"),
+      sum("n_chars").as("total_chars"))
+    // corpus total via a 1-row aggregate broadcast, not `sum() OVER ()`:
+    // same integer math, but no single-partition window exchange — the
+    // cells stay hash-distributed however many (source, lang) there are
+    val tot = cells.agg(sum("total_tokens").as("__tot"))
+    cells.crossJoin(broadcast(tot))
       .withColumn("token_share_bp",
-        expr("CAST(total_tokens * 10000 DIV sum(total_tokens) OVER () AS BIGINT)"))
+        expr("CAST(total_tokens * 10000 DIV __tot AS BIGINT)"))
+      .drop("__tot")
       .orderBy("source", "lang")
   }
 
