@@ -191,6 +191,15 @@ object EnsemblePersistence {
         ("itemIdCol" -> a.itemIdCol) ~ ("itemVecCol" -> a.itemVecCol) ~
         ("k" -> a.k) ~ ("nprobe" -> a.nprobe) ~ ("metric" -> a.metric) ~
         ("centers" -> a.centers.map(_.toList).toList)
+    case a: AnnIvfPq =>
+      val p = artifactPath(dir, i, "pq_items")
+      a.items.write.mode("overwrite").parquet(p)
+      ("type" -> "AnnIvfPq") ~ ("path" -> p) ~
+        ("queryIdCol" -> a.queryIdCol) ~ ("queryVecCol" -> a.queryVecCol) ~
+        ("itemIdCol" -> a.itemIdCol) ~ ("itemVecCol" -> a.itemVecCol) ~
+        ("k" -> a.k) ~ ("nprobe" -> a.nprobe) ~ ("refine" -> a.refine) ~
+        ("centers" -> a.centers.map(_.toList).toList) ~
+        ("codebooks" -> a.codebooks.map(_.map(_.toList).toList).toList)
     // ---- model ops: MLlib's own writers (reference pickles model
     // artifacts into the ensemble dir, ensemble.py:80-145 + implicit.py:58-71)
     case f: PredictForest[_] =>
@@ -461,6 +470,13 @@ object EnsemblePersistence {
           (o \ "predictProba").extract[Boolean], (o \ "outputClass").extract[Boolean],
           (o \ "threshold").extract[Double], (o \ "outputMargin").extract[Boolean],
           s("outputCol"))
+      case "AnnIvfPq" =>
+        AnnIvfPq(spark.read.parquet(s("path")),
+          (o \ "centers").extract[Seq[Seq[Double]]],
+          (o \ "codebooks").extract[Seq[Seq[Seq[Double]]]],
+          s("queryIdCol"), s("queryVecCol"), s("itemIdCol"), s("itemVecCol"),
+          (o \ "k").extract[Int], (o \ "nprobe").extract[Int],
+          (o \ "refine").extract[Int])
       case "SklForest" =>
         SklForest(
           (o \ "trees").extract[List[List[JObject]]].map(_.map(t => graft.ops.XgbTree(

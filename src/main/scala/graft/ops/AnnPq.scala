@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.EnsembleOp
+import graft.functions.{TopKAggregator, VectorFunctions}
+
+/** IVF-PQ approximate nearest neighbour — the product-quantization scale
+  * path of the reference's FAISS surface (`IVF<nlist>,PQ<m>` index
+  * strings, /root/reference/merlin/systems/dag/ops/faiss.py:191-218;
+  * method: Jégou, Douze, Schmid, "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011).
+  *
+  * Where [[AnnIvf]] (IVF,Flat) stores raw float vectors in its inverted
+  * lists, IVF-PQ stores an m-byte CODE per item: the residual x − c(x)
+  * against the item's coarse centroid is cut into `m` subvectors, each
+  * quantized to its nearest entry of a per-subspace `ksub`-entry codebook.
+  * A 64-dim float vector (256 B raw, plus parquet framing) becomes
+  * `m` small ints + a list id (~m bytes payload at ksub ≤ 256) — at 100 TB
+  * of embeddings the searchable index is ~1.5 TB, which is the difference
+  * between an index that fits hot executor memory and one that cannot.
+  *
+  * Query scoring is ADC (asymmetric distance computation) for the `dot`
+  * metric, by linearity: q·x̂ = q·c(x) + Σ_j q_j·cb_j[code_j]. Each query
+  * row precomputes (a) q·c for every coarse centroid and (b) the m×ksub
+  * lookup table q_j·cb_jk — `nlist + m·ksub` dot products ONCE per query —
+  * after which each candidate costs m ARRAY LOOKUPS + m additions instead of
+  * a d-dim float dot: the classic PQ speedup, expressed with built-in
+  * higher-order functions (zip_with + element_at + aggregate), fully
+  * codegen'd, no UDF.
+  *
+  * Spark shape: the compact index [[encodedIndex]] (id, list id, codes)
+  * is computed map-side from fit-time literal parameters (centers +
+  * codebooks are plain doubles — metadata scale, persist as JSON); the
+  * probe is the same `__cid` equi-join as AnnIvf — nprobe·|list|
+  * candidates, never all pairs — and the final top-k is the bounded-heap
+  * aggregator. The probe join shuffles CODES, never float arrays.
+  *
+  * Metric: `dot` only. Cosine has no exact ADC decomposition (the norm
+  * of x̂ is not separable per subspace); normalize vectors upstream
+  * ([[NormalizeEmbeddings]]) and dot IS cosine.
+  *
+  * `refine > 0` enables FAISS-style re-ranking: ADC nominates `refine`
+  * candidates per query, whose full vectors alone are fetched (id-keyed
+  * join) and re-scored exactly. PQ then serves as the candidate
+  * generator it is designed to be — sub-resolution ADC ranking noise
+  * stops costing recall, and the fetched rows are refine·|queries|, not
+  * the index.
+  */
+case class AnnIvfPq(
+    items: DataFrame,
+    centers: Seq[Seq[Double]],
+    codebooks: Seq[Seq[Seq[Double]]], // m × ksub × dsub
+    queryIdCol: String,
+    queryVecCol: String,
+    itemIdCol: String = "item_id",
+    itemVecCol: String = "embedding",
+    k: Int = 10,
+    nprobe: Int = 8,
+    refine: Int = 0) extends EnsembleOp {
+
+  require(centers.nonEmpty, s"$name: need at least one coarse centroid")
+  require(nprobe >= 1 && nprobe <= centers.size, s"$name: nprobe in [1, nlist]")
+  require(codebooks.nonEmpty, s"$name: need at least one subspace codebook")
+  private val m = codebooks.size
+  private val ksub = codebooks.head.size
+  private val dsub = codebooks.head.head.size
+  require(codebooks.forall(cb => cb.size == ksub && cb.forall(_.size == dsub)),
+    s"$name: ragged codebooks — every subspace needs $ksub entries of dim $dsub")
+  require(centers.forall(_.size == m * dsub),
+    s"$name: coarse centroids are dim ${centers.head.size}, " +
+      s"but m·dsub = ${m * dsub} — fit and codebooks disagree on the vector dim")
+  require(refine == 0 || refine >= k,
+    s"$name: refine must be 0 (off) or >= k, got $refine < $k")
+
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+  private val centersLit: Column =
+    array(centers.map(c => typedLit(c.toArray)): _*)
+
+  /** j-th subvector (0-based), as a 1-based slice. */
+  private def sub(vec: Column, j: Int): Column = slice(vec, j * dsub + 1, dsub)
+
+  /** The compact searchable index: (item id, coarse list id, m codes).
+    * Pure map-side expressions over fit-time literals — one items pass of
+    * d·ksub flops per row, INDEPENDENT of query count (this is encode,
+    * not brute force: brute force is queries×items). A serving deployment
+    * amortizes even that: write this frame out once
+    * (`op.encodedIndex.write.parquet(...)`) and feed future probe jobs
+    * from the ~m-bytes-per-item parquet instead of re-encoding — the
+    * frame is public precisely so it can be checkpointed. Codes quantize
+    * the RESIDUAL against the assigned centroid (IVFADC; Jégou §IV.A):
+    * residuals are smaller than raw vectors, so the same codebook budget
+    * buys less quantization error. */
+  def encodedIndex: DataFrame = {
+    val x = col(itemVecCol)
+    val cid = VectorFunctions.nearestCentroid(x, centers)
+    val res = zip_with(x.cast("array<double>"),
+      element_at(centersLit, col("__cid") + 1), (a, b) => a - b)
+    val codes = array((0 until m).map { j =>
+      // argmin_k |r_j − cb_jk|² via the same rank-trick as the coarse
+      // quantizer: |cb|² − 2·r_j·cb (the |r_j|² term is rank-invariant);
+      // struct ordering gives the deterministic lowest-k tie-break
+      array_min(array(codebooks(j).zipWithIndex.map { case (e, kk) =>
+        val e2 = e.map(v => v * v).sum
+        struct((lit(e2) - lit(2.0) * dot(sub(col("__res"), j), typedLit(e.toArray)))
+          .as("d"), lit(kk).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+    items.select(col(itemIdCol).cast("long").as("__item_id"), x)
+      .withColumn("__cid", cid)
+      .withColumn("__res", res)
+      .withColumn("__codes", codes)
+      .select("__item_id", "__cid", "__codes")
+  }
+
+  /** Per-query ADC lookup table: tab[j][k] = q_j · cb_jk (m×ksub doubles,
+    * one array literal tree per query row). */
+  private def lutCol(q: Column): Column =
+    array((0 until m).map { j =>
+      array(codebooks(j).map(e => dot(sub(q, j), typedLit(e.toArray))): _*)
+    }: _*)
+
+  /** q·c for every coarse centroid, indexed by cid. */
+  private def qcCol(q: Column): Column =
+    array(centers.map(c => dot(q, typedLit(c.toArray))): _*)
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, queryIdCol); requireCol(in, queryVecCol)
+    StructType(Seq(
+      in(queryIdCol),
+      StructField("candidate_ids", ArrayType(LongType)),
+      StructField("candidate_scores", ArrayType(DoubleType))))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val q = col(queryVecCol)
+    val probed = df.select(col(queryIdCol), q)
+      .withColumn("__tab", lutCol(q))
+      .withColumn("__qc", qcCol(q))
+      .withColumn("__cid", explode(slice(
+        array_sort(VectorFunctions.centroidStructs(q, centers)), 1, nprobe)
+        .getField("cid")))
+      .drop(queryVecCol)
+    // ADC: element_at(qc, cid+1) + Σ_j tab[j][codes[j]] — m lookups per
+    // candidate, no float-vector math after the per-query table build
+    val adc = element_at(col("__qc"), col("__cid") + 1) +
+      aggregate(
+        zip_with(col("__codes"), col("__tab"),
+          (code, row) => element_at(row, code + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    val adcTop = udaf(new TopKAggregator(if (refine > 0) refine else k))
+    val coarseTop = probed.join(encodedIndex, Seq("__cid"))
+      .groupBy(col(queryIdCol))
+      .agg(adcTop(col("__item_id"), adc).as("__top"))
+    val ranked =
+      if (refine == 0) coarseTop
+      else {
+        // FAISS-style refinement (the IVFPQ + refine-with-stored-vectors
+        // design): ADC nominates `refine` candidates per query from CODES
+        // alone; only those ~refine rows fetch their full float vector —
+        // an id-keyed equi-join touching refine·|queries| rows, not the
+        // index — and re-rank by the EXACT dot. Recall returns to
+        // IVF,Flat's probe-limited level; the big index still never
+        // shuffles floats.
+        val exactTop = udaf(new TopKAggregator(k))
+        coarseTop
+          .select(col(queryIdCol), explode(col("__top.ids")).as("__item_id"))
+          .join(df.select(col(queryIdCol), q), Seq(queryIdCol))
+          .join(items.select(col(itemIdCol).cast("long").as("__item_id"),
+            col(itemVecCol).as("__item_vec")), Seq("__item_id"))
+          .groupBy(col(queryIdCol))
+          .agg(exactTop(col("__item_id"),
+            dot(col(queryVecCol), col("__item_vec"))).as("__top"))
+      }
+    ranked.select(col(queryIdCol),
+      col("__top.ids").as("candidate_ids"),
+      col("__top.scores").as("candidate_scores"))
+  }
+
+  /** Relational form: one row per (query, rank, item, score). */
+  def asRows(df: DataFrame): DataFrame =
+    transform(df).select(col(queryIdCol),
+      posexplode(arrays_zip(col("candidate_ids"), col("candidate_scores")))
+        .as(Seq("pos", "pair")))
+      .select(col(queryIdCol), (col("pos") + 1).as("rank"),
+        col("pair.candidate_ids").as("item_id"),
+        col("pair.candidate_scores").as("score"))
+}
+
+object AnnIvfPq {
+  /** Train coarse quantizer + per-subspace residual codebooks (seeded
+    * MLlib k-means throughout; m+1 fits, each over a metadata-scale
+    * parameter count). `dim` must be divisible by `m`. */
+  def fit(items: DataFrame, queryIdCol: String, queryVecCol: String,
+      itemIdCol: String = "item_id", itemVecCol: String = "embedding",
+      k: Int = 10, nlist: Int = 32, m: Int = 8, ksub: Int = 16,
+      nprobe: Int = 8, maxIter: Int = 10, seed: Long = 42L): AnnIvfPq = {
+    val centers = VectorFunctions.fitCenters(items, itemVecCol, nlist, maxIter, seed)
+    val dim = centers.head.size
+    require(dim % m == 0,
+      s"AnnIvfPq.fit: vector dim $dim is not divisible by m=$m subspaces")
+    val codebooks = fitCodebooks(items, itemVecCol, centers, m, ksub, maxIter, seed)
+    AnnIvfPq(items, centers, codebooks, queryIdCol, queryVecCol,
+      itemIdCol, itemVecCol, k, math.min(nprobe, centers.size))
+  }
+
+  /** Residual codebooks for a FIXED coarse quantizer: one pass builds all
+    * residual subvectors; m seeded k-means fits (ksub centroids over dsub
+    * dims each) run over slices of the SAME cached residual frame. */
+  def fitCodebooks(items: DataFrame, itemVecCol: String,
+      centers: Seq[Seq[Double]], m: Int, ksub: Int,
+      maxIter: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
+    val dim = centers.head.size
+    val dsub = dim / m
+    val centersLit = array(centers.map(c => typedLit(c.toArray)): _*)
+    val res = items.select(
+      zip_with(col(itemVecCol).cast("array<double>"),
+        element_at(centersLit,
+          VectorFunctions.nearestCentroid(col(itemVecCol), centers) + 1),
+        (a, b) => a - b).as("__res"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).map { j =>
+        val subFrame = res.select(slice(col("__res"), j * dsub + 1, dsub).as("__sub"))
+        VectorFunctions.fitCenters(subFrame, "__sub", ksub, maxIter, seed + j)
+      }
+    } finally { res.unpersist(blocking = false) }
+  }
+}

@@ -345,3 +345,76 @@ case class Bucketize(splits: Map[String, Seq[Double]], suffix: String = "_bucket
         when(col(c).isNotNull, bin).as(c + suffix, meta(c)))
     }
 }
+
+/** Leak-free trailing time-window features per entity — the temporal
+  * feature-engineering stage of a training-set pipeline (the offline
+  * counterpart of the reference's Feast feature views, whose online
+  * values are exactly such rolling aggregates refreshed in batch;
+  * feast.py:31-118): for every event row, the COUNT and value SUM of
+  * that entity's events in each trailing horizon, computed over
+  * `(ts - horizon, ts)` EXCLUSIVE of the current timestamp, so the
+  * feature never sees the label event or any same-instant peer — the
+  * point-in-time-correctness rule [[PointInTimeJoin]] applies to stored
+  * features, enforced here for derived ones.
+  *
+  * Spark shape: one `RANGE BETWEEN -h AND -1` window per horizon over a
+  * SHARED (entity, ts) partitioning — Catalyst plans one exchange + one
+  * sort, and per-frame aggregation is streaming (each frame is a sliding
+  * suffix of the sorted run; no per-row rescans, no self-join). The
+  * classic `events e1 JOIN events e2 ON e2.ts BETWEEN e1.ts - h AND
+  * e1.ts - 1` formulation this replaces is O(rows × horizon-density) and
+  * shuffles the fact table twice.
+  *
+  * `tsCol` must be a numeric (epoch-seconds-style) column: range frames
+  * need value arithmetic, and integer seconds keep the frame bounds
+  * exact cross-engine.
+  */
+case class TrailingWindowFeatures(
+    entityCol: String,
+    tsCol: String,
+    valueCol: String,
+    horizons: Seq[Long],
+    suffix: String = "") extends EnsembleOp {
+  import org.apache.spark.sql.expressions.Window
+
+  require(horizons.nonEmpty, s"$name: need at least one horizon")
+  require(horizons.forall(_ > 0), s"$name: horizons must be positive seconds")
+  require(horizons.distinct.length == horizons.length,
+    s"$name: duplicate horizons ${horizons.diff(horizons.distinct).mkString(",")}")
+
+  private def nCol(h: Long) = s"n_${h}s$suffix"
+  private def sumCol(h: Long) = s"sum_${h}s$suffix"
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, entityCol); requireCol(in, tsCol); requireCol(in, valueCol)
+    require(in(tsCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$name: tsCol '$tsCol' must be numeric (epoch seconds), " +
+        s"got ${in(tsCol).dataType.sql} — cast timestamps up front")
+    horizons.foreach { h =>
+      Seq(nCol(h), sumCol(h)).foreach(c => require(!in.fieldNames.contains(c),
+        s"$name: output column '$c' collides with the input schema"))
+    }
+    StructType(in ++ horizons.flatMap(h => Seq(
+      StructField(nCol(h), LongType, nullable = false),
+      StructField(sumCol(h), in(valueCol).dataType, nullable = true))))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val out = transformSchema(df.schema)
+    // materialize the long cast ONCE: if each window spec carried its own
+    // `cast(ts)` it would get a fresh internal alias per withColumn, the
+    // specs would stop being syntactically equal, and Catalyst could
+    // neither collapse the windows nor eliminate the redundant sorts —
+    // 2 horizons would plan 4 sorts instead of 1 (measured; pinned in
+    // TrailingWindowSpec)
+    val base = df.withColumn("__tw_ts", col(tsCol).cast("long"))
+    horizons.foldLeft(base) { (d, h) =>
+      // -1 upper bound: strictly-before-ts visibility; RANGE (not ROWS)
+      // so same-ts peers are excluded too — deterministic under ties
+      val w = Window.partitionBy(entityCol).orderBy(col("__tw_ts"))
+        .rangeBetween(-h, -1)
+      d.withColumn(nCol(h), count(lit(1)).over(w))
+        .withColumn(sumCol(h), sum(col(valueCol)).over(w))
+    }.select(out.fieldNames.map(col).toSeq: _*)
+  }
+}

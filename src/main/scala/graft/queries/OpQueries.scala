@@ -191,11 +191,25 @@ object OpQueries {
       graft.functions.VectorFunctions.fitCenters(
         ivfItems(spark, d), "embedding", nlist, maxIter, 42L))
 
-  /** Fit both IVF quantizers outside any timed window (bench warmup). */
+  /** Fit all ANN quantizers outside any timed window (bench warmup). */
   def prewarmAnnCenters(spark: SparkSession, d: String): Unit = {
     cachedCenters(spark, d, nlist = 32, maxIter = 5)
     cachedCenters(spark, d, nlist = 16, maxIter = 1)
+    cachedCodebooks(spark, d)
   }
+
+  /** Memoized PQ residual codebooks against the SHARED nlist=32 coarse
+    * quantizer (same fit-offline-probe-many rationale as centerCache;
+    * the coarse centers are literally [[cachedCenters]]' — one fit serves
+    * both op_ann_ivf and op_ann_pq). */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
+
+  private def cachedCodebooks(spark: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
+    codebookCache.getOrElseUpdate(d,
+      AnnIvfPq.fitCodebooks(ivfItems(spark, d), "embedding",
+        cachedCenters(spark, d, nlist = 32, maxIter = 5),
+        m = 8, ksub = 16, maxIter = 5, seed = 42L))
 
   /** IVF ANN — the reference's IVF32,Flat/nprobe index shape (rows-only:
     * the inverted lists depend on the k-means fit; AnnIvfSpec asserts
@@ -236,6 +250,42 @@ object OpQueries {
   def annIvfRecall(spark: SparkSession, d: String): DataFrame =
     Evidence.recallRow(spark, annIvf(spark, d), topkRetrieval(spark, d),
       Seq("vec_id", "item_id"), floorBp = 5000)
+
+  /** IVF-PQ ANN — the memory-compressed FAISS scale path (`IVF32,PQ8`):
+    * items travel as 8 codes + a list id, never as float vectors
+    * (rows-only: codes depend on the k-means fits; AnnPqSpec asserts ADC
+    * exactness on representable vectors + fit recall, and
+    * [[annPqRecall]] floors recall in-artifact). */
+  def annPq(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    AnnIvfPq(ivfItems(spark, d), centers, cachedCodebooks(spark, d),
+      "vec_id", "embedding", k = 10, nprobe = math.min(8, centers.size),
+      refine = 200)
+      .asRows(queries).orderBy("vec_id", "rank")
+  }
+
+  /** IVF-PQ recall@10 vs brute force. With refine=200, ADC ranking noise
+    * is re-ranked away and recall sits at IVF's probe-limited level (the
+    * same coarse quantizer and nprobe floor at 5000). */
+  def annPqRecall(spark: SparkSession, d: String): DataFrame =
+    Evidence.recallRow(spark, annPq(spark, d), topkRetrieval(spark, d),
+      Seq("vec_id", "item_id"), floorBp = 5000)
+
+  /** TrailingWindowFeatures under the oracle: per-user trailing 1h/1d
+    * event count + spend as-of (strictly before) each event — the
+    * leak-free rolling-feature stage of a training-set pipeline. Value
+    * in integer cents; both horizons share one exchange + sort. */
+  def trailingFeatures(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_sec"),
+      round(col("value") * 100).cast("long").as("value_cents"))
+    TrailingWindowFeatures("user_id", "ts_sec", "value_cents", Seq(3600L, 86400L))
+      .transform(ev)
+      .select("event_id", "user_id", "n_3600s", "sum_3600s", "n_86400s", "sum_86400s")
+      .orderBy("event_id")
+  }
 
   /** Multimodal plumbing under the oracle: fake binary media derived
     * deterministically from document hashes, decoded partition-parallel by
@@ -536,6 +586,9 @@ object OpQueries {
     "op_ann_lsh_recall" -> (annLshRecall _),
     "op_ann_ivf_recall" -> (annIvfRecall _),
     "op_ann_ivf_full" -> (annIvfFull _),
+    "op_ann_pq" -> (annPq _),
+    "op_ann_pq_recall" -> (annPqRecall _),
+    "op_trailing_features" -> (trailingFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
     "op_sample_frames" -> (sampleFrames _),
     "op_softmax_sampling" -> (softmaxSampling _),
@@ -554,6 +607,25 @@ object OpQueries {
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
 
   val oracle: Map[String, String] = Map(
+    // the frames mirror rangeBetween(-h, -1): RANGE h PRECEDING .. 1
+    // PRECEDING, inclusive bounds, same-second peers excluded; sums are
+    // BIGINT-cast (DuckDB sum(BIGINT) returns HUGEINT) and NULL-on-empty
+    // in both engines
+    "op_trailing_features" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  CAST(round(value*100) AS BIGINT) AS value_cents FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w1 AS n_3600s,
+        |  CAST(sum(value_cents) OVER w1 AS BIGINT) AS sum_3600s,
+        |  count(*) OVER w2 AS n_86400s,
+        |  CAST(sum(value_cents) OVER w2 AS BIGINT) AS sum_86400s
+        |FROM ev
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_sec
+        |  RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING),
+        |w2 AS (PARTITION BY user_id ORDER BY ts_sec
+        |  RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
     "op_hash_split" ->
       """SELECT doc_id, b AS split_bucket,
         |CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
