@@ -48,6 +48,9 @@ object Bench {
     // seeded IVF k-means here so op_ann_ivf* timings measure the
     // probe/score plan, not MLlib fit variance (r3: 3.1 → 5.3 s drift)
     queries.OpQueries.prewarmAnnCenters(spark, sfDir)
+    // same rationale: tokenizer training is a fit-time artifact; prewarm
+    // so text_bpe_* timings measure apply/evidence, not the 30-round fit
+    queries.CurationQueries.prewarmBpe(spark, sfDir)
 
     // optional csv filter for selective runs (local iteration)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

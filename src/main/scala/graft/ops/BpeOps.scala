@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.EnsembleOp
+import graft.functions.{TextFunctions => T}
+
+/** Byte-pair-encoding vocabulary induction over a document corpus
+  * (Sennrich, Haddow, Birch, "Neural Machine Translation of Rare Words
+  * with Subword Units", ACL 2016) — tokenizer TRAINING as a corpus
+  * operator, the stage an LLM data pipeline runs between curation and
+  * chunk/pack (the reference's dataloader ops consume its output side:
+  * EmbeddingLookup/Padding over token ids).
+  *
+  * Shape, per classic BPE: merges are learned over the WORD-TYPE
+  * frequency table, not the corpus — |types| ≪ |tokens| (a 100 TB corpus
+  * has billions of documents but a word-type table in the hundreds of
+  * millions at worst, and one groupBy builds it). Each round is
+  *
+  *   explode adjacent token pairs (weighted by type freq)
+  *     → groupBy(pair).sum(freq)                  [map-side combined]
+  *     → global argmax                            [orderBy+limit(1) over
+  *                                                 the pair AGGREGATE —
+  *                                                 top-1 of a shuffled
+  *                                                 aggregate, not a sort
+  *                                                 of the corpus]
+  *     → broadcast the winning pair as two literals
+  *     → re-merge every type's token array map-side (one HOF fold)
+  *
+  * so the driver holds ONLY the merge list (numMerges pairs — metadata),
+  * and the corpus is touched exactly once (the initial word count).
+  * Lineage is localCheckpoint-truncated every `checkpointEvery` rounds:
+  * numMerges chained HOF rewrites would otherwise nest the logical plan
+  * numMerges deep and stall the analyzer.
+  *
+  * Determinism: ties on pair count break by (left, right) string order,
+  * so the learned vocabulary is a pure function of the corpus — stable
+  * under reruns, partitioning and cluster size. BpeSpec pins the merge
+  * list against an independent single-node reference implementation, and
+  * the driver query `text_bpe_vocab` re-proves that equality in-artifact
+  * at every scale factor (same discipline as dedup_simhash_check).
+  */
+object BpeTrainer {
+
+  /** End-of-word marker (Sennrich's `</w>`): lets the vocabulary
+    * distinguish "er" mid-word from "er" word-finally. */
+  val EndOfWord = "</w>"
+
+  /** Word-type frequency table: (tokens array<string>, freq long). */
+  def wordTypes(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(T.words(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__freq"))
+      .select(concat(split(col("__w"), ""), array(lit(EndOfWord))).as("__toks"),
+        col("__freq"))
+
+  /** One greedy left-to-right merge pass of pair (a, b) over a token
+    * array, as a pure fold expression: state = (rebuilt prefix, pending
+    * token); a pending `a` followed by `b` emits the merged symbol and
+    * clears — so overlapping runs merge leftmost-first ("aaa" + (a,a) →
+    * ["aa","a"]), the BPE convention. */
+  def mergePair(toks: Column, a: String, b: String): Column = {
+    def st(out: Column, pend: Column) = struct(out.as("out"), pend.as("pend"))
+    val zero = st(array().cast(ArrayType(StringType)),
+      lit(null).cast(StringType))
+    aggregate(toks, zero,
+      (s, t) => {
+        val out = s.getField("out"); val p = s.getField("pend")
+        when(p.isNull, st(out, t))
+          .when(p === lit(a) && t === lit(b),
+            st(concat(out, array(lit(a + b))), lit(null).cast(StringType)))
+          .otherwise(st(concat(out, array(p)), t))
+      },
+      s => when(s.getField("pend").isNull, s.getField("out"))
+        .otherwise(concat(s.getField("out"), array(s.getField("pend")))))
+  }
+
+  /** Learn `numMerges` merges. Stops early when no pair reaches
+    * `minPairCount` (corpus exhausted into whole words). */
+  def fit(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L, checkpointEvery: Int = 8): Seq[(String, String)] = {
+    require(numMerges >= 1, "BpeTrainer: numMerges must be >= 1")
+    require(checkpointEvery >= 1, "BpeTrainer: checkpointEvery must be >= 1")
+    var wf = wordTypes(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = wf
+        .filter(size(col("__toks")) > 1)
+        .select(col("__freq"), explode(zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum("__freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < minPairCount) exhausted = true
+      else {
+        val a = top.head.getAs[String]("a")
+        val b = top.head.getAs[String]("b")
+        merges += ((a, b))
+        wf = wf.withColumn("__toks", mergePair(col("__toks"), a, b))
+        r += 1
+        // truncate lineage so plan depth stays bounded by checkpointEvery
+        if (r % checkpointEvery == 0) wf = wf.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Independent single-node reference trainer over a word-frequency map
+    * (plain collections, no Spark) — the evidence twin: the driver query
+    * `text_bpe_vocab` REQUIRES the distributed merge list to equal this
+    * one on the corpus's (tiny, type-level) frequency table, and BpeSpec
+    * pins both against hand-worked examples. Same contract: argmax pair
+    * by (count desc, left asc, right asc); greedy left-to-right merge. */
+  def fitLocal(wordFreqs: Map[String, Long], numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    var wf: Map[Vector[String], Long] = wordFreqs.toSeq
+      .map { case (w, f) => (w.map(_.toString).toVector :+ EndOfWord) -> f }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continueLoop = true
+    while (out.length < numMerges && continueLoop) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      wf.foreach { case (toks, f) =>
+        toks.indices.dropRight(1).foreach { i =>
+          val p = (toks(i), toks(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.isEmpty) continueLoop = false
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        if (c < minPairCount) continueLoop = false
+        else {
+          out += ((a, b))
+          wf = wf.toSeq.map { case (toks, f) =>
+            val nb = Vector.newBuilder[String]
+            var pend: String = null
+            toks.foreach { t =>
+              if (pend == null) pend = t
+              else if (pend == a && t == b) { nb += (a + b); pend = null }
+              else { nb += pend; pend = t }
+            }
+            if (pend != null) nb += pend
+            nb.result() -> f
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        }
+      }
+    }
+    out.toSeq
+  }
+}
+
+/** Apply a learned BPE merge list: text → subword token arrays.
+  *
+  * Two execution strategies, chosen by merge-list size:
+  *
+  *  - ≤ `maxExprMerges`: the merge passes chain as [[BpeTrainer.mergePair]]
+  *    fold expressions — fully codegen'd, zero serialization, the
+  *    preferred path for the modest vocabularies of the driver queries.
+  *  - above it: a deterministic closure applying the SAME algorithm
+  *    (each merge in learned order, one greedy left-to-right pass —
+  *    subword-nmt's apply_bpe semantics, deliberately NOT the
+  *    priority-queue variant, which can diverge from in-order apply on
+  *    adversarial words) with a per-partition word-type memo: word types
+  *    repeat Zipf-style, so each distinct type tokenizes once per
+  *    partition. A 32k-merge vocabulary cannot be a 32k-deep expression
+  *    tree — data-dependent iteration is the documented boundary of
+  *    Catalyst expressibility, and this is the codebase's sanctioned
+  *    UDF-as-last-resort case. Both strategies are value-identical BY
+  *    CONSTRUCTION and BpeSpec pins the equality on a trained corpus.
+  *
+  * Scale: map-side only — no shuffle at any vocabulary size; the rank
+  * map broadcast is |merges| strings (metadata).
+  */
+case class BpeTokenize(
+    merges: Seq[(String, String)],
+    textCol: String,
+    outputCol: String = "bpe_tokens",
+    maxExprMerges: Int = 64) extends EnsembleOp {
+
+  require(merges.nonEmpty, s"$name: empty merge list")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, textCol)
+    require(!in.fieldNames.contains(outputCol),
+      s"$name: output column '$outputCol' collides with the input schema")
+    StructType(in :+ StructField(outputCol,
+      ArrayType(StringType, containsNull = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    transformSchema(df.schema)
+    val words = T.words(col(textCol))
+    if (merges.length <= maxExprMerges) {
+      // per word: chars+</w>, then the merge passes in learned order;
+      // flatten word-level token arrays back to one doc-level array
+      val perWord = org.apache.spark.sql.functions.transform(words, w =>
+        merges.foldLeft(
+          concat(split(w, ""), array(lit(BpeTrainer.EndOfWord))): Column) {
+          case (toks, (a, b)) => BpeTrainer.mergePair(toks, a, b)
+        })
+      df.withColumn(outputCol,
+        when(length(trim(col(textCol))) === 0, array().cast(ArrayType(StringType)))
+          .otherwise(flatten(perWord)))
+    } else {
+      val ms = merges // avoid serializing the whole op into the closure
+      val tokenize = udf(new (String => Seq[String]) with Serializable {
+        // per-task word-type memo (types repeat Zipf-style); transient so
+        // each task starts it fresh rather than shipping executor state
+        @transient private lazy val memo =
+          scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        def apply(text: String): Seq[String] =
+          if (text == null) Seq.empty[String]
+          else BpeTokenize.normalizeLocal(text).split(" ")
+            .filter(_.nonEmpty).toSeq
+            .flatMap(w => memo.getOrElseUpdate(w, BpeTokenize.applyWord(w, ms)))
+      })
+      df.withColumn(outputCol, tokenize(col(textCol)))
+    }
+  }
+}
+
+object BpeTokenize {
+  /** The exact local mirror of [[TextFunctions.normalize]] (lower + trim
+    * + whitespace collapse); Locale.ROOT so lowering is locale-stable
+    * like Spark's UTF8String lower. */
+  def normalizeLocal(s: String): String =
+    s.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+
+  /** Single-node sequential BPE apply for ONE word: each merge in learned
+    * order, one greedy left-to-right pass — value-identical to folding
+    * [[BpeTrainer.mergePair]] expressions, and the independent reference
+    * implementation BpeSpec pins both execution strategies against. */
+  def applyWord(w: String, merges: Seq[(String, String)]): Seq[String] = {
+    var toks = w.map(_.toString).toVector :+ BpeTrainer.EndOfWord
+    merges.foreach { case (a, b) =>
+      if (toks.length > 1) {
+        val out = Vector.newBuilder[String]
+        var pend: String = null
+        toks.foreach { t =>
+          if (pend == null) pend = t
+          else if (pend == a && t == b) { out += (a + b); pend = null }
+          else { out += pend; pend = t }
+        }
+        if (pend != null) out += pend
+        toks = out.result()
+      }
+    }
+    toks
+  }
+}

