@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpec {
       "no global sort for top-k")
   }
 
+  test("IVF-PQ probe joins on the list id and aggregates bounded heaps — no all-pairs, no global sort") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, d)
+    val queriesDf = emb.filter(col("label") === 0).select("vec_id", "embedding")
+    val items = emb.filter(col("label") =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding"))
+    val centers = functions.VectorFunctions.fitCenters(items, "embedding", 4, 2, 42L)
+    val cbs = ops.AnnIvfPq.fitCodebooks(items, "embedding", centers, 8, 4, 2, 42L)
+    val pq = ops.AnnIvfPq(items, centers, cbs, "vec_id", "embedding",
+      k = 5, nprobe = 2, refine = 10)
+    val p = plan(pq.transform(queriesDf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "probe must be a cid equi-join, never all-pairs")
+    assert(!p.contains("GlobalSort"), "no global sort in PQ top-k")
+    assert(p.contains("partial_topkaggregator") || p.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregate expected in plan:\n${p.take(800)}")
+  }
+
   test("SelectByTag prunes untagged columns all the way to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("tags_prune").toString
     import spark.implicits._
