@@ -339,4 +339,63 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
   }
+
+  case class TrailingFeat(event_id: Long, user_id: Long,
+      ns: Seq[Long], sums: Seq[Long])
+  case class TrailingState(events: Seq[(Long, Long)]) // (tsSec, valueCents)
+
+  /** Streaming twin of [[graft.ops.TrailingWindowFeatures]]: per-user
+    * trailing-horizon event counts and value sums attached to every
+    * arriving event — the ONLINE rolling-feature refresh (what a feature
+    * store recomputes between batch materializations; the batch op is
+    * the backfill). Frame semantics are the batch op's exactly:
+    * `[t-h, t-1]` in whole seconds, same-second peers excluded — so a
+    * model served on these features trains leak-free on the batch
+    * backfill of the same definition. Sums are 0 on empty frames (the
+    * batch op's NULL; streaming Datasets prefer total columns — callers
+    * needing the NULL distinction have `ns == 0`).
+    *
+    * State per user is the event list inside the LARGEST horizon —
+    * O(users × events-per-horizon), pruned every batch, independent of
+    * stream length. Within a micro-batch, events process in the batch
+    * op's (ts, event_id) total order; cross-batch ordering follows
+    * arrival, as in any online builder (same caveat as
+    * [[sequenceStream]]), and StreamingOpsSpec pins stream ≡ batch on
+    * in-order feeds. */
+  def trailingFeatureStream(events: Dataset[Event], horizons: Seq[Long])
+      : Dataset[TrailingFeat] = {
+    require(horizons.nonEmpty && horizons.forall(_ > 0),
+      "trailingFeatureStream: horizons must be positive seconds")
+    val maxH = horizons.max
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrailingState, TrailingFeat](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TrailingState]) =>
+          val sorted = rows.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
+          var held = state.getOption.map(_.events).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[TrailingFeat]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000L
+            // same [t-h, t-1] frame as the batch op: same-second entries
+            // (earlier-id peers already appended) are excluded by <= t-1
+            val feats = horizons.map { h =>
+              val in = held.filter { case (ts, _) => ts >= t - h && ts <= t - 1 }
+              (in.length.toLong, in.map(_._2).sum)
+            }
+            out += TrailingFeat(e.event_id, userId,
+              feats.map(_._1), feats.map(_._2))
+            // prune KEEPS ts == t-maxH: a same-second successor's frame
+            // [t-maxH, t-1] still reaches it; anything older is dead for
+            // every future event (t' >= t → t'-maxH >= t-maxH)
+            held = (held :+ ((t, math.round(e.value * 100))))
+              .filter { case (ts, _) => ts >= t - maxH }
+          }
+          state.update(TrailingState(held))
+          out.result().iterator
+      }
+  }
 }

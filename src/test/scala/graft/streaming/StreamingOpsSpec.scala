@@ -253,6 +253,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == Set((10L, 4L, "a|b|c", "d")))
   }
 
+  test("trailingFeatureStream matches the batch TrailingWindowFeatures output") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val feats = StreamingOps.trailingFeatureStream(src.toDS(),
+      horizons = Seq(300L, 1200L)) // 5 min, 20 min
+    val q = feats.writeStream.outputMode("append").format("memory")
+      .queryName("trailing_feats").start()
+    val evs = Seq(
+      Event(1, ts(0), 10, "a", 1.0), Event(2, ts(4), 10, "a", 2.0),
+      Event(3, ts(4), 10, "a", 4.0), // same-second peer of event 2
+      Event(4, ts(21), 10, "a", 8.0), // 5-min frame empty, 20-min sees 0
+      Event(5, ts(18), 11, "x", 16.0))
+    // split across micro-batches: state must carry the trailing events
+    src.addData(evs.take(3): _*)
+    q.processAllAvailable()
+    src.addData(evs.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("trailing_feats")
+      .select($"event_id", $"user_id", $"ns", $"sums")
+      .as[(Long, Long, Seq[Long], Seq[Long])].collect().toSet
+    val batch = graft.ops.TrailingWindowFeatures(
+      "user_id", "ts_sec", "value_cents", Seq(300L, 1200L))
+      .transform(evs.toDF()
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .withColumn("value_cents", round(col("value") * 100).cast("long")))
+      .select($"event_id", $"user_id",
+        array($"n_300s", $"n_1200s").as("ns"),
+        array(coalesce($"sum_300s", lit(0L)),
+          coalesce($"sum_1200s", lit(0L))).as("sums"))
+      .as[(Long, Long, Seq[Long], Seq[Long])].collect().toSet
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // spot-check the leak rules: event 3 must NOT see its same-second
+    // peer (event 2); event 4's 5-min frame is empty, 20-min sees all
+    val byId = streamed.map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(byId(3L) == ((Seq(1L, 1L), Seq(100L, 100L))))
+    // 20-min frame is [60, 1259]: events 2+3 (t=240) in, event 1 (t=0) out
+    assert(byId(4L) == ((Seq(0L, 2L), Seq(0L, 600L))))
+    assert(byId(5L) == ((Seq(0L, 0L), Seq(0L, 0L))))
+  }
+
   test("scrubStream scrubs exactly the spans the batch op finds in the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
