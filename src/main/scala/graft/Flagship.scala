@@ -65,7 +65,15 @@ object Flagship {
         val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
         AnnIvf.fit(itemVecs, "user_id", "user_vec", k = retrievalK,
           nlist = nlist, nprobe = math.min(8, nlist), metric = "dot")
-      case r => throw new IllegalArgumentException(s"unknown retriever '$r' (lsh|ivf)")
+      case "pq" =>
+        // ALS factors are rank-dim (small); subspaces of 4 dims each
+        val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
+        val dim = als.rank
+        val m = math.max(1, dim / 4)
+        AnnIvfPq.fit(itemVecs, "user_id", "user_vec", k = retrievalK,
+          nlist = nlist, m = m, ksub = 16,
+          nprobe = math.min(8, nlist), refine = retrievalK * 4)
+      case r => throw new IllegalArgumentException(s"unknown retriever '$r' (lsh|ivf|pq)")
     }
     val ens = Ensemble(Seq(
       QueryFeatureStore(userVecs, "user_id", Seq("user_vec"), includeId = true),

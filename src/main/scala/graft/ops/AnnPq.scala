@@ -195,14 +195,15 @@ object AnnIvfPq {
   def fit(items: DataFrame, queryIdCol: String, queryVecCol: String,
       itemIdCol: String = "item_id", itemVecCol: String = "embedding",
       k: Int = 10, nlist: Int = 32, m: Int = 8, ksub: Int = 16,
-      nprobe: Int = 8, maxIter: Int = 10, seed: Long = 42L): AnnIvfPq = {
+      nprobe: Int = 8, refine: Int = 0, maxIter: Int = 10,
+      seed: Long = 42L): AnnIvfPq = {
     val centers = VectorFunctions.fitCenters(items, itemVecCol, nlist, maxIter, seed)
     val dim = centers.head.size
     require(dim % m == 0,
       s"AnnIvfPq.fit: vector dim $dim is not divisible by m=$m subspaces")
     val codebooks = fitCodebooks(items, itemVecCol, centers, m, ksub, maxIter, seed)
     AnnIvfPq(items, centers, codebooks, queryIdCol, queryVecCol,
-      itemIdCol, itemVecCol, k, math.min(nprobe, centers.size))
+      itemIdCol, itemVecCol, k, math.min(nprobe, centers.size), refine)
   }
 
   /** Residual codebooks for a FIXED coarse quantizer: one pass builds all

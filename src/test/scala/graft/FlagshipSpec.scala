@@ -44,6 +44,18 @@ class FlagshipSpec extends SparkSpec {
     assert(loaded.transform(requests).orderBy("user_id").collect().toSeq == a)
   }
 
+  test("PQ retriever backend serves and round-trips interchangeably") {
+    val d = "/root/testdata/sf0.001"
+    val (ens, requests) = Flagship.servingEnsemble(spark, d, retrievalK = 50,
+      retriever = "pq")
+    val dir = java.nio.file.Files.createTempDirectory("flagship_pq").toString
+    graft.core.EnsemblePersistence.save(ens, dir, spark)
+    val loaded = graft.core.EnsemblePersistence.load(dir, spark)
+    val a = ens.transform(requests).orderBy("user_id").collect().toSeq
+    assert(a.nonEmpty, "PQ-backed serving ensemble must produce recommendations")
+    assert(loaded.transform(requests).orderBy("user_id").collect().toSeq == a)
+  }
+
   test("recommendations exclude already-seen items") {
     val d = "/root/testdata/sf0.001"
     val recs = Flagship.recommend(spark, d)
