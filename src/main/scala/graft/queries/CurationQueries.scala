@@ -64,15 +64,27 @@ object CurationQueries {
     * join, `</w>` → space — must reproduce the normalized text exactly,
     * over ALL rows, before any row is emitted). */
   def textBpeTokens(spark: SparkSession, d: String): DataFrame = {
-    val toked = BpeTokenize(cachedBpeMerges(spark, d), "text")
+    // maxExprMerges = 0 forces the memoized-closure strategy: this corpus
+    // has 31 word TYPES, so each type tokenizes once per partition and
+    // every further occurrence is a map hit — the chained-fold expression
+    // path re-folds every occurrence (O(len²·merges) array copies per
+    // word) and measured 155 s vs ~2 s here at sf0.1. The strategies are
+    // value-identical (BpeSpec pins it); the codegen path stays covered
+    // by spec + the small-vocab ops.
+    val toked = BpeTokenize(cachedBpeMerges(spark, d), "text", maxExprMerges = 0)
       .transform(documents(spark, d))
-    val recon = trim(regexp_replace(
-      concat_ws("", col("bpe_tokens")), BpeTrainer.EndOfWord, " "))
-    val broken = toked.filter(recon =!= T.normalize(col("text"))).count()
-    require(broken == 0, s"BPE reconstruction broke on $broken docs")
-    toked.select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe_tokens"),
-      md5(concat_ws(" ", col("bpe_tokens"))).as("bpe_fp"))
-      .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val recon = trim(regexp_replace(
+        concat_ws("", col("bpe_tokens")), BpeTrainer.EndOfWord, " "))
+      val broken = toked.filter(recon =!= T.normalize(col("text"))).count()
+      require(broken == 0, s"BPE reconstruction broke on $broken docs")
+      // eager checkpoint releases the cache while keeping the computed rows
+      toked.select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe_tokens"),
+        md5(concat_ws(" ", col("bpe_tokens"))).as("bpe_fp"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally { toked.unpersist(blocking = false) }
   }
 
   // ---- dedup ----------------------------------------------------------
