@@ -273,6 +273,27 @@ object OpQueries {
     Evidence.recallRow(spark, annPq(spark, d), topkRetrieval(spark, d),
       Seq("vec_id", "item_id"), floorBp = 5000)
 
+  /** IVF-PQ with nprobe = nlist AND refine ≥ |items|: every list is
+    * probed and ADC nominates every item, so the exact re-rank IS
+    * brute-force top-k — which puts the whole PQ machinery (encode,
+    * probe-expansion join, LUT build, ADC fold, refine vector-fetch
+    * join, bounded-heap re-rank) under the hash oracle, the
+    * [[annIvfFull]] trick one level deeper. The nprobe<nlist,
+    * refine=200 query above keeps the approximate path honest on
+    * recall. Cost note: the nominate-ALL heap (k = |items|) is the
+    * harness shape — real serving uses refine ≈ 20·k — so this is the
+    * artifact's most expensive ANN row by design (~10 s at sf0.1). */
+  def annPqExact(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val items = ivfItems(spark, d)
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    val nItems = items.count().toInt
+    AnnIvfPq(items, centers, cachedCodebooks(spark, d), "vec_id", "embedding",
+      k = 10, nprobe = centers.size, refine = math.max(10, nItems))
+      .asRows(queries).orderBy("vec_id", "rank")
+  }
+
   /** TrailingWindowFeatures under the oracle: per-user trailing 1h/1d
     * event count + spend as-of (strictly before) each event — the
     * leak-free rolling-feature stage of a training-set pipeline. Value
@@ -588,6 +609,7 @@ object OpQueries {
     "op_ann_ivf_full" -> (annIvfFull _),
     "op_ann_pq" -> (annPq _),
     "op_ann_pq_recall" -> (annPqRecall _),
+    "op_ann_pq_exact" -> (annPqExact _),
     "op_trailing_features" -> (trailingFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
     "op_sample_frames" -> (sampleFrames _),
@@ -736,6 +758,16 @@ object OpQueries {
         |FROM embeddings q, embeddings i WHERE q.label=0 AND i.label<>0)
         |WHERE rank<=10 ORDER BY vec_id, rank""".stripMargin,
     "op_ann_ivf_full" ->
+      """SELECT vec_id, rank, item_id, score FROM (
+        |SELECT q.vec_id AS vec_id, i.vec_id AS item_id,
+        |list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS score,
+        |row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) DESC, i.vec_id) AS rank
+        |FROM embeddings q, embeddings i WHERE q.label=0 AND i.label<>0)
+        |WHERE rank<=10 ORDER BY vec_id, rank""".stripMargin,
+    // full-probe + nominate-all PQ degenerates to the same brute-force
+    // top-k as op_ann_ivf_full (the refine re-rank scores EXACT dots)
+    "op_ann_pq_exact" ->
       """SELECT vec_id, rank, item_id, score FROM (
         |SELECT q.vec_id AS vec_id, i.vec_id AS item_id,
         |list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS score,
