@@ -254,6 +254,14 @@ object EnsemblePersistence {
     case HashSplit(id, tr, va, salt, out) =>
       ("type" -> "HashSplit") ~ ("idCol" -> id) ~ ("trainBp" -> tr) ~
         ("validBp" -> va) ~ ("salt" -> salt) ~ ("outputCol" -> out)
+    case TrailingWindowFeatures(entity, ts, value, horizons, suffix) =>
+      ("type" -> "TrailingWindowFeatures") ~ ("entityCol" -> entity) ~
+        ("tsCol" -> ts) ~ ("valueCol" -> value) ~
+        ("horizons" -> horizons.toList) ~ ("suffix" -> suffix)
+    case BpeTokenize(merges, text, out, maxExpr) =>
+      ("type" -> "BpeTokenize") ~ ("textCol" -> text) ~
+        ("outputCol" -> out) ~ ("maxExprMerges" -> maxExpr) ~
+        ("merges" -> merges.map { case (a, b) => List(a, b) }.toList)
     case StratifiedSample(id, strata, fr, dflt, salt) =>
       ("type" -> "StratifiedSample") ~ ("idCol" -> id) ~
         ("strataCol" -> strata) ~ ("fractionsBp" -> fr) ~
@@ -500,6 +508,14 @@ object EnsemblePersistence {
       case "HashSplit" =>
         HashSplit(s("idCol"), (o \ "trainBp").extract[Int],
           (o \ "validBp").extract[Int], s("salt"), s("outputCol"))
+      case "TrailingWindowFeatures" =>
+        TrailingWindowFeatures(s("entityCol"), s("tsCol"), s("valueCol"),
+          (o \ "horizons").extract[Seq[Long]], s("suffix"))
+      case "BpeTokenize" =>
+        BpeTokenize(
+          (o \ "merges").extract[Seq[Seq[String]]]
+            .map { case Seq(a, b) => (a, b) },
+          s("textCol"), s("outputCol"), (o \ "maxExprMerges").extract[Int])
       case "StratifiedSample" =>
         StratifiedSample(s("idCol"), s("strataCol"),
           (o \ "fractionsBp").extract[Map[String, Int]],

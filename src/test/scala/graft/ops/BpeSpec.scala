@@ -75,6 +75,17 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("ensemble save/load round-trips the tokenizer with its merge list") {
+    import graft.core.{Ensemble, EnsemblePersistence}
+    val df = Seq((1L, "aaab aab"), (2L, "ab aaab")).toDF("doc_id", "text")
+    val op = BpeTokenize(Seq(("a", "a"), ("b", "</w>"), ("a", "b</w>")), "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_roundtrip").toString
+    EnsemblePersistence.save(Ensemble(Seq(op), df.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.transform(df).orderBy("doc_id").collect().toSeq ==
+      op.transform(df).orderBy("doc_id").collect().toSeq)
+  }
+
   test("fail fast: empty merge list, output collision, bad fit params") {
     val df = Seq((1, "a b")).toDF("id", "text")
     intercept[IllegalArgumentException] { BpeTokenize(Seq.empty, "text") }

@@ -49,6 +49,16 @@ class TrailingWindowSpec extends SparkSpec {
     assert(sorts == 1, s"expected one sort, got $sorts in:\n$plan")
   }
 
+  test("ensemble save/load round-trips the op") {
+    import graft.core.{Ensemble, EnsemblePersistence}
+    val op = TrailingWindowFeatures("user_id", "ts_sec", "v", Seq(100L, 1000L))
+    val dir = java.nio.file.Files.createTempDirectory("tw_roundtrip").toString
+    EnsemblePersistence.save(Ensemble(Seq(op), ev.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.transform(ev).orderBy("event_id").collect().toSeq ==
+      op.transform(ev).orderBy("event_id").collect().toSeq)
+  }
+
   test("fail fast: non-numeric ts, output collisions, bad horizons") {
     val tsTyped = ev.withColumn("ts_t", timestamp_seconds(col("ts_sec")))
     intercept[IllegalArgumentException] {
