@@ -66,10 +66,13 @@ object Flagship {
         AnnIvf.fit(itemVecs, "user_id", "user_vec", k = retrievalK,
           nlist = nlist, nprobe = math.min(8, nlist), metric = "dot")
       case "pq" =>
-        // ALS factors are rank-dim (small); subspaces of 4 dims each
+        // ALS factors are rank-dim (small); aim for ~4-dim subspaces but
+        // take the largest m that DIVIDES the rank (rank/4 itself need
+        // not — rank 14 would otherwise crash the fit's divisibility
+        // require), falling back to m = 1 for prime ranks
         val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
         val dim = als.rank
-        val m = math.max(1, dim / 4)
+        val m = (math.max(1, dim / 4) to 1 by -1).find(dim % _ == 0).get
         AnnIvfPq.fit(itemVecs, "user_id", "user_vec", k = retrievalK,
           nlist = nlist, m = m, ksub = 16,
           nprobe = math.min(8, nlist), refine = retrievalK * 4)

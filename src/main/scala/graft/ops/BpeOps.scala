@@ -47,6 +47,15 @@ object BpeTrainer {
     * distinguish "er" mid-word from "er" word-finally. */
   val EndOfWord = "</w>"
 
+  /** Initial symbols of a word: CODE POINTS, not UTF-16 code units —
+    * Spark's `split(w, "")` splits by code point, so the local reference
+    * implementations must too, or a supplementary-plane character (emoji
+    * etc.) would split into surrogate halves locally, diverge from the
+    * distributed path, and abort `text_bpe_vocab`'s equality require. */
+  private[ops] def codePointSymbols(w: String): Vector[String] =
+    w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
+
   /** Word-type frequency table: (tokens array<string>, freq long). */
   def wordTypes(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(T.words(col(textCol))).as("__w"))
@@ -83,6 +92,10 @@ object BpeTrainer {
     require(numMerges >= 1, "BpeTrainer: numMerges must be >= 1")
     require(checkpointEvery >= 1, "BpeTrainer: checkpointEvery must be >= 1")
     var wf = wordTypes(docs, textCol).localCheckpoint(true)
+    // the superseded checkpoint's blocks are released once the next one
+    // materializes — otherwise numMerges/checkpointEvery stale copies of
+    // the type table would pile up in storage over a long fit
+    var prevCheckpoint = wf
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var r = 0
     var exhausted = false
@@ -105,7 +118,11 @@ object BpeTrainer {
         wf = wf.withColumn("__toks", mergePair(col("__toks"), a, b))
         r += 1
         // truncate lineage so plan depth stays bounded by checkpointEvery
-        if (r % checkpointEvery == 0) wf = wf.localCheckpoint(true)
+        if (r % checkpointEvery == 0) {
+          wf = wf.localCheckpoint(true)
+          prevCheckpoint.unpersist(blocking = false)
+          prevCheckpoint = wf
+        }
       }
     }
     merges.toSeq
@@ -120,7 +137,7 @@ object BpeTrainer {
   def fitLocal(wordFreqs: Map[String, Long], numMerges: Int,
       minPairCount: Long = 2L): Seq[(String, String)] = {
     var wf: Map[Vector[String], Long] = wordFreqs.toSeq
-      .map { case (w, f) => (w.map(_.toString).toVector :+ EndOfWord) -> f }
+      .map { case (w, f) => (codePointSymbols(w) :+ EndOfWord) -> f }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continueLoop = true
@@ -205,8 +222,12 @@ case class BpeTokenize(
           concat(split(w, ""), array(lit(BpeTrainer.EndOfWord))): Column) {
           case (toks, (a, b)) => BpeTrainer.mergePair(toks, a, b)
         })
+      // isNull joins the guard so NULL text yields [] here exactly as in
+      // the closure strategy (otherwise flatten(null) would propagate
+      // NULL and the two documented-identical strategies would diverge)
       df.withColumn(outputCol,
-        when(length(trim(col(textCol))) === 0, array().cast(ArrayType(StringType)))
+        when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+          array().cast(ArrayType(StringType)))
           .otherwise(flatten(perWord)))
     } else {
       val ms = merges // avoid serializing the whole op into the closure
@@ -238,7 +259,7 @@ object BpeTokenize {
     * [[BpeTrainer.mergePair]] expressions, and the independent reference
     * implementation BpeSpec pins both execution strategies against. */
   def applyWord(w: String, merges: Seq[(String, String)]): Seq[String] = {
-    var toks = w.map(_.toString).toVector :+ BpeTrainer.EndOfWord
+    var toks = BpeTrainer.codePointSymbols(w) :+ BpeTrainer.EndOfWord
     merges.foreach { case (a, b) =>
       if (toks.length > 1) {
         val out = Vector.newBuilder[String]

@@ -542,19 +542,33 @@ case class NegativeSampling(
       schema)
   }
 
-  /** Distinct drawable catalog size. Memoized: the catalog frame is
-    * immutable, so the gate's count job runs once per op instance, not
-    * once per transform call (same discipline as
-    * [[PredictImplicit.itemCount]]). Doubles as the coin modulus `__n`,
-    * replacing a 1-row aggregate crossJoin with a literal. */
-  @transient private lazy val catalogCount: Long =
-    catalog.select(col(catalogItemCol)).filter(col(catalogItemCol).isNotNull)
-      .distinct().count()
+  /** Distinct drawable catalog size AND mean item payload bytes, in ONE
+    * memoized job: the catalog frame is immutable, so the gate's
+    * aggregate runs once per op instance, not once per transform call
+    * (same discipline as [[PredictImplicit.itemCount]]). The count
+    * doubles as the coin modulus `__n`, replacing a 1-row aggregate
+    * crossJoin with a literal. MEASURED payload size matters for string
+    * catalogs: a flat defaultSize estimate would let 15M × 400-byte keys
+    * (~6 GB real) through a 1 GiB budget. */
+  @transient private lazy val catalogStats: (Long, Long) = {
+    val payload = catalog.schema(catalogItemCol).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType =>
+        avg(octet_length(col(catalogItemCol)))
+      case dt => avg(lit(dt.defaultSize.toDouble))
+    }
+    val row = catalog.select(col(catalogItemCol))
+      .filter(col(catalogItemCol).isNotNull).distinct()
+      .agg(count(lit(1)), payload).head()
+    (row.getLong(0),
+      math.ceil(Option(row.get(1)).fold(0.0)(_.toString.toDouble)).toLong)
+  }
 
-  /** Conservative broadcast-bytes estimate per index row: the item value
-    * plus the 8-byte `__idx`, with hash-relation overhead. */
-  private def catalogRowBytes: Long =
-    32L + catalog.schema(catalogItemCol).dataType.defaultSize
+  @transient private lazy val catalogCount: Long = catalogStats._1
+
+  /** Broadcast-bytes estimate per index row: the measured mean item
+    * payload plus the 8-byte `__idx`, with hash-relation overhead. */
+  private def catalogRowBytes: Long = 32L + catalogStats._2
 
   override def transform(df: DataFrame): DataFrame = {
     val out = transformSchema(df.schema)

@@ -390,13 +390,28 @@ case class TrailingWindowFeatures(
     require(in(tsCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"$name: tsCol '$tsCol' must be numeric (epoch seconds), " +
         s"got ${in(tsCol).dataType.sql} — cast timestamps up front")
+    require(in(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$name: valueCol '$valueCol' must be numeric, got ${in(valueCol).dataType.sql}")
     horizons.foreach { h =>
       Seq(nCol(h), sumCol(h)).foreach(c => require(!in.fieldNames.contains(c),
         s"$name: output column '$c' collides with the input schema"))
     }
+    // declare what sum() actually RETURNS: integrals widen to long,
+    // float to double, decimal gains 10 digits of precision — declaring
+    // the input type would hand downstream schema-time validation a type
+    // the runtime then contradicts
+    val sumT = in(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => LongType
+      case org.apache.spark.sql.types.FloatType | DoubleType => DoubleType
+      case d: org.apache.spark.sql.types.DecimalType =>
+        org.apache.spark.sql.types.DecimalType(math.min(38, d.precision + 10), d.scale)
+      case other => other
+    }
     StructType(in ++ horizons.flatMap(h => Seq(
       StructField(nCol(h), LongType, nullable = false),
-      StructField(sumCol(h), in(valueCol).dataType, nullable = true))))
+      StructField(sumCol(h), sumT, nullable = true))))
   }
 
   override def transform(df: DataFrame): DataFrame = {

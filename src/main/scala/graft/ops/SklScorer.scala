@@ -92,6 +92,7 @@ case class SklForest(
     val out: Column =
       if (classes.isEmpty) ms.head
       else if (predictProba) array(ms: _*)
+      else if (classes.length == 1) lit(classes.head) // greatest() needs 2+ args
       else {
         // argmax by mean probability, ties to the LOWEST class index
         // (numpy argmax returns the first maximum)

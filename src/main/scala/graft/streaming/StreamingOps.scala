@@ -390,8 +390,11 @@ object StreamingOps {
               feats.map(_._1), feats.map(_._2))
             // prune KEEPS ts == t-maxH: a same-second successor's frame
             // [t-maxH, t-1] still reaches it; anything older is dead for
-            // every future event (t' >= t → t'-maxH >= t-maxH)
-            held = (held :+ ((t, math.round(e.value * 100))))
+            // every future event (t' >= t → t'-maxH >= t-maxH).
+            // Cents via HALF_UP like Spark's round() — math.round rounds
+            // -12.5 UP to -12 where the batch twin's round gives -13
+            held = (held :+ ((t, java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue)))
               .filter { case (ts, _) => ts >= t - maxH }
           }
           state.update(TrailingState(held))
