@@ -248,6 +248,21 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("doc_freq"))
       .orderBy(desc("n_occurrences"), asc("token")).limit(100)
 
+  /** BM25 lexical retrieval: the first five tokens of documents 0–4 play
+    * the query set; [[Bm25Index]] fits the inverted index over the full
+    * corpus and returns the top-10 docs per query as scalar (query, rank,
+    * doc, fixed-point score) rows. Each query trivially retrieves its own
+    * source document at rank 1 — the self-hit doubles as a sanity anchor
+    * while the remaining ranks exercise real multi-term accumulation. */
+  def textBm25(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val idx = Bm25Index.fit(docs, "doc_id", "text")
+    val qs = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(T.words(col("text")), 1, 5)).as("query_text"))
+    idx.asRows(qs).orderBy("query_id", "rank")
+  }
+
   /** PII masking pass: match counts + fingerprint of the masked text
     * (the synthetic corpus is PII-free, so counts are 0 and the mask is
     * the identity — QualityOpsSpec plants real PII; this query pins the
@@ -499,6 +514,7 @@ object CurationQueries {
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_pii" -> (textPii _),
+    "text_bm25_topk" -> (textBm25 _),
     "text_keywords" -> (textKeywords _),
     "text_chunks" -> (textChunks _),
     "dedup_exact" -> (dedupExact _),
@@ -822,6 +838,40 @@ object CurationQueries {
          |  '$ip', '<IP>', 'g')) AS masked_fp
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // BM25 mirror: per-term fixed-point contributions are rounded to
+    // BIGINT before the sum (order-independent), every double expression
+    // mirrors the Spark shape token-for-token (same IEEE ops in the same
+    // association), and avgdl is ONE division of two exact integers
+    "text_bm25_topk" ->
+      s"""WITH tokf AS (SELECT doc_id, term FROM
+         |  (SELECT doc_id, unnest($wordsSql) AS term FROM documents) WHERE len(term) > 0),
+         |post AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |  CAST((SELECT COALESCE(CAST(sum(dl) AS BIGINT), 0) FROM dl) AS DOUBLE) /
+         |    (SELECT count(*) FROM documents) AS avgdl),
+         |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         |q AS (SELECT doc_id AS query_id,
+         |  array_to_string(list_slice($wordsSql, 1, 5), ' ') AS qt
+         |  FROM documents WHERE doc_id < 5),
+         |qtf AS (SELECT query_id, term, count(*) AS qtf FROM
+         |  (SELECT query_id, unnest(string_split(qt, ' ')) AS term FROM q)
+         |  WHERE len(term) > 0 GROUP BY 1, 2),
+         |qw AS (SELECT f.query_id, f.term, f.qtf,
+         |  CAST(round(1000000.0 * ln(1.0 + ((st.n - d.df) + 0.5) / (d.df + 0.5)))
+         |    AS BIGINT) AS idf6
+         |  FROM qtf f JOIN dfreq d ON f.term = d.term CROSS JOIN st),
+         |sc AS (SELECT qw.query_id, p.doc_id,
+         |  CAST(sum(CAST(round((qw.qtf * qw.idf6) * ((p.tf * (1.2 + 1.0)) /
+         |    (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / st.avgdl))))) AS BIGINT))
+         |    AS BIGINT) AS score_fp
+         |  FROM qw JOIN post p ON qw.term = p.term
+         |  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN st
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_fp FROM (
+         |  SELECT query_id, doc_id, score_fp, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

@@ -55,6 +55,22 @@ class PlanSpec extends SparkSpec {
       "no global sort for top-k")
   }
 
+  test("BM25 probes the postings with a broadcast term join — no all-pairs, no global sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, d)
+    val idx = ops.Bm25Index.fit(docs, "doc_id", "text")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val p = plan(idx.transform(qs))
+    assert(p.contains("BroadcastHashJoin"),
+      "weighted query terms must broadcast onto the postings probe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the probe is a __term equi-join — candidate rows ∝ matched postings")
+    assert(p.contains("partial_topkaggregator") || p.contains("ObjectHashAggregate"),
+      "per-query top-k uses the bounded heap")
+    assert(!p.contains("GlobalSort"), "no global sort in BM25 top-k")
+  }
+
   test("IVF-PQ probe joins on the list id and aggregates bounded heaps — no all-pairs, no global sort") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, d)
