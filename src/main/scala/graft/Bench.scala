@@ -59,6 +59,8 @@ object Bench {
       queries.OpQueries.prewarmAnnCenters(spark, sfDir)
     if (selected.exists(_._1.startsWith("text_bpe_")))
       queries.CurationQueries.prewarmBpe(spark, sfDir)
+    if (selected.exists(_._1.startsWith("text_bm25")))
+      queries.CurationQueries.prewarmBm25(spark, sfDir)
     val results = selected.map { case (name, fn) =>
       // Per-query isolation: earlier queries leave cached blocks behind
       // (MLlib fits persist factor/tree RDDs internally and never release

@@ -200,6 +200,19 @@ object EnsemblePersistence {
         ("k" -> a.k) ~ ("nprobe" -> a.nprobe) ~ ("refine" -> a.refine) ~
         ("centers" -> a.centers.map(_.toList).toList) ~
         ("codebooks" -> a.codebooks.map(_.map(_.toList).toList).toList)
+    case bi: Bm25Index =>
+      // the inverted index IS the fitted state: postings + df table as
+      // parquet side artifacts, the two corpus scalars inline (avgdl
+      // round-trips bit-exact — shortest-repr double printing)
+      val pp = artifactPath(dir, i, "bm25_postings")
+      val pd = artifactPath(dir, i, "bm25_dfreq")
+      bi.postings.write.mode("overwrite").parquet(pp)
+      bi.dfreq.write.mode("overwrite").parquet(pd)
+      ("type" -> "Bm25Index") ~ ("postingsPath" -> pp) ~ ("dfreqPath" -> pd) ~
+        ("docCount" -> bi.docCount) ~ ("avgdl" -> bi.avgdl) ~
+        ("queryIdCol" -> bi.queryIdCol) ~ ("queryTextCol" -> bi.queryTextCol) ~
+        ("k" -> bi.k) ~ ("k1" -> bi.k1) ~ ("b" -> bi.b) ~
+        ("outputCol" -> bi.outputCol)
     // ---- model ops: MLlib's own writers (reference pickles model
     // artifacts into the ensemble dir, ensemble.py:80-145 + implicit.py:58-71)
     case f: PredictForest[_] =>
@@ -485,6 +498,13 @@ object EnsemblePersistence {
           s("queryIdCol"), s("queryVecCol"), s("itemIdCol"), s("itemVecCol"),
           (o \ "k").extract[Int], (o \ "nprobe").extract[Int],
           (o \ "refine").extract[Int])
+      case "Bm25Index" =>
+        Bm25Index(spark.read.parquet(s("postingsPath")),
+          spark.read.parquet(s("dfreqPath")),
+          (o \ "docCount").extract[Long], (o \ "avgdl").extract[Double],
+          s("queryIdCol"), s("queryTextCol"), (o \ "k").extract[Int],
+          (o \ "k1").extract[Double], (o \ "b").extract[Double],
+          s("outputCol"))
       case "SklForest" =>
         SklForest(
           (o \ "trees").extract[List[List[JObject]]].map(_.map(t => graft.ops.XgbTree(

@@ -267,6 +267,24 @@ class EnsemblePersistenceSpec extends SparkSpec {
       ann.transform(queries).orderBy("qid").collect().toSeq)
   }
 
+  test("Bm25Index round-trips its postings and df tables as side artifacts") {
+    val docs = Seq(
+      (0L, "spark shuffles data between stages"),
+      (1L, "spark spark spark everywhere"),
+      (2L, "data and more data"),
+      (3L, "stages of a spark job shuffle data")).toDF("doc_id", "text")
+    val idx = Bm25Index.fit(docs, "doc_id", "text", k = 3)
+    val qs = Seq((1L, "spark data"), (2L, "shuffle stages")).toDF("query_id", "query_text")
+    val dir = Files.tmp("ens_bm25")
+    EnsemblePersistence.save(Ensemble(Seq(idx), qs.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    val rb = loaded.ops.head.asInstanceOf[Bm25Index]
+    assert(rb.docCount == idx.docCount && rb.avgdl == idx.avgdl,
+      "corpus scalars must round-trip bit-exact")
+    assert(loaded.transform(qs).orderBy("query_id").collect().toSeq ==
+      idx.transform(qs).orderBy("query_id").collect().toSeq)
+  }
+
   test("model ops round-trip: identical scores after reload") {
     val train = Seq(
       (1.0, 2.0, 10.0, 1.0), (2.0, 1.0, 8.0, 0.0), (3.0, 4.0, 20.0, 1.0),
