@@ -595,3 +595,74 @@ object SemanticNearDup {
       idCol, vecCol, threshold)
   }
 }
+
+/** Incremental exact dedup: label a NEW ingest batch against the digest
+  * index of the already-accepted corpus, never touching the corpus
+  * itself. At 100 TB the corpus cannot be re-paired on every ingest —
+  * the accepted state must live as a digest index (16-byte identities,
+  * ~1/6000th of the text) that each incoming batch joins against. The
+  * batch also dedups WITHIN itself (first occurrence by smallest id
+  * wins, matching [[ExactDedup]]'s keeper rule), so `dup_kind` is:
+  * `'index'` (content already accepted in a prior ingest), `'batch'`
+  * (dup of an earlier row in this ingest), or NULL for keepers.
+  *
+  * Physical shape: one groupBy + two equi-joins, all keyed on the md5
+  * digest [pinned: the text never shuffles — only digests do]. No
+  * windows. Null-text rows have no content identity: they pass through
+  * as keepers with a null digest (joins skip null keys by SQL
+  * semantics — each caller decides their fate downstream).
+  *
+  * [[updatedIndex]] closes the ingest loop: prior digests ∪ the batch's
+  * newly-accepted ones — the state to persist for the next batch.
+  */
+case class IncrementalDedup(
+    index: DataFrame,
+    indexDigestCol: String = "content_hash",
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    normalized: Boolean = true) extends EnsembleOp {
+
+  require(index.schema.fieldNames.contains(indexDigestCol),
+    s"$name: index is missing digest column '$indexDigestCol' in " +
+      index.schema.simpleString)
+
+  private def key: Column = if (normalized) T.normalize(col(textCol)) else col(textCol)
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    Seq("content_hash", "dup_kind").foreach(c =>
+      require(!in.fieldNames.contains(c),
+        s"$name: output column '$c' collides with the input schema"))
+    StructType(in ++ Seq(
+      StructField("content_hash", StringType),
+      StructField("dup_kind", StringType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    transformSchema(df.schema)
+    val hashed = df.withColumn("content_hash", md5(key))
+    // keeper per digest within the ingest — a digest-keyed partial agg,
+    // the same shape (and often the same exchange) as the label join
+    val keepers = hashed.groupBy(col("content_hash").as("__kh"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    val idx = index.select(col(indexDigestCol).as("__ih")).distinct()
+    hashed
+      .join(keepers, col("content_hash") === col("__kh"), "left")
+      .join(idx, col("content_hash") === col("__ih"), "left")
+      .withColumn("dup_kind",
+        when(col("__ih").isNotNull, lit("index"))
+          .when(col(idCol) =!= col("__keep_id"), lit("batch"))
+          .otherwise(lit(null).cast(StringType)))
+      .drop("__kh", "__keep_id", "__ih")
+  }
+
+  /** The accepted-corpus digest index after this ingest: prior digests
+    * plus the batch's newly-accepted ones (distinct — a digest-keyed
+    * partial agg, ready to persist for the next batch). */
+  def updatedIndex(df: DataFrame): DataFrame =
+    index.select(col(indexDigestCol))
+      .union(transform(df).filter(col("dup_kind").isNull)
+        .filter(col("content_hash").isNotNull)
+        .select(col("content_hash").as(indexDigestCol)))
+      .distinct()
+}

@@ -123,6 +123,40 @@ object CurationQueries {
     NgramJaccardDedup(thresholdBp = 8000).transform(documents(spark, d))
       .orderBy("doc_a", "doc_b")
 
+  /** Incremental-ingest fixture shared by the two `dedup_incremental*`
+    * queries, built from mod-10 classes of `doc_id` so every dup_kind is
+    * populated proportionally at EVERY scale factor (the corpus itself
+    * has no exact dups): the accepted corpus is classes 0–2, the ingest
+    * batch is classes 2–5 plus re-labeled clones (+10000) of classes
+    * 4–7 — so 2–3 hit the index, clones of 4–5 dup the batch, and
+    * 4–7 originals/6–7 clones are keepers. */
+  private def incrementalFixture(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = documents(spark, d)
+    val m = col("doc_id") % 10
+    val prior = ExactDedup(normalized = true)
+      .transform(docs.filter(m < 3)).select("content_hash")
+    val batch = docs.filter(m >= 2 && m <= 5)
+      .unionByName(docs.filter(m >= 4 && m <= 7)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    (prior, batch)
+  }
+
+  /** Label an ingest batch against the accepted-corpus digest index. */
+  def dedupIncremental(spark: SparkSession, d: String): DataFrame = {
+    val (prior, batch) = incrementalFixture(spark, d)
+    IncrementalDedup(prior).transform(batch)
+      .select(col("doc_id"), col("content_hash"),
+        coalesce(col("dup_kind"), lit("keep")).as("dup_kind"))
+      .orderBy("doc_id")
+  }
+
+  /** The accepted index AFTER the ingest — the state handed to the next
+    * batch (prior digests ∪ newly-accepted keepers). */
+  def dedupIncrementalIndex(spark: SparkSession, d: String): DataFrame = {
+    val (prior, batch) = incrementalFixture(spark, d)
+    IncrementalDedup(prior).updatedIndex(batch).orderBy("content_hash")
+  }
+
   def dedupMinhash(spark: SparkSession, d: String): DataFrame =
     MinHashDedup(thresholdBp = 8000).transform(documents(spark, d))
       .orderBy("doc_a", "doc_b")
@@ -544,6 +578,8 @@ object CurationQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_index" -> (dedupIncrementalIndex _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
@@ -913,6 +949,43 @@ object CurationQueries {
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE inter * 10000 >= (sa.n + sb.n - inter) * 8000
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental pair shares one fixture CTE chain; dup_kind labels
+    // mirror the op's keeper rule (index beats batch, smallest id keeps)
+    "dedup_incremental" ->
+      s"""WITH prior AS (SELECT DISTINCT md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 BETWEEN 4 AND 7),
+         |hashed AS (SELECT doc_id, md5($normSql) AS content_hash FROM batch),
+         |keep AS (SELECT content_hash, min(doc_id) AS keep_id FROM hashed GROUP BY 1)
+         |SELECT h.doc_id, h.content_hash,
+         |  CASE WHEN p.h IS NOT NULL THEN 'index'
+         |       WHEN h.doc_id <> k.keep_id THEN 'batch'
+         |       ELSE 'keep' END AS dup_kind
+         |FROM hashed h JOIN keep k ON h.content_hash = k.content_hash
+         |LEFT JOIN prior p ON h.content_hash = p.h
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_index" ->
+      s"""WITH prior AS (SELECT DISTINCT md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 BETWEEN 4 AND 7),
+         |hashed AS (SELECT doc_id, md5($normSql) AS content_hash FROM batch),
+         |keep AS (SELECT content_hash, min(doc_id) AS keep_id FROM hashed GROUP BY 1)
+         |SELECT DISTINCT content_hash FROM (
+         |  SELECT h AS content_hash FROM prior
+         |  UNION ALL
+         |  SELECT h.content_hash FROM hashed h
+         |  JOIN keep k ON h.content_hash = k.content_hash
+         |  LEFT JOIN prior p ON h.content_hash = p.h
+         |  WHERE p.h IS NULL AND h.doc_id = k.keep_id)
+         |ORDER BY content_hash""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
          |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),

@@ -210,4 +210,68 @@ class DedupOpsSpec extends SparkSpec {
     assert(h(1) == h(2))
     assert(h(1) != h(3))
   }
+
+  test("IncrementalDedup labels index dups, batch dups, and keepers") {
+    // accepted corpus: docs 0 and 4 (their normalized digests)
+    val prior = ExactDedup(normalized = true)
+      .transform(docs.filter($"doc_id".isin(0L, 4L))).select("content_hash")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // = doc 0 → index
+      (11L, "  The   quick brown FOX jumps over the lazy dog"), // norm = doc 0 → index
+      (12L, "brand new content never accepted before"),       // keeper
+      (13L, "brand new content never accepted before"),       // dup of 12 → batch
+      (14L, "another fresh document")                          // keeper
+    ).toDF("doc_id", "text")
+    val out = IncrementalDedup(prior).transform(batch)
+      .select($"doc_id", $"dup_kind").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      10L -> Some("index"), 11L -> Some("index"),
+      12L -> None, 13L -> Some("batch"), 14L -> None))
+  }
+
+  test("IncrementalDedup: index dup beats batch dup; null text passes as keeper") {
+    val prior = ExactDedup(normalized = true)
+      .transform(Seq((0L, "known content")).toDF("doc_id", "text"))
+      .select("content_hash")
+    val batch = Seq(
+      (20L, "known content"),   // index (not keeper-of-batch)
+      (21L, "known content"),   // index (not 'batch' — index wins)
+      (22L, null.asInstanceOf[String]),
+      (23L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = IncrementalDedup(prior).transform(batch)
+      .select($"doc_id", $"dup_kind").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      20L -> Some("index"), 21L -> Some("index"), 22L -> None, 23L -> None))
+  }
+
+  test("IncrementalDedup.updatedIndex carries prior plus newly-accepted digests") {
+    val prior = ExactDedup(normalized = true)
+      .transform(Seq((0L, "known content")).toDF("doc_id", "text"))
+      .select("content_hash")
+    val batch = Seq(
+      (30L, "known content"),       // already accepted — no new digest
+      (31L, "fresh a"), (32L, "fresh a"), // one new digest
+      (33L, "fresh b"),
+      (34L, null.asInstanceOf[String])    // null digest never enters the index
+    ).toDF("doc_id", "text")
+    val op = IncrementalDedup(prior)
+    val idx = op.updatedIndex(batch).as[String].collect().toSet
+    assert(idx.size == 3, s"known + fresh a + fresh b, got $idx")
+    assert(prior.as[String].collect().toSet.subsetOf(idx))
+    // idempotent: re-ingesting the same batch against the new index adds nothing
+    val op2 = IncrementalDedup(op.updatedIndex(batch))
+    assert(op2.updatedIndex(batch).count() == 3)
+  }
+
+  test("IncrementalDedup validates schema and rejects column collisions") {
+    val prior = Seq("abc").toDF("content_hash")
+    intercept[IllegalArgumentException] {
+      IncrementalDedup(prior).transformSchema(
+        Seq((1L, "t", "x")).toDF("doc_id", "text", "dup_kind").schema)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup(Seq("abc").toDF("wrong_col"))
+    }
+  }
 }
