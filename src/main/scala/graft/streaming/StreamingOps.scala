@@ -340,6 +340,40 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** Streaming twin of [[graft.ops.IncrementalDedup]]: an unbounded
+    * ingest stream labeled against the STATIC accepted-corpus digest
+    * index, emitting only newly-accepted documents. Rows whose digest is
+    * already in the index drop via a stream-static LEFT ANTI equi-join
+    * (the static side never holds state); within-stream duplicates drop
+    * via the watermarked digest set, exactly [[dedupStream]]'s state
+    * bound. Null-text rows have no content identity and pass through
+    * (the batch op's keeper contract) on a separate unioned branch, so
+    * they never alias each other through the null digest.
+    *
+    * The emitted set equals the batch op's `dup_kind IS NULL` keepers on
+    * the same data (StreamingOpsSpec pins the equivalence); feeding the
+    * emitted digests back via `IncrementalDedup.updatedIndex` between
+    * deployments closes the same ingest loop batch-over-batch. */
+  def incrementalDedupStream(
+      docs: DataFrame,
+      index: DataFrame,
+      indexDigestCol: String = "content_hash",
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermark: String = "1 hour",
+      normalized: Boolean = true): DataFrame = {
+    val key =
+      if (normalized) graft.functions.TextFunctions.normalize(col(textCol))
+      else col(textCol)
+    val idx = index.select(col(indexDigestCol).as("__ih")).distinct()
+    val fresh = docs.withColumn("content_hash", md5(key))
+      .withWatermark(tsCol, watermark)
+      .join(idx, col("content_hash") === col("__ih"), "left_anti")
+    fresh.filter(col("content_hash").isNotNull)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .unionByName(fresh.filter(col("content_hash").isNull))
+  }
+
   case class TrailingFeat(event_id: Long, user_id: Long,
       ns: Seq[Long], sums: Seq[Long])
   case class TrailingState(events: Seq[(Long, Long)]) // (tsSec, valueCents)

@@ -105,6 +105,34 @@ class StreamingOpsSpec extends SparkSpec {
       s"dups 3 and 4 must be dropped, got $out")
   }
 
+  test("incrementalDedupStream matches the batch op's keeper set") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq("known alpha content").toDF("text")
+      .select(md5(graft.functions.TextFunctions.normalize($"text")).as("content_hash"))
+    val rows = Seq(
+      (1L, ts(0), "known alpha content"),   // in index → dropped
+      (2L, ts(1), "fresh beta"),            // keeper
+      (3L, ts(2), "fresh beta"),            // in-stream dup → dropped
+      (4L, ts(3), "KNOWN  alpha content"),  // norm-dup of index → dropped
+      (5L, ts(4), null.asInstanceOf[String]), // null text → passes
+      (6L, ts(5), null.asInstanceOf[String]), // null text → passes too
+      (7L, ts(6), "fresh gamma"))           // keeper
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.incrementalDedupStream(
+      src.toDF().toDF("doc_id", "ts", "text"), index, watermark = "30 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("incr_dedup_stream").start()
+    src.addData(rows.take(4): _*); q.processAllAvailable()
+    src.addData(rows.drop(4): _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("incr_dedup_stream").select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 5L, 6L, 7L), s"got $got")
+    // batch-equivalence: the emitted set IS the batch op's keeper set
+    val batch = rows.toDF("doc_id", "ts", "text")
+    val keepers = graft.ops.IncrementalDedup(index).transform(batch)
+      .filter($"dup_kind".isNull).select($"doc_id").as[Long].collect().toSet
+    assert(got == keepers, "stream must equal batch keepers on the same data")
+  }
+
   test("decontaminateStream alerts once per contaminated document") {
     implicit val sqlCtx = spark.sqlContext
     val eval = Seq((100L, "a quick brown fox jumps around")).toDF("doc_id", "text")
