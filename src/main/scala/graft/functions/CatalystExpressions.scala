@@ -214,6 +214,104 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** The raw k-slot MinHash signature of a shingle set — the SAME hash
+  * family and min-reduction as [[MinHashBandKeys]], emitted before the
+  * band fold. A signature is a FIXED 8·k bytes per document regardless of
+  * document length, which is what makes it the right persistent artifact
+  * for a fuzzy-dedup index at corpus scale: slot-agreement between two
+  * signatures is an unbiased estimator of shingle-set Jaccard, so the
+  * accepted corpus can answer "is this new doc a near-dup?" from
+  * signatures alone, without retaining shingles or text.
+  * Identity pinned in spec: [[SigBandKeys]]∘[[MinHashSignature]] ≡
+  * [[MinHashBandKeys]]. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val h = XxHash64Function.hash(k, IntegerType, base)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Band keys from a STORED MinHash signature — [[MinHashBandKeys]]'
+  * band fold applied to a persisted signature instead of recomputing
+  * hashes from shingles. The fold is byte-identical (seeded from the band
+  * index, chained with the same hash), so keys derived from a stored
+  * index signature and keys derived live from text always collide
+  * exactly when they should. */
+case class SigBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  require(bands >= 1, "bands must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sig_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<bigint>")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val k = arr.numElements()
+    require(k % bands == 0, s"$prettyName: signature length $k must divide into $bands bands")
+    val rowsPerBand = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = XxHash64Function.hash(arr.getLong(b * rowsPerBand + r), LongType, acc)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigBandKeys", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Sign-random-projection LSH bucket of a numeric vector in one pass:
   * bit p = sign of Σ_d s(p,d)·(x_d − c_d), where the ±1 hyperplane entry
   * s(p,d) is bit p of xxhash64(d, seed=42) — ONE hash per dimension
@@ -463,6 +561,10 @@ object FastExpressions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def minhashBandKeys(c: Column, numHashes: Int, bands: Int): Column =
     column(MinHashBandKeys(expression(c), numHashes, bands))
+  def minhashSignature(c: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(c), numHashes))
+  def sigBandKeys(c: Column, bands: Int): Column =
+    column(SigBandKeys(expression(c), bands))
   def lshBucket(c: Column, numBits: Int): Column =
     column(LshBucket(expression(c),
       expression(org.apache.spark.sql.functions.array().cast("array<double>")), numBits))

@@ -666,3 +666,135 @@ case class IncrementalDedup(
         .select(col("content_hash").as(indexDigestCol)))
       .distinct()
 }
+
+/** Incremental FUZZY (MinHash) dedup: label a new ingest batch against
+  * the accepted corpus's SIGNATURE index — the near-dup counterpart of
+  * [[IncrementalDedup]], same never-re-pair-the-corpus contract. The
+  * persisted index holds one fixed-size MinHash signature per accepted
+  * document (8·numHashes bytes, independent of document length — the
+  * whole fuzzy identity of a 100 TB corpus fits in a few hundred GB),
+  * built by [[IncrementalMinHashDedup.signatures]].
+  *
+  * Decision rule: signature slot-agreement `est_bp = 10000·matches/k`
+  * (the unbiased MinHash Jaccard estimator) at `thresholdBp`. Candidate
+  * generation is banded exactly like [[MinHashDedup]]: both sides derive
+  * band keys — the batch live from text via `MinHashBandKeys`, the index
+  * from stored signatures via `SigBandKeys` (the folds are identical, so
+  * keys collide exactly when they should; pinned in SketchSpec) — and
+  * only band-colliding pairs compare signatures. Light (id, band) rows
+  * shuffle; signatures join back per candidate pair; text never moves.
+  *
+  * `dup_kind`: `'near_index'` (≥ threshold vs an accepted doc),
+  * `'near_batch'` (≥ threshold vs an earlier row of this ingest — greedy
+  * by id like every LSH dedup keeper rule; [[DupClusters]] exists for
+  * transitive closure), or NULL for keepers. `matched_id` reports the
+  * smallest matching doc id of the winning kind. Docs with fewer than
+  * `n` tokens have no shingle identity and pass through as keepers. */
+case class IncrementalMinHashDedup(
+    index: DataFrame, // (indexIdCol, indexSigCol: array<long>(numHashes))
+    indexIdCol: String = "doc_id",
+    indexSigCol: String = "minhash_sig",
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    n: Int = 3,
+    numHashes: Int = 64,
+    bands: Int = 16,
+    thresholdBp: Int = 8000) extends EnsembleOp {
+
+  require(numHashes % bands == 0, s"$name: numHashes must divide into bands")
+  require(thresholdBp >= 1 && thresholdBp <= 10000, s"$name: thresholdBp in [1, 10000]")
+  Seq(indexIdCol, indexSigCol).foreach(c =>
+    require(index.schema.fieldNames.contains(c),
+      s"$name: index is missing column '$c' in ${index.schema.simpleString}"))
+
+  import graft.functions.FastExpressions
+
+  private def estBp(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast("long") * 10000 /
+      lit(numHashes)
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    Seq("minhash_sig", "dup_kind", "matched_id").foreach(c =>
+      require(!in.fieldNames.contains(c),
+        s"$name: output column '$c' collides with the input schema"))
+    StructType(in ++ Seq(
+      StructField("minhash_sig", ArrayType(LongType)),
+      StructField("dup_kind", StringType),
+      in(idCol).copy(name = "matched_id", nullable = true)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    transformSchema(df.schema)
+    // shingle once; null/short texts get a null signature (no identity).
+    // persist, NOT localCheckpoint: the lineage is one shallow projection
+    // (no truncation needed), and checkpoint materialization takes the
+    // process-global RDDCheckpointData lock, which can deadlock against a
+    // broadcast-exchange thread's own doCheckpoint (observed live in the
+    // suite) — cache-block locks cannot
+    val sigged = df
+      .withColumn("__sh", T.shingleSet(col(textCol), n))
+      .withColumn("minhash_sig",
+        when(size(col("__sh")) > 0,
+          FastExpressions.minhashSignature(col("__sh"), numHashes)))
+      .drop("__sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsig = sigged.select(col(idCol).as("__bid"), col("minhash_sig").as("__bsig"))
+      .filter(col("__bsig").isNotNull)
+    val bband = bsig.select(col("__bid"),
+      posexplode(FastExpressions.sigBandKeys(col("__bsig"), bands))
+        .as(Seq("band_idx", "band_hash")))
+    // --- vs the accepted index -----------------------------------------
+    val isig = index.select(col(indexIdCol).cast("long").as("__iid"),
+      col(indexSigCol).as("__isig"))
+    val iband = isig.select(col("__iid"),
+      posexplode(FastExpressions.sigBandKeys(col("__isig"), bands))
+        .as(Seq("band_idx", "band_hash")))
+    val vsIndex = bband.join(iband, Seq("band_idx", "band_hash"))
+      .select("__bid", "__iid").distinct()
+      .join(bsig, Seq("__bid")).join(isig, Seq("__iid"))
+      .filter(estBp(col("__bsig"), col("__isig")) >= thresholdBp)
+      .groupBy(col("__bid")).agg(min(col("__iid")).as("__idx_match"))
+    // --- within the batch (earlier id wins, greedy) --------------------
+    val vsBatch = bband.as("a")
+      .join(bband.select(col("__bid").as("__aid"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("__aid") < col("__bid"))
+      .select("__bid", "__aid").distinct()
+      .join(bsig, Seq("__bid"))
+      .join(bsig.select(col("__bid").as("__aid"), col("__bsig").as("__asig")), Seq("__aid"))
+      .filter(estBp(col("__bsig"), col("__asig")) >= thresholdBp)
+      .groupBy(col("__bid")).agg(min(col("__aid")).as("__batch_match"))
+    sigged
+      .join(vsIndex, col(idCol) === vsIndex("__bid"), "left").drop("__bid")
+      .join(vsBatch, col(idCol) === vsBatch("__bid"), "left").drop("__bid")
+      .withColumn("dup_kind",
+        when(col("__idx_match").isNotNull, lit("near_index"))
+          .when(col("__batch_match").isNotNull, lit("near_batch"))
+          .otherwise(lit(null).cast(StringType)))
+      .withColumn("matched_id",
+        coalesce(col("__idx_match"), col("__batch_match")))
+      .drop("__idx_match", "__batch_match")
+  }
+
+  /** The signature index AFTER this ingest: prior signatures plus the
+    * batch keepers' (the state to persist for the next batch). */
+  def updatedIndex(df: DataFrame): DataFrame =
+    index.select(col(indexIdCol), col(indexSigCol))
+      .unionByName(transform(df)
+        .filter(col("dup_kind").isNull && col("minhash_sig").isNotNull)
+        .select(col(idCol).as(indexIdCol), col("minhash_sig").as(indexSigCol)))
+}
+
+object IncrementalMinHashDedup {
+  /** Build the fixed-size signature index for an accepted corpus — the
+    * artifact [[IncrementalMinHashDedup]] labels future ingests against. */
+  def signatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, numHashes: Int = 64): DataFrame = {
+    import graft.functions.FastExpressions
+    docs.select(col(idCol), T.shingleSet(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol),
+        FastExpressions.minhashSignature(col("__sh"), numHashes).as("minhash_sig"))
+  }
+}

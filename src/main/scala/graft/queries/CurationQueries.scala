@@ -141,6 +141,60 @@ object CurationQueries {
     (prior, batch)
   }
 
+  /** Fuzzy-ingest fixture: the accepted corpus (classes 0–2) persists as
+    * a fixed-size MinHash SIGNATURE index; the ingest is fresh docs
+    * (classes 3–5) plus PERTURBED clones — first two tokens dropped, so
+    * shingle Jaccard ≈ (L−4)/(L−2) ≈ 0.92+ on typical docs — of accepted
+    * docs (classes 0–1, should flag near_index) and of in-batch docs
+    * (class 4, should flag near_batch). */
+  private def fuzzyIncrementalFixture(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = documents(spark, d)
+    val m = col("doc_id") % 10
+    val idx = IncrementalMinHashDedup.signatures(docs.filter(m < 3))
+    val perturbed = concat_ws(" ", slice(T.words(col("text")), 3, 1000000))
+    val batch = docs.filter(m >= 3 && m <= 5)
+      .unionByName(docs.filter(m <= 1)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", perturbed))
+      .unionByName(docs.filter(m === 4)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", perturbed))
+    (idx, batch)
+  }
+
+  /** Fuzzy incremental ingest labels (rows-only: MinHash banding is
+    * hash-dependent; [[dedupMinhashIncrementalCheck]] carries the
+    * in-artifact evidence). */
+  def dedupMinhashIncremental(spark: SparkSession, d: String): DataFrame = {
+    val (idx, batch) = fuzzyIncrementalFixture(spark, d)
+    IncrementalMinHashDedup(idx).transform(batch)
+      .select(col("doc_id"), col("dup_kind"), col("matched_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Evidence for [[dedupMinhashIncremental]]: the banded near_index set
+    * vs the BRUTE-FORCE signature sweep (every batch sig × every index
+    * sig at the same threshold — ground truth for the estimator the op
+    * decides with). Precision is REQUIRED exact (banding only prunes,
+    * est is checked on every surviving pair); recall floor 9000 bp. */
+  def dedupMinhashIncrementalCheck(spark: SparkSession, d: String): DataFrame = {
+    val (idx, batch) = fuzzyIncrementalFixture(spark, d)
+    val flagged = IncrementalMinHashDedup(idx).transform(batch)
+      .filter(col("dup_kind") === "near_index")
+      .select(col("doc_id").as("bid"))
+    // the one legitimate all-pairs sweep: it exists to indict the banded
+    // path, so it must not share its candidate generation
+    val agree = size(filter(zip_with(col("bsig"), col("isig"),
+      (x, y) => x === y), mm => mm))
+    val brute = IncrementalMinHashDedup.signatures(batch)
+      .select(col("doc_id").as("bid"), col("minhash_sig").as("bsig"))
+      .crossJoin(idx.select(col("minhash_sig").as("isig")))
+      .filter(agree * 10000 / lit(64) >= 8000)
+      .select("bid").distinct()
+    Evidence.recallRow(spark, flagged, brute, Seq("bid"),
+      floorBp = 9000, requirePrecision = true)
+  }
+
   /** Label an ingest batch against the accepted-corpus digest index. */
   def dedupIncremental(spark: SparkSession, d: String): DataFrame = {
     val (prior, batch) = incrementalFixture(spark, d)
@@ -580,6 +634,8 @@ object CurationQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_index" -> (dedupIncrementalIndex _),
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
+    "dedup_minhash_incremental_check" -> (dedupMinhashIncrementalCheck _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),

@@ -264,6 +264,53 @@ class DedupOpsSpec extends SparkSpec {
     assert(op2.updatedIndex(batch).count() == 3)
   }
 
+  test("IncrementalMinHashDedup labels near-index, near-batch, and keepers") {
+    // long base text so one changed word keeps shingle Jaccard ≈ 0.85 —
+    // comfortably above the 0.7 test threshold even with k=64 estimator
+    // noise, and band-catch probability ≈ 1 − (1−0.85⁴)¹⁶ ≈ 1 − 8e-6
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val accepted = Seq(
+      (0L, base),
+      (1L, "completely unrelated accepted content about engines")
+    ).toDF("doc_id", "text")
+    val idx = IncrementalMinHashDedup.signatures(accepted)
+    val batch = Seq(
+      // near-dup of accepted 0 (one word changed at the end)
+      (10L, base.replace("w40", "changed")),
+      (11L, "a genuinely new document with its own fresh content entirely"),
+      // exact clone of 11 within the batch
+      (12L, "a genuinely new document with its own fresh content entirely"),
+      (13L, "short"), // < n tokens: no shingle identity → keeper
+      (14L, "another novel document that matches nothing else at all")
+    ).toDF("doc_id", "text")
+    val out = IncrementalMinHashDedup(idx, thresholdBp = 7000).transform(batch)
+      .select($"doc_id", $"dup_kind", $"matched_id")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(out(10L) == (Some("near_index"), Some(0L)))
+    assert(out(11L) == (None, None))
+    assert(out(12L) == (Some("near_batch"), Some(11L)))
+    assert(out(13L) == (None, None))
+    assert(out(14L) == (None, None))
+  }
+
+  test("IncrementalMinHashDedup.updatedIndex chains: re-ingest adds nothing") {
+    val accepted = Seq((0L, "the quick brown fox jumps over the lazy dog and keeps running"))
+      .toDF("doc_id", "text")
+    val idx = IncrementalMinHashDedup.signatures(accepted)
+    val batch = Seq(
+      (10L, "a genuinely new document with its own fresh content entirely"),
+      (11L, "a genuinely new document with its own fresh content entirely"))
+      .toDF("doc_id", "text")
+    val op = IncrementalMinHashDedup(idx)
+    val after = op.updatedIndex(batch)
+    assert(after.select("doc_id").as[Long].collect().toSet == Set(0L, 10L))
+    // the whole batch now dups the updated index
+    val relabeled = IncrementalMinHashDedup(after).transform(batch)
+      .select($"doc_id", $"dup_kind").as[(Long, Option[String])].collect().toMap
+    assert(relabeled == Map(10L -> Some("near_index"), 11L -> Some("near_index")))
+  }
+
   test("IncrementalDedup validates schema and rejects column collisions") {
     val prior = Seq("abc").toDF("content_hash")
     intercept[IllegalArgumentException] {
