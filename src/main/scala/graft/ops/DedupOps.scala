@@ -765,9 +765,12 @@ case class IncrementalMinHashDedup(
       .join(bsig.select(col("__bid").as("__aid"), col("__bsig").as("__asig")), Seq("__aid"))
       .filter(estBp(col("__bsig"), col("__asig")) >= thresholdBp)
       .groupBy(col("__bid")).agg(min(col("__aid")).as("__batch_match"))
+    // merge the two (id, match) tables FIRST — they are dup-count-sized,
+    // two longs per row — so the batch (with its text) crosses exactly
+    // ONE join, the ScrubSharedGrams discipline
+    val matches = vsIndex.join(vsBatch, Seq("__bid"), "full_outer")
     sigged
-      .join(vsIndex, col(idCol) === vsIndex("__bid"), "left").drop("__bid")
-      .join(vsBatch, col(idCol) === vsBatch("__bid"), "left").drop("__bid")
+      .join(matches, col(idCol) === matches("__bid"), "left").drop("__bid")
       .withColumn("dup_kind",
         when(col("__idx_match").isNotNull, lit("near_index"))
           .when(col("__batch_match").isNotNull, lit("near_batch"))

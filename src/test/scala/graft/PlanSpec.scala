@@ -55,6 +55,35 @@ class PlanSpec extends SparkSpec {
       "no global sort for top-k")
   }
 
+  test("incremental dedup shuffles digests only — no cartesian, no window") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, d)
+    val prior = ops.ExactDedup(normalized = true)
+      .transform(docs.filter(col("doc_id") % 2 === 0)).select("content_hash")
+    val p = plan(ops.IncrementalDedup(prior)
+      .transform(docs.filter(col("doc_id") % 2 === 1)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "labeling is digest equi-joins only")
+    assert(!p.contains("Window"), "keeper rule is an aggregate, not a window")
+  }
+
+  test("fuzzy incremental dedup joins band keys, never all-pairs; text never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, d)
+    val idx = ops.IncrementalMinHashDedup.signatures(docs.filter(col("doc_id") % 2 === 0))
+    val p = plan(ops.IncrementalMinHashDedup(idx)
+      .transform(docs.filter(col("doc_id") % 2 === 1)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates come from (band_idx, band_hash) equi-joins")
+    // candidate generation partitions on ids/bands/digests only — the
+    // text column must never be a shuffle KEY (it rides exactly one
+    // id-keyed join back onto the batch)
+    val keyLines = p.split("Exchange hashpartitioning").drop(1)
+      .map(_.takeWhile(_ != '\n'))
+    assert(keyLines.nonEmpty && !keyLines.exists(_.contains("text")),
+      s"no exchange may key on the text column: ${keyLines.mkString(" | ")}")
+  }
+
   test("BM25 probes the postings with a broadcast term join — no all-pairs, no global sort") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, d)
