@@ -211,6 +211,22 @@ object CurationQueries {
     IncrementalDedup(prior).updatedIndex(batch).orderBy("content_hash")
   }
 
+  /** The INGEST flagship: what actually happens when a new data drop
+    * lands against a live corpus — label vs the accepted digest index,
+    * keep only new content, gate on a minimum token count, chunk and
+    * pack the survivors into fixed token budgets. One composed Catalyst
+    * plan; every stage is deterministic (md5 digests, md5 pack shards),
+    * so the recursive-CTE oracle replays the ENTIRE ingest: which rows
+    * survived, how they chunked, and which pack slot each chunk fills. */
+  def pipelineIngest(spark: SparkSession, d: String): DataFrame = {
+    val (prior, batch) = incrementalFixture(spark, d)
+    val accepted = IncrementalDedup(prior).transform(batch)
+      .filter(col("dup_kind").isNull && T.tokenCount(col("text")) >= 10)
+    PackChunks(budget = 128, shards = 64)
+      .transform(DocumentChunks().transform(accepted))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   def dedupMinhash(spark: SparkSession, d: String): DataFrame =
     MinHashDedup(thresholdBp = 8000).transform(documents(spark, d))
       .orderBy("doc_a", "doc_b")
@@ -636,6 +652,7 @@ object CurationQueries {
     "dedup_incremental_index" -> (dedupIncrementalIndex _),
     "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
     "dedup_minhash_incremental_check" -> (dedupMinhashIncrementalCheck _),
+    "pipeline_ingest" -> (pipelineIngest _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
@@ -1042,6 +1059,50 @@ object CurationQueries {
          |  LEFT JOIN prior p ON h.content_hash = p.h
          |  WHERE p.h IS NULL AND h.doc_id = k.keep_id)
          |ORDER BY content_hash""".stripMargin,
+    // the ingest flagship replays end-to-end: fixture → digest labeling →
+    // token gate → chunking → greedy per-shard packing (recursive CTE)
+    "pipeline_ingest" ->
+      s"""WITH RECURSIVE prior AS (SELECT DISTINCT md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 BETWEEN 4 AND 7),
+         |hashed AS (SELECT doc_id, text, md5($normSql) AS content_hash FROM batch),
+         |keep AS (SELECT content_hash, min(doc_id) AS keep_id FROM hashed GROUP BY 1),
+         |acc AS (SELECT h.doc_id, h.text FROM hashed h
+         |  JOIN keep k ON h.content_hash = k.content_hash
+         |  LEFT JOIN prior p ON h.content_hash = p.h
+         |  WHERE p.h IS NULL AND h.doc_id = k.keep_id
+         |    AND len($wordsSql) >= 10),
+         |w AS (SELECT doc_id, $wordsSql AS ws FROM acc),
+         |c AS (SELECT doc_id, ws, len(ws) AS n,
+         |  1 + (greatest(len(ws) - 32, 0) + 23) // 24 AS nc FROM w),
+         |ch AS (SELECT doc_id,
+         |  CAST(unnest(range(0, nc)) AS BIGINT) AS chunk_id,
+         |  CAST(unnest(list_transform(range(0, nc),
+         |    i -> least(i*24 + 32, n) - i*24)) AS BIGINT) AS n_tokens FROM c),
+         |o AS (SELECT
+         |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 64 AS shard,
+         |  doc_id, chunk_id, n_tokens, least(n_tokens, 128) AS t,
+         |  row_number() OVER (
+         |    PARTITION BY ('0x' || substring(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT % 64
+         |    ORDER BY doc_id, chunk_id) AS rn
+         |  FROM ch),
+         |rec AS (
+         |  SELECT shard, rn, doc_id, chunk_id, n_tokens, t,
+         |    CAST(0 AS BIGINT) AS pack_id, t AS used, 0 AS pack_pos
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id, o.chunk_id, o.n_tokens, o.t,
+         |    CASE WHEN r.used + o.t > 128 THEN r.pack_id + 1 ELSE r.pack_id END,
+         |    CASE WHEN r.used + o.t > 128 THEN o.t ELSE r.used + o.t END,
+         |    CASE WHEN r.used + o.t > 128 THEN 0 ELSE r.pack_pos + 1 END
+         |  FROM o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1)
+         |SELECT doc_id, chunk_id, n_tokens, shard, pack_id,
+         |  CAST(pack_pos AS INTEGER) AS pack_pos
+         |FROM rec ORDER BY doc_id, chunk_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
          |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),
