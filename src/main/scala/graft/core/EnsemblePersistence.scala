@@ -312,6 +312,24 @@ object EnsemblePersistence {
       ("type" -> "Decontaminate") ~ ("path" -> p) ~ ("idCol" -> dc.idCol) ~
         ("textCol" -> dc.textCol) ~ ("evalTextCol" -> dc.evalTextCol) ~
         ("n" -> dc.n)
+    // the two incremental-ingest ops persist their accepted-corpus index
+    // (digests / signatures) as the parquet side artifact — the exact
+    // state updatedIndex hands to the next batch
+    case idd: IncrementalDedup =>
+      val p = artifactPath(dir, i, "accepted_digests")
+      idd.index.select(idd.indexDigestCol).write.mode("overwrite").parquet(p)
+      ("type" -> "IncrementalDedup") ~ ("path" -> p) ~
+        ("indexDigestCol" -> idd.indexDigestCol) ~ ("idCol" -> idd.idCol) ~
+        ("textCol" -> idd.textCol) ~ ("normalized" -> idd.normalized)
+    case im: IncrementalMinHashDedup =>
+      val p = artifactPath(dir, i, "accepted_signatures")
+      im.index.select(im.indexIdCol, im.indexSigCol)
+        .write.mode("overwrite").parquet(p)
+      ("type" -> "IncrementalMinHashDedup") ~ ("path" -> p) ~
+        ("indexIdCol" -> im.indexIdCol) ~ ("indexSigCol" -> im.indexSigCol) ~
+        ("idCol" -> im.idCol) ~ ("textCol" -> im.textCol) ~
+        ("n" -> im.n) ~ ("numHashes" -> im.numHashes) ~
+        ("bands" -> im.bands) ~ ("thresholdBp" -> im.thresholdBp)
     case PackChunks(id, ord, tok, budget, shards, salt) =>
       ("type" -> "PackChunks") ~ ("idCol" -> id) ~ ("orderCol" -> ord) ~
         ("tokensCol" -> tok) ~ ("budget" -> budget) ~ ("shards" -> shards) ~
@@ -505,6 +523,14 @@ object EnsemblePersistence {
           s("queryIdCol"), s("queryTextCol"), (o \ "k").extract[Int],
           (o \ "k1").extract[Double], (o \ "b").extract[Double],
           s("outputCol"))
+      case "IncrementalDedup" =>
+        IncrementalDedup(spark.read.parquet(s("path")), s("indexDigestCol"),
+          s("idCol"), s("textCol"), (o \ "normalized").extract[Boolean])
+      case "IncrementalMinHashDedup" =>
+        IncrementalMinHashDedup(spark.read.parquet(s("path")),
+          s("indexIdCol"), s("indexSigCol"), s("idCol"), s("textCol"),
+          (o \ "n").extract[Int], (o \ "numHashes").extract[Int],
+          (o \ "bands").extract[Int], (o \ "thresholdBp").extract[Int])
       case "SklForest" =>
         SklForest(
           (o \ "trees").extract[List[List[JObject]]].map(_.map(t => graft.ops.XgbTree(

@@ -285,6 +285,33 @@ class EnsemblePersistenceSpec extends SparkSpec {
       idx.transform(qs).orderBy("query_id").collect().toSeq)
   }
 
+  test("incremental dedup ops round-trip their accepted-corpus index") {
+    val accepted = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (1L, "completely unrelated accepted content about engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (11L, "a genuinely new document with its own fresh content entirely")
+    ).toDF("doc_id", "text")
+
+    val exact = IncrementalDedup(
+      ExactDedup(normalized = true).transform(accepted).select("content_hash"))
+    val d1 = Files.tmp("ens_incr")
+    EnsemblePersistence.save(Ensemble(Seq(exact), batch.schema), d1, spark)
+    assert(EnsemblePersistence.load(d1, spark).transform(batch)
+      .orderBy("doc_id").collect().toSeq ==
+      exact.transform(batch).orderBy("doc_id").collect().toSeq)
+
+    val fuzzy = IncrementalMinHashDedup(
+      IncrementalMinHashDedup.signatures(accepted), thresholdBp = 7000)
+    val d2 = Files.tmp("ens_incr_mh")
+    EnsemblePersistence.save(Ensemble(Seq(fuzzy), batch.schema), d2, spark)
+    assert(EnsemblePersistence.load(d2, spark).transform(batch)
+      .orderBy("doc_id").collect().toSeq ==
+      fuzzy.transform(batch).orderBy("doc_id").collect().toSeq)
+  }
+
   test("model ops round-trip: identical scores after reload") {
     val train = Seq(
       (1.0, 2.0, 10.0, 1.0), (2.0, 1.0, 8.0, 0.0), (3.0, 4.0, 20.0, 1.0),
