@@ -392,6 +392,52 @@ object EnsemblePersistence {
     case SampleFrames(id, content, fb, st) =>
       ("type" -> "SampleFrames") ~ ("idCol" -> id) ~ ("contentCol" -> content) ~
         ("frameBytes" -> fb) ~ ("stride" -> st)
+    case rrf: ReciprocalRankFusion =>
+      val p = artifactPath(dir, i, "rrf_other")
+      rrf.other.write.mode("overwrite").parquet(p)
+      ("type" -> "ReciprocalRankFusion") ~ ("path" -> p) ~
+        ("queryCol" -> rrf.queryCol) ~ ("itemCol" -> rrf.itemCol) ~
+        ("rankCol" -> rrf.rankCol) ~ ("k0" -> rrf.k0) ~ ("topk" -> rrf.topk) ~
+        ("outputCol" -> rrf.outputCol)
+    case te: TargetEncoding =>
+      ("type" -> "TargetEncoding") ~ ("catCols" -> te.catCols) ~
+        ("targetCol" -> te.targetCol) ~ ("smoothing" -> te.smoothing) ~
+        ("leaveOneOut" -> te.leaveOneOut) ~ ("suffix" -> te.suffix) ~
+        ("broadcastBudgetBytes" -> te.broadcastBudgetBytes)
+    case jg: JoinGroupby =>
+      ("type" -> "JoinGroupby") ~ ("keyCol" -> jg.keyCol) ~
+        ("valueCols" -> jg.valueCols) ~ ("stats" -> jg.stats) ~
+        ("broadcastBudgetBytes" -> jg.broadcastBudgetBytes)
+    case HashBucket(cols, n, salt, suffix) =>
+      ("type" -> "HashBucket") ~ ("cols" -> cols) ~ ("numBuckets" -> n) ~
+        ("salt" -> salt) ~ ("suffix" -> suffix)
+    case fm: FillMissing =>
+      // constants carry heterogeneous types: persist (value, tag) pairs so
+      // the literal's dtype round-trips (json alone would widen ints)
+      val consts = fm.constants.map { case (c, v) =>
+        val (tag, str) = v match {
+          case s: String => ("string", s)
+          case l: Long => ("long", l.toString)
+          case i: Int => ("int", i.toString)
+          case d: Double => ("double", d.toString)
+          case b: Boolean => ("boolean", b.toString)
+          case other => throw new IllegalArgumentException(
+            s"FillMissing: unsupported constant type ${other.getClass.getName}")
+        }
+        c -> List(tag, str)
+      }
+      ("type" -> "FillMissing") ~ ("constants" -> consts) ~
+        ("medianCols" -> fm.medianCols) ~ ("approxMedian" -> fm.approxMedian) ~
+        ("suffix" -> fm.suffix)
+    case cl: Clip =>
+      ("type" -> "Clip") ~ ("suffix" -> cl.suffix) ~
+        ("bounds" -> cl.bounds.map { case (c, (lo, hi)) =>
+          c -> List(lo.map(_.toString).getOrElse(""), hi.map(_.toString).getOrElse("")) })
+    case LogTransform(cols, suffix) =>
+      ("type" -> "LogTransform") ~ ("cols" -> cols) ~ ("suffix" -> suffix)
+    case ls: ListSlice =>
+      ("type" -> "ListSlice") ~ ("cols" -> ls.cols) ~ ("start" -> ls.start) ~
+        ("end" -> ls.end) ~ ("suffix" -> ls.suffix)
     // ---- nested subgraphs recurse with a scoped artifact prefix
     case e: Ensemble =>
       ("type" -> "Ensemble") ~
@@ -430,6 +476,42 @@ object EnsemblePersistence {
           (o \ "padValue").extract[Double])
       case "Categorify" => Categorify(ss("cols"), s("suffix"))
       case "StandardScale" => StandardScale(ss("cols"), s("suffix"))
+      case "ReciprocalRankFusion" =>
+        ReciprocalRankFusion(spark.read.parquet(s("path")), s("queryCol"),
+          s("itemCol"), s("rankCol"), (o \ "k0").extract[Int],
+          (o \ "topk").extract[Int], s("outputCol"))
+      case "TargetEncoding" =>
+        TargetEncoding(ss("catCols"), s("targetCol"),
+          (o \ "smoothing").extract[Double], (o \ "leaveOneOut").extract[Boolean],
+          s("suffix"), (o \ "broadcastBudgetBytes").extract[Long])
+      case "JoinGroupby" =>
+        JoinGroupby(s("keyCol"), ss("valueCols"), ss("stats"),
+          (o \ "broadcastBudgetBytes").extract[Long])
+      case "HashBucket" =>
+        HashBucket(ss("cols"), (o \ "numBuckets").extract[Int], s("salt"), s("suffix"))
+      case "FillMissing" =>
+        val consts = (o \ "constants").extract[Map[String, List[String]]]
+          .map { case (c, List(tag, str)) =>
+            c -> (tag match {
+              case "string" => str: Any
+              case "long" => str.toLong
+              case "int" => str.toInt
+              case "double" => str.toDouble
+              case "boolean" => str.toBoolean
+            })
+          }
+        FillMissing(consts, ss("medianCols"),
+          (o \ "approxMedian").extract[Boolean], s("suffix"))
+      case "Clip" =>
+        Clip((o \ "bounds").extract[Map[String, List[String]]]
+          .map { case (c, List(lo, hi)) =>
+            c -> (if (lo.isEmpty) None else Some(lo.toDouble),
+              if (hi.isEmpty) None else Some(hi.toDouble))
+          }, s("suffix"))
+      case "LogTransform" => LogTransform(ss("cols"), s("suffix"))
+      case "ListSlice" =>
+        ListSlice(ss("cols"), (o \ "start").extract[Int],
+          (o \ "end").toOption.flatMap(_.extractOpt[Int]), s("suffix"))
       case "QueryFeatureStore" =>
         QueryFeatureStore(spark.read.parquet(s("path")), s("entityCol"),
           ss("featureCols"), (o \ "includeId").extract[Boolean],

@@ -1,0 +1,410 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{EnsembleOp, Tags}
+
+/** Smoothed target (mean) encoding of categorical columns — the
+  * TargetEncoding stage of the reference's fitted feature-engineering
+  * workflow (`TransformWorkflow`, /root/reference/merlin/systems/dag/ops/
+  * workflow.py:24-116 serves fitted NVTabular workflows, whose op set
+  * includes TargetEncoding alongside the Categorify/Bucketize/scaling
+  * stages already covered).
+  *
+  * Encoding: `te(v) = (sum_y(v) + prior * smoothing) / (n(v) + smoothing)`
+  * where `prior = mean(y)` over the fit data — the standard empirical-
+  * Bayes shrinkage (Micci-Barreca, SIGKDD Explorations 2001). With
+  * `leaveOneOut=true` each TRAINING row is excluded from its own group
+  * statistic (`(sum_y(v) - y_i + prior*smoothing) / (n(v) - 1 + smoothing)`)
+  * so the feature never contains the row's own label — the within-fit
+  * leakage guard NVTabular implements via kfold; LOO is its exact
+  * k=n limit and needs no fold bookkeeping.
+  *
+  * Scale: the fit is one partial-aggregated groupBy per column at
+  * DICTIONARY (distinct-value) scale plus a single 1-row global aggregate;
+  * encodings join back broadcast (dictionaries are tiny vs the data) or,
+  * above `broadcastBudgetBytes` of estimated dictionary payload, as a
+  * shuffle-hash equi-join on the category key — the fact table is never
+  * shuffled in the broadcast regime. Integral targets aggregate as exact
+  * long sums, so the fitted statistics (and hence the encoded doubles)
+  * are bit-deterministic across engines and partitionings.
+  *
+  * Null categories get the prior (an unseen-value fallback, matching
+  * Categorify's unseen → -1 stance but in mean space); null targets are
+  * excluded from the fit sums (count counts only non-null y).
+  */
+case class TargetEncoding(
+    catCols: Seq[String],
+    targetCol: String,
+    smoothing: Double = 20.0,
+    leaveOneOut: Boolean = false,
+    suffix: String = "_te",
+    broadcastBudgetBytes: Long = 1L << 30) extends EnsembleOp {
+
+  require(catCols.nonEmpty, s"$name: at least one categorical column required")
+  require(smoothing >= 0, s"$name: smoothing must be >= 0, got $smoothing")
+
+  override def transformSchema(in: StructType): StructType = {
+    catCols.foreach(requireCol(in, _))
+    requireCol(in, targetCol)
+    require(in(targetCol).dataType.isInstanceOf[NumericType],
+      s"$name: target '$targetCol' must be numeric, got ${in(targetCol).dataType.sql}")
+    catCols.foreach(c => require(!in.fieldNames.contains(c + suffix),
+      s"$name: output column '${c + suffix}' collides with the input schema"))
+    StructType(in ++ catCols.map(c => StructField(c + suffix, DoubleType,
+      metadata = Tags.metadataFor(Seq(Tags.Continuous)))))
+  }
+
+  /** Whether the target sums stay exact (long) vs double partials. */
+  private def integral(df: DataFrame): Boolean = df.schema(targetCol).dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val y = if (integral(df)) col(targetCol) else col(targetCol).cast("double")
+    // one 1-row job for the prior; exact integer sums for integral targets
+    val totRow = df.agg(sum(y).as("s"), count(y).as("n")).head()
+    require(totRow.getLong(1) > 0, s"$name: no non-null target values to fit on")
+    val prior =
+      if (integral(df)) totRow.getLong(0).toDouble / totRow.getLong(1)
+      else totRow.getDouble(0) / totRow.getLong(1)
+    catCols.foldLeft(df) { (d, c) =>
+      val grp = df.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(sum(y).as(s"__te_s_$c"), count(y).as(s"__te_n_$c"))
+      val dict = dictSide(grp, c)
+      val joined = d.join(dict, Seq(c), "left")
+      val s = coalesce(col(s"__te_s_$c").cast("double"), lit(0.0))
+      val n = coalesce(col(s"__te_n_$c").cast("double"), lit(0.0))
+      val enc =
+        if (leaveOneOut)
+          // the row's own label leaves its group statistic; groups of one
+          // collapse to the prior (n-1+smoothing keeps the denominator
+          // positive for smoothing > 0, and the when-guard covers s=0)
+          when(col(c).isNull || n <= 1.0, lit(prior)).otherwise(
+            (s - y.cast("double") + lit(prior) * lit(smoothing)) /
+              (n - lit(1.0) + lit(smoothing)))
+        else
+          when(col(c).isNull, lit(prior)).otherwise(
+            (s + lit(prior) * lit(smoothing)) / (n + lit(smoothing)))
+      Tags.tag(
+        joined.withColumn(c + suffix, enc).drop(s"__te_s_$c", s"__te_n_$c"),
+        (c + suffix) -> Seq(Tags.Continuous))
+    }
+  }
+
+  /** Broadcast the per-value statistics when the measured dictionary
+    * payload fits the budget; shuffle-hash join otherwise (a 1B-key
+    * id column would kill a driver broadcast — the PredictImplicit /
+    * NegativeSampling size-gate discipline). */
+  private def dictSide(grp: DataFrame, c: String): DataFrame = {
+    val payload = grp.schema(c).dataType match {
+      case StringType | BinaryType => avg(octet_length(col(c).cast("string")))
+      case dt => avg(lit(dt.defaultSize.toDouble))
+    }
+    val row = grp.agg(count(lit(1)).as("n"), payload.as("b")).head()
+    val n = row.getLong(0)
+    val bytes = n * (16 + (if (row.isNullAt(1)) 8L else row.getDouble(1).toLong))
+    if (bytes <= broadcastBudgetBytes) broadcast(grp) else grp.hint("shuffle_hash")
+  }
+}
+
+/** Per-group statistics joined back as features — NVTabular's
+  * `JoinGroupby` inside the reference's served workflows (workflow.py:
+  * 24-116): for each key value, compute `count/sum/mean/min/max` of the
+  * value columns over the fit data and attach them to every row with that
+  * key. Output columns are named `<key>_<value>_<stat>` (count is
+  * `<key>_count`, once).
+  *
+  * Scale: identical shape to [[TargetEncoding]] — partial-agged groupBy at
+  * dictionary scale, broadcast back under the budget, shuffle-hash above.
+  * Long inputs keep exact long sums; mean is declared double.
+  */
+case class JoinGroupby(
+    keyCol: String,
+    valueCols: Seq[String],
+    stats: Seq[String] = Seq("count", "sum", "mean"),
+    broadcastBudgetBytes: Long = 1L << 30) extends EnsembleOp {
+
+  private val allowed = Set("count", "sum", "mean", "min", "max")
+  require(valueCols.nonEmpty, s"$name: at least one value column required")
+  require(stats.nonEmpty && stats.forall(allowed), s"$name: stats must be " +
+    s"among ${allowed.mkString(",")}, got ${stats.mkString(",")}")
+  require(stats.distinct == stats, s"$name: duplicate stats")
+
+  private def outCols(in: StructType): Seq[StructField] = {
+    val perValue = valueCols.flatMap { v =>
+      val vt = in(v).dataType
+      val sumT = vt match {
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case FloatType | DoubleType => DoubleType
+        case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+        case other => other
+      }
+      stats.filterNot(_ == "count").map {
+        case "sum" => StructField(s"${keyCol}_${v}_sum", sumT)
+        case "mean" => StructField(s"${keyCol}_${v}_mean", DoubleType)
+        case st => StructField(s"${keyCol}_${v}_$st", vt)
+      }
+    }
+    val cnt = if (stats.contains("count"))
+      Seq(StructField(s"${keyCol}_count", LongType)) else Seq.empty
+    cnt ++ perValue
+  }
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, keyCol)
+    valueCols.foreach { v =>
+      requireCol(in, v)
+      require(in(v).dataType.isInstanceOf[NumericType],
+        s"$name: value column '$v' must be numeric, got ${in(v).dataType.sql}")
+    }
+    outCols(in).foreach(f => require(!in.fieldNames.contains(f.name),
+      s"$name: output column '${f.name}' collides with the input schema"))
+    StructType(in ++ outCols(in))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val aggs: Seq[Column] = {
+      val perValue = valueCols.flatMap { v =>
+        stats.filterNot(_ == "count").map {
+          case "sum" => sum(col(v)).as(s"${keyCol}_${v}_sum")
+          case "mean" => (sum(col(v).cast("double")) / count(col(v)))
+            .as(s"${keyCol}_${v}_mean")
+          case "min" => min(col(v)).as(s"${keyCol}_${v}_min")
+          case "max" => max(col(v)).as(s"${keyCol}_${v}_max")
+        }
+      }
+      val cnt = if (stats.contains("count"))
+        Seq(count(lit(1)).as(s"${keyCol}_count")) else Seq.empty
+      cnt ++ perValue
+    }
+    val grp = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val payload = grp.schema(keyCol).dataType match {
+      case StringType | BinaryType => avg(octet_length(col(keyCol).cast("string")))
+      case dt => avg(lit(dt.defaultSize.toDouble))
+    }
+    val row = grp.agg(count(lit(1)).as("n"), payload.as("b")).head()
+    val bytes = row.getLong(0) *
+      (8L * aggs.length + (if (row.isNullAt(1)) 8L else row.getDouble(1).toLong))
+    val side = if (bytes <= broadcastBudgetBytes) broadcast(grp) else grp.hint("shuffle_hash")
+    df.join(side, Seq(keyCol), "left")
+  }
+}
+
+/** Hashing-trick categorical bucketing — NVTabular's `HashBucket` stage
+  * (served through the reference's TransformWorkflow like Categorify):
+  * `bucket = md5(value ":" salt)[0,8) mod numBuckets`. Unlike Categorify
+  * there is no fitted dictionary at all — the encoding is stateless and
+  * identical on any engine, which is exactly why the hashing trick is the
+  * 100 TB default for ultra-high-cardinality ids: zero fit job, zero
+  * dictionary broadcast, row-local and codegen'd.
+  *
+  * md5 (not xxhash64/murmur) so the DuckDB oracle mirrors the exact
+  * bucket: `('0x' || substring(md5(v || ':' || salt),1,8))::BIGINT % n`.
+  * Null values → bucket -1 (nulls are "unseen", Categorify parity).
+  */
+case class HashBucket(
+    cols: Seq[String],
+    numBuckets: Int,
+    salt: String = "graft-hash",
+    suffix: String = "_hb") extends EnsembleOp {
+
+  require(cols.nonEmpty, s"$name: at least one column required")
+  require(numBuckets >= 1, s"$name: numBuckets must be >= 1, got $numBuckets")
+
+  private def meta = Tags.metadataFor(Seq(Tags.Categorical),
+    props = Map(Tags.CardinalityKey -> numBuckets.toLong))
+
+  override def transformSchema(in: StructType): StructType = {
+    cols.foreach(requireCol(in, _))
+    cols.foreach(c => require(!in.fieldNames.contains(c + suffix),
+      s"$name: output column '${c + suffix}' collides with the input schema"))
+    StructType(in ++ cols.map(c =>
+      StructField(c + suffix, IntegerType, metadata = meta)))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val bucket = (conv(substring(md5(
+        concat(col(c).cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+        .cast("long") % numBuckets).cast("int")
+      d.withColumn(c + suffix,
+        when(col(c).isNull, -1).otherwise(bucket).as(c + suffix, meta))
+    }
+}
+
+/** Null imputation — NVTabular's `FillMissing` / `FillMedian` stages.
+  * Constant fills are row-local; median fills fit `percentile(c, 0.5)`
+  * (linear interpolation, the same definition as DuckDB's
+  * `quantile_cont`) in ONE aggregate job for all fitted columns, then
+  * apply row-locally. At 100 TB the exact percentile is a sort-based
+  * aggregate of the single column — swap `approxMedian=true` to fit
+  * `percentile_approx` (a fixed-size sketch, one pass, no sort) when the
+  * fit data is the full corpus rather than a sample.
+  */
+case class FillMissing(
+    constants: Map[String, Any] = Map.empty,
+    medianCols: Seq[String] = Seq.empty,
+    approxMedian: Boolean = false,
+    suffix: String = "_filled") extends EnsembleOp {
+
+  require(constants.nonEmpty || medianCols.nonEmpty,
+    s"$name: nothing to fill — give constants and/or medianCols")
+  require(constants.keySet.intersect(medianCols.toSet).isEmpty,
+    s"$name: a column cannot have both a constant and a median fill")
+
+  private def outT(in: StructType, c: String): DataType = in(c).dataType match {
+    case t if medianCols.contains(c) => t match {
+      case _: NumericType => DoubleType // percentile returns double
+      case other => other
+    }
+    case t => t
+  }
+
+  override def transformSchema(in: StructType): StructType = {
+    (constants.keys ++ medianCols).foreach(requireCol(in, _))
+    medianCols.foreach(c => require(in(c).dataType.isInstanceOf[NumericType],
+      s"$name: median fill needs a numeric column, '$c' is ${in(c).dataType.sql}"))
+    (constants.keys ++ medianCols).foreach(c =>
+      require(!in.fieldNames.contains(c + suffix),
+        s"$name: output column '${c + suffix}' collides with the input schema"))
+    StructType(in ++
+      (constants.keys.toSeq.sorted ++ medianCols).map(c =>
+        StructField(c + suffix, outT(in, c), nullable = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val medians: Map[String, Double] =
+      if (medianCols.isEmpty) Map.empty
+      else {
+        val aggs = medianCols.map { c =>
+          if (approxMedian) percentile_approx(col(c).cast("double"), lit(0.5), lit(10000)).as(c)
+          else percentile(col(c).cast("double"), lit(0.5)).as(c)
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        medianCols.zipWithIndex.map { case (c, i) =>
+          require(!row.isNullAt(i), s"$name: column '$c' is entirely null — no median to fit")
+          c -> row.getDouble(i)
+        }.toMap
+      }
+    val constFilled = constants.keys.toSeq.sorted.foldLeft(df) { (d, c) =>
+      d.withColumn(c + suffix, coalesce(col(c), lit(constants(c))))
+    }
+    medianCols.foldLeft(constFilled) { (d, c) =>
+      d.withColumn(c + suffix, coalesce(col(c).cast("double"), lit(medians(c))))
+    }
+  }
+}
+
+/** Range clamping — NVTabular's `Clip` stage. Row-local, codegen'd;
+  * nulls pass through (clip does not impute — compose with
+  * [[FillMissing]] for that). */
+case class Clip(
+    bounds: Map[String, (Option[Double], Option[Double])],
+    suffix: String = "_clip") extends EnsembleOp {
+
+  require(bounds.nonEmpty, s"$name: at least one column required")
+  bounds.foreach { case (c, (lo, hi)) =>
+    require(lo.nonEmpty || hi.nonEmpty, s"$name: '$c' has neither bound")
+    for (l <- lo; h <- hi) require(l <= h, s"$name: '$c' min $l > max $h")
+  }
+
+  override def transformSchema(in: StructType): StructType = {
+    bounds.keys.foreach { c =>
+      requireCol(in, c)
+      require(in(c).dataType.isInstanceOf[NumericType],
+        s"$name: '$c' must be numeric, got ${in(c).dataType.sql}")
+      require(!in.fieldNames.contains(c + suffix),
+        s"$name: output column '${c + suffix}' collides with the input schema")
+    }
+    StructType(in ++ bounds.keys.toSeq.sorted.map(c =>
+      StructField(c + suffix, DoubleType,
+        metadata = Tags.metadataFor(Seq(Tags.Continuous)))))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    bounds.keys.toSeq.sorted.foldLeft(df) { (d, c) =>
+      val x = col(c).cast("double")
+      val (lo, hi) = bounds(c)
+      val clipped = (lo, hi) match {
+        case (Some(l), Some(h)) => least(greatest(x, lit(l)), lit(h))
+        case (Some(l), None) => greatest(x, lit(l))
+        case (None, Some(h)) => least(x, lit(h))
+        case _ => x
+      }
+      // greatest/least SKIP nulls (SQL semantics), so a null input would
+      // silently clip to the bound — impute explicitly via FillMissing
+      d.withColumn(c + suffix, when(x.isNull, lit(null)).otherwise(clipped))
+    }
+}
+
+/** Log transform — NVTabular's `LogOp` stage: `ln(x + 1)` (written
+  * exactly so, not `log1p`, because the oracle mirrors `ln(x + 1)` and
+  * the two differ in double math near zero). Negative inputs (x <= -1)
+  * produce null, matching SQL's ln-of-nonpositive. Row-local. */
+case class LogTransform(cols: Seq[String], suffix: String = "_log") extends EnsembleOp {
+
+  require(cols.nonEmpty, s"$name: at least one column required")
+
+  override def transformSchema(in: StructType): StructType = {
+    cols.foreach { c =>
+      requireCol(in, c)
+      require(in(c).dataType.isInstanceOf[NumericType],
+        s"$name: '$c' must be numeric, got ${in(c).dataType.sql}")
+      require(!in.fieldNames.contains(c + suffix),
+        s"$name: output column '${c + suffix}' collides with the input schema")
+    }
+    StructType(in ++ cols.map(c => StructField(c + suffix, DoubleType,
+      metadata = Tags.metadataFor(Seq(Tags.Continuous)))))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c + suffix, log(col(c).cast("double") + lit(1.0))))
+}
+
+/** Python-slice semantics over list columns — NVTabular's `ListSlice`
+  * dataloader stage: keep `[start, end)` of each array, negative indices
+  * counting from the end, out-of-range clamped (never an error).
+  * Row-local `slice` arithmetic over `size(a)` — shuffle-free.
+  *
+  * An `end` of None means "to the end of the list" (python `a[start:]`).
+  */
+case class ListSlice(
+    cols: Seq[String],
+    start: Int,
+    end: Option[Int] = None,
+    suffix: String = "_slice") extends EnsembleOp {
+
+  require(cols.nonEmpty, s"$name: at least one column required")
+
+  override def transformSchema(in: StructType): StructType = {
+    cols.foreach { c =>
+      requireCol(in, c)
+      require(in(c).dataType.isInstanceOf[ArrayType],
+        s"$name: '$c' must be an array column, got ${in(c).dataType.sql}")
+      require(!in.fieldNames.contains(c + suffix),
+        s"$name: output column '${c + suffix}' collides with the input schema")
+    }
+    StructType(in ++ cols.map(c => in(c).copy(name = c + suffix)))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val n = size(col(c))
+      // python index -> clamped 0-based offset in [0, n]
+      def clamp(i: Int): Column =
+        if (i >= 0) least(lit(i), n)
+        else greatest(n + lit(i), lit(0))
+      val from = clamp(start)
+      val until = end.map(clamp).getOrElse(n)
+      val len = greatest(until - from, lit(0))
+      // slice is 1-based; a 0 length yields the empty array
+      d.withColumn(c + suffix,
+        when(col(c).isNull, lit(null))
+          .otherwise(slice(col(c), from + lit(1), len)))
+    }
+}

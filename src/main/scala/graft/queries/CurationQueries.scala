@@ -20,6 +20,40 @@ object CurationQueries {
   /** DuckDB rendering of TextFunctions.words. */
   private val wordsSql = s"string_split($normSql, ' ')"
 
+  /** Shared BM25 oracle CTE chain ending in `bm` = the ranked top-10 per
+    * query (integer-micros idf fixed point — see text_bm25_topk notes);
+    * text_bm25_topk selects it directly, text_hybrid_rrf fuses it. */
+  private val bm25CtesSql =
+    s"""WITH tokf AS (SELECT doc_id, term FROM
+       |  (SELECT doc_id, unnest($wordsSql) AS term FROM documents) WHERE len(term) > 0),
+       |post AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |  CAST((SELECT COALESCE(CAST(sum(dl) AS BIGINT), 0) FROM dl) AS DOUBLE) /
+       |    (SELECT count(*) FROM documents) AS avgdl),
+       |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q AS (SELECT doc_id AS query_id,
+       |  array_to_string(list_slice($wordsSql, 1, 5), ' ') AS qt
+       |  FROM documents WHERE doc_id < 5),
+       |qtf AS (SELECT query_id, term, count(*) AS qtf FROM
+       |  (SELECT query_id, unnest(string_split(qt, ' ')) AS term FROM q)
+       |  WHERE len(term) > 0 GROUP BY 1, 2),
+       |qw AS (SELECT f.query_id, f.term, f.qtf,
+       |  CAST(round(1000000.0 * ln(1.0 + ((st.n - d.df) + 0.5) / (d.df + 0.5)))
+       |    AS BIGINT) AS idf6
+       |  FROM qtf f JOIN dfreq d ON f.term = d.term CROSS JOIN st),
+       |sc AS (SELECT qw.query_id, p.doc_id,
+       |  CAST(sum(CAST(round((qw.qtf * qw.idf6) * ((p.tf * (1.2 + 1.0)) /
+       |    (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / st.avgdl))))) AS BIGINT))
+       |    AS BIGINT) AS score_fp
+       |  FROM qw JOIN post p ON qw.term = p.term
+       |  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN st
+       |  GROUP BY 1, 2),
+       |bm AS (SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_fp FROM (
+       |  SELECT query_id, doc_id, score_fp, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
+       |  WHERE rank <= 10)""".stripMargin
+
   // ---- tokenizer induction -------------------------------------------
 
   /** Memoized BPE merge list per sfDir (a tokenizer is trained once and
@@ -391,6 +425,29 @@ object CurationQueries {
     idx.asRows(qs).orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval: BM25 lexical ranks fused with a document-length
+    * quality prior via reciprocal-rank fusion — the multi-ranker stack
+    * (lexical + prior) production retrieval runs on top of single-index
+    * ops like the reference's QueryFaiss. The prior is a BOUNDED top-50
+    * list (ranked on one partition only after the limit — 50 rows), so
+    * the fusion join and per-query window stay candidate-scale. */
+  def textHybridRrf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, d)
+    val idx = cachedBm25(spark, d)
+    val qs = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(T.words(col("text")), 1, 5)).as("query_text"))
+    val lexical = idx.asRows(qs)
+    val prior = docs.orderBy(desc("n_chars"), asc("doc_id")).limit(50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("n_chars"), asc("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val perQuery = lexical.select("query_id").distinct().crossJoin(broadcast(prior))
+    ReciprocalRankFusion(perQuery, topk = 10).transform(lexical)
+      .orderBy("query_id", "rank")
+  }
+
   /** PII masking pass: match counts + fingerprint of the masked text
     * (the synthetic corpus is PII-free, so counts are 0 and the mask is
     * the identity — QualityOpsSpec plants real PII; this query pins the
@@ -643,6 +700,7 @@ object CurationQueries {
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_pii" -> (textPii _),
     "text_bm25_topk" -> (textBm25 _),
+    "text_hybrid_rrf" -> (textHybridRrf _),
     "text_keywords" -> (textKeywords _),
     "text_chunks" -> (textChunks _),
     "dedup_exact" -> (dedupExact _),
@@ -976,35 +1034,26 @@ object CurationQueries {
     // mirrors the Spark shape token-for-token (same IEEE ops in the same
     // association), and avgdl is ONE division of two exact integers
     "text_bm25_topk" ->
-      s"""WITH tokf AS (SELECT doc_id, term FROM
-         |  (SELECT doc_id, unnest($wordsSql) AS term FROM documents) WHERE len(term) > 0),
-         |post AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY 1),
-         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
-         |  CAST((SELECT COALESCE(CAST(sum(dl) AS BIGINT), 0) FROM dl) AS DOUBLE) /
-         |    (SELECT count(*) FROM documents) AS avgdl),
-         |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-         |q AS (SELECT doc_id AS query_id,
-         |  array_to_string(list_slice($wordsSql, 1, 5), ' ') AS qt
-         |  FROM documents WHERE doc_id < 5),
-         |qtf AS (SELECT query_id, term, count(*) AS qtf FROM
-         |  (SELECT query_id, unnest(string_split(qt, ' ')) AS term FROM q)
-         |  WHERE len(term) > 0 GROUP BY 1, 2),
-         |qw AS (SELECT f.query_id, f.term, f.qtf,
-         |  CAST(round(1000000.0 * ln(1.0 + ((st.n - d.df) + 0.5) / (d.df + 0.5)))
-         |    AS BIGINT) AS idf6
-         |  FROM qtf f JOIN dfreq d ON f.term = d.term CROSS JOIN st),
-         |sc AS (SELECT qw.query_id, p.doc_id,
-         |  CAST(sum(CAST(round((qw.qtf * qw.idf6) * ((p.tf * (1.2 + 1.0)) /
-         |    (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / st.avgdl))))) AS BIGINT))
-         |    AS BIGINT) AS score_fp
-         |  FROM qw JOIN post p ON qw.term = p.term
-         |  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN st
-         |  GROUP BY 1, 2)
-         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_fp FROM (
-         |  SELECT query_id, doc_id, score_fp, row_number() OVER
-         |    (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      s"""$bm25CtesSql
+         |SELECT query_id, rank, doc_id, score_fp FROM bm
+         |ORDER BY query_id, rank""".stripMargin,
+    "text_hybrid_rrf" ->
+      s"""$bm25CtesSql,
+         |qual AS (SELECT doc_id, CAST(row_number() OVER
+         |  (ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank FROM documents),
+         |qb AS (SELECT q.query_id, ql.doc_id, ql.rank
+         |  FROM (SELECT DISTINCT query_id FROM bm) q
+         |  CROSS JOIN (SELECT * FROM qual WHERE rank <= 50) ql),
+         |fused AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         |  COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |  COALESCE(1.0::DOUBLE/(60 + a.rank), 0.0) +
+         |    COALESCE(1.0::DOUBLE/(60 + b.rank), 0.0) AS rrf_score
+         |  FROM bm a FULL OUTER JOIN qb b
+         |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, rrf_score FROM (
+         |  SELECT query_id, doc_id, rrf_score, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn FROM fused)
+         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

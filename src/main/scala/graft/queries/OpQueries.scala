@@ -587,7 +587,141 @@ object OpQueries {
       .select(col("doc_id"), col("split_bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** Lineitem with integral quantity — the shared base for the fitted-FE
+    * queries (exact long sums keep the fitted statistics bit-deterministic
+    * cross-engine). */
+  private def liQty(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("long").as("qty"))
+
+  /** TargetEncoding under the oracle: smoothed mean-encoding of two
+    * categoricals against an integral target — the fitted group sums are
+    * exact longs, so the encoded doubles mirror in SQL bit-for-bit. */
+  def targetEncode(spark: SparkSession, d: String): DataFrame =
+    TargetEncoding(Seq("l_returnflag", "l_linestatus"), "qty")
+      .transform(liQty(spark, d))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag_te"), col("l_linestatus_te"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Leave-one-out TargetEncoding: each row's own label leaves its group
+    * statistic — the leak-free training-set variant, exactly mirrored by
+    * a windowed CASE in SQL. */
+  def targetEncodeLoo(spark: SparkSession, d: String): DataFrame =
+    TargetEncoding(Seq("l_returnflag"), "qty", leaveOneOut = true)
+      .transform(liQty(spark, d))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+        col("l_returnflag_te"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JoinGroupby under the oracle: per-item interaction statistics joined
+    * back onto every interaction row. */
+  def joinGroupby(spark: SparkSession, d: String): DataFrame =
+    JoinGroupby("l_partkey", Seq("qty"), Seq("count", "sum", "mean", "min", "max"))
+      .transform(liQty(spark, d))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_partkey_count"), col("l_partkey_qty_sum"), col("l_partkey_qty_mean"),
+        col("l_partkey_qty_min"), col("l_partkey_qty_max"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** HashBucket under the oracle: the stateless hashing-trick encoding —
+    * both engines compute the identical md5 bucket. */
+  def hashBucket(spark: SparkSession, d: String): DataFrame =
+    HashBucket(Seq("p_brand", "p_partkey"), numBuckets = 50)
+      .transform(part(spark, d).select(col("p_partkey"), col("p_brand")))
+      .select(col("p_partkey"), col("p_brand_hb"), col("p_partkey_hb"))
+      .orderBy("p_partkey")
+
+  /** FillMissing under the oracle: a constant fill and a fitted-median
+    * fill over columns with injected nulls. */
+  def fillMissing(spark: SparkSession, d: String): DataFrame = {
+    val base = lineitem(spark, d).select(col("l_orderkey"), col("l_linenumber"),
+      when(col("l_quantity") >= 48, lit(null)).otherwise(col("l_quantity").cast("long"))
+        .as("qty_n"),
+      when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_returnflag"))
+        .as("rf_n"))
+    FillMissing(constants = Map("rf_n" -> "NONE"), medianCols = Seq("qty_n"))
+      .transform(base)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("rf_n_filled"), col("qty_n_filled"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Clip + LogTransform under the oracle: row-local numeric hygiene ops
+    * (ln on an integral input so the doubles mirror exactly). */
+  def clipLog(spark: SparkSession, d: String): DataFrame = {
+    val base = part(spark, d).select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val ens = Ensemble(Seq(
+      Clip(Map("p_retailprice" -> (Some(900.0), Some(1600.0)))),
+      LogTransform(Seq("p_size"))), base.schema)
+    // round(·, 9) for the cross-engine hash only: Java Math.log and
+    // DuckDB ln disagree by 1 ulp on some inputs (measured: ln(48)), so
+    // the raw double cannot hash-match — the op itself keeps full
+    // precision (the money→cents discipline, applied to logs)
+    ens.transform(base)
+      .select(col("p_partkey"), col("p_retailprice_clip"),
+        round(col("p_size_log"), 9).as("p_size_log"))
+      .orderBy("p_partkey")
+  }
+
+  /** ListSlice under the oracle: python-slice semantics over per-user
+    * event-id lists — interior window and last-3 tail. */
+  def listSlice(spark: SparkSession, d: String): DataFrame = {
+    val base = events(spark, d).groupBy("user_id")
+      .agg(sort_array(collect_list(col("event_id"))).as("eids"))
+    val ens = Ensemble(Seq(
+      ListSlice(Seq("eids"), 1, Some(-1), suffix = "_mid"),
+      ListSlice(Seq("eids"), -3, None, suffix = "_tail")), base.schema)
+    ens.transform(base)
+      .select(col("user_id"), col("eids_mid"), col("eids_tail"))
+      .orderBy("user_id")
+  }
+
+  /** The fitted-workflow flagship: eight NVTabular-parity FE stages
+    * (Categorify → TargetEncoding → HashBucket → Bucketize → FillMissing
+    * → Clip → LogTransform → StandardScale) composed in ONE Ensemble over
+    * the interactions join — the reference's TransformWorkflow serving a
+    * many-stage fitted workflow (workflow.py:86-112), end-to-end under
+    * the hash oracle. Every fitted statistic (dictionary ranks, group
+    * sums, median, moments) derives from exact integer aggregates, so the
+    * whole composed output is bit-deterministic cross-engine. */
+  def pipelineFeatureWorkflow(spark: SparkSession, d: String): DataFrame = {
+    val dim = part(spark, d).select(col("p_partkey").as("l_partkey"),
+      col("p_brand"), col("p_retailprice"), col("p_size"))
+    val base = lineitem(spark, d).join(broadcast(dim), Seq("l_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("p_brand"), col("p_retailprice"), col("p_size"),
+        col("l_quantity").cast("long").as("qty"),
+        when(col("l_quantity") >= 48, lit(null)).otherwise(col("l_quantity").cast("long"))
+          .as("qty_n"))
+    val ens = Ensemble(Seq(
+      Categorify(Seq("l_returnflag")),
+      TargetEncoding(Seq("p_brand"), "qty"),
+      HashBucket(Seq("p_brand"), 32),
+      Bucketize(Map("p_retailprice" -> Seq(950.0, 1200.0, 1500.0))),
+      FillMissing(medianCols = Seq("qty_n")),
+      Clip(Map("p_size" -> (Some(5.0), Some(45.0)))),
+      LogTransform(Seq("qty")),
+      StandardScale(Seq("qty"))), base.schema)
+    ens.transform(base)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag_idx"), col("p_brand_te"), col("p_brand_hb"),
+        col("p_retailprice_bucket"), col("qty_n_filled"), col("p_size_clip"),
+        round(col("qty_log"), 9).as("qty_log"),
+        floor(col("qty_scaled") * 10000).cast("long").as("qty_scaled_bp"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_feature_workflow" -> (pipelineFeatureWorkflow _),
+    "op_target_encode" -> (targetEncode _),
+    "op_target_encode_loo" -> (targetEncodeLoo _),
+    "op_join_groupby" -> (joinGroupby _),
+    "op_hash_bucket" -> (hashBucket _),
+    "op_fill_missing" -> (fillMissing _),
+    "op_clip_log" -> (clipLog _),
+    "op_list_slice" -> (listSlice _),
     "op_hash_split" -> (hashSplit _),
     "op_feature_lookup" -> (featureLookup _),
     "op_filter_candidates" -> (filterCandidates _),
@@ -629,6 +763,99 @@ object OpQueries {
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
 
   val oracle: Map[String, String] = Map(
+    "pipeline_feature_workflow" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag, p_brand,
+        |    p_retailprice, p_size, CAST(l_quantity AS BIGINT) AS qty,
+        |    CASE WHEN l_quantity >= 48 THEN NULL
+        |      ELSE CAST(l_quantity AS BIGINT) END AS qty_n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |cat AS (SELECT l_returnflag AS v, CAST(row_number() OVER
+        |  (ORDER BY count(*) DESC, l_returnflag) - 1 AS INTEGER) AS idx
+        |  FROM b GROUP BY l_returnflag),
+        |t AS (SELECT CAST(SUM(qty) AS DOUBLE)/COUNT(qty) AS prior FROM b),
+        |med AS (SELECT quantile_cont(CAST(qty_n AS DOUBLE), 0.5) AS med FROM b),
+        |st AS (SELECT count(qty) AS n, CAST(sum(qty) AS BIGINT) AS s1,
+        |  CAST(sum(qty*qty) AS BIGINT) AS s2 FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  cat.idx AS l_returnflag_idx,
+        |  (CAST(SUM(qty) OVER wb AS DOUBLE) + prior*20.0)
+        |    / (CAST(COUNT(qty) OVER wb AS DOUBLE) + 20.0) AS p_brand_te,
+        |  CAST(('0x' || substring(md5(p_brand || ':graft-hash'), 1, 8))::BIGINT % 32
+        |    AS INTEGER) AS p_brand_hb,
+        |  CAST((CASE WHEN p_retailprice >= 950 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p_retailprice >= 1200 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p_retailprice >= 1500 THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS p_retailprice_bucket,
+        |  COALESCE(CAST(qty_n AS DOUBLE), med) AS qty_n_filled,
+        |  LEAST(GREATEST(CAST(p_size AS DOUBLE), 5.0), 45.0) AS p_size_clip,
+        |  round(ln(CAST(qty AS DOUBLE) + 1.0), 9) AS qty_log,
+        |  CAST(floor((qty - CAST(s1 AS DOUBLE)/n)
+        |    / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |    * 10000) AS BIGINT) AS qty_scaled_bp
+        |FROM b JOIN cat ON l_returnflag = cat.v, t, med, st
+        |WINDOW wb AS (PARTITION BY p_brand)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "op_target_encode" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |t AS (SELECT CAST(SUM(qty) AS DOUBLE)/COUNT(qty) AS prior FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  (CAST(SUM(qty) OVER wr AS DOUBLE) + prior*20.0)
+        |    / (CAST(COUNT(qty) OVER wr AS DOUBLE) + 20.0) AS l_returnflag_te,
+        |  (CAST(SUM(qty) OVER wl AS DOUBLE) + prior*20.0)
+        |    / (CAST(COUNT(qty) OVER wl AS DOUBLE) + 20.0) AS l_linestatus_te
+        |FROM b, t
+        |WINDOW wr AS (PARTITION BY l_returnflag), wl AS (PARTITION BY l_linestatus)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "op_target_encode_loo" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |t AS (SELECT CAST(SUM(qty) AS DOUBLE)/COUNT(qty) AS prior FROM b)
+        |SELECT l_orderkey, l_linenumber, qty,
+        |  CASE WHEN COUNT(qty) OVER w <= 1 THEN prior
+        |    ELSE ((CAST(SUM(qty) OVER w AS DOUBLE) - CAST(qty AS DOUBLE)) + prior*20.0)
+        |      / ((CAST(COUNT(qty) OVER w AS DOUBLE) - 1.0) + 20.0) END AS l_returnflag_te
+        |FROM b, t WINDOW w AS (PARTITION BY l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "op_join_groupby" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |  COUNT(*) OVER w AS l_partkey_count,
+        |  SUM(qty) OVER w AS l_partkey_qty_sum,
+        |  SUM(CAST(qty AS DOUBLE)) OVER w / COUNT(qty) OVER w AS l_partkey_qty_mean,
+        |  MIN(qty) OVER w AS l_partkey_qty_min,
+        |  MAX(qty) OVER w AS l_partkey_qty_max
+        |FROM b WINDOW w AS (PARTITION BY l_partkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "op_hash_bucket" ->
+      """SELECT p_partkey,
+        |  CAST(('0x' || substring(md5(p_brand || ':graft-hash'), 1, 8))::BIGINT % 50
+        |    AS INTEGER) AS p_brand_hb,
+        |  CAST(('0x' || substring(md5(p_partkey::VARCHAR || ':graft-hash'), 1, 8))::BIGINT % 50
+        |    AS INTEGER) AS p_partkey_hb
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "op_fill_missing" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity >= 48 THEN NULL ELSE CAST(l_quantity AS BIGINT) END AS qty_n,
+        |  CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS rf_n
+        |  FROM lineitem),
+        |m AS (SELECT quantile_cont(CAST(qty_n AS DOUBLE), 0.5) AS med FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  COALESCE(rf_n, 'NONE') AS rf_n_filled,
+        |  COALESCE(CAST(qty_n AS DOUBLE), med) AS qty_n_filled
+        |FROM b, m ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "op_clip_log" ->
+      """SELECT p_partkey,
+        |  LEAST(GREATEST(p_retailprice, 900.0), 1600.0) AS p_retailprice_clip,
+        |  round(ln(CAST(p_size AS DOUBLE) + 1.0), 9) AS p_size_log
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "op_list_slice" ->
+      """WITH b AS (SELECT user_id, list_sort(array_agg(event_id)) AS eids
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, list_slice(eids, 2, -2) AS eids_mid,
+        |  list_slice(eids, -3, -1) AS eids_tail
+        |FROM b ORDER BY user_id""".stripMargin,
     // the frames mirror rangeBetween(-h, -1): RANGE h PRECEDING .. 1
     // PRECEDING, inclusive bounds, same-second peers excluded; sums are
     // BIGINT-cast (DuckDB sum(BIGINT) returns HUGEINT) and NULL-on-empty

@@ -256,6 +256,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), "mixing materializes via explode")
   }
 
+  test("target encoding broadcasts dictionary stats; the fact table shuffles only for the fit agg") {
+    val li = Tables.lineitem(spark, d).select(
+      org.apache.spark.sql.functions.col("l_orderkey"),
+      org.apache.spark.sql.functions.col("l_returnflag"),
+      org.apache.spark.sql.functions.col("l_quantity").cast("long").as("qty"))
+    val p = plan(ops.TargetEncoding(Seq("l_returnflag"), "qty").transform(li))
+    assert(p.contains("BroadcastHashJoin"),
+      s"dictionary-scale stats must broadcast back:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"), "never a sort-merge of the fact table")
+    // above-budget: the hinted shuffle-hash join replaces the broadcast
+    val pg = plan(ops.TargetEncoding(Seq("l_returnflag"), "qty",
+      broadcastBudgetBytes = 1L).transform(li))
+    assert(!pg.contains("BroadcastHashJoin") && pg.contains("ShuffledHashJoin"),
+      s"gated path must shuffle-hash join, not broadcast:\n${pg.take(600)}")
+  }
+
+  test("hash bucket and clip/log are shuffle-free per-row projections") {
+    val pt = Tables.part(spark, d).select(
+      org.apache.spark.sql.functions.col("p_partkey"),
+      org.apache.spark.sql.functions.col("p_brand"),
+      org.apache.spark.sql.functions.col("p_size"))
+    val p = plan(ops.HashBucket(Seq("p_brand"), 50).transform(pt))
+    assert(!p.contains("Exchange"), s"hashing trick must not shuffle:\n${p.take(400)}")
+    val p2 = plan(ops.LogTransform(Seq("p_size")).transform(
+      ops.Clip(Map("p_size" -> (Some(1.0), Some(40.0)))).transform(pt)))
+    assert(!p2.contains("Exchange"), s"row-local transforms must not shuffle:\n${p2.take(400)}")
+  }
+
+  test("rrf fusion shuffles only the bounded candidate lists on the query key") {
+    import org.apache.spark.sql.functions._
+    val a = Tables.documents(spark, d).filter(col("doc_id") < 40)
+      .select(col("doc_id").as("query_id"), col("n_chars").as("doc_id2"))
+      .withColumn("doc_id", col("doc_id2")).drop("doc_id2")
+      .withColumn("rank", lit(1))
+    val b = a.withColumn("rank", lit(2))
+    val p = plan(ops.ReciprocalRankFusion(b).transform(a))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fusion is an equi-join:\n${p.take(600)}")
+  }
+
   test("top-fraction approx mode has no sort and broadcasts its thresholds") {
     val docs = Tables.documents(spark, d)
     val p = plan(ops.TopFractionByGroup("lang", "n_chars", "doc_id",

@@ -186,6 +186,31 @@ class EnsemblePersistenceSpec extends SparkSpec {
     }
   }
 
+  test("fitted-FE family round-trips by value (TargetEncoding/JoinGroupby/HashBucket/FillMissing/Clip/Log/ListSlice)") {
+    val feSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cat STRING, y BIGINT, v DOUBLE, arr ARRAY<BIGINT>")
+    val ops: Seq[EnsembleOp] = Seq(
+      TargetEncoding(Seq("cat"), "y", smoothing = 5.0, leaveOneOut = true,
+        broadcastBudgetBytes = 123L),
+      JoinGroupby("cat", Seq("y"), Seq("count", "mean"), broadcastBudgetBytes = 7L),
+      HashBucket(Seq("cat"), 64, salt = "s9", suffix = "_b"),
+      FillMissing(constants = Map("cat" -> "?", "y" -> 0L, "v" -> 1.5),
+        medianCols = Seq.empty, approxMedian = false, suffix = "_f"),
+      Clip(Map("v" -> (Some(0.0), None), "y" -> (None, Some(9.0)))),
+      LogTransform(Seq("v"), suffix = "_ln"),
+      ListSlice(Seq("arr"), -2, None, suffix = "_t"))
+    ops.foreach { op =>
+      val dir = Files.tmp("ens_fe")
+      EnsemblePersistence.save(Ensemble(Seq(op), feSchema), dir, spark)
+      assert(EnsemblePersistence.load(dir, spark).ops.head == op, op.name)
+    }
+    // end=Some(n) survives (None vs Some(0) must not collapse)
+    val sl = ListSlice(Seq("arr"), 0, Some(0))
+    val dir = Files.tmp("ens_fe_sl")
+    EnsemblePersistence.save(Ensemble(Seq(sl), feSchema), dir, spark)
+    assert(EnsemblePersistence.load(dir, spark).ops.head == sl)
+  }
+
   test("Decontaminate round-trips its eval corpus as a side artifact") {
     val train = Seq((1L, "alpha beta gamma delta"), (2L, "nothing in common at all"))
       .toDF("doc_id", "text")
