@@ -5,6 +5,42 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{EnsembleOp, Tags}
 
+/** Shared broadcast-vs-shuffle gate for fitted dictionary joins (the
+  * PredictImplicit/NegativeSampling size-gate discipline): per-key
+  * payloads are MEASURED for string/binary keys (a flat defaultSize
+  * estimate would let 15M × 400-byte keys through a 1 GiB budget) and
+  * cardinality comes from an HLL sketch — gate-grade estimates folded
+  * into the op's single eager fit job, so the expensive exact groupBy
+  * runs once, lazily, inside the join. */
+private[ops] object SizeGate {
+  /** Aggregate columns measuring one key column: (approx cardinality,
+    * mean payload bytes). */
+  def measures(df: DataFrame, c: String): Seq[Column] = {
+    val payload = df.schema(c).dataType match {
+      case StringType | BinaryType => avg(octet_length(col(c).cast("string")))
+      case dt => avg(lit(dt.defaultSize.toDouble))
+    }
+    Seq(approx_count_distinct(col(c)).as(s"__sg_k_$c"), payload.as(s"__sg_b_$c"))
+  }
+
+  /** Estimated broadcast bytes for `keys` dictionary rows carrying
+    * `valueBytes` of statistics each, given the measured key payload. */
+  def estBytes(row: org.apache.spark.sql.Row, c: String, valueBytes: Long): Long = {
+    val keys = row.getAs[Long](s"__sg_k_$c")
+    val keyBytes = row.getAs[Any](s"__sg_b_$c") match {
+      case null => 8L
+      case d: Double => d.toLong
+      case other => other.toString.toDouble.toLong
+    }
+    keys * (keyBytes + valueBytes)
+  }
+
+  /** Broadcast under the budget; hinted shuffle-hash above it (never a
+    * planner re-broadcast, never a sort-merge of the fact table). */
+  def side(grp: DataFrame, bytes: Long, budget: Long): DataFrame =
+    if (bytes <= budget) broadcast(grp) else grp.hint("shuffle_hash")
+}
+
 /** Smoothed target (mean) encoding of categorical columns — the
   * TargetEncoding stage of the reference's fitted feature-engineering
   * workflow (`TransformWorkflow`, /root/reference/merlin/systems/dag/ops/
