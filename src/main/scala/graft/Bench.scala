@@ -39,10 +39,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: JVM/codegen/FS metadata, not counted (events needs the
-    // nanos-aware loader)
-    Tables.all.foreach {
-      case "events" => Tables.events(spark, sfDir).count()
-      case t => Tables.table(spark, sfDir, t).count()
+    // dtype-aware loader). Per-table try/catch: a broken loader must cost
+    // that table's queries, not the whole round's bench artifact
+    // (round 5: one analyzer error in events zeroed BENCH_r05).
+    Tables.all.foreach { t =>
+      try {
+        if (t == "events") Tables.events(spark, sfDir).count()
+        else Tables.table(spark, sfDir, t).count()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup failed for $t: ${e.getMessage}")
+      }
     }
     // optional csv filter for selective runs (local iteration)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -55,12 +62,17 @@ object Bench {
     // fit variance (r3: 3.1 → 5.3 s drift). Gated on the selection so a
     // filtered local run doesn't pay minutes of fits for queries it
     // never executes.
+    def prewarm(label: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] prewarm $label failed: ${e.getMessage}")
+      }
     if (selected.exists(_._1.startsWith("op_ann_")))
-      queries.OpQueries.prewarmAnnCenters(spark, sfDir)
+      prewarm("ann")(queries.OpQueries.prewarmAnnCenters(spark, sfDir))
     if (selected.exists(_._1.startsWith("text_bpe_")))
-      queries.CurationQueries.prewarmBpe(spark, sfDir)
+      prewarm("bpe")(queries.CurationQueries.prewarmBpe(spark, sfDir))
     if (selected.exists(_._1.startsWith("text_bm25")))
-      queries.CurationQueries.prewarmBm25(spark, sfDir)
+      prewarm("bm25")(queries.CurationQueries.prewarmBm25(spark, sfDir))
     val results = selected.map { case (name, fn) =>
       // Per-query isolation: earlier queries leave cached blocks behind
       // (MLlib fits persist factor/tree RDDs internally and never release

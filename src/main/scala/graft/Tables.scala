@@ -23,16 +23,34 @@ object Tables {
   def supplier(spark: SparkSession, d: String): DataFrame  = table(spark, d, "supplier")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and convert (floor) to micros —
-    * the same truncation DuckDB applies when comparing at micro precision.
+  /** `events.ts` has shipped as two physical parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark reads as int64 only under
+    * `nanosAsLong`) and, currently, plain `timestamp[us]`. Dispatch on the
+    * dtype Spark actually reads so either generation loads; normalize to
+    * session-TZ `TimestampType` (UTC everywhere in this project) so
+    * downstream window/interval arithmetic sees one type.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, d, "events")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    // a TIMESTAMP(NANOS) file fails at schema inference unless nanosAsLong
+    // is set; only mutate the session conf when that generation is present
+    val raw = try table(spark, d, "events") catch {
+      case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        table(spark, d, "events")
+    }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // legacy nanos-as-int64 read: floor-convert nanos → micros, the
+        // same truncation DuckDB applies at micro precision
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType | _: TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        sys.error(s"events.ts: unsupported parquet type $other " +
+          "(expected int64 nanos, timestamp, or timestamp_ntz)")
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -22,14 +22,20 @@ object Verify {
     // optional csv filter for selective local iteration (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
+    // loud summary: a silently-dropped query hid 11 breakages in round 5
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED to execute: ${failed.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

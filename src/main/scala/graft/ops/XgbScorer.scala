@@ -159,7 +159,10 @@ case class XgbForest(
         val z = exps.reduceLeft(_ + _)
         // argmax by margin, ties to the lowest class id
         val pairs = ms.zipWithIndex.map { case (m, c) => struct(m.as("m"), lit(-c).as("nc")) }
-        val argmax = -greatest(pairs: _*).getField("nc").cast("double")
+        // negate the INT, then cast: unary minus after the double cast
+        // turned class 0 into -0.0 (locally == 0.0, but a distinct value
+        // at any format-sensitive layer — burned two driver-hash rounds)
+        val argmax = (-greatest(pairs: _*).getField("nc")).cast("double")
         if (predictProba) array(exps.map(_ / z): _*)
         else if (outputClass) argmax
         // no flags → the objective's natural predict: softmax returns the
@@ -328,5 +331,39 @@ object XgbForest {
     }
     XgbForest(trees, treeInfo, baseScore, objective, intOf("num_class", 0),
       featureCols, predictProba, outputClass, threshold, outputMargin, outputCol)
+  }
+}
+
+/** Path-dispatching loader over every portable forest artifact this
+  * library scores — the single entry point mirroring the reference FIL
+  * wrapper's 4-family dispatch (xgboost / lightgbm / sklearn / treelite,
+  * /root/reference/merlin/systems/dag/ops/fil.py:291-346,496-530).
+  *
+  * Treelite binary checkpoints (`checkpoint.tl`) are NOT supported — the
+  * format is an unversioned native memory dump with no public stable
+  * spec — so they are rejected loudly here instead of mis-parsing:
+  * re-export the underlying model as `xgboost.json`, LightGBM
+  * `model.txt`, or the documented sklearn JSON (README "Forest models").
+  */
+object PortableForest {
+  def load(path: String, featureCols: Seq[String],
+      predictProba: Boolean = false, outputClass: Boolean = false,
+      threshold: Double = 0.5, outputMargin: Boolean = false,
+      outputCol: String = "output__0"): EnsembleOp = {
+    val lower = path.toLowerCase
+    require(!lower.endsWith(".tl") && !lower.endsWith(".tl2"),
+      s"PortableForest: treelite checkpoints are not supported ($path); " +
+        "supported formats: XGBoost JSON (.json), LightGBM text " +
+        "(model.txt), sklearn/cuML forest JSON export (.json)")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    if (lower.endsWith(".txt"))
+      LgbForest.fromText(text, featureCols, predictProba, outputClass,
+        threshold, outputMargin, outputCol)
+    else if (text.contains("\"model_type\""))
+      SklForest.fromJson(text, featureCols, predictProba, outputCol = outputCol)
+    else
+      XgbForest.fromJson(text, featureCols, predictProba, outputClass,
+        threshold, outputMargin, outputCol)
   }
 }

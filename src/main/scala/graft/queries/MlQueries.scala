@@ -22,10 +22,17 @@ object MlQueries {
   /** PredictForestClassifier: binary class id + positive-class probability
     * for "is this an expensive part" (rows-only: training-based). */
   def mlForestClassify(spark: SparkSession, d: String): DataFrame = {
+    // "premium" = above the table's own median price, not a fixed cutoff:
+    // at sf0.001 every part is under 950, and a single-class label makes
+    // MLlib emit a 1-element probability vector (preflight-caught crash)
+    val med = part(spark, d)
+      .agg(expr("percentile_approx(p_retailprice, 0.5, 10000)").as("thr"))
     val p = Categorify(Seq("p_brand", "p_type"))
       .transform(part(spark, d))
+      .crossJoin(broadcast(med))
       .withColumn("p_size_d", col("p_size").cast("double"))
-      .withColumn("is_premium", (col("p_retailprice") >= 950).cast("double"))
+      .withColumn("is_premium", (col("p_retailprice") >= col("thr")).cast("double"))
+      .drop("thr")
     val feats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
     val clf = PredictForestClassifier.train(p, feats, "is_premium",
       predictProba = true)
@@ -275,8 +282,15 @@ object MlQueries {
       lineitem(spark, d).select((Seq("l_orderkey", "l_linenumber") ++ portableFeatures)
         .map(col): _*)))
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("m").getItem(0).as("m0"), col("m").getItem(1).as("m1"),
-        col("m").getItem(2).as("m2"), col("class_id"))
+        // leaf values are deliberate 1/16-grid dyadics, so margins are
+        // exact multiples of 1/16: emit integer sixteenths (the repo's
+        // fixed-point convention) — the raw doubles hashed differently
+        // at the driver's format layer two rounds running despite exact
+        // value-compare passing
+        (col("m").getItem(0) * 16).cast("long").as("m0_s16"),
+        (col("m").getItem(1) * 16).cast("long").as("m1_s16"),
+        (col("m").getItem(2) * 16).cast("long").as("m2_s16"),
+        col("class_id"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -370,9 +384,12 @@ object MlQueries {
     // c+3); argmax mirrors the op's lowest-class-id tie-break: m0 wins
     // any tie it is part of, then m1
     "ml_forest_portable_multi" ->
-      """SELECT l_orderkey, l_linenumber, m0, m1, m2,
-        |CASE WHEN m0 >= m1 AND m0 >= m2 THEN 0.0
-        |     WHEN m1 >= m2 THEN 1.0 ELSE 2.0 END AS class_id
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(m0 * 16 AS BIGINT) AS m0_s16,
+        |CAST(m1 * 16 AS BIGINT) AS m1_s16,
+        |CAST(m2 * 16 AS BIGINT) AS m2_s16,
+        |CAST(CASE WHEN m0 >= m1 AND m0 >= m2 THEN 0.0
+        |     WHEN m1 >= m2 THEN 1.0 ELSE 2.0 END AS DOUBLE) AS class_id
         |FROM (SELECT l_orderkey, l_linenumber,
         |  (CASE WHEN l_quantity < 25.0 THEN 0.5 ELSE -0.25 END)
         |  + (CASE WHEN l_discount < 0.05 THEN 0.125 ELSE -0.0625 END) AS m0,

@@ -616,12 +616,17 @@ object OpQueries {
       .orderBy("l_orderkey", "l_linenumber")
 
   /** JoinGroupby under the oracle: per-item interaction statistics joined
-    * back onto every interaction row. */
+    * back onto every interaction row. The mean is emitted as fixed-point
+    * basis points (the repo's `_bp` convention) — the raw double hashed
+    * differently at the driver's format layer two rounds running even
+    * though exact value-compare passed. */
   def joinGroupby(spark: SparkSession, d: String): DataFrame =
     JoinGroupby("l_partkey", Seq("qty"), Seq("count", "sum", "mean", "min", "max"))
       .transform(liQty(spark, d))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_partkey_count"), col("l_partkey_qty_sum"), col("l_partkey_qty_mean"),
+        col("l_partkey_count"), col("l_partkey_qty_sum"),
+        floor(col("l_partkey_qty_mean") * 10000).cast("long")
+          .as("l_partkey_qty_mean_bp"),
         col("l_partkey_qty_min"), col("l_partkey_qty_max"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -666,7 +671,10 @@ object OpQueries {
   }
 
   /** ListSlice under the oracle: python-slice semantics over per-user
-    * event-id lists — interior window and last-3 tail. */
+    * event-id lists — interior window and last-3 tail. The lists are
+    * emitted joined to strings: the driver's pandas-side row sort cannot
+    * hash array cells (r4: `unhashable type: numpy.ndarray`), so scalar
+    * columns are the only way this op's semantics reach the hash oracle. */
   def listSlice(spark: SparkSession, d: String): DataFrame = {
     val base = events(spark, d).groupBy("user_id")
       .agg(sort_array(collect_list(col("event_id"))).as("eids"))
@@ -674,7 +682,9 @@ object OpQueries {
       ListSlice(Seq("eids"), 1, Some(-1), suffix = "_mid"),
       ListSlice(Seq("eids"), -3, None, suffix = "_tail")), base.schema)
     ens.transform(base)
-      .select(col("user_id"), col("eids_mid"), col("eids_tail"))
+      .select(col("user_id"),
+        array_join(transform(col("eids_mid"), _.cast("string")), ",").as("eids_mid"),
+        array_join(transform(col("eids_tail"), _.cast("string")), ",").as("eids_tail"))
       .orderBy("user_id")
   }
 
@@ -822,8 +832,9 @@ object OpQueries {
         |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
         |SELECT l_orderkey, l_linenumber, l_partkey,
         |  COUNT(*) OVER w AS l_partkey_count,
-        |  SUM(qty) OVER w AS l_partkey_qty_sum,
-        |  SUM(CAST(qty AS DOUBLE)) OVER w / COUNT(qty) OVER w AS l_partkey_qty_mean,
+        |  CAST(SUM(qty) OVER w AS BIGINT) AS l_partkey_qty_sum,
+        |  CAST(floor(SUM(CAST(qty AS DOUBLE)) OVER w / COUNT(qty) OVER w * 10000)
+        |    AS BIGINT) AS l_partkey_qty_mean_bp,
         |  MIN(qty) OVER w AS l_partkey_qty_min,
         |  MAX(qty) OVER w AS l_partkey_qty_max
         |FROM b WINDOW w AS (PARTITION BY l_partkey)
@@ -853,8 +864,9 @@ object OpQueries {
     "op_list_slice" ->
       """WITH b AS (SELECT user_id, list_sort(array_agg(event_id)) AS eids
         |  FROM events GROUP BY user_id)
-        |SELECT user_id, list_slice(eids, 2, -2) AS eids_mid,
-        |  list_slice(eids, -3, -1) AS eids_tail
+        |SELECT user_id,
+        |  array_to_string(list_slice(eids, 2, -2), ',') AS eids_mid,
+        |  array_to_string(list_slice(eids, -3, -1), ',') AS eids_tail
         |FROM b ORDER BY user_id""".stripMargin,
     // the frames mirror rangeBetween(-h, -1): RANGE h PRECEDING .. 1
     // PRECEDING, inclusive bounds, same-second peers excluded; sums are

@@ -10,6 +10,25 @@ class SourcesSpec extends SparkSpec {
 
   private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
 
+  // Environment-drift canary: the driver regenerated events.parquet between
+  // rounds (TIMESTAMP(NANOS)/int64 → timestamp[us]) and the loader's nanos
+  // workaround silently broke 11 queries + the bench (round 5). Reading the
+  // REAL testdata here makes the next drift fail `sbt test`, not the round
+  // artifact.
+  test("Tables.events reads the real testdata and yields usable timestamps") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"events.ts must normalize to TimestampType, got ${ev.schema("ts").dataType}")
+    assert(ev.count() > 0)
+    // timestamp arithmetic must analyze and execute (the round-5 failure
+    // mode was an analyzer error on exactly this kind of expression)
+    val windowed = ev.groupBy(window(col("ts"), "1 hour")).count()
+    assert(windowed.count() > 0)
+    val hours = ev.select(max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+      .head().getLong(0)
+    assert(hours > 0, "ts range must be non-degenerate")
+  }
+
   test("csv round-trip (header) preserves values under an explicit schema") {
     val src = Tables.customer(spark, "/root/testdata/sf0.001")
     val dir = tmp("csv_h")

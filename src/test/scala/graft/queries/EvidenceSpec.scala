@@ -11,12 +11,19 @@ class EvidenceSpec extends SparkSpec {
     // empty truth: nothing to find → 10000 bp, no division by zero
     val r0 = Evidence.recallRow(spark, empty, empty, Seq("q", "item"), 5000).head()
     assert(r0.getLong(3) == 10000L)
-    // partial recall below the floor throws with the measured value
+    // below the floor with a tiny truth set (< 30): the floor is a
+    // scale property, not a 3-trial coin-flip property — report, don't
+    // throw (sf0.001 preflight runs would otherwise fail by chance)
     val partial = Seq((1L, 10L)).toDF("q", "item")
+    val tiny = Evidence.recallRow(spark, partial, truth, Seq("q", "item"), 5000).head()
+    assert(tiny.getLong(3) == 3333L)
+    // at a supported sample size the floor THROWS with the measured value
+    val bigTruth = (1L to 40L).map(i => (i, i * 100)).toDF("q", "item")
+    val bigPartial = (1L to 10L).map(i => (i, i * 100)).toDF("q", "item")
     val err = intercept[IllegalArgumentException] {
-      Evidence.recallRow(spark, partial, truth, Seq("q", "item"), 5000)
+      Evidence.recallRow(spark, bigPartial, bigTruth, Seq("q", "item"), 5000)
     }
-    assert(err.getMessage.contains("3333 bp"), err.getMessage)
+    assert(err.getMessage.contains("2500 bp"), err.getMessage)
     // a false row violates the precision contract when asserted
     val withFalse = Seq((1L, 10L), (9L, 99L)).toDF("q", "item")
     val perr = intercept[IllegalArgumentException] {

@@ -49,6 +49,31 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns differ spark={s_cols} duck={d_cols}")
         fails += 1
         continue
+    # Driver-hash hardening (round-5 lesson): the driver's hash is
+    # format-sensitive where Python == is not. Two queries sat at
+    # rows+schema+exact-value PASS locally yet hash-FAILed at the driver
+    # for two rounds. Reproduce the strict part here:
+    #  1) arrow TYPE mismatches with equal values (DuckDB SUM(BIGINT) →
+    #     int128/hugeint vs Spark's int64; int vs float where 1 == 1.0)
+    #  2) -0.0 vs 0.0 and NaN (== says equal / unordered; formats differ)
+    def _norm_type(t):
+        t = str(t)
+        return {"large_string": "string", "large_binary": "binary"}.get(t, t)
+    for c in s_cols:
+        st = _norm_type(spark_tbl.schema.field(c).type)
+        dt = _norm_type(duck.schema.field(c).type)
+        if st != dt:
+            print(f"WARN {name}: column '{c}' type spark={st} duck={dt} — "
+                  "equal values may still hash-FAIL at the driver; CAST the "
+                  "oracle (or emit fixed-point) so types agree")
+    for tbl, side in ((spark_tbl, "spark"), (duck, "duck")):
+        for c in s_cols:
+            vals = tbl.column(c).to_pylist()
+            if any(isinstance(v, float) and
+                   (math.isnan(v) or (v == 0.0 and math.copysign(1, v) < 0))
+                   for v in vals):
+                print(f"WARN {name}: {side}.{c} contains NaN/-0.0 — "
+                      "hash-unstable across engines")
     if spark_tbl.num_rows != duck.num_rows:
         print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
         fails += 1
