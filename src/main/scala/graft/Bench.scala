@@ -35,6 +35,14 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the in-memory app-status store grows with every job/stage/SQL
+      // execution of a 112-query run even with the UI off; trimming the
+      // retained history keeps late-alphabet queries' per-job scheduling
+      // latency flat instead of drifting up with accumulated state
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "16")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -211,10 +211,9 @@ case class MinHashDedup(
   * dup graph is edge METADATA — two ids per pair, not documents — and in
   * a deduped corpus it is orders of magnitude smaller than the corpus.
   * When the persisted edge list holds at most `edgeBudget` pairs, the op
-  * streams the id pairs to the driver (`toLocalIterator`, partition by
-  * partition — the driver holds the union-find map, not a collected Row
-  * array) and runs exact union-find (path compression + min-root,
-  * O(E α)) — one job, no iteration, no per-round scheduler overhead.
+  * collects the id pairs to the driver in one job and runs exact
+  * union-find (path compression + min-root, O(E α)) — no iteration, no
+  * per-round scheduler overhead.
   * Above the budget it switches to the distributed propagation, whose
   * state stays ∝ |dup graph|. At the 4 M-pair default the union-find
   * map holds a few million entries (tens of MB of driver heap) — far
@@ -258,10 +257,14 @@ case class DupClusters(
   /** Exact driver-side union-find over the UN-doubled pair list (the
     * below-budget path; union-find is direction-agnostic, so collecting
     * the symmetric edge list would double the transfer for nothing).
-    * Pairs stream through `toLocalIterator` partition by partition —
-    * the driver holds the union-find map (two entries per node), never
-    * the full Row array. Min-root union keeps `cluster_id` = the
-    * component's minimum id — identical semantics to the propagation. */
+    * One `collect()`, one job: the `edgeBudget` gate already bounds the
+    * transfer (≤4M pairs ≈ low hundreds of MB of Rows, transient), and
+    * the earlier per-partition `toLocalIterator` ran a separate Spark job
+    * per partition — in a long-lived session whose per-job scheduling
+    * latency has grown (listener bus, GC debt), that multiplied into a
+    * 12 s → 38 s swing on an unchanged query (measured, bench r6).
+    * Min-root union keeps `cluster_id` = the component's minimum id —
+    * identical semantics to the propagation. */
   private def driverClusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val idField = pairs.schema(aCol)
@@ -274,8 +277,8 @@ case class DupClusters(
       while (c != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    pairs.select(col(aCol), col(bCol)).na.drop().toLocalIterator()
-      .forEachRemaining { row =>
+    pairs.select(col(aCol), col(bCol)).na.drop().collect()
+      .foreach { row =>
         val a = row.get(0); val b = row.get(1)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)
