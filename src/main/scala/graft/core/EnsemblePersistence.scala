@@ -312,6 +312,15 @@ object EnsemblePersistence {
       ("type" -> "Decontaminate") ~ ("path" -> p) ~ ("idCol" -> dc.idCol) ~
         ("textCol" -> dc.textCol) ~ ("evalTextCol" -> dc.evalTextCol) ~
         ("n" -> dc.n)
+    // the sketch is refit from the persisted eval corpus on load (it is
+    // derived state, seed-free and cheap next to the parquet write)
+    case bd: BloomDecontaminate =>
+      val p = artifactPath(dir, i, "eval_corpus")
+      bd.eval.select(bd.evalTextCol).write.mode("overwrite").parquet(p)
+      ("type" -> "BloomDecontaminate") ~ ("path" -> p) ~ ("idCol" -> bd.idCol) ~
+        ("textCol" -> bd.textCol) ~ ("evalTextCol" -> bd.evalTextCol) ~
+        ("n" -> bd.n) ~ ("fpp" -> bd.fpp) ~
+        ("sketchBudgetBytes" -> bd.sketchBudgetBytes)
     // the two incremental-ingest ops persist their accepted-corpus index
     // (digests / signatures) as the parquet side artifact — the exact
     // state updatedIndex hands to the next batch
@@ -674,6 +683,11 @@ object EnsemblePersistence {
       case "Decontaminate" =>
         Decontaminate(spark.read.parquet(s("path")), s("idCol"), s("textCol"),
           s("evalTextCol"), (o \ "n").extract[Int])
+      case "BloomDecontaminate" =>
+        BloomDecontaminate(spark.read.parquet(s("path")), s("idCol"),
+          s("textCol"), s("evalTextCol"), (o \ "n").extract[Int],
+          (o \ "fpp").extract[Double],
+          (o \ "sketchBudgetBytes").extract[Long])
       case "PackChunks" =>
         PackChunks(s("idCol"), s("orderCol"), s("tokensCol"),
           (o \ "budget").extract[Int], (o \ "shards").extract[Int], s("salt"))

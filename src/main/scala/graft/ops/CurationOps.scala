@@ -84,6 +84,100 @@ object Decontaminate {
       g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(7919)).as("h2")))
 }
 
+/** [[Decontaminate]] with a Bloom prefilter — the beyond-broadcast scale
+  * path. The exact op's semi-join is already right when the eval gram
+  * inventory fits a broadcast hash relation; past that (billions of eval
+  * grams — a large held-out suite against a 100 TB corpus) the hash
+  * relation is tens of GB while a Bloom sketch of the same inventory at
+  * 1% false-positive rate is ~16× smaller (~1.2 GB per 10⁹ grams).
+  *
+  * Two stages, one contract:
+  *   1. PREFILTER (map-side, shuffle-free): broadcast the sketch, keep a
+  *      document iff ANY of its gram digests might be in the eval set.
+  *      Bloom filters have NO false negatives, so every document dropped
+  *      here is exactly clean — the verdict for the overwhelming majority
+  *      of a healthy corpus, decided without moving a byte of it.
+  *   2. VERIFY (exact): only the suspects' grams flow into the exact
+  *      128-bit digest semi-join, so the corpus-side shuffle is
+  *      ∝ (true contamination + fpp·docs), not ∝ corpus.
+  * Final labels are therefore IDENTICAL to [[Decontaminate]]'s — the
+  * sketch changes where the work happens, never the answer (oracled by
+  * the same SQL, pinned by spec).
+  *
+  * The membership probe is a scalar Scala function over each document's
+  * digest array (one invocation per document, row-local): Spark's
+  * codegen'd `might_contain` expression only accepts the internal
+  * aggregate's serialization, not the public `util.sketch.BloomFilter`
+  * this op fits with `df.stat.bloomFilter` — the same documented-reason
+  * UDF exception as the BPE tokenize closure. The sketch fit itself is a
+  * fit-time action over eval metadata (digest count + sketch build),
+  * size-gated by `sketchBudgetBytes` exactly like the ALS broadcast gate:
+  * an inventory whose sketch exceeds the budget fails fast with the
+  * shuffling exact op named as the fallback. */
+case class BloomDecontaminate(
+    eval: DataFrame,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    evalTextCol: String = "text",
+    n: Int = 13,
+    fpp: Double = 0.01,
+    sketchBudgetBytes: Long = 1L << 30) extends EnsembleOp {
+
+  require(n >= 1, s"$name: n must be >= 1")
+  require(fpp > 0.0 && fpp < 0.5, s"$name: fpp must be in (0, 0.5), got $fpp")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    require(eval.schema.fieldNames.contains(evalTextCol),
+      s"$name: '$evalTextCol' missing in eval frame")
+    StructType(Seq(
+      in(idCol),
+      StructField("n_grams", IntegerType),
+      StructField("matched_grams", LongType, nullable = false),
+      StructField("contaminated", BooleanType, nullable = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    import Decontaminate.gramDigests
+    // the eval inventory feeds the sketch fit (eager) and the exact
+    // verify join (lazy); it is MB-scale by definition, so extracting it
+    // twice beats a persist the caller would have to release
+    val evalGrams = eval
+      .select(explode(gramDigests(col(evalTextCol), n)).as("__gram"))
+      .distinct()
+    val nEval = evalGrams.count()
+    // optimal bloom bits ≈ n·ln(1/fpp)/ln(2)²; fail fast past the budget
+    val sketchBytes =
+      math.ceil(nEval * math.log(1.0 / fpp) / (math.log(2) * math.log(2)) / 8.0).toLong
+    require(sketchBytes <= sketchBudgetBytes,
+      s"$name: eval inventory of $nEval grams needs a ~$sketchBytes-byte sketch, " +
+        s"over the $sketchBudgetBytes budget — raise fpp/budget or use the " +
+        "exact Decontaminate (shuffling) path")
+    // the sketch keys on h1 alone: a single-hash prefilter collision only
+    // adds to the false-positive rate the exact verify removes anyway
+    val bloom = evalGrams.select(col("__gram.h1").as("h1"))
+      .stat.bloomFilter("h1", math.max(nEval, 1L), fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bloom)
+    val mightHit = udf { hs: Seq[Long] =>
+      val b = bc.value; hs != null && hs.exists(b.mightContain(_))
+    }
+    val withDigests = df.select(col(idCol), col(textCol),
+      gramDigests(col(textCol), n).as("__grams"))
+    val suspects = withDigests
+      .filter(mightHit(arrayTransform(col("__grams"), _.getField("h1"))))
+    val matches = suspects
+      .select(col(idCol), explode(col("__grams")).as("__gram"))
+      .join(evalGrams, Seq("__gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("matched_grams"))
+    val nGrams = greatest(T.tokenCount(col(textCol)) - (n - 1), lit(0))
+    df.select(col(idCol), nGrams.cast("int").as("n_grams"))
+      .join(matches, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        (coalesce(col("matched_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+}
+
 /** Sequence packing: assign chunks to fixed-token-budget training rows by
   * GREEDY SEQUENTIAL packing within hash shards — the step between
   * [[DocumentChunks]] and a trainer that wants dense fixed-size batches.

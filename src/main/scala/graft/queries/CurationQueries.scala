@@ -492,6 +492,18 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** The Bloom-prefiltered decontamination twin: identical labels (no
+    * false negatives + exact verify on suspects), same oracle SQL as
+    * [[decontaminate]] — what the sketch changes is WHERE the work
+    * happens (map-side prefilter, corpus shuffle ∝ suspects), which is
+    * the 100 TB story, not the answer. */
+  def decontaminateBloom(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    BloomDecontaminate(docs.filter(col("source") === "src0"), n = 5)
+      .transform(docs)
+      .orderBy("doc_id")
+  }
+
   /** Greedy per-shard sequence packing under the oracle: DuckDB replays
     * the fold as a recursive CTE over the same (shard, doc, chunk)
     * order, so every pack assignment hash-checks. 64 shards: the CTE
@@ -686,6 +698,7 @@ object CurationQueries {
     "corpus_report" -> (corpusReport _),
     "text_scrub_spans" -> (textScrubSpans _),
     "text_decontaminate" -> (decontaminate _),
+    "text_decontaminate_bloom" -> (decontaminateBloom _),
     "pack_chunks" -> (packChunks _),
     "pipeline_pretraining" -> (pipelinePretraining _),
     "neardup_semantic_full" -> (neardupSemanticFull _),
@@ -829,6 +842,23 @@ object CurationQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  /** One decontamination oracle, two queries: the hash is an equality
+    * surrogate, so DuckDB mirrors the decision by comparing the grams
+    * themselves; the Bloom twin must produce bit-identical labels. */
+  private lazy val decontaminateOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
+       |tg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(ws)-3),
+       |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
+       |  FROM w WHERE len(ws) >= 5),
+       |eg AS (SELECT DISTINCT g FROM tg WHERE source = 'src0'),
+       |m AS (SELECT doc_id, count(*) AS matched FROM tg
+       |  WHERE g IN (SELECT g FROM eg) GROUP BY 1)
+       |SELECT w.doc_id,
+       |CAST(CASE WHEN len(ws) >= 5 THEN len(ws) - 4 ELSE 0 END AS INTEGER) AS n_grams,
+       |CAST(coalesce(m.matched, 0) AS BIGINT) AS matched_grams,
+       |coalesce(m.matched, 0) > 0 AS contaminated
+       |FROM w LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_scrub_spans" ->
       s"""WITH w AS (
@@ -946,19 +976,9 @@ object CurationQueries {
          |SELECT doc_id, chunk_id, n_tokens, shard, pack_id,
          |  CAST(pack_pos AS INTEGER) AS pack_pos
          |FROM rec ORDER BY doc_id, chunk_id""".stripMargin,
-    "text_decontaminate" ->
-      s"""WITH w AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
-         |tg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(ws)-3),
-         |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
-         |  FROM w WHERE len(ws) >= 5),
-         |eg AS (SELECT DISTINCT g FROM tg WHERE source = 'src0'),
-         |m AS (SELECT doc_id, count(*) AS matched FROM tg
-         |  WHERE g IN (SELECT g FROM eg) GROUP BY 1)
-         |SELECT w.doc_id,
-         |CAST(CASE WHEN len(ws) >= 5 THEN len(ws) - 4 ELSE 0 END AS INTEGER) AS n_grams,
-         |CAST(coalesce(m.matched, 0) AS BIGINT) AS matched_grams,
-         |coalesce(m.matched, 0) > 0 AS contaminated
-         |FROM w LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" -> decontaminateOracleSql,
+    // same SQL on purpose: the Bloom prefilter moves work, never labels
+    "text_decontaminate_bloom" -> decontaminateOracleSql,
     "pack_chunks" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
          |c AS (SELECT doc_id, ws, len(ws) AS n,

@@ -224,6 +224,20 @@ class EnsemblePersistenceSpec extends SparkSpec {
     assert(loaded.transform(train).filter(col("contaminated")).count() == 1)
   }
 
+  test("BloomDecontaminate round-trips eval corpus + sketch params, labels preserved") {
+    val train = Seq((1L, "alpha beta gamma delta"), (2L, "nothing in common at all"))
+      .toDF("doc_id", "text")
+    val eval = Seq((9L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val op = BloomDecontaminate(eval, n = 3, fpp = 0.02)
+    val dir = Files.tmp("ens_bloom")
+    EnsemblePersistence.save(Ensemble(Seq(op), train.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    val lop = loaded.ops.head.asInstanceOf[BloomDecontaminate]
+    assert(lop.fpp == 0.02 && lop.n == 3)
+    assert(loaded.transform(train).orderBy("doc_id").collect().toSeq ==
+      op.transform(train).orderBy("doc_id").collect().toSeq)
+  }
+
   test("MaterializeFeatureView round-trips its updates table as a side artifact") {
     val snap = Seq((1L, 10L, 1L, "old"), (2L, 10L, 1L, "keep"))
       .toDF("id", "ts", "seq", "v")

@@ -32,6 +32,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.getLong(2) == 3L, "'x y' occurs three times, each occurrence counts")
   }
 
+  test("BloomDecontaminate labels are bit-identical to the exact op") {
+    // the real testdata corpus: src0 plays the eval set, every doc gets
+    // labeled — the prefilter may pass extra suspects (false positives)
+    // but the verify stage must ground every final label exactly
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val eval = docs.filter(col("source") === "src0")
+    val exact = Decontaminate(eval, n = 5).transform(docs)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = BloomDecontaminate(eval, n = 5).transform(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact, "sketch may move work, never change labels")
+    assert(exact.exists(_.getBoolean(3)), "fixture must exercise the contaminated path")
+    assert(exact.exists(r => !r.getBoolean(3)), "and the clean path")
+  }
+
+  test("BloomDecontaminate fails fast past the sketch budget, naming the fallback") {
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      BloomDecontaminate(eval, n = 4, sketchBudgetBytes = 1L).transform(train).count()
+    }
+    assert(e.getMessage.contains("Decontaminate"), e.getMessage)
+  }
+
   test("PackChunks packs greedily: budget never exceeded, oversized chunks isolated") {
     // single shard so the whole order is one fold
     val chunks = Seq(
