@@ -321,6 +321,18 @@ object EnsemblePersistence {
         ("textCol" -> bd.textCol) ~ ("evalTextCol" -> bd.evalTextCol) ~
         ("n" -> bd.n) ~ ("fpp" -> bd.fpp) ~
         ("sketchBudgetBytes" -> bd.sketchBudgetBytes)
+    // the reference corpus is the fitted state (the frequency table is
+    // derived from it deterministically on load, like the Bloom sketch)
+    case lm: NgramLmScore =>
+      val p = artifactPath(dir, i, "lm_reference")
+      lm.reference.select(lm.refTextCol).write.mode("overwrite").parquet(p)
+      ("type" -> "NgramLmScore") ~ ("path" -> p) ~ ("idCol" -> lm.idCol) ~
+        ("textCol" -> lm.textCol) ~ ("refTextCol" -> lm.refTextCol) ~
+        ("n" -> lm.n) ~ ("oovMaxCount" -> lm.oovMaxCount)
+    case sh: ShardShuffle =>
+      ("type" -> "ShardShuffle") ~ ("idCol" -> sh.idCol) ~
+        ("shards" -> sh.shards) ~ ("salt" -> sh.salt) ~
+        ("shardCol" -> sh.shardCol) ~ ("posCol" -> sh.posCol)
     // the two incremental-ingest ops persist their accepted-corpus index
     // (digests / signatures) as the parquet side artifact — the exact
     // state updatedIndex hands to the next batch
@@ -688,6 +700,13 @@ object EnsemblePersistence {
           s("textCol"), s("evalTextCol"), (o \ "n").extract[Int],
           (o \ "fpp").extract[Double],
           (o \ "sketchBudgetBytes").extract[Long])
+      case "NgramLmScore" =>
+        NgramLmScore(spark.read.parquet(s("path")), s("idCol"), s("textCol"),
+          s("refTextCol"), (o \ "n").extract[Int],
+          (o \ "oovMaxCount").extract[Long])
+      case "ShardShuffle" =>
+        ShardShuffle(s("idCol"), (o \ "shards").extract[Int], s("salt"),
+          s("shardCol"), s("posCol"))
       case "PackChunks" =>
         PackChunks(s("idCol"), s("orderCol"), s("tokensCol"),
           (o \ "budget").extract[Int], (o \ "shards").extract[Int], s("salt"))

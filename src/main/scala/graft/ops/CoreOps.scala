@@ -672,6 +672,68 @@ case class UpsampleMix(
   }
 }
 
+/** Deterministic corpus shuffle + shard assignment — the write-side stage
+  * every pre-training pipeline ends with: break the corpus's storage
+  * order (adjacent docs correlate by crawl/source, which biases training
+  * batches) and emit `shards` independently consumable, reproducibly
+  * ordered slices. Both decisions are content-hashed, never rand():
+  * shard = [[graft.functions.TextFunctions.hashBucket]] of the id, and
+  * the within-shard position orders by a second, independently salted md5
+  * of the id — so the exact same physical layout falls out of any rerun,
+  * any partitioning, and the DuckDB oracle.
+  *
+  * Scale shape: ONE hash shuffle into `shards` groups plus a per-shard
+  * sort for the position — never a global sort. Each shard's position
+  * sequence is computed in that shard's task, so parallelism = `shards`;
+  * the caller sizes `shards` the way sharded training data is always
+  * sized — by target file size (1–4 GB/shard → tens of thousands of
+  * shards at 100 TB, ample parallelism), after which the natural write is
+  * `.repartition(col(shardCol)).sortWithinPartitions(posCol)`.
+  *
+  * A NULL id has no deterministic fate and is dropped (the
+  * [[StratifiedSample]]/[[UpsampleMix]] contract). */
+case class ShardShuffle(
+    idCol: String,
+    shards: Int = 64,
+    salt: String = "graft-shard",
+    shardCol: String = "shard",
+    posCol: String = "shard_pos") extends EnsembleOp {
+
+  require(shards >= 1, s"$name: shards must be >= 1")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol)
+    Seq(shardCol, posCol).foreach(c => require(!in.fieldNames.contains(c),
+      s"$name: output column '$c' collides with the input schema"))
+    StructType(in ++ Seq(
+      StructField(shardCol, IntegerType),
+      StructField(posCol, IntegerType, nullable = false)))
+  }
+
+  /** Shard coin (exposed so oracle SQL can mirror it). */
+  def shard: Column =
+    graft.functions.TextFunctions.hashBucket(col(idCol), salt, shards)
+
+  /** Within-shard shuffle key: an md5 under a DIFFERENT salt suffix than
+    * the shard coin — sharing one stream would order every shard by the
+    * same residue that chose it, leaving the low-order correlation the
+    * shuffle exists to remove. Hex-string ordering is identical across
+    * engines (same 32-char lowercase alphabet). */
+  def orderKey: Column =
+    md5(concat(col(idCol).cast("string"), lit(":" + salt + ":pos")))
+
+  override def transform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val out = transformSchema(df.schema)
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderKey.asc, col(idCol).asc)
+    df.withColumn(shardCol, shard.cast("int"))
+      .filter(col(shardCol).isNotNull)
+      .withColumn(posCol, row_number().over(w))
+      .select(out.fieldNames.map(col).toSeq: _*)
+  }
+}
+
 /** Pad/truncate a list column to fixed length (dataloader Padding op,
   * /root/reference/tests/unit/systems/ops/padding_op.py:26-63). Spark arrays
   * are natively ragged, so this is `slice(concat(a, fill), 1, len)`. */

@@ -111,3 +111,80 @@ case class RepetitionStats(
         (topCols ++ dupCols) :+ keep.as("keep"): _*)
   }
 }
+
+/** Corpus-familiarity n-gram LM score — the CCNet idea (Wenzek et al.
+  * 2019: score each document by how expected its n-grams are under a
+  * language model fit on a reference corpus; unfamiliar text is low
+  * quality or off-domain) recast integer-exact. libm `ln` is not
+  * bit-portable across engines, so instead of log-perplexity the score is
+  * the MEAN REFERENCE FREQUENCY of the document's word n-grams in integer
+  * micros plus the OOV-gram count — the same "familiar text scores high,
+  * gibberish scores low" ranking signal, with zero floats anywhere
+  * (`sum_freq * 1e6 DIV n_grams` is pure BIGINT arithmetic on both
+  * engines).
+  *
+  * Scale shape (identical to [[Decontaminate]]'s): the reference corpus
+  * collapses to a (gram-digest → frequency) table bounded by the distinct
+  * n-gram vocabulary, built with map-side partial aggregation; the scored
+  * corpus explodes to (doc, gram-digest) pairs and meets the frequency
+  * table in an equi-join whose shuffle carries 16-byte digests, never
+  * gram text. AQE broadcasts the frequency table when it is small; when a
+  * user fits on something huge the shuffle path is already correct.
+  * Frequencies count digest PAIRS (two independent xxhash64s, shared with
+  * Decontaminate's one definition) so a merged count needs a simultaneous
+  * 128-bit collision — negligible at any corpus size.
+  *
+  * Output: (id, n_grams, oov_grams, sum_freq, mean_freq_micro). A gram is
+  * OOV when its reference frequency is <= `oovMaxCount` (default 1: when
+  * fitting on the scored corpus itself, a frequency-1 gram occurs nowhere
+  * else). Documents shorter than n words have no grams and score 0.
+  */
+case class NgramLmScore(
+    reference: DataFrame,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    refTextCol: String = "text",
+    n: Int = 2,
+    oovMaxCount: Long = 1L) extends EnsembleOp {
+
+  require(n >= 1, s"$name: n must be >= 1")
+  require(oovMaxCount >= 0, s"$name: oovMaxCount must be >= 0")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    require(reference.schema.fieldNames.contains(refTextCol),
+      s"$name: '$refTextCol' missing in reference frame")
+    StructType(Seq(
+      in(idCol),
+      StructField("n_grams", IntegerType, nullable = false),
+      StructField("oov_grams", LongType, nullable = false),
+      StructField("sum_freq", LongType, nullable = false),
+      StructField("mean_freq_micro", LongType, nullable = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    import Decontaminate.gramDigests
+    val refFreq = reference
+      .select(explode(gramDigests(col(refTextCol), n)).as("__gram"))
+      .groupBy("__gram").agg(count(lit(1)).as("__freq"))
+    val scored = df
+      .select(col(idCol), explode(gramDigests(col(textCol), n)).as("__gram"))
+      // left join: a gram absent from the reference scores frequency 0
+      // (possible whenever reference != the scored corpus)
+      .join(refFreq, Seq("__gram"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("__n"),
+        sum(when(coalesce(col("__freq"), lit(0L)) <= oovMaxCount, 1L)
+          .otherwise(0L)).as("__oov"),
+        sum(coalesce(col("__freq"), lit(0L))).as("__sum"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).cast("int").as("n_grams"),
+        coalesce(col("__oov"), lit(0L)).as("oov_grams"),
+        coalesce(col("__sum"), lit(0L)).as("sum_freq"),
+        when(coalesce(col("__n"), lit(0L)) > 0,
+          expr("__sum * 1000000 DIV __n")).otherwise(0L)
+          .as("mean_freq_micro"))
+  }
+}

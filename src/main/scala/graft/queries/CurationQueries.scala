@@ -347,6 +347,16 @@ object CurationQueries {
   def textRepetition(spark: SparkSession, d: String): DataFrame =
     RepetitionStats().transform(documents(spark, d)).orderBy("doc_id")
 
+  /** Corpus-familiarity LM score (NgramLmScore, the CCNet signal kept
+    * integer-exact): fit the bigram frequency table on the corpus itself,
+    * score every document by mean gram frequency + OOV count. Spark joins
+    * on 128-bit gram digests; DuckDB compares the grams themselves — the
+    * hash is an equality surrogate (decontamination convention). */
+  def textLmScore(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    NgramLmScore(docs, n = 2).transform(docs).orderBy("doc_id")
+  }
+
   /** The curation flagship: the full pre-training data pass a corpus
     * owner runs — quality filter → repetition filter → fuzzy dedup among
     * the survivors (n-gram Jaccard pairs → connected components → one
@@ -707,6 +717,7 @@ object CurationQueries {
     "dedup_simhash_check" -> (dedupSimhashCheck _),
     "neardup_cosine_lsh_recall" -> (neardupCosineLshRecall _),
     "text_repetition" -> (textRepetition _),
+    "text_lm_score" -> (textLmScore _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_vocab" -> (textVocab _),
     "text_bpe_vocab" -> (textBpeVocab _),
@@ -1019,6 +1030,20 @@ object CurationQueries {
          |  i -> array_to_string(ws[CAST(i*24 + 1 AS BIGINT):CAST(least(i*24 + 32, n) AS BIGINT)], ' '))) AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_repetition" -> repetitionSql,
+    "text_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(${gramSql(2)}) AS g FROM w WHERE len(ws) >= 2),
+         |f AS (SELECT g, count(*) AS freq FROM g GROUP BY 1),
+         |s AS (SELECT g.doc_id, count(*) AS n_grams,
+         |  sum(CASE WHEN freq <= 1 THEN 1 ELSE 0 END) AS oov,
+         |  sum(freq) AS sf
+         |  FROM g JOIN f USING (g) GROUP BY 1)
+         |SELECT w.doc_id, CAST(coalesce(n_grams, 0) AS INTEGER) AS n_grams,
+         |  CAST(coalesce(oov, 0) AS BIGINT) AS oov_grams,
+         |  CAST(coalesce(sf, 0) AS BIGINT) AS sum_freq,
+         |  CAST(CASE WHEN coalesce(n_grams, 0) > 0
+         |    THEN sf * 1000000 // n_grams ELSE 0 END AS BIGINT) AS mean_freq_micro
+         |FROM w LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "pipeline_curation" -> curationSql,
     "text_vocab" ->
       s"""SELECT token, count(*) AS n_occurrences,

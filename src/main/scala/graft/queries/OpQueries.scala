@@ -587,6 +587,15 @@ object OpQueries {
       .select(col("doc_id"), col("split_bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** Deterministic shuffle-shard layout over documents (ShardShuffle):
+    * content-hashed shard + within-shard position — the physical layout a
+    * sharded training-data write materializes, reproduced bit-identically
+    * by the oracle's window over the same md5 keys. */
+  def shardShuffle(spark: SparkSession, d: String): DataFrame =
+    ShardShuffle("doc_id", shards = 16)
+      .transform(documents(spark, d).select("doc_id", "source"))
+      .orderBy("doc_id")
+
   /** Lineitem with integral quantity — the shared base for the fitted-FE
     * queries (exact long sums keep the fitted statistics bit-deterministic
     * cross-engine). */
@@ -733,6 +742,7 @@ object OpQueries {
     "op_clip_log" -> (clipLog _),
     "op_list_slice" -> (listSlice _),
     "op_hash_split" -> (hashSplit _),
+    "op_shard_shuffle" -> (shardShuffle _),
     "op_feature_lookup" -> (featureLookup _),
     "op_filter_candidates" -> (filterCandidates _),
     "op_unroll_features" -> (unrollFeatures _),
@@ -893,6 +903,14 @@ object OpQueries {
         |FROM (SELECT doc_id,
         |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft-split'), 1, 8))::BIGINT % 10000 AS b
         |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "op_shard_shuffle" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  ('0x' || substring(md5(doc_id::VARCHAR || ':graft-shard'), 1, 8))::BIGINT % 16 AS shard,
+        |  md5(doc_id::VARCHAR || ':graft-shard:pos') AS ok
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(shard AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS INTEGER) AS shard_pos
+        |FROM s ORDER BY doc_id""".stripMargin,
     "op_feature_lookup" ->
       """SELECT p_partkey, p_brand AS item_p_brand, p_type AS item_p_type,
         |CAST(round(p_retailprice*100) AS BIGINT) AS item_price_cents

@@ -241,6 +241,54 @@ object StreamingOps {
       .select(idCol, tsCol)
   }
 
+  /** Streaming corpus-familiarity scoring — the ingest-time twin of
+    * [[graft.ops.NgramLmScore]] against a STATIC fitted frequency table
+    * (fit on a reference corpus once, score documents as they arrive —
+    * the CCNet quality gate as an ingest filter). Stream side explodes
+    * to gram digests row-locally (explode_outer, so gram-less short docs
+    * still score 0 exactly like the batch op); the frequency join is
+    * stream-static and stateless; the only state is the per-document
+    * aggregation, keyed by (event-time, id) and evicted by the
+    * watermark. Same 128-bit digest discipline and the same BIGINT-only
+    * scoring arithmetic as the batch op, so stream output rows equal
+    * batch op rows on the same data (pinned by spec). */
+  def lmScoreStream(
+      docs: DataFrame,
+      reference: DataFrame,
+      tsCol: String = "ts",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      refTextCol: String = "text",
+      n: Int = 2,
+      oovMaxCount: Long = 1L,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.ops.Decontaminate.gramDigests
+    // persist: the static side would otherwise refit per micro-batch
+    val freq = reference
+      .select(explode(gramDigests(col(refTextCol), n)).as("__gram"))
+      .groupBy("__gram").agg(count(lit(1)).as("__freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode_outer(gramDigests(col(textCol), n)).as("__gram"))
+      .join(freq, Seq("__gram"), "left")
+      .groupBy(col(tsCol), col(idCol))
+      .agg(
+        sum(when(col("__gram").isNotNull, 1L).otherwise(0L)).as("__n"),
+        sum(when(col("__gram").isNotNull &&
+          coalesce(col("__freq"), lit(0L)) <= oovMaxCount, 1L)
+          .otherwise(0L)).as("__oov"),
+        sum(when(col("__gram").isNotNull, coalesce(col("__freq"), lit(0L)))
+          .otherwise(0L)).as("__sum"))
+      .select(col(idCol), col(tsCol),
+        col("__n").cast("int").as("n_grams"),
+        col("__oov").as("oov_grams"),
+        col("__sum").as("sum_freq"),
+        when(col("__n") > 0, expr("__sum * 1000000 DIV __n")).otherwise(0L)
+          .as("mean_freq_micro"))
+  }
+
   /** Streaming repeated-span scrub — the ingest-time twin of
     * [[graft.ops.ScrubSharedGrams]] against a STATIC shared-gram
     * inventory (mined by the batch op over the historical corpus;

@@ -234,6 +234,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "contamination test is a semi-join")
   }
 
+  test("lm score joins gram digests (no nested loop), aggregates partially, no global sort") {
+    val docs = Tables.documents(spark, d)
+    val p = plan(ops.NgramLmScore(docs, n = 2).transform(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"frequency lookup must be an equi-join:\n${p.take(600)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "frequency fit and scoring must map-side combine")
+    assert(!p.contains("Sort [doc_id"), "no global sort in scoring")
+  }
+
+  test("shard shuffle is one hash exchange + per-shard sort, never a global sort") {
+    val docs = Tables.documents(spark, d).select("doc_id", "source")
+    val p = plan(ops.ShardShuffle("doc_id", shards = 8).transform(docs))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"exactly one shard-key shuffle expected:\n${p.take(800)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "position must sort within shards, never range-partition globally")
+  }
+
   test("sequence packing shuffles chunk metadata only, never the text") {
     val chunks = ops.DocumentChunks().transform(Tables.documents(spark, d))
     val p = plan(ops.PackChunks(budget = 128, shards = 8).transform(chunks))

@@ -238,6 +238,30 @@ class EnsemblePersistenceSpec extends SparkSpec {
       op.transform(train).orderBy("doc_id").collect().toSeq)
   }
 
+  test("NgramLmScore round-trips its reference corpus as a side artifact") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val op = NgramLmScore(docs, n = 2)
+    val dir = Files.tmp("ens_lm")
+    EnsemblePersistence.save(Ensemble(Seq(op), docs.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    val lop = loaded.ops.head.asInstanceOf[NgramLmScore]
+    assert(lop.n == 2 && lop.oovMaxCount == 1L)
+    assert(loaded.transform(docs).orderBy("doc_id").collect().toSeq ==
+      op.transform(docs).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("ShardShuffle round-trips config and reproduces the exact layout") {
+    val docs = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val op = ShardShuffle("doc_id", shards = 4, salt = "s6")
+    val dir = Files.tmp("ens_shard")
+    EnsemblePersistence.save(Ensemble(Seq(op), docs.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.ops.head == op)
+    assert(loaded.transform(docs).orderBy("doc_id").collect().toSeq ==
+      op.transform(docs).orderBy("doc_id").collect().toSeq)
+  }
+
   test("MaterializeFeatureView round-trips its updates table as a side artifact") {
     val snap = Seq((1L, 10L, 1L, "old"), (2L, 10L, 1L, "keep"))
       .toDF("id", "ts", "seq", "v")

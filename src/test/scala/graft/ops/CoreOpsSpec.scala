@@ -502,4 +502,39 @@ class CoreOpsSpec extends SparkSpec {
     assert(out(0).getString(2) == "hot")
     assert(out(1).isNullAt(2), "unmatched key must survive with null payload")
   }
+
+  test("ShardShuffle: complete partition into dense per-shard positions, " +
+    "deterministic across reruns, null ids dropped") {
+    import spark.implicits._
+    val df = ((1L to 200L).map(i => (Some(i), s"d$i")) :+
+      (Option.empty[Long], "nullid")).toDF("doc_id", "payload")
+    val op = ShardShuffle("doc_id", shards = 8)
+    val out = op.transform(df).collect()
+    assert(out.length == 200, "null id dropped, everything else kept")
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keys.forall(s => s >= 0 && s < 8))
+    byShard.foreach { case (s, rows) =>
+      val pos = rows.map(_.getAs[Int]("shard_pos")).sorted
+      assert(pos.toSeq == (1 to rows.length).toSeq,
+        s"shard $s positions must be dense 1..n, got ${pos.toSeq}")
+    }
+    // rerun → identical layout (content-hashed, no rand())
+    val again = op.transform(df).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("shard_pos"))
+    assert(out.map(key).sortBy(_._1).toSeq == again.map(key).sortBy(_._1).toSeq)
+    // the shuffle does shuffle: within-shard order differs from id order
+    val someShard = byShard.values.maxBy(_.length)
+    val idsByPos = someShard.sortBy(_.getAs[Int]("shard_pos")).map(_.getAs[Long]("doc_id"))
+    assert(idsByPos.toSeq != idsByPos.sorted.toSeq,
+      "within-shard order should not degenerate to id order")
+  }
+
+  test("ShardShuffle rejects output-column collisions at schema time") {
+    import spark.implicits._
+    val df = Seq((1L, 2)).toDF("doc_id", "shard")
+    assertThrows[IllegalArgumentException] {
+      ShardShuffle("doc_id").transformSchema(df.schema)
+    }
+  }
 }

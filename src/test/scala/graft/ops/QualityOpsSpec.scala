@@ -81,4 +81,37 @@ class QualityOpsSpec extends SparkSpec {
       out.getAs[Long]("top2_bp") > 2000) // tiny docs may trip top-2 (top
     // gram IS most of the doc) — the signal is honest either way
   }
+
+  test("NgramLmScore: hand-computed bigram frequencies, self-fit corpus") {
+    // corpus: "a b a b" (bigrams: ab, ba, ab), "a b c" (ab, bc), "x" (none)
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = NgramLmScore(df, n = 2).transform(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // corpus freq: "a b"=3, "b a"=1, "b c"=1
+    val d1 = out(1L) // grams: ab(3), ba(1), ab(3) → sum 7, oov 1 (ba)
+    assert(d1.getAs[Int]("n_grams") == 3)
+    assert(d1.getAs[Long]("sum_freq") == 7L)
+    assert(d1.getAs[Long]("oov_grams") == 1L)
+    assert(d1.getAs[Long]("mean_freq_micro") == 7L * 1000000 / 3)
+    val d2 = out(2L) // ab(3), bc(1) → sum 4, oov 1
+    assert(d2.getAs[Int]("n_grams") == 2)
+    assert(d2.getAs[Long]("sum_freq") == 4L)
+    assert(d2.getAs[Long]("oov_grams") == 1L)
+    assert(d2.getAs[Long]("mean_freq_micro") == 2000000L)
+    val d3 = out(3L) // shorter than n: no grams, zero score
+    assert(d3.getAs[Int]("n_grams") == 0)
+    assert(d3.getAs[Long]("sum_freq") == 0L)
+    assert(d3.getAs[Long]("mean_freq_micro") == 0L)
+  }
+
+  test("NgramLmScore: grams absent from a foreign reference score 0 freq") {
+    val ref = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val df = Seq((1L, "a b z")).toDF("doc_id", "text")
+    val out = NgramLmScore(ref, n = 2).transform(df).collect().head
+    // "a b" in ref (freq 1 ≤ oovMaxCount → OOV), "b z" absent (freq 0)
+    assert(out.getAs[Int]("n_grams") == 2)
+    assert(out.getAs[Long]("sum_freq") == 1L)
+    assert(out.getAs[Long]("oov_grams") == 2L)
+  }
 }

@@ -152,6 +152,33 @@ class StreamingOpsSpec extends SparkSpec {
       s"one alert per contaminated doc, none for clean docs: $out")
   }
 
+  test("lmScoreStream scores arriving docs identically to the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((10L, "a b a b"), (11L, "a b c")).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, ts(0), "a b a b"),  // familiar grams
+      (2L, ts(1), "a b z"),    // one known, one unseen gram
+      (3L, ts(2), "x"))        // shorter than n: zero grams, zero score
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val scored = StreamingOps.lmScoreStream(
+      src.toDF().toDF("doc_id", "ts", "text"), ref, watermark = "10 minutes")
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("lm_stream").start()
+    src.addData(rows: _*); q.processAllAvailable()
+    // advance the watermark past the scored docs so the agg emits
+    src.addData((99L, ts(120), "flush")); q.processAllAvailable(); q.stop()
+    val got = spark.table("lm_stream")
+      .select($"doc_id", $"n_grams", $"oov_grams", $"sum_freq", $"mean_freq_micro")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map { case (k, v2, v3, v4, v5) => k -> ((v2, v3, v4, v5)) }.toMap
+    val batch = graft.ops.NgramLmScore(ref, n = 2)
+      .transform(rows.toDF("doc_id", "ts", "text"))
+      .select($"doc_id", $"n_grams", $"oov_grams", $"sum_freq", $"mean_freq_micro")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map { case (k, v2, v3, v4, v5) => k -> ((v2, v3, v4, v5)) }.toMap
+    assert(got == batch, s"stream must equal batch scores: $got vs $batch")
+  }
+
   test("attributeStream joins purchases to their in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
