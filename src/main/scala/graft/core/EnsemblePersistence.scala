@@ -333,6 +333,17 @@ object EnsemblePersistence {
       ("type" -> "ShardShuffle") ~ ("idCol" -> sh.idCol) ~
         ("shards" -> sh.shards) ~ ("salt" -> sh.salt) ~
         ("shardCol" -> sh.shardCol) ~ ("posCol" -> sh.posCol)
+    // the baseline snapshot is the fitted state; only the monitored
+    // columns persist (the report never reads anything else)
+    case dr: DriftReport =>
+      val p = artifactPath(dir, i, "drift_baseline")
+      dr.baseline.select(dr.splits.keys.toSeq.sorted
+          .map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").parquet(p)
+      ("type" -> "DriftReport") ~ ("path" -> p) ~
+        ("features" -> dr.splits.keys.toSeq.sorted) ~
+        ("splits" -> dr.splits.keys.toSeq.sorted.map(dr.splits)) ~
+        ("thresholdBp" -> dr.thresholdBp)
     // the two incremental-ingest ops persist their accepted-corpus index
     // (digests / signatures) as the parquet side artifact — the exact
     // state updatedIndex hands to the next batch
@@ -707,6 +718,11 @@ object EnsemblePersistence {
       case "ShardShuffle" =>
         ShardShuffle(s("idCol"), (o \ "shards").extract[Int], s("salt"),
           s("shardCol"), s("posCol"))
+      case "DriftReport" =>
+        val features = ss("features")
+        val sp = (o \ "splits").extract[Seq[Seq[Double]]]
+        DriftReport(spark.read.parquet(s("path")),
+          features.zip(sp).toMap, (o \ "thresholdBp").extract[Long])
       case "PackChunks" =>
         PackChunks(s("idCol"), s("orderCol"), s("tokensCol"),
           (o \ "budget").extract[Int], (o \ "shards").extract[Int], s("salt"))

@@ -444,3 +444,75 @@ case class ListSlice(
           .otherwise(slice(col(c), from + lit(1), len)))
     }
 }
+
+/** Feature-drift report — the monitoring face of the serving lifecycle:
+  * compare a CURRENT snapshot's numeric feature distributions against a
+  * fitted BASELINE and flag features whose distribution moved. The
+  * histogram uses FIXED splits (the [[Bucketize]] discipline, with a
+  * dedicated null bucket), and the distance is the L1 distance between
+  * the two bucket-share vectors in integer basis points
+  * (`Σ|share_base − share_cur|`, range 0–20000) — every number is BIGINT
+  * arithmetic, so the report is bit-deterministic cross-engine. (PSI,
+  * the usual industry score, needs `ln`, which is not bit-portable; L1
+  * ranks drift the same way and is exact.)
+  *
+  * Scale shape: one scan per side per feature with map-side-combined
+  * bucket counts; everything after the counts operates on bucket-count
+  * frames (≤ splits+2 rows), so the shuffled volume is the number of
+  * buckets, independent of data size. Features are independent branches
+  * unioned at the end — at 100 TB the scans dominate and parallelize
+  * freely; no global sort, no window, no driver collect.
+  */
+case class DriftReport(
+    baseline: DataFrame,
+    splits: Map[String, Seq[Double]],
+    thresholdBp: Long = 1000L) extends EnsembleOp {
+
+  require(splits.nonEmpty, s"$name: at least one feature required")
+  require(splits.values.forall(sp => sp.nonEmpty && sp == sp.sorted),
+    s"$name: every feature needs ascending, non-empty splits")
+  require(thresholdBp >= 0, s"$name: thresholdBp must be >= 0")
+
+  override def transformSchema(in: StructType): StructType = {
+    splits.keys.foreach { c =>
+      requireCol(in, c)
+      require(in(c).dataType.isInstanceOf[NumericType],
+        s"$name: '$c' must be numeric, got ${in(c).dataType.sql}")
+      require(baseline.schema.fieldNames.contains(c),
+        s"$name: '$c' missing in baseline frame")
+    }
+    StructType(Seq(
+      StructField("feature", StringType, nullable = false),
+      StructField("n_base", LongType, nullable = false),
+      StructField("n_cur", LongType, nullable = false),
+      StructField("l1_bp", LongType, nullable = false),
+      StructField("drifted", BooleanType, nullable = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val perFeature = splits.toSeq.sortBy(_._1).map { case (c, sp) =>
+      // bucket = count of splits <= value; nulls get their own bucket −1
+      def counts(frame: DataFrame, cnt: String): DataFrame = frame.select(
+        when(col(c).isNull, lit(-1)).otherwise(
+          sp.foldLeft(lit(0))((acc, s) => acc + when(col(c) >= s, 1).otherwise(0)))
+          .as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as(cnt))
+      val joined = counts(baseline, "__nb")
+        .join(counts(df, "__nc"), Seq("__b"), "full_outer")
+        .select(coalesce(col("__nb"), lit(0L)).as("__nb"),
+          coalesce(col("__nc"), lit(0L)).as("__nc"))
+      val tot = joined.agg(sum("__nb").as("__tb"), sum("__nc").as("__tc"))
+      val shareB = when(col("__tb") > 0, expr("__nb * 10000 DIV __tb")).otherwise(0L)
+      val shareC = when(col("__tc") > 0, expr("__nc * 10000 DIV __tc")).otherwise(0L)
+      joined.crossJoin(tot) // tot is one row; the "cross" is a broadcast of 2 longs
+        .agg(max("__tb").as("n_base"), max("__tc").as("n_cur"),
+          sum(abs(shareB - shareC)).as("l1_bp"))
+        .select(lit(c).as("feature"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+          coalesce(col("l1_bp"), lit(0L)).as("l1_bp"),
+          (coalesce(col("l1_bp"), lit(0L)) >= thresholdBp).as("drifted"))
+    }
+    perFeature.reduce(_ unionByName _)
+  }
+}

@@ -587,6 +587,19 @@ object OpQueries {
       .select(col("doc_id"), col("split_bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** Feature-drift monitoring (DriftReport): split the event log into a
+    * baseline (even ids) and current (odd ids) snapshot and report each
+    * numeric feature's bucket-share L1 distance at fixed splits — the
+    * serving-monitoring pass, integer-exact on both engines. */
+  def driftReport(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d)
+    DriftReport(
+      ev.filter(col("event_id") % 2 === 0),
+      Map("value" -> Seq(10.0, 50.0, 150.0), "user_id" -> Seq(50.0, 100.0)))
+      .transform(ev.filter(col("event_id") % 2 =!= 0))
+      .orderBy("feature")
+  }
+
   /** Deterministic shuffle-shard layout over documents (ShardShuffle):
     * content-hashed shard + within-shard position — the physical layout a
     * sharded training-data write materializes, reproduced bit-identically
@@ -743,6 +756,7 @@ object OpQueries {
     "op_list_slice" -> (listSlice _),
     "op_hash_split" -> (hashSplit _),
     "op_shard_shuffle" -> (shardShuffle _),
+    "op_drift_report" -> (driftReport _),
     "op_feature_lookup" -> (featureLookup _),
     "op_filter_candidates" -> (filterCandidates _),
     "op_unroll_features" -> (unrollFeatures _),
@@ -781,6 +795,24 @@ object OpQueries {
     "op_quantize_embeddings" -> (quantizeEmbeddings _),
     "op_materialize_view" -> (materializeView _),
     "op_pipeline_ensemble" -> (pipelineEnsemble _))
+
+  /** Oracle fragment for op_drift_report: one feature's bucket-share L1
+    * CTE chain (mirrors DriftReport's fixed-split histogram, null bucket
+    * −1, and integer basis-point shares). Expects CTEs `base` and `cur`. */
+  private def driftSql(tag: String, c: String, sp: Seq[Double]): String = {
+    val bucket = sp.map(s => s"CASE WHEN $c >= $s THEN 1 ELSE 0 END").mkString(" + ")
+    s"""${tag}b AS (SELECT CASE WHEN $c IS NULL THEN -1 ELSE ($bucket) END AS b,
+       |  count(*) AS nb FROM base GROUP BY 1),
+       |${tag}c AS (SELECT CASE WHEN $c IS NULL THEN -1 ELSE ($bucket) END AS b,
+       |  count(*) AS nc FROM cur GROUP BY 1),
+       |${tag}j AS (SELECT coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+       |  FROM ${tag}b FULL JOIN ${tag}c USING (b)),
+       |${tag}t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM ${tag}j),
+       |${tag}1 AS (SELECT '$c' AS feature, tb, tc,
+       |  sum(abs(CASE WHEN tb > 0 THEN nb * 10000 // tb ELSE 0 END -
+       |          CASE WHEN tc > 0 THEN nc * 10000 // tc ELSE 0 END)) AS l1
+       |  FROM ${tag}j, ${tag}t GROUP BY 1, 2, 3)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "pipeline_feature_workflow" ->
@@ -911,6 +943,14 @@ object OpQueries {
         |SELECT doc_id, source, CAST(shard AS INTEGER) AS shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS INTEGER) AS shard_pos
         |FROM s ORDER BY doc_id""".stripMargin,
+    "op_drift_report" ->
+      s"""WITH base AS (SELECT * FROM events WHERE event_id % 2 = 0),
+         |cur AS (SELECT * FROM events WHERE event_id % 2 = 1),
+         |${driftSql("v", "value", Seq(10.0, 50.0, 150.0))},
+         |${driftSql("u", "user_id", Seq(50.0, 100.0))}
+         |SELECT feature, CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_cur,
+         |  CAST(l1 AS BIGINT) AS l1_bp, l1 >= 1000 AS drifted
+         |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM u1) ORDER BY feature""".stripMargin,
     "op_feature_lookup" ->
       """SELECT p_partkey, p_brand AS item_p_brand, p_type AS item_p_type,
         |CAST(round(p_retailprice*100) AS BIGINT) AS item_price_cents

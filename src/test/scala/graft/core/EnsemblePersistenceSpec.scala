@@ -262,6 +262,20 @@ class EnsemblePersistenceSpec extends SparkSpec {
       op.transform(docs).orderBy("doc_id").collect().toSeq)
   }
 
+  test("DriftReport round-trips its baseline snapshot and split config") {
+    val base = Seq((1.0, 5L), (2.0, 150L), (3.0, 5L)).toDF("x", "k")
+    val cur = Seq((1.0, 5L), (3.0, 300L)).toDF("x", "k")
+    val op = DriftReport(base, Map("x" -> Seq(2.0), "k" -> Seq(100.0)),
+      thresholdBp = 2000L)
+    val dir = Files.tmp("ens_drift")
+    EnsemblePersistence.save(Ensemble(Seq(op), cur.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    val lop = loaded.ops.head.asInstanceOf[DriftReport]
+    assert(lop.splits == op.splits && lop.thresholdBp == 2000L)
+    assert(loaded.transform(cur).orderBy("feature").collect().toSeq ==
+      op.transform(cur).orderBy("feature").collect().toSeq)
+  }
+
   test("MaterializeFeatureView round-trips its updates table as a side artifact") {
     val snap = Seq((1L, 10L, 1L, "old"), (2L, 10L, 1L, "keep"))
       .toDF("id", "ts", "seq", "v")

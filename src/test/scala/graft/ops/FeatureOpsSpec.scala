@@ -179,4 +179,49 @@ class FeatureOpsSpec extends SparkSpec {
         actual.map(f => (f.name, f.dataType)), op.name)
     }
   }
+
+  test("DriftReport: hand-computed L1 shares, null bucket, two features") {
+    import spark.implicits._
+    val base = Seq((1.0, 5L), (1.0, 5L), (2.0, 5L), (2.0, 200L))
+      .toDF("x", "k")
+    val cur = Seq((Some(1.0), 5L), (Some(2.0), 5L), (Some(2.0), 5L),
+      (Option.empty[Double], 5L)).toDF("x", "k")
+    val out = DriftReport(base,
+      Map("x" -> Seq(2.0), "k" -> Seq(100.0)), thresholdBp = 4000L)
+      .transform(cur).orderBy("feature").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("k", "x"))
+    val k = out(0)
+    // k base: 3×<100, 1×>=100 → 7500/2500; cur: 4×<100 → 10000/0
+    // l1 = |7500−10000| + |2500−0| = 5000 → drifted at 4000
+    assert(k.getAs[Long]("n_base") == 4L && k.getAs[Long]("n_cur") == 4L)
+    assert(k.getAs[Long]("l1_bp") == 5000L && k.getAs[Boolean]("drifted"))
+    val x = out(1)
+    // x base: b0=2, b1=2 → 5000/5000; cur: null=1, b0=1, b1=2 →
+    // 2500/2500/5000; l1 = |0−2500| + |5000−2500| + |5000−5000| = 5000
+    assert(x.getAs[Long]("l1_bp") == 5000L && x.getAs[Boolean]("drifted"))
+  }
+
+  test("DriftReport: identical snapshots report zero drift; empty current maxes out") {
+    import spark.implicits._
+    val base = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val same = DriftReport(base, Map("x" -> Seq(2.5)))
+      .transform(base).collect().head
+    assert(same.getAs[Long]("l1_bp") == 0L && !same.getAs[Boolean]("drifted"))
+    val empty = DriftReport(base, Map("x" -> Seq(2.5)))
+      .transform(base.filter(col("x") > 100)).collect().head
+    // cur empty → its shares are all 0 → l1 = Σ base shares = 10000
+    assert(empty.getAs[Long]("n_cur") == 0L)
+    assert(empty.getAs[Long]("l1_bp") == 10000L && empty.getAs[Boolean]("drifted"))
+  }
+
+  test("DriftReport rejects non-numeric features and unsorted splits") {
+    import spark.implicits._
+    val df = Seq((1.0, "a")).toDF("x", "s")
+    assertThrows[IllegalArgumentException] {
+      DriftReport(df, Map("s" -> Seq(1.0))).transformSchema(df.schema)
+    }
+    assertThrows[IllegalArgumentException] {
+      DriftReport(df, Map("x" -> Seq(3.0, 1.0)))
+    }
+  }
 }
