@@ -344,6 +344,25 @@ object EnsemblePersistence {
         ("features" -> dr.splits.keys.toSeq.sorted) ~
         ("splits" -> dr.splits.keys.toSeq.sorted.map(dr.splits)) ~
         ("thresholdBp" -> dr.thresholdBp)
+    // the eval embeddings are the fitted state; centroids (when probed)
+    // persist as plain parameter doubles like SemanticNearDup's
+    case sd: SemanticDecontaminate =>
+      val p = artifactPath(dir, i, "eval_embeddings")
+      sd.eval.select(sd.evalVecCol).write.mode("overwrite").parquet(p)
+      ("type" -> "SemanticDecontaminate") ~ ("path" -> p) ~
+        ("idCol" -> sd.idCol) ~ ("vecCol" -> sd.vecCol) ~
+        ("evalVecCol" -> sd.evalVecCol) ~ ("threshold" -> sd.threshold) ~
+        ("centers" -> sd.centers) ~ ("nprobe" -> sd.nprobe)
+    // the old snapshot persists as its (id, text) projection — the op
+    // re-derives digests on load, keeping `normalized` re-configurable
+    case sn: SnapshotDiff =>
+      val p = artifactPath(dir, i, "old_snapshot")
+      sn.old.select(sn.idCol, sn.textCol).write.mode("overwrite").parquet(p)
+      ("type" -> "SnapshotDiff") ~ ("path" -> p) ~ ("idCol" -> sn.idCol) ~
+        ("textCol" -> sn.textCol) ~ ("normalized" -> sn.normalized)
+    case PrefixDedup(id, text, n) =>
+      ("type" -> "PrefixDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
+        ("n" -> n)
     // the two incremental-ingest ops persist their accepted-corpus index
     // (digests / signatures) as the parquet side artifact — the exact
     // state updatedIndex hands to the next batch
@@ -728,6 +747,16 @@ object EnsemblePersistence {
           (o \ "budget").extract[Int], (o \ "shards").extract[Int], s("salt"))
       case "ExactDedup" =>
         ExactDedup(s("idCol"), s("textCol"), (o \ "normalized").extract[Boolean])
+      case "SemanticDecontaminate" =>
+        SemanticDecontaminate(spark.read.parquet(s("path")), s("idCol"),
+          s("vecCol"), s("evalVecCol"), (o \ "threshold").extract[Double],
+          (o \ "centers").extract[List[List[Double]]],
+          (o \ "nprobe").extract[Int])
+      case "SnapshotDiff" =>
+        SnapshotDiff(spark.read.parquet(s("path")), s("idCol"), s("textCol"),
+          (o \ "normalized").extract[Boolean])
+      case "PrefixDedup" =>
+        PrefixDedup(s("idCol"), s("textCol"), (o \ "n").extract[Int])
       case "NgramJaccardDedup" =>
         NgramJaccardDedup(s("idCol"), s("textCol"), (o \ "n").extract[Int],
           (o \ "thresholdBp").extract[Int])

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.{transform => arrayTransform}
 import org.apache.spark.sql.types._
 import graft.core.EnsembleOp
-import graft.functions.{TextFunctions => T}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
 /** Benchmark-decontamination: flag every training document that shares at
   * least one word n-gram with an evaluation corpus — the standard
@@ -466,5 +466,162 @@ case class PackChunks(
       }
       .toDF(out.fieldNames.toIndexedSeq: _*)
       .select(out.fieldNames.map(col).toIndexedSeq: _*)
+  }
+}
+
+/** Semantic benchmark decontamination: flag every corpus item whose
+  * embedding cosine to ANY evaluation-set embedding reaches `threshold` —
+  * the paraphrase-robust complement of the n-gram [[Decontaminate]].
+  * Token-overlap rules miss reworded benchmark items (translated,
+  * paraphrased, re-templated leakage); embedding similarity catches the
+  * rewordings that matter precisely because the model treats them as the
+  * same content (the public observation behind SemDeDup-style semantic
+  * matching, Abbas et al. 2023, applied here to eval hygiene).
+  *
+  * Default (`centers` empty) is the EXACT scan: every (corpus, eval)
+  * pair is scored. That is also the honest scale path for real eval
+  * sets — the eval side is MB-scale against a 100 TB corpus, so it
+  * broadcasts whole and the scan is one map-side pass over the corpus
+  * (|eval| dot products per row, zero extra shuffle: the per-id
+  * aggregate partial-aggregates map-side to one row per corpus id
+  * before any exchange). No recall loss, precision 1.0.
+  *
+  * For LARGE eval inventories, pass k-means `centers` (fit like
+  * [[SemanticNearDup.fit]]): eval vectors bucket to their nearest
+  * centroid once, and each corpus row scores only the buckets of its
+  * `nprobe` nearest centroids — per-row cost drops to ~nprobe/nlist of
+  * the scan, with the IVF family's documented recall loss (pairs whose
+  * members quantize far apart); every emitted hit is exactly verified,
+  * so precision stays 1.0.
+  *
+  * Output: one row per corpus item — (id, eval_hits, max_cosine,
+  * contaminated). `max_cosine` is the max over the SCANNED eval subset
+  * (all of it in exact mode), null when nothing was scanned (empty
+  * eval, or no eval vector in any probed bucket); zero-norm vectors
+  * score cosine 0 like the rest of the family. */
+case class SemanticDecontaminate(
+    eval: DataFrame,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    evalVecCol: String = "embedding",
+    threshold: Double = 0.9,
+    centers: Seq[Seq[Double]] = Nil,
+    nprobe: Int = 4) extends EnsembleOp {
+
+  require(centers.isEmpty || (nprobe >= 1 && nprobe <= centers.size),
+    s"$name: nprobe must be in [1, nlist]")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, vecCol)
+    require(eval.schema.fieldNames.contains(evalVecCol),
+      s"$name: '$evalVecCol' missing in eval frame")
+    StructType(Seq(
+      in(idCol),
+      StructField("eval_hits", LongType, nullable = false),
+      StructField("max_cosine", DoubleType),
+      StructField("contaminated", BooleanType, nullable = false)))
+  }
+
+  private def cos(v: Column, n: Column, ev: Column, en: Column): Column =
+    when(n * en === 0, 0.0).otherwise(V.dot(v, ev) / (n * en))
+
+  override def transform(df: DataFrame): DataFrame = {
+    val evalP = eval.select(col(evalVecCol).as("__ev"),
+      sqrt(V.dot(col(evalVecCol), col(evalVecCol))).as("__en"))
+    val corpus = df.select(col(idCol), col(vecCol).as("__v"),
+      sqrt(V.dot(col(vecCol), col(vecCol))).as("__n"))
+    val pairs =
+      if (centers.isEmpty) corpus.crossJoin(broadcast(evalP))
+      else {
+        // eval buckets once by nearest centroid; corpus rows probe their
+        // nprobe nearest lists (same quantizer formula as AnnIvf)
+        val bucketed = evalP.withColumn("__cid",
+          array_min(V.centroidStructs(col("__ev"), centers)).getField("cid"))
+        corpus.withColumn("__cid", explode(org.apache.spark.sql.functions
+            .transform(
+              slice(array_sort(V.centroidStructs(col("__v"), centers)), 1, nprobe),
+              s => s.getField("cid"))))
+          .join(bucketed, Seq("__cid"))
+      }
+    val scored = pairs
+      .withColumn("__cos", cos(col("__v"), col("__n"), col("__ev"), col("__en")))
+      .groupBy(idCol).agg(
+        max(col("__cos")).as("max_cosine"),
+        sum(when(col("__cos") >= threshold, 1L).otherwise(0L)).as("eval_hits"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("eval_hits"), lit(0L)).as("eval_hits"),
+        col("max_cosine"),
+        (coalesce(col("eval_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+}
+
+object SemanticDecontaminate {
+  /** Fit eval-side bucket centroids (seeded MLlib k-means over the EVAL
+    * vectors — the side being indexed, like [[AnnIvf.fit]] fits over
+    * items) and build the probed op. */
+  def fit(eval: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", evalVecCol: String = "embedding",
+      threshold: Double = 0.9, nlist: Int = 32, nprobe: Int = 4,
+      maxIter: Int = 10, seed: Long = 42L): SemanticDecontaminate = {
+    val centers = V.fitCenters(eval, evalVecCol, nlist, maxIter, seed)
+    SemanticDecontaminate(eval, idCol, vecCol, evalVecCol, threshold,
+      centers, math.min(nprobe, centers.size))
+  }
+}
+
+/** Snapshot diff: classify every document across two builds of a corpus
+  * as `added` / `removed` / `changed` / `unchanged` by comparing content
+  * digests — the audit step between training-set versions (what changed
+  * since the run we trained on?) and the input to incremental downstream
+  * rebuilds (recompute features only for `added`+`changed`).
+  *
+  * The op transforms the NEW snapshot against the `old` one. Identity is
+  * the id; content equality is the md5 of the (optionally normalized)
+  * text — the exact discipline [[ExactDedup]] keys on, so "changed"
+  * means the dedup family would also treat the versions as distinct
+  * content. A null text digests to null, which compares as changed
+  * against any non-null version (and unchanged against null — both
+  * absent is equality of absence).
+  *
+  * Scale shape: each side collapses to (id, 32-byte digest) before the
+  * one full-outer equi-join on the id — the text never shuffles, so diffing
+  * two 100 TB snapshots moves ~50 bytes per document. The output carries
+  * both digests so downstream consumers can route without re-reading
+  * either snapshot. */
+case class SnapshotDiff(
+    old: DataFrame,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    normalized: Boolean = false) extends EnsembleOp {
+
+  require(old.schema.fieldNames.contains(idCol) &&
+    old.schema.fieldNames.contains(textCol),
+    s"$name: old snapshot needs columns '$idCol' and '$textCol'")
+
+  private def key(c: Column): Column = if (normalized) T.normalize(c) else c
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    StructType(Seq(
+      in(idCol),
+      StructField("old_hash", StringType),
+      StructField("new_hash", StringType),
+      StructField("status", StringType, nullable = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val o = old.select(col(idCol), md5(key(col(textCol))).as("old_hash"),
+      lit(true).as("__in_old"))
+    val n = df.select(col(idCol), md5(key(col(textCol))).as("new_hash"),
+      lit(true).as("__in_new"))
+    n.join(o, Seq(idCol), "full_outer")
+      .select(col(idCol), col("old_hash"), col("new_hash"),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(coalesce(col("old_hash"), lit("")) ===
+                coalesce(col("new_hash"), lit("")), "unchanged")
+          .otherwise("changed").as("status"))
   }
 }

@@ -804,3 +804,56 @@ object IncrementalMinHashDedup {
         FastExpressions.minhashSignature(col("__sh"), numHashes).as("minhash_sig"))
   }
 }
+
+/** Prefix dedup: collapse documents whose normalized first-`n`-token
+  * prefix is identical — the truncated-duplicate family exact dedup
+  * cannot see (the same page captured to different depths by different
+  * crawls, a document re-ingested with its tail cut at a size limit,
+  * partial re-scrapes). Two such copies differ as whole texts but agree
+  * on every leading token, so keying on the prefix groups them; the
+  * keeper is the copy with the MOST tokens (ties → smallest id) — the
+  * opposite of [[ExactDedup]]'s min-id rule, deliberately: among
+  * truncations of one document, the longest copy carries the most
+  * content, while among exact copies any one is as good as another.
+  *
+  * Documents shorter than `n` tokens key on their whole token sequence
+  * (their prefix is themselves), so short exact duplicates still group
+  * while a short document never collides with a longer one sharing its
+  * opening — their prefixes differ in length. Null texts digest to a
+  * null hash and collapse into the one null group, exactly as they do
+  * under [[ExactDedup]] — content-free rows have one shared non-identity.
+  *
+  * Scale shape: identical to [[ExactDedup]] — one hash-aggregate keyed
+  * on the 32-byte prefix digest (map-side partial, then one exchange of
+  * one row per GROUP); the text never shuffles, and the keeper election
+  * rides the same aggregate as a (token_count DESC, id ASC) struct min,
+  * no window. */
+case class PrefixDedup(
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    n: Int = 32) extends EnsembleOp {
+
+  require(n >= 1, s"$name: n must be >= 1")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    StructType(Seq(
+      StructField("prefix_hash", StringType),
+      in(idCol).copy(name = "keep_id"),
+      StructField("keep_tokens", LongType),
+      StructField("n_copies", LongType, nullable = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val toks = T.words(col(textCol))
+    val prefix = md5(array_join(slice(toks, 1, n), " "))
+    val nTokens = T.tokenCount(col(textCol)).cast("long")
+    df.select(prefix.as("prefix_hash"), col(idCol), nTokens.as("__nt"))
+      .groupBy("prefix_hash")
+      .agg(
+        min(struct((-col("__nt")).as("neg"), col(idCol).as("id"))).as("__k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("prefix_hash"), col("__k.id").as("keep_id"),
+        (-col("__k.neg")).as("keep_tokens"), col("n_copies"))
+  }
+}

@@ -514,6 +514,85 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Embedding-space benchmark decontamination, exact mode: every corpus
+    * vector scored against the full eval slice (vec_id % 10 == 0 stands
+    * in for the benchmark embeddings), max cosine + hit count + flag all
+    * under the hash oracle. */
+  def semanticDecontaminate(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    SemanticDecontaminate(emb.filter(col("vec_id") % 10 === 0), threshold = 0.40)
+      .transform(emb.filter(col("vec_id") % 10 =!= 0))
+      .orderBy("vec_id")
+  }
+
+  /** The IVF-probed scale path vs the exact scan: probed contaminated
+    * flags must be a subset (precision 1.0 — every probe hit is a real
+    * pair) recovering at least the floor of the exact contaminated set.
+    * Rows-only by nature (bucket membership depends on the k-means fit);
+    * the recall row IS the in-artifact check. */
+  def semanticDecontaminateProbe(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val eval = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val probe = SemanticDecontaminate
+      .fit(eval, threshold = 0.40, nlist = 8, nprobe = 2, maxIter = 5)
+      .transform(corpus)
+    val exact = SemanticDecontaminate(eval, threshold = 0.40).transform(corpus)
+    Evidence.recallRow(spark,
+      probe.filter(col("contaminated")), exact.filter(col("contaminated")),
+      Seq("vec_id"), floorBp = 6000, requirePrecision = true)
+  }
+
+  /** Truncated-duplicate dedup under the oracle: group on the 8-token
+    * normalized prefix digest, keep the longest copy (tie → smallest
+    * id). n=8 on this corpus leaves real collisions (24 docs at sf0.01)
+    * that exact dedup cannot see. */
+  def dedupPrefix(spark: SparkSession, d: String): DataFrame =
+    PrefixDedup(n = 8).transform(documents(spark, d)).orderBy("prefix_hash")
+
+  /** Snapshot diff under the oracle: the old build drops doc_id%10==3,
+    * carries a ' v1' tail on doc_id%7==0 (the changed family); the new
+    * build drops doc_id%9==4. All four statuses appear, every digest and
+    * verdict hash-checks. */
+  def snapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val old = docs.filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    SnapshotDiff(old).transform(docs.filter(col("doc_id") % 9 =!= 4))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style targeted selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public method), made
+    * integer-exact: importance = the ratio of a document's target-domain
+    * n-gram familiarity (mean src0-corpus bigram frequency, integer
+    * micros — the [[NgramLmScore]] signal) to its whole-corpus
+    * familiarity, in basis points; keep the top 25% per language. The
+    * composed plan is two digest-keyed LM joins + one ranked budget, and
+    * the whole selection (scores, importance, ranks, kept set)
+    * hash-checks against one DuckDB replay.
+    *
+    * Scale shape: both LM fits collapse to the distinct-bigram vocab
+    * (digest-keyed, text never shuffles), scoring is two equi-joins +
+    * per-doc partial aggs, and the budget is the ranked
+    * [[TopFractionByGroup]] (per-language windows, never global). */
+  def pipelineDsir(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val target = docs.filter(col("source") === "src0")
+    val t = NgramLmScore(target, n = 2).transform(docs)
+      .select(col("doc_id"), col("mean_freq_micro").as("t_micro"))
+    val b = NgramLmScore(docs, n = 2).transform(docs)
+      .select(col("doc_id"), col("mean_freq_micro").as("b_micro"))
+    val weighted = docs.select("doc_id", "lang")
+      .join(t, Seq("doc_id")).join(b, Seq("doc_id"))
+      .withColumn("importance_bp", expr("t_micro * 10000 DIV (b_micro + 1)"))
+    TopFractionByGroup("lang", "importance_bp", "doc_id", Map.empty, defaultBp = 2500)
+      .transform(weighted)
+      .select("doc_id", "lang", "t_micro", "b_micro", "importance_bp", "quality_rank")
+      .orderBy("doc_id")
+  }
+
   /** Greedy per-shard sequence packing under the oracle: DuckDB replays
     * the fold as a recursive CTE over the same (shard, doc, chunk)
     * order, so every pack assignment hash-checks. 64 shards: the CTE
@@ -704,6 +783,11 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_top_fraction" -> (topFraction _),
     "curation_top_fraction_recall" -> (topFractionApproxRecall _),
+    "semantic_decontaminate" -> (semanticDecontaminate _),
+    "semantic_decontaminate_probe" -> (semanticDecontaminateProbe _),
+    "dedup_prefix" -> (dedupPrefix _),
+    "snapshot_diff" -> (snapshotDiff _),
+    "pipeline_dsir" -> (pipelineDsir _),
     "pipeline_mix" -> (pipelineMix _),
     "corpus_report" -> (corpusReport _),
     "text_scrub_spans" -> (textScrubSpans _),
@@ -923,6 +1007,60 @@ object CurationQueries {
         |WHERE rn * 10000 <= CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
         |  WHEN 'src2' THEN 0 ELSE 8000 END * cnt
         |ORDER BY doc_id""".stripMargin,
+    "semantic_decontaminate" ->
+      """WITH ev AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 != 0),
+        |p AS (SELECT c.vec_id,
+        |  CASE WHEN sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(ev.e, ev.e)) = 0
+        |    THEN 0.0
+        |    ELSE list_inner_product(c.v, ev.e) /
+        |      (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(ev.e, ev.e))) END AS cos
+        |  FROM c CROSS JOIN ev),
+        |s AS (SELECT vec_id, max(cos) AS max_cosine,
+        |  sum(CASE WHEN cos >= 0.40 THEN 1 ELSE 0 END) AS eval_hits FROM p GROUP BY 1)
+        |SELECT c.vec_id, CAST(coalesce(eval_hits, 0) AS BIGINT) AS eval_hits, max_cosine,
+        |  coalesce(eval_hits, 0) > 0 AS contaminated
+        |FROM c LEFT JOIN s USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "dedup_prefix" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS nt,
+         |  md5(array_to_string(list_slice($wordsSql, 1, 8), ' ')) AS ph FROM documents),
+         |w AS (SELECT ph, doc_id, nt,
+         |  count(*) OVER (PARTITION BY ph) AS n_copies,
+         |  row_number() OVER (PARTITION BY ph ORDER BY nt DESC, doc_id ASC) AS rn FROM t)
+         |SELECT ph AS prefix_hash, doc_id AS keep_id, nt AS keep_tokens,
+         |  CAST(n_copies AS BIGINT) AS n_copies
+         |FROM w WHERE rn = 1 ORDER BY prefix_hash""".stripMargin,
+    "snapshot_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS old_hash
+        |  FROM documents WHERE doc_id % 10 != 3),
+        |n AS (SELECT doc_id, md5(text) AS new_hash FROM documents WHERE doc_id % 9 != 4)
+        |SELECT doc_id, old_hash, new_hash,
+        |  CASE WHEN o.old_hash IS NULL THEN 'added'
+        |       WHEN n.new_hash IS NULL THEN 'removed'
+        |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM n FULL JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "pipeline_dsir" ->
+      s"""WITH w AS (SELECT doc_id, lang, $wordsSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(${gramSql(2)}) AS g FROM w WHERE len(ws) >= 2),
+         |tf AS (SELECT g.g, count(*) AS freq FROM g JOIN documents USING (doc_id)
+         |  WHERE source = 'src0' GROUP BY 1),
+         |bf AS (SELECT g, count(*) AS freq FROM g GROUP BY 1),
+         |s AS (SELECT g.doc_id, count(*) AS n,
+         |  sum(coalesce(tf.freq, 0)) AS tsum, sum(bf.freq) AS bsum
+         |  FROM g LEFT JOIN tf ON g.g = tf.g JOIN bf ON g.g = bf.g GROUP BY 1),
+         |m AS (SELECT w.doc_id, w.lang,
+         |  CAST(CASE WHEN coalesce(n, 0) > 0 THEN tsum * 1000000 // n ELSE 0 END AS BIGINT) AS t_micro,
+         |  CAST(CASE WHEN coalesce(n, 0) > 0 THEN bsum * 1000000 // n ELSE 0 END AS BIGINT) AS b_micro
+         |  FROM w LEFT JOIN s ON w.doc_id = s.doc_id),
+         |i AS (SELECT doc_id, lang, t_micro, b_micro,
+         |  CAST(t_micro * 10000 // (b_micro + 1) AS BIGINT) AS importance_bp FROM m),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY lang ORDER BY importance_bp DESC, doc_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS cnt FROM i)
+         |SELECT doc_id, lang, t_micro, b_micro, importance_bp, CAST(rn AS INTEGER) AS quality_rank
+         |FROM r WHERE rn * 10000 <= 2500 * cnt ORDER BY doc_id""".stripMargin,
     "pipeline_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source, lang, n_chars,

@@ -477,4 +477,44 @@ class EnsemblePersistenceSpec extends SparkSpec {
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString
   }
+
+  test("SemanticDecontaminate round-trips eval embeddings + centroids") {
+    val corpus = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val eval = Seq((9L, Seq(1.0f, 0.0f)), (10L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val op = SemanticDecontaminate(eval, threshold = 0.7,
+      centers = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), nprobe = 1)
+    val dir = Files.tmp("ens_semdecon")
+    EnsemblePersistence.save(Ensemble(Seq(op), corpus.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    val lop = loaded.ops.head.asInstanceOf[SemanticDecontaminate]
+    assert(lop.threshold == 0.7 && lop.centers == op.centers && lop.nprobe == 1)
+    assert(loaded.transform(corpus).orderBy("vec_id").collect().toSeq ==
+      op.transform(corpus).orderBy("vec_id").collect().toSeq)
+  }
+
+  test("SnapshotDiff round-trips the old snapshot as a side artifact") {
+    val old = Seq((1L, "same"), (2L, "old text")).toDF("doc_id", "text")
+    val nw = Seq((1L, "same"), (2L, "new text"), (3L, "added doc"))
+      .toDF("doc_id", "text")
+    val op = SnapshotDiff(old, normalized = true)
+    val dir = Files.tmp("ens_snapdiff")
+    EnsemblePersistence.save(Ensemble(Seq(op), nw.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.ops.head.asInstanceOf[SnapshotDiff].normalized)
+    assert(loaded.transform(nw).orderBy("doc_id").collect().toSeq ==
+      op.transform(nw).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("PrefixDedup round-trips as pure parameters") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c")).toDF("doc_id", "text")
+    val op = PrefixDedup(n = 3)
+    val dir = Files.tmp("ens_prefixdedup")
+    EnsemblePersistence.save(Ensemble(Seq(op), docs.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.ops.head == op)
+    assert(loaded.transform(docs).collect().toSeq ==
+      op.transform(docs).collect().toSeq)
+  }
 }

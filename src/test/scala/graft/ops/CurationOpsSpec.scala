@@ -197,4 +197,74 @@ class CurationOpsSpec extends SparkSpec {
       .transform(nullScores).count()
     assert(keepAll == 4, "10000 bp keeps everything, NULL scores included")
   }
+
+  test("SemanticDecontaminate exact: flags corpus vectors near any eval vector") {
+    val eval = Seq(
+      (100L, Seq(1.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.1f)),   // cos to (1,0) = .9/|v| ~ 0.993 -> hit
+      (2L, Seq(-1.0f, 0.0f)),  // cos -1 and 0 -> clean, max 0.0
+      (3L, Seq(1.0f, 1.0f)),   // cos ~0.707 to BOTH -> two hits
+      (4L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding") // zero norm -> cos 0
+    val out = SemanticDecontaminate(eval, threshold = 0.7).transform(corpus)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out(0)._2 == 1L && out(0)._4, s"v1 hits one eval vector: ${out(0)}")
+    assert(out(1)._2 == 0L && !out(1)._4 && out(1)._3 == 0.0,
+      s"v2 is clean with max clamped at 0: ${out(1)}")
+    assert(out(2)._2 == 2L && out(2)._4, s"v3 hits both eval vectors: ${out(2)}")
+    assert(out(3)._2 == 0L && !out(3)._4 && out(3)._3 == 0.0,
+      s"zero-norm scores cosine 0 everywhere: ${out(3)}")
+  }
+
+  test("SemanticDecontaminate with an empty eval set marks everything clean") {
+    val eval = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val corpus = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SemanticDecontaminate(eval, threshold = 0.5).transform(corpus).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 0L && !out(0).getBoolean(3))
+    assert(out(0).isNullAt(2), "nothing scanned -> max_cosine is null")
+  }
+
+  test("SemanticDecontaminate probed hits are a verified subset of the exact scan") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val eval = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val exact = SemanticDecontaminate(eval, threshold = 0.40).transform(corpus)
+      .filter(col("contaminated")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val probed = SemanticDecontaminate
+      .fit(eval, threshold = 0.40, nlist = 8, nprobe = 2, maxIter = 5)
+      .transform(corpus)
+      .filter(col("contaminated")).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probed.subsetOf(exact), "every probe hit must be exactly verified")
+    assert(exact.nonEmpty, "the fixture threshold should produce contamination")
+  }
+
+  test("SnapshotDiff classifies added/removed/changed/unchanged and null texts") {
+    val old = Seq(
+      (1L, "same content"),
+      (2L, "old version"),
+      (3L, "will be dropped"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "same content"),
+      (2L, "new version"),
+      (4L, "fresh doc"),
+      (5L, null.asInstanceOf[String]),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = SnapshotDiff(old).transform(nw).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "added"),
+      s"status map was $out")
+  }
+
+  test("SnapshotDiff normalized mode treats case/whitespace variants as unchanged") {
+    val old = Seq((1L, "Hello   World")).toDF("doc_id", "text")
+    val nw = Seq((1L, "hello world")).toDF("doc_id", "text")
+    assert(SnapshotDiff(old, normalized = true).transform(nw)
+      .collect().head.getString(3) == "unchanged")
+    assert(SnapshotDiff(old).transform(nw)
+      .collect().head.getString(3) == "changed")
+  }
 }

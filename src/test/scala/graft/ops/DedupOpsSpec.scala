@@ -321,4 +321,36 @@ class DedupOpsSpec extends SparkSpec {
       IncrementalDedup(Seq("abc").toDF("wrong_col"))
     }
   }
+
+  test("PrefixDedup groups truncated copies and keeps the longest") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),      // full doc
+      (11L, "alpha beta gamma delta"),                   // truncation (same 3-prefix)
+      (12L, "alpha beta gamma delta epsilon zeta eta"),  // longer still -> keeper
+      (13L, "totally different text"),
+      (14L, "a b")).toDF("doc_id", "text")               // shorter than n: keys on itself
+    val out = PrefixDedup(n = 3).transform(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.length == 3, s"three prefix groups: ${out.toSeq}")
+    assert(out(0) == ((12L, 7L, 3L)), s"longest of the alpha family wins: ${out(0)}")
+    assert(out(1) == ((13L, 3L, 1L)))
+    assert(out(2) == ((14L, 2L, 1L)))
+  }
+
+  test("PrefixDedup ties on token count break to the smallest id") {
+    val docs = Seq(
+      (5L, "x y z TAIL-A"),
+      (2L, "x y z TAIL-B")).toDF("doc_id", "text")
+    val out = PrefixDedup(n = 3).transform(docs).collect().head
+    assert(out.getLong(1) == 2L && out.getLong(3) == 2L)
+  }
+
+  test("PrefixDedup normalizes case and whitespace like the rest of the family") {
+    val docs = Seq(
+      (1L, "The  QUICK brown fox one two three four five"),
+      (2L, "the quick BROWN fox")).toDF("doc_id", "text")
+    val out = PrefixDedup(n = 4).transform(docs).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L,
+      "normalized 4-prefixes agree; the 9-token copy is kept")
+  }
 }
