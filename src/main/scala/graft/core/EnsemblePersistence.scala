@@ -344,6 +344,14 @@ object EnsemblePersistence {
         ("features" -> dr.splits.keys.toSeq.sorted) ~
         ("splits" -> dr.splits.keys.toSeq.sorted.map(dr.splits)) ~
         ("thresholdBp" -> dr.thresholdBp)
+    case fd: FuzzyDecontaminate =>
+      val p = artifactPath(dir, i, "eval_corpus")
+      fd.eval.select(fd.evalTextCol).write.mode("overwrite").parquet(p)
+      ("type" -> "FuzzyDecontaminate") ~ ("path" -> p) ~ ("idCol" -> fd.idCol) ~
+        ("textCol" -> fd.textCol) ~ ("evalTextCol" -> fd.evalTextCol) ~
+        ("n" -> fd.n) ~ ("thresholdBp" -> fd.thresholdBp) ~
+        ("banded" -> fd.banded) ~ ("numHashes" -> fd.numHashes) ~
+        ("bands" -> fd.bands)
     // the eval embeddings are the fitted state; centroids (when probed)
     // persist as plain parameter doubles like SemanticNearDup's
     case sd: SemanticDecontaminate =>
@@ -747,6 +755,11 @@ object EnsemblePersistence {
           (o \ "budget").extract[Int], (o \ "shards").extract[Int], s("salt"))
       case "ExactDedup" =>
         ExactDedup(s("idCol"), s("textCol"), (o \ "normalized").extract[Boolean])
+      case "FuzzyDecontaminate" =>
+        FuzzyDecontaminate(spark.read.parquet(s("path")), s("idCol"),
+          s("textCol"), s("evalTextCol"), (o \ "n").extract[Int],
+          (o \ "thresholdBp").extract[Int], (o \ "banded").extract[Boolean],
+          (o \ "numHashes").extract[Int], (o \ "bands").extract[Int])
       case "SemanticDecontaminate" =>
         SemanticDecontaminate(spark.read.parquet(s("path")), s("idCol"),
           s("vecCol"), s("evalVecCol"), (o \ "threshold").extract[Double],

@@ -625,3 +625,130 @@ case class SnapshotDiff(
           .otherwise("changed").as("status"))
   }
 }
+
+/** Fuzzy benchmark decontamination: flag every corpus document whose
+  * n-gram-shingle Jaccard similarity to ANY evaluation document reaches
+  * `thresholdBp` — the near-duplicate middle ground between the exact
+  * gram-overlap [[Decontaminate]] (any single shared n-gram) and the
+  * embedding-space [[SemanticDecontaminate]] (meaning-level match).
+  * This is the published contamination definition used when benchmarks
+  * leak with light edits — reformatted whitespace, shuffled fields, a
+  * few token substitutions (the n-gram Jaccard dedup criterion of Lee
+  * et al. 2021 applied against an eval inventory).
+  *
+  * Default (`banded = false`) is EXACT via the family's inverted-index
+  * discipline: shingles hash to 8-byte digests, both sides explode to
+  * (id, digest) postings, and per-pair intersection counts come from
+  * ONE digest equi-join — the pair space never materializes, and the
+  * shuffle is ∝ shared shingle occurrences, never |corpus|×|eval| (an
+  * all-pairs `array_intersect` scan measured 33 s at sf0.1; this shape
+  * is sub-second). A pair sharing nothing has Jaccard 0 by definition,
+  * so per-doc results are exact: max = the matched max or 0, hits
+  * unchanged (thresholdBp > 0 is enforced). Similarity is integer
+  * basis points (`inter*10000 DIV union`); digest equality is textual
+  * equality up to an xxhash64 collision — the same contract every
+  * gram-keyed op here hash-checks under.
+  *
+  * `banded = true` bounds even the postings join: both sides band
+  * their MinHash signatures ([[graft.functions.MinHashBandKeys]], the
+  * [[MinHashDedup]] machinery) and only band-colliding (corpus, eval)
+  * candidates are exactly verified — candidates ∝ band collisions,
+  * with LSH's documented recall loss and precision exactly 1.0 (every
+  * hit is a true Jaccard match). Eval identity for candidate dedupe is
+  * the md5 of the eval text's normal form, so identical eval rows
+  * collapse instead of double-counting.
+  *
+  * Output: one row per corpus document — (id, eval_hits,
+  * max_jaccard_bp, contaminated). Documents with no n-gram shingles
+  * (shorter than n tokens, or null) scan nothing: null max, zero hits,
+  * clean — as does everything when the eval side has no shingled docs.
+  * In banded mode `max_jaccard_bp` ranges over the VERIFIED candidates
+  * (null when none collided), mirroring [[SemanticDecontaminate]]'s
+  * probed-subset stance. */
+case class FuzzyDecontaminate(
+    eval: DataFrame,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    evalTextCol: String = "text",
+    n: Int = 3,
+    thresholdBp: Int = 8000,
+    banded: Boolean = false,
+    numHashes: Int = 64,
+    bands: Int = 16) extends EnsembleOp {
+
+  require(n >= 1, s"$name: n must be >= 1")
+  require(thresholdBp > 0 && thresholdBp <= 10000,
+    s"$name: thresholdBp must be in (0, 10000]")
+  require(numHashes % bands == 0,
+    s"$name: bands ($bands) must divide numHashes ($numHashes)")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    require(eval.schema.fieldNames.contains(evalTextCol),
+      s"$name: '$evalTextCol' missing in eval frame")
+    StructType(Seq(
+      in(idCol),
+      StructField("eval_hits", LongType, nullable = false),
+      StructField("max_jaccard_bp", LongType),
+      StructField("contaminated", BooleanType, nullable = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    def hashed(sh: Column) = arrayTransform(sh, s => xxhash64(s))
+    val corpus = df.select(col(idCol), T.shingleSet(col(textCol), n).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+    val evalSh = eval
+      .select(T.shingleSet(col(evalTextCol), n).as("__eshs"),
+        md5(T.normalize(col(evalTextCol))).as("__eid"))
+      .filter(size(col("__eshs")) > 0)
+      .dropDuplicates("__eid")
+    val cSizes = corpus.select(col(idCol), size(col("__shs")).cast("long").as("__cs"))
+    val eSizes = evalSh.select(col("__eid"), size(col("__eshs")).cast("long").as("__es"))
+    // per-(corpus doc, eval doc) intersection counts over 8-byte digests
+    val matched =
+      if (!banded) {
+        val cPost = corpus.select(col(idCol), explode(hashed(col("__shs"))).as("__g"))
+        val ePost = evalSh.select(col("__eid"), explode(hashed(col("__eshs"))).as("__g"))
+        cPost.join(ePost, Seq("__g"))
+          .groupBy(col(idCol), col("__eid"))
+          .agg(count(lit(1)).as("__inter"))
+      } else {
+        import graft.functions.FastExpressions
+        def keys(sh: Column) =
+          explode(FastExpressions.minhashBandKeys(sh, numHashes, bands))
+        val cKeys = corpus.select(col(idCol), keys(col("__shs")).as("__band"))
+        val eKeys = evalSh.select(col("__eid"), keys(col("__eshs")).as("__band"))
+        // light (id, band) rows pair-join; shingle sets come back AFTER
+        // the candidate dedupe, each side by its own key
+        cKeys.join(eKeys, Seq("__band"))
+          .select(col(idCol), col("__eid")).distinct()
+          .join(corpus.select(col(idCol), hashed(col("__shs")).as("__hs")), Seq(idCol))
+          .join(evalSh.select(col("__eid"), hashed(col("__eshs")).as("__ehs")), Seq("__eid"))
+          .select(col(idCol), col("__eid"),
+            size(array_intersect(col("__hs"), col("__ehs"))).cast("long").as("__inter"))
+      }
+    val perDoc = matched
+      .join(eSizes, Seq("__eid"))
+      .join(cSizes, Seq(idCol))
+      .withColumn("__bp", expr("__inter * 10000 DIV (__cs + __es - __inter)"))
+      .groupBy(idCol).agg(
+        max(col("__bp")).as("__maxm"),
+        sum(when(col("__bp") >= thresholdBp, 1L).otherwise(0L)).as("__hits"))
+    val nEval = evalSh.agg(count(lit(1)).as("__ne"))
+    // exact mode: unmatched pairs exist with Jaccard 0, so any shingled
+    // doc facing a non-empty eval set has a defined max; banded mode
+    // reports over the verified candidates only
+    val maxJ =
+      if (!banded)
+        when(col("__has") && col("__ne") > 0, coalesce(col("__maxm"), lit(0L)))
+      else col("__maxm")
+    df.select(col(idCol))
+      .join(cSizes.select(col(idCol), lit(true).as("__has")), Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(nEval))
+      .select(col(idCol),
+        coalesce(col("__hits"), lit(0L)).as("eval_hits"),
+        maxJ.as("max_jaccard_bp"),
+        (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
+  }
+}

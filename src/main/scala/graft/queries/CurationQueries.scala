@@ -543,6 +543,32 @@ object CurationQueries {
       Seq("vec_id"), floorBp = 6000, requirePrecision = true)
   }
 
+  /** Near-duplicate benchmark decontamination, exact mode: every corpus
+    * doc's true trigram-shingle Jaccard against every src0 (eval) doc,
+    * integer basis points, fully under the hash oracle. */
+  def fuzzyDecontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    FuzzyDecontaminate(docs.filter(col("source") === "src0"),
+      n = 3, thresholdBp = 5000)
+      .transform(docs.filter(col("source") =!= "src0"))
+      .orderBy("doc_id")
+  }
+
+  /** The MinHash-banded scale path vs the exact scan: banded hits are
+    * exactly verified (precision 1.0, asserted) and must recover the
+    * recorded share of the exact contaminated set. Rows-only (band
+    * collisions are hash-dependent); the recall row IS the check. */
+  def fuzzyDecontaminateBanded(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val eval = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    def run(banded: Boolean) =
+      FuzzyDecontaminate(eval, n = 3, thresholdBp = 5000, banded = banded)
+        .transform(corpus).filter(col("contaminated"))
+    Evidence.recallRow(spark, run(banded = true), run(banded = false),
+      Seq("doc_id"), floorBp = 8000, requirePrecision = true)
+  }
+
   /** Truncated-duplicate dedup under the oracle: group on the 8-token
     * normalized prefix digest, keep the longest copy (tie → smallest
     * id). n=8 on this corpus leaves real collisions (24 docs at sf0.01)
@@ -785,6 +811,8 @@ object CurationQueries {
     "curation_top_fraction_recall" -> (topFractionApproxRecall _),
     "semantic_decontaminate" -> (semanticDecontaminate _),
     "semantic_decontaminate_probe" -> (semanticDecontaminateProbe _),
+    "fuzzy_decontaminate" -> (fuzzyDecontaminate _),
+    "fuzzy_decontaminate_banded" -> (fuzzyDecontaminateBanded _),
     "dedup_prefix" -> (dedupPrefix _),
     "snapshot_diff" -> (snapshotDiff _),
     "pipeline_dsir" -> (pipelineDsir _),
@@ -1021,6 +1049,33 @@ object CurationQueries {
         |SELECT c.vec_id, CAST(coalesce(eval_hits, 0) AS BIGINT) AS eval_hits, max_cosine,
         |  coalesce(eval_hits, 0) > 0 AS contaminated
         |FROM c LEFT JOIN s USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "fuzzy_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, source, text FROM documents WHERE source != 'src0'
+         |  UNION ALL
+         |  SELECT doc_id, source, text FROM (SELECT doc_id, source, text,
+         |    row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+         |    FROM documents WHERE source = 'src0') WHERE rn = 1),
+         |w AS (SELECT doc_id, source, $wordsSql AS ws FROM docs),
+         |sh AS (SELECT DISTINCT doc_id, source, unnest(list_transform(range(1, len(ws)-1),
+         |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM w WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS cid, b.doc_id AS eid, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |  WHERE a.source != 'src0' AND b.source = 'src0' GROUP BY 1, 2),
+         |full_pairs AS (SELECT c.doc_id AS cid, e.doc_id AS eid,
+         |  coalesce(p.inter, 0) AS inter, sc.n + se.n - coalesce(p.inter, 0) AS uni
+         |  FROM (SELECT DISTINCT doc_id FROM sh WHERE source != 'src0') c
+         |  CROSS JOIN (SELECT DISTINCT doc_id FROM sh WHERE source = 'src0') e
+         |  LEFT JOIN pairs p ON p.cid = c.doc_id AND p.eid = e.doc_id
+         |  JOIN sizes sc ON c.doc_id = sc.doc_id JOIN sizes se ON e.doc_id = se.doc_id),
+         |agg AS (SELECT cid, max(inter * 10000 // uni) AS max_jaccard_bp,
+         |  sum(CASE WHEN inter * 10000 // uni >= 5000 THEN 1 ELSE 0 END) AS eval_hits
+         |  FROM full_pairs GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(eval_hits, 0) AS BIGINT) AS eval_hits,
+         |  CAST(max_jaccard_bp AS BIGINT) AS max_jaccard_bp,
+         |  coalesce(eval_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.cid
+         |WHERE d.source != 'src0' ORDER BY d.doc_id""".stripMargin,
     "dedup_prefix" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS nt,
          |  md5(array_to_string(list_slice($wordsSql, 1, 8), ' ')) AS ph FROM documents),

@@ -328,4 +328,68 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(pe).length == 1,
       s"one shuffle on the stratum key:\n${pe.take(800)}")
   }
+
+  test("semantic decontamination: exact scan is one broadcast NL over MB-scale eval + partial agg") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, d)
+    val op = ops.SemanticDecontaminate(emb.filter(col("vec_id") % 10 === 0),
+      threshold = 0.40)
+    val p = plan(op.transform(emb.filter(col("vec_id") % 10 =!= 0)))
+    // the cross join is the DECLARED scan of the broadcast eval side —
+    // it must be the broadcast flavor, never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"eval side must broadcast:\n${p.take(600)}")
+    assert(p.contains("HashAggregate") && p.contains("partial_max"),
+      s"per-id aggregate must partial-combine before the exchange:\n${p.take(600)}")
+    // the probed path replaces the scan with a centroid equi-join
+    val probed = ops.SemanticDecontaminate(emb.filter(col("vec_id") % 10 === 0),
+      threshold = 0.40, centers = Seq(Seq.fill(64)(0.1), Seq.fill(64)(-0.1)),
+      nprobe = 1)
+    val pp = plan(probed.transform(emb.filter(col("vec_id") % 10 =!= 0)))
+    assert(!pp.contains("BroadcastNestedLoopJoin") && !pp.contains("CartesianProduct"),
+      s"probed path is an equi-join on the centroid id:\n${pp.take(600)}")
+  }
+
+  test("prefix dedup is one partial aggregate on the digest — no window, no text shuffle") {
+    val p = plan(ops.PrefixDedup(n = 8).transform(Tables.documents(spark, d)))
+    assert(!p.contains("Window"), "keeper election rides the aggregate, not a window")
+    // the struct-min keeper buffer forces SortAggregate (per-partition
+    // local sort, no extra exchange) — what matters at scale is that it
+    // still PARTIAL-aggregates before the one digest-keyed shuffle
+    assert(p.contains("partial_min"),
+      s"keeper election must map-side combine:\n${p.take(800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"one exchange on the prefix digest:\n${p.take(800)}")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"),
+      s"no exchange may carry the text column:\n$exchanges")
+  }
+
+  test("snapshot diff shuffles (id, digest) only — text is projected away before the join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, d)
+    val old = docs.filter(col("doc_id") % 10 =!= 3)
+    val p = plan(ops.SnapshotDiff(old).transform(docs.filter(col("doc_id") % 9 =!= 4)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "full-outer diff is an equi-join on the id")
+    // every exchange in the plan carries only id + md5 digest columns:
+    // the raw text column must not appear downstream of its own md5
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"),
+      s"no exchange may carry the text column:\n$exchanges")
+  }
+
+  test("fuzzy decontamination exact mode joins shingle digests — no pair-space cross join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, d)
+    val op = ops.FuzzyDecontaminate(docs.filter(col("source") === "src0"),
+      n = 3, thresholdBp = 5000)
+    val p = plan(op.transform(docs.filter(col("source") =!= "src0")))
+    // the one BNLJ allowed is the 1-row eval-count broadcast; the pair
+    // space itself must come from the postings equi-join
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian pair space:\n${p.take(600)}")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "per-pair and per-doc aggregates must map-side combine")
+  }
 }

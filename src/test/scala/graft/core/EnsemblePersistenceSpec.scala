@@ -517,4 +517,18 @@ class EnsemblePersistenceSpec extends SparkSpec {
     assert(loaded.transform(docs).collect().toSeq ==
       op.transform(docs).collect().toSeq)
   }
+
+  test("FuzzyDecontaminate round-trips its eval corpus as a side artifact") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the dog"),
+      (2L, "nothing shared here at all today")).toDF("doc_id", "text")
+    val eval = Seq((9L, "the quick brown fox jumps over the cat")).toDF("doc_id", "text")
+    val op = FuzzyDecontaminate(eval, n = 3, thresholdBp = 4000, banded = false)
+    val dir = Files.tmp("ens_fuzzydecon")
+    EnsemblePersistence.save(Ensemble(Seq(op), corpus.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    val lop = loaded.ops.head.asInstanceOf[FuzzyDecontaminate]
+    assert(lop.n == 3 && lop.thresholdBp == 4000 && !lop.banded)
+    assert(loaded.transform(corpus).orderBy("doc_id").collect().toSeq ==
+      op.transform(corpus).orderBy("doc_id").collect().toSeq)
+  }
 }

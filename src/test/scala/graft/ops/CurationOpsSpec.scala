@@ -267,4 +267,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(SnapshotDiff(old).transform(nw)
       .collect().head.getString(3) == "changed")
   }
+
+  test("FuzzyDecontaminate exact: Jaccard-threshold hits against the eval set") {
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "completely unrelated benchmark question text here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog yesterday"), // near-dup of 100
+      (2L, "nothing in common with anything at all whatsoever"),
+      (3L, "too short")).toDF("doc_id", "text") // < 3 tokens -> no shingles
+    val out = FuzzyDecontaminate(eval, n = 3, thresholdBp = 5000).transform(corpus)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(out(0) == ((1L, 1L, true)), s"doc1 is a near-dup of eval 100: ${out(0)}")
+    assert(out(1) == ((2L, 0L, false)), s"doc2 is clean: ${out(1)}")
+    assert(out(2) == ((3L, 0L, false)), s"sub-n docs scan nothing: ${out(2)}")
+    val short = FuzzyDecontaminate(eval, n = 3, thresholdBp = 5000).transform(corpus)
+      .orderBy("doc_id").collect()(2)
+    assert(short.isNullAt(2), "no shingles -> null max_jaccard_bp")
+  }
+
+  test("FuzzyDecontaminate banded hits are a verified subset of the exact scan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val eval = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    def hits(banded: Boolean) =
+      FuzzyDecontaminate(eval, n = 3, thresholdBp = 5000, banded = banded)
+        .transform(corpus).filter(col("contaminated"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = hits(banded = false)
+    val banded = hits(banded = true)
+    assert(banded.subsetOf(exact), "precision 1.0: every banded hit is exactly verified")
+  }
+
+  test("FuzzyDecontaminate dedups identical eval texts before counting hits") {
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "alpha  BETA gamma delta epsilon")).toDF("doc_id", "text") // same normal form
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = FuzzyDecontaminate(eval, n = 3, thresholdBp = 8000)
+      .transform(corpus).collect().head
+    assert(out.getLong(1) == 1L, "normalized-identical eval rows count once")
+    assert(out.getLong(2) == 10000L, "exact match scores 10000 bp")
+  }
 }
