@@ -241,6 +241,42 @@ object StreamingOps {
       .select(idCol, tsCol)
   }
 
+  /** Streaming semantic decontamination — the ingest-time twin of
+    * [[graft.ops.SemanticDecontaminate]]: as embedded items arrive, emit
+    * the id of every item whose cosine to ANY static eval embedding
+    * reaches the threshold (a quarantine feed for paraphrased benchmark
+    * leakage). The eval side is MB-scale and static — persisted once so
+    * the norm prep doesn't re-run per micro-batch; the scan itself is
+    * stateless (broadcast non-equi join per batch, the batch op's exact
+    * cosine expression so verdicts are bit-identical); the only state is
+    * the watermark-bounded id dedup collapsing multiple matching eval
+    * vectors into one alert. Zero-norm vectors score cosine 0 and never
+    * alert at a positive threshold, exactly as in batch. */
+  def semanticDecontaminateStream(
+      items: DataFrame,
+      eval: DataFrame,
+      tsCol: String = "ts",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      evalVecCol: String = "embedding",
+      threshold: Double = 0.9,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    val evalP = eval.select(col(evalVecCol).as("__ev"),
+        sqrt(V.dot(col(evalVecCol), col(evalVecCol))).as("__en"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    items
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(vecCol).as("__v"),
+        sqrt(V.dot(col(vecCol), col(vecCol))).as("__n"))
+      .crossJoin(evalP)
+      .filter(when(col("__n") * col("__en") === 0, 0.0)
+        .otherwise(V.dot(col("__v"), col("__ev")) / (col("__n") * col("__en")))
+        >= threshold)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(idCol, tsCol)
+  }
+
   /** Streaming corpus-familiarity scoring — the ingest-time twin of
     * [[graft.ops.NgramLmScore]] against a STATIC fitted frequency table
     * (fit on a reference corpus once, score documents as they arrive —

@@ -401,4 +401,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == Set((1L, "en", 0), (1L, "en", 1), (3L, "fr", 0)),
       s"en ×2, zh dropped, fr default ×1: $streamed")
   }
+
+  test("semanticDecontaminateStream alerts exactly the batch-contaminated ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Seq(
+      (1L, ts(0), Seq(0.9f, 0.1f)),   // near (1,0) -> alert
+      (2L, ts(1), Seq(-1.0f, 0.0f)),  // max cosine 0 -> clean
+      (3L, ts(2), Seq(1.0f, 1.0f)),   // hits BOTH eval vectors -> one alert
+      (4L, ts(3), Seq(0.0f, 0.0f)))   // zero norm -> clean
+    val src = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val alerts = StreamingOps.semanticDecontaminateStream(
+      src.toDF().toDF("vec_id", "ts", "embedding"), eval,
+      threshold = 0.7, watermark = "30 minutes")
+    val q = alerts.writeStream.outputMode("append").format("memory")
+      .queryName("sem_alerts").start()
+    src.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sem_alerts").select($"vec_id").as[Long].collect().toSet
+    val batch = graft.ops.SemanticDecontaminate(eval, threshold = 0.7)
+      .transform(rows.toDF("vec_id", "ts", "embedding"))
+      .filter($"contaminated").select($"vec_id").as[Long].collect().toSet
+    assert(got == batch && got == Set(1L, 3L),
+      s"stream alerts must equal batch contaminated ids: stream=$got batch=$batch")
+  }
 }
