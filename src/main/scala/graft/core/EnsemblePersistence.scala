@@ -344,6 +344,11 @@ object EnsemblePersistence {
         ("features" -> dr.splits.keys.toSeq.sorted) ~
         ("splits" -> dr.splits.keys.toSeq.sorted.map(dr.splits)) ~
         ("thresholdBp" -> dr.thresholdBp)
+    case pg: Purge =>
+      val p = artifactPath(dir, i, "tombstones")
+      pg.tombstones.select(pg.idCol).distinct().write.mode("overwrite").parquet(p)
+      ("type" -> "Purge") ~ ("path" -> p) ~ ("idCol" -> pg.idCol) ~
+        ("textCol" -> pg.textCol) ~ ("normalized" -> pg.normalized)
     case fd: FuzzyDecontaminate =>
       val p = artifactPath(dir, i, "eval_corpus")
       fd.eval.select(fd.evalTextCol).write.mode("overwrite").parquet(p)
@@ -755,6 +760,9 @@ object EnsemblePersistence {
           (o \ "budget").extract[Int], (o \ "shards").extract[Int], s("salt"))
       case "ExactDedup" =>
         ExactDedup(s("idCol"), s("textCol"), (o \ "normalized").extract[Boolean])
+      case "Purge" =>
+        Purge(spark.read.parquet(s("path")), s("idCol"), s("textCol"),
+          (o \ "normalized").extract[Boolean])
       case "FuzzyDecontaminate" =>
         FuzzyDecontaminate(spark.read.parquet(s("path")), s("idCol"),
           s("textCol"), s("evalTextCol"), (o \ "n").extract[Int],

@@ -752,3 +752,56 @@ case class FuzzyDecontaminate(
         (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
   }
 }
+
+/** Tombstone purge: drop every document named in `tombstones` from the
+  * corpus — the takedown / right-to-be-forgotten propagation step a
+  * long-lived training corpus needs — and retire the purged content's
+  * digests from the incremental-dedup index so the accepted-state
+  * artifact stays consistent with the corpus it describes.
+  *
+  * [[transform]] is one id anti-join (kept corpus out). [[updatedIndex]]
+  * closes the state loop: the accepted-corpus digest index minus the
+  * purged rows' content digests. That removal is sound because the
+  * incremental-ingest discipline ([[graft.ops.IncrementalDedup]]) admits
+  * at most ONE carrier per digest — duplicates were labeled and dropped
+  * at ingest — so a purged doc's digest has no other owner. Retiring the
+  * digest means the same content would be ACCEPTED if re-ingested;
+  * callers that must BLOCK re-ingestion instead keep the digest (skip
+  * the index update) or maintain an explicit tombstone-digest list —
+  * both are one-line variations on the same joins.
+  *
+  * Scale shape: the corpus crosses one id-keyed anti-join (broadcast
+  * when the tombstone list is small — the common case — shuffled
+  * hash-anti otherwise, both correct); the index update shuffles
+  * 16-byte digests only. Text never shuffles on either path. */
+case class Purge(
+    tombstones: DataFrame,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    normalized: Boolean = true) extends EnsembleOp {
+
+  require(tombstones.schema.fieldNames.contains(idCol),
+    s"$name: tombstones frame is missing id column '$idCol'")
+
+  private def key(c: Column): Column = if (normalized) T.normalize(c) else c
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol)
+    in
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    df.join(tombstones.select(idCol).distinct(), Seq(idCol), "left_anti")
+
+  /** The accepted-digest index after the purge: `index` minus the
+    * content digests of the tombstoned rows of `df` (the pre-purge
+    * corpus — digests must come from the content being removed). */
+  def updatedIndex(index: DataFrame, df: DataFrame,
+      digestCol: String = "content_hash"): DataFrame = {
+    requireCol(df.schema, textCol)
+    val purgedDigests = df
+      .join(tombstones.select(idCol).distinct(), Seq(idCol), "left_semi")
+      .select(md5(key(col(textCol))).as(digestCol))
+    index.join(purgedDigests, Seq(digestCol), "left_anti")
+  }
+}

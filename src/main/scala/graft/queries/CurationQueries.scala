@@ -543,6 +543,54 @@ object CurationQueries {
       Seq("vec_id"), floorBp = 6000, requirePrecision = true)
   }
 
+  /** Tombstone purge under the oracle: corpus minus the takedown list
+    * (doc_id % 13 == 0), one id anti-join, kept rows hash-checked. */
+  def opPurge(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    Purge(docs.filter(col("doc_id") % 13 === 0).select("doc_id"))
+      .transform(docs.select("doc_id", "source", "lang", "n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** The purge's state half: the accepted-digest index after retiring
+    * the tombstoned rows' content digests. Index = the pre-purge
+    * corpus's normalized digests (one carrier per digest, per the
+    * incremental-ingest discipline); output is the post-purge index,
+    * hash-checked. */
+  def opPurgeIndex(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val index = ExactDedup(normalized = true).transform(docs)
+      .select("content_hash")
+    Purge(docs.filter(col("doc_id") % 13 === 0).select("doc_id"))
+      .updatedIndex(index, docs)
+      .orderBy("content_hash")
+  }
+
+  /** The incremental-rebuild flagship: [[SnapshotDiff]] drives the
+    * downstream recompute — quality signals are re-derived ONLY for
+    * `added`/`changed` documents of the new build, so rebuild cost is
+    * ∝ |changed|, never ∝ |corpus|. Composed as one Catalyst plan
+    * (diff → dirty semi-join → row-local quality signals) and
+    * hash-checked end-to-end. */
+  def pipelineIncremental(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val old = docs.filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    val dirty = SnapshotDiff(old).transform(docs)
+      .filter(col("status").isin("added", "changed"))
+      .select("doc_id", "status")
+    val ws = T.words(col("text"))
+    val nTok = size(ws).cast("long")
+    val ttrBp = T.bp(size(array_distinct(ws)), size(ws))
+    val mwlBp = T.bp(aggregate(ws, lit(0L), (acc, w) => acc + length(w)), size(ws))
+    docs.join(dirty, Seq("doc_id"))
+      .select(col("doc_id"), col("status"),
+        nTok.as("n_tokens"), ttrBp.as("ttr_bp"), mwlBp.as("mwl_bp"),
+        (nTok >= 20 && ttrBp >= 1500).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Near-duplicate benchmark decontamination, exact mode: every corpus
     * doc's true trigram-shingle Jaccard against every src0 (eval) doc,
     * integer basis points, fully under the hash oracle. */
@@ -813,6 +861,9 @@ object CurationQueries {
     "semantic_decontaminate_probe" -> (semanticDecontaminateProbe _),
     "fuzzy_decontaminate" -> (fuzzyDecontaminate _),
     "fuzzy_decontaminate_banded" -> (fuzzyDecontaminateBanded _),
+    "op_purge" -> (opPurge _),
+    "op_purge_index" -> (opPurgeIndex _),
+    "pipeline_incremental" -> (pipelineIncremental _),
     "dedup_prefix" -> (dedupPrefix _),
     "snapshot_diff" -> (snapshotDiff _),
     "pipeline_dsir" -> (pipelineDsir _),
@@ -1049,6 +1100,32 @@ object CurationQueries {
         |SELECT c.vec_id, CAST(coalesce(eval_hits, 0) AS BIGINT) AS eval_hits, max_cosine,
         |  coalesce(eval_hits, 0) > 0 AS contaminated
         |FROM c LEFT JOIN s USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "op_purge" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id % 13 != 0 ORDER BY doc_id""".stripMargin,
+    "op_purge_index" ->
+      s"""SELECT DISTINCT md5($normSql) AS content_hash FROM documents
+         |WHERE md5($normSql) NOT IN (
+         |  SELECT md5($normSql) FROM documents WHERE doc_id % 13 = 0)
+         |ORDER BY content_hash""".stripMargin,
+    "pipeline_incremental" ->
+      s"""WITH o AS (SELECT doc_id,
+         |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS old_hash
+         |  FROM documents WHERE doc_id % 10 != 3),
+         |n AS (SELECT doc_id, md5(text) AS new_hash FROM documents),
+         |dirty AS (SELECT n.doc_id,
+         |  CASE WHEN o.old_hash IS NULL THEN 'added' ELSE 'changed' END AS status
+         |  FROM n LEFT JOIN o USING (doc_id)
+         |  WHERE o.old_hash IS NULL OR o.old_hash != n.new_hash)
+         |SELECT d.doc_id, dirty.status,
+         |  CAST(len($wordsSql) AS BIGINT) AS n_tokens,
+         |  CAST((CAST(len(list_distinct($wordsSql)) AS BIGINT) * 10000) // len($wordsSql) AS BIGINT) AS ttr_bp,
+         |  CAST((CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS BIGINT) * 10000)
+         |    // len($wordsSql) AS BIGINT) AS mwl_bp,
+         |  (len($wordsSql) >= 20 AND
+         |   (CAST(len(list_distinct($wordsSql)) AS BIGINT) * 10000) // len($wordsSql) >= 1500) AS keep
+         |FROM documents d JOIN dirty ON d.doc_id = dirty.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "fuzzy_decontaminate" ->
       s"""WITH docs AS (SELECT doc_id, source, text FROM documents WHERE source != 'src0'
          |  UNION ALL

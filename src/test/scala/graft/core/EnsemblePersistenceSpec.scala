@@ -531,4 +531,14 @@ class EnsemblePersistenceSpec extends SparkSpec {
     assert(loaded.transform(corpus).orderBy("doc_id").collect().toSeq ==
       op.transform(corpus).orderBy("doc_id").collect().toSeq)
   }
+
+  test("Purge round-trips its tombstone list as a side artifact") {
+    val corpus = Seq((1L, "keep"), (2L, "drop")).toDF("doc_id", "text")
+    val op = Purge(Seq(2L).toDF("doc_id"))
+    val dir = Files.tmp("ens_purge")
+    EnsemblePersistence.save(Ensemble(Seq(op), corpus.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.transform(corpus).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }

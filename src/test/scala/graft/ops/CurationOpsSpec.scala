@@ -310,4 +310,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.getLong(1) == 1L, "normalized-identical eval rows count once")
     assert(out.getLong(2) == 10000L, "exact match scores 10000 bp")
   }
+
+  test("Purge drops tombstoned docs and retires exactly their digests") {
+    val corpus = Seq(
+      (1L, "keep me around"),
+      (2L, "take me down"),
+      (3L, "also staying here"),
+      (4L, "second takedown text")).toDF("doc_id", "text")
+    val tomb = Seq(2L, 4L, 99L).toDF("doc_id") // 99 is a no-op tombstone
+    val op = Purge(tomb)
+    val kept = op.transform(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"kept set was $kept")
+    val index = ExactDedup(normalized = true).transform(corpus).select("content_hash")
+    val updated = op.updatedIndex(index, corpus).collect().map(_.getString(0)).toSet
+    val keepDigests = ExactDedup(normalized = true)
+      .transform(corpus.filter(col("doc_id").isin(1L, 3L)))
+      .select("content_hash").collect().map(_.getString(0)).toSet
+    assert(updated == keepDigests, "index must retain exactly the kept contents")
+  }
+
+  test("Purge with an empty tombstone list is the identity") {
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val tomb = Seq.empty[Long].toDF("doc_id")
+    assert(Purge(tomb).transform(corpus).count() == 2)
+  }
 }
