@@ -308,4 +308,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(MeanPoolEmbeddings().transform(withNull).count() == 0,
       "a null vector contributes no (key, dim) rows")
   }
+
+  test("contamination family: empty corpus in, empty out with declared schema") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val evalDocs = Seq((9L, "some eval benchmark text here")).toDF("doc_id", "text")
+    val evalVecs = Seq((9L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    for (op <- Seq(
+        FuzzyDecontaminate(evalDocs, n = 3, thresholdBp = 5000),
+        Purge(evalDocs.select("doc_id")),
+        PrefixDedup(n = 4),
+        SnapshotDiff(emptyDocs))) {
+      val out = op.transform(emptyDocs)
+      assert(out.count() == 0, s"${op.name}: empty in, empty out")
+      assert(out.schema.fieldNames.toSeq ==
+        op.transformSchema(emptyDocs.schema).fieldNames.toSeq,
+        s"${op.name}: declared schema must hold on empty input")
+    }
+    val sd = SemanticDecontaminate(evalVecs, threshold = 0.5)
+    assert(sd.transform(emptyVecs).count() == 0)
+  }
+
+  test("contamination family: null text scans nothing and stays clean") {
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "real content words here today"),
+        Row(2L, null.asInstanceOf[Any])),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val eval = Seq((9L, "real content words here yesterday")).toDF("doc_id", "text")
+    val out = FuzzyDecontaminate(eval, n = 3, thresholdBp = 3000)
+      .transform(docs).orderBy("doc_id").collect()
+    assert(out.length == 2, "null-text rows must not drop")
+    assert(!out(1).getBoolean(3) && out(1).isNullAt(2),
+      "null text has no shingles: clean, null max")
+    // SnapshotDiff: null vs null is unchanged, null vs text is changed
+    val oldSnap = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, null.asInstanceOf[Any]), Row(2L, null.asInstanceOf[Any])),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val diff = SnapshotDiff(oldSnap).transform(docs).orderBy("doc_id").collect()
+    assert(diff(0).getString(3) == "changed" && diff(1).getString(3) == "unchanged")
+  }
 }
