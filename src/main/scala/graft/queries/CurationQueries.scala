@@ -543,6 +543,44 @@ object CurationQueries {
       Seq("vec_id"), floorBp = 6000, requirePrecision = true)
   }
 
+  /** The defense-in-depth contamination audit — the three decontamination
+    * tiers composed into one per-document verdict, each tier catching
+    * what the previous one misses: exact 5-gram overlap (verbatim
+    * leakage), trigram-shingle Jaccard (lightly edited leakage), and
+    * embedding cosine (paraphrased leakage; `embeddings.vec_id` is the
+    * document id in the driver testdata). Verdict = the strongest tier
+    * that fired. All three tiers are exact-mode and individually
+    * oracled, so the composed audit hash-checks end-to-end as one plan.
+    *
+    * Scale shape: tier costs are the component ops' (gram semi-join,
+    * shingle postings join, broadcast eval scan) — the composition adds
+    * only three id equi-joins over per-doc verdict rows. */
+  def pipelineContamination(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val corpus = docs.filter(col("source") =!= "src0")
+    val evalD = docs.filter(col("source") === "src0")
+    val gram = Decontaminate(evalD, n = 5).transform(corpus)
+      .select(col("doc_id"), col("contaminated").as("gram_hit"))
+    val fuzzy = FuzzyDecontaminate(evalD, n = 3, thresholdBp = 5000)
+      .transform(corpus)
+      .select(col("doc_id"), coalesce(col("max_jaccard_bp"), lit(0L)).as("fuzzy_bp"))
+    val emb = embeddings(spark, d)
+    val sem = SemanticDecontaminate(
+        emb.join(evalD.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        threshold = 0.40)
+      .transform(emb.join(corpus.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"))
+      .select(col("vec_id").as("doc_id"),
+        coalesce(col("max_cosine"), lit(0.0)).as("sem_cosine"))
+    gram.join(fuzzy, Seq("doc_id")).join(sem, Seq("doc_id"))
+      .select(col("doc_id"), col("gram_hit"), col("fuzzy_bp"), col("sem_cosine"),
+        when(col("gram_hit"), "exact")
+          .when(col("fuzzy_bp") >= 5000, "near")
+          .when(col("sem_cosine") >= 0.40, "semantic")
+          .otherwise("clean").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Tombstone purge under the oracle: corpus minus the takedown list
     * (doc_id % 13 == 0), one id anti-join, kept rows hash-checked. */
   def opPurge(spark: SparkSession, d: String): DataFrame = {
@@ -864,6 +902,7 @@ object CurationQueries {
     "op_purge" -> (opPurge _),
     "op_purge_index" -> (opPurgeIndex _),
     "pipeline_incremental" -> (pipelineIncremental _),
+    "pipeline_contamination" -> (pipelineContamination _),
     "dedup_prefix" -> (dedupPrefix _),
     "snapshot_diff" -> (snapshotDiff _),
     "pipeline_dsir" -> (pipelineDsir _),
@@ -1100,6 +1139,45 @@ object CurationQueries {
         |SELECT c.vec_id, CAST(coalesce(eval_hits, 0) AS BIGINT) AS eval_hits, max_cosine,
         |  coalesce(eval_hits, 0) > 0 AS contaminated
         |FROM c LEFT JOIN s USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "pipeline_contamination" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE source != 'src0'),
+         |evald AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+         |w AS (SELECT doc_id, $wordsSql AS ws FROM corpus),
+         |ew AS (SELECT doc_id, $wordsSql AS ws FROM evald),
+         |g5 AS (SELECT doc_id, unnest(${gramSql(5)}) AS g FROM w WHERE len(ws) >= 5),
+         |eg5 AS (SELECT DISTINCT unnest(${gramSql(5)}) AS g FROM ew WHERE len(ws) >= 5),
+         |t1 AS (SELECT DISTINCT doc_id FROM g5 JOIN eg5 USING (g)),
+         |sh AS (SELECT DISTINCT doc_id, unnest(${gramSql(3)}) AS s FROM w WHERE len(ws) >= 3),
+         |esh AS (SELECT DISTINCT doc_id, unnest(${gramSql(3)}) AS s FROM ew WHERE len(ws) >= 3),
+         |cs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |es AS (SELECT doc_id, count(*) AS n FROM esh GROUP BY 1),
+         |p AS (SELECT sh.doc_id AS cid, esh.doc_id AS eid, count(*) AS inter
+         |  FROM sh JOIN esh USING (s) GROUP BY 1, 2),
+         |t2 AS (SELECT cid AS doc_id, max(inter * 10000 // (cs.n + es.n - inter)) AS fuzzy_bp
+         |  FROM p JOIN cs ON p.cid = cs.doc_id JOIN es ON p.eid = es.doc_id GROUP BY 1),
+         |ev AS (SELECT e.embedding::DOUBLE[] AS v FROM embeddings e
+         |  JOIN evald d ON e.vec_id = d.doc_id),
+         |cv AS (SELECT e.vec_id AS doc_id, e.embedding::DOUBLE[] AS v FROM embeddings e
+         |  JOIN corpus c ON e.vec_id = c.doc_id),
+         |t3 AS (SELECT cv.doc_id, max(CASE
+         |    WHEN sqrt(list_inner_product(cv.v, cv.v)) * sqrt(list_inner_product(ev.v, ev.v)) = 0
+         |    THEN 0.0
+         |    ELSE list_inner_product(cv.v, ev.v) /
+         |      (sqrt(list_inner_product(cv.v, cv.v)) * sqrt(list_inner_product(ev.v, ev.v)))
+         |    END) AS sem_cos
+         |  FROM cv CROSS JOIN ev GROUP BY 1)
+         |SELECT c.doc_id,
+         |  (t1.doc_id IS NOT NULL) AS gram_hit,
+         |  CAST(coalesce(t2.fuzzy_bp, 0) AS BIGINT) AS fuzzy_bp,
+         |  coalesce(t3.sem_cos, 0.0) AS sem_cosine,
+         |  CASE WHEN t1.doc_id IS NOT NULL THEN 'exact'
+         |       WHEN coalesce(t2.fuzzy_bp, 0) >= 5000 THEN 'near'
+         |       WHEN coalesce(t3.sem_cos, 0.0) >= 0.40 THEN 'semantic'
+         |       ELSE 'clean' END AS verdict
+         |FROM corpus c LEFT JOIN t1 ON c.doc_id = t1.doc_id
+         |LEFT JOIN t2 ON c.doc_id = t2.doc_id
+         |LEFT JOIN t3 ON c.doc_id = t3.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "op_purge" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id % 13 != 0 ORDER BY doc_id""".stripMargin,
