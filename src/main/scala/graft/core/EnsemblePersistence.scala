@@ -297,6 +297,13 @@ object EnsemblePersistence {
     case DocumentChunks(id, text, cs, ov) =>
       ("type" -> "DocumentChunks") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("chunkSize" -> cs) ~ ("overlap" -> ov)
+    case MixturePlan(strata, toks, w, budget, dflt) =>
+      ("type" -> "MixturePlan") ~ ("strataCol" -> strata) ~
+        ("tokensCol" -> toks) ~ ("weightsBp" -> w) ~
+        ("budgetTokens" -> budget) ~ ("defaultBp" -> dflt)
+    case PcaProject(comps, id, vec, out) =>
+      ("type" -> "PcaProject") ~ ("components" -> comps) ~ ("idCol" -> id) ~
+        ("vecCol" -> vec) ~ ("outputCol" -> out)
     case QuantizeEmbeddings(id, vec, lv) =>
       ("type" -> "QuantizeEmbeddings") ~ ("idCol" -> id) ~ ("vecCol" -> vec) ~
         ("levels" -> lv)
@@ -730,6 +737,13 @@ object EnsemblePersistence {
       case "DocumentChunks" =>
         DocumentChunks(s("idCol"), s("textCol"),
           (o \ "chunkSize").extract[Int], (o \ "overlap").extract[Int])
+      case "MixturePlan" =>
+        MixturePlan(s("strataCol"), s("tokensCol"),
+          (o \ "weightsBp").extract[Map[String, Int]],
+          (o \ "budgetTokens").extract[Long], (o \ "defaultBp").extract[Int])
+      case "PcaProject" =>
+        PcaProject((o \ "components").extract[List[List[Double]]],
+          s("idCol"), s("vecCol"), s("outputCol"))
       case "QuantizeEmbeddings" =>
         QuantizeEmbeddings(s("idCol"), s("vecCol"), (o \ "levels").extract[Int])
       case "MaterializeFeatureView" =>

@@ -839,3 +839,64 @@ case class ValidateRequests(
   def rejected(df: DataFrame): DataFrame =
     transform(df).filter(col(errorCol).isNotNull)
 }
+
+/** Token-budget mixture planning — the deterministic solver between a
+  * target mixture spec ("X% of the training tokens from each domain")
+  * and the sampling ops that realize it: per stratum, compare the
+  * stratum's available tokens against its share of the global budget
+  * and emit the keep-rate (basis points) that hits the target, flagging
+  * strata that cannot fill their share. Feed `rate_bp` into the
+  * content-hash sampling family ([[StratifiedSample]]) or `epochs` math
+  * into [[UpsampleMix]] for deficit strata — this op only PLANS, in
+  * exact integer arithmetic, so the plan itself is oracle-checkable and
+  * reproducible (the mixture-design step of the pre-training recipes in
+  * the public literature, e.g. weighted domain mixtures).
+  *
+  * Scale shape: ONE partial-aggregable groupBy collapses the corpus to
+  * a strata-sized frame (map-side combined token sums); everything
+  * after operates on #strata rows. Output per stratum:
+  * (stratum, n_docs, avail_tokens, target_tokens, rate_bp,
+  * planned_tokens, short) where rate_bp = min(10000,
+  * target*10000 DIV avail) and planned = avail * rate_bp DIV 10000 —
+  * floor arithmetic both engines agree on. */
+case class MixturePlan(
+    strataCol: String,
+    tokensCol: String,
+    weightsBp: Map[String, Int],
+    budgetTokens: Long,
+    defaultBp: Int = 0) extends EnsembleOp {
+
+  require(budgetTokens >= 0, s"$name: budgetTokens must be >= 0")
+  require((defaultBp +: weightsBp.values.toSeq).forall(b => b >= 0 && b <= 10000),
+    s"$name: all weights must be basis points within [0, 10000]")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, strataCol); requireCol(in, tokensCol)
+    StructType(Seq(
+      in(strataCol).copy(name = "stratum"),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("avail_tokens", LongType),
+      StructField("target_tokens", LongType, nullable = false),
+      StructField("rate_bp", LongType),
+      StructField("planned_tokens", LongType),
+      StructField("short", BooleanType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("avail_tokens"))
+      .withColumn("__w",
+        Strata.caseOver(col("stratum"), weightsBp, defaultBp).cast("long"))
+      .withColumn("target_tokens",
+        expr(s"CAST($budgetTokens AS BIGINT) * __w DIV 10000"))
+      .drop("__w")
+      .withColumn("rate_bp",
+        when(col("avail_tokens") > 0,
+          least(lit(10000L), expr("target_tokens * 10000 DIV avail_tokens")))
+          .otherwise(lit(null)))
+      .withColumn("planned_tokens", expr("avail_tokens * rate_bp DIV 10000"))
+      .withColumn("short", col("avail_tokens").isNull ||
+        col("avail_tokens") < col("target_tokens"))
+  }
+}

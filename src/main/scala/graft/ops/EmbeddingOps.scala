@@ -153,3 +153,61 @@ case class MeanPoolEmbeddings(
       .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_micros"))
       .withColumn("mean", col("sum_micros").cast("double") / col("n_vecs") / 1e6)
 }
+
+/** PCA projection of an embedding column — the offline dimensionality
+  * compression step before indexing (the linear half of FAISS-style
+  * OPQ/PCA pre-transforms; classical PCA, public method). The fit is
+  * MLlib's distributed PCA (covariance aggregation + local
+  * eigendecomposition); what persists is ONLY the k principal axes as
+  * plain parameter doubles — like IVF centroids, there is no model
+  * artifact, and the projection is a pure per-row expression (k
+  * [[graft.functions.ArrayDotProduct]] passes over literal axes),
+  * shuffle-free and linear in rows × dims × k at any scale.
+  *
+  * Conventions match `ml.feature.PCAModel.transform` exactly: vectors
+  * project UNCENTERED onto the axes (MLlib centers the covariance, not
+  * the data — PcaProjectSpec pins our expression against the MLlib
+  * transform on the same fit). Choose k by the fit's explained-variance
+  * profile; downstream, a PCA-reduced index trades recall for memory
+  * exactly like [[AnnIvfPq]]'s codes (compose: PCA → IVF-PQ). */
+case class PcaProject(
+    components: Seq[Seq[Double]],
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    outputCol: String = "reduced") extends EnsembleOp {
+
+  require(components.nonEmpty, s"$name: need at least one principal axis")
+  require(components.map(_.size).distinct.size == 1,
+    s"$name: principal axes must agree on dimensionality")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, vecCol)
+    require(!in.fieldNames.contains(outputCol),
+      s"$name: output column '$outputCol' collides with the input schema")
+    StructType(in :+ StructField(outputCol, ArrayType(DoubleType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val projected = array(components.map(axis => V.dot(v, typedLit(axis))): _*)
+    df.withColumn(outputCol, when(col(vecCol).isNull, lit(null)).otherwise(projected))
+  }
+}
+
+object PcaProject {
+  /** Fit the principal axes with MLlib PCA and build the op; axes come
+    * back as plain doubles (column i of the d×k loading matrix). */
+  def fit(df: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", outputCol: String = "reduced"): PcaProject = {
+    val assembled = df.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("__features"))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setK(k).setInputCol("__features").setOutputCol("__pca")
+      .fit(assembled)
+    val pc = model.pc
+    val comps = (0 until k).map(i =>
+      (0 until pc.numRows).map(j => pc(j, i)).toSeq)
+    PcaProject(comps, idCol, vecCol, outputCol)
+  }
+}

@@ -609,6 +609,64 @@ object OpQueries {
       .transform(documents(spark, d).select("doc_id", "source"))
       .orderBy("doc_id")
 
+  /** MixturePlan under the oracle: per-language token budgets over the
+    * document corpus — availability, targets, keep-rates and shortfall
+    * flags all in floor integer arithmetic, replayed exactly by one
+    * grouped SQL. */
+  def mixturePlan(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    MixturePlan("lang", "toks", Map("en" -> 5000, "zh" -> 3000),
+      budgetTokens = 20000, defaultBp = 1000)
+      .transform(documents(spark, d)
+        .select(col("lang"), T.tokenCount(col("text")).cast("long").as("toks")))
+      .orderBy("stratum")
+  }
+
+  /** PCA projection under the evidence harness (rows-only: eigenvector
+    * fits are not bit-portable cross-engine). The in-query checks pin
+    * the linear-algebra contract instead: the fitted axes must be
+    * orthonormal (Gram matrix ≈ identity) and the projection must
+    * reproduce MLlib's own transform — then the flattened (id, pos,
+    * micro-quantized value) rows land in the artifact. */
+  def pcaProject(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val op = PcaProject.fit(emb, k = 8)
+    // orthonormality: |<a_i, a_j> - [i==j]| within 1e-9
+    val axes = op.components
+    for (i <- axes.indices; j <- i until axes.size) {
+      val dot = axes(i).zip(axes(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      require(math.abs(dot - want) < 1e-9,
+        s"PCA axes must be orthonormal: <$i,$j> = $dot")
+    }
+    op.transform(emb)
+      .select(col("vec_id"), posexplode(col("reduced")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * 1e6).cast("long").as("x_micro"))
+      .orderBy("vec_id", "pos")
+  }
+
+  /** Approximate distinct cardinalities (HLL++) vs the exact count —
+    * the 100 TB profiling tool whose sketch is mergeable and
+    * partition-order-independent. Rows-only (sketch estimates are not
+    * cross-engine-portable); the in-query check bounds the relative
+    * error at 3× the configured rsd, thrown if violated and recorded in
+    * the artifact. */
+  def approxDistinct(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val toks = documents(spark, d)
+      .select(col("source"), explode(T.words(col("text"))).as("tok"))
+    val out = toks.groupBy("source").agg(
+        countDistinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
+      .withColumn("err_bp",
+        expr("abs(approx_distinct - exact_distinct) * 10000 DIV exact_distinct"))
+      .orderBy("source")
+    val worst = out.agg(max(col("err_bp"))).head().getLong(0)
+    require(worst <= 600, s"HLL error $worst bp exceeds 3x rsd bound (600 bp)")
+    out
+  }
+
   /** Lineitem with integral quantity — the shared base for the fitted-FE
     * queries (exact long sums keep the fitted statistics bit-deterministic
     * cross-engine). */
@@ -756,6 +814,9 @@ object OpQueries {
     "op_list_slice" -> (listSlice _),
     "op_hash_split" -> (hashSplit _),
     "op_shard_shuffle" -> (shardShuffle _),
+    "op_mixture_plan" -> (mixturePlan _),
+    "op_pca_project" -> (pcaProject _),
+    "op_approx_distinct" -> (approxDistinct _),
     "op_drift_report" -> (driftReport _),
     "op_feature_lookup" -> (featureLookup _),
     "op_filter_candidates" -> (filterCandidates _),
@@ -815,6 +876,21 @@ object OpQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "op_mixture_plan" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS avail_tokens FROM t GROUP BY 1),
+        |p AS (SELECT stratum, n_docs, avail_tokens,
+        |  CAST(20000 * (CASE stratum WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
+        |    ELSE 1000 END) // 10000 AS BIGINT) AS target_tokens FROM g),
+        |r AS (SELECT *, CAST(least(10000, target_tokens * 10000 // avail_tokens) AS BIGINT) AS rate_bp
+        |  FROM p)
+        |SELECT stratum, n_docs, avail_tokens, target_tokens, rate_bp,
+        |  CAST(avail_tokens * rate_bp // 10000 AS BIGINT) AS planned_tokens,
+        |  avail_tokens < target_tokens AS short
+        |FROM r ORDER BY stratum""".stripMargin,
     "pipeline_feature_workflow" ->
       """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag, p_brand,
         |    p_retailprice, p_size, CAST(l_quantity AS BIGINT) AS qty,

@@ -541,4 +541,19 @@ class EnsemblePersistenceSpec extends SparkSpec {
     assert(loaded.transform(corpus).select("doc_id").collect()
       .map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("MixturePlan and PcaProject round-trip as pure parameters") {
+    val docs = Seq(("en", 10L)).toDF("lang", "toks")
+    val mp = MixturePlan("lang", "toks", Map("en" -> 5000), 100L, defaultBp = 500)
+    val dir1 = Files.tmp("ens_mixplan")
+    EnsemblePersistence.save(Ensemble(Seq(mp), docs.schema), dir1, spark)
+    assert(EnsemblePersistence.load(dir1, spark).ops.head == mp)
+    val emb = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val pca = PcaProject(Seq(Seq(0.6, 0.8), Seq(-0.8, 0.6)))
+    val dir2 = Files.tmp("ens_pca")
+    EnsemblePersistence.save(Ensemble(Seq(pca), emb.schema), dir2, spark)
+    val loaded = EnsemblePersistence.load(dir2, spark)
+    assert(loaded.ops.head == pca)
+    assert(loaded.transform(emb).collect().toSeq == pca.transform(emb).collect().toSeq)
+  }
 }

@@ -537,4 +537,22 @@ class CoreOpsSpec extends SparkSpec {
       ShardShuffle("doc_id").transformSchema(df.schema)
     }
   }
+
+  test("MixturePlan computes budgets, rates, and shortfalls in floor integer math") {
+    val docs = Seq(
+      ("en", 100L), ("en", 300L),   // en avail 400
+      ("zh", 50L),                  // zh avail 50
+      ("fr", 1000L)).toDF("lang", "toks") // fr avail 1000
+    val out = MixturePlan("lang", "toks",
+      Map("en" -> 5000, "zh" -> 3000), budgetTokens = 1000, defaultBp = 1000)
+      .transform(docs).orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+    // en: target 500 of avail 400 -> capped rate 10000, planned 400, SHORT
+    assert(out(0) == (("en", 400L, 500L, 10000L, 400L, true)), s"${out(0)}")
+    // fr: default 10% -> target 100 of 1000 -> rate 1000 bp, planned 100
+    assert(out(1) == (("fr", 1000L, 100L, 1000L, 100L, false)), s"${out(1)}")
+    // zh: target 300 of avail 50 -> capped, short
+    assert(out(2) == (("zh", 50L, 300L, 10000L, 50L, true)), s"${out(2)}")
+  }
 }

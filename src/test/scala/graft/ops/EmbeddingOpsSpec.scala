@@ -79,4 +79,45 @@ class EmbeddingOpsSpec extends SparkSpec {
       NormalizeEmbeddings().transformSchema(df.schema)
     }
   }
+
+  test("PcaProject reproduces MLlib's PCA transform on the same fit") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val op = PcaProject.fit(emb, k = 4)
+    // the reference transform: MLlib PCAModel over the identical fit
+    val assembled = emb.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")).as("__features"))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setK(4).setInputCol("__features").setOutputCol("__pca").fit(assembled)
+    val want = model.transform(assembled)
+      .select(col("vec_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__pca")).as("want"))
+    val got = op.transform(emb).select(col("vec_id"), col("reduced"))
+    val maxErr = got.join(want, Seq("vec_id"))
+      .select(expr(
+        "aggregate(zip_with(reduced, want, (a, b) -> abs(a - b)), 0D, (m, x) -> greatest(m, x))")
+        .as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(maxErr < 1e-9, s"projection must match MLlib bitwise-ish, max err $maxErr")
+  }
+
+  test("PcaProject: null vectors project to null; axes dims validated") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq(1.0f, 2.0f)),
+        org.apache.spark.sql.Row(2L, null.asInstanceOf[Any])),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val op = PcaProject(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val out = op.transform(df).orderBy("vec_id").collect()
+    assert(out(0).getSeq[Double](2) == Seq(1.0, 2.0))
+    assert(out(1).isNullAt(2), "null vector -> null projection")
+    intercept[IllegalArgumentException] {
+      PcaProject(Seq(Seq(1.0), Seq(0.0, 1.0)))
+    }
+  }
 }
