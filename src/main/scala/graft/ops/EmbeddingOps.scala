@@ -166,10 +166,17 @@ case class MeanPoolEmbeddings(
   *
   * Conventions match `ml.feature.PCAModel.transform` exactly: vectors
   * project UNCENTERED onto the axes (MLlib centers the covariance, not
-  * the data — PcaProjectSpec pins our expression against the MLlib
+  * the data — the spec pins our expression against the MLlib
   * transform on the same fit). Choose k by the fit's explained-variance
   * profile; downstream, a PCA-reduced index trades recall for memory
-  * exactly like [[AnnIvfPq]]'s codes (compose: PCA → IVF-PQ). */
+  * exactly like [[AnnIvfPq]]'s codes (compose: PCA → IVF-PQ).
+  *
+  * CAUTION for pair-join consumers: Catalyst inlines this projection
+  * into whatever stage consumes it, so feeding the lazy output straight
+  * into a pair scorer (broadcast-NL top-k, near-dup join) re-evaluates
+  * the k axis-dots PER PAIR — measured 175 s vs ~2 s at sf0.1 on the
+  * PCA-shortlist query. Persist or write the projected frame before any
+  * join that multiplies rows; linear scans need no such care. */
 case class PcaProject(
     components: Seq[Seq[Double]],
     idCol: String = "vec_id",

@@ -609,6 +609,52 @@ object OpQueries {
       .transform(documents(spark, d).select("doc_id", "source"))
       .orderBy("doc_id")
 
+  /** The PCA-compressed retrieval path, shortlist + exact refine (the
+    * same two-stage discipline as [[AnnIvfPq]]): project queries AND
+    * items to HALF the dimensions with one fitted [[PcaProject]], build
+    * a 100-candidate shortlist in the reduced space (the stage whose
+    * scan cost the compression halves), then re-score ONLY the
+    * shortlist with full-dimension exact dots and keep the top-10.
+    * Recall@10 vs the full-dim exact scan is floored in-artifact
+    * (rows-only: the eigenfit is not bit-portable). Calibration on this
+    * near-isotropic corpus: one-stage reduced top-10 at k=16 measured
+    * 2960 bp — raw truncation is unusable without the refine; with the
+    * refine, k=16 reached 8480 bp at sf0.01 but 5221 at sf0.1 (more
+    * distractors outrun the truncated metric), while k=32 holds 9880 /
+    * 8261 bp — the dims-vs-distractors trade this query documents. */
+  def pcaAnnRecall(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    val emb = embeddings(spark, d)
+    val op = PcaProject.fit(emb, k = 32)
+    // materialize the projection BEFORE the pair join: inlined under the
+    // broadcast-NL scorer, the k axis-dots would re-evaluate PER PAIR
+    // (measured 175 s at sf0.1 vs ~2 s cached — the per-vector cost is
+    // trivial, the per-pair recomputation is not). recallRow collects
+    // eagerly, so the cache is released before this function returns.
+    val reduced = op.transform(emb)
+      .select(col("vec_id"), col("label"), col("reduced").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = reduced.filter(col("label") === 0).select("vec_id", "embedding")
+    val items = reduced.filter(col("label") =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding"))
+    val shortlist = TopKRetrieval(items, "vec_id", "embedding", k = 100, metric = "dot")
+      .asRows(q).select(col("vec_id"), col("item_id"))
+    val fullQ = emb.filter(col("label") === 0)
+      .select(col("vec_id"), col("embedding").as("__qv"))
+    val fullI = emb.filter(col("label") =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding").as("__iv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("__score"), asc("item_id"))
+    val refined = shortlist.join(fullQ, Seq("vec_id")).join(fullI, Seq("item_id"))
+      .withColumn("__score", V.dot(col("__qv"), col("__iv")))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= 10)
+      .select("vec_id", "item_id")
+    try Evidence.recallRow(spark, refined, topkRetrieval(spark, d),
+      Seq("vec_id", "item_id"), floorBp = 8000)
+    finally reduced.unpersist()
+  }
+
   /** MixturePlan under the oracle: per-language token budgets over the
     * document corpus — availability, targets, keep-rates and shortfall
     * flags all in floor integer arithmetic, replayed exactly by one
@@ -816,6 +862,7 @@ object OpQueries {
     "op_shard_shuffle" -> (shardShuffle _),
     "op_mixture_plan" -> (mixturePlan _),
     "op_pca_project" -> (pcaProject _),
+    "op_pca_ann_recall" -> (pcaAnnRecall _),
     "op_approx_distinct" -> (approxDistinct _),
     "op_drift_report" -> (driftReport _),
     "op_feature_lookup" -> (featureLookup _),
