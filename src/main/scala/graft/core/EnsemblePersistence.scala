@@ -297,6 +297,12 @@ object EnsemblePersistence {
     case DocumentChunks(id, text, cs, ov) =>
       ("type" -> "DocumentChunks") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("chunkSize" -> cs) ~ ("overlap" -> ov)
+    case ResizeMedia(id, content, factor) =>
+      ("type" -> "ResizeMedia") ~ ("idCol" -> id) ~
+        ("contentCol" -> content) ~ ("factor" -> factor)
+    case MediaEmbed(id, content, dim, norm, out) =>
+      ("type" -> "MediaEmbed") ~ ("idCol" -> id) ~ ("contentCol" -> content) ~
+        ("dim" -> dim) ~ ("normalized" -> norm) ~ ("outputCol" -> out)
     case MixturePlan(strata, toks, w, budget, dflt) =>
       ("type" -> "MixturePlan") ~ ("strataCol" -> strata) ~
         ("tokensCol" -> toks) ~ ("weightsBp" -> w) ~
@@ -737,6 +743,11 @@ object EnsemblePersistence {
       case "DocumentChunks" =>
         DocumentChunks(s("idCol"), s("textCol"),
           (o \ "chunkSize").extract[Int], (o \ "overlap").extract[Int])
+      case "ResizeMedia" =>
+        ResizeMedia(s("idCol"), s("contentCol"), (o \ "factor").extract[Int])
+      case "MediaEmbed" =>
+        MediaEmbed(s("idCol"), s("contentCol"), (o \ "dim").extract[Int],
+          (o \ "normalized").extract[Boolean], s("outputCol"))
       case "MixturePlan" =>
         MixturePlan(s("strataCol"), s("tokensCol"),
           (o \ "weightsBp").extract[Map[String, Int]],

@@ -107,3 +107,108 @@ case class SampleFrames(
         expr(s"substring($contentCol, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
   }
 }
+
+/** Resize stage for binary media — the standard normalize-before-encode
+  * step. STUB like [[DecodeMedia]]: the deterministic fake halves the
+  * header dimensions by `factor` and keeps every `factor`-th payload
+  * byte (a real deployment swaps in a codec resample; schema, batch
+  * shape, and null handling are the production plumbing). Runs
+  * partition-parallel with no shuffle; output is the same media schema
+  * so resize stages compose/chain. */
+case class ResizeMedia(
+    idCol: String = "media_id",
+    contentCol: String = "content",
+    factor: Int = 2) extends EnsembleOp {
+
+  require(factor >= 1, s"$name: factor must be >= 1")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol)
+    require(in(contentCol).dataType == BinaryType, s"$name: $contentCol must be binary")
+    StructType(Seq(in(idCol), StructField(contentCol, BinaryType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val out = transformSchema(df.schema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val f = factor
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val c = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
+        val resized =
+          if (c == null || c.length < 4) c
+          else {
+            val w = (((c(0) & 0xFF) << 8) | (c(1) & 0xFF)) / f
+            val h = (((c(2) & 0xFF) << 8) | (c(3) & 0xFF)) / f
+            val payload = (4 until c.length by f).map(c(_)).toArray
+            Array[Byte]((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++ payload
+          }
+        Row(r.get(idIdx), resized)
+      }
+    }(encoder)
+  }
+}
+
+/** Embedding extraction for binary media — the feature column a
+  * multimodal corpus indexes and deduplicates on. STUB embedding:
+  * [[MultimodalOps.decodeStub]]'s 16-bin byte histogram tiled across
+  * `dim` with per-tile byte offsets (deterministic, content-derived — a
+  * real deployment swaps in a vision/audio encoder call; everything
+  * else is the production plumbing). The output column is a plain
+  * `Array[Float]`, so the ENTIRE embedding family downstream —
+  * [[NormalizeEmbeddings]], [[TopKRetrieval]], [[AnnIvf]],
+  * [[CosineNearDup]], [[SemanticDecontaminate]], [[PcaProject]] —
+  * consumes media embeddings unchanged. */
+case class MediaEmbed(
+    idCol: String = "media_id",
+    contentCol: String = "content",
+    dim: Int = 32,
+    normalized: Boolean = true,
+    outputCol: String = "embedding") extends EnsembleOp {
+
+  import MultimodalOps.histBins
+  require(dim >= 1 && dim % histBins == 0,
+    s"$name: dim must be a positive multiple of $histBins")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol)
+    require(in(contentCol).dataType == BinaryType, s"$name: $contentCol must be binary")
+    StructType(Seq(in(idCol), StructField(outputCol, ArrayType(FloatType))))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val out = transformSchema(df.schema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val d = dim
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val c = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
+        val emb =
+          if (c == null) null
+          else {
+            val tiles = d / histBins
+            val v = new Array[Float](d)
+            var t = 0
+            while (t < tiles) {
+              var i = 4
+              while (i < c.length) {
+                v(t * histBins + (((c(i) & 0xFF) + t) % histBins)) += 1f
+                i += 1
+              }
+              t += 1
+            }
+            // normalized = false keeps raw integer counts (exact in
+            // Float), making downstream dot scores exact doubles — the
+            // hash-oracle-friendly mode
+            if (normalized) { val t0 = math.max(1, c.length - 4).toFloat
+              v.map(_ / t0) } else v
+          }
+        Row(r.get(idIdx), if (emb == null) null else emb.toSeq)
+      }
+    }(encoder)
+  }
+}

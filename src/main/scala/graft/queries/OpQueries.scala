@@ -343,6 +343,42 @@ object OpQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** ResizeMedia under the oracle: halve the stub header dimensions and
+    * keep every 2nd payload byte, then decode the result — resized
+    * bytes, decoded dims and byte count all replayed by DuckDB over the
+    * hex the fake media derives from. */
+  def multimodalResize(spark: SparkSession, d: String): DataFrame = {
+    val media = documents(spark, d).select(
+      col("doc_id").as("media_id"),
+      unhex(concat(md5(col("text")), md5(col("source")))).as("content"))
+    val resized = ResizeMedia(factor = 2).transform(media)
+    DecodeMedia().transform(resized)
+      .select(col("media_id"), col("width"), col("height"))
+      .join(resized.select(col("media_id"),
+        hex(col("content")).as("content_hex"),
+        length(col("content")).cast("int").as("n_bytes")), Seq("media_id"))
+      .orderBy("media_id")
+  }
+
+  /** The multimodal retrieval pipeline under the hash oracle: binary
+    * media → [[MediaEmbed]] (raw-count mode: integer-valued floats, so
+    * every dot score is an exact double) → [[TopKRetrieval]] top-5
+    * similar media per query. DuckDB rebuilds the stub embedding from
+    * the media hex byte-by-byte and replays the exact ranking — the
+    * media-to-embedding-to-index path checked end-to-end. */
+  def multimodalRetrieval(spark: SparkSession, d: String): DataFrame = {
+    val media = documents(spark, d).select(
+      col("doc_id").as("media_id"),
+      unhex(concat(md5(col("text")), md5(col("source")))).as("content"))
+    val emb = MediaEmbed(dim = 32, normalized = false).transform(media)
+    val q = emb.filter(col("media_id") % 10 === 0)
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val items = emb.filter(col("media_id") % 10 =!= 0)
+      .select(col("media_id").as("item_id"), col("embedding"))
+    TopKRetrieval(items, "vec_id", "embedding", k = 5, metric = "dot")
+      .asRows(q).orderBy("vec_id", "rank")
+  }
+
   /** SoftmaxSampling over per-user order candidates, fully under the hash
     * oracle: u derives from md5 (engine-portable), so DuckDB reproduces
     * the exact Efraimidis–Spirakis keys. The oracle ranks by
@@ -888,6 +924,8 @@ object OpQueries {
     "op_ann_pq_exact" -> (annPqExact _),
     "op_trailing_features" -> (trailingFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_retrieval" -> (multimodalRetrieval _),
     "op_sample_frames" -> (sampleFrames _),
     "op_softmax_sampling" -> (softmaxSampling _),
     "op_standard_scale" -> (standardScale _),
@@ -1169,6 +1207,37 @@ object OpQueries {
         |FROM customer GROUP BY c_mktsegment)
         |SELECT c_custkey, c_mktsegment, idx AS c_mktsegment_idx
         |FROM customer JOIN m ON c_mktsegment=v ORDER BY c_custkey""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, md5(text) || md5(source) AS hx FROM documents),
+        |r AS (SELECT media_id,
+        |  ('0x' || substr(hx, 1, 4))::BIGINT // 2 AS w2,
+        |  ('0x' || substr(hx, 5, 4))::BIGINT // 2 AS h2,
+        |  array_to_string(list_transform(range(0, 14), i -> substr(hx, 9 + i * 4, 2)), '') AS payload_hex
+        |  FROM m)
+        |SELECT media_id, CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+        |  upper(printf('%04x', w2) || printf('%04x', h2) || payload_hex) AS content_hex,
+        |  CAST(18 AS INTEGER) AS n_bytes
+        |FROM r ORDER BY media_id""".stripMargin,
+    "multimodal_retrieval" ->
+      """WITH m AS (SELECT doc_id AS media_id, md5(text) || md5(source) AS hx FROM documents),
+        |b AS (SELECT media_id, ('0x' || substr(hx, j * 2 + 1, 2))::BIGINT AS byte
+        |  FROM m CROSS JOIN (SELECT unnest(range(4, 32)) AS j) _j),
+        |e AS (SELECT media_id, t, (byte + t) % 16 AS bin, count(*) AS cnt
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 2)) AS t) _t
+        |  GROUP BY 1, 2, 3),
+        |dims AS (SELECT m.media_id, t, bin FROM m
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS t) _t
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) _b),
+        |v AS (SELECT d.media_id, d.t * 16 + d.bin AS idx, CAST(coalesce(e.cnt, 0) AS DOUBLE) AS x
+        |  FROM dims d LEFT JOIN e ON d.media_id = e.media_id AND d.t = e.t AND d.bin = e.bin),
+        |p AS (SELECT q.media_id AS vec_id, i.media_id AS item_id, sum(q.x * i.x) AS score
+        |  FROM v q JOIN v i ON q.idx = i.idx
+        |  WHERE q.media_id % 10 = 0 AND i.media_id % 10 != 0
+        |  GROUP BY 1, 2),
+        |r AS (SELECT vec_id, item_id, score,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank FROM p)
+        |SELECT vec_id, CAST(rank AS INTEGER) AS rank, item_id, score FROM r
+        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
     "op_topk_retrieval" ->
       """SELECT vec_id, rank, item_id, score FROM (
         |SELECT q.vec_id AS vec_id, i.vec_id AS item_id,

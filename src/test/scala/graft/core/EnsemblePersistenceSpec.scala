@@ -556,4 +556,16 @@ class EnsemblePersistenceSpec extends SparkSpec {
     assert(loaded.ops.head == pca)
     assert(loaded.transform(emb).collect().toSeq == pca.transform(emb).collect().toSeq)
   }
+
+  test("ResizeMedia and MediaEmbed round-trip by value") {
+    val media = Seq((1L, Array[Byte](0, 16, 0, 8, 1, 2, 3, 4)))
+      .toDF("media_id", "content")
+    for (op <- Seq[graft.core.EnsembleOp](
+        ResizeMedia(factor = 2), MediaEmbed(dim = 32, normalized = false))) {
+      val dir = Files.tmp("ens_media_" + op.name)
+      EnsemblePersistence.save(Ensemble(Seq(op), media.schema), dir, spark)
+      val loaded = EnsemblePersistence.load(dir, spark)
+      assert(loaded.ops.head == op, op.name)
+    }
+  }
 }

@@ -44,4 +44,44 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(frames.forall(_._3.length == 64))
     assert(frames(0)._3(0) == 0 && frames(1)._3(0) == (128 & 0xFF).toByte)
   }
+
+  test("ResizeMedia halves header dims, keeps every 2nd payload byte, chains") {
+    val content = Array[Byte](0x01, 0x00, 0x00, 0x40.toByte,  // 256 x 64
+      1, 2, 3, 4, 5, 6, 7, 8)
+    val df = Seq((1L, content)).toDF("media_id", "content")
+    val once = ResizeMedia(factor = 2).transform(df).collect().head.getAs[Array[Byte]](1)
+    assert(((once(0) & 0xFF) << 8 | (once(1) & 0xFF)) == 128)
+    assert(((once(2) & 0xFF) << 8 | (once(3) & 0xFF)) == 32)
+    assert(once.drop(4).toSeq == Seq[Byte](1, 3, 5, 7), "every 2nd payload byte")
+    // resize composes: output schema is input schema
+    val twice = ResizeMedia(factor = 2).transform(ResizeMedia(factor = 2).transform(df))
+      .collect().head.getAs[Array[Byte]](1)
+    assert(((twice(0) & 0xFF) << 8 | (twice(1) & 0xFF)) == 64)
+    // null and too-short content pass through untouched
+    val nullRow = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(2L, null.asInstanceOf[Any])),
+      df.schema)
+    assert(ResizeMedia().transform(nullRow).collect().head.isNullAt(1))
+  }
+
+  test("MediaEmbed: deterministic content-derived vectors; raw-count mode is integral") {
+    val content = Array[Byte](0, 0, 0, 0) ++ (0 until 20).map(_.toByte).toArray
+    val df = Seq((1L, content)).toDF("media_id", "content")
+    val raw = MediaEmbed(dim = 32, normalized = false).transform(df)
+      .collect().head.getSeq[Float](1)
+    assert(raw.length == 32)
+    assert(raw.sum == 40.0f, "two tiles x 20 payload bytes")
+    assert(raw.forall(v => v == v.floor), "raw counts are integral floats")
+    val norm = MediaEmbed(dim = 32).transform(df).collect().head.getSeq[Float](1)
+    assert(math.abs(norm.sum - 2.0f) < 1e-5, "normalized tiles each sum to 1")
+    // same content -> same embedding (determinism)
+    val again = MediaEmbed(dim = 32, normalized = false).transform(df)
+      .collect().head.getSeq[Float](1)
+    assert(again == raw)
+    // null content -> null embedding
+    val nullRow = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(2L, null.asInstanceOf[Any])),
+      df.schema)
+    assert(MediaEmbed().transform(nullRow).collect().head.isNullAt(1))
+  }
 }
