@@ -379,6 +379,21 @@ object OpQueries {
       .asRows(q).orderBy("vec_id", "rank")
   }
 
+  /** Duplicate-media detection under the hash oracle: media embeddings
+    * (raw-count mode — exact doubles end-to-end) into the standard
+    * [[CosineNearDup]] pair machinery. Exact mode here puts the whole
+    * media→embedding→pair path under DuckDB's hex replay; at scale the
+    * same column feeds the bucketed/semantic variants unchanged. */
+  def multimodalNeardup(spark: SparkSession, d: String): DataFrame = {
+    val media = documents(spark, d).select(
+      col("doc_id").as("media_id"),
+      unhex(concat(md5(col("text")), md5(col("source")))).as("content"))
+    val emb = MediaEmbed(dim = 32, normalized = false).transform(media)
+    CosineNearDup(idCol = "media_id", vecCol = "embedding",
+      threshold = 0.95, exact = true)
+      .transform(emb).orderBy("id_a", "id_b")
+  }
+
   /** SoftmaxSampling over per-user order candidates, fully under the hash
     * oracle: u derives from md5 (engine-portable), so DuckDB reproduces
     * the exact Efraimidis–Spirakis keys. The oracle ranks by
@@ -926,6 +941,7 @@ object OpQueries {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_retrieval" -> (multimodalRetrieval _),
+    "multimodal_neardup" -> (multimodalNeardup _),
     "op_sample_frames" -> (sampleFrames _),
     "op_softmax_sampling" -> (softmaxSampling _),
     "op_standard_scale" -> (standardScale _),
@@ -1238,6 +1254,27 @@ object OpQueries {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank FROM p)
         |SELECT vec_id, CAST(rank AS INTEGER) AS rank, item_id, score FROM r
         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    "multimodal_neardup" ->
+      """WITH m AS (SELECT doc_id AS media_id, md5(text) || md5(source) AS hx FROM documents),
+        |b AS (SELECT media_id, ('0x' || substr(hx, j * 2 + 1, 2))::BIGINT AS byte
+        |  FROM m CROSS JOIN (SELECT unnest(range(4, 32)) AS j) _j),
+        |e AS (SELECT media_id, t, (byte + t) % 16 AS bin, count(*) AS cnt
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 2)) AS t) _t
+        |  GROUP BY 1, 2, 3),
+        |dims AS (SELECT m.media_id, t, bin FROM m
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS t) _t
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) _b),
+        |v AS (SELECT d.media_id, d.t * 16 + d.bin AS idx, CAST(coalesce(e.cnt, 0) AS DOUBLE) AS x
+        |  FROM dims d LEFT JOIN e ON d.media_id = e.media_id AND d.t = e.t AND d.bin = e.bin),
+        |vv AS (SELECT media_id, list(x ORDER BY idx) AS vec FROM v GROUP BY 1),
+        |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CASE WHEN sqrt(list_inner_product(a.vec, a.vec)) * sqrt(list_inner_product(b.vec, b.vec)) = 0
+        |    THEN 0.0
+        |    ELSE list_inner_product(a.vec, b.vec) /
+        |      (sqrt(list_inner_product(a.vec, a.vec)) * sqrt(list_inner_product(b.vec, b.vec))) END AS cosine
+        |  FROM vv a JOIN vv b ON a.media_id < b.media_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
     "op_topk_retrieval" ->
       """SELECT vec_id, rank, item_id, score FROM (
         |SELECT q.vec_id AS vec_id, i.vec_id AS item_id,
