@@ -883,9 +883,19 @@ case class MixturePlan(
   }
 
   override def transform(df: DataFrame): DataFrame = {
-    df.groupBy(col(strataCol).as("stratum"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = df.groupBy(col(strataCol).as("stratum"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol).cast("long")).as("avail_tokens"))
+    // a DECLARED stratum absent from the corpus must still plan — it can
+    // fill 0% of its share, and silently vanishing instead of flagging
+    // `short` would underfill the budget with no signal
+    val declared = weightsBp.keys.toSeq.sorted.toDF("stratum")
+    agg.join(declared, Seq("stratum"), "full_outer")
+      .select(col("stratum"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"))
       .withColumn("__w",
         Strata.caseOver(col("stratum"), weightsBp, defaultBp).cast("long"))
       .withColumn("target_tokens",

@@ -523,7 +523,7 @@ case class SemanticDecontaminate(
   }
 
   private def cos(v: Column, n: Column, ev: Column, en: Column): Column =
-    when(n * en === 0, 0.0).otherwise(V.dot(v, ev) / (n * en))
+    SemanticDecontaminate.cosine(v, n, ev, en)
 
   override def transform(df: DataFrame): DataFrame = {
     val evalP = eval.select(col(evalVecCol).as("__ev"),
@@ -558,6 +558,14 @@ case class SemanticDecontaminate(
 }
 
 object SemanticDecontaminate {
+  /** The ONE cosine definition (norms precomputed per side, zero-norm →
+    * 0.0), shared by the batch op and
+    * [[graft.streaming.StreamingOps.semanticDecontaminateStream]] so an
+    * epsilon or guard change can never silently desynchronize stream
+    * alerts from batch labels — the gramDigests discipline. */
+  def cosine(v: Column, n: Column, ev: Column, en: Column): Column =
+    when(n * en === 0, 0.0).otherwise(V.dot(v, ev) / (n * en))
+
   /** Fit eval-side bucket centroids (seeded MLlib k-means over the EVAL
     * vectors — the side being indexed, like [[AnnIvf.fit]] fits over
     * items) and build the probed op. */

@@ -184,7 +184,22 @@ case class NgramLmScore(
         coalesce(col("__oov"), lit(0L)).as("oov_grams"),
         coalesce(col("__sum"), lit(0L)).as("sum_freq"),
         when(coalesce(col("__n"), lit(0L)) > 0,
-          expr("__sum * 1000000 DIV __n")).otherwise(0L)
+          NgramLmScore.microMean("__sum", "__n")).otherwise(0L)
           .as("mean_freq_micro"))
   }
+}
+
+object NgramLmScore {
+  /** The ONE definition of the integer micro-mean, shared by the batch op
+    * and [[graft.streaming.StreamingOps.lmScoreStream]] (the gramDigests
+    * discipline). Overflow-safe: the naive `sum * 1000000 DIV n` wraps
+    * BIGINT once sum exceeds ~9.2e12 — reachable when scoring against a
+    * web-scale reference whose common bigrams carry 1e9+ counts — and a
+    * wrapped mean silently INVERTS the familiarity ranking for exactly
+    * the most-familiar documents. The quotient/remainder split computes
+    * the identical floor(sum·10⁶/n) with every intermediate bounded by
+    * max(sum, n·10⁶): exact to sum = Long.MaxValue at any document
+    * length under ~9e12 grams. */
+  def microMean(sumCol: String, nCol: String): org.apache.spark.sql.Column =
+    expr(s"($sumCol DIV $nCol) * 1000000 + ($sumCol % $nCol) * 1000000 DIV $nCol")
 }

@@ -572,7 +572,11 @@ object CurationQueries {
         Seq("vec_id"), "left_semi"))
       .select(col("vec_id").as("doc_id"),
         coalesce(col("max_cosine"), lit(0.0)).as("sem_cosine"))
-    gram.join(fuzzy, Seq("doc_id")).join(sem, Seq("doc_id"))
+    // sem joins LEFT (mirroring the oracle): a corpus doc without an
+    // embedding row must still be audited by the text tiers, scoring
+    // cosine 0 — not silently vanish from the report
+    gram.join(fuzzy, Seq("doc_id")).join(sem, Seq("doc_id"), "left")
+      .withColumn("sem_cosine", coalesce(col("sem_cosine"), lit(0.0)))
       .select(col("doc_id"), col("gram_hit"), col("fuzzy_bp"), col("sem_cosine"),
         when(col("gram_hit"), "exact")
           .when(col("fuzzy_bp") >= 5000, "near")

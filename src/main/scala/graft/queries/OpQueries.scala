@@ -981,12 +981,18 @@ object OpQueries {
       """WITH t AS (SELECT lang,
         |  CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks
         |  FROM documents),
-        |g AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |g0 AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(toks) AS BIGINT) AS avail_tokens FROM t GROUP BY 1),
+        |decl AS (SELECT unnest(['en', 'zh']) AS stratum),
+        |g AS (SELECT coalesce(g0.stratum, d.stratum) AS stratum,
+        |  coalesce(n_docs, 0) AS n_docs, coalesce(avail_tokens, 0) AS avail_tokens
+        |  FROM g0 FULL JOIN decl d ON g0.stratum = d.stratum),
         |p AS (SELECT stratum, n_docs, avail_tokens,
         |  CAST(20000 * (CASE stratum WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
         |    ELSE 1000 END) // 10000 AS BIGINT) AS target_tokens FROM g),
-        |r AS (SELECT *, CAST(least(10000, target_tokens * 10000 // avail_tokens) AS BIGINT) AS rate_bp
+        |r AS (SELECT *, CASE WHEN avail_tokens > 0
+        |    THEN CAST(least(10000, target_tokens * 10000 // avail_tokens) AS BIGINT)
+        |    ELSE NULL END AS rate_bp
         |  FROM p)
         |SELECT stratum, n_docs, avail_tokens, target_tokens, rate_bp,
         |  CAST(avail_tokens * rate_bp // 10000 AS BIGINT) AS planned_tokens,

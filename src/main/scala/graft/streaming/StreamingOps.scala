@@ -270,9 +270,8 @@ object StreamingOps {
       .select(col(idCol), col(tsCol), col(vecCol).as("__v"),
         sqrt(V.dot(col(vecCol), col(vecCol))).as("__n"))
       .crossJoin(evalP)
-      .filter(when(col("__n") * col("__en") === 0, 0.0)
-        .otherwise(V.dot(col("__v"), col("__ev")) / (col("__n") * col("__en")))
-        >= threshold)
+      .filter(graft.ops.SemanticDecontaminate.cosine(
+        col("__v"), col("__n"), col("__ev"), col("__en")) >= threshold)
       .dropDuplicatesWithinWatermark(idCol)
       .select(idCol, tsCol)
   }
@@ -321,8 +320,8 @@ object StreamingOps {
         col("__n").cast("int").as("n_grams"),
         col("__oov").as("oov_grams"),
         col("__sum").as("sum_freq"),
-        when(col("__n") > 0, expr("__sum * 1000000 DIV __n")).otherwise(0L)
-          .as("mean_freq_micro"))
+        when(col("__n") > 0, graft.ops.NgramLmScore.microMean("__sum", "__n"))
+          .otherwise(0L).as("mean_freq_micro"))
   }
 
   /** Streaming repeated-span scrub — the ingest-time twin of

@@ -555,4 +555,16 @@ class CoreOpsSpec extends SparkSpec {
     // zh: target 300 of avail 50 -> capped, short
     assert(out(2) == (("zh", 50L, 300L, 10000L, 50L, true)), s"${out(2)}")
   }
+
+  test("MixturePlan surfaces declared strata absent from the corpus as short") {
+    val docs = Seq(("en", 100L)).toDF("lang", "toks")
+    val out = MixturePlan("lang", "toks", Map("en" -> 5000, "zh" -> 5000),
+      budgetTokens = 100, defaultBp = 0)
+      .transform(docs).orderBy("stratum").collect()
+    assert(out.length == 2, "the empty declared stratum must still plan")
+    val zh = out(1)
+    assert(zh.getString(0) == "zh" && zh.getLong(1) == 0L && zh.getLong(2) == 0L)
+    assert(zh.getLong(3) == 50L && zh.isNullAt(4) && zh.getBoolean(6),
+      s"zh can fill none of its 50-token share: $zh")
+  }
 }
