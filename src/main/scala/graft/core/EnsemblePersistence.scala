@@ -297,6 +297,8 @@ object EnsemblePersistence {
     case DocumentChunks(id, text, cs, ov) =>
       ("type" -> "DocumentChunks") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("chunkSize" -> cs) ~ ("overlap" -> ov)
+    case SkewReport(keys, topK) =>
+      ("type" -> "SkewReport") ~ ("keyCols" -> keys) ~ ("topK" -> topK)
     case ResizeMedia(id, content, factor) =>
       ("type" -> "ResizeMedia") ~ ("idCol" -> id) ~
         ("contentCol" -> content) ~ ("factor" -> factor)
@@ -743,6 +745,8 @@ object EnsemblePersistence {
       case "DocumentChunks" =>
         DocumentChunks(s("idCol"), s("textCol"),
           (o \ "chunkSize").extract[Int], (o \ "overlap").extract[Int])
+      case "SkewReport" =>
+        SkewReport(ss("keyCols"), (o \ "topK").extract[Int])
       case "ResizeMedia" =>
         ResizeMedia(s("idCol"), s("contentCol"), (o \ "factor").extract[Int])
       case "MediaEmbed" =>

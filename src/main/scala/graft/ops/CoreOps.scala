@@ -910,3 +910,48 @@ case class MixturePlan(
         col("avail_tokens") < col("target_tokens"))
   }
 }
+
+/** Join-key skew diagnostics — the report a pipeline owner reads before
+  * deciding to salt ([[graft.queries.OpQueries]]' salted-join pattern),
+  * broadcast, or AQE-skew-split a join: the `topK` heaviest key groups
+  * with each group's row count, share of the table (basis points), and
+  * multiple of the mean group size (basis points — 10000 = perfectly
+  * uniform). A key at 50× the mean is the one that makes one reducer
+  * run half the stage.
+  *
+  * Scale shape: one partial-aggregable groupBy collapses the table to
+  * (key, count) rows; the table-level stats are a second 1-row
+  * aggregate over THAT (key-cardinality-sized, not table-sized) frame,
+  * broadcast back; and the top-k is `TakeOrderedAndProject` over the
+  * aggregated frame — a bounded per-partition heap + driver merge of
+  * topK rows, never a global sort. Everything after the first groupBy
+  * touches only distinct-key-many rows. */
+case class SkewReport(
+    keyCols: Seq[String],
+    topK: Int = 20) extends EnsembleOp {
+
+  require(keyCols.nonEmpty, s"$name: need at least one key column")
+  require(topK >= 1, s"$name: topK must be >= 1")
+
+  override def transformSchema(in: StructType): StructType = {
+    keyCols.foreach(requireCol(in, _))
+    StructType(keyCols.map(in(_)) ++ Seq(
+      StructField("n_rows", LongType, nullable = false),
+      StructField("share_bp", LongType),
+      StructField("mult_vs_mean_bp", LongType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(
+      sum(col("n_rows")).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("share_bp", expr("n_rows * 10000 DIV __total"))
+      .withColumn("mult_vs_mean_bp", expr("n_rows * __n_keys * 10000 DIV __total"))
+      .drop("__total", "__n_keys")
+      .orderBy(col("n_rows").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topK)
+  }
+}

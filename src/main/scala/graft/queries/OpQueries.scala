@@ -706,6 +706,14 @@ object OpQueries {
     finally reduced.unpersist()
   }
 
+  /** SkewReport under the oracle: the 20 heaviest l_partkey groups of
+    * lineitem with share and multiple-of-mean in basis points — the
+    * pre-join skew diagnostic, exact integer math end to end. */
+  def skewReport(spark: SparkSession, d: String): DataFrame =
+    SkewReport(Seq("l_partkey"), topK = 20)
+      .transform(lineitem(spark, d))
+      .orderBy(col("n_rows").desc, col("l_partkey"))
+
   /** MixturePlan under the oracle: per-language token budgets over the
     * document corpus — availability, targets, keep-rates and shortfall
     * flags all in floor integer arithmetic, replayed exactly by one
@@ -912,6 +920,7 @@ object OpQueries {
     "op_hash_split" -> (hashSplit _),
     "op_shard_shuffle" -> (shardShuffle _),
     "op_mixture_plan" -> (mixturePlan _),
+    "op_skew_report" -> (skewReport _),
     "op_pca_project" -> (pcaProject _),
     "op_pca_ann_recall" -> (pcaAnnRecall _),
     "op_approx_distinct" -> (approxDistinct _),
@@ -977,6 +986,15 @@ object OpQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "op_skew_report" ->
+      """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT l_partkey, n_rows,
+        |  CAST(n_rows * 10000 // total AS BIGINT) AS share_bp,
+        |  CAST(n_rows * n_keys * 10000 // total AS BIGINT) AS mult_vs_mean_bp
+        |FROM c, s ORDER BY n_rows DESC, l_partkey LIMIT 20""".stripMargin,
     "op_mixture_plan" ->
       """WITH t AS (SELECT lang,
         |  CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks

@@ -538,6 +538,18 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+test("SkewReport ranks the heaviest keys with exact shares and mean multiples") {
+    val rows = Seq.fill(60)(("hot", 1)) ++ Seq.fill(30)(("warm", 1)) ++
+      Seq.fill(5)(("c1", 1)) ++ Seq.fill(5)(("c2", 1))
+    val out = SkewReport(Seq("k"), topK = 2)
+      .transform(rows.toDF("k", "v")).orderBy(desc("n_rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 2)
+    // hot: 60 of 100 rows, 4 keys -> share 6000 bp, 2.4x mean
+    assert(out(0) == (("hot", 60L, 6000L, 24000L)), s"${out(0)}")
+    assert(out(1) == (("warm", 30L, 3000L, 12000L)), s"${out(1)}")
+  }
+
   test("MixturePlan computes budgets, rates, and shortfalls in floor integer math") {
     val docs = Seq(
       ("en", 100L), ("en", 300L),   // en avail 400
