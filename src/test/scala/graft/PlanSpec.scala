@@ -392,4 +392,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_max"),
       "per-pair and per-doc aggregates must map-side combine")
   }
+
+  test("mixture plan and skew report collapse to strata/key frames — partial aggs, no global sort") {
+    val docs = Tables.documents(spark, d)
+    val mp = plan(ops.MixturePlan("lang", "n_chars", Map("en" -> 5000), 1000L)
+      .transform(docs))
+    assert(mp.contains("partial_count") || mp.contains("partial_sum"),
+      s"corpus collapse must map-side combine:\n${mp.take(600)}")
+    assert(!mp.contains("CartesianProduct"), "declared-strata join is not a cartesian")
+    val sk = plan(ops.SkewReport(Seq("lang"), topK = 5).transform(docs))
+    assert(sk.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not a global sort:\n${sk.take(600)}")
+    assert(sk.contains("partial_count"), "key counting must map-side combine")
+  }
+
+  test("pca projection is a shuffle-free per-row expression") {
+    val emb = Tables.embeddings(spark, d)
+    val p = plan(ops.PcaProject(Seq(Seq.fill(64)(0.1), Seq.fill(64)(-0.1)))
+      .transform(emb))
+    assert(!p.contains("Exchange"), s"no shuffle expected:\n${p.take(600)}")
+  }
 }
