@@ -184,4 +184,47 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 8)
   }
+
+  test("PrefixDedup: groups partition the corpus; keeper maximizes tokens then minimizes id") {
+    val docGen = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0L, 500L)
+      nTok <- Gen.chooseNum(1, 8)
+      toks <- Gen.listOfN(nTok, Gen.oneOf("a", "b", "c"))
+    } yield (id, toks.mkString(" "))).map(_.distinctBy(_._1))
+    check(Prop.forAll(docGen, Gen.chooseNum(1, 4)) { (docs, n) =>
+      val df = docs.toDF("doc_id", "text")
+      val out = PrefixDedup(n = n).transform(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byPrefix = docs.groupBy { case (_, t) =>
+        t.split(" ").take(n).mkString(" ") }
+      out.map(_._4).sum == docs.size &&                     // copies partition the corpus
+      out.length == byPrefix.size &&                        // one row per group
+      out.forall { case (_, keepId, keepToks, _) =>
+        val grp = byPrefix.values.find(_.exists(_._1 == keepId)).get
+        val best = grp.maxBy { case (id, t) => (t.split(" ").length, -id) }
+        keepId == best._1 && keepToks == best._2.split(" ").length
+      }
+    }, n = 8)
+  }
+
+  test("FuzzyDecontaminate: banded hits are always a subset of exact hits (precision 1.0)") {
+    val docGen = for {
+      id <- Gen.chooseNum(0L, 300L)
+      nTok <- Gen.chooseNum(3, 10)
+      toks <- Gen.listOfN(nTok, Gen.oneOf("w1", "w2", "w3", "w4"))
+    } yield (id, toks.mkString(" "))
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(docGen).map(_.distinctBy(_._1)),
+      Gen.nonEmptyListOf(docGen).map(_.distinctBy(_._1)),
+      Gen.chooseNum(2000, 9000)) { (corpus0, eval0, thr) =>
+      val corpus = corpus0.toDF("doc_id", "text")
+      val eval = eval0.toDF("doc_id", "text")
+      def hits(banded: Boolean) =
+        FuzzyDecontaminate(eval, n = 3, thresholdBp = thr, banded = banded,
+          numHashes = 16, bands = 8)
+          .transform(corpus).filter(col("contaminated"))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      hits(banded = true).subsetOf(hits(banded = false))
+    }, n = 6)
+  }
 }
