@@ -872,6 +872,13 @@ case class MixturePlan(
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, strataCol); requireCol(in, tokensCol)
+    // strata are named by the STRING keys of weightsBp; a non-string
+    // strataCol could never match its declared weight (and the declared-
+    // strata frame below is built from those string keys), so fail fast
+    // instead of silently planning defaultBp for every stratum
+    require(in(strataCol).dataType == StringType,
+      s"$name: strataCol '$strataCol' must be StringType to match " +
+        s"weightsBp keys, got ${in(strataCol).dataType.simpleString}")
     StructType(Seq(
       in(strataCol).copy(name = "stratum"),
       StructField("n_docs", LongType, nullable = false),
@@ -883,6 +890,7 @@ case class MixturePlan(
   }
 
   override def transform(df: DataFrame): DataFrame = {
+    transformSchema(df.schema)
     val spark = df.sparkSession
     import spark.implicits._
     val agg = df.groupBy(col(strataCol).as("stratum"))
@@ -949,9 +957,26 @@ case class SkewReport(
       count(lit(1)).as("__n_keys"))
     counts.crossJoin(broadcast(stats))
       .withColumn("share_bp", expr("n_rows * 10000 DIV __total"))
-      .withColumn("mult_vs_mean_bp", expr("n_rows * __n_keys * 10000 DIV __total"))
+      .withColumn("mult_vs_mean_bp",
+        SkewReport.multVsMeanBp("n_rows", "__n_keys", "__total"))
       .drop("__total", "__n_keys")
       .orderBy(col("n_rows").desc +: keyCols.map(col(_).asc): _*)
       .limit(topK)
   }
+}
+
+object SkewReport {
+  /** The ONE definition of the mean-multiple metric. Overflow-safe: the
+    * naive `n_rows * n_keys * 10000` wraps BIGINT exactly on the tables
+    * the op targets (a 1e8-row hot key over 1e7 distinct keys is ~1e19 >
+    * Long.MaxValue, silently corrupting the metric for precisely the
+    * heaviest keys in non-ANSI mode — the same overflow class as
+    * [[graft.ops.NgramLmScore.microMean]]). A DECIMAL(38,0) intermediate
+    * holds the full product (≤ ~1e28 even at 1e12 rows × 1e12 keys) and
+    * `DIV` on decimals yields the exact BIGINT floor quotient. The DuckDB
+    * oracle mirrors this with a HUGEINT intermediate. */
+  def multVsMeanBp(nRowsCol: String, nKeysCol: String,
+      totalCol: String): org.apache.spark.sql.Column =
+    expr(s"CAST(CAST($nRowsCol AS DECIMAL(38,0)) * $nKeysCol * 10000" +
+      s" DIV $totalCol AS BIGINT)")
 }

@@ -769,19 +769,23 @@ case class FuzzyDecontaminate(
   *
   * [[transform]] is one id anti-join (kept corpus out). [[updatedIndex]]
   * closes the state loop: the accepted-corpus digest index minus the
-  * purged rows' content digests. That removal is sound because the
-  * incremental-ingest discipline ([[graft.ops.IncrementalDedup]]) admits
-  * at most ONE carrier per digest — duplicates were labeled and dropped
-  * at ingest — so a purged doc's digest has no other owner. Retiring the
-  * digest means the same content would be ACCEPTED if re-ingested;
-  * callers that must BLOCK re-ingestion instead keep the digest (skip
-  * the index update) or maintain an explicit tombstone-digest list —
-  * both are one-line variations on the same joins.
+  * digests whose LAST carrier was purged. Under the incremental-ingest
+  * discipline ([[graft.ops.IncrementalDedup]]) each digest has exactly
+  * one carrier, but the op does not rely on that: a digest still carried
+  * by a kept row is NOT retired (one extra anti-join of purged digests
+  * against kept-row digests), so corpora ingested without the
+  * one-carrier discipline stay consistent too. Retiring a digest means
+  * the same content would be ACCEPTED if re-ingested; callers that must
+  * BLOCK re-ingestion instead keep the digest (skip the index update) or
+  * maintain an explicit tombstone-digest list — one-line variations on
+  * the same joins. [[updatedSignatureIndex]] is the near-dup twin: the
+  * MinHash signature index minus purged ids, so a takedown also stops
+  * future banded probes from colliding with the removed content.
   *
   * Scale shape: the corpus crosses one id-keyed anti-join (broadcast
   * when the tombstone list is small — the common case — shuffled
-  * hash-anti otherwise, both correct); the index update shuffles
-  * 16-byte digests only. Text never shuffles on either path. */
+  * hash-anti otherwise, both correct); the index updates shuffle 16-byte
+  * digests / ids only. Text never shuffles on any path. */
 case class Purge(
     tombstones: DataFrame,
     idCol: String = "doc_id",
@@ -803,13 +807,37 @@ case class Purge(
 
   /** The accepted-digest index after the purge: `index` minus the
     * content digests of the tombstoned rows of `df` (the pre-purge
-    * corpus — digests must come from the content being removed). */
+    * corpus — digests must come from the content being removed) that no
+    * KEPT row still carries. The kept-carrier guard makes the update
+    * correct even when the corpus holds duplicate content under
+    * different ids (i.e. was not ingested one-carrier-per-digest). */
   def updatedIndex(index: DataFrame, df: DataFrame,
       digestCol: String = "content_hash"): DataFrame = {
     requireCol(df.schema, textCol)
+    val tombIds = tombstones.select(idCol).distinct()
     val purgedDigests = df
-      .join(tombstones.select(idCol).distinct(), Seq(idCol), "left_semi")
+      .join(tombIds, Seq(idCol), "left_semi")
       .select(md5(key(col(textCol))).as(digestCol))
-    index.join(purgedDigests, Seq(digestCol), "left_anti")
+    val keptDigests = df
+      .join(tombIds, Seq(idCol), "left_anti")
+      .select(md5(key(col(textCol))).as(digestCol))
+    val retired = purgedDigests.join(keptDigests, Seq(digestCol), "left_anti")
+    index.join(retired, Seq(digestCol), "left_anti")
+  }
+
+  /** The MinHash signature index after the purge: `sigIndex` (as built
+    * by [[graft.ops.IncrementalMinHashDedup.signatures]] and maintained
+    * by `updatedIndex` on that op) minus the tombstoned ids. Signatures
+    * are keyed by doc id — one row per accepted doc — so retirement is
+    * one id anti-join; without it a takedown leaves stale signatures
+    * that future banded probes still collide with, resurrecting purged
+    * content as a phantom `near_index` match. */
+  def updatedSignatureIndex(sigIndex: DataFrame,
+      sigIdCol: String = "doc_id"): DataFrame = {
+    require(sigIndex.schema.fieldNames.contains(sigIdCol),
+      s"$name: signature index is missing id column '$sigIdCol'")
+    sigIndex.join(
+      tombstones.select(col(idCol).as(sigIdCol)).distinct(),
+      Seq(sigIdCol), "left_anti")
   }
 }

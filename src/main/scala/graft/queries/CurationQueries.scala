@@ -608,6 +608,20 @@ object CurationQueries {
       .orderBy("content_hash")
   }
 
+  /** The purge's near-dup state half: the MinHash signature index after
+    * retiring the tombstoned ids. The hash check pins the surviving id
+    * set exactly (every shingled doc not tombstoned) and the signature
+    * arity; the band-collision consequence — a purged doc can no longer
+    * be matched by a future ingest — is pinned in PurgeSpec. */
+  def opPurgeSignatures(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val sigIndex = IncrementalMinHashDedup.signatures(docs)
+    Purge(docs.filter(col("doc_id") % 13 === 0).select("doc_id"))
+      .updatedSignatureIndex(sigIndex)
+      .select(col("doc_id"), size(col("minhash_sig")).cast("long").as("n_hashes"))
+      .orderBy("doc_id")
+  }
+
   /** The incremental-rebuild flagship: [[SnapshotDiff]] drives the
     * downstream recompute — quality signals are re-derived ONLY for
     * `added`/`changed` documents of the new build, so rebuild cost is
@@ -905,6 +919,7 @@ object CurationQueries {
     "fuzzy_decontaminate_banded" -> (fuzzyDecontaminateBanded _),
     "op_purge" -> (opPurge _),
     "op_purge_index" -> (opPurgeIndex _),
+    "op_purge_signatures" -> (opPurgeSignatures _),
     "pipeline_incremental" -> (pipelineIncremental _),
     "pipeline_contamination" -> (pipelineContamination _),
     "dedup_prefix" -> (dedupPrefix _),
@@ -1189,7 +1204,13 @@ object CurationQueries {
       s"""SELECT DISTINCT md5($normSql) AS content_hash FROM documents
          |WHERE md5($normSql) NOT IN (
          |  SELECT md5($normSql) FROM documents WHERE doc_id % 13 = 0)
+         |   OR md5($normSql) IN (
+         |  SELECT md5($normSql) FROM documents WHERE doc_id % 13 != 0)
          |ORDER BY content_hash""".stripMargin,
+    "op_purge_signatures" ->
+      s"""SELECT doc_id, CAST(64 AS BIGINT) AS n_hashes FROM documents
+         |WHERE doc_id % 13 != 0 AND len($wordsSql) >= 3
+         |ORDER BY doc_id""".stripMargin,
     "pipeline_incremental" ->
       s"""WITH o AS (SELECT doc_id,
          |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS old_hash

@@ -993,7 +993,7 @@ object OpQueries {
         |  CAST(count(*) AS BIGINT) AS n_keys FROM c)
         |SELECT l_partkey, n_rows,
         |  CAST(n_rows * 10000 // total AS BIGINT) AS share_bp,
-        |  CAST(n_rows * n_keys * 10000 // total AS BIGINT) AS mult_vs_mean_bp
+        |  CAST(CAST(n_rows AS HUGEINT) * n_keys * 10000 // total AS BIGINT) AS mult_vs_mean_bp
         |FROM c, s ORDER BY n_rows DESC, l_partkey LIMIT 20""".stripMargin,
     "op_mixture_plan" ->
       """WITH t AS (SELECT lang,

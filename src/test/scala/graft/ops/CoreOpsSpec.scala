@@ -550,6 +550,27 @@ test("SkewReport ranks the heaviest keys with exact shares and mean multiples") 
     assert(out(1) == (("warm", 30L, 3000L, 12000L)), s"${out(1)}")
   }
 
+  test("SkewReport's mean-multiple survives products beyond Long.MaxValue") {
+    // 1e9-row hot key over 1e9 keys in a 1e12-row table: the naive
+    // BIGINT product n_rows * n_keys * 10000 is 1e22 — wrapped, the
+    // metric would corrupt for exactly the heaviest keys. The shared
+    // DECIMAL(38,0) definition must return the exact floor: 1e10.
+    val frame = Seq((1000000000L, 1000000000L, 1000000000000L))
+      .toDF("n_rows", "__n_keys", "__total")
+    val got = frame.select(
+      SkewReport.multVsMeanBp("n_rows", "__n_keys", "__total").as("m"))
+      .collect().head.getLong(0)
+    assert(got == 10000000000L, s"expected 1e10, got $got")
+  }
+
+  test("MixturePlan rejects a non-string strata column") {
+    val docs = Seq((1, 100L)).toDF("lang", "toks")
+    assertThrows[IllegalArgumentException] {
+      MixturePlan("lang", "toks", Map("1" -> 5000), budgetTokens = 100)
+        .transform(docs)
+    }
+  }
+
   test("MixturePlan computes budgets, rates, and shortfalls in floor integer math") {
     val docs = Seq(
       ("en", 100L), ("en", 300L),   // en avail 400

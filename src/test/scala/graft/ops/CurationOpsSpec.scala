@@ -334,4 +334,46 @@ class CurationOpsSpec extends SparkSpec {
     val tomb = Seq.empty[Long].toDF("doc_id")
     assert(Purge(tomb).transform(corpus).count() == 2)
   }
+
+  test("Purge.updatedIndex keeps a digest still carried by a kept row") {
+    // duplicate content under two ids — the corpus was NOT ingested
+    // one-carrier-per-digest; purging one copy must not retire the
+    // digest the surviving copy still carries
+    val corpus = Seq(
+      (1L, "shared content"),
+      (2L, "shared  CONTENT"), // same normal form as 1
+      (3L, "unique takedown")).toDF("doc_id", "text")
+    val index = corpus.select(
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        .as("content_hash")).distinct()
+    val op = Purge(Seq(2L, 3L).toDF("doc_id"))
+    val updated = op.updatedIndex(index, corpus)
+      .collect().map(_.getString(0)).toSet
+    val sharedDigest = index.orderBy("content_hash").collect().map(_.getString(0)).toSet
+    assert(updated.size == 1, s"only doc 3's digest retires: $updated")
+    val keptDigest = corpus.filter(col("doc_id") === 1L)
+      .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .collect().head.getString(0)
+    assert(updated == Set(keptDigest),
+      s"the shared digest survives (kept carrier doc 1): $updated vs $sharedDigest")
+  }
+
+  test("Purge.updatedSignatureIndex stops a purged doc from band-colliding") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base), (2L, "completely different words about other things entirely here"))
+      .toDF("doc_id", "text")
+    val sigIndex = IncrementalMinHashDedup.signatures(corpus)
+    // a light edit of doc 1 — near-dup by MinHash estimate
+    val reingest = Seq((10L, base + " tonight")).toDF("doc_id", "text")
+    val before = IncrementalMinHashDedup(sigIndex, thresholdBp = 7000)
+      .transform(reingest).select("dup_kind", "matched_id").collect().head
+    assert(before.getString(0) == "near_index" && before.getLong(1) == 1L,
+      s"pre-purge the edit collides with doc 1: $before")
+    val purged = Purge(Seq(1L).toDF("doc_id")).updatedSignatureIndex(sigIndex)
+    assert(purged.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    val after = IncrementalMinHashDedup(purged, thresholdBp = 7000)
+      .transform(reingest).select("dup_kind").collect().head
+    assert(after.isNullAt(0),
+      "post-purge the stale signature is gone: the re-ingest is a keeper")
+  }
 }
