@@ -77,6 +77,8 @@ object Bench {
       }
     if (selected.exists(_._1.startsWith("op_ann_")))
       prewarm("ann")(queries.OpQueries.prewarmAnnCenters(spark, sfDir))
+    if (selected.exists(_._1.startsWith("op_pca_")))
+      prewarm("pca")(queries.OpQueries.prewarmPca(spark, sfDir))
     if (selected.exists(_._1.startsWith("text_bpe_")))
       prewarm("bpe")(queries.CurationQueries.prewarmBpe(spark, sfDir))
     if (selected.exists(_._1.startsWith("text_bm25")))

@@ -18,5 +18,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.OpQueries.oracle ++
-      graft.queries.CurationQueries.oracle ++ graft.queries.MlQueries.oracle
+      graft.queries.CurationQueries.oracle ++ graft.queries.MlQueries.oracle ++
+      graft.queries.OpQueries.pcaOracle // dump-time: fitted axes as literals
 }
