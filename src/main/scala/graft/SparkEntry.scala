@@ -19,5 +19,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.OpQueries.oracle ++
       graft.queries.CurationQueries.oracle ++ graft.queries.MlQueries.oracle ++
-      graft.queries.OpQueries.pcaOracle // dump-time: fitted axes as literals
+      graft.queries.OpQueries.pcaOracle ++ // dump-time: fitted literals
+      graft.queries.OpQueries.ivfOracle
 }

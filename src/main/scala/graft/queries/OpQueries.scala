@@ -223,6 +223,52 @@ object OpQueries {
     * (op_topk_retrieval / op_ann_ivf_full precedent). Empty until the
     * query has run in this JVM (a selective Verify that skips
     * op_pca_project records rows-only, exactly as before). */
+  /** op_ann_ivf's oracle, generated at oracle-dump time with the FITTED
+    * k-means centroids inlined as SQL literals — same discipline as
+    * [[pcaOracle]]. The whole approximate path replays exactly in DuckDB
+    * because every step is deterministic arithmetic over those
+    * constants: list assignment is argmin over `c2 - 2.0 *
+    * list_inner_product(v, c)` (bit-identical to the op's
+    * centroidStructs formula — c2 is the same Scala-computed literal,
+    * and DuckDB's inner product bit-matches our dot fold) with the
+    * struct-min (d, cid) tie-break as ORDER BY d, cid; query probing is
+    * the same ordering taken to nprobe; and the bounded-heap top-k's
+    * (score DESC, id ASC) order is a window rank. Empty until the query
+    * has run in this JVM (selective Verify → rows-only, as before). */
+  def ivfOracle: Map[String, String] =
+    centerCache.keys.filter(k => k._2 == 32 && k._3 == 5).toSeq.sorted
+      .headOption.map { key =>
+        val centers = centerCache(key)
+        val nprobe = math.min(8, centers.size)
+        val rows = centers.zipWithIndex.map { case (c, i) =>
+          val c2 = c.map(x => x * x).sum
+          s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[], $c2)"
+        }.mkString(",\n  ")
+        "op_ann_ivf" ->
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $rows),
+             |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE label <> 0),
+             |iass AS (SELECT item_id, v, cid, row_number() OVER
+             |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM items CROSS JOIN cent),
+             |i AS (SELECT item_id, v, cid FROM iass WHERE rn = 1),
+             |qs AS (SELECT vec_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE label = 0),
+             |qass AS (SELECT vec_id, qv, cid, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(qv, cv), cid) AS rn
+             |  FROM qs CROSS JOIN cent),
+             |probe AS (SELECT vec_id, qv, cid FROM qass WHERE rn <= $nprobe),
+             |scored AS (SELECT p.vec_id, i.item_id,
+             |    list_inner_product(p.qv, i.v) AS score
+             |  FROM probe p JOIN i ON p.cid = i.cid),
+             |ranked AS (SELECT vec_id, item_id, score, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank
+             |  FROM scored)
+             |SELECT vec_id, rank, item_id, score FROM ranked
+             |WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
+      }.toMap
+
   def pcaOracle: Map[String, String] =
     pcaAxesCache.keys.filter(_._2 == 8).toSeq.sorted.headOption.map { key =>
       val axes = pcaAxesCache(key)
