@@ -20,5 +20,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++ graft.queries.OpQueries.oracle ++
       graft.queries.CurationQueries.oracle ++ graft.queries.MlQueries.oracle ++
       graft.queries.OpQueries.pcaOracle ++ // dump-time: fitted literals
-      graft.queries.OpQueries.ivfOracle
+      graft.queries.OpQueries.ivfOracle ++
+      graft.queries.MlQueries.dynamicOracle
 }

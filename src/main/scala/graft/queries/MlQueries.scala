@@ -5,18 +5,120 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops._
 
-/** Model-op queries (rows-only checked: training-based outputs are not
-  * SQL-expressible; semantics are asserted by the ScalaTest suites). */
+/** Model-op queries. Fits whose SCORING is pure arithmetic over the
+  * fitted parameters (the logistic margin, the forest's tree walks) are
+  * memoized per data dir and their oracle SQL is generated at dump time
+  * with the fitted constants inlined as literals — the pcaOracle
+  * discipline — so even training-based queries hash-check when the
+  * scoring function is deterministic. Genuinely unoracleable outputs
+  * (ALS top-k over live factors, MLlib pipeline doubles) stay rows-only
+  * with spec-level evidence. */
 object MlQueries {
 
-  /** PredictForest: RF regression of part retail price from size/brand. */
-  def mlForest(spark: SparkSession, d: String): DataFrame = {
-    val p = Categorify(Seq("p_brand", "p_type"))
+  private val rfCache = scala.collection.concurrent.TrieMap
+    .empty[String, PredictForest[org.apache.spark.ml.regression.RandomForestRegressionModel]]
+  private val lrCache =
+    scala.collection.concurrent.TrieMap.empty[String, PredictClassifier]
+
+  private val forestFeats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
+
+  private def forestFrame(spark: SparkSession, d: String): DataFrame =
+    Categorify(Seq("p_brand", "p_type"))
       .transform(part(spark, d))
       .withColumn("p_size_d", col("p_size").cast("double"))
-    val feats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
-    val op = PredictForest.trainRegressor(p, feats, "p_retailprice")
+
+  /** PredictForest: RF regression of part retail price from size/brand.
+    * The model is memoized (a trained tree ensemble is driver-side
+    * parameters, no live RDD state) so [[dynamicOracle]] can mirror the
+    * SAME trees that produced the dumped output. */
+  def mlForest(spark: SparkSession, d: String): DataFrame = {
+    val p = forestFrame(spark, d)
+    val op = rfCache.getOrElseUpdate(d,
+      PredictForest.trainRegressor(p, forestFeats, "p_retailprice"))
     op.transform(p).select("p_partkey", "output__0").orderBy("p_partkey")
+  }
+
+  /** Recursive CASE mirror of one decision tree: MLlib continuous splits
+    * send `feature <= threshold` left; leaves emit their prediction. The
+    * thresholds/predictions are Double.toString literals, which DuckDB
+    * parses back bit-identically — every literal carries an explicit
+    * ::DOUBLE cast because DuckDB types short numeric literals (931.39)
+    * as DECIMAL, and letting CASE branches unify to DECIMAL runs the
+    * tree average in mixed decimal arithmetic (measured 1-ulp drift on
+    * half the rows). */
+  private def nodeSql(n: org.apache.spark.ml.tree.Node,
+      feats: Seq[String]): String = n match {
+    case l: org.apache.spark.ml.tree.LeafNode => s"'${l.prediction}'::DOUBLE"
+    case i: org.apache.spark.ml.tree.InternalNode =>
+      val s = i.split.asInstanceOf[org.apache.spark.ml.tree.ContinuousSplit]
+      s"(CASE WHEN ${feats(s.featureIndex)} <= '${s.threshold}'::DOUBLE " +
+        s"THEN ${nodeSql(i.leftChild, feats)} " +
+        s"ELSE ${nodeSql(i.rightChild, feats)} END)"
+  }
+
+  /** The Categorify + cast feature frame `f` both forest oracles read —
+    * the op_categorify dictionary formula (rank by count DESC, value ASC,
+    * minus 1) per encoded column. */
+  private val forestFeatureCte =
+    """bdict AS (SELECT p_brand AS bv,
+      |  CAST(row_number() OVER (ORDER BY count(*) DESC, p_brand) - 1 AS DOUBLE) AS bidx
+      |  FROM part GROUP BY p_brand),
+      |tdict AS (SELECT p_type AS tv,
+      |  CAST(row_number() OVER (ORDER BY count(*) DESC, p_type) - 1 AS DOUBLE) AS tidx
+      |  FROM part GROUP BY p_type),
+      |f AS (SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size_d,
+      |  bidx AS p_brand_idx, tidx AS p_type_idx
+      |  FROM part JOIN bdict ON p_brand = bv JOIN tdict ON p_type = tv)""".stripMargin
+
+  /** Dump-time oracles for the memoized fits (empty until the queries
+    * have run in this JVM — a selective Verify records rows-only):
+    * ml_forest replays the 20 trained trees as nested CASE expressions
+    * averaged in tree order (MLlib's `predictions.sum / numTrees` is the
+    * same left-fold); ml_classifier replays the logistic decision as the
+    * sign of the inlined-coefficient margin (binary prediction with the
+    * default 0.5 threshold is exactly `margin > 0`, so no transcendental
+    * crosses the engines). */
+  def dynamicOracle: Map[String, String] = {
+    val forest = rfCache.values.toSeq.headOption.map { op =>
+      val trees = op.model.trees.map(t => nodeSql(t.rootNode, forestFeats))
+      val avg = trees.mkString("(", "\n + ",
+        s")\n / (${op.model.getNumTrees})::DOUBLE")
+      "ml_forest" ->
+        s"""WITH $forestFeatureCte
+           |SELECT p_partkey, $avg AS output__0
+           |FROM f ORDER BY p_partkey""".stripMargin
+    }
+    val lr = lrCache.values.toSeq.headOption.map { op =>
+      // multinomial softmax: prediction = argmax over class margins
+      // (first max wins, MLlib Vector.argmax) — per-class margin is the
+      // inlined-coefficient dot + intercept; no transcendental crosses
+      // the engines because argmax is monotone in the raw margins. The
+      // binary special case degenerates to margin > 0 (default 0.5
+      // threshold on the sigmoid).
+      val m = op.model
+      val entry =
+        if (m.numClasses == 2) {
+          val w = m.coefficients.toArray.mkString("[", ", ", "]")
+          s"""SELECT vec_id, label,
+             |  CASE WHEN list_inner_product(embedding::DOUBLE[], '$w'::DOUBLE[])
+             |      + '${m.intercept}'::DOUBLE > 0.0
+             |    THEN (1.0)::DOUBLE ELSE (0.0)::DOUBLE END AS prediction
+             |FROM embeddings ORDER BY vec_id""".stripMargin
+        } else {
+          val margins = (0 until m.numClasses).map { c =>
+            val w = (0 until m.coefficientMatrix.numCols)
+              .map(j => m.coefficientMatrix(c, j)).mkString("[", ", ", "]")
+            s"list_inner_product(v, '$w'::DOUBLE[]) + '${m.interceptVector(c)}'::DOUBLE"
+          }.mkString("[", ",\n    ", "]")
+          s"""SELECT vec_id, label,
+             |  (array_position(margins, list_max(margins)) - 1)::DOUBLE AS prediction
+             |FROM (SELECT vec_id, label, $margins AS margins
+             |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings))
+             |ORDER BY vec_id""".stripMargin
+        }
+      "ml_classifier" -> entry
+    }
+    (forest.toSeq ++ lr.toSeq).toMap
   }
 
   /** PredictForestClassifier: binary class id + positive-class probability
@@ -70,7 +172,8 @@ object MlQueries {
   /** PredictClassifier: logistic regression over embedding vectors. */
   def mlClassifier(spark: SparkSession, d: String): DataFrame = {
     val emb = embeddings(spark, d)
-    val op = PredictClassifier.trainLogistic(emb, "embedding", "label")
+    val op = lrCache.getOrElseUpdate(d,
+      PredictClassifier.trainLogistic(emb, "embedding", "label"))
     op.transform(emb).select("vec_id", "label", "prediction").orderBy("vec_id")
   }
 

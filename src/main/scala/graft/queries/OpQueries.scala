@@ -242,7 +242,7 @@ object OpQueries {
         val nprobe = math.min(8, centers.size)
         val rows = centers.zipWithIndex.map { case (c, i) =>
           val c2 = c.map(x => x * x).sum
-          s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[], $c2)"
+          s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[], '$c2'::DOUBLE)"
         }.mkString(",\n  ")
         "op_ann_ivf" ->
           s"""WITH cent(cid, cv, c2) AS (VALUES
@@ -274,7 +274,7 @@ object OpQueries {
       val axes = pcaAxesCache(key)
       val branches = axes.zipWithIndex.map { case (axis, i) =>
         val litArr = axis.mkString("[", ", ", "]")
-        s"SELECT vec_id, $i AS pos, list_inner_product(v, $litArr::DOUBLE[]) AS x FROM e"
+        s"SELECT vec_id, $i AS pos, list_inner_product(v, '$litArr'::DOUBLE[]) AS x FROM e"
       }.mkString("\nUNION ALL ")
       "op_pca_project" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
