@@ -19,6 +19,8 @@ object MlQueries {
     .empty[String, PredictForest[org.apache.spark.ml.regression.RandomForestRegressionModel]]
   private val lrCache =
     scala.collection.concurrent.TrieMap.empty[String, PredictClassifier]
+  private val clfCache =
+    scala.collection.concurrent.TrieMap.empty[String, PredictForestClassifier]
 
   private val forestFeats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
 
@@ -46,14 +48,36 @@ object MlQueries {
     * as DECIMAL, and letting CASE branches unify to DECIMAL runs the
     * tree average in mixed decimal arithmetic (measured 1-ulp drift on
     * half the rows). */
-  private def nodeSql(n: org.apache.spark.ml.tree.Node,
-      feats: Seq[String]): String = n match {
-    case l: org.apache.spark.ml.tree.LeafNode => s"'${l.prediction}'::DOUBLE"
+  private def nodeSqlWith(n: org.apache.spark.ml.tree.Node,
+      feats: Seq[String],
+      leaf: org.apache.spark.ml.tree.LeafNode => String): String = n match {
+    case l: org.apache.spark.ml.tree.LeafNode => leaf(l)
     case i: org.apache.spark.ml.tree.InternalNode =>
       val s = i.split.asInstanceOf[org.apache.spark.ml.tree.ContinuousSplit]
       s"(CASE WHEN ${feats(s.featureIndex)} <= '${s.threshold}'::DOUBLE " +
-        s"THEN ${nodeSql(i.leftChild, feats)} " +
-        s"ELSE ${nodeSql(i.rightChild, feats)} END)"
+        s"THEN ${nodeSqlWith(i.leftChild, feats, leaf)} " +
+        s"ELSE ${nodeSqlWith(i.rightChild, feats, leaf)} END)"
+  }
+
+  private def nodeSql(n: org.apache.spark.ml.tree.Node,
+      feats: Seq[String]): String =
+    nodeSqlWith(n, feats, l => s"'${l.prediction}'::DOUBLE")
+
+  /** A leaf's class-c vote share (classCounts(c) / classCounts.sum — the
+    * exact per-tree contribution MLlib's RF predictRaw accumulates).
+    * `impurityStats` is `private[ml]`, which compiles to a PUBLIC
+    * bytecode method, so plain reflection reads it; this is only used to
+    * EXPORT fitted constants for the oracle — no execution path touches
+    * it. The division happens here in Scala so the inlined literal is
+    * the bit-identical value MLlib adds at scoring time. */
+  private def leafClassShare(l: org.apache.spark.ml.tree.LeafNode,
+      c: Int): Double = {
+    val statsObj = l.getClass.getMethods.find(_.getName == "impurityStats")
+      .get.invoke(l)
+    val arr = statsObj.getClass.getMethods.find(_.getName == "stats")
+      .get.invoke(statsObj).asInstanceOf[Array[Double]]
+    val total = arr.sum
+    if (total == 0) 0.0 else arr(c) / total
   }
 
   /** The Categorify + cast feature frame `f` both forest oracles read —
@@ -79,6 +103,25 @@ object MlQueries {
     * default 0.5 threshold is exactly `margin > 0`, so no transcendental
     * crosses the engines). */
   def dynamicOracle: Map[String, String] = {
+    val forestClf = clfCache.values.toSeq.headOption.map { clf =>
+      // MLlib RF classification votes: raw_c = sum over trees (in tree
+      // order) of the leaf's classCounts(c)/total — each per-leaf share
+      // precomputed in Scala (bit-identical division) and inlined;
+      // probability = raw_1 / (raw_0 + raw_1), the normalize step.
+      def voteSum(c: Int): String =
+        clf.model.trees.map(t => nodeSqlWith(t.rootNode, forestFeats,
+          l => s"'${leafClassShare(l, c)}'::DOUBLE")).mkString("(", "\n + ", ")")
+      "ml_forest_classify" ->
+        s"""WITH $forestFeatureCte,
+           |v AS (SELECT p_partkey, ${voteSum(0)} AS r0,
+           |  ${voteSum(1)} AS r1 FROM f),
+           |pr AS (SELECT p_partkey, r1 / (r0 + r1) AS p1 FROM v)
+           |SELECT p_partkey,
+           |  CASE WHEN p1 >= '0.5'::DOUBLE THEN '1.0'::DOUBLE
+           |    ELSE '0.0'::DOUBLE END AS class_id,
+           |  p1 AS p_class1
+           |FROM pr ORDER BY p_partkey""".stripMargin
+    }
     val forest = rfCache.values.toSeq.headOption.map { op =>
       val trees = op.model.trees.map(t => nodeSql(t.rootNode, forestFeats))
       val avg = trees.mkString("(", "\n + ",
@@ -118,7 +161,7 @@ object MlQueries {
         }
       "ml_classifier" -> entry
     }
-    (forest.toSeq ++ lr.toSeq).toMap
+    (forest.toSeq ++ forestClf.toSeq ++ lr.toSeq).toMap
   }
 
   /** PredictForestClassifier: binary class id + positive-class probability
@@ -135,9 +178,8 @@ object MlQueries {
       .withColumn("p_size_d", col("p_size").cast("double"))
       .withColumn("is_premium", (col("p_retailprice") >= col("thr")).cast("double"))
       .drop("thr")
-    val feats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
-    val clf = PredictForestClassifier.train(p, feats, "is_premium",
-      predictProba = true)
+    val clf = clfCache.getOrElseUpdate(d, PredictForestClassifier.train(
+      p, forestFeats, "is_premium", predictProba = true))
     // one scoring pass: class id is the 0.5-threshold on P(class 1), the
     // same decision the outputClass path takes (no second transform+join)
     clf.transform(p)
