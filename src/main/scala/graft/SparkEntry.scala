@@ -21,5 +21,7 @@ object SparkEntry {
       graft.queries.CurationQueries.oracle ++ graft.queries.MlQueries.oracle ++
       graft.queries.OpQueries.pcaOracle ++ // dump-time: fitted literals
       graft.queries.OpQueries.ivfOracle ++
-      graft.queries.MlQueries.dynamicOracle
+      graft.queries.OpQueries.pqOracle ++
+      graft.queries.MlQueries.dynamicOracle ++
+      graft.queries.CurationQueries.semanticOracle
 }

@@ -795,12 +795,51 @@ object CurationQueries {
     SemanticNearDup.fit(embeddings(spark, d), nlist = 1, maxIter = 1)
       .transform(embeddings(spark, d)).orderBy("id_a", "id_b")
 
-  /** The real SemDeDup shape (rows-only: cluster buckets depend on the
-    * k-means fit; DedupOpsSpec pins precision 1.0 and a recall floor vs
-    * the exact path). */
+  /** Memoized SemDeDup cluster centers (dir-keyed) — the fit is an
+    * offline artifact, and the fitted doubles feed [[semanticOracle]]'s
+    * dump-time SQL literals. */
+  private val semCenterCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+
+  private def cachedSemCenters(spark: SparkSession, d: String): Seq[Seq[Double]] =
+    semCenterCache.getOrElseUpdate(d,
+      graft.functions.VectorFunctions.fitCenters(
+        embeddings(spark, d), "embedding", 8, 5, 42L))
+
+  /** The real SemDeDup shape, fully hash-checked via dump-time centroid
+    * literals (the op_ann_ivf discipline): bucket assignment replays as
+    * the argmin rank over `c2 - 2.0 * lip(v, c)`, and the within-bucket
+    * pair scan + cosine verify are the neardup_semantic_full SQL
+    * restricted to same-bucket pairs. DedupOpsSpec additionally pins
+    * precision 1.0 and a recall floor vs the exact path. */
   def neardupSemantic(spark: SparkSession, d: String): DataFrame =
-    SemanticNearDup.fit(embeddings(spark, d), nlist = 8, maxIter = 5)
+    SemanticNearDup(cachedSemCenters(spark, d))
       .transform(embeddings(spark, d)).orderBy("id_a", "id_b")
+
+  /** neardup_semantic's oracle, generated at oracle-dump time from the
+    * fitted centers (empty until the query has run in this JVM). */
+  def semanticOracle: Map[String, String] =
+    semCenterCache.values.toSeq.headOption.map { centers =>
+      val rows = centers.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[], '$c2'::DOUBLE)"
+      }.mkString(",\n  ")
+      "neardup_semantic" ->
+        s"""WITH cent(cid, cv, c2) AS (VALUES
+           |  $rows),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ass AS (SELECT vec_id, v, cid, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+           |  FROM e CROSS JOIN cent),
+           |p AS (SELECT vec_id, v, cid, sqrt(list_inner_product(v, v)) AS norm
+           |  FROM ass WHERE rn = 1)
+           |SELECT id_a, id_b, cosine FROM (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    CASE WHEN a.norm * b.norm = 0 THEN 0.0
+           |      ELSE list_inner_product(a.v, b.v) / (a.norm * b.norm) END AS cosine
+           |  FROM p a JOIN p b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+           |WHERE cosine >= '0.45'::DOUBLE ORDER BY id_a, id_b""".stripMargin
+    }.toMap
 
   /** The LLM pre-training flagship, end-to-end and FULLY oracled — the
     * curation story as one composed plan: benchmark decontamination

@@ -269,6 +269,95 @@ object OpQueries {
              |WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
       }.toMap
 
+  /** op_ann_pq's oracle — the full IVF-PQ path (encode, probe, ADC
+    * nomination, exact refine) replayed in DuckDB from the fitted coarse
+    * centroids and residual codebooks inlined as string-parsed literals.
+    * Every stage is deterministic arithmetic over those constants:
+    * item codes are per-subspace argmins over `e2 - 2.0 * lip(r_j, e)`
+    * on the residual r = v − c(v) (elementwise, order-free); the ADC
+    * score replays Spark's left fold `qc + ((((0 + t0) + t1)...) + t7)`
+    * with explicit parentheses; nomination is the (adc DESC, id) window
+    * to refine=200; and the final top-10 re-ranks the nominees by exact
+    * dot. Empty until the query has run in this JVM. */
+  def pqOracle: Map[String, String] =
+    codebookCache.keys.toSeq.sorted.headOption.flatMap { d =>
+      centerCache.get((d, 32, 5)).map { centers =>
+        val codebooks = codebookCache(d)
+        val m = codebooks.size
+        val dsub = codebooks.head.head.size
+        val centRows = centers.zipWithIndex.map { case (c, i) =>
+          val c2 = c.map(x => x * x).sum
+          s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[], '$c2'::DOUBLE)"
+        }.mkString(",\n  ")
+        val cbRows = (for (j <- 0 until m; kk <- codebooks(j).indices) yield {
+          val e = codebooks(j)(kk)
+          val e2 = e.map(x => x * x).sum
+          s"($j, $kk, '${e.mkString("[", ", ", "]")}'::DOUBLE[], '$e2'::DOUBLE)"
+        }).mkString(",\n  ")
+        val dim = m * dsub
+        val lutJoins = (0 until m).map(j =>
+          s"JOIN qlut l$j ON l$j.vec_id = c.vec_id AND l$j.j = $j AND l$j.code = c.c$j")
+          .mkString("\n  ")
+        val adcFold = (0 until m).foldLeft("'0.0'::DOUBLE") {
+          (acc, j) => s"($acc + l$j.t)"
+        }
+        val codeCols = (0 until m).map(j =>
+          s"max(CASE WHEN j = $j THEN code END) AS c$j").mkString(", ")
+        "op_ann_pq" ->
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $centRows),
+             |cb(j, code, e, e2) AS (VALUES
+             |  $cbRows),
+             |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE label <> 0),
+             |iass AS (SELECT item_id, v, cid, cv, row_number() OVER
+             |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM items CROSS JOIN cent),
+             |ienc AS (SELECT item_id, cid,
+             |    list_transform(range(1, ${dim + 1}), i -> v[i] - cv[i]) AS r
+             |  FROM iass WHERE rn = 1),
+             |icode AS (SELECT item_id, cid, j, code FROM (
+             |  SELECT i.item_id, i.cid, cb.j, cb.code, row_number() OVER
+             |      (PARTITION BY i.item_id, cb.j
+             |       ORDER BY cb.e2 - 2.0 * list_inner_product(i.r[cb.j * $dsub + 1 : cb.j * $dsub + $dsub], cb.e), cb.code) AS rn
+             |  FROM ienc i CROSS JOIN cb) WHERE rn = 1),
+             |icodew AS (SELECT item_id, cid, $codeCols
+             |  FROM icode GROUP BY item_id, cid),
+             |qs AS (SELECT vec_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE label = 0),
+             |qprobe AS (SELECT vec_id, cid FROM (
+             |  SELECT vec_id, cid, row_number() OVER
+             |      (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(qv, cv), cid) AS rn
+             |  FROM qs CROSS JOIN cent) WHERE rn <= 8),
+             |qlut AS (SELECT vec_id, j, code,
+             |    list_inner_product(qv[j * $dsub + 1 : j * $dsub + $dsub], e) AS t
+             |  FROM qs CROSS JOIN cb),
+             |qcs AS (SELECT vec_id, cid, list_inner_product(qv, cv) AS qc
+             |  FROM qs CROSS JOIN cent),
+             |cand AS (SELECT p.vec_id, ic.item_id, ic.cid,
+             |    ${(0 until m).map(j => s"ic.c$j").mkString(", ")}
+             |  FROM qprobe p JOIN icodew ic ON p.cid = ic.cid),
+             |adc AS (SELECT c.vec_id, c.item_id,
+             |    qcs.qc + $adcFold AS score
+             |  FROM cand c
+             |  JOIN qcs ON qcs.vec_id = c.vec_id AND qcs.cid = c.cid
+             |  $lutJoins),
+             |nom AS (SELECT vec_id, item_id FROM (
+             |  SELECT vec_id, item_id, row_number() OVER
+             |      (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rn
+             |  FROM adc) WHERE rn <= 200),
+             |ex AS (SELECT n.vec_id, n.item_id,
+             |    list_inner_product(q.qv, i.v) AS score
+             |  FROM nom n JOIN qs q ON q.vec_id = n.vec_id
+             |  JOIN items i ON i.item_id = n.item_id)
+             |SELECT vec_id, rank, item_id, score FROM (
+             |  SELECT vec_id, item_id, score, row_number() OVER
+             |      (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank
+             |  FROM ex) WHERE rank <= 10
+             |ORDER BY vec_id, rank""".stripMargin
+      }
+    }.toMap
+
   def pcaOracle: Map[String, String] =
     pcaAxesCache.keys.filter(_._2 == 8).toSeq.sorted.headOption.map { key =>
       val axes = pcaAxesCache(key)
