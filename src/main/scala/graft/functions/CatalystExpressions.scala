@@ -110,6 +110,60 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Count of positions where two long arrays hold equal non-null values —
+  * the MinHash signature-agreement kernel. Semantics match
+  * `size(filter(zip_with(a, b, (x, y) => x === y), m => m))`: the
+  * shorter array's missing tail and null elements never count. The HOF
+  * form allocates two intermediate arrays per comparison, which is the
+  * whole cost of an all-pairs signature sweep (millions of pairs ×
+  * 64-element allocs — measured 14.7 s at sf0.1); this is one fused,
+  * allocation-free loop, and the 64-term `when` chain alternative blows
+  * the generated method past JIT limits (measured 54 s). */
+case class ArrayAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_agree_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs two array<bigint> inputs")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0; var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** 64-bit SimHash of a string-array column: per-bit ±1 votes of
   * xxhash64(element, seed=42) — same math as TextFunctions.simhash64 but
   * one loop per row instead of 64 interpreted lambda passes per element.
@@ -570,6 +624,8 @@ object FastExpressions {
       expression(org.apache.spark.sql.functions.array().cast("array<double>")), numBits))
   def lshBucket(c: Column, center: Column, numBits: Int, seed: Long = 42L): Column =
     column(LshBucket(expression(c), expression(center), numBits, seed))
+  def arrayAgreeCount(a: Column, b: Column): Column =
+    column(ArrayAgreeCount(expression(a), expression(b)))
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def repetitionSignals(c: Column, ns: Seq[Int]): Column =
     column(RepetitionSignals(expression(c), ns))

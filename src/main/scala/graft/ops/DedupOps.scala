@@ -713,8 +713,7 @@ case class IncrementalMinHashDedup(
   import graft.functions.FastExpressions
 
   private def estBp(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast("long") * 10000 /
-      lit(numHashes)
+    FastExpressions.arrayAgreeCount(a, b).cast("long") * 10000 / lit(numHashes)
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idCol); requireCol(in, textCol)

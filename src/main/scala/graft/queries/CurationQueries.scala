@@ -217,9 +217,14 @@ object CurationQueries {
       .filter(col("dup_kind") === "near_index")
       .select(col("doc_id").as("bid"))
     // the one legitimate all-pairs sweep: it exists to indict the banded
-    // path, so it must not share its candidate generation
-    val agree = size(filter(zip_with(col("bsig"), col("isig"),
-      (x, y) => x === y), mm => mm))
+    // path, so it must not share its candidate generation (it DOES share
+    // the agreement kernel — the same ArrayAgreeCount both paths decide
+    // with; what must stay independent is which pairs get compared).
+    // zip_with+filter+size here allocated two arrays per pair across
+    // millions of pairs (measured 14.7 s at sf0.1); the fused expression
+    // is allocation-free.
+    val agree = graft.functions.FastExpressions
+      .arrayAgreeCount(col("bsig"), col("isig"))
     val brute = IncrementalMinHashDedup.signatures(batch)
       .select(col("doc_id").as("bid"), col("minhash_sig").as("bsig"))
       .crossJoin(idx.select(col("minhash_sig").as("isig")))

@@ -15,6 +15,20 @@ class FlagshipSpec extends SparkSpec {
     assert(row._1.distinct.size == 10, "no duplicate recommendations")
   }
 
+  test("prewarmed ALS factors serve from parquet: no fit inside the serving plan") {
+    val d = "/root/testdata/sf0.001"
+    Flagship.prewarmAlsFactors(spark, d)
+    val plan = Flagship.recommend(spark, d).queryExecution.optimizedPlan.toString
+    // the offline-artifact discipline: the serving plan reads the factor
+    // tables as plain parquet relations (graft_als_factors_* temp dir);
+    // an inline ALS fit would instead surface as LogicalRDD leaves from
+    // MLlib's internal conversion — the eviction/retrain hazard r6 flagged
+    assert(plan.contains("graft_als_factors_"),
+      s"serving plan must scan the prewarmed parquet factor tables:\n$plan")
+    val out = Flagship.recommend(spark, d)
+    assert(out.count() > 0, "prewarmed serving path still recommends")
+  }
+
   test("fitted serving ensemble round-trips: save → load → identical output") {
     val d = "/root/testdata/sf0.001"
     val (ens, requests) = Flagship.servingEnsemble(spark, d, retrievalK = 50)

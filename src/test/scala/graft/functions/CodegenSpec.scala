@@ -30,6 +30,23 @@ class CodegenSpec extends SparkSpec {
     assert(df.orderBy("d").collect()(1).getDouble(1) == 11.0)
   }
 
+  test("ArrayAgreeCount matches the zip_with form and stays in codegen") {
+    val df = spark.range(64)
+      .select(array($"id", $"id" * 2, lit(7L)).as("a"),
+        array($"id", $"id" + 1, lit(7L)).as("b"))
+      .select(
+        FastExpressions.arrayAgreeCount($"a", $"b").as("fast"),
+        size(filter(zip_with($"a", $"b", (x, y) => x === y), m => m)).as("hof"))
+    val code = generatedCode(df)
+    assert(code.contains("getLong"), "inline agree loop must be generated")
+    assert(df.filter($"fast" =!= $"hof").count() == 0,
+      "fused agreement count must equal the zip_with+filter+size definition")
+    // unequal lengths: zip_with pads with null, which never counts
+    val uneven = Seq((Seq(1L, 2L, 3L), Seq(1L, 9L))).toDF("a", "b")
+      .select(FastExpressions.arrayAgreeCount($"a", $"b").as("c"))
+    assert(uneven.head().getInt(0) == 1)
+  }
+
   test("hash expressions run via unboxed compute calls in generated code") {
     val df = spark.range(3)
       .select(concat(lit("a b c d e f w"), $"id").as("t"))
