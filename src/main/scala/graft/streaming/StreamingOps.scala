@@ -457,6 +457,22 @@ object StreamingOps {
       .unionByName(fresh.filter(col("content_hash").isNull))
   }
 
+  /** Streaming takedown enforcement — the ingest-time twin of
+    * [[graft.ops.Purge]]: a document whose id is tombstoned never enters
+    * the corpus stream. Retroactive removal from already-written output
+    * is the batch op's job (an append stream cannot retract emitted
+    * rows); this half guarantees the corpus never RE-ACCEPTS a purged id
+    * at ingest — together the two close the takedown loop the same way
+    * [[incrementalDedupStream]] + `IncrementalDedup.updatedIndex` close
+    * the dedup loop (and `Purge.updatedIndex` / `updatedSignatureIndex`
+    * keep the dedup state consistent with the removal). Stream-static
+    * LEFT ANTI equi-join on the id: the static side holds no stream
+    * state, so the query runs forever with ZERO state — at 100 TB/day
+    * ingest the tombstone list is metadata-scale and broadcast. */
+  def purgeStream(docs: DataFrame, tombstones: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(tombstones.select(idCol).distinct(), Seq(idCol), "left_anti")
+
   case class TrailingFeat(event_id: Long, user_id: Long,
       ns: Seq[Long], sums: Seq[Long])
   case class TrailingState(events: Seq[(Long, Long)]) // (tsSec, valueCents)

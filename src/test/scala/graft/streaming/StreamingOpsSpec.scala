@@ -133,6 +133,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == keepers, "stream must equal batch keepers on the same data")
   }
 
+  test("purgeStream matches the batch Purge keeper set with zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    val tomb = Seq(2L, 4L, 99L).toDF("doc_id")
+    val rows = Seq(
+      (1L, ts(0), "keep one"), (2L, ts(1), "take down"),
+      (3L, ts(2), "keep two"), (4L, ts(3), "take down too"))
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.purgeStream(
+      src.toDF().toDF("doc_id", "ts", "text"), tomb)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("purge_stream").start()
+    src.addData(rows.take(2): _*); q.processAllAvailable()
+    src.addData(rows.drop(2): _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("purge_stream").select($"doc_id").as[Long].collect().toSet
+    val batch = graft.ops.Purge(tomb)
+      .transform(rows.toDF("doc_id", "ts", "text"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L) && got == batch,
+      s"stream must equal batch Purge keepers: $got vs $batch")
+  }
+
   test("decontaminateStream alerts once per contaminated document") {
     implicit val sqlCtx = spark.sqlContext
     val eval = Seq((100L, "a quick brown fox jumps around")).toDF("doc_id", "text")
