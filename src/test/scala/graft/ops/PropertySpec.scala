@@ -33,6 +33,18 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("ArrayAgreeCount equals the zip_with definition on generated arrays") {
+    val sigGen: Gen[List[Long]] =
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 3L)))
+    check(Prop.forAll(sigGen, sigGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b").select(
+        graft.functions.FastExpressions.arrayAgreeCount(col("a"), col("b")).as("fast"),
+        size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), m => m)).as("hof"))
+      val r = df.collect().head
+      r.getInt(0) == r.getInt(1)
+    }, n = 15)
+  }
+
   test("StratifiedSample: kept set grows monotonically with the keep fraction") {
     check(Prop.forAll(idsGen, Gen.chooseNum(0, 10000), Gen.chooseNum(0, 10000)) {
       (ids, bp1, bp2) =>
