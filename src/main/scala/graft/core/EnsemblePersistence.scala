@@ -436,10 +436,10 @@ object EnsemblePersistence {
           base ~ ("path" -> p)
         case None => base
       }
-    case CosineNearDup(id, vec, th, exact, bits, tables) =>
+    case CosineNearDup(id, vec, th, exact, bits, tables, ctr) =>
       ("type" -> "CosineNearDup") ~ ("idCol" -> id) ~ ("vecCol" -> vec) ~
         ("threshold" -> th) ~ ("exact" -> exact) ~ ("numBits" -> bits) ~
-        ("numTables" -> tables)
+        ("numTables" -> tables) ~ ("center" -> ctr.map(_.toList))
     case SemanticNearDup(cs, id, vec, th) =>
       ("type" -> "SemanticNearDup") ~ ("centers" -> cs.map(_.toList).toList) ~
         ("idCol" -> id) ~ ("vecCol" -> vec) ~ ("threshold" -> th)
@@ -827,7 +827,10 @@ object EnsemblePersistence {
       case "CosineNearDup" =>
         CosineNearDup(s("idCol"), s("vecCol"), (o \ "threshold").extract[Double],
           (o \ "exact").extract[Boolean], (o \ "numBits").extract[Int],
-          (o \ "numTables").extract[Int])
+          (o \ "numTables").extract[Int],
+          // JNothing/JNull extract to Some(empty) under extractOpt — an
+          // absent center must come back as None, not Some(Nil)
+          (o \ "center").extractOpt[Seq[Double]].filter(_.nonEmpty))
       case "RepetitionStats" =>
         RepetitionStats(s("textCol"), s("idCol"),
           (o \ "topNs").extract[Seq[Int]], (o \ "dupNs").extract[Seq[Int]],

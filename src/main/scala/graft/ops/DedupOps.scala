@@ -455,7 +455,8 @@ case class CosineNearDup(
     threshold: Double = 0.45,
     exact: Boolean = false,
     numBits: Int = 8,
-    numTables: Int = 8) extends EnsembleOp {
+    numTables: Int = 8,
+    center: Option[Seq[Double]] = None) extends EnsembleOp {
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idCol); requireCol(in, vecCol)
@@ -504,8 +505,12 @@ case class CosineNearDup(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // mean-centered hyperplanes (clustered embeddings would otherwise
     // collapse into a handful of buckets — see LshBucket scaladoc); the
-    // mean is a literal: #dims doubles, metadata scale
-    val mu = typedLit(graft.functions.VectorFunctions.meanVector(df, vecCol))
+    // mean is a literal: #dims doubles, metadata scale. Fit-time `center`
+    // wins when given (the AnnLsh discipline: persisted/oracled uses MUST
+    // pass it — a recomputed mean drifts in the last bits under double
+    // partial-agg merge order, flipping borderline bucket signs).
+    val mu = typedLit(center.map(_.toArray).getOrElse(
+      graft.functions.VectorFunctions.meanVector(df, vecCol)))
     // one bucket per table, each table seeded with its own hyperplanes;
     // the join key packs (table, bucket) so tables never collide
     val tableBuckets = array((0 until numTables).map(t =>

@@ -296,10 +296,62 @@ object CurationQueries {
   /** The scale path: bucketed candidates, exact verification (rows-only:
     * LSH candidate sets are hash-dependent; recall vs the exact path is
     * asserted in DedupOpsSpec). */
+  /** Memoized hyperplane center over ALL embeddings (the
+    * CosineNearDup fit parameter) — one captured mean feeds the op and
+    * [[cosLshOracle]]'s dump-time literal. */
+  private val cosLshCenterCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+
+  private def cachedCosLshCenter(spark: SparkSession, d: String): Seq[Double] =
+    cosLshCenterCache.getOrElseUpdate(d,
+      graft.functions.VectorFunctions.meanVector(
+        embeddings(spark, d), "embedding").toSeq)
+
   def neardupCosineBucketed(spark: SparkSession, d: String): DataFrame =
-    CosineNearDup(threshold = 0.45, numBits = 6, numTables = 16)
+    CosineNearDup(threshold = 0.45, numBits = 6, numTables = 16,
+      center = Some(cachedCosLshCenter(spark, d)))
       .transform(embeddings(spark, d))
       .orderBy("id_a", "id_b")
+
+  /** neardup_cosine_lsh's oracle, generated at dump time: 16 tables ×
+    * 6 hyperplanes resolve to deterministic ±1 sign matrices (bit p of
+    * xxhash64(dim, seed=42+t) — no xxhash in DuckDB, but the RESOLVED
+    * matrix is a fitted constant like any other), buckets pack as
+    * t·2³² + bits, candidates are distinct same-bucket pairs, and every
+    * candidate is exactly verified by the shared guarded cosine. */
+  def cosLshOracle: Map[String, String] =
+    cosLshCenterCache.toSeq.sortBy(_._1).headOption.map { case (_, mu) =>
+      val (numBits, numTables) = (6, 16)
+      val dim = mu.size
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.IntegerType
+      val signRows = (for (t <- 0 until numTables; p <- 0 until numBits) yield {
+        val sv = (0 until dim).map { dd =>
+          val h = XxHash64Function.hash(dd, IntegerType, 42L + t)
+          if (((h >>> p) & 1L) == 1L) 1.0 else -1.0
+        }
+        s"(${t.toLong * (1L << 32)}, ${1 << p}, '${sv.mkString("[", ", ", "]")}'::DOUBLE[])"
+      }).mkString(",\n  ")
+      val norm = (c: String) => s"sqrt(list_inner_product($c, $c))"
+      "neardup_cosine_lsh" ->
+        s"""WITH c(mu) AS (VALUES ('${mu.mkString("[", ", ", "]")}'::DOUBLE[])),
+           |s(tbase, pw, sv) AS (VALUES
+           |  $signRows),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id,
+           |    tbase + CAST(sum(CASE WHEN list_inner_product(diff, sv) > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM (SELECT vec_id, list_transform(range(1, ${dim + 1}), i -> v[i] - mu[i]) AS diff
+           |    FROM e CROSS JOIN c) CROSS JOIN s
+           |  GROUP BY vec_id, tbase),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+           |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+           |SELECT id_a, id_b, cosine FROM (
+           |  SELECT cand.id_a, cand.id_b,
+           |    CASE WHEN ${norm("x.v")} * ${norm("y.v")} = 0 THEN 0.0
+           |      ELSE list_inner_product(x.v, y.v) / (${norm("x.v")} * ${norm("y.v")}) END AS cosine
+           |  FROM cand JOIN e x ON x.vec_id = cand.id_a JOIN e y ON y.vec_id = cand.id_b)
+           |WHERE cosine >= '0.45'::DOUBLE ORDER BY id_a, id_b""".stripMargin
+    }.toMap
 
   // ---- text analysis --------------------------------------------------
 

@@ -162,13 +162,86 @@ object OpQueries {
   /** Bucketed ANN (rows-only: LSH candidate sets are hash-dependent; the
     * AnnLshSpec asserts recall against the brute-force ground truth).
     * Exploded to (vec_id, rank, item_id, score) scalar rows. */
+  /** Memoized LSH hyperplane center (the item-set mean — dir-keyed, like
+    * every fitted parameter here): double partial-agg merge order makes a
+    * recomputed mean drift in the last bits, so the ONE captured center
+    * feeds both the op and [[lshOracle]]'s dump-time literal. */
+  private val lshCenterCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+
+  private def cachedLshCenter(spark: SparkSession, d: String): Seq[Double] =
+    lshCenterCache.getOrElseUpdate(d,
+      graft.functions.VectorFunctions.meanVector(
+        embeddings(spark, d).filter(col("label") =!= 0)
+          .select(col("vec_id").as("item_id"), col("embedding")),
+        "embedding").toSeq)
+
   def annLsh(spark: SparkSession, d: String): DataFrame = {
     val emb = embeddings(spark, d)
     val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
     val items = emb.filter(col("label") =!= 0).select(col("vec_id").as("item_id"), col("embedding"))
-    AnnLsh(items, "vec_id", "embedding", k = 10, numBits = 5, nprobe = 6, metric = "cosine")
+    AnnLsh(items, "vec_id", "embedding", k = 10, numBits = 5, nprobe = 6,
+      metric = "cosine", center = Some(cachedLshCenter(spark, d)))
       .asRows(queries).orderBy("vec_id", "rank")
   }
+
+  /** op_ann_lsh's oracle, generated at dump time. The hyperplanes are ±1
+    * sign vectors read from bit p of xxhash64(dim, seed=42) — DuckDB has
+    * no xxhash64, but the RESOLVED sign matrix is a deterministic fitted
+    * constant, so it inlines like every other fitted parameter. Per-plane
+    * projection `lip(v − mu, s_p)` is bit-identical to LshBucket's
+    * accumulate loop (multiplying by ±1.0 is exact and the fold order is
+    * the same d-ascending sequence); bucket bit p is the strict `> 0`
+    * sign; probes are the home bucket plus single-bit XOR flips; and the
+    * cosine top-k replays the shared guarded formula. */
+  def lshOracle: Map[String, String] =
+    lshCenterCache.toSeq.sortBy(_._1).headOption.map { case (_, mu) =>
+      val numBits = 5
+      val dim = mu.size
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.IntegerType
+      val signRows = (0 until numBits).map { p =>
+        val sv = (0 until dim).map { dd =>
+          val h = XxHash64Function.hash(dd, IntegerType, 42L)
+          if (((h >>> p) & 1L) == 1L) 1.0 else -1.0
+        }
+        s"($p, ${1 << p}, '${sv.mkString("[", ", ", "]")}'::DOUBLE[])"
+      }.mkString(",\n  ")
+      val probes = (Seq("SELECT vec_id, home AS bucket FROM qb") ++
+        (0 until numBits).map(i =>
+          s"SELECT vec_id, xor(home, ${1 << i}) FROM qb")).mkString("\n  UNION ALL ")
+      val norm = (c: String) => s"sqrt(list_inner_product($c, $c))"
+      "op_ann_lsh" ->
+        s"""WITH c(mu) AS (VALUES ('${mu.mkString("[", ", ", "]")}'::DOUBLE[])),
+           |s(p, pw, sv) AS (VALUES
+           |  $signRows),
+           |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE label <> 0),
+           |qs AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE label = 0),
+           |ib AS (SELECT item_id,
+           |    CAST(sum(CASE WHEN list_inner_product(diff, sv) > 0 THEN pw ELSE 0 END) AS INTEGER) AS bucket
+           |  FROM (SELECT item_id, list_transform(range(1, ${dim + 1}), i -> v[i] - mu[i]) AS diff
+           |    FROM items CROSS JOIN c) CROSS JOIN s
+           |  GROUP BY item_id),
+           |qb AS (SELECT vec_id,
+           |    CAST(sum(CASE WHEN list_inner_product(diff, sv) > 0 THEN pw ELSE 0 END) AS INTEGER) AS home
+           |  FROM (SELECT vec_id, list_transform(range(1, ${dim + 1}), i -> v[i] - mu[i]) AS diff
+           |    FROM qs CROSS JOIN c) CROSS JOIN s
+           |  GROUP BY vec_id),
+           |qp AS ($probes),
+           |scored AS (SELECT p.vec_id, i.item_id,
+           |    CASE WHEN ${norm("q.v")} * ${norm("i.v")} = 0 THEN 0.0
+           |      ELSE list_inner_product(q.v, i.v) / (${norm("q.v")} * ${norm("i.v")}) END AS score
+           |  FROM qp p JOIN ib ON ib.bucket = p.bucket
+           |  JOIN items i ON i.item_id = ib.item_id
+           |  JOIN qs q ON q.vec_id = p.vec_id)
+           |SELECT vec_id, rank, item_id, score FROM (
+           |  SELECT vec_id, item_id, score, row_number() OVER
+           |      (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank
+           |  FROM scored) WHERE rank <= 10
+           |ORDER BY vec_id, rank""".stripMargin
+    }.toMap
 
   /** Memoized IVF coarse-quantizer centers keyed by (sfDir, nlist,
     * maxIter). A served IVF index is fit offline once and probed many

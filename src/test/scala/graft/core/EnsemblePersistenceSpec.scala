@@ -74,6 +74,12 @@ class EnsemblePersistenceSpec extends SparkSpec {
     EnsemblePersistence.save(Ensemble(Seq(cos), vecSchema), dir2, spark)
     assert(EnsemblePersistence.load(dir2, spark).ops.head == cos)
 
+    // fit-time center round-trips by value (and its absence stays None)
+    val cosCtr = cos.copy(center = Some(Seq(0.25, -1.5)))
+    val dirCtr = Files.tmp("ens_param")
+    EnsemblePersistence.save(Ensemble(Seq(cosCtr), vecSchema), dirCtr, spark)
+    assert(EnsemblePersistence.load(dirCtr, spark).ops.head == cosCtr)
+
     val sem = SemanticNearDup(Seq(Seq(0.1, 0.2), Seq(-0.3, 0.4)),
       "vec_id", "embedding", 0.55)
     val dirSem = Files.tmp("ens_sem")
