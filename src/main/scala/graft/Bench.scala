@@ -79,6 +79,12 @@ object Bench {
       prewarm("ann")(queries.OpQueries.prewarmAnnCenters(spark, sfDir))
     if (selected.exists(_._1.startsWith("op_pca_")))
       prewarm("pca")(queries.OpQueries.prewarmPca(spark, sfDir))
+    if (selected.exists(_._1.startsWith("op_ann_lsh")))
+      prewarm("lsh")(queries.OpQueries.prewarmLshCenter(spark, sfDir))
+    if (selected.exists(n => n._1 == "neardup_semantic" ||
+        n._1.startsWith("neardup_cosine_lsh")))
+      prewarm("neardup-centers")(
+        queries.CurationQueries.prewarmNearDupCenters(spark, sfDir))
     if (selected.exists(_._1.startsWith("text_bpe_")))
       prewarm("bpe")(queries.CurationQueries.prewarmBpe(spark, sfDir))
     if (selected.exists(_._1.startsWith("text_bm25")))

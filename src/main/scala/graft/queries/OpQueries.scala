@@ -287,6 +287,10 @@ object OpQueries {
     cachedPcaAxes(spark, d, 8); cachedPcaAxes(spark, d, 32)
   }
 
+  /** Resolve the LSH hyperplane center outside any timed window. */
+  def prewarmLshCenter(spark: SparkSession, d: String): Unit =
+    cachedLshCenter(spark, d)
+
   /** op_pca_project's oracle, generated at oracle-dump time (Verify dumps
     * AFTER the queries run) with the FITTED axes inlined as SQL literals —
     * the projection is pure dot arithmetic over those constants, so DuckDB
