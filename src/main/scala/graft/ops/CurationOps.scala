@@ -814,14 +814,24 @@ case class Purge(
   def updatedIndex(index: DataFrame, df: DataFrame,
       digestCol: String = "content_hash"): DataFrame = {
     requireCol(df.schema, textCol)
-    val tombIds = tombstones.select(idCol).distinct()
-    val purgedDigests = df
-      .join(tombIds, Seq(idCol), "left_semi")
-      .select(md5(key(col(textCol))).as(digestCol))
-    val keptDigests = df
-      .join(tombIds, Seq(idCol), "left_anti")
-      .select(md5(key(col(textCol))).as(digestCol))
-    val retired = purgedDigests.join(keptDigests, Seq(digestCol), "left_anti")
+    // ONE pass over the corpus text: digest every row with a tombstone
+    // flag (metadata-scale tombstone side, broadcast), then a digest-
+    // keyed partial-aggregable groupBy decides retirement — a digest
+    // retires iff every carrier is tombstoned. The two-projection
+    // formulation (purged semi-join + kept anti-join, each digesting the
+    // text independently) scanned and hashed the 100 TB text TWICE.
+    // No broadcast hint: AQE broadcasts the (usually tiny) tombstone
+    // side at runtime, and a pathological takedown list stays correct
+    // as a shuffled join.
+    val tombIds = tombstones.select(col(idCol)).distinct()
+      .withColumn("__tomb", lit(true))
+    val flagged = df.join(tombIds, Seq(idCol), "left")
+      .select(md5(key(col(textCol))).as(digestCol),
+        coalesce(col("__tomb"), lit(false)).as("__tomb"))
+    val retired = flagged.groupBy(digestCol)
+      .agg(min(when(col("__tomb"), 1).otherwise(0)).as("__allTomb"))
+      .filter(col("__allTomb") === 1)
+      .select(digestCol)
     index.join(retired, Seq(digestCol), "left_anti")
   }
 
