@@ -365,6 +365,28 @@ class PlanSpec extends SparkSpec {
       s"no exchange may carry the text column:\n$exchanges")
   }
 
+  test("purge index retirement digests the corpus once — single md5 pass, one digest exchange") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = Tables.documents(spark, d)
+    val index = docs.select(md5(col("text")).as("content_hash")).distinct()
+      .localCheckpoint(true) // freeze: the INDEX side's md5 must not count
+    val tomb = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val p = plan(ops.Purge(tomb, normalized = false).updatedIndex(index, docs))
+    // the retirement decision is one tombstone-flagged digest projection
+    // + a partial-aggregable groupBy — the old semi+anti formulation
+    // scanned and hashed the corpus text twice
+    val digestProjects = p.linesIterator
+      .filter(l => l.contains("Project") && l.contains("md5(cast(text")).toSeq
+    assert(digestProjects.length == 1,
+      s"corpus text must be digested in exactly one projection, " +
+        s"got ${digestProjects.length}:\n${digestProjects.mkString("\n")}\n${p.take(900)}")
+    assert(p.contains("partial_min"),
+      s"retirement must map-side combine per digest:\n${p.take(900)}")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"),
+      s"no exchange may carry the text column:\n$exchanges")
+  }
+
   test("snapshot diff shuffles (id, digest) only — text is projected away before the join") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, d)
