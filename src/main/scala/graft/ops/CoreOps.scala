@@ -907,13 +907,20 @@ case class MixturePlan(
       .withColumn("__w",
         Strata.caseOver(col("stratum"), weightsBp, defaultBp).cast("long"))
       .withColumn("target_tokens",
-        expr(s"CAST($budgetTokens AS BIGINT) * __w DIV 10000"))
+        expr(s"CAST(CAST($budgetTokens AS DECIMAL(38,0)) * __w DIV 10000 AS BIGINT)"))
       .drop("__w")
+      // DECIMAL(38,0) intermediates (the SkewReport.multVsMeanBp
+      // discipline): target*10000 wraps BIGINT once the budget passes
+      // ~9.2e14 tokens — a frontier-scale corpus plan is exactly where
+      // this op runs, and a wrapped rate corrupts precisely the largest
+      // strata. The oracle mirrors with HUGEINT.
       .withColumn("rate_bp",
         when(col("avail_tokens") > 0,
-          least(lit(10000L), expr("target_tokens * 10000 DIV avail_tokens")))
+          least(lit(10000L), expr(
+            "CAST(CAST(target_tokens AS DECIMAL(38,0)) * 10000 DIV avail_tokens AS BIGINT)")))
           .otherwise(lit(null)))
-      .withColumn("planned_tokens", expr("avail_tokens * rate_bp DIV 10000"))
+      .withColumn("planned_tokens", expr(
+        "CAST(CAST(avail_tokens AS DECIMAL(38,0)) * rate_bp DIV 10000 AS BIGINT)"))
       .withColumn("short", col("avail_tokens").isNull ||
         col("avail_tokens") < col("target_tokens"))
   }

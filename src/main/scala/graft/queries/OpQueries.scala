@@ -1281,11 +1281,11 @@ object OpQueries {
         |  CAST(20000 * (CASE stratum WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
         |    ELSE 1000 END) // 10000 AS BIGINT) AS target_tokens FROM g),
         |r AS (SELECT *, CASE WHEN avail_tokens > 0
-        |    THEN CAST(least(10000, target_tokens * 10000 // avail_tokens) AS BIGINT)
+        |    THEN CAST(least(10000, CAST(target_tokens AS HUGEINT) * 10000 // avail_tokens) AS BIGINT)
         |    ELSE NULL END AS rate_bp
         |  FROM p)
         |SELECT stratum, n_docs, avail_tokens, target_tokens, rate_bp,
-        |  CAST(avail_tokens * rate_bp // 10000 AS BIGINT) AS planned_tokens,
+        |  CAST(CAST(avail_tokens AS HUGEINT) * rate_bp // 10000 AS BIGINT) AS planned_tokens,
         |  avail_tokens < target_tokens AS short
         |FROM r ORDER BY stratum""".stripMargin,
     "pipeline_feature_workflow" ->

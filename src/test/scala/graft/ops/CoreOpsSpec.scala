@@ -563,6 +563,19 @@ test("SkewReport ranks the heaviest keys with exact shares and mean multiples") 
     assert(got == 10000000000L, s"expected 1e10, got $got")
   }
 
+  test("MixturePlan integer math survives frontier-scale token budgets") {
+    // 9e17-token budget over a 9e17-token stratum: the naive
+    // target*10000 / avail*rate products are ~4.5e21, far past
+    // Long.MaxValue — the DECIMAL intermediates must return exact floors
+    val docs = Seq(("en", 900000000000000000L)).toDF("lang", "toks")
+    val out = MixturePlan("lang", "toks", Map("en" -> 5000),
+      budgetTokens = 900000000000000000L).transform(docs).collect().head
+    assert(out.getLong(3) == 450000000000000000L, s"target: $out")
+    assert(out.getLong(4) == 5000L, s"rate: $out")
+    assert(out.getLong(5) == 450000000000000000L, s"planned: $out")
+    assert(!out.getBoolean(6))
+  }
+
   test("MixturePlan rejects a non-string strata column") {
     val docs = Seq((1, 100L)).toDF("lang", "toks")
     assertThrows[IllegalArgumentException] {
