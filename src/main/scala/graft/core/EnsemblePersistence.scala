@@ -391,6 +391,11 @@ object EnsemblePersistence {
     case PrefixDedup(id, text, n) =>
       ("type" -> "PrefixDedup") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("n" -> n)
+    case MlpScorer(layers, vec, out) =>
+      ("type" -> "MlpScorer") ~ ("vecCol" -> vec) ~ ("outputCol" -> out) ~
+        ("layers" -> layers.map(l =>
+          ("weights" -> l.weights.map(_.toList).toList) ~
+            ("bias" -> l.bias.toList) ~ ("activation" -> l.activation)))
     // the two incremental-ingest ops persist their accepted-corpus index
     // (digests / signatures) as the parquet side artifact — the exact
     // state updatedIndex hands to the next batch
@@ -807,6 +812,12 @@ object EnsemblePersistence {
           (o \ "normalized").extract[Boolean])
       case "PrefixDedup" =>
         PrefixDedup(s("idCol"), s("textCol"), (o \ "n").extract[Int])
+      case "MlpScorer" =>
+        MlpScorer((o \ "layers").extract[List[JValue]].map(l =>
+          MlpLayer((l \ "weights").extract[Seq[Seq[Double]]],
+            (l \ "bias").extract[Seq[Double]],
+            (l \ "activation").extract[String])),
+          s("vecCol"), s("outputCol"))
       case "NgramJaccardDedup" =>
         NgramJaccardDedup(s("idCol"), s("textCol"), (o \ "n").extract[Int],
           (o \ "thresholdBp").extract[Int])

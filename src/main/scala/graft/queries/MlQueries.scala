@@ -164,6 +164,59 @@ object MlQueries {
     (forest.toSeq ++ forestClf.toSeq ++ lr.toSeq).toMap
   }
 
+  /** Deterministic portable-MLP weights (64 → 4 relu → 1 linear), exact
+    * eighths so the forward pass is plain dyadic-rational arithmetic.
+    * ONE definition feeds both the Spark op and the oracle SQL. */
+  private[graft] val mlpLayers: Seq[MlpLayer] = {
+    val dim = 64; val hidden = 4
+    Seq(
+      MlpLayer(
+        (0 until hidden).map(u => (0 until dim).map(d => ((d + u) % 7 - 3) / 8.0)),
+        (0 until hidden).map(u => u / 4.0),
+        "relu"),
+      MlpLayer(Seq(Seq(0.5, -0.25, 0.125, 1.0)), Seq(0.0625), "linear"))
+  }
+
+  /** MlpScorer over the embedding table: the portable-weights neural
+    * ranking head (PredictTensorflow/PyTorch capability analog, scored
+    * as pure expressions). Emits the raw logit plus its sign decision —
+    * both exact, both hash-checked. */
+  def mlMlpPortable(spark: SparkSession, d: String): DataFrame =
+    MlpScorer(mlpLayers, "embedding").transform(embeddings(spark, d))
+      .select(col("vec_id"), col("label"),
+        col("output__0").as("score"),
+        (col("output__0") > lit(0.0)).as("positive"))
+      .orderBy("vec_id")
+
+  /** ml_mlp_portable's oracle, generated from [[mlpLayers]] (static
+    * constants, so no dump-time dependency): per-unit
+    * `lip(v, w) + b` with relu as a CASE, the output layer as one inner
+    * product over the hidden list — the exact fold order of the op's
+    * ArrayDotProduct chain. */
+  private def mlpOracleSql: String = {
+    val h = mlpLayers.head
+    val o = mlpLayers(1)
+    val zs = h.weights.zip(h.bias).zipWithIndex.map { case ((w, b), u) =>
+      s"list_inner_product(v, '${w.mkString("[", ", ", "]")}'::DOUBLE[]) + '$b'::DOUBLE AS z$u"
+    }.mkString(",\n    ")
+    val hs = h.weights.indices.map(u =>
+      s"CASE WHEN z$u > 0 THEN z$u ELSE 0.0 END AS h$u").mkString(",\n    ")
+    val hlist = h.weights.indices.map(u => s"h$u").mkString("[", ", ", "]")
+    val w2 = o.weights.head.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |z AS (SELECT vec_id, label,
+       |    $zs
+       |  FROM e),
+       |h AS (SELECT vec_id, label,
+       |    $hs
+       |  FROM z),
+       |s AS (SELECT vec_id, label,
+       |    list_inner_product($hlist, '$w2'::DOUBLE[]) + '${o.bias.head}'::DOUBLE AS score
+       |  FROM h)
+       |SELECT vec_id, label, score, score > 0.0 AS positive
+       |FROM s ORDER BY vec_id""".stripMargin
+  }
+
   /** PredictForestClassifier: binary class id + positive-class probability
     * for "is this an expensive part" (rows-only: training-based). */
   def mlForestClassify(spark: SparkSession, d: String): DataFrame = {
@@ -501,12 +554,14 @@ object MlQueries {
     "ml_forest_portable_multi" -> (mlForestPortableMulti _),
     "ml_forest_lgb" -> (mlForestLgb _),
     "ml_forest_sklearn" -> (mlForestSklearn _),
-    "pipeline_recsys" -> (pipelineRecsys _))
+    "pipeline_recsys" -> (pipelineRecsys _),
+    "ml_mlp_portable" -> (mlMlpPortable _))
 
   /** ml_workflow is the one ML query with a SQL-expressible output:
     * StringIndexer(frequencyDesc) == rank by (count DESC, value ASC), and
     * the scaled column is checked through its (monotonic) rank. */
   val oracle: Map[String, String] = Map(
+    "ml_mlp_portable" -> mlpOracleSql,
     // the trees' CASE mirror, summed in model order like the op's fold;
     // the class cut is the op's precomputed margin-space threshold
     // constant (ln(0.7/0.3)), interpolated so neither engine re-derives ln

@@ -74,6 +74,13 @@ class EnsemblePersistenceSpec extends SparkSpec {
     EnsemblePersistence.save(Ensemble(Seq(cos), vecSchema), dir2, spark)
     assert(EnsemblePersistence.load(dir2, spark).ops.head == cos)
 
+    val mlp = MlpScorer(Seq(
+      MlpLayer(Seq(Seq(0.5, -0.25), Seq(1.0, 0.5)), Seq(0.125, -2.0), "relu"),
+      MlpLayer(Seq(Seq(2.0, 4.0)), Seq(0.0625), "linear")), "embedding")
+    val dirMlp = Files.tmp("ens_param")
+    EnsemblePersistence.save(Ensemble(Seq(mlp), vecSchema), dirMlp, spark)
+    assert(EnsemblePersistence.load(dirMlp, spark).ops.head == mlp)
+
     // fit-time center round-trips by value (and its absence stays None)
     val cosCtr = cos.copy(center = Some(Seq(0.25, -1.5)))
     val dirCtr = Files.tmp("ens_param")
