@@ -87,6 +87,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out(2L) == -0.125 + 0.5 + 0.375)
   }
 
+  test("scoreStream serves a portable MLP head over a request stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // expression-only forward pass: zero state, exactly the batch logits
+    val src = MemoryStream[(Long, Seq[Double])]
+    val requests = src.toDF().toDF("req_id", "embedding")
+    val op = graft.ops.MlpScorer(Seq(
+      graft.ops.MlpLayer(Seq(Seq(0.5, -0.25), Seq(1.0, 0.5)),
+        Seq(0.125, -2.0), "relu"),
+      graft.ops.MlpLayer(Seq(Seq(2.0, 4.0)), Seq(0.0625), "linear")),
+      "embedding")
+    val q = StreamingOps.scoreStream(requests)(op.transform)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mlp_served").start()
+    src.addData((1L, Seq(1.0, 2.0)), (2L, Seq(-4.0, 0.0)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("mlp_served").select($"req_id", $"output__0")
+      .as[(Long, Double)].collect().toMap
+    // same hand-walked logits as MlpScorerSpec's batch test
+    assert(out(1L) == 0.3125 && out(2L) == 0.0625, s"got $out")
+  }
+
   test("dedupStream emits only the first document per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String)]
