@@ -33,6 +33,11 @@ object GraftExtensions {
         case Seq(a, b) => ArrayDotProduct(a, b)
         case _ => throw new IllegalArgumentException("array_dot(a, b)")
       }),
+    ("array_agree_count", "count of positions where two bigint arrays agree",
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ArrayAgreeCount(a, b)
+        case _ => throw new IllegalArgumentException("array_agree_count(a, b)")
+      }),
     ("simhash64", "64-bit SimHash over a string-array column",
       (args: Seq[Expression]) => args match {
         case Seq(c) => SimHash64(c)

@@ -36,10 +36,15 @@ class BenchSmokeSpec extends SparkSpec {
     "dedup_clusters" -> 1.5,
     "pipeline_feature_workflow" -> 1.5,
     "op_pca_ann_recall" -> 1.0,
+    "pipeline_recsys" -> 1.5,
     "text_scrub_spans" -> 1.0)
 
   floors.toSeq.sortBy(_._1).foreach { case (name, floor) =>
     test(s"warm steady-state within ceiling: $name") {
+      // the flagship serves from prefit parquet factors (the bench's
+      // offline-artifact discipline) — the gate times serving, not the
+      // seeded ALS fit's 4x run-to-run variance
+      if (name == "pipeline_recsys") Flagship.prewarmAlsFactors(spark, sfDir)
       val fn = SparkEntry.queries(name)
       def run(): Double = {
         // same inter-execution isolation as Bench: each run starts from

@@ -22,6 +22,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT lsh_bucket(a, array(0.0D, 0.0D), 4) AS bkt FROM vecs").head().getInt(0)
     assert(viaApi == viaSql)
+    val agree = spark.sql(
+      "SELECT array_agree_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS c")
+      .head().getInt(0)
+    assert(agree == 2, "signature-agreement kernel reachable from SQL")
   }
 
   test("word_shingles, simhash64 and repetition_signals work from pure SQL") {
