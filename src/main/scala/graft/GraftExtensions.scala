@@ -55,6 +55,18 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "minhash_band_keys(shingles, numHashes, bands)")
       }),
+    ("minhash_signature", "fixed-size MinHash signature of a shingle array",
+      (args: Seq[Expression]) => args match {
+        case Seq(c, h) => MinHashSignature(c, intArg("minhash_signature", h))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(shingles, numHashes)")
+      }),
+    ("sig_band_keys", "LSH band keys of a MinHash signature",
+      (args: Seq[Expression]) => args match {
+        case Seq(c, b) => SigBandKeys(c, intArg("sig_band_keys", b))
+        case _ => throw new IllegalArgumentException(
+          "sig_band_keys(signature, bands)")
+      }),
     ("lsh_bucket", "sign-random-projection LSH bucket of an embedding",
       (args: Seq[Expression]) => args match {
         case Seq(v, center, bits) => LshBucket(v, center, intArg("lsh_bucket", bits))

@@ -26,6 +26,18 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT array_agree_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS c")
       .head().getInt(0)
     assert(agree == 2, "signature-agreement kernel reachable from SQL")
+    // the whole minhash pipeline from pure SQL: shingle → signature →
+    // band keys, identical to the DataFrame API's expressions
+    val bands = spark.sql(
+      """SELECT sig_band_keys(minhash_signature(
+        |  word_shingles('the quick brown fox jumps high', 3), 8), 4) AS bk""".stripMargin)
+      .head().getSeq[Long](0)
+    val viaApi2 = Seq("the quick brown fox jumps high").toDF("text")
+      .select(FastExpressions.sigBandKeys(
+        FastExpressions.minhashSignature(
+          FastExpressions.wordShingles(col("text"), 3), 8), 4).as("bk"))
+      .head().getSeq[Long](0)
+    assert(bands == viaApi2 && bands.size == 4)
   }
 
   test("word_shingles, simhash64 and repetition_signals work from pure SQL") {
