@@ -314,8 +314,11 @@ object CurationQueries {
       graft.functions.VectorFunctions.meanVector(
         embeddings(spark, d), "embedding").toSeq)
 
+  private val cosLshBits = 6
+  private val cosLshTables = 16
+
   def neardupCosineBucketed(spark: SparkSession, d: String): DataFrame =
-    CosineNearDup(threshold = 0.45, numBits = 6, numTables = 16,
+    CosineNearDup(threshold = 0.45, numBits = cosLshBits, numTables = cosLshTables,
       center = Some(cachedCosLshCenter(spark, d)))
       .transform(embeddings(spark, d))
       .orderBy("id_a", "id_b")
@@ -328,7 +331,7 @@ object CurationQueries {
     * candidate is exactly verified by the shared guarded cosine. */
   def cosLshOracle: Map[String, String] =
     cosLshCenterCache.toSeq.sortBy(_._1).headOption.map { case (_, mu) =>
-      val (numBits, numTables) = (6, 16)
+      val (numBits, numTables) = (cosLshBits, cosLshTables)
       val dim = mu.size
       import org.apache.spark.sql.catalyst.expressions.XxHash64Function
       import org.apache.spark.sql.types.IntegerType

@@ -176,12 +176,18 @@ object OpQueries {
           .select(col("vec_id").as("item_id"), col("embedding")),
         "embedding").toSeq)
 
+  /** Shared op/oracle parameters — ONE definition so the SQL mirror can
+    * never silently drift from the query. */
+  private val annLshBits = 5
+  private val annLshProbes = 6
+
   def annLsh(spark: SparkSession, d: String): DataFrame = {
     val emb = embeddings(spark, d)
     val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
     val items = emb.filter(col("label") =!= 0).select(col("vec_id").as("item_id"), col("embedding"))
-    AnnLsh(items, "vec_id", "embedding", k = 10, numBits = 5, nprobe = 6,
-      metric = "cosine", center = Some(cachedLshCenter(spark, d)))
+    AnnLsh(items, "vec_id", "embedding", k = 10, numBits = annLshBits,
+      nprobe = annLshProbes, metric = "cosine",
+      center = Some(cachedLshCenter(spark, d)))
       .asRows(queries).orderBy("vec_id", "rank")
   }
 
@@ -196,7 +202,7 @@ object OpQueries {
     * cosine top-k replays the shared guarded formula. */
   def lshOracle: Map[String, String] =
     lshCenterCache.toSeq.sortBy(_._1).headOption.map { case (_, mu) =>
-      val numBits = 5
+      val numBits = annLshBits
       val dim = mu.size
       import org.apache.spark.sql.catalyst.expressions.XxHash64Function
       import org.apache.spark.sql.types.IntegerType
@@ -208,7 +214,7 @@ object OpQueries {
         s"($p, ${1 << p}, '${sv.mkString("[", ", ", "]")}'::DOUBLE[])"
       }.mkString(",\n  ")
       val probes = (Seq("SELECT vec_id, home AS bucket FROM qb") ++
-        (0 until numBits).map(i =>
+        (0 until (annLshProbes - 1)).map(i =>
           s"SELECT vec_id, xor(home, ${1 << i}) FROM qb")).mkString("\n  UNION ALL ")
       val norm = (c: String) => s"sqrt(list_inner_product($c, $c))"
       "op_ann_lsh" ->
