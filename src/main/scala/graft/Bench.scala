@@ -94,7 +94,8 @@ object Bench {
     // from plain parquet-backed frames (no live MLlib state for the
     // inter-query cache-clearing below to evict) — the serving query
     // then measures retrieval + ranking, not training
-    if (selected.exists(_._1 == "pipeline_recsys"))
+    if (selected.exists(n =>
+        n._1 == "pipeline_recsys" || n._1 == "ml_als_recommend"))
       prewarm("als")(Flagship.prewarmAlsFactors(spark, sfDir))
     // Per-query isolation, run before EVERY timed execution: earlier
     // executions leave cached blocks behind (MLlib fits persist internal

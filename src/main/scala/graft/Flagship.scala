@@ -56,6 +56,14 @@ object Flagship {
       dir
     })
 
+  /** The prefit parquet factor frames, when [[prewarmAlsFactors]] ran
+    * for this dir — the loadable serving artifact other queries
+    * (ml_als_recommend) share. */
+  def prefitFactorFrames(spark: SparkSession,
+      d: String): Option[(DataFrame, DataFrame)] =
+    factorDirCache.get(d).map(dir =>
+      (spark.read.parquet(s"$dir/user"), spark.read.parquet(s"$dir/item")))
+
   /** The factor tables: prefit parquet when [[prewarmAlsFactors]] ran for
     * this dir (serving path — no MLlib state), an inline fit otherwise
     * (Verify and ad-hoc use, where the fit cost is acceptable). */

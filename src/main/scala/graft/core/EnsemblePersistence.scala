@@ -253,9 +253,14 @@ object EnsemblePersistence {
         ("predictProba" -> x.predictProba) ~ ("failOnNull" -> x.failOnNull) ~
         ("outputCol" -> x.outputCol)
     case m: PredictImplicit =>
-      val p = artifactPath(dir, i, "als_model")
-      m.model.write.overwrite().save(p)
-      ("type" -> "PredictImplicit") ~ ("path" -> p) ~
+      // pure-data artifact: the factor TABLES persist as parquet (the
+      // reference's .npz discipline, implicit.py:58-71) — loading needs
+      // no MLlib reader and carries no live model state
+      val pu = artifactPath(dir, i, "user_factors")
+      val pv = artifactPath(dir, i, "item_factors")
+      m.userFactors.write.mode("overwrite").parquet(pu)
+      m.itemFactors.write.mode("overwrite").parquet(pv)
+      ("type" -> "PredictImplicit") ~ ("userPath" -> pu) ~ ("itemPath" -> pv) ~
         ("numToRecommend" -> m.numToRecommend) ~ ("userCol" -> m.userCol) ~
         ("broadcastBudgetBytes" -> m.broadcastBudgetBytes)
     case c: PredictClassifier =>
@@ -707,12 +712,20 @@ object EnsemblePersistence {
           (o \ "predictProba").extract[Boolean],
           (o \ "failOnNull").extract[Boolean], s("outputCol"))
       case "PredictImplicit" =>
-        PredictImplicit(
-          org.apache.spark.ml.recommendation.ALSModel.load(s("path")),
-          (o \ "numToRecommend").extract[Int], s("userCol"),
-          // optional for artifacts saved before the size gate existed;
-          // default mirrors the case class
-          (o \ "broadcastBudgetBytes").extractOpt[Long].getOrElse(1L << 30))
+        // legacy artifacts (pre factor-table layout) carried an MLlib
+        // ALSModel under "path"; adapt them through fromModel
+        (o \ "userPath").extractOpt[String] match {
+          case Some(pu) =>
+            PredictImplicit(
+              spark.read.parquet(pu), spark.read.parquet(s("itemPath")),
+              (o \ "numToRecommend").extract[Int], s("userCol"),
+              (o \ "broadcastBudgetBytes").extractOpt[Long].getOrElse(1L << 30))
+          case None =>
+            PredictImplicit.fromModel(
+              org.apache.spark.ml.recommendation.ALSModel.load(s("path")),
+              (o \ "numToRecommend").extract[Int], s("userCol"),
+              (o \ "broadcastBudgetBytes").extractOpt[Long].getOrElse(1L << 30))
+        }
       case "PredictClassifier" =>
         PredictClassifier(
           org.apache.spark.ml.classification.LogisticRegressionModel.load(s("path")),

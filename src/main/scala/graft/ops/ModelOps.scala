@@ -138,9 +138,19 @@ object PredictForestClassifier {
 
 /** Matrix-factorization recommend (reference PredictImplicit,
   * implicit.py:92-113): per user, top-N item ids + scores. */
-case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
+case class PredictImplicit(
+    userFactors: DataFrame, // (id int, features array<float>)
+    itemFactors: DataFrame,
+    numToRecommend: Int = 10,
     userCol: String = "user_id",
     broadcastBudgetBytes: Long = 1L << 30) extends EnsembleOp {
+
+  // The op serves from FACTOR TABLES, not a live ALSModel — the
+  // reference's exact artifact contract (implicit.py:58-71 loads
+  // user/item factors from .npz; serving never touches the trainer).
+  // Parquet-backed frames hold no MLlib state, so a long-lived serving
+  // session's cache management can never evict them into a retrain;
+  // [[PredictImplicit.fromModel]] adapts a freshly-trained ALSModel.
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, userCol)
@@ -167,10 +177,14 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
   // [[partitionedTopN]] — item factors never leave their partitions.
   // memoized: the model is immutable, so the gate's count job runs once
   // per op instance, not once per transform call
-  @transient private lazy val itemCount: Long = model.itemFactors.count()
+  @transient private lazy val itemCount: Long = itemFactors.count()
+  /** Factor rank read from the artifact itself (one 1-row job per op
+    * instance — a fit-time scalar, like the gate count above). */
+  @transient private lazy val rank: Int =
+    itemFactors.select(col("features")).head().getSeq[Float](0).size
 
   override def transform(df: DataFrame): DataFrame =
-    if (itemCount * model.rank * 4L > broadcastBudgetBytes)
+    if (itemCount * rank * 4L > broadcastBudgetBytes)
       partitionedTopN(df)
     else blockedTopN(df)
 
@@ -178,7 +192,7 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
     * requested user (MLlib's recommendForUserSubset contract for
     * duplicated request rows); cold users drop via the inner join. */
   private def requestedUsers(df: DataFrame): DataFrame = {
-    val userF = model.userFactors
+    val userF = userFactors
     df.select(col(userCol)).distinct()
       .join(userF, col(userCol).cast("int") === userF("id"))
       .select(col(userCol).cast("long").as(userCol), col("features").as("__uvec"))
@@ -197,7 +211,7 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
   private def partitionedTopN(df: DataFrame): DataFrame = {
     import graft.functions.{TopKAggregator, VectorFunctions}
     val topk = udaf(new TopKAggregator(numToRecommend))
-    val items = model.itemFactors.select(
+    val items = itemFactors.select(
       col("id").cast("long").as("__iid"), col("features").as("__ivec"))
     requestedUsers(df)
       .join(items) // cartesian: |users|/p × |items|/q tasks, all parallel
@@ -212,8 +226,8 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
   private def blockedTopN(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rank = model.rank
-    val itemRows = model.itemFactors.select(col("id"), col("features"))
+    val rank = this.rank
+    val itemRows = itemFactors.select(col("id"), col("features"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
     val n = itemRows.length
     val itemIds = new Array[Int](n)
@@ -286,6 +300,14 @@ case class PredictImplicit(model: ALSModel, numToRecommend: Int = 10,
 }
 
 object PredictImplicit {
+  /** Adapt a freshly-trained (or MLlib-loaded) ALSModel to the
+    * factor-table serving contract. */
+  def fromModel(model: ALSModel, numToRecommend: Int = 10,
+      userCol: String = "user_id",
+      broadcastBudgetBytes: Long = 1L << 30): PredictImplicit =
+    PredictImplicit(model.userFactors, model.itemFactors,
+      numToRecommend, userCol, broadcastBudgetBytes)
+
   /** Train seeded implicit-feedback ALS on (user, item, strength) rows. */
   def train(interactions: DataFrame, userCol: String, itemCol: String,
       ratingCol: String, rank: Int = 8, maxIter: Int = 5, seed: Long = 42L): ALSModel = {

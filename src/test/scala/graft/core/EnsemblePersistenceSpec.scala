@@ -429,12 +429,12 @@ class EnsemblePersistenceSpec extends SparkSpec {
       clf.transform(train).orderBy("f1").collect().toSeq)
   }
 
-  test("PredictImplicit (ALS) round-trips via the MLlib writer") {
+  test("PredictImplicit round-trips via parquet factor tables") {
     val inter = Seq(
       (1, 1, 2.0f), (1, 2, 1.0f), (2, 1, 1.0f), (2, 3, 2.0f),
       (3, 2, 1.0f), (3, 3, 2.0f), (4, 1, 2.0f), (4, 2, 2.0f)
     ).toDF("user", "item", "strength")
-    val op = PredictImplicit(
+    val op = PredictImplicit.fromModel(
       PredictImplicit.train(inter, "user", "item", "strength", rank = 4, maxIter = 3),
       numToRecommend = 2, userCol = "user_id")
     val req = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("user_id")

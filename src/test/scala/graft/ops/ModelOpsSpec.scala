@@ -109,8 +109,8 @@ class ModelOpsSpec extends SparkSpec {
     val model = PredictImplicit.train(inter, "user", "item", "strength",
       rank = 4, maxIter = 3)
     val req = (1 to 30).map(_.toLong).toDF("user_id")
-    val blocked = PredictImplicit(model, numToRecommend = 5).transform(req)
-    val gated = PredictImplicit(model, numToRecommend = 5,
+    val blocked = PredictImplicit.fromModel(model, numToRecommend = 5).transform(req)
+    val gated = PredictImplicit.fromModel(model, numToRecommend = 5,
       broadcastBudgetBytes = 1L) // any catalog exceeds 1 byte → fallback
       .transform(req)
     // the fallback really is partition-parallel: no broadcast of factors
