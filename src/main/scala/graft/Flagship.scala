@@ -41,11 +41,26 @@ object Flagship {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Fit ALS once and persist both factor tables as parquet (bench/serve
-    * prewarm — the offline-training step). Idempotent per data dir. */
-  def prewarmAlsFactors(spark: SparkSession, d: String): Unit =
+    * prewarm — the offline-training step). Idempotent per data dir.
+    *
+    * `artifactDir` is where the factor tables live: on a real cluster
+    * pass a SHARED-STORAGE URI (HDFS/S3/...) — executors cannot read a
+    * driver-local path. The default (a driver-local temp dir, deleted on
+    * JVM exit) is a LOCAL-MODE convenience for bench/test runs only. */
+  def prewarmAlsFactors(spark: SparkSession, d: String,
+      artifactDir: Option[String] = None): Unit =
     factorDirCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_als_factors_")
-        .toString
+      val dir = artifactDir.getOrElse {
+        val t = java.nio.file.Files.createTempDirectory("graft_als_factors_")
+        sys.addShutdownHook {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          if (Files.exists(t))
+            Files.walk(t).iterator().asScala.toSeq.reverseIterator
+              .foreach((p: Path) => Files.deleteIfExists(p))
+        }
+        t.toString
+      }
       val interactions = interactionsFrame(spark, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val als = PredictImplicit.train(interactions, "user", "item", "strength",

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Pin dump-time oracles to THIS dir's fitted constants — a JVM that
+    // has run queries for several dirs must not dump another dir's fit.
+    graft.queries.OracleDir.active = Some(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -77,11 +77,16 @@ case class MlpScorer(
   }
 
   /** One unit: dot against the literal weight row, plus bias, then the
-    * layer activation. */
+    * layer activation. relu must propagate NULL explicitly: ArrayDotProduct
+    * returns NULL on a dimension-mismatched or null-element vector, and
+    * Spark's `greatest` SKIPS nulls — a bare `greatest(0, z)` would turn
+    * that NULL into 0.0 and emit a phantom bias-only logit instead of a
+    * NULL score. */
   private def unit(prev: Column, w: Seq[Double], b: Double,
       act: String): Column = {
     val z = V.dot(prev, typedLit(w.toArray)) + lit(b)
-    if (act == "relu") greatest(lit(0.0), z) else z
+    if (act == "relu") when(z.isNull, lit(null)).otherwise(greatest(lit(0.0), z))
+    else z
   }
 
   override def transform(df: DataFrame): DataFrame = {

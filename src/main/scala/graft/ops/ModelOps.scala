@@ -179,9 +179,16 @@ case class PredictImplicit(
   // per op instance, not once per transform call
   @transient private lazy val itemCount: Long = itemFactors.count()
   /** Factor rank read from the artifact itself (one 1-row job per op
-    * instance — a fit-time scalar, like the gate count above). */
-  @transient private lazy val rank: Int =
+    * instance — a fit-time scalar, like the gate count above). Guarded:
+    * an empty item-factor table (e.g. a bad artifact path read as zero
+    * rows) must fail with an op-named error, not an opaque
+    * NoSuchElementException from head(), and blockedTopN is undefined
+    * over zero items anyway. */
+  @transient private lazy val rank: Int = {
+    require(itemCount > 0,
+      s"$name: item-factor table is empty — check the factor artifact path")
     itemFactors.select(col("features")).head().getSeq[Float](0).size
+  }
 
   override def transform(df: DataFrame): DataFrame =
     if (itemCount * rank * 4L > broadcastBudgetBytes)

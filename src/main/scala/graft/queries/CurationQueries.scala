@@ -330,7 +330,7 @@ object CurationQueries {
     * t·2³² + bits, candidates are distinct same-bucket pairs, and every
     * candidate is exactly verified by the shared guarded cosine. */
   def cosLshOracle: Map[String, String] =
-    cosLshCenterCache.toSeq.sortBy(_._1).headOption.map { case (_, mu) =>
+    OracleDir.pick(cosLshCenterCache).map { mu =>
       val (numBits, numTables) = (cosLshBits, cosLshTables)
       val dim = mu.size
       import org.apache.spark.sql.catalyst.expressions.XxHash64Function
@@ -886,7 +886,7 @@ object CurationQueries {
   /** neardup_semantic's oracle, generated at oracle-dump time from the
     * fitted centers (empty until the query has run in this JVM). */
   def semanticOracle: Map[String, String] =
-    semCenterCache.values.toSeq.headOption.map { centers =>
+    OracleDir.pick(semCenterCache).map { centers =>
       val rows = centers.zipWithIndex.map { case (c, i) =>
         val c2 = c.map(x => x * x).sum
         s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[], '$c2'::DOUBLE)"

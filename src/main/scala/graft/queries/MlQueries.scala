@@ -103,7 +103,7 @@ object MlQueries {
     * default 0.5 threshold is exactly `margin > 0`, so no transcendental
     * crosses the engines). */
   def dynamicOracle: Map[String, String] = {
-    val forestClf = clfCache.values.toSeq.headOption.map { clf =>
+    val forestClf = OracleDir.pick(clfCache).map { clf =>
       // MLlib RF classification votes: raw_c = sum over trees (in tree
       // order) of the leaf's classCounts(c)/total — each per-leaf share
       // precomputed in Scala (bit-identical division) and inlined;
@@ -122,7 +122,7 @@ object MlQueries {
            |  p1 AS p_class1
            |FROM pr ORDER BY p_partkey""".stripMargin
     }
-    val forest = rfCache.values.toSeq.headOption.map { op =>
+    val forest = OracleDir.pick(rfCache).map { op =>
       val trees = op.model.trees.map(t => nodeSql(t.rootNode, forestFeats))
       val avg = trees.mkString("(", "\n + ",
         s")\n / (${op.model.getNumTrees})::DOUBLE")
@@ -131,7 +131,7 @@ object MlQueries {
            |SELECT p_partkey, $avg AS output__0
            |FROM f ORDER BY p_partkey""".stripMargin
     }
-    val lr = lrCache.values.toSeq.headOption.map { op =>
+    val lr = OracleDir.pick(lrCache).map { op =>
       // multinomial softmax: prediction = argmax over class margins
       // (first max wins, MLlib Vector.argmax) — per-class margin is the
       // inlined-coefficient dot + intercept; no transcendental crosses

@@ -201,7 +201,7 @@ object OpQueries {
     * sign; probes are the home bucket plus single-bit XOR flips; and the
     * cosine top-k replays the shared guarded formula. */
   def lshOracle: Map[String, String] =
-    lshCenterCache.toSeq.sortBy(_._1).headOption.map { case (_, mu) =>
+    OracleDir.pick(lshCenterCache).map { mu =>
       val numBits = annLshBits
       val dim = mu.size
       import org.apache.spark.sql.catalyst.expressions.XxHash64Function
@@ -319,9 +319,9 @@ object OpQueries {
     * (score DESC, id ASC) order is a window rank. Empty until the query
     * has run in this JVM (selective Verify → rows-only, as before). */
   def ivfOracle: Map[String, String] =
-    centerCache.keys.filter(k => k._2 == 32 && k._3 == 5).toSeq.sorted
-      .headOption.map { key =>
-        val centers = centerCache(key)
+    OracleDir.pickKey(centerCache, (k: (String, Int, Int)) => k._1,
+        (k: (String, Int, Int)) => k._2 == 32 && k._3 == 5)
+      .map { case (key, centers) =>
         val nprobe = math.min(8, centers.size)
         val rows = centers.zipWithIndex.map { case (c, i) =>
           val c2 = c.map(x => x * x).sum
@@ -363,7 +363,7 @@ object OpQueries {
     * to refine=200; and the final top-10 re-ranks the nominees by exact
     * dot. Empty until the query has run in this JVM. */
   def pqOracle: Map[String, String] =
-    codebookCache.keys.toSeq.sorted.headOption.flatMap { d =>
+    OracleDir.pickDir(codebookCache.keys).flatMap { d =>
       centerCache.get((d, 32, 5)).map { centers =>
         val codebooks = codebookCache(d)
         val m = codebooks.size
@@ -442,8 +442,8 @@ object OpQueries {
     }.toMap
 
   def pcaOracle: Map[String, String] =
-    pcaAxesCache.keys.filter(_._2 == 8).toSeq.sorted.headOption.map { key =>
-      val axes = pcaAxesCache(key)
+    OracleDir.pickKey(pcaAxesCache, (k: (String, Int)) => k._1,
+        (k: (String, Int)) => k._2 == 8).map { case (key, axes) =>
       val branches = axes.zipWithIndex.map { case (axis, i) =>
         val litArr = axis.mkString("[", ", ", "]")
         s"SELECT vec_id, $i AS pos, list_inner_product(v, '$litArr'::DOUBLE[]) AS x FROM e"

@@ -1,0 +1,38 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+/** The data dir a dump-time oracle should pair its fitted constants with.
+  *
+  * Dump-time oracles inline memoized fitted parameters (tree splits,
+  * centroids, LSH centers, PCA axes) as SQL literals. The caches are
+  * keyed by data dir; when queries have run for MORE than one dir in a
+  * JVM, picking an arbitrary entry (TrieMap iteration order) could pair
+  * one dir's fitted constants with another dir's data and fail
+  * verification nondeterministically. [[graft.Verify]] declares the dir
+  * it is dumping for; every oracle prefers that dir's entry and falls
+  * back to the smallest key (deterministic) when unset. */
+object OracleDir {
+  @volatile var active: Option[String] = None
+
+  /** Preferred dir among `dirs`: the active verify dir when fitted there,
+    * else the smallest — never TrieMap iteration order. */
+  def pickDir(dirs: Iterable[String]): Option[String] = {
+    val s = dirs.toSeq.sorted
+    s.find(active.contains).orElse(s.headOption)
+  }
+
+  /** Entry from a plain dir-keyed fit cache. */
+  def pick[V](cache: TrieMap[String, V]): Option[V] =
+    pickDir(cache.keys).map(cache(_))
+
+  /** Entry from a composite-keyed fit cache: `accept` filters to the
+    * query's canonical parameterization, `dirOf` reads the data dir out
+    * of the key. */
+  def pickKey[K, V](cache: TrieMap[K, V], dirOf: K => String,
+      accept: K => Boolean)(implicit ord: Ordering[K]): Option[(K, V)] = {
+    val keys = cache.keys.filter(accept).toSeq.sorted
+    keys.find(k => active.contains(dirOf(k))).orElse(keys.headOption)
+      .map(k => k -> cache(k))
+  }
+}

@@ -23,9 +23,16 @@ package graft
   * move these plans (≤1.3x at sf0.1) because every small side carries an
   * explicit broadcast() hint the threshold cannot disable — the plans
   * don't depend on the auto-sizing heuristic (see SCALE.md round 7).
-  */
+  *
+  * Wall-clock assertions inside `sbt test` can flake on a contended host
+  * independent of any plan regression — and a gate people learn to ignore
+  * is worse than none. The suite therefore always RUNS and reports its
+  * timings (info lines), but only ENFORCES the ceilings when
+  * `GRAFT_PERF_GATE=1` (set it for bench rounds / perf work); ordinary
+  * test runs stay deterministic. */
 class BenchSmokeSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.01"
+  private val enforce = sys.env.get("GRAFT_PERF_GATE").contains("1")
 
   /** Warm floors in seconds, measured at sf0.01 / local[4] (this suite's
     * session config). Re-baseline here if a query's plan legitimately
@@ -58,12 +65,17 @@ class BenchSmokeSpec extends SparkSpec {
       run() // cold: one-time codegen/JIT, uncounted
       val warm = run()
       val ceiling = floor * 4 + 2.0
-      info(f"$name%-28s warm $warm%6.2f s (ceiling $ceiling%5.2f s)")
-      assert(warm <= ceiling,
-        f"$name warm $warm%.2f s exceeds ceiling $ceiling%.2f s — " +
-          "either a plan regression (lost broadcast / new shuffle / " +
-          "inlined projection under a pair join) or the floor needs " +
-          "re-baselining after a deliberate plan change")
+      info(f"$name%-28s warm $warm%6.2f s (ceiling $ceiling%5.2f s" +
+        (if (enforce) ", enforced)" else ", report-only — set GRAFT_PERF_GATE=1 to enforce)"))
+      if (enforce)
+        assert(warm <= ceiling,
+          f"$name warm $warm%.2f s exceeds ceiling $ceiling%.2f s — " +
+            "either a plan regression (lost broadcast / new shuffle / " +
+            "inlined projection under a pair join) or the floor needs " +
+            "re-baselining after a deliberate plan change")
+      else if (warm > ceiling)
+        info(f"WARNING: $name warm $warm%.2f s exceeds ceiling $ceiling%.2f s " +
+          "(not failing: GRAFT_PERF_GATE unset)")
     }
   }
 }

@@ -41,6 +41,24 @@ class MlpScorerSpec extends SparkSpec {
         org.apache.spark.sql.types.DoubleType))
   }
 
+  test("relu propagates NULL from a dimension-mismatched vector (no phantom bias logit)") {
+    // ArrayDotProduct returns NULL on a wrong-width or null-element
+    // vector; greatest() SKIPS nulls, so an unguarded relu would score
+    // such rows 0.0 and the head would emit a bias-only logit. The unit
+    // must instead null the whole forward pass.
+    val df = Seq(
+      (1L, Seq(1.0, 2.0)),        // well-formed
+      (2L, Seq(1.0)),             // wrong width
+      (3L, Seq(1.0, Double.NaN))  // NaN is a VALUE, must flow, not null
+    ).toDF("vec_id", "embedding")
+    val rows = MlpScorer.fromJson(json, "embedding").transform(df)
+      .orderBy("vec_id").collect()
+    assert(!rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(2),
+      "mismatched vector must score NULL, not the bias-only 0.0625")
+    assert(!rows(2).isNullAt(2) && rows(2).getDouble(2).isNaN)
+  }
+
   test("fail-fast on unsupported activation and non-chaining widths") {
     assertThrows[IllegalArgumentException] {
       MlpLayer(Seq(Seq(1.0)), Seq(0.0), "sigmoid")

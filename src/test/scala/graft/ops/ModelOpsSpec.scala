@@ -131,4 +131,16 @@ class ModelOpsSpec extends SparkSpec {
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.sql)).toSeq
     assert(shape(blocked.schema) == shape(gated.schema))
   }
+
+  // A bad artifact path reads back as an empty factor table; the op must
+  // name itself in the failure, not surface head()'s NoSuchElementException.
+  test("PredictImplicit fails loudly on an empty item-factor table") {
+    val empty = Seq.empty[(Int, Seq[Float])].toDF("id", "features")
+    val users = Seq((1, Seq(1.0f))).toDF("id", "features")
+    val req = Seq(1L).toDF("user_id")
+    val e = intercept[IllegalArgumentException] {
+      PredictImplicit(users, empty, numToRecommend = 3).transform(req)
+    }
+    assert(e.getMessage.contains("item-factor table is empty"), e.getMessage)
+  }
 }
