@@ -12,13 +12,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.OpQueries.queries ++
-      graft.queries.CurationQueries.queries ++ graft.queries.MlQueries.queries
+      graft.queries.CurationQueries.queries ++ graft.queries.MlQueries.queries ++
+      graft.queries.StorageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.OpQueries.oracle ++
       graft.queries.CurationQueries.oracle ++ graft.queries.MlQueries.oracle ++
+      graft.queries.StorageQueries.oracle ++
       graft.queries.OpQueries.pcaOracle ++ // dump-time: fitted literals
       graft.queries.OpQueries.ivfOracle ++
       graft.queries.OpQueries.pqOracle ++

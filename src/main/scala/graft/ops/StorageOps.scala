@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Physical data-layout operators — the storage side of the 100 TB design.
+  *
+  * The reference's only sinks are parquet fixtures and the Triton model
+  * repository (SURVEY.md §2.6); a Spark-first engine's sink surface is
+  * where most 100 TB wins actually live, because layout decisions made at
+  * WRITE time delete work from every subsequent read:
+  *
+  *  - '''Bucketing''' ([[StorageOps.writeBucketed]]): pre-hash rows into a
+  *    fixed number of buckets on the join/aggregate key. Two tables
+  *    co-bucketed on the same key with the same bucket count join with
+  *    ZERO exchange on either side — at 100 TB the shuffle this deletes is
+  *    the single largest cost of a repeated fact-fact join (a daily
+  *    events ⋈ profile at petabyte scale pays the shuffle once at write,
+  *    not once per query). Aggregations clustered by the bucket key also
+  *    run exchange-free.
+  *  - '''Hive-style partitioning''' ([[StorageOps.writePartitioned]]):
+  *    low-cardinality filter columns become directories, so a predicate on
+  *    them prunes whole partitions at PLANNING time — the scan never opens
+  *    the files. The 100 TB discipline: partition by the coarse,
+  *    always-filtered dimensions (date, language, source), bucket or sort
+  *    by the fine ones; never partition by a high-cardinality key (one
+  *    directory per value kills the driver's listing).
+  *  - '''Interchange formats''' ([[StorageOps.writeCsv]] /
+  *    [[StorageOps.writeJsonl]] and readers): ingest/egress parity with
+  *    the text formats data actually arrives in. Readers take an EXPLICIT
+  *    schema (inference is a full extra pass over 100 TB) and are
+  *    configured so the round trip is lossless (RFC-4180 double-quote
+  *    escaping; multiLine for embedded newlines). Scale note: a multiLine
+  *    CSV file is not splittable — read parallelism is the file count, so
+  *    shard the write (ShardShuffle's sizing discipline). JSONL splits by
+  *    line and is the preferred text interchange at scale.
+  */
+object StorageOps {
+
+  /** Write `df` as a parquet table bucketed (and optionally per-bucket
+    * sorted) on `bucketCol`, one file per bucket.
+    *
+    * The pre-`repartition` is the layout guarantee: Spark's bucket
+    * assignment IS hash-partitioning on the column (same Murmur3, same
+    * modulo), so shuffling into `numBuckets` partitions on the bucket
+    * column first means each task holds exactly one bucket and writes
+    * exactly one file — bucketed scans stay one-split-per-bucket instead
+    * of tasks × buckets fragments. This write-side shuffle is the cost
+    * being amortized: every future join/agg on the key skips its exchange.
+    *
+    * `numBuckets` sizing at scale: buckets are the join parallelism, so
+    * size them like shuffle partitions for the LARGEST table sharing the
+    * key (1–4 GB of data per bucket; tens of thousands at 100 TB). All
+    * tables co-joining on the key must agree on the count. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int, sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    require(numBuckets > 0, s"writeBucketed: numBuckets must be positive")
+    val base: DataFrameWriter[Row] = df
+      .repartition(numBuckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    // an explicit path makes the table EXTERNAL: catalog entry in the
+    // session, data wherever the caller owns storage (the usual cluster
+    // arrangement); without it the managed warehouse dir is used
+    val w = path.fold(base)(p => base.option("path", p))
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
+  /** Join two co-bucketed tables on their bucket keys. When both were
+    * written by [[writeBucketed]] with the SAME bucket count, the physical
+    * plan carries no Exchange on either side (pinned in PlanSpec) — the
+    * join runs bucket-against-bucket where the data already sits. A
+    * downstream aggregate clustered by the key inherits the same
+    * distribution and also runs exchange-free. */
+  def coLocatedJoin(spark: SparkSession, leftTable: String, leftKey: String,
+      rightTable: String, rightKey: String,
+      joinType: String = "inner"): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey), joinType)
+  }
+
+  /** Hive-style partitioned parquet write: each distinct combination of
+    * `partitionCols` values becomes a directory; the columns move out of
+    * the files and into the paths. Filters on them prune at planning time
+    * (`PartitionFilters` on the scan — pinned in PlanSpec). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned: need partition columns")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Read a partitioned layout back; partition columns are restored from
+    * the directory names. Apply partition-column filters DIRECTLY on this
+    * frame (before any transformation that hides them) so they reach the
+    * scan as PartitionFilters, not data filters. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Lossless CSV write. Every default that silently corrupts a round
+    * trip is overridden:
+    *  - `escape = "` — RFC-4180 double-quote escaping (Spark's default
+    *    backslash dialect confuses external consumers);
+    *  - `ignoreLeading/TrailingWhiteSpace = false` — the WRITE defaults
+    *    are true, which TRIMS field whitespace on the way out;
+    *  - `nullValue = \N` — CSV cannot otherwise distinguish NULL from
+    *    the empty string (both serialize as nothing); the PostgreSQL
+    *    convention keeps them distinct. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", "\\N")
+      .csv(path)
+
+  /** CSV read with an explicit schema (schema inference is a full extra
+    * pass over the data — never at scale). `multiLine` makes embedded
+    * newlines round-trip; it also makes a file non-splittable, so read
+    * parallelism = file count — shard the write accordingly. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .option("nullValue", "\\N")
+      .csv(path)
+
+  /** JSON-lines write — the splittable text interchange (one JSON object
+    * per line; any line boundary is a valid split point). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines read with an explicit schema. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.StorageOps
+
+/** Driver-checked queries for the physical-layout operators
+  * ([[graft.ops.StorageOps]]): bucketed co-located joins, hive-style
+  * partition pruning, and lossless CSV/JSONL interchange. Each query
+  * performs the WRITE it depends on (idempotent overwrite into a per-dir
+  * scratch area), so the timed cost honestly includes the sink — the
+  * write-once shuffle is exactly what bucketing amortizes.
+  *
+  * All layouts are content-equal to the source parquet, so every query
+  * oracles against plain SQL over the original tables — the round trip
+  * through the layout IS the thing under test. */
+object StorageQueries {
+
+  /** Per-data-dir scratch root for derived layouts (temp, deleted on JVM
+    * exit — the artifact-dir pattern of Flagship.prewarmAlsFactors: on a
+    * real cluster this would be a shared-storage URI). */
+  private val scratchCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def scratch(d: String): String =
+    scratchCache.getOrElseUpdate(d, {
+      val t = java.nio.file.Files.createTempDirectory("graft_layout_")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(t))
+          Files.walk(t).iterator().asScala.toSeq.reverseIterator
+            .foreach((p: Path) => Files.deleteIfExists(p))
+      }
+      t.toString
+    })
+
+  /** Catalog-safe table-name tag per data dir (two dirs in one JVM must
+    * not collide on managed bucketed tables). */
+  private def tag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** Co-located fact-fact join: orders and lineitem are bucketed on the
+    * order key with the same bucket count, then joined and aggregated —
+    * the plan carries NO exchange for the join OR the aggregate (both are
+    * satisfied by the bucket distribution; pinned in PlanSpec). At 100 TB
+    * this is the repeated-join shape bucketing exists for: the write-side
+    * shuffle happens once, every subsequent query on the key is
+    * shuffle-free. */
+  def bucketedJoin(spark: SparkSession, d: String): DataFrame = {
+    val t = tag(d)
+    StorageOps.writeBucketed(orders(spark, d), s"graft_ord_$t", "o_orderkey", 16,
+      path = Some(s"${scratch(d)}/bkt_orders"))
+    StorageOps.writeBucketed(lineitem(spark, d), s"graft_li_$t", "l_orderkey", 16,
+      path = Some(s"${scratch(d)}/bkt_lineitem"))
+    StorageOps.coLocatedJoin(spark, s"graft_ord_$t", "o_orderkey",
+        s"graft_li_$t", "l_orderkey")
+      .groupBy("o_orderkey", "o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Partition-pruned scan: documents written hive-partitioned by
+    * language, then filtered on the partition column — the predicate
+    * prunes directories at planning time (`PartitionFilters` on the scan,
+    * pinned in PlanSpec); the non-matching partitions' files are never
+    * opened. */
+  def partitionPrune(spark: SparkSession, d: String): DataFrame = {
+    val path = s"${scratch(d)}/docs_by_lang"
+    StorageOps.writePartitioned(documents(spark, d), path, Seq("lang"))
+    StorageOps.readPartitioned(spark, path)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
+  /** Lossless CSV round trip: documents → RFC-4180 CSV → read back with
+    * the explicit schema → content digests. The md5-over-text output makes
+    * any quoting/encoding corruption a hash mismatch, so the oracle (plain
+    * SQL over the ORIGINAL parquet) certifies byte-exact text fidelity
+    * through the interchange format. */
+  def csvRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val path = s"${scratch(d)}/docs_csv"
+    val docs = documents(spark, d)
+    StorageOps.writeCsv(docs, path)
+    StorageOps.readCsv(spark, path, docs.schema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Lossless JSONL round trip — the splittable text interchange twin. */
+  def jsonlRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val path = s"${scratch(d)}/docs_jsonl"
+    val docs = documents(spark, d)
+    StorageOps.writeJsonl(docs, path)
+    StorageOps.readJsonl(spark, path, docs.schema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_bucketed_join" -> (bucketedJoin _),
+    "op_partition_prune" -> (partitionPrune _),
+    "op_csv_roundtrip" -> (csvRoundtrip _),
+    "op_jsonl_roundtrip" -> (jsonlRoundtrip _))
+
+  private val roundtripSql =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "op_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, count(*) AS n_items,
+        |sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1,2 ORDER BY o_orderkey""".stripMargin,
+    "op_partition_prune" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+    "op_csv_roundtrip" -> roundtripSql,
+    "op_jsonl_roundtrip" -> roundtripSql)
+}

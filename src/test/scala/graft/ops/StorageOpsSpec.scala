@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StorageOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_storage_spec_").toString
+
+  /** Text designed to break naive CSV/JSON handling: separators, RFC-4180
+    * quotes, embedded newlines (unix and dos), unicode, null vs empty vs
+    * whitespace-only. */
+  private def hostile = Seq(
+    (1L, "plain"),
+    (2L, "comma, separated, values"),
+    (3L, "a \"quoted\" phrase, with, commas"),
+    (4L, "line one\nline two\r\nline three"),
+    (5L, "unicode: 中文 ümläut ∑"),
+    (6L, null.asInstanceOf[String]),
+    (7L, ""),
+    (8L, "  leading and trailing  ")
+  ).toDF("id", "text")
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Option[String]] =
+    df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+
+  test("CSV round-trips hostile text byte-exactly, null distinct from empty") {
+    val path = s"${tmp()}/csv"
+    val df = hostile
+    StorageOps.writeCsv(df, path)
+    val back = StorageOps.readCsv(spark, path, df.schema)
+    assert(asMap(back) == asMap(df),
+      "CSV round trip must preserve quotes, newlines, unicode, whitespace, " +
+        "and the null-vs-empty distinction")
+  }
+
+  test("JSONL round-trips hostile text byte-exactly") {
+    val path = s"${tmp()}/jsonl"
+    val df = hostile
+    StorageOps.writeJsonl(df, path)
+    val back = StorageOps.readJsonl(spark, path, df.schema)
+    assert(asMap(back) == asMap(df))
+  }
+
+  test("co-bucketed join matches the plain join and runs with zero exchange") {
+    val root = tmp()
+    val left = (1 to 200).map(i => (i.toLong, s"L$i")).toDF("k", "lv")
+    val right = (1 to 400).map(i => ((i % 220 + 1).toLong, i.toLong)).toDF("k", "rv")
+    StorageOps.writeBucketed(left, "spec_bkt_left", "k", 4,
+      sortCols = Seq("k"), path = Some(s"$root/left"))
+    StorageOps.writeBucketed(right, "spec_bkt_right", "k", 4,
+      sortCols = Seq("k"), path = Some(s"$root/right"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = StorageOps.coLocatedJoin(spark, "spec_bkt_left", "k",
+        "spec_bkt_right", "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n${p.take(1200)}")
+      val expected = left.join(right.withColumnRenamed("k", "k2"),
+        $"k" === $"k2").select($"lv", $"rv")
+      val got = joined.select($"lv", $"rv")
+      assert(got.count() == expected.count())
+      assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+      // an aggregate clustered by the bucket key inherits the distribution:
+      // still no exchange anywhere in the plan
+      val l = spark.table("spec_bkt_left")
+      val r = spark.table("spec_bkt_right")
+      val agg = l.join(r, l("k") === r("k")).groupBy(l("k"))
+        .agg(count(lit(1)).as("n"))
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"),
+        s"bucket-clustered aggregate must not shuffle:\n${ap.take(1200)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS spec_bkt_left")
+      spark.sql("DROP TABLE IF EXISTS spec_bkt_right")
+    }
+  }
+
+  test("bucketed write emits one file per bucket") {
+    val root = tmp()
+    val df = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "v")
+    StorageOps.writeBucketed(df, "spec_bkt_files", "k", 8,
+      path = Some(s"$root/files"))
+    try {
+      val files = new java.io.File(s"$root/files").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length == 8,
+        s"expected one file per bucket, got ${files.length}: the " +
+          "pre-repartition into bucket partitions must hold")
+    } finally spark.sql("DROP TABLE IF EXISTS spec_bkt_files")
+  }
+
+  test("partition-column filter prunes at planning time (PartitionFilters)") {
+    val root = tmp()
+    val df = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L),
+      (4L, "fr", 40L)).toDF("id", "lang", "n")
+    StorageOps.writePartitioned(df, s"$root/part", Seq("lang"))
+    val filtered = StorageOps.readPartitioned(spark, s"$root/part")
+      .filter($"lang" === "en")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"),
+      s"the lang predicate must prune partitions at the scan:\n${p.take(1200)}")
+    assert(filtered.count() == 2)
+    // the partition column survives the layout round trip
+    assert(filtered.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+}
