@@ -201,6 +201,48 @@ case class PcaProject(
   }
 }
 
+/** Nearest-centroid cluster assignment — the corpus-map primitive behind
+  * semantic mixture design, cluster-stratified sampling and SemDeDup-style
+  * bucketing (assignment half of k-means; public method). The fitted
+  * centroids are offline parameters exactly like [[AnnIvf]]'s coarse
+  * centers ([[graft.functions.VectorFunctions.fitCenters]]): metadata
+  * scale, persistable as plain doubles, inlined as literals — so
+  * assignment is one codegen'd expression per row, shuffle-free and
+  * linear in rows × k × dims at any corpus size.
+  *
+  * Distance uses the exact expansion `d² = |v|² + |c|² − 2·v·c` with |c|²
+  * precomputed in Scala — both remaining dots are sequential folds the
+  * oracle replays bit-identically (the op_ann_ivf discipline). Argmin
+  * tie-breaks to the lowest cluster id (struct-min over (d, cid)). */
+case class ClusterAssign(
+    centers: Seq[Seq[Double]],
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    withDistance: Boolean = true) extends EnsembleOp {
+
+  require(centers.nonEmpty, s"$name: need at least one centroid")
+  require(centers.map(_.size).distinct.size == 1,
+    s"$name: centroids must agree on dimensionality")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, vecCol)
+    val base = in :+ StructField("cluster_id", IntegerType)
+    StructType(if (withDistance) base :+ StructField("d2", DoubleType) else base)
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val best = array_min(V.centroidStructs(v, centers))
+    val out = df.withColumn("cluster_id", best.getField("cid"))
+    if (withDistance)
+      // (|c|² − 2·v·c) comes out of the struct min; add |v|² AFTER, so the
+      // fold order is exactly `(c2 - 2*dot(v,c)) + dot(v,v)` — what the
+      // dump-time oracle's SQL replays
+      out.withColumn("d2", best.getField("d") + V.dot(v, v))
+    else out
+  }
+}
+
 object PcaProject {
   /** Fit the principal axes with MLlib PCA and build the op; axes come
     * back as plain doubles (column i of the d×k loading matrix). */

@@ -883,6 +883,34 @@ object CurationQueries {
     SemanticNearDup(cachedSemCenters(spark, d))
       .transform(embeddings(spark, d)).orderBy("id_a", "id_b")
 
+  /** Nearest-centroid corpus map (ClusterAssign over the shared k=8
+    * SemDeDup centers — same fitted parameters, one prewarm serves both
+    * families): cluster id + exact squared distance per vector,
+    * hash-oracled via dump-time centroid literals. */
+  def clusterAssign(spark: SparkSession, d: String): DataFrame =
+    ClusterAssign(cachedSemCenters(spark, d))
+      .transform(embeddings(spark, d))
+      .select(col("vec_id"), col("cluster_id"), col("d2"))
+      .orderBy("vec_id")
+
+  /** Cluster-share corpus report — the semantic-mixture diagnostic
+    * (cluster sizes, basis-point shares, integer-micro SSE): one
+    * partial-aggregable groupBy collapses the corpus to k rows; the share
+    * denominator joins back as a broadcast 1-row frame; all ratios are
+    * exact integer arithmetic (the MixturePlan discipline). */
+  def clusterReport(spark: SparkSession, d: String): DataFrame = {
+    val assigned = ClusterAssign(cachedSemCenters(spark, d))
+      .transform(embeddings(spark, d))
+    assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("d2") * 1e6).cast("long")).as("sse_micros"))
+      .crossJoin(broadcast(assigned.select(count(lit(1)).as("__total"))))
+      .select(col("cluster_id"), col("n_vecs"),
+        expr("(n_vecs * 10000) div __total").as("share_bp"),
+        col("sse_micros"))
+      .orderBy("cluster_id")
+  }
+
   /** neardup_semantic's oracle, generated at oracle-dump time from the
     * fitted centers (empty until the query has run in this JVM). */
   def semanticOracle: Map[String, String] =
@@ -891,22 +919,45 @@ object CurationQueries {
         val c2 = c.map(x => x * x).sum
         s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[], '$c2'::DOUBLE)"
       }.mkString(",\n  ")
-      "neardup_semantic" ->
-        s"""WITH cent(cid, cv, c2) AS (VALUES
+      // shared assignment CTEs: argmin replays as the (d, cid) window rank
+      // d2 rides along inside `ass` (c2/cv fall out of scope after the
+      // CTE): ClusterAssign's exact distance is (c2 − 2·v·c) out of the
+      // argmin struct PLUS v·v after — the same fold order as the Spark
+      // column
+      val assignCte =
+        s"""cent(cid, cv, c2) AS (VALUES
            |  $rows),
            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |ass AS (SELECT vec_id, v, cid, row_number() OVER
+           |ass AS (SELECT vec_id, v, cid,
+           |    (c2 - 2.0 * list_inner_product(v, cv)) + list_inner_product(v, v) AS d2,
+           |    row_number() OVER
            |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
-           |  FROM e CROSS JOIN cent),
-           |p AS (SELECT vec_id, v, cid, sqrt(list_inner_product(v, v)) AS norm
-           |  FROM ass WHERE rn = 1)
-           |SELECT id_a, id_b, cosine FROM (
-           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |    CASE WHEN a.norm * b.norm = 0 THEN 0.0
-           |      ELSE list_inner_product(a.v, b.v) / (a.norm * b.norm) END AS cosine
-           |  FROM p a JOIN p b ON a.cid = b.cid AND a.vec_id < b.vec_id)
-           |WHERE cosine >= '0.45'::DOUBLE ORDER BY id_a, id_b""".stripMargin
-    }.toMap
+           |  FROM e CROSS JOIN cent)""".stripMargin
+      val clusterCte =
+        s"""$assignCte,
+           |a AS (SELECT vec_id, cid, d2 FROM ass WHERE rn = 1)""".stripMargin
+      Map(
+        "neardup_semantic" ->
+          s"""WITH $assignCte,
+             |p AS (SELECT a1.vec_id, a1.v, a1.cid, sqrt(list_inner_product(a1.v, a1.v)) AS norm
+             |  FROM ass a1 WHERE a1.rn = 1)
+             |SELECT id_a, id_b, cosine FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    CASE WHEN a.norm * b.norm = 0 THEN 0.0
+             |      ELSE list_inner_product(a.v, b.v) / (a.norm * b.norm) END AS cosine
+             |  FROM p a JOIN p b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+             |WHERE cosine >= '0.45'::DOUBLE ORDER BY id_a, id_b""".stripMargin,
+        "op_cluster_assign" ->
+          s"""WITH $clusterCte
+             |SELECT vec_id, cid AS cluster_id, d2 FROM a ORDER BY vec_id""".stripMargin,
+        "corpus_cluster_report" ->
+          s"""WITH $clusterCte,
+             |tot AS (SELECT count(*) AS t FROM a)
+             |SELECT cid AS cluster_id, count(*) AS n_vecs,
+             |  CAST(count(*) * 10000 // t AS BIGINT) AS share_bp,
+             |  CAST(sum(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS BIGINT) AS sse_micros
+             |FROM a CROSS JOIN tot GROUP BY cid, t ORDER BY cluster_id""".stripMargin)
+    }.getOrElse(Map.empty)
 
   /** The LLM pre-training flagship, end-to-end and FULLY oracled — the
     * curation story as one composed plan: benchmark decontamination
@@ -1040,6 +1091,8 @@ object CurationQueries {
     "pipeline_pretraining" -> (pipelinePretraining _),
     "neardup_semantic_full" -> (neardupSemanticFull _),
     "neardup_semantic" -> (neardupSemantic _),
+    "op_cluster_assign" -> (clusterAssign _),
+    "corpus_cluster_report" -> (clusterReport _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_simhash_check" -> (dedupSimhashCheck _),
     "neardup_cosine_lsh_recall" -> (neardupCosineLshRecall _),

@@ -120,4 +120,25 @@ class EmbeddingOpsSpec extends SparkSpec {
       PcaProject(Seq(Seq(1.0), Seq(0.0, 1.0)))
     }
   }
+
+  test("ClusterAssign: nearest centroid with exact d2, lowest-id tie-break") {
+    import spark.implicits._
+    val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0))
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f)),    // nearest c0, d2 = 2
+      (2L, Seq(9.0f, 1.0f)),    // nearest c1, d2 = 2
+      (3L, Seq(1.0f, 9.0f)),    // nearest c2, d2 = 2
+      (4L, Seq(5.0f, 0.0f))     // equidistant c0/c1 (d2 = 25): tie -> c0
+    ).toDF("vec_id", "embedding")
+    val out = ClusterAssign(centers).transform(df).orderBy("vec_id")
+      .select("vec_id", "cluster_id", "d2").as[(Long, Int, Double)]
+      .collect().toSeq
+    assert(out == Seq((1L, 0, 2.0), (2L, 1, 2.0), (3L, 2, 2.0), (4L, 0, 25.0)))
+    // withDistance=false drops the column; the fitted centers validate
+    val slim = ClusterAssign(centers, withDistance = false).transform(df)
+    assert(!slim.columns.contains("d2"))
+    intercept[IllegalArgumentException] {
+      ClusterAssign(Seq(Seq(1.0), Seq(0.0, 1.0)))
+    }
+  }
 }
