@@ -911,6 +911,25 @@ object CurationQueries {
       .orderBy("cluster_id")
   }
 
+  /** SemDeDup end-to-end (Abbas et al. 2023, public method) as ONE
+    * composed, fully-oracled plan: k-means bucket assignment → same-bucket
+    * cosine pairs (exactly [[neardupSemantic]]'s candidate geometry) →
+    * connected components over the dup graph → min-id keeper election.
+    * Composition cost over the pieces is only the CC iteration, whose
+    * state is ∝ pairs, never ∝ corpus ([[graft.ops.DupClusters]]). The
+    * emitted keeper set is THE deliverable of semantic dedup: drop
+    * non-keepers, keep one representative per semantic duplicate group. */
+  def pipelineSemanticDedup(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val pairs = SemanticNearDup(cachedSemCenters(spark, d)).transform(emb)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    DupClusters(allDocs = Some(emb.select(col("vec_id").as("doc_id"))))
+      .transform(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("is_keeper").cast("int").as("is_keeper"))
+      .orderBy("vec_id")
+  }
+
   /** neardup_semantic's oracle, generated at oracle-dump time from the
     * fitted centers (empty until the query has run in this JVM). */
   def semanticOracle: Map[String, String] =
@@ -956,7 +975,27 @@ object CurationQueries {
              |SELECT cid AS cluster_id, count(*) AS n_vecs,
              |  CAST(count(*) * 10000 // t AS BIGINT) AS share_bp,
              |  CAST(sum(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS BIGINT) AS sse_micros
-             |FROM a CROSS JOIN tot GROUP BY cid, t ORDER BY cluster_id""".stripMargin)
+             |FROM a CROSS JOIN tot GROUP BY cid, t ORDER BY cluster_id""".stripMargin,
+        "pipeline_semantic_dedup" ->
+          s"""WITH RECURSIVE $assignCte,
+             |p AS (SELECT a1.vec_id, a1.v, a1.cid,
+             |    sqrt(list_inner_product(a1.v, a1.v)) AS norm
+             |  FROM ass a1 WHERE a1.rn = 1),
+             |good AS (SELECT id_a, id_b FROM (
+             |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |      CASE WHEN a.norm * b.norm = 0 THEN 0.0
+             |        ELSE list_inner_product(a.v, b.v) / (a.norm * b.norm) END AS cosine
+             |    FROM p a JOIN p b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+             |  WHERE cosine >= '0.45'::DOUBLE),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+             |  UNION ALL SELECT id_b, id_a FROM good),
+             |cc(node, label) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+             |SELECT node AS vec_id, min(label) AS cluster_id,
+             |  CAST(node = min(label) AS INTEGER) AS is_keeper
+             |FROM cc GROUP BY node ORDER BY vec_id""".stripMargin)
     }.getOrElse(Map.empty)
 
   /** The LLM pre-training flagship, end-to-end and FULLY oracled — the
@@ -1093,6 +1132,7 @@ object CurationQueries {
     "neardup_semantic" -> (neardupSemantic _),
     "op_cluster_assign" -> (clusterAssign _),
     "corpus_cluster_report" -> (clusterReport _),
+    "pipeline_semantic_dedup" -> (pipelineSemanticDedup _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_simhash_check" -> (dedupSimhashCheck _),
     "neardup_cosine_lsh_recall" -> (neardupCosineLshRecall _),
@@ -1773,7 +1813,7 @@ object CurationQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "text_stats" ->
-      s"""SELECT doc_id, length(text) AS n_chars_txt,
+      s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_txt,
          |CAST(len($wordsSql) AS INTEGER) AS n_tokens,
          |CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
          |CAST(len(list_distinct($wordsSql)) AS INTEGER) AS n_distinct,
