@@ -27,5 +27,6 @@ object SparkEntry {
       graft.queries.OpQueries.lshOracle ++
       graft.queries.MlQueries.dynamicOracle ++
       graft.queries.CurationQueries.semanticOracle ++
-      graft.queries.CurationQueries.cosLshOracle
+      graft.queries.CurationQueries.cosLshOracle ++
+      graft.queries.CurationQueries.qcOracle
 }

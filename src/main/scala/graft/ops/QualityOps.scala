@@ -203,3 +203,90 @@ object NgramLmScore {
   def microMean(sumCol: String, nCol: String): org.apache.spark.sql.Column =
     expr(s"($sumCol DIV $nCol) * 1000000 + ($sumCol % $nCol) * 1000000 DIV $nCol")
 }
+
+/** Model-based quality scoring over hashed bag-of-words features — the
+  * classifier-filter stage of public LLM curation pipelines (a linear
+  * quality classifier over web text, the role fastText/logistic filters
+  * play in GPT-3's and CCNet's pipelines; public method: hashing trick +
+  * linear model, Weinberger et al. 2009).
+  *
+  * The featurizer needs NO fit and NO dictionary: feature b counts the
+  * document's tokens whose content-addressed bucket
+  * ([[graft.functions.TextFunctions.hashBucket]]) equals b — row-local,
+  * shuffle-free, stable under repartitioning, the HashBucket discipline
+  * applied per token. The fitted model is `numBuckets` coefficients + an
+  * intercept (metadata scale, persists as plain doubles); scoring is ONE
+  * sequential dot of the integer count vector against literal
+  * coefficients plus the intercept — codegen'd, linear in
+  * rows × tokens + rows × buckets, and bit-reproducible cross-engine
+  * because the counts are exact integers and the dot is the same
+  * left-fold both engines run (the ml_classifier oracle discipline; the
+  * `keep` verdict is the margin's sign, so no transcendental crosses
+  * engines).
+  */
+case class TextQualityClassifier(
+    coefficients: Seq[Double],
+    intercept: Double,
+    textCol: String = "text",
+    numBuckets: Int = 64,
+    salt: String = "graft-qc") extends EnsembleOp {
+
+  require(coefficients.nonEmpty, s"$name: need at least one coefficient")
+  require(coefficients.size == numBuckets,
+    s"$name: ${coefficients.size} coefficients for $numBuckets buckets")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, textCol)
+    StructType(in ++ Seq(
+      StructField("margin", DoubleType),
+      StructField("keep_quality", BooleanType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val margin = TextQualityClassifier.marginExpr(
+      col(textCol), coefficients, intercept, numBuckets, salt)
+    df.withColumn("margin", margin)
+      .withColumn("keep_quality", col("margin") > 0.0)
+  }
+}
+
+object TextQualityClassifier {
+  import graft.functions.{TextFunctions => TF, VectorFunctions => V}
+  import org.apache.spark.sql.Column
+
+  /** The hashed count vector as a FIXED-ORDER double array (bucket 0..B-1)
+    * — fixed order is what makes the margin a deterministic sequential
+    * fold instead of an order-dependent float sum. Tokens hash ONCE (the
+    * bucket array is the transform child, evaluated once per row); the
+    * per-bucket counts then filter cheap longs, not re-hash strings. */
+  def featureExpr(text: Column, numBuckets: Int, salt: String): Column = {
+    val buckets = transform(TF.words(text),
+      w => TF.hashBucket(w, salt, numBuckets))
+    element_at(transform(array(buckets), bs =>
+      transform(sequence(lit(0), lit(numBuckets - 1)), b =>
+        size(filter(bs, x => x === b)).cast("double"))), 1)
+  }
+
+  def marginExpr(text: Column, coefficients: Seq[Double], intercept: Double,
+      numBuckets: Int, salt: String): Column =
+    V.dot(featureExpr(text, numBuckets, salt),
+      typedLit(coefficients.toArray)) + lit(intercept)
+
+  /** Fit the linear model with MLlib logistic regression over the hashed
+    * features (distributed fit; what persists is the coefficient vector).
+    * `labelCol` is the supervision signal — in a real pipeline, a sample
+    * of curated-vs-crawl documents. */
+  def train(df: DataFrame, labelCol: String, textCol: String = "text",
+      numBuckets: Int = 64, salt: String = "graft-qc",
+      maxIter: Int = 20, regParam: Double = 0.01): TextQualityClassifier = {
+    val feats = df.select(col(labelCol).cast("double").as("__label"),
+      org.apache.spark.ml.functions.array_to_vector(
+        featureExpr(col(textCol), numBuckets, salt)).as("__features"))
+    val m = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setLabelCol("__label").setFeaturesCol("__features")
+      .fit(feats)
+    TextQualityClassifier(m.coefficients.toArray.toSeq, m.intercept,
+      textCol, numBuckets, salt)
+  }
+}

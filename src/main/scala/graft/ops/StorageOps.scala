@@ -136,4 +136,13 @@ object StorageOps {
   /** JSON-lines read with an explicit schema. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC write/read — the second columnar interchange Spark carries
+    * natively (Hive-ecosystem egress). Same scan machinery as parquet:
+    * predicate pushdown, column pruning, splittable stripes. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

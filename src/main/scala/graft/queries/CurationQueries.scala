@@ -391,6 +391,52 @@ object CurationQueries {
       T.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Fitted linear quality filter over hashed bag-of-words features
+    * ([[graft.ops.TextQualityClassifier]] — the model-based filtering
+    * stage next to the rule-based [[textQuality]]). Memoized per dir so
+    * [[qcOracle]] inlines the SAME coefficients the dumped output used.
+    * Supervision for the demo: the single-digit sources play "curated",
+    * the rest "crawl" — an arbitrary but deterministic signal; the
+    * capability under test is the featurize/fit/score plumbing, and the
+    * margin replays bit-identically whatever the labels were. */
+  private val qcCache =
+    scala.collection.concurrent.TrieMap.empty[String, TextQualityClassifier]
+
+  private def cachedQc(spark: SparkSession, d: String): TextQualityClassifier =
+    qcCache.getOrElseUpdate(d, TextQualityClassifier.train(
+      documents(spark, d)
+        .withColumn("__y", (length(col("source")) <= 4).cast("int")),
+      "__y"))
+
+  def textQualityModel(spark: SparkSession, d: String): DataFrame =
+    cachedQc(spark, d).transform(documents(spark, d))
+      .select(col("doc_id"),
+        col("keep_quality").cast("int").as("keep_quality"),
+        floor(col("margin") * 1e6).cast("long").as("margin_micro"))
+      .orderBy("doc_id")
+
+  /** text_quality_model's oracle, generated at dump time with the fitted
+    * coefficients inlined (string-parsed, the DuckDB DECIMAL-cast trap):
+    * hashed counts rebuild as a fixed-order list so the margin is the
+    * same sequential fold both engines run. */
+  def qcOracle: Map[String, String] =
+    OracleDir.pick(qcCache).map { op =>
+      val w = op.coefficients.mkString("[", ", ", "]")
+      val mSql =
+        s"list_inner_product(fv, '$w'::DOUBLE[]) + '${op.intercept}'::DOUBLE"
+      "text_quality_model" ->
+        s"""WITH b AS (SELECT doc_id, list_transform($wordsSql,
+           |    t -> ('0x' || substring(md5(t || ':graft-qc'), 1, 8))::BIGINT % 64) AS bs
+           |  FROM documents),
+           |f AS (SELECT doc_id, list_transform(range(0, 64),
+           |    k -> CAST(len(list_filter(bs, x -> x = k)) AS DOUBLE)) AS fv
+           |  FROM b)
+           |SELECT doc_id,
+           |  CAST(($mSql) > 0.0 AS INTEGER) AS keep_quality,
+           |  CAST(floor(($mSql) * 1000000.0) AS BIGINT) AS margin_micro
+           |FROM f ORDER BY doc_id""".stripMargin
+    }.toMap
+
   /** Quality scoring: integer signals + a composite score + keep flag.
     * score = min(n_tokens,100) + ttr in percent + mean word length in
     * tenths, all integers. */
@@ -1163,7 +1209,8 @@ object CurationQueries {
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_quality" -> (textQuality _))
+    "text_quality" -> (textQuality _),
+    "text_quality_model" -> (textQualityModel _))
 
   /** Language-ID oracle: same stopword lists, same priority order as
     * TextFunctions.langId, rendered as DuckDB SQL. */

@@ -104,11 +104,23 @@ object StorageQueries {
       .orderBy("doc_id")
   }
 
+  /** ORC round trip — the Hive-ecosystem columnar egress twin. */
+  def orcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val path = s"${scratch(d)}/docs_orc"
+    val docs = documents(spark, d)
+    StorageOps.writeOrc(docs, path)
+    StorageOps.readOrc(spark, path, docs.schema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bucketed_join" -> (bucketedJoin _),
     "op_partition_prune" -> (partitionPrune _),
     "op_csv_roundtrip" -> (csvRoundtrip _),
-    "op_jsonl_roundtrip" -> (jsonlRoundtrip _))
+    "op_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "op_orc_roundtrip" -> (orcRoundtrip _))
 
   private val roundtripSql =
     """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
@@ -127,5 +139,6 @@ object StorageQueries {
         |FROM documents WHERE lang = 'en'
         |GROUP BY 1 ORDER BY source""".stripMargin,
     "op_csv_roundtrip" -> roundtripSql,
-    "op_jsonl_roundtrip" -> roundtripSql)
+    "op_jsonl_roundtrip" -> roundtripSql,
+    "op_orc_roundtrip" -> roundtripSql)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 /** RepetitionStats against hand-computed Gopher repetition fractions. */
 class QualityOpsSpec extends SparkSpec {
@@ -113,5 +114,41 @@ class QualityOpsSpec extends SparkSpec {
     assert(out.getAs[Int]("n_grams") == 2)
     assert(out.getAs[Long]("sum_freq") == 1L)
     assert(out.getAs[Long]("oov_grams") == 2L)
+  }
+
+  test("TextQualityClassifier: hashed counts + margin match the hand fold") {
+    import graft.functions.{TextFunctions => TF}
+    val nb = 8
+    val df = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    // independently compute each token's bucket with the op's own hash
+    val buckets = df.select(
+      transform(TF.words(col("text")),
+        w => TF.hashBucket(w, "graft-qc", nb)).as("bs"))
+      .head().getSeq[Long](0)
+    val expectCounts = (0 until nb).map(b => buckets.count(_ == b).toDouble)
+    val feats = df.select(TextQualityClassifier
+      .featureExpr(col("text"), nb, "graft-qc").as("fv"))
+      .head().getSeq[Double](0)
+    assert(feats == expectCounts)
+    assert(feats.sum == 3.0, "three tokens, three counts")
+    val coef = (1 to nb).map(_.toDouble)
+    val wantMargin = feats.zip(coef).foldLeft(0.0) { case (s, (a, b)) => s + a * b } + 0.5
+    val out = TextQualityClassifier(coef, 0.5, numBuckets = nb)
+      .transform(df).head()
+    assert(out.getAs[Double]("margin") == wantMargin)
+    assert(out.getAs[Boolean]("keep_quality") == (wantMargin > 0))
+  }
+
+  test("TextQualityClassifier: trained model separates a separable corpus") {
+    val docs = ((1 to 30).map(i => (i.toLong, s"good clean prose number $i", 1)) ++
+      (31 to 60).map(i => (i.toLong, s"spam junk noise garbage $i", 0)))
+      .toDF("doc_id", "text", "y")
+    val op = TextQualityClassifier.train(docs, "y", numBuckets = 32)
+    val scored = op.transform(docs).select(col("y"), col("keep_quality")).collect()
+    val acc = scored.count(r => (r.getInt(0) == 1) == r.getBoolean(1)).toDouble / 60
+    assert(acc >= 0.9, s"separable corpus must separate, accuracy $acc")
+    intercept[IllegalArgumentException] {
+      TextQualityClassifier(Seq(1.0, 2.0), 0.0, numBuckets = 64)
+    }
   }
 }
