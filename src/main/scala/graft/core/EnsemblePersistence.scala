@@ -453,6 +453,13 @@ object EnsemblePersistence {
     case SemanticNearDup(cs, id, vec, th) =>
       ("type" -> "SemanticNearDup") ~ ("centers" -> cs.map(_.toList).toList) ~
         ("idCol" -> id) ~ ("vecCol" -> vec) ~ ("threshold" -> th)
+    case ClusterAssign(cs, id, vec, wd) =>
+      ("type" -> "ClusterAssign") ~ ("centers" -> cs.map(_.toList).toList) ~
+        ("idCol" -> id) ~ ("vecCol" -> vec) ~ ("withDistance" -> wd)
+    case TextQualityClassifier(coef, b0, text, nb, salt) =>
+      ("type" -> "TextQualityClassifier") ~ ("coefficients" -> coef.toList) ~
+        ("intercept" -> b0) ~ ("textCol" -> text) ~ ("numBuckets" -> nb) ~
+        ("salt" -> salt)
     case r: RepetitionStats =>
       ("type" -> "RepetitionStats") ~ ("textCol" -> r.textCol) ~
         ("idCol" -> r.idCol) ~ ("topNs" -> r.topNs) ~ ("dupNs" -> r.dupNs) ~
@@ -844,6 +851,13 @@ object EnsemblePersistence {
       case "SemanticNearDup" =>
         SemanticNearDup((o \ "centers").extract[List[List[Double]]],
           s("idCol"), s("vecCol"), (o \ "threshold").extract[Double])
+      case "ClusterAssign" =>
+        ClusterAssign((o \ "centers").extract[List[List[Double]]],
+          s("idCol"), s("vecCol"), (o \ "withDistance").extract[Boolean])
+      case "TextQualityClassifier" =>
+        TextQualityClassifier((o \ "coefficients").extract[List[Double]],
+          (o \ "intercept").extract[Double], s("textCol"),
+          (o \ "numBuckets").extract[Int], s("salt"))
       case "DupClusters" =>
         DupClusters((o \ "path").extractOpt[String].map(spark.read.parquet(_)),
           s("docIdCol"), s("aCol"), s("bCol"), (o \ "maxIters").extract[Int],

@@ -324,6 +324,25 @@ object StreamingOps {
           .otherwise(0L).as("mean_freq_micro"))
   }
 
+  /** Streaming model-based quality gate — the ingest-time twin of
+    * [[graft.ops.TextQualityClassifier]]: score each arriving document
+    * with the fitted linear model (trained offline on curated-vs-crawl
+    * supervision) and emit the margin + keep verdict. Completely
+    * STATELESS — the hashed featurization and the coefficient dot are
+    * row-local expressions, so there is no watermark, no state store,
+    * and per-batch cost is exactly the batch op's per-row cost. The
+    * margin column is THE SAME expression the batch op builds
+    * ([[graft.ops.TextQualityClassifier.marginExpr]]), so stream verdicts
+    * equal batch verdicts on the same rows (pinned by spec). */
+  def qualityFilterStream(
+      docs: DataFrame,
+      op: graft.ops.TextQualityClassifier): DataFrame = {
+    val margin = graft.ops.TextQualityClassifier.marginExpr(
+      col(op.textCol), op.coefficients, op.intercept, op.numBuckets, op.salt)
+    docs.withColumn("margin", margin)
+      .withColumn("keep_quality", col("margin") > 0.0)
+  }
+
   /** Streaming repeated-span scrub — the ingest-time twin of
     * [[graft.ops.ScrubSharedGrams]] against a STATIC shared-gram
     * inventory (mined by the batch op over the historical corpus;

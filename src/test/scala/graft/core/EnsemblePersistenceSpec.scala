@@ -570,6 +570,26 @@ class EnsemblePersistenceSpec extends SparkSpec {
     assert(loaded.transform(emb).collect().toSeq == pca.transform(emb).collect().toSeq)
   }
 
+  test("ClusterAssign and TextQualityClassifier round-trip as pure parameters") {
+    val emb = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ca = ClusterAssign(Seq(Seq(0.0, 0.0), Seq(3.0, 4.0)), withDistance = true)
+    val dir1 = Files.tmp("ens_cluster")
+    EnsemblePersistence.save(Ensemble(Seq(ca), emb.schema), dir1, spark)
+    val loadedCa = EnsemblePersistence.load(dir1, spark)
+    assert(loadedCa.ops.head == ca)
+    assert(loadedCa.transform(emb).collect().toSeq ==
+      ca.transform(emb).collect().toSeq)
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val qc = TextQualityClassifier((1 to 8).map(_.toDouble), -0.25,
+      numBuckets = 8)
+    val dir2 = Files.tmp("ens_qc")
+    EnsemblePersistence.save(Ensemble(Seq(qc), docs.schema), dir2, spark)
+    val loadedQc = EnsemblePersistence.load(dir2, spark)
+    assert(loadedQc.ops.head == qc)
+    assert(loadedQc.transform(docs).collect().toSeq ==
+      qc.transform(docs).collect().toSeq)
+  }
+
   test("ResizeMedia and MediaEmbed round-trip by value") {
     val media = Seq((1L, Array[Byte](0, 16, 0, 8, 1, 2, 3, 4)))
       .toDF("media_id", "content")

@@ -221,6 +221,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == batch, s"stream must equal batch scores: $got vs $batch")
   }
 
+  test("qualityFilterStream verdicts equal the batch classifier (stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val op = graft.ops.TextQualityClassifier(
+      (1 to 8).map(i => if (i % 2 == 0) 1.0 else -1.0), 0.125, numBuckets = 8)
+    val rows = Seq((1L, "good clean text"), (2L, "junk"), (3L, ""),
+      (4L, "mixed bag of words"))
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.qualityFilterStream(
+        src.toDF().toDF("doc_id", "text"), op)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qc_stream").start()
+    src.addData(rows: _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("qc_stream")
+      .select($"doc_id", $"margin", $"keep_quality")
+      .as[(Long, Double, Boolean)].collect().toSet
+    val batch = op.transform(rows.toDF("doc_id", "text"))
+      .select($"doc_id", $"margin", $"keep_quality")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(got == batch, s"stream must equal batch verdicts: $got vs $batch")
+  }
+
   test("attributeStream joins purchases to their in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
