@@ -82,9 +82,17 @@ object Bench {
     if (selected.exists(_._1.startsWith("op_ann_lsh")))
       prewarm("lsh")(queries.OpQueries.prewarmLshCenter(spark, sfDir))
     if (selected.exists(n => n._1 == "neardup_semantic" ||
-        n._1.startsWith("neardup_cosine_lsh")))
+        n._1.startsWith("neardup_cosine_lsh") ||
+        n._1 == "op_cluster_assign" || n._1 == "corpus_cluster_report" ||
+        n._1 == "pipeline_semantic_dedup"))
       prewarm("neardup-centers")(
         queries.CurationQueries.prewarmNearDupCenters(spark, sfDir))
+    // the quality classifier's LR fit is an offline artifact like the
+    // forest/centroid fits: pay it here so the timed window measures the
+    // featurize+score expression, not MLlib fit variance
+    if (selected.exists(_._1 == "text_quality_model"))
+      prewarm("quality-classifier")(
+        queries.CurationQueries.prewarmQualityClassifier(spark, sfDir))
     if (selected.exists(_._1.startsWith("text_bpe_")))
       prewarm("bpe")(queries.CurationQueries.prewarmBpe(spark, sfDir))
     if (selected.exists(_._1.startsWith("text_bm25")))

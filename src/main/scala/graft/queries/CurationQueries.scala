@@ -78,6 +78,10 @@ object CurationQueries {
     cachedBpeMerges(spark, d); ()
   }
 
+  def prewarmQualityClassifier(spark: SparkSession, d: String): Unit = {
+    cachedQc(spark, d); ()
+  }
+
   /** Memoized BM25 inverted index per sfDir. The fitted postings/df
     * tables are written to a parquet side directory ONCE (how a real
     * deployment ships a search index — the same artifact shape the

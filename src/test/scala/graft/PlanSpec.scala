@@ -137,6 +137,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"no shuffle expected:\n${p.take(600)}")
   }
 
+  test("cluster assignment is a shuffle-free per-row expression over literal centroids") {
+    val centers = Seq(Seq(0.1, 0.2), Seq(0.3, 0.4))
+    val emb = Tables.embeddings(spark, d)
+      .selectExpr("vec_id", "slice(embedding, 1, 2) AS embedding")
+    val p = plan(ops.ClusterAssign(centers).transform(emb))
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n${p.take(600)}")
+  }
+
+  test("quality-classifier scoring is a shuffle-free per-row expression over literal coefficients") {
+    val op = ops.TextQualityClassifier(
+      (1 to 64).map(_.toDouble), 0.0)
+    val p = plan(op.transform(Tables.documents(spark, d)))
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n${p.take(600)}")
+  }
+
   test("negative sampling broadcasts the catalog index; no cartesian blowup") {
     val p = plan(queries.OpQueries.negativeSampling(spark, d))
     // the dense catalog index and the 1-row count frame must broadcast
