@@ -232,7 +232,11 @@ case class ClusterAssign(
 
   override def transform(df: DataFrame): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val best = array_min(V.centroidStructs(v, centers))
+    // null guard up front (the PcaProject convention): a null vector has
+    // no nearest centroid — without the guard, struct-min over null
+    // distances would elect an arbitrary cluster
+    val best = when(col(vecCol).isNull, lit(null))
+      .otherwise(array_min(V.centroidStructs(v, centers)))
     val out = df.withColumn("cluster_id", best.getField("cid"))
     if (withDistance)
       // (|c|² − 2·v·c) comes out of the struct min; add |v|² AFTER, so the

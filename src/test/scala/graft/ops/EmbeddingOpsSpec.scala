@@ -140,5 +140,19 @@ class EmbeddingOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ClusterAssign(Seq(Seq(1.0), Seq(0.0, 1.0)))
     }
+    // a null vector has no nearest centroid: null out, not an arbitrary
+    // cluster elected by struct-min over null distances
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(9L, null.asInstanceOf[Any])),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val nullRow = ClusterAssign(centers).transform(withNull).head()
+    assert(nullRow.isNullAt(2) && nullRow.isNullAt(3),
+      "null vector -> null cluster_id and null d2")
   }
 }

@@ -137,6 +137,12 @@ class QualityOpsSpec extends SparkSpec {
       .transform(df).head()
     assert(out.getAs[Double]("margin") == wantMargin)
     assert(out.getAs[Boolean]("keep_quality") == (wantMargin > 0))
+    // null text -> null margin and null verdict (no phantom
+    // intercept-only score), the MlpScorer null discipline
+    val nullRow = TextQualityClassifier(coef, 0.5, numBuckets = nb)
+      .transform(Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+      .head()
+    assert(nullRow.isNullAt(2) && nullRow.isNullAt(3))
   }
 
   test("TextQualityClassifier: trained model separates a separable corpus") {
