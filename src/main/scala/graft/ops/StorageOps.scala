@@ -137,6 +137,30 @@ object StorageOps {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes` files. Long-lived ingest pipelines accrete small
+    * files (one per micro-batch per partition); at 100 TB the cost is
+    * real — file-open overhead per task, driver listing latency, and
+    * scan parallelism pinned to the file count. Sizing reads the FILE
+    * SYSTEM's byte totals (metadata, no data scan); the rewrite is one
+    * round-robin repartition to `ceil(total/target)` — the only data
+    * movement, which is the point of the operation. Returns the output
+    * file count. Target ~128 MB-1 GB on-disk per file (compressed size
+    * ≈ what the next scan's splits see). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 512L << 20): Int = {
+    require(targetBytes > 0, "compact: targetBytes must be positive")
+    val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(hadoopPath)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** ORC write/read — the second columnar interchange Spark carries
     * natively (Hive-ecosystem egress). Same scan machinery as parquet:
     * predicate pushdown, column pruning, splittable stripes. */

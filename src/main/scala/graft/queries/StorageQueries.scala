@@ -104,6 +104,22 @@ object StorageQueries {
       .orderBy("doc_id")
   }
 
+  /** Small-file compaction: fragment documents into a worst-case layout
+    * (one row group per tiny file), compact back toward a byte target,
+    * and prove content fidelity through the rewrite with the md5-pinned
+    * roundtrip oracle. The spec additionally pins the file counts. */
+  def compactFiles(spark: SparkSession, d: String): DataFrame = {
+    val frag = s"${scratch(d)}/docs_frag"
+    val out = s"${scratch(d)}/docs_compact"
+    val docs = documents(spark, d)
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    StorageOps.compact(spark, frag, out, targetBytes = 64L << 20)
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** ORC round trip — the Hive-ecosystem columnar egress twin. */
   def orcRoundtrip(spark: SparkSession, d: String): DataFrame = {
     val path = s"${scratch(d)}/docs_orc"
@@ -120,7 +136,8 @@ object StorageQueries {
     "op_partition_prune" -> (partitionPrune _),
     "op_csv_roundtrip" -> (csvRoundtrip _),
     "op_jsonl_roundtrip" -> (jsonlRoundtrip _),
-    "op_orc_roundtrip" -> (orcRoundtrip _))
+    "op_orc_roundtrip" -> (orcRoundtrip _),
+    "op_compact_files" -> (compactFiles _))
 
   private val roundtripSql =
     """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
@@ -140,5 +157,6 @@ object StorageQueries {
         |GROUP BY 1 ORDER BY source""".stripMargin,
     "op_csv_roundtrip" -> roundtripSql,
     "op_jsonl_roundtrip" -> roundtripSql,
-    "op_orc_roundtrip" -> roundtripSql)
+    "op_orc_roundtrip" -> roundtripSql,
+    "op_compact_files" -> roundtripSql)
 }

@@ -96,6 +96,24 @@ class StorageOpsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_bkt_files")
   }
 
+  test("compact merges a fragmented layout without touching content") {
+    val root = tmp()
+    val df = (1 to 2000).map(i => (i.toLong, s"row $i " + ("x" * 50)))
+      .toDF("id", "payload")
+    df.repartition(32).write.mode("overwrite").parquet(s"$root/frag")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$root/frag") == 32, "fixture must be fragmented")
+    val n = StorageOps.compact(spark, s"$root/frag", s"$root/out",
+      targetBytes = 1L << 30)
+    assert(n == 1, "tiny corpus fits one target-size file")
+    assert(parquetFiles(s"$root/out") == 1)
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.count() == 2000)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty,
+      "compaction must not change content")
+  }
+
   test("partition-column filter prunes at planning time (PartitionFilters)") {
     val root = tmp()
     val df = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L),
