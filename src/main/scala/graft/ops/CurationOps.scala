@@ -318,6 +318,54 @@ object ScrubSharedGrams {
   }
 }
 
+/** Corpus boilerplate inventory — the DIAGNOSTIC face of
+  * [[ScrubSharedGrams]]: the top-K word n-grams by the number of DISTINCT
+  * documents they appear in, with occurrence totals. Where the scrub op
+  * silently removes shared spans, this one shows a human what the
+  * shared material actually is (license blocks, navigation chrome,
+  * templated headers) before choosing `minDocs`/`n` — the
+  * look-before-you-scrub step of a curation run.
+  *
+  * Scale: unlike the scrub (which shuffles 16-byte digests), the
+  * inventory must SURFACE gram text, so the groupBy key is the gram
+  * string itself — the standard wordcount shape, partial-aggregated
+  * map-side, with output bounded by `topK` through `TakeOrdered`'s
+  * bounded heap (never a global sort). On a 100 TB corpus run it over a
+  * content-hash SAMPLE of documents ([[graft.ops.StratifiedSample]]'s
+  * coin): a boilerplate gram by definition appears in many documents,
+  * so sampling preserves exactly the rows this report exists to show.
+  * Ties order (n_docs DESC, n_occurrences DESC, gram ASC) so the cut is
+  * deterministic. */
+case class BoilerplateReport(
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    n: Int = 8,
+    minDocs: Int = 2,
+    topK: Int = 100) extends EnsembleOp {
+
+  require(n >= 1, s"$name: n must be >= 1")
+  require(minDocs >= 2, s"$name: minDocs must be >= 2")
+  require(topK >= 1, s"$name: topK must be >= 1")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, textCol)
+    StructType(Seq(
+      StructField("gram", StringType),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("n_occurrences", LongType, nullable = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    df.select(col(idCol),
+        explode(T.wordShingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+      .limit(topK)
+}
+
 /** Per-stratum top-fraction selection — the per-domain QUALITY BUDGET of
   * a curation pipeline: "keep the best 20% of web crawl by quality score,
   * the best 90% of books". Two modes sharing one contract:

@@ -68,6 +68,64 @@ case class DocumentChunks(
   }
 }
 
+/** Time-series resampling with forward fill (LOCF — last observation
+  * carried forward): per entity, align an irregular event stream to a
+  * fixed daily grid running from the entity's first observation to the
+  * corpus's last day, carrying the most recent value across gaps — the
+  * feature-freshness shape every serving store materializes (today's
+  * features for users who last acted a week ago). Public method: classic
+  * gap-fill / `resample().ffill()`.
+  *
+  * Determinism discipline: the per-(entity, day) observation is the LAST
+  * event under the total (ts, tie) order; values quantize to integer
+  * cents before any aggregation so the filled series hash-checks
+  * cross-engine.
+  *
+  * Scale: the observation collapse is one partial-aggregable groupBy to
+  * (entity, day) rows; the grid explode is bounded by entities × days
+  * (the OUTPUT size — no way around materializing what you asked for);
+  * the forward fill is one per-entity window, linear per row. The corpus
+  * max day is a 1-row broadcast. Shuffles key on the entity id only. */
+case class ResampleLocf(
+    entityCol: String = "user_id",
+    tsCol: String = "ts",
+    valueCol: String = "value",
+    tieCol: String = "event_id") extends EnsembleOp {
+
+  override def transformSchema(in: StructType): StructType = {
+    Seq(entityCol, tsCol, valueCol, tieCol).foreach(requireCol(in, _))
+    StructType(Seq(
+      in(entityCol),
+      StructField("day", DateType),
+      StructField("value_cents", LongType),
+      StructField("is_observed", IntegerType, nullable = false)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val day = to_date(col(tsCol))
+    // last observation per (entity, day): max_by under the total
+    // (ts, tie) order — one aggregate, no window over the raw events
+    val obs = df
+      .select(col(entityCol), day.as("day"),
+        round(col(valueCol) * 100).cast("long").as("__v"),
+        struct(col(tsCol), col(tieCol)).as("__ord"))
+      .groupBy(col(entityCol), col("day"))
+      .agg(max_by(col("__v"), col("__ord")).as("__v"))
+    val maxDay = obs.select(max(col("day")).as("__gmax"))
+    val grid = obs.groupBy(col(entityCol))
+      .agg(min(col("day")).as("__d0"))
+      .crossJoin(broadcast(maxDay))
+      .select(col(entityCol),
+        explode(sequence(col("__d0"), col("__gmax"))).as("day"))
+    val w = Window.partitionBy(entityCol).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(entityCol, "day"), "left")
+      .select(col(entityCol), col("day"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value_cents"),
+        when(col("__v").isNotNull, 1).otherwise(0).as("is_observed"))
+  }
+}
+
 /** Training-example construction for sequential models: per entity,
   * order events and emit one (context, label) pair per position — the
   * last `contextLen` feature values as the context, the current value as

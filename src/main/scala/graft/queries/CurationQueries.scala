@@ -441,6 +441,13 @@ object CurationQueries {
            |FROM f ORDER BY doc_id""".stripMargin
     }.toMap
 
+  /** Corpus boilerplate inventory ([[graft.ops.BoilerplateReport]]): the
+    * top shared n-grams by distinct-document count — the
+    * look-before-you-scrub diagnostic for ScrubSharedGrams parameters. */
+  def textBoilerplate(spark: SparkSession, d: String): DataFrame =
+    BoilerplateReport(n = 3, minDocs = 2, topK = 50)
+      .transform(documents(spark, d))
+
   /** Quality scoring: integer signals + a composite score + keep flag.
     * score = min(n_tokens,100) + ttr in percent + mean word length in
     * tenths, all integers. */
@@ -1214,7 +1221,8 @@ object CurationQueries {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_quality" -> (textQuality _),
-    "text_quality_model" -> (textQualityModel _))
+    "text_quality_model" -> (textQualityModel _),
+    "text_boilerplate" -> (textBoilerplate _))
 
   /** Language-ID oracle: same stopword lists, same priority order as
     * TextFunctions.langId, rendered as DuckDB SQL. */
@@ -1875,6 +1883,13 @@ object CurationQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang, $langidCaseSql AS pred_lang FROM documents ORDER BY doc_id""",
+    "text_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(${gramSql(3)}) AS gram FROM w WHERE len(ws) >= 3)
+         |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_occurrences
+         |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 50""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp, CAST(len($wordsSql) AS INTEGER) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -106,6 +106,15 @@ object OpQueries {
       .select("user_id", "label_event_id", "context_str", "label")
       .orderBy("label_event_id")
 
+  /** ResampleLocf: align each user's irregular event stream to a daily
+    * grid from their first observation to the corpus's last day, carrying
+    * the last value forward — the feature-freshness gap-fill. Oracled
+    * against DuckDB's generate_series + IGNORE NULLS window replay. */
+  def resample(spark: SparkSession, d: String): DataFrame =
+    ResampleLocf().transform(
+      events(spark, d).select("user_id", "ts", "event_id", "value"))
+      .orderBy("user_id", "day")
+
   /** ValidateRequests: per-request error annotation (batch survives bad
     * rows — triton_error_handling analog). The range check quarantines
     * high-value events; counts per error class prove the split. */
@@ -1205,6 +1214,7 @@ object OpQueries {
     "op_embed_normalize" -> (embedNormalize _),
     "op_embed_pool" -> (embedPool _),
     "op_training_sequences" -> (trainingSequences _),
+    "op_resample" -> (resample _),
     "op_bucketize" -> (bucketize _),
     "op_validate" -> (validate _),
     "pipeline_training_set" -> (pipelineTrainingSet _),
@@ -1504,6 +1514,24 @@ object OpQueries {
         |  row_number() OVER w AS rn
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE rn > 3 ORDER BY label_event_id""".stripMargin,
+    "op_resample" ->
+      """WITH obs0 AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(value*100) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |obs AS (SELECT user_id, day, v FROM obs0 WHERE rn = 1),
+        |b AS (SELECT user_id, min(day) AS d0 FROM obs GROUP BY 1),
+        |g AS (SELECT user_id, CAST(unnest(generate_series(d0::TIMESTAMP,
+        |    (SELECT max(day) FROM obs)::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (SELECT g.user_id, g.day, o.v FROM g
+        |  LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day)
+        |SELECT user_id, day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS value_cents,
+        |  CASE WHEN v IS NULL THEN 0 ELSE 1 END AS is_observed
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "op_embed_normalize" ->
       """SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
         |CAST(unnest(embedding) AS DOUBLE) / nrm AS val

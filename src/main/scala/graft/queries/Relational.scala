@@ -190,7 +190,25 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Pivot (the wide-table cross-tab): per-day event-type value totals as
+    * one row per day, one column per type. Spark's `pivot` with an
+    * EXPLICIT value list — never the value-discovery variant, which runs
+    * an extra distinct job and makes the output schema data-dependent
+    * (a 100 TB no-no for downstream consumers). Absent cells fill 0 so
+    * the oracle's conditional-aggregation replay matches exactly. */
+  def q16_pivot(spark: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(spark, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(sum(round(col("value") * 100).cast("long")))
+      .na.fill(0L, types)
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_pivot" -> (q16_pivot _),
     "q15_percentiles" -> (q15_percentiles _),
     "q14_json" -> (q14_json _),
     "q11_sessionize" -> (q11_sessionize _),
@@ -208,6 +226,15 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q16_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"CAST(coalesce(sum(CASE WHEN event_type = '$t' " +
+          s"THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS $t")
+        .mkString(",\n")
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |$cols
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    },
     "q15_percentiles" ->
       """SELECT l_returnflag,
         |CAST(floor(quantile_disc(l_quantity, 0.5) * 100) AS BIGINT) AS p50_cents,

@@ -137,6 +137,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"no shuffle expected:\n${p.take(600)}")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes the partitioned fact scan at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    (1 to 10000).map(i => (i.toLong, i % 20)).toDF("id", "k")
+      .write.mode("overwrite").partitionBy("k").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a SOURCE-backed relation: a local relation's filter
+    // is constant-folded away by ConvertToLocalRelation, and DPP only
+    // fires on a surviving selective Filter over the build side
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    (0 until 20).map(i => (i, if (i < 2) "hot" else "cold"))
+      .toDF("dk", "temp").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(broadcast(dim).filter($"temp" === "hot"), $"k" === $"dk")
+    val p = plan(joined)
+    // Catalyst's DPP turns the dim filter into a runtime partition filter
+    // on the fact scan — with our hive-partitioned layouts this is what
+    // keeps a dim-filtered 100 TB fact join from scanning every partition
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the hot-partition filter must reach the fact scan as a runtime " +
+        s"partition filter:\n${p.take(1200)}")
+  }
+
   test("cluster assignment is a shuffle-free per-row expression over literal centroids") {
     val centers = Seq(Seq(0.1, 0.2), Seq(0.3, 0.4))
     val emb = Tables.embeddings(spark, d)

@@ -6,6 +6,25 @@ import graft.SparkSpec
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("BoilerplateReport surfaces cross-document shared grams, bounded by topK") {
+    val docs = Seq(
+      (1L, "x y z x y z tail"),          // "x y z" twice in one doc
+      (2L, "prefix x y z suffix words"), // "x y z" again -> 2 docs, 3 occ
+      (3L, "entirely unrelated content here")) // shares nothing
+      .toDF("doc_id", "text")
+    val out = BoilerplateReport(n = 3, minDocs = 2, topK = 10)
+      .transform(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("x y z", 2L, 3L)),
+      s"only the cross-document gram survives minDocs: $out")
+    // topK bounds the report deterministically
+    val many = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val top1 = BoilerplateReport(n = 3, minDocs = 2, topK = 1)
+      .transform(many).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "a b c",
+      "ties break on gram text ascending")
+  }
+
   test("Decontaminate flags exactly the docs sharing an n-gram with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -57,6 +57,40 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out.head.getLong(0) == 1L)
   }
 
+  test("ResampleLocf fills daily gaps forward from each entity's first day") {
+    def dayTs(d: Int, h: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val events = Seq(
+      // user 1: two events day 1 (later one wins), one event day 3
+      (1L, dayTs(1, 1), 100L, 10.0),
+      (1L, dayTs(1, 2), 101L, 20.0),
+      (1L, dayTs(3), 102L, 5.0),
+      // user 2: single event day 4 (sets the corpus max day)
+      (2L, dayTs(4), 200L, 7.5))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = ResampleLocf().transform(events)
+      .orderBy("user_id", "day")
+      .select("user_id", "day", "value_cents", "is_observed")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), r.getInt(3))).toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", 2000L, 1),  // day-1 last observation (20.0)
+      (1L, "2024-01-02", 2000L, 0),  // gap: carried forward
+      (1L, "2024-01-03", 500L, 1),
+      (1L, "2024-01-04", 500L, 0),   // grid extends to the corpus max day
+      (2L, "2024-01-04", 750L, 1)))
+  }
+
+  test("ResampleLocf breaks same-day ties by the tie column") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 2L, 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 3L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = ResampleLocf().transform(events).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("value_cents") == 200L,
+      "equal timestamps: the higher event_id is the last observation")
+  }
+
   test("TrainingSequences breaks timestamp ties deterministically by tie column") {
     val events = Seq(
       (1L, ts(10), 1L, "a"),
