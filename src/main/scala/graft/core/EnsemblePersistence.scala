@@ -453,6 +453,12 @@ object EnsemblePersistence {
     case SemanticNearDup(cs, id, vec, th) =>
       ("type" -> "SemanticNearDup") ~ ("centers" -> cs.map(_.toList).toList) ~
         ("idCol" -> id) ~ ("vecCol" -> vec) ~ ("threshold" -> th)
+    case ResampleLocf(e, t, v, tie) =>
+      ("type" -> "ResampleLocf") ~ ("entityCol" -> e) ~ ("tsCol" -> t) ~
+        ("valueCol" -> v) ~ ("tieCol" -> tie)
+    case BoilerplateReport(id, text, n, md, tk) =>
+      ("type" -> "BoilerplateReport") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
+        ("n" -> n) ~ ("minDocs" -> md) ~ ("topK" -> tk)
     case ClusterAssign(cs, id, vec, wd) =>
       ("type" -> "ClusterAssign") ~ ("centers" -> cs.map(_.toList).toList) ~
         ("idCol" -> id) ~ ("vecCol" -> vec) ~ ("withDistance" -> wd)
@@ -851,6 +857,11 @@ object EnsemblePersistence {
       case "SemanticNearDup" =>
         SemanticNearDup((o \ "centers").extract[List[List[Double]]],
           s("idCol"), s("vecCol"), (o \ "threshold").extract[Double])
+      case "ResampleLocf" =>
+        ResampleLocf(s("entityCol"), s("tsCol"), s("valueCol"), s("tieCol"))
+      case "BoilerplateReport" =>
+        BoilerplateReport(s("idCol"), s("textCol"), (o \ "n").extract[Int],
+          (o \ "minDocs").extract[Int], (o \ "topK").extract[Int])
       case "ClusterAssign" =>
         ClusterAssign((o \ "centers").extract[List[List[Double]]],
           s("idCol"), s("vecCol"), (o \ "withDistance").extract[Boolean])

@@ -207,7 +207,20 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Unpivot (melt) — the inverse cross-tab: the wide per-day frame back
+    * to long (day, event_type, value_cents) rows via `Dataset.unpivot`.
+    * Zero-filled cells survive the round trip, so the oracle rebuilds the
+    * dense day × type grid explicitly. */
+  def q17_unpivot(spark: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    q16_pivot(spark, d)
+      .unpivot(Array(col("day")), types.map(col).toArray,
+        "event_type", "value_cents")
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_unpivot" -> (q17_unpivot _),
     "q16_pivot" -> (q16_pivot _),
     "q15_percentiles" -> (q15_percentiles _),
     "q14_json" -> (q14_json _),
@@ -226,6 +239,17 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q17_unpivot" ->
+      """WITH base AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1,2),
+        |days AS (SELECT DISTINCT day FROM base),
+        |types(event_type) AS (VALUES ('click'),('error'),('purchase'),('signup'),('view'))
+        |SELECT d.day AS day, t.event_type AS event_type,
+        |  CAST(coalesce(b.v, 0) AS BIGINT) AS value_cents
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN base b ON b.day = d.day AND b.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
     "q16_pivot" -> {
       val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
         s"CAST(coalesce(sum(CASE WHEN event_type = '$t' " +

@@ -590,6 +590,20 @@ class EnsemblePersistenceSpec extends SparkSpec {
       qc.transform(docs).collect().toSeq)
   }
 
+  test("ResampleLocf and BoilerplateReport round-trip by value") {
+    val ev = Seq((1L, new java.sql.Timestamp(1000L), 1L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val rs = ResampleLocf()
+    val dir1 = Files.tmp("ens_resample")
+    EnsemblePersistence.save(Ensemble(Seq(rs), ev.schema), dir1, spark)
+    assert(EnsemblePersistence.load(dir1, spark).ops.head == rs)
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val br = BoilerplateReport(n = 3, minDocs = 2, topK = 7)
+    val dir2 = Files.tmp("ens_boiler")
+    EnsemblePersistence.save(Ensemble(Seq(br), docs.schema), dir2, spark)
+    assert(EnsemblePersistence.load(dir2, spark).ops.head == br)
+  }
+
   test("ResizeMedia and MediaEmbed round-trip by value") {
     val media = Seq((1L, Array[Byte](0, 16, 0, 8, 1, 2, 3, 4)))
       .toDF("media_id", "content")
