@@ -120,6 +120,30 @@ object StorageQueries {
       .orderBy("doc_id")
   }
 
+  /** Schema evolution across ingest batches: batch 1 writes the original
+    * document schema, batch 2 adds a `quality` column; a `mergeSchema`
+    * read reconciles both under one schema (nulls where the old batch
+    * has no column) and the hive `batch=` directory key tells them
+    * apart. This is the additive-evolution discipline a long-lived
+    * 100 TB corpus needs — old data is never rewritten; readers coalesce
+    * defaults. (mergeSchema costs a footer read per file at planning:
+    * fine per-batch, not as a default on a million-file corpus — pin the
+    * merged schema explicitly once known.) */
+  def schemaEvolution(spark: SparkSession, d: String): DataFrame = {
+    val path = s"${scratch(d)}/docs_evolving"
+    val docs = documents(spark, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("quality", (col("n_chars") % 100).cast("int"))
+      .write.mode("overwrite").parquet(s"$path/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        coalesce(col("quality"), lit(-1)).as("quality"),
+        col("batch").cast("int").as("batch"))
+      .orderBy("doc_id")
+  }
+
   /** ORC round trip — the Hive-ecosystem columnar egress twin. */
   def orcRoundtrip(spark: SparkSession, d: String): DataFrame = {
     val path = s"${scratch(d)}/docs_orc"
@@ -137,7 +161,8 @@ object StorageQueries {
     "op_csv_roundtrip" -> (csvRoundtrip _),
     "op_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "op_orc_roundtrip" -> (orcRoundtrip _),
-    "op_compact_files" -> (compactFiles _))
+    "op_compact_files" -> (compactFiles _),
+    "op_schema_evolution" -> (schemaEvolution _))
 
   private val roundtripSql =
     """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
@@ -158,5 +183,11 @@ object StorageQueries {
     "op_csv_roundtrip" -> roundtripSql,
     "op_jsonl_roundtrip" -> roundtripSql,
     "op_orc_roundtrip" -> roundtripSql,
-    "op_compact_files" -> roundtripSql)
+    "op_compact_files" -> roundtripSql,
+    "op_schema_evolution" ->
+      """SELECT doc_id, lang, n_chars,
+        |CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars % 100 AS INTEGER)
+        |  ELSE -1 END AS quality,
+        |CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INTEGER) AS batch
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }
