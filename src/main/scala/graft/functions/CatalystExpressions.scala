@@ -606,6 +606,86 @@ case class RepetitionSignals(child: Expression, ns: Seq[Int])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Fused span-merge scrub reconstruction — the hot path of
+  * [[graft.ops.ScrubSharedGrams]] as one tight loop: given a token array
+  * and the SORTED distinct 0-based start positions of shared n-gram
+  * occurrences, emit the tokens outside every `[s, s+n)` window.
+  * Value-identical to the HOF formulation (the two are pinned equal over
+  * generated corpora in CodegenSpec, and PropertySpec pins both against
+  * the brute-force covered filter): overlapping windows merge into
+  * disjoint spans, each surviving gap is copied once — O(tokens + spans).
+  *
+  * Why a fused expression: the HOF chain (two filters + zip_with +
+  * aggregate with nested slices/concats) allocates four intermediate
+  * arrays per row AND compiles into one of the largest generated methods
+  * in the engine — the method whose one-time JIT warm-up kept billing
+  * text_scrub_spans 3-10x on first execution (SCALE.md round 6/7). Here
+  * codegen is a single `compute` call (the SimHash64 pattern), so the
+  * generated method stays small and the per-row work is one allocation
+  * (the output). */
+case class KeptTokens(ws: Expression, starts: Expression, n: Int)
+    extends BinaryExpression {
+
+  require(n >= 1, "kept_tokens: n must be >= 1")
+
+  override def left: Expression = ws
+  override def right: Expression = starts
+  override def prettyName: String = "kept_tokens"
+
+  override def dataType: DataType = ws.dataType match {
+    case a: ArrayType => a
+    case _ => ArrayType(StringType)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ws.dataType, starts.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, array<int>)")
+    }
+
+  def compute(wsArr: ArrayData, startArr: ArrayData): ArrayData = {
+    val len = wsArr.numElements()
+    val m = startArr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](len)
+    def copyRange(from: Int, until: Int): Unit = {
+      var j = math.max(from, 0)
+      val u = math.min(until, len)
+      while (j < u) {
+        out += (if (wsArr.isNullAt(j)) null else wsArr.getUTF8String(j))
+        j += 1
+      }
+    }
+    var p = 0
+    var i = 0
+    while (i < m) {
+      val a = startArr.getInt(i)
+      var b = a + n
+      // merge while the current window reaches the next start
+      while (i + 1 < m && startArr.getInt(i + 1) < b) {
+        i += 1; b = startArr.getInt(i) + n
+      }
+      if (a > p) copyRange(p, a) // the surviving gap before this span
+      p = b
+      i += 1
+    }
+    copyRange(p, len) // tail after the last span
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(w: Any, s: Any): Any =
+    compute(w.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("keptTokens", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(ws = l, starts = r)
+}
+
 /** Column wrappers (Spark 4: Column↔Expression bridge lives in
   * sql.classic.ExpressionUtils). */
 object FastExpressions {
@@ -629,4 +709,6 @@ object FastExpressions {
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def repetitionSignals(c: Column, ns: Seq[Int]): Column =
     column(RepetitionSignals(expression(c), ns))
+  def keptTokens(ws: Column, starts: Column, n: Int): Column =
+    column(KeptTokens(expression(ws), expression(starts), n))
 }

@@ -279,7 +279,18 @@ object ScrubSharedGrams {
   /** Tokens of `ws` outside every `[s, s+n)` occurrence window of the
     * SORTED, distinct `starts` array — the ONE reconstruction definition,
     * shared with [[graft.streaming.StreamingOps.scrubStream]] so the
-    * twins can never drift.
+    * twins can never drift. Delegates to the fused
+    * [[graft.functions.KeptTokens]] expression (one tight loop, one
+    * `compute` call in codegen): the HOF formulation below compiled into
+    * one of the engine's largest generated methods — the JIT-warm-up
+    * hotspot SCALE.md rounds 6-7 kept measuring on text_scrub_spans —
+    * and allocated four intermediate arrays per row. */
+  def keptTokens(ws: Column, starts: Column, n: Int): Column =
+    graft.functions.FastExpressions.keptTokens(ws, starts, n)
+
+  /** The HOF reference formulation — kept as the equivalence twin the
+    * fused expression is pinned against (CodegenSpec; PropertySpec pins
+    * both against the brute-force covered filter).
     *
     * A naive `filter(ws, (t, i) => !exists(starts, ...))` is
     * O(tokens × starts): in the boilerplate-dominated regime this op
@@ -290,7 +301,7 @@ object ScrubSharedGrams {
     * its own window does not reach the next start) — and the kept array
     * is the concatenation of the gap slices between spans, each token
     * sliced exactly once: O(tokens + spans). */
-  def keptTokens(ws: Column, starts: Column, n: Int): Column = {
+  def keptTokensHof(ws: Column, starts: Column, n: Int): Column = {
     val m = size(starts)
     // sequence(0, -1) would count DOWN — guard the empty case explicitly
     val idxs = when(m > 0, sequence(lit(0), m - 1))

@@ -47,6 +47,40 @@ class CodegenSpec extends SparkSpec {
     assert(uneven.head().getInt(0) == 1)
   }
 
+  test("KeptTokens equals the HOF span-merge form and stays in codegen") {
+    // deterministic pseudo-random token/starts corpora (seeded) covering
+    // empty starts, adjacent windows, overlapping chains and tail spans
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      val len = rnd.nextInt(40)
+      val ws = (0 until len).map(i => s"t$i")
+      val n = rnd.nextInt(4) + 1
+      val starts = (0 until len).filter(_ => rnd.nextBoolean())
+        .take(rnd.nextInt(10)).sorted
+      (ws, starts, n)
+    }
+    for (n <- 1 to 4) {
+      val df = rows.filter(_._3 == n).toDF("ws", "starts", "n")
+      if (!df.isEmpty) {
+        val both = df.select(
+          FastExpressions.keptTokens($"ws", $"starts", n).as("fused"),
+          graft.ops.ScrubSharedGrams.keptTokensHof($"ws", $"starts", n).as("hof"))
+        assert(both.filter(
+          concat_ws("", $"fused") =!= concat_ws("", $"hof")).count() == 0,
+          s"fused reconstruction must equal the HOF form at n=$n")
+      }
+    }
+    // codegen path: range-derived input, unboxed compute call
+    val df = spark.range(8)
+      .select(array(lit("a"), lit("b"), lit("c"), lit("d")).as("ws"),
+        array(($"id" % 3).cast("int")).as("starts"))
+      .select(FastExpressions.keptTokens($"ws", $"starts", 2).as("kept"))
+    val code = generatedCode(df)
+    assert(code.contains(".compute("), "expected unboxed compute call")
+    // id=0 → start 0, window [0,2) → kept (c, d)
+    assert(df.head().getSeq[String](0) == Seq("c", "d"))
+  }
+
   test("hash expressions run via unboxed compute calls in generated code") {
     val df = spark.range(3)
       .select(concat(lit("a b c d e f w"), $"id").as("t"))
