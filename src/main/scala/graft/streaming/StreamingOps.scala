@@ -207,6 +207,96 @@ object StreamingOps {
       }
   }
 
+  case class LocfEvent(user_id: Long, ts: Timestamp, event_id: Long,
+      value: Double)
+  case class LocfTick(user_id: Long, day: java.sql.Date, value_cents: Long,
+      is_observed: Int)
+  /** `nextDay` = next epoch-day to emit (−1 before the first
+    * observation); `carry` = last emitted day's cents; `pending` = buffered
+    * per-day winning observations for days the watermark has not closed:
+    * day → (tsMillis, eventId, cents) under the (ts, tie) max order. */
+  case class LocfState(nextDay: Long, carry: Option[Long],
+      pending: Map[Long, (Long, Long, Long)])
+
+  private val DayMs = 86400000L
+
+  /** Streaming LOCF materialization — the online twin of
+    * [[graft.ops.ResampleLocf]]: as events arrive, emit one filled tick
+    * per (user, completed day), where "completed" is decided by the
+    * EVENT-TIME watermark (replay-deterministic: same events, any speed,
+    * any batch boundaries, same ticks — the sessionizeByEventTime
+    * discipline). Late events inside the watermark still win their day
+    * under the batch op's exact (ts, tie) total order because a day's
+    * winning observation is only frozen when the watermark closes the
+    * day. State per user = the carry value plus the buffered days inside
+    * the watermark horizon — O(users × watermark-days), independent of
+    * stream length.
+    *
+    * Contract difference from batch, by design: the batch grid ends at
+    * the corpus max day (a bounded input has a last day); the stream has
+    * no corpus end, so ticks keep flowing as the watermark advances —
+    * which is the point of online feature materialization. The spec pins
+    * stream ≡ batch on the shared day range. */
+  def resampleStream(events: Dataset[LocfEvent],
+      watermark: String = "1 day"): Dataset[LocfTick] = {
+    import events.sparkSession.implicits._
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def emitUpTo(uid: Long, st: LocfState, completeUpTo: Long)
+        : (List[LocfTick], LocfState) = {
+      var s = st
+      val out = List.newBuilder[LocfTick]
+      while (s.nextDay >= 0 && s.nextDay <= completeUpTo &&
+          (s.pending.nonEmpty || s.carry.nonEmpty)) {
+        val d = s.nextDay
+        val (v, obs) = s.pending.get(d) match {
+          case Some((_, _, c)) => (c, 1)
+          case None => (s.carry.get, 0) // nextDay starts at an observed day
+        }
+        out += LocfTick(uid,
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)), v, obs)
+        s = s.copy(nextDay = d + 1, carry = Some(v), pending = s.pending - d)
+      }
+      (out.result(), s)
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LocfState, LocfTick](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[LocfEvent], state: GroupState[LocfState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val completeUpTo = Math.floorDiv(wm, DayMs) - 1
+          var s = state.getOption.getOrElse(LocfState(-1L, None, Map.empty))
+          // fold the batch's events into the per-day winners. Before the
+          // first emission (carry empty) nextDay tracks the MINIMUM
+          // pending day — batch iterators are unordered; once emission
+          // has begun, nextDay is the cursor and an earlier-day event is
+          // genuinely sub-watermark-late: drop (the watermark contract)
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs)
+            if (s.carry.isEmpty || d >= s.nextDay) {
+              val cand = (e.ts.getTime, e.event_id, cents(e.value))
+              val win = s.pending.get(d) match {
+                case Some(cur) if (cur._1 > cand._1) ||
+                  (cur._1 == cand._1 && cur._2 > cand._2) => cur
+                case _ => cand
+              }
+              val nd = if (s.nextDay < 0) d
+                else if (s.carry.isEmpty) math.min(s.nextDay, d)
+                else s.nextDay
+              s = s.copy(pending = s.pending.updated(d, win), nextDay = nd)
+            }
+          }
+          val (ticks, s2) = emitUpTo(uid, s, completeUpTo)
+          state.update(s2)
+          // wake when the watermark can close the next day
+          if (s2.pending.nonEmpty || s2.carry.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max((s2.nextDay + 1) * DayMs, wm + 1))
+          ticks.iterator
+      }
+  }
+
   /** Streaming decontamination — the ingest-time twin of
     * [[graft.ops.Decontaminate]]: as documents arrive, emit the id of
     * every doc sharing an n-gram with the STATIC eval-set inventory (a

@@ -221,6 +221,52 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == batch, s"stream must equal batch scores: $got vs $batch")
   }
 
+  test("resampleStream ticks equal the batch LOCF grid on the shared day range") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.LocfEvent
+    def dts(day: Int, h: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val rows = Seq(
+      LocfEvent(1L, dts(1, 1), 100L, 10.0),
+      LocfEvent(1L, dts(1, 2), 101L, 20.0),  // same day: later event wins
+      LocfEvent(1L, dts(3, 0), 102L, 5.0),
+      LocfEvent(2L, dts(2, 0), 200L, 7.5))
+    def runStream(batches: Seq[Seq[LocfEvent]]): Map[(Long, String), (Long, Int)] = {
+      val src = MemoryStream[LocfEvent]
+      val name = s"locf_stream_${batches.size}"
+      // 10-day watermark: wide enough that no replay ordering below makes
+      // an event late (replay determinism is only promised INSIDE the
+      // watermark — beyond it the drop is the documented contract)
+      val q = StreamingOps.resampleStream(src.toDS(), watermark = "10 days")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      // two flush events: the first advances the watermark (Jan 25 − 10 d
+      // = Jan 15, closing every day through Jan 14), the second triggers
+      // the batch where the event-time timeouts actually fire
+      src.addData(LocfEvent(99L, dts(25, 0), 999L, 1.0)); q.processAllAvailable()
+      src.addData(LocfEvent(99L, dts(26, 0), 998L, 1.0)); q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .filter($"user_id" < 99 && $"day" <= "2024-01-03")
+        .select($"user_id", $"day".cast("string"), $"value_cents", $"is_observed")
+        .as[(Long, String, Long, Int)].collect()
+        .map { case (u, d, v, o) => (u, d) -> ((v, o)) }.toMap
+    }
+    val batch = graft.ops.ResampleLocf()
+      .transform(rows.map(e => (e.user_id, e.ts, e.event_id, e.value))
+        .toDF("user_id", "ts", "event_id", "value"))
+      .select($"user_id", $"day".cast("string"), $"value_cents", $"is_observed")
+      .as[(Long, String, Long, Int)].collect()
+      .map { case (u, d, v, o) => (u, d) -> ((v, o)) }.toMap
+    val oneShot = runStream(Seq(rows))
+    assert(oneShot == batch,
+      s"stream ticks must equal the batch grid: $oneShot vs $batch")
+    // replay determinism: different micro-batch boundaries, same ticks
+    val split = runStream(Seq(Seq(rows(2)), Seq(rows(0), rows(3)), Seq(rows(1))))
+    assert(split == batch,
+      s"ticks must be batch-boundary-independent: $split vs $batch")
+  }
+
   test("qualityFilterStream verdicts equal the batch classifier (stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val op = graft.ops.TextQualityClassifier(
