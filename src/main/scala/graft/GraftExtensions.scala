@@ -79,6 +79,12 @@ object GraftExtensions {
           RepetitionSignals(c, ns.map(intArg("repetition_signals", _)))
         case _ => throw new IllegalArgumentException(
           "repetition_signals(text, n1 [, n2, ...])")
+      }),
+    ("kept_tokens", "tokens outside every [s, s+n) shared-gram window (scrub reconstruction)",
+      (args: Seq[Expression]) => args match {
+        case Seq(ws, starts, n) => KeptTokens(ws, starts, intArg("kept_tokens", n))
+        case _ => throw new IllegalArgumentException(
+          "kept_tokens(tokens, sorted_starts, n)")
       })
   ).map { case (name, usage, builder) =>
     (FunctionIdentifier(name),

@@ -59,6 +59,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sig.length == 5 && sig.head > 0, s"got $sig")
   }
 
+  test("kept_tokens works from pure SQL (scrub reconstruction)") {
+    assert(registered)
+    val kept = spark.sql(
+      "SELECT kept_tokens(array('a','b','c','d','e'), array(1), 2) AS k")
+      .head().getSeq[String](0)
+    assert(kept == Seq("a", "d", "e"), s"window [1,3) scrubbed: got $kept")
+  }
+
   test("non-literal integer parameters are rejected with a clear error") {
     assert(registered)
     Seq(("x y z", 2)).toDF("text", "n").createOrReplaceTempView("docs2")
