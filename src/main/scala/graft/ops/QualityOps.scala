@@ -279,9 +279,14 @@ object TextQualityClassifier {
   def train(df: DataFrame, labelCol: String, textCol: String = "text",
       numBuckets: Int = 64, salt: String = "graft-qc",
       maxIter: Int = 20, regParam: Double = 0.01): TextQualityClassifier = {
-    val feats = df.select(col(labelCol).cast("double").as("__label"),
-      org.apache.spark.ml.functions.array_to_vector(
-        featureExpr(col(textCol), numBuckets, salt)).as("__features"))
+    val feats = df
+      // a null text has no features — MLlib would NPE on a null vector,
+      // so null-text rows are excluded from the fit (scoring still emits
+      // NULL for them, the op's null contract)
+      .filter(col(textCol).isNotNull)
+      .select(col(labelCol).cast("double").as("__label"),
+        org.apache.spark.ml.functions.array_to_vector(
+          featureExpr(col(textCol), numBuckets, salt)).as("__features"))
     val m = new org.apache.spark.ml.classification.LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setLabelCol("__label").setFeaturesCol("__features")

@@ -137,6 +137,27 @@ object StorageOps {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Point-lookup-optimized parquet write: bloom filters on the lookup
+    * key columns. A feature-store table is read by key equality
+    * ([[QueryFeatureStore]]'s scan side); min/max row-group stats are
+    * useless for high-cardinality keys unless the data is sorted, but a
+    * bloom filter skips row groups on ANY equality probe — the parquet
+    * reader consults it before decoding pages, so a 100 TB feature table
+    * answers a point lookup touching only the row groups that can
+    * contain the key. Size `expectedNdv` to the per-row-group distinct
+    * count (over-sizing wastes footer bytes, under-sizing inflates false
+    * positives); sortWithinPartitions on the key additionally tightens
+    * min/max stats so both skip mechanisms engage. */
+  def writeForPointLookup(df: DataFrame, path: String,
+      keyCols: Seq[String], expectedNdv: Long = 1000000L): Unit = {
+    require(keyCols.nonEmpty, "writeForPointLookup: need key columns")
+    val sorted = df.sortWithinPartitions(keyCols.map(col): _*)
+    keyCols.foldLeft(sorted.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes` files. Long-lived ingest pipelines accrete small
     * files (one per micro-batch per partition); at 100 TB the cost is
@@ -153,7 +174,10 @@ object StorageOps {
     val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.listStatus(hadoopPath)
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      // skip _SUCCESS markers AND .crc checksum shadows — counting those
+      // would inflate the sizing on local filesystems
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
       .map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).repartition(n)

@@ -45,6 +45,34 @@ class StorageOpsSpec extends SparkSpec {
     assert(asMap(back) == asMap(df))
   }
 
+  test("CSV/JSONL round-trip 200 seeded-random strings (fuzz)") {
+    val rnd = new scala.util.Random(11)
+    def randChar: Char = rnd.nextInt(6) match {
+      case 0 => ('a' + rnd.nextInt(26)).toChar
+      case 1 => Seq('"', ',', '\\', '\'', '|')(rnd.nextInt(5))
+      case 2 => Seq('\n', '\t', '\r')(rnd.nextInt(3))
+      case 3 => (0x4E00 + rnd.nextInt(1000)).toChar // CJK block
+      case 4 => (0xC0 + rnd.nextInt(0x50)).toChar   // latin-1 supplement
+      case _ => ' '
+    }
+    def randString: String =
+      (0 until rnd.nextInt(30)).map(_ => randChar).mkString
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 19 == 0) null else randString))
+    val df = rows.toDF("id", "text")
+    for ((label, write, read) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame, String) => Unit,
+        (String, org.apache.spark.sql.types.StructType) => org.apache.spark.sql.DataFrame)](
+        ("csv", StorageOps.writeCsv, StorageOps.readCsv(spark, _, _)),
+        ("jsonl", StorageOps.writeJsonl, StorageOps.readJsonl(spark, _, _)))) {
+      val path = s"${tmp()}/$label"
+      write(df, path)
+      val back = read(path, df.schema)
+      assert(asMap(back) == asMap(df),
+        s"$label fuzz round trip must be lossless")
+    }
+  }
+
   test("co-bucketed join matches the plain join and runs with zero exchange") {
     val root = tmp()
     val left = (1 to 200).map(i => (i.toLong, s"L$i")).toDF("k", "lv")
@@ -112,6 +140,35 @@ class StorageOpsSpec extends SparkSpec {
     assert(back.count() == 2000)
     assert(back.except(df).isEmpty && df.except(back).isEmpty,
       "compaction must not change content")
+  }
+
+  test("writeForPointLookup emits parquet bloom filters on the key columns") {
+    val root = tmp()
+    val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(2)
+    StorageOps.writeForPointLookup(df, s"$root/bloom", Seq("k"),
+      expectedNdv = 5000)
+    // inspect the footer: every row group must carry a bloom filter for k
+    val file = new java.io.File(s"$root/bloom").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      assert(blocks.nonEmpty)
+      blocks.foreach { b =>
+        val kCol = b.getColumns.asScala
+          .find(_.getPath.toDotString == "k").get
+        val bloom = reader.getBloomFilterDataReader(b).readBloomFilter(kCol)
+        assert(bloom != null, "row group must carry a bloom filter for k")
+      }
+    } finally reader.close()
+    // and the lookup still answers correctly through the filtered scan
+    val hit = spark.read.parquet(s"$root/bloom").filter($"k" === 4321L)
+    assert(hit.select("v").as[String].collect().toSeq == Seq("v4321"))
   }
 
   test("partition-column filter prunes at planning time (PartitionFilters)") {
