@@ -493,9 +493,7 @@ case class DriftReport(
     val perFeature = splits.toSeq.sortBy(_._1).map { case (c, sp) =>
       // bucket = count of splits <= value; nulls get their own bucket −1
       def counts(frame: DataFrame, cnt: String): DataFrame = frame.select(
-        when(col(c).isNull, lit(-1)).otherwise(
-          sp.foldLeft(lit(0))((acc, s) => acc + when(col(c) >= s, 1).otherwise(0)))
-          .as("__b"))
+        DriftReport.bucketOf(col(c), sp).as("__b"))
         .groupBy("__b").agg(count(lit(1)).as(cnt))
       val joined = counts(baseline, "__nb")
         .join(counts(df, "__nc"), Seq("__b"), "full_outer")
@@ -515,4 +513,21 @@ case class DriftReport(
     }
     perFeature.reduce(_ unionByName _)
   }
+}
+
+object DriftReport {
+  /** The ONE bucket definition (count of splits ≤ value, −1 for null),
+    * shared by the batch op and the streaming twin so the two can never
+    * disagree on which bucket a value lands in. */
+  def bucketOf(c: Column, sp: Seq[Double]): Column =
+    when(c.isNull, lit(-1)).otherwise(
+      sp.foldLeft(lit(0))((acc, s) => acc + when(c >= s, 1).otherwise(0)))
+
+  /** Fit the baseline bucket counts once (offline, metadata scale —
+    * splits+2 longs per feature) for the streaming twin's literal
+    * comparison side. */
+  def fitCounts(frame: DataFrame, c: String, sp: Seq[Double]): Map[Int, Long] =
+    frame.select(bucketOf(col(c), sp).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 }

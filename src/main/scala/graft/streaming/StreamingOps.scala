@@ -207,6 +207,55 @@ object StreamingOps {
       }
   }
 
+  /** Streaming feature-drift monitor — the online twin of
+    * [[graft.ops.DriftReport]]: per event-time window, compare the
+    * window's bucket distribution for one monitored feature against the
+    * FITTED baseline counts (metadata scale — fit once offline with
+    * `DriftReport.fitCounts`) and emit the integer-bp L1 drift + verdict
+    * when the watermark closes the window.
+    *
+    * Shape discipline: Spark streaming allows ONE stateful aggregation,
+    * so the histogram is built as conditional counts inside a single
+    * windowed agg (buckets are FIXED: splits+2 columns — the same reason
+    * the batch op's shuffles are bucket-count-sized), and the drift
+    * arithmetic is row-local over literal baseline counts — the batch
+    * op's exact integer formula (share = n·10000 DIV total, L1 of
+    * shares), pinned stream ≡ batch by spec. */
+  def driftStream(
+      events: DataFrame,
+      feature: String,
+      splits: Seq[Double],
+      baselineCounts: Map[Int, Long],
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+      thresholdBp: Long = 1000L,
+      tsCol: String = "ts"): DataFrame = {
+    import graft.ops.DriftReport
+    val buckets = (-1 to splits.size).toSeq
+    // the null bucket is −1: spell it "__bn" (a raw "__b-1" would parse
+    // as subtraction inside expr)
+    def bn(k: Int) = if (k < 0) "__bn" else s"__b$k"
+    val tb = baselineCounts.values.sum
+    val b = DriftReport.bucketOf(col(feature), splits)
+    val counted = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_cur"),
+        buckets.map(k =>
+          sum(when(b === k, 1L).otherwise(0L)).as(bn(k))): _*)
+    val l1 = buckets.map { k =>
+      val nb = baselineCounts.getOrElse(k, 0L)
+      val shareB = if (tb > 0) nb * 10000 / tb else 0L
+      val shareC = when(col("n_cur") > 0,
+        expr(s"${bn(k)} * 10000 DIV n_cur")).otherwise(lit(0L))
+      abs(lit(shareB) - shareC)
+    }.reduce(_ + _)
+    counted.select(
+      col("window.start").as("w_start"), col("window.end").as("w_end"),
+      lit(feature).as("feature"), lit(tb).as("n_base"), col("n_cur"),
+      l1.as("l1_bp"), (l1 >= thresholdBp).as("drifted"))
+  }
+
   case class LocfEvent(user_id: Long, ts: Timestamp, event_id: Long,
       value: Double)
   case class LocfTick(user_id: Long, day: java.sql.Date, value_cents: Long,

@@ -221,6 +221,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == batch, s"stream must equal batch scores: $got vs $batch")
   }
 
+  test("driftStream per-window drift equals the batch DriftReport formula") {
+    implicit val sqlCtx = spark.sqlContext
+    val splits = Seq(0.0, 5.0, 10.0)
+    val baseline = (1 to 100).map(i => (i % 20).toDouble).toDF("value")
+    val counts = graft.ops.DriftReport.fitCounts(baseline, "value", splits)
+    def h(hh: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $hh%02d:$m%02d:00")
+    // window 1 mirrors the baseline distribution; window 2 is all-high
+    val w1 = (1 to 100).map(i => (h(1, i % 50), (i % 20).toDouble))
+    val w2 = (1 to 100).map(i => (h(2, i % 50), 15.0))
+    val src = MemoryStream[(Timestamp, Double)]
+    val q = StreamingOps.driftStream(
+        src.toDF().toDF("ts", "value"), "value", splits, counts,
+        windowLen = "1 hour", watermark = "0 seconds", thresholdBp = 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_stream").start()
+    src.addData(w1 ++ w2: _*); q.processAllAvailable()
+    src.addData((h(9, 0), 1.0)); q.processAllAvailable() // close both windows
+    q.stop()
+    val got = spark.table("drift_stream")
+      .filter($"w_start" < "2024-01-01 03:00:00")
+      .select($"w_start".cast("string"), $"l1_bp", $"drifted")
+      .as[(String, Long, Boolean)].collect()
+      .map { case (k, v, d) => k -> ((v, d)) }.toMap
+    // the batch op on each window slice must agree exactly
+    def batchL1(rows: Seq[(Timestamp, Double)]): (Long, Boolean) = {
+      val r = graft.ops.DriftReport(baseline, Map("value" -> splits), 1000L)
+        .transform(rows.toDF("ts", "value")).head()
+      (r.getAs[Long]("l1_bp"), r.getAs[Boolean]("drifted"))
+    }
+    assert(got("2024-01-01 01:00:00") == batchL1(w1))
+    assert(got("2024-01-01 02:00:00") == batchL1(w2))
+    assert(!got("2024-01-01 01:00:00")._2 && got("2024-01-01 02:00:00")._2,
+      "the mirrored window must not drift; the skewed one must")
+  }
+
   test("resampleStream ticks equal the batch LOCF grid on the shared day range") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.LocfEvent
