@@ -453,6 +453,9 @@ object EnsemblePersistence {
     case SemanticNearDup(cs, id, vec, th) =>
       ("type" -> "SemanticNearDup") ~ ("centers" -> cs.map(_.toList).toList) ~
         ("idCol" -> id) ~ ("vecCol" -> vec) ~ ("threshold" -> th)
+    case CalibrateScores(bs, ps, sc, out) =>
+      ("type" -> "CalibrateScores") ~ ("boundaries" -> bs.toList) ~
+        ("predictions" -> ps.toList) ~ ("scoreCol" -> sc) ~ ("outputCol" -> out)
     case ResampleLocf(e, t, v, tie) =>
       ("type" -> "ResampleLocf") ~ ("entityCol" -> e) ~ ("tsCol" -> t) ~
         ("valueCol" -> v) ~ ("tieCol" -> tie)
@@ -857,6 +860,9 @@ object EnsemblePersistence {
       case "SemanticNearDup" =>
         SemanticNearDup((o \ "centers").extract[List[List[Double]]],
           s("idCol"), s("vecCol"), (o \ "threshold").extract[Double])
+      case "CalibrateScores" =>
+        CalibrateScores((o \ "boundaries").extract[List[Double]],
+          (o \ "predictions").extract[List[Double]], s("scoreCol"), s("outputCol"))
       case "ResampleLocf" =>
         ResampleLocf(s("entityCol"), s("tsCol"), s("valueCol"), s("tieCol"))
       case "BoilerplateReport" =>

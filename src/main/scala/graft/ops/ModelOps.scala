@@ -404,3 +404,78 @@ object PredictClassifier {
     PredictClassifier(lr, featuresArrayCol)
   }
 }
+
+/** Score calibration via isotonic regression — the serving-side step that
+  * turns a ranker's raw scores into usable probabilities (classic Platt/
+  * isotonic calibration; public method, Zadrozny & Elkan 2002). The fit
+  * is MLlib's distributed PAV ([[CalibrateScores.train]]); what persists
+  * is ONLY the fitted (boundaries, predictions) step function as plain
+  * doubles — metadata scale, literal-inlined at scoring time, the
+  * PcaProject/ClusterAssign discipline.
+  *
+  * Scoring replays MLlib's `IsotonicRegressionModel.predict` EXACTLY
+  * (spec-pinned equal on the same fit): clamp outside the boundary
+  * range, exact boundary hits return their prediction, interior points
+  * interpolate `y1 + ((y2 − y1) · (s − x1)) / (x2 − x1)` — one
+  * literal-array fold per row, shuffle-free, codegen'd, and the same
+  * arithmetic the dump-time DuckDB oracle replays (bit-identical
+  * doubles). Boundaries must be strictly increasing: a model with
+  * duplicated boundaries (a PAV jump discontinuity) is rejected fast
+  * because interpolation at the duplicate would divide by zero and
+  * binary-search tie-break semantics are not portable. */
+case class CalibrateScores(
+    boundaries: Seq[Double],
+    predictions: Seq[Double],
+    scoreCol: String = "score",
+    outputCol: String = "calibrated") extends EnsembleOp {
+
+  require(boundaries.nonEmpty, s"$name: empty fitted boundaries")
+  require(boundaries.size == predictions.size,
+    s"$name: ${boundaries.size} boundaries vs ${predictions.size} predictions")
+  require(boundaries.sliding(2).forall(s => s.size < 2 || s(0) < s(1)),
+    s"$name: boundaries must be strictly increasing (duplicated boundaries " +
+      "mark a PAV jump; re-fit with pooled scores or deduplicate upstream)")
+
+  override def transformSchema(in: StructType): StructType = {
+    val i = requireCol(in, scoreCol)
+    require(in(i).dataType.isInstanceOf[NumericType],
+      s"$name: '$scoreCol' must be numeric")
+    require(!in.fieldNames.contains(outputCol),
+      s"$name: output column '$outputCol' collides with the input schema")
+    StructType(in :+ StructField(outputCol, DoubleType))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val bl = typedLit(boundaries.toArray)
+    val pl = typedLit(predictions.toArray)
+    val s = col(scoreCol).cast("double")
+    val b = boundaries.size
+    // idx = #{i : boundary_i <= s} — one literal-array fold (1-based)
+    val idx = size(filter(bl, x => s >= x))
+    val x1 = element_at(bl, idx); val x2 = element_at(bl, idx + 1)
+    val y1 = element_at(pl, idx); val y2 = element_at(pl, idx + 1)
+    val interp = y1 + ((y2 - y1) * (s - x1)) / (x2 - x1)
+    df.withColumn(outputCol,
+      when(s.isNull, lit(null))
+        .when(idx === 0, element_at(pl, 1))     // clamp below the range
+        .when(idx === b, element_at(pl, b))     // clamp above / exact last
+        .when(x1 === s, y1)                     // exact boundary hit
+        .otherwise(interp))
+  }
+}
+
+object CalibrateScores {
+  /** Fit with MLlib isotonic regression (distributed PAV) and capture the
+    * step function as plain parameters. `isotonic = false` fits an
+    * antitonic (decreasing) calibration. */
+  def train(df: DataFrame, labelCol: String, scoreCol: String,
+      isotonic: Boolean = true, outputCol: String = "calibrated"): CalibrateScores = {
+    val m = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setIsotonic(isotonic)
+      .setLabelCol(labelCol).setFeaturesCol(scoreCol)
+      .fit(df.select(col(labelCol).cast("double").as(labelCol),
+        col(scoreCol).cast("double").as(scoreCol)))
+    CalibrateScores(m.boundaries.toArray.toSeq, m.predictions.toArray.toSeq,
+      scoreCol, outputCol)
+  }
+}

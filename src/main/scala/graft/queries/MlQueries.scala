@@ -21,6 +21,8 @@ object MlQueries {
     scala.collection.concurrent.TrieMap.empty[String, PredictClassifier]
   private val clfCache =
     scala.collection.concurrent.TrieMap.empty[String, PredictForestClassifier]
+  private val calCache =
+    scala.collection.concurrent.TrieMap.empty[String, CalibrateScores]
 
   private val forestFeats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
 
@@ -94,6 +96,27 @@ object MlQueries {
       |  bidx AS p_brand_idx, tidx AS p_type_idx
       |  FROM part JOIN bdict ON p_brand = bv JOIN tdict ON p_type = tv)""".stripMargin
 
+  /** The (score, label) calibration frame: score = thousands of order
+    * total price (pooled to keep the PAV step function dictionary-scale),
+    * label = order fulfilled. */
+  private def calibrationFrame(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d).select(col("o_orderkey"),
+      floor(col("o_totalprice") / 1000).cast("double").as("score"),
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"))
+
+  /** CalibrateScores: isotonic calibration of a raw ranking score into a
+    * fulfillment probability — MLlib PAV fit (memoized per dir), scoring
+    * replayed as literal-array arithmetic so [[dynamicOracle]] can
+    * hash-check the calibrated outputs bit-for-bit. */
+  def mlCalibrate(spark: SparkSession, d: String): DataFrame = {
+    val frame = calibrationFrame(spark, d)
+    val op = calCache.getOrElseUpdate(d,
+      CalibrateScores.train(frame, "label", "score"))
+    op.transform(frame)
+      .select(col("o_orderkey"), col("score"), col("calibrated"))
+      .orderBy("o_orderkey")
+  }
+
   /** Dump-time oracles for the memoized fits (empty until the queries
     * have run in this JVM — a selective Verify records rows-only):
     * ml_forest replays the 20 trained trees as nested CASE expressions
@@ -161,7 +184,32 @@ object MlQueries {
         }
       "ml_classifier" -> entry
     }
-    (forest.toSeq ++ forestClf.toSeq ++ lr.toSeq).toMap
+    val cal = OracleDir.pick(calCache).map { op =>
+      // the isotonic step function replayed from its fitted literals:
+      // idx = #{boundaries <= score} via the same literal-array fold,
+      // clamp / exact-hit / interpolate with the op's exact expression
+      // order (y1 + ((y2 − y1)·(s − x1)) / (x2 − x1))
+      val b = op.boundaries.size
+      val bl = s"'${op.boundaries.mkString("[", ", ", "]")}'::DOUBLE[]"
+      val pl = s"'${op.predictions.mkString("[", ", ", "]")}'::DOUBLE[]"
+      "ml_calibrate" ->
+        s"""WITH lits AS (SELECT $bl AS bl, $pl AS pl),
+           |s AS (SELECT o_orderkey,
+           |    CAST(floor(o_totalprice / 1000) AS DOUBLE) AS score FROM orders),
+           |c AS (SELECT o_orderkey, score,
+           |    len(list_filter(bl, x -> score >= x)) AS idx, bl, pl
+           |  FROM s CROSS JOIN lits)
+           |SELECT o_orderkey, score,
+           |  CASE WHEN idx = 0 THEN list_extract(pl, 1)
+           |    WHEN idx = $b THEN list_extract(pl, $b)
+           |    WHEN list_extract(bl, idx) = score THEN list_extract(pl, idx)
+           |    ELSE list_extract(pl, idx) +
+           |      ((list_extract(pl, idx + 1) - list_extract(pl, idx)) *
+           |        (score - list_extract(bl, idx))) /
+           |      (list_extract(bl, idx + 1) - list_extract(bl, idx)) END AS calibrated
+           |FROM c ORDER BY o_orderkey""".stripMargin
+    }
+    (forest.toSeq ++ forestClf.toSeq ++ lr.toSeq ++ cal.toSeq).toMap
   }
 
   /** Deterministic portable-MLP weights (64 → 4 relu → 1 linear), exact
@@ -561,7 +609,8 @@ object MlQueries {
     "ml_forest_lgb" -> (mlForestLgb _),
     "ml_forest_sklearn" -> (mlForestSklearn _),
     "pipeline_recsys" -> (pipelineRecsys _),
-    "ml_mlp_portable" -> (mlMlpPortable _))
+    "ml_mlp_portable" -> (mlMlpPortable _),
+    "ml_calibrate" -> (mlCalibrate _))
 
   /** ml_workflow is the one ML query with a SQL-expressible output:
     * StringIndexer(frequencyDesc) == rank by (count DESC, value ASC), and

@@ -590,6 +590,17 @@ class EnsemblePersistenceSpec extends SparkSpec {
       qc.transform(docs).collect().toSeq)
   }
 
+  test("CalibrateScores round-trips as pure parameters") {
+    val frame = Seq((1L, 3.0)).toDF("id", "score")
+    val cal = CalibrateScores(Seq(1.0, 2.0, 5.0), Seq(0.1, 0.5, 0.9))
+    val dir = Files.tmp("ens_calibrate")
+    EnsemblePersistence.save(Ensemble(Seq(cal), frame.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.ops.head == cal)
+    assert(loaded.transform(frame).collect().toSeq ==
+      cal.transform(frame).collect().toSeq)
+  }
+
   test("ResampleLocf and BoilerplateReport round-trip by value") {
     val ev = Seq((1L, new java.sql.Timestamp(1000L), 1L, 2.0))
       .toDF("user_id", "ts", "event_id", "value")

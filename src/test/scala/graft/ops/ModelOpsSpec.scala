@@ -132,6 +132,39 @@ class ModelOpsSpec extends SparkSpec {
     assert(shape(blocked.schema) == shape(gated.schema))
   }
 
+  test("CalibrateScores replays MLlib isotonic predict exactly") {
+    val rnd = new scala.util.Random(5)
+    val fit = (1 to 200).map { _ =>
+      val s = rnd.nextInt(20).toDouble
+      // noisy monotone labels: higher score, higher hit rate
+      (if (rnd.nextDouble() < s / 25.0) 1.0 else 0.0, s)
+    }.toDF("label", "score")
+    val m = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setLabelCol("label").setFeaturesCol("score").fit(fit)
+    val op = CalibrateScores(m.boundaries.toArray.toSeq,
+      m.predictions.toArray.toSeq)
+    // probes: below range, exact boundaries, interior points, above range
+    val probes = (Seq(-5.0, 100.0) ++ m.boundaries.toArray.toSeq ++
+      m.boundaries.toArray.toSeq.sliding(2).collect {
+        case Seq(a, b) => (a + b) / 2
+      }).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "score")
+    val got = op.transform(probes).select("id", "calibrated")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = m.setFeaturesCol("score").setPredictionCol("p")
+      .transform(probes).select("id", "p")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want,
+      "expression calibration must equal MLlib's predict bit-for-bit")
+    // null score -> null calibration; duplicated boundaries rejected
+    val n = op.transform(Seq((1L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "score")).head()
+    assert(n.isNullAt(2))
+    intercept[IllegalArgumentException] {
+      CalibrateScores(Seq(1.0, 1.0), Seq(0.1, 0.9))
+    }
+  }
+
   // A bad artifact path reads back as an empty factor table; the op must
   // name itself in the failure, not surface head()'s NoSuchElementException.
   test("PredictImplicit fails loudly on an empty item-factor table") {
