@@ -117,6 +117,66 @@ object MlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** EvalRanking: the retrieval-evaluation harness over a deterministic
+    * ranking (per-customer top-10 parts by total quantity) judged against
+    * a relevance set (parts the customer returned) — MRR, recall@10 and
+    * NDCG@10 per query, all integer-exact (the gains are precomputed
+    * nano literals), so the whole metric pipeline hash-checks. */
+  def mlEvalRanking(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inter = orders(spark, d)
+      .join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("query_id"), col("l_partkey").as("item_id"),
+        col("l_quantity"), col("l_returnflag"))
+    val ranked = inter.groupBy("query_id", "item_id")
+      .agg(sum("l_quantity").as("qty"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("qty"), asc("item_id"))))
+      .filter(col("rank") <= 10)
+    val relevant = inter.filter(col("l_returnflag") === "R")
+      .select("query_id", "item_id").distinct()
+    EvalRanking(relevant, k = 10).transform(ranked)
+  }
+
+  /** ml_eval_ranking's oracle — STATIC (the gain tables are deterministic
+    * parameter constants, no fit involved). */
+  private def evalRankingOracleSql: String = {
+    val g = EvalRanking.gainNanos(10)
+    val gRows = g.zipWithIndex.map { case (n, i) => s"(${i + 1}, $n)" }.mkString(", ")
+    val iRows = EvalRanking.idcgNanos(10).zipWithIndex
+      .map { case (n, i) => s"(${i + 1}, $n)" }.mkString(", ")
+    s"""WITH inter AS (SELECT o_custkey AS query_id, l_partkey AS item_id,
+       |    l_quantity, l_returnflag
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |agg AS (SELECT query_id, item_id, sum(l_quantity) AS qty
+       |  FROM inter GROUP BY 1, 2),
+       |rk AS (SELECT query_id, item_id, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY qty DESC, item_id) AS rank FROM agg),
+       |topk AS (SELECT * FROM rk WHERE rank <= 10),
+       |rel AS (SELECT DISTINCT query_id, item_id FROM inter
+       |  WHERE l_returnflag = 'R'),
+       |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+       |g(rank, nanos) AS (VALUES $gRows),
+       |ideal(i, nanos) AS (VALUES $iRows),
+       |hits AS (SELECT t.query_id, count(*) AS hits,
+       |    CAST(sum(g.nanos) AS BIGINT) AS dcg, min(t.rank) AS minrank
+       |  FROM topk t JOIN rel r ON t.query_id = r.query_id AND t.item_id = r.item_id
+       |  JOIN g ON g.rank = t.rank GROUP BY 1),
+       |q AS (SELECT DISTINCT query_id FROM topk)
+       |SELECT q.query_id AS query_id,
+       |  CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CASE WHEN coalesce(n.n_rel, 0) > 0
+       |    THEN CAST(coalesce(h.hits, 0) * 10000 // n.n_rel AS BIGINT) END AS recall_bp,
+       |  CAST(coalesce(1000000 // h.minrank, 0) AS BIGINT) AS rr_micros,
+       |  CASE WHEN coalesce(n.n_rel, 0) > 0
+       |    THEN CAST(coalesce(h.dcg, 0) * 10000 // i.nanos AS BIGINT) END AS ndcg_bp
+       |FROM q LEFT JOIN nrel n ON q.query_id = n.query_id
+       |LEFT JOIN hits h ON q.query_id = h.query_id
+       |LEFT JOIN ideal i ON i.i = greatest(1, least(coalesce(n.n_rel, 0), 10))
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** Dump-time oracles for the memoized fits (empty until the queries
     * have run in this JVM — a selective Verify records rows-only):
     * ml_forest replays the 20 trained trees as nested CASE expressions
@@ -610,13 +670,15 @@ object MlQueries {
     "ml_forest_sklearn" -> (mlForestSklearn _),
     "pipeline_recsys" -> (pipelineRecsys _),
     "ml_mlp_portable" -> (mlMlpPortable _),
-    "ml_calibrate" -> (mlCalibrate _))
+    "ml_calibrate" -> (mlCalibrate _),
+    "ml_eval_ranking" -> (mlEvalRanking _))
 
   /** ml_workflow is the one ML query with a SQL-expressible output:
     * StringIndexer(frequencyDesc) == rank by (count DESC, value ASC), and
     * the scaled column is checked through its (monotonic) rank. */
   val oracle: Map[String, String] = Map(
     "ml_mlp_portable" -> mlpOracleSql,
+    "ml_eval_ranking" -> evalRankingOracleSql,
     // the trees' CASE mirror, summed in model order like the op's fold;
     // the class cut is the op's precomputed margin-space threshold
     // constant (ln(0.7/0.3)), interpolated so neither engine re-derives ln
