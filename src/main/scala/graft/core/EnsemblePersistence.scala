@@ -453,6 +453,13 @@ object EnsemblePersistence {
     case SemanticNearDup(cs, id, vec, th) =>
       ("type" -> "SemanticNearDup") ~ ("centers" -> cs.map(_.toList).toList) ~
         ("idCol" -> id) ~ ("vecCol" -> vec) ~ ("threshold" -> th)
+    case ev: EvalRanking =>
+      val p = artifactPath(dir, i, "relevance_set")
+      ev.relevant.select(ev.queryCol, ev.itemCol).distinct()
+        .write.mode("overwrite").parquet(p)
+      ("type" -> "EvalRanking") ~ ("path" -> p) ~ ("k" -> ev.k) ~
+        ("queryCol" -> ev.queryCol) ~ ("itemCol" -> ev.itemCol) ~
+        ("rankCol" -> ev.rankCol)
     case CalibrateScores(bs, ps, sc, out) =>
       ("type" -> "CalibrateScores") ~ ("boundaries" -> bs.toList) ~
         ("predictions" -> ps.toList) ~ ("scoreCol" -> sc) ~ ("outputCol" -> out)
@@ -860,6 +867,9 @@ object EnsemblePersistence {
       case "SemanticNearDup" =>
         SemanticNearDup((o \ "centers").extract[List[List[Double]]],
           s("idCol"), s("vecCol"), (o \ "threshold").extract[Double])
+      case "EvalRanking" =>
+        EvalRanking(spark.read.parquet(s("path")), (o \ "k").extract[Int],
+          s("queryCol"), s("itemCol"), s("rankCol"))
       case "CalibrateScores" =>
         CalibrateScores((o \ "boundaries").extract[List[Double]],
           (o \ "predictions").extract[List[Double]], s("scoreCol"), s("outputCol"))

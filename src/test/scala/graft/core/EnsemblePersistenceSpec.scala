@@ -590,6 +590,17 @@ class EnsemblePersistenceSpec extends SparkSpec {
       qc.transform(docs).collect().toSeq)
   }
 
+  test("EvalRanking round-trips its relevance set as a side artifact") {
+    val ranked = Seq((1L, "a", 1), (1L, "b", 2)).toDF("query_id", "item_id", "rank")
+    val rel = Seq((1L, "b")).toDF("query_id", "item_id")
+    val op = EvalRanking(rel, k = 5)
+    val dir = Files.tmp("ens_evalrank")
+    EnsemblePersistence.save(Ensemble(Seq(op), ranked.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.transform(ranked).collect().toSeq ==
+      op.transform(ranked).collect().toSeq)
+  }
+
   test("CalibrateScores round-trips as pure parameters") {
     val frame = Seq((1L, 3.0)).toDF("id", "score")
     val cal = CalibrateScores(Seq(1.0, 2.0, 5.0), Seq(0.1, 0.5, 0.9))
