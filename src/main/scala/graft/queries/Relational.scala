@@ -219,7 +219,19 @@ object Relational {
       .orderBy("day", "event_type")
   }
 
+  /** INTERSECT — the set-op q9's EXCEPT leaves uncovered: brands that
+    * appear both among returned ('R') and accepted ('N') high-quantity
+    * line items. */
+  def q18_intersect(spark: SparkSession, d: String): DataFrame = {
+    def brands(flag: String) = lineitem(spark, d)
+      .filter(col("l_returnflag") === flag && col("l_quantity") >= 45)
+      .join(part(spark, d), col("l_partkey") === col("p_partkey"))
+      .select("p_brand").distinct()
+    brands("R").intersect(brands("N")).orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_intersect" -> (q18_intersect _),
     "q17_unpivot" -> (q17_unpivot _),
     "q16_pivot" -> (q16_pivot _),
     "q15_percentiles" -> (q15_percentiles _),
@@ -239,6 +251,13 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q18_intersect" ->
+      """SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_returnflag = 'R' AND l_quantity >= 45
+        |INTERSECT
+        |SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_returnflag = 'N' AND l_quantity >= 45
+        |ORDER BY p_brand""".stripMargin,
     "q17_unpivot" ->
       """WITH base AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
