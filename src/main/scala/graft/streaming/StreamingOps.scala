@@ -261,11 +261,13 @@ object StreamingOps {
   case class LocfTick(user_id: Long, day: java.sql.Date, value_cents: Long,
       is_observed: Int)
   /** `nextDay` = next epoch-day to emit (−1 before the first
-    * observation); `carry` = last emitted day's cents; `pending` = buffered
-    * per-day winning observations for days the watermark has not closed:
-    * day → (tsMillis, eventId, cents) under the (ts, tie) max order. */
+    * observation); `carry` = last emitted day's cents; `lastObsDay` = the
+    * latest day with an actual observation (the fill-horizon anchor);
+    * `pending` = buffered per-day winning observations for days the
+    * watermark has not closed: day → (tsMillis, eventId, cents) under
+    * the (ts, tie) max order. */
   case class LocfState(nextDay: Long, carry: Option[Long],
-      pending: Map[Long, (Long, Long, Long)])
+      lastObsDay: Long, pending: Map[Long, (Long, Long, Long)])
 
   private val DayMs = 86400000L
 
@@ -287,7 +289,9 @@ object StreamingOps {
     * which is the point of online feature materialization. The spec pins
     * stream ≡ batch on the shared day range. */
   def resampleStream(events: Dataset[LocfEvent],
-      watermark: String = "1 day"): Dataset[LocfTick] = {
+      watermark: String = "1 day",
+      maxFillDays: Int = 365): Dataset[LocfTick] = {
+    require(maxFillDays >= 1, "resampleStream: maxFillDays must be >= 1")
     import events.sparkSession.implicits._
     def cents(v: Double): Long =
       BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -295,8 +299,12 @@ object StreamingOps {
         : (List[LocfTick], LocfState) = {
       var s = st
       val out = List.newBuilder[LocfTick]
+      // filler ticks stop maxFillDays past the last real observation —
+      // the state-retirement horizon for users who go silent (without
+      // it a dead user's timeout would keep emitting carries forever)
       while (s.nextDay >= 0 && s.nextDay <= completeUpTo &&
-          (s.pending.nonEmpty || s.carry.nonEmpty)) {
+          (s.pending.nonEmpty || s.carry.nonEmpty) &&
+          s.nextDay <= s.lastObsDay + maxFillDays) {
         val d = s.nextDay
         val (v, obs) = s.pending.get(d) match {
           case Some((_, _, c)) => (c, 1)
@@ -315,7 +323,8 @@ object StreamingOps {
         (uid: Long, rows: Iterator[LocfEvent], state: GroupState[LocfState]) =>
           val wm = state.getCurrentWatermarkMs()
           val completeUpTo = Math.floorDiv(wm, DayMs) - 1
-          var s = state.getOption.getOrElse(LocfState(-1L, None, Map.empty))
+          var s = state.getOption.getOrElse(
+            LocfState(-1L, None, -1L, Map.empty))
           // fold the batch's events into the per-day winners. Before the
           // first emission (carry empty) nextDay tracks the MINIMUM
           // pending day — batch iterators are unordered; once emission
@@ -333,15 +342,23 @@ object StreamingOps {
               val nd = if (s.nextDay < 0) d
                 else if (s.carry.isEmpty) math.min(s.nextDay, d)
                 else s.nextDay
-              s = s.copy(pending = s.pending.updated(d, win), nextDay = nd)
+              s = s.copy(pending = s.pending.updated(d, win), nextDay = nd,
+                lastObsDay = math.max(s.lastObsDay, d))
             }
           }
           val (ticks, s2) = emitUpTo(uid, s, completeUpTo)
-          state.update(s2)
-          // wake when the watermark can close the next day
-          if (s2.pending.nonEmpty || s2.carry.nonEmpty)
-            state.setTimeoutTimestamp(
-              math.max((s2.nextDay + 1) * DayMs, wm + 1))
+          // retirement: nothing buffered and the fill horizon exhausted —
+          // remove the state so a silent user costs nothing forever after
+          if (s2.pending.isEmpty &&
+              s2.nextDay > s2.lastObsDay + maxFillDays) {
+            state.remove()
+          } else {
+            state.update(s2)
+            // wake when the watermark can close the next day
+            if (s2.pending.nonEmpty || s2.carry.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max((s2.nextDay + 1) * DayMs, wm + 1))
+          }
           ticks.iterator
       }
   }

@@ -302,6 +302,28 @@ class StreamingOpsSpec extends SparkSpec {
       s"ticks must be batch-boundary-independent: $split vs $batch")
   }
 
+  test("resampleStream retires state after maxFillDays of silence") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.LocfEvent
+    def dts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val src = MemoryStream[LocfEvent]
+    val q = StreamingOps.resampleStream(src.toDS(),
+        watermark = "0 seconds", maxFillDays = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("locf_retire").start()
+    src.addData(LocfEvent(1L, dts(1), 1L, 4.0)); q.processAllAvailable()
+    // watermark far past the horizon; extra batches give retired state
+    // every chance to (wrongly) keep ticking
+    src.addData(LocfEvent(9L, dts(20), 9L, 1.0)); q.processAllAvailable()
+    src.addData(LocfEvent(9L, dts(21), 10L, 1.0)); q.processAllAvailable()
+    src.addData(LocfEvent(9L, dts(22), 11L, 1.0)); q.processAllAvailable()
+    q.stop()
+    val days = spark.table("locf_retire").filter($"user_id" === 1L)
+      .select($"day".cast("string")).as[String].collect().toSet
+    assert(days == Set("2024-01-01", "2024-01-02", "2024-01-03"),
+      s"fill stops maxFillDays past the last observation: $days")
+  }
+
   test("qualityFilterStream verdicts equal the batch classifier (stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val op = graft.ops.TextQualityClassifier(
