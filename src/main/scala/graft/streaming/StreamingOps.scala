@@ -294,7 +294,11 @@ object StreamingOps {
     require(maxFillDays >= 1, "resampleStream: maxFillDays must be >= 1")
     import events.sparkSession.implicits._
     def cents(v: Double): Long =
-      BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      // BigDecimal.valueOf (the shortest-string route) is what Spark's
+      // Round expression uses — construct identically so stream cents
+      // can never diverge from the batch op's round(value*100)
+      BigDecimal(java.math.BigDecimal.valueOf(v * 100))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     def emitUpTo(uid: Long, st: LocfState, completeUpTo: Long)
         : (List[LocfTick], LocfState) = {
       var s = st
