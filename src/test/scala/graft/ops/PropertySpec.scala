@@ -239,4 +239,101 @@ class PropertySpec extends SparkSpec {
       hits(banded = true).subsetOf(hits(banded = false))
     }, n = 6)
   }
+
+  test("ResampleLocf equals a naive per-user LOCF reference on random streams") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 4) {
+      val events = (1 to 40).map { i =>
+        val u = rnd.nextInt(6) + 1L
+        val ts = new java.sql.Timestamp(
+          86400000L * rnd.nextInt(8) + rnd.nextInt(86400000))
+        (u, ts, i.toLong, rnd.nextInt(5000) / 10.0)
+      }
+      def cents(v: Double): Long =
+        BigDecimal(java.math.BigDecimal.valueOf(v * 100))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      def day(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 86400000L)
+      // naive reference: per-(user, day) winner under (ts, id), global max
+      // day, per-user fill from the first observed day
+      val winners = events.groupBy(e => (e._1, day(e._2))).map { case (k, es) =>
+        k -> cents(es.maxBy(e => (e._2.getTime, e._3))._4)
+      }
+      val gmax = winners.keys.map(_._2).max
+      val expected = winners.keys.map(_._1).toSeq.distinct.sorted.flatMap { u =>
+        val d0 = winners.keys.filter(_._1 == u).map(_._2).min
+        var carry = 0L
+        (d0 to gmax).map { d =>
+          val obs = winners.get((u, d))
+          carry = obs.getOrElse(carry)
+          (u, d, carry, if (obs.isDefined) 1 else 0)
+        }
+      }.toSet
+      val got = ResampleLocf()
+        .transform(events.toDF("user_id", "ts", "event_id", "value"))
+        .collect().map(r => (r.getLong(0),
+          r.getDate(1).toLocalDate.toEpochDay, r.getLong(2), r.getInt(3))).toSet
+      assert(got == expected, s"LOCF grid must match the naive reference")
+    }
+  }
+
+  test("ClusterAssign equals a naive argmin over random vectors and centers") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 3) {
+      val dim = rnd.nextInt(4) + 2
+      val centers = (1 to rnd.nextInt(5) + 2).map(_ =>
+        (0 until dim).map(_ => rnd.nextInt(200) / 10.0 - 10.0))
+      val vecs = (1 to 30).map(i =>
+        (i.toLong, (0 until dim).map(_ => rnd.nextInt(200) / 10.0f - 10.0f)))
+      def dot(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.size) { s += a(i) * b(i); i += 1 }; s
+      }
+      val expected = vecs.map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        val ds = centers.zipWithIndex.map { case (c, ci) =>
+          ((c.map(x => x * x).sum - 2.0 * dot(v, c)), ci)
+        }
+        val (dPart, cid) = ds.min
+        (id, cid, dPart + dot(v, v))
+      }.toSet
+      val got = ClusterAssign(centers).transform(vecs.toDF("vec_id", "embedding"))
+        .select("vec_id", "cluster_id", "d2")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(got == expected, "assignment and exact d2 must match the naive argmin")
+    }
+  }
+
+  test("EvalRanking equals naive metric computation on random rankings") {
+    val rnd = new scala.util.Random(19)
+    val k = 5
+    val g = EvalRanking.gainNanos(k); val idcg = EvalRanking.idcgNanos(k)
+    for (_ <- 1 to 3) {
+      val ranked = (1 to 6).flatMap { q =>
+        rnd.shuffle((1 to 12).toList).take(rnd.nextInt(7) + 1)
+          .zipWithIndex.map { case (item, i) => (q.toLong, item, i + 1) }
+      }
+      val rel = (1 to 6).flatMap { q =>
+        (1 to 12).filter(_ => rnd.nextBoolean()).map(i => (q.toLong, i))
+      }
+      val relSet = rel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expected = ranked.map(_._1).distinct.sorted.map { q =>
+        val top = ranked.filter(r => r._1 == q && r._3 <= k)
+        val rs = relSet.getOrElse(q, Set.empty)
+        val hits = top.filter(r => rs(r._2))
+        val nRel = rs.size.toLong
+        val dcg = hits.map(h => g(h._3 - 1)).sum
+        (q, nRel, hits.size.toLong,
+          if (nRel > 0) Some(hits.size * 10000L / nRel) else None,
+          if (hits.nonEmpty) 1000000L / hits.map(_._3).min else 0L,
+          if (nRel > 0) Some(dcg * 10000 / idcg(math.min(nRel, k).toInt - 1)) else None)
+      }.toSet
+      val got = EvalRanking(rel.toDF("query_id", "item_id"), k = k)
+        .transform(ranked.toDF("query_id", "item_id", "rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+      assert(got == expected, "metrics must match the naive reference")
+    }
+  }
 }
