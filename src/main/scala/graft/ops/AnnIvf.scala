@@ -55,15 +55,20 @@ case class AnnIvf(
       StructField("candidate_scores", ArrayType(DoubleType))))
   }
 
-  override def transform(df: DataFrame): DataFrame = {
+  override def transform(df: DataFrame): DataFrame =
+    transformIndexed(df, AnnIvf.index(items, centers, itemIdCol, itemVecCol))
+
+  /** Probe a PREBUILT index table (the `(__item_id, __cid, __item_vec)`
+    * shape [[AnnIvf.index]] emits, typically persisted parquet bucketed
+    * by `__cid`): same probe plan, zero assignment work for the catalog —
+    * the serving path when the index is maintained incrementally via
+    * [[updatedIndex]] rather than rebuilt per batch. */
+  def transformIndexed(df: DataFrame, index: DataFrame): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    val indexed = items.select(
-      col(itemIdCol).cast("long").as("__item_id"), col(itemVecCol).as("__item_vec"),
-      array_min(centroidStructs(col(itemVecCol))).getField("cid").as("__cid"))
     val probed = df.select(col(queryIdCol), col(queryVecCol))
       .withColumn("__cid", explode(
         arrayTransformCol(slice(array_sort(centroidStructs(col(queryVecCol))), 1, nprobe))))
-    probed.join(indexed, Seq("__cid"))
+    probed.join(index, Seq("__cid"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))
       .select(col(queryIdCol),
@@ -71,12 +76,30 @@ case class AnnIvf(
         col("__top.scores").as("candidate_scores"))
   }
 
+  /** Incremental index ingest: append a new item batch to the persisted
+    * index under the FROZEN coarse quantizer — assignment is per-item
+    * independent, so `updatedIndex(index, batch)` is id-identical to a
+    * full rebuild over the union (spec-pinned), at the cost of assigning
+    * only the batch: the 100 TB ingest shape ([[graft.ops.IncrementalDedup]]'s
+    * discipline applied to retrieval). The documented staleness cost:
+    * centroids drift as the catalog's distribution moves — refit
+    * periodically (a rebuild) when recall evidence degrades; the driver's
+    * recall rows (`op_ann_ivf_recall`) are exactly that monitor. */
+  def updatedIndex(index: DataFrame, newItems: DataFrame): DataFrame =
+    index.unionByName(AnnIvf.index(newItems, centers, itemIdCol, itemVecCol))
+
   private def arrayTransformCol(sorted: Column): Column =
     org.apache.spark.sql.functions.transform(sorted, s => s.getField("cid"))
 
   /** Relational form: one row per (query, rank, item, score). */
-  def asRows(df: DataFrame): DataFrame =
-    transform(df).select(col(queryIdCol),
+  def asRows(df: DataFrame): DataFrame = rowsOf(transform(df))
+
+  /** Relational form over a prebuilt index ([[transformIndexed]]). */
+  def asRowsIndexed(df: DataFrame, index: DataFrame): DataFrame =
+    rowsOf(transformIndexed(df, index))
+
+  private def rowsOf(out: DataFrame): DataFrame =
+    out.select(col(queryIdCol),
       posexplode(arrays_zip(col("candidate_ids"), col("candidate_scores")))
         .as(Seq("pos", "pair")))
       .select(col(queryIdCol), (col("pos") + 1).as("rank"),
@@ -85,6 +108,18 @@ case class AnnIvf(
 }
 
 object AnnIvf {
+  /** The searchable index frame: each item assigned to its nearest
+    * centroid's inverted list — the ONE assignment definition
+    * (transform, updatedIndex and any persisted index all build through
+    * here, so incremental and rebuilt indexes can never disagree). */
+  def index(items: DataFrame, centers: Seq[Seq[Double]],
+      itemIdCol: String = "item_id", itemVecCol: String = "embedding"): DataFrame =
+    items.select(
+      col(itemIdCol).cast("long").as("__item_id"),
+      col(itemVecCol).as("__item_vec"),
+      array_min(VectorFunctions.centroidStructs(col(itemVecCol), centers))
+        .getField("cid").as("__cid"))
+
   /** Train the coarse quantizer (seeded MLlib k-means over the item
     * vectors) and build the fitted op — `setup_faiss` with `IVF<nlist>`
     * (faiss.py:191-218). Centroids come back as plain doubles: the whole

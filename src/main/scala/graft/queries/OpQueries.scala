@@ -330,13 +330,13 @@ object OpQueries {
   def ivfOracle: Map[String, String] =
     OracleDir.pickKey(centerCache, (k: (String, Int, Int)) => k._1,
         (k: (String, Int, Int)) => k._2 == 32 && k._3 == 5)
-      .map { case (key, centers) =>
+      .toSeq.flatMap { case (key, centers) =>
         val nprobe = math.min(8, centers.size)
         val rows = centers.zipWithIndex.map { case (c, i) =>
           val c2 = c.map(x => x * x).sum
           s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[], '$c2'::DOUBLE)"
         }.mkString(",\n  ")
-        "op_ann_ivf" ->
+        val sql =
           s"""WITH cent(cid, cv, c2) AS (VALUES
              |  $rows),
              |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
@@ -357,8 +357,11 @@ object OpQueries {
              |ranked AS (SELECT vec_id, item_id, score, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank
              |  FROM scored)
-             |SELECT vec_id, rank, item_id, score FROM ranked
+             |SELECT vec_id, CAST(rank AS INTEGER) AS rank, item_id, score FROM ranked
              |WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
+        // the incremental-index query is id-identical to the rebuild by
+        // construction (assignment is per-item independent) — same oracle
+        Seq("op_ann_ivf" -> sql, "op_ann_index_update" -> sql)
       }.toMap
 
   /** op_ann_pq's oracle — the full IVF-PQ path (encode, probe, ADC
@@ -487,6 +490,27 @@ object OpQueries {
     AnnIvf(ivfItems(spark, d), centers, "vec_id", "embedding",
       k = 10, nprobe = math.min(8, centers.size), metric = "dot")
       .asRows(queries).orderBy("vec_id", "rank")
+  }
+
+  /** Incremental IVF index ingest: two thirds of the catalog live as the
+    * persisted index; the remaining third arrives as a new batch and is
+    * appended under the FROZEN coarse quantizer ([[graft.ops.AnnIvf.updatedIndex]]
+    * — only the batch is assigned, the corpus is never re-indexed: the
+    * IncrementalDedup ingest discipline applied to retrieval). Because
+    * assignment is per-item independent, probing the incrementally-built
+    * index is id-identical to probing a full rebuild — so this query
+    * shares op_ann_ivf's dump-time oracle verbatim and hash-checks. */
+  def annIndexUpdate(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    val items = ivfItems(spark, d)
+    val op = AnnIvf(items, centers, "vec_id", "embedding",
+      k = 10, nprobe = math.min(8, centers.size), metric = "dot")
+    val prior = AnnIvf.index(items.filter(col("item_id") % 3 =!= 0), centers,
+      "item_id", "embedding")
+    val updated = op.updatedIndex(prior, items.filter(col("item_id") % 3 === 0))
+    op.asRowsIndexed(queries, updated).orderBy("vec_id", "rank")
   }
 
   /** IVF with nprobe = nlist: every inverted list is probed, so the
@@ -1222,6 +1246,7 @@ object OpQueries {
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
     "op_ann_ivf" -> (annIvf _),
+    "op_ann_index_update" -> (annIndexUpdate _),
     "op_ann_lsh_recall" -> (annLshRecall _),
     "op_ann_ivf_recall" -> (annIvfRecall _),
     "op_ann_ivf_full" -> (annIvfFull _),

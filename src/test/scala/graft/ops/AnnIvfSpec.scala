@@ -38,6 +38,28 @@ class AnnIvfSpec extends SparkSpec {
     assert(recall(16) == 1.0, "full probe must equal brute force")
   }
 
+  test("incremental index ingest is id-identical to a full rebuild") {
+    val emb = graft.Tables.embeddings(spark, d)
+    val queries = emb.filter($"label" === 0).select($"vec_id", $"embedding").limit(20)
+    val items = emb.filter($"label" =!= 0).select($"vec_id".as("item_id"), $"embedding")
+    val fitted = AnnIvf.fit(items, "vec_id", "embedding", k = 10, nlist = 8)
+    // the persisted index: 2/3 of the catalog; the rest arrives as a batch
+    val prior = AnnIvf.index(items.filter($"item_id" % 3 =!= 0), fitted.centers,
+      "item_id", "embedding")
+    val updated = fitted.updatedIndex(prior, items.filter($"item_id" % 3 === 0))
+    val incremental = fitted.transformIndexed(queries, updated)
+      .orderBy("vec_id").select($"vec_id", $"candidate_ids")
+      .as[(Long, Seq[Long])].collect().toSeq
+    val rebuilt = fitted.transform(queries)
+      .orderBy("vec_id").select($"vec_id", $"candidate_ids")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(incremental == rebuilt,
+      "frozen-quantizer append must equal re-indexing the union")
+    // the index table carries every item exactly once
+    assert(updated.count() == items.count() &&
+      updated.select("__item_id").distinct().count() == items.count())
+  }
+
   test("fitted centroids are plain parameters and the op round-trips") {
     val emb = graft.Tables.embeddings(spark, d)
     val items = emb.filter($"label" === 1).select($"vec_id".as("item_id"), $"embedding")
