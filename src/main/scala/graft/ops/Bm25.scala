@@ -103,6 +103,47 @@ case class Bm25Index(
         col("__top.scores").as("candidate_scores"))
   }
 
+  /** Incremental index ingest — the lexical twin of
+    * [[AnnIvf.updatedIndex]] (and of [[IncrementalDedup]]'s discipline):
+    * append a DISJOINT new document batch to the fitted index without
+    * touching the existing postings. Every statistic is additive, so the
+    * updated index EQUALS a full rebuild over the union exactly
+    * (spec-pinned): postings rows are per-(doc, term) and the batches
+    * are disjoint; document frequencies sum; N sums; and avgdl's
+    * numerator is recovered EXACTLY from the stored postings (one
+    * distinct-(doc, dl) aggregate over index-scale rows — empty docs
+    * contribute 0 to the sum and ride in through `docCount`, which is
+    * stored). Cost ∝ the batch's tokens plus one index-scale aggregate;
+    * the corpus is never re-tokenized.
+    *
+    * The disjointness requirement is the ingest contract: re-ingesting
+    * an existing doc id would double its postings — run the dedup layer
+    * ([[IncrementalDedup]]) upstream, exactly as a real ingest pipeline
+    * does. */
+  def updatedWith(newDocs: DataFrame, docIdCol: String, textCol: String): Bm25Index = {
+    import graft.functions.{TextFunctions => TF}
+    val toks = newDocs.select(col(docIdCol).cast("long").as("__doc_id"),
+      arrayFilter(TF.words(col(textCol)), w => length(w) > 0).as("__ws"))
+    val bPostings = toks
+      .select(col("__doc_id"), size(col("__ws")).as("__dl"),
+        explode(col("__ws")).as("__term"))
+      .groupBy(col("__doc_id"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val bDf = bPostings.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val mergedDf = dfreq.withColumnRenamed("__df", "__dfa")
+      .join(bDf.withColumnRenamed("__df", "__dfb"), Seq("__term"), "full_outer")
+      .select(col("__term"),
+        (coalesce(col("__dfa"), lit(0L)) + coalesce(col("__dfb"), lit(0L))).as("__df"))
+    val oldSumDl = Option(postings.select(col("__doc_id"), col("__dl")).distinct()
+      .agg(sum(col("__dl"))).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val b2 = toks.agg(count(lit(1)).as("n"),
+      sum(coalesce(size(col("__ws")), lit(0))).as("sdl")).head()
+    val nNew = docCount + b2.getLong(0)
+    val sumNew = oldSumDl + (if (b2.isNullAt(1)) 0L else b2.getLong(1))
+    copy(postings = postings.unionByName(bPostings), dfreq = mergedDf,
+      docCount = nNew, avgdl = sumNew.toDouble / nNew)
+  }
+
   /** Relational form: one row per (query, rank, doc, score_fp) — the
     * scalar shape the correctness harness sorts and hashes. */
   def asRows(queries: DataFrame): DataFrame =

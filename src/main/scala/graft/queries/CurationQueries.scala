@@ -559,6 +559,23 @@ object CurationQueries {
     idx.asRows(qs).orderBy("query_id", "rank")
   }
 
+  /** Incremental BM25 ingest: two thirds of the corpus fit as the prior
+    * index, the rest appends via [[graft.ops.Bm25Index.updatedWith]] —
+    * every statistic is additive, so the incrementally-built index
+    * scores IDENTICALLY to the full rebuild and this query shares
+    * text_bm25_topk's oracle verbatim. The timed cost here is the honest
+    * ingest path: prior fit + batch append + probe (deliberately
+    * uncached — the append is the operation under test). */
+  def textBm25Incremental(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val prior = Bm25Index.fit(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val idx = prior.updatedWith(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val qs = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(T.words(col("text")), 1, 5)).as("query_text"))
+    idx.asRows(qs).orderBy("query_id", "rank")
+  }
+
   /** Hybrid retrieval: BM25 lexical ranks fused with a document-length
     * quality prior via reciprocal-rank fusion — the multi-ranker stack
     * (lexical + prior) production retrieval runs on top of single-index
@@ -1201,6 +1218,7 @@ object CurationQueries {
     "text_bpe_tokens" -> (textBpeTokens _),
     "text_pii" -> (textPii _),
     "text_bm25_topk" -> (textBm25 _),
+    "text_bm25_incremental" -> (textBm25Incremental _),
     "text_hybrid_rrf" -> (textHybridRrf _),
     "text_keywords" -> (textKeywords _),
     "text_chunks" -> (textChunks _),
@@ -1349,7 +1367,13 @@ object CurationQueries {
        |coalesce(m.matched, 0) > 0 AS contaminated
        |FROM w LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** The incremental BM25 build equals the full rebuild exactly (additive
+    * statistics, spec-pinned) — it shares text_bm25_topk's oracle. (lazy:
+    * oracleBase is declared below, after the helper SQL it interpolates.) */
+  lazy val oracle: Map[String, String] = oracleBase +
+    ("text_bm25_incremental" -> oracleBase("text_bm25_topk"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "text_scrub_spans" ->
       s"""WITH w AS (
          |  SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE $wordsSql END AS ws

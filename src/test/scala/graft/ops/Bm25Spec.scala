@@ -89,6 +89,24 @@ class Bm25Spec extends SparkSpec {
     assert(idx.transform(qs).count() == 0)
   }
 
+  test("incremental ingest equals the full rebuild (additive statistics)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val full = Bm25Index.fit(docs, "doc_id", "text")
+    val prior = Bm25Index.fit(docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text")
+    val inc = prior.updatedWith(docs.filter($"doc_id" % 3 === 0), "doc_id", "text")
+    assert(inc.docCount == full.docCount && inc.avgdl == full.avgdl,
+      "N and avgdl must be EXACTLY the rebuild's (additive integer sums)")
+    val qs = Seq((1L, "spark data stages"), (2L, "quiet shuffle"))
+      .toDF("query_id", "query_text")
+    def rows(i: Bm25Index) = i.asRows(qs).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(inc) == rows(full),
+      "incrementally-built index must score identically to the rebuild")
+    // the empty doc (counted in N but posting-less) is covered by the
+    // avgdl equality above: the append's sumdl recovery contributes 0
+    // for it while docCount still carries it
+  }
+
   test("transformSchema validates input and declares the output shape") {
     val idx = fitIndex()
     val bad = intercept[IllegalArgumentException] {
