@@ -348,4 +348,31 @@ class EdgeCaseSpec extends SparkSpec {
     val diff = SnapshotDiff(oldSnap).transform(docs).orderBy("doc_id").collect()
     assert(diff(0).getString(3) == "changed" && diff(1).getString(3) == "unchanged")
   }
+
+  test("round-8 ops: empty inputs yield empty outputs with declared schemas") {
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(ResampleLocf().transform(emptyEvents).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(BoilerplateReport(n = 3).transform(emptyDocs).count() == 0)
+    val emptyRanked = Seq.empty[(Long, String, Int)]
+      .toDF("query_id", "item_id", "rank")
+    val rel = Seq((1L, "a")).toDF("query_id", "item_id")
+    assert(EvalRanking(rel).transform(emptyRanked).count() == 0)
+    // a degenerate single-boundary isotonic model is a constant function
+    val flat = CalibrateScores(Seq(2.0), Seq(0.5))
+    val out = flat.transform(Seq((1L, -10.0), (2L, 2.0), (3L, 99.0))
+      .toDF("id", "score")).select("calibrated").collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(0.5, 0.5, 0.5))
+  }
+
+  test("Bm25 incremental ingest with an EMPTY batch is the identity") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val idx = Bm25Index.fit(docs, "doc_id", "text")
+    val same = idx.updatedWith(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(same.docCount == idx.docCount && same.avgdl == idx.avgdl)
+    val qs = Seq((1L, "beta")).toDF("query_id", "query_text")
+    assert(same.asRows(qs).collect().toSeq == idx.asRows(qs).collect().toSeq)
+  }
 }
