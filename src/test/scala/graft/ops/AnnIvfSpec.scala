@@ -58,6 +58,14 @@ class AnnIvfSpec extends SparkSpec {
     // the index table carries every item exactly once
     assert(updated.count() == items.count() &&
       updated.select("__item_id").distinct().count() == items.count())
+    // the claimed serving path: the maintained index PERSISTS as parquet
+    // and the reloaded frames probe identically (no live state)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    updated.write.mode("overwrite").parquet(dir)
+    val reloaded = fitted.transformIndexed(queries, spark.read.parquet(dir))
+      .orderBy("vec_id").select($"vec_id", $"candidate_ids")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(reloaded == rebuilt, "parquet-backed index must probe identically")
   }
 
   test("fitted centroids are plain parameters and the op round-trips") {
