@@ -55,7 +55,12 @@ case class EvalRanking(
   override def transform(df: DataFrame): DataFrame = {
     val rel = relevant.select(col(queryCol), col(itemCol)).distinct()
     val relCounts = rel.groupBy(queryCol).agg(count(lit(1)).as("__nrel"))
+    // a ranked list that repeats an item inside top-k must count ONE hit
+    // and ONE gain (at its best rank), or recall_bp can exceed 10000 and
+    // DCG double-bills the item — collapse to min rank per (query, item)
+    // before the relevance join rather than assuming distinct input
     val topk = df.filter(col(rankCol) <= k)
+      .groupBy(queryCol, itemCol).agg(min(col(rankCol)).as(rankCol))
     val gains = typedLit(gainNanos.toArray)
     val hits = topk.join(rel, Seq(queryCol, itemCol))
       .groupBy(queryCol)
@@ -82,7 +87,8 @@ case class EvalRanking(
         coalesce(expr("1000000 DIV __minrank"), lit(0L)).as("rr_micros"),
         when(coalesce(col("__nrel"), lit(0L)) > 0,
           expr("(coalesce(__dcg_nanos, 0) * 10000) DIV __idcg")).as("ndcg_bp"))
-      .orderBy(queryCol)
+    // no output orderBy: presentation ordering belongs to the query layer
+    // (a global sort here is a needless range exchange at 1e9 queries)
   }
 }
 

@@ -164,25 +164,72 @@ object StorageOps {
     * real — file-open overhead per task, driver listing latency, and
     * scan parallelism pinned to the file count. Sizing reads the FILE
     * SYSTEM's byte totals (metadata, no data scan); the rewrite is one
-    * round-robin repartition to `ceil(total/target)` — the only data
-    * movement, which is the point of the operation. Returns the output
-    * file count. Target ~128 MB-1 GB on-disk per file (compressed size
-    * ≈ what the next scan's splits see). */
+    * round-robin repartition to `ceil(bytes/target)` — the only data
+    * movement, which is the point of the operation.
+    *
+    * Hive-partitioned layouts (subdirectories named `col=value`) are
+    * compacted PER PARTITION DIRECTORY, preserving the layout: a global
+    * round-robin would pull every partition's rows into common files and
+    * destroy planning-time pruning, and sizing must recurse into the
+    * subdirectories or a partitioned input sums to 0 bytes and collapses
+    * to one file (the round-8 defect). Leaf directories are enumerated
+    * driver-side — partition dirs are metadata-scale by the partitioning
+    * discipline above (coarse, low-cardinality columns only), so the
+    * per-leaf loop is bounded; each leaf's bytes come from one recursive
+    * `getContentSummary` call and its rewrite moves only that leaf's
+    * data. Files land under the same relative `col=value/...` paths, so
+    * readers see an identical hive layout with fewer files.
+    *
+    * Returns the output file count. Target ~128 MB-1 GB on-disk per file
+    * (compressed size ≈ what the next scan's splits see). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 512L << 20): Int = {
     require(targetBytes > 0, "compact: targetBytes must be positive")
     val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(hadoopPath)
+    def visible(p: org.apache.hadoop.fs.Path): Boolean =
       // skip _SUCCESS markers AND .crc checksum shadows — counting those
       // would inflate the sizing on local filesystems
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith("."))
-      .map(_.getLen).sum
-    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath).repartition(n)
-      .write.mode("overwrite").parquet(outPath)
-    n
+      !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    // recursive byte total — correct whether the data sits flat in the
+    // directory or nested under partition subdirectories
+    def bytesUnder(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (visible(f.getPath)) total += f.getLen
+      }
+      total
+    }
+    def filesFor(bytes: Long): Int =
+      math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // hive partition dirs = subdirectories named col=value; recurse to
+    // the LEAF dirs (multi-level partitioning nests key=val/key2=val2)
+    def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val parts = fs.listStatus(p)
+        .filter(s => s.isDirectory && visible(s.getPath) &&
+          s.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(p) else parts.toSeq.flatMap(s => leafDirs(s.getPath))
+    }
+    val leaves = leafDirs(hadoopPath)
+    if (leaves == Seq(hadoopPath)) {
+      val n = filesFor(bytesUnder(hadoopPath))
+      spark.read.parquet(inPath).repartition(n)
+        .write.mode("overwrite").parquet(outPath)
+      n
+    } else {
+      leaves.map { leaf =>
+        // same relative col=value/... path on the output side — the
+        // compacted layout prunes exactly like the input did
+        val rel = leaf.toUri.getPath.stripPrefix(hadoopPath.toUri.getPath)
+          .stripPrefix("/")
+        val n = filesFor(bytesUnder(leaf))
+        spark.read.parquet(leaf.toString).repartition(n)
+          .write.mode("overwrite").parquet(s"$outPath/$rel")
+        n
+      }.sum
+    }
   }
 
   /** ORC write/read — the second columnar interchange Spark carries

@@ -135,7 +135,9 @@ object MlQueries {
       .filter(col("rank") <= 10)
     val relevant = inter.filter(col("l_returnflag") === "R")
       .select("query_id", "item_id").distinct()
-    EvalRanking(relevant, k = 10).transform(ranked)
+    // presentation sort lives HERE (the op emits unordered — no range
+    // exchange in the serving path)
+    EvalRanking(relevant, k = 10).transform(ranked).orderBy("query_id")
   }
 
   /** ml_eval_ranking's oracle — STATIC (the gain tables are deterministic

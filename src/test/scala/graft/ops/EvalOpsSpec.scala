@@ -51,4 +51,28 @@ class EvalOpsSpec extends SparkSpec {
     assert(out.getLong(2) == 0 && out.getLong(4) == 0,
       "a hit at rank 5 is outside k=3")
   }
+
+  test("EvalRanking: an item repeated within top-k counts one hit at its best rank") {
+    // same item at ranks 1 and 3 — recall must stay <= 10000 and DCG must
+    // bill the item once, at rank 1
+    val ranked = Seq((1L, "a", 1), (1L, "a", 3), (1L, "b", 2))
+      .toDF("query_id", "item_id", "rank")
+    val rel = Seq((1L, "a")).toDF("query_id", "item_id")
+    val op = EvalRanking(rel, k = 3)
+    val out = op.transform(ranked).head()
+    assert(out.getLong(2) == 1, "one hit, not two")
+    assert(out.getLong(3) == 10000, "recall capped at 10000 bp")
+    assert(out.getLong(5) == op.gainNanos(0) * 10000 / op.idcgNanos(0),
+      "DCG uses the best rank only")
+  }
+
+  test("EvalRanking: output carries no presentation ordering exchange") {
+    // the op must not end in a global sort — ordering is the query layer's
+    val ranked = Seq((2L, "a", 1), (1L, "a", 1)).toDF("query_id", "item_id", "rank")
+    val rel = Seq((1L, "a")).toDF("query_id", "item_id")
+    val plan = EvalRanking(rel, k = 3).transform(ranked)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"op output should not be range-sorted:\n$plan")
+  }
 }

@@ -142,6 +142,43 @@ class StorageOpsSpec extends SparkSpec {
       "compaction must not change content")
   }
 
+  test("compact preserves a hive-partitioned layout and sizes per partition") {
+    val root = tmp()
+    // two partitions, deliberately unequal: "en" big enough for 2 target
+    // files, "de" small enough for 1 — and both fragmented into 8 files
+    val en = (1 to 4000).map(i => (i.toLong, "en", "pad" + ("x" * 200)))
+    val de = (1 to 200).map(i => (i.toLong, "de", "pad"))
+    val df = (en ++ de).toDF("id", "lang", "payload")
+    df.repartition(8).write.mode("overwrite")
+      .partitionBy("lang").parquet(s"$root/frag")
+    def parquetFiles(p: String) = {
+      val d = new java.io.File(p)
+      if (!d.exists) 0 else d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles(s"$root/frag/lang=en") == 8, "fixture must be fragmented")
+    // target sized so lang=en needs >1 file: measure its actual bytes
+    val enBytes = new java.io.File(s"$root/frag/lang=en").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = enBytes / 2 + 1 // en → 2 files, de (far smaller) → 1
+    val n = StorageOps.compact(spark, s"$root/frag", s"$root/out", target)
+    assert(n == 3, s"expected per-partition sizing (2 + 1), got $n")
+    assert(parquetFiles(s"$root/out/lang=en") == 2,
+      "big partition compacts to 2 files, not the whole dataset to 1")
+    assert(parquetFiles(s"$root/out/lang=de") == 1)
+    // layout survives: partition column restored from the path, pruning intact
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.columns.toSet == Set("id", "lang", "payload"))
+    val filtered = back.filter($"lang" === "de")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"),
+      s"compacted layout must still prune on lang:\n${p.take(1200)}")
+    assert(filtered.count() == 200)
+    // partition columns come back LAST on read — compare by name
+    val backOrdered = back.select("id", "lang", "payload")
+    assert(backOrdered.except(df).isEmpty && df.except(backOrdered).isEmpty,
+      "per-partition compaction must not change content")
+  }
+
   test("writeForPointLookup emits parquet bloom filters on the key columns") {
     val root = tmp()
     val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
