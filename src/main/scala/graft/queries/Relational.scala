@@ -230,7 +230,28 @@ object Relational {
     brands("R").intersect(brands("N")).orderBy("p_brand")
   }
 
+  /** Explicit GROUPING SETS — the general form rollup (q6) and cube (q13)
+    * are sugar for: exactly the three requested granularities
+    * ((flag,status), (flag), ()) and no others, so the grand-total row
+    * appears once and per-status-only rows never do. One pass over the
+    * fact table: Catalyst expands the sets via a single Expand node, so
+    * cost is sets × input rows map-side, then one shuffle — identical
+    * plan shape to rollup at 100 TB. */
+  def q19_grouping_sets(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("flag", "status")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_grouping_sets" -> (q19_grouping_sets _),
     "q18_intersect" -> (q18_intersect _),
     "q17_unpivot" -> (q17_unpivot _),
     "q16_pivot" -> (q16_pivot _),
@@ -251,6 +272,12 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q19_grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+        |count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY 1,2""".stripMargin,
     "q18_intersect" ->
       """SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_returnflag = 'R' AND l_quantity >= 45
