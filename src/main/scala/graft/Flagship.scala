@@ -71,6 +71,19 @@ object Flagship {
       dir
     })
 
+  /** Verify-dir side artifacts of one [[recommend]] serving pass:
+    * factor tables, LSH item buckets, user home buckets, and the scalar
+    * parameters the oracle replay needs. The bucket assignments are
+    * fit-state like centroid literals — the oracle does not re-derive the
+    * xxhash hyperplanes, it replays the SERVING math (probe join, double
+    * dot, top-k, seen filter, softmax keys) from them. */
+  case class RecsysArtifacts(userPath: String, itemPath: String,
+      itemBucketPath: String, userBucketPath: String, rank: Int,
+      retrievalK: Int, finalK: Int, temperature: Double, seed: Long)
+
+  val recsysArtifacts =
+    scala.collection.concurrent.TrieMap.empty[String, RecsysArtifacts]
+
   /** The prefit parquet factor frames, when [[prewarmAlsFactors]] ran
     * for this dir — the loadable serving artifact other queries
     * (ml_als_recommend) share. */
@@ -188,12 +201,40 @@ object Flagship {
     // buckets (the 100 TB path: candidates per user ≈ items/2^bits ×
     // nprobe, not |items| — brute force here would score |users|·|items|
     // pairs, which already times out at sf0.1). Bucket bits scale with the
-    // catalog so buckets average ~64 items at any scale factor.
+    // catalog so buckets average ~64 items at any scale factor. The
+    // center is computed ONCE here and passed as fit state: the artifact
+    // dump below buckets with the same literal (a recomputed double mean
+    // can drift in the last bits and flip borderline signs).
     val nItems = itemVecs.count()
     val numBits = math.max(4, math.min(12,
       (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
+    val center = graft.functions.VectorFunctions
+      .meanVector(itemVecs, "embedding").toSeq
     val retrieved = AnnLsh(itemVecs, "user_id", "user_vec",
-      k = retrievalK, numBits = numBits, nprobe = 4, metric = "dot").transform(withVec)
+      k = retrievalK, numBits = numBits, nprobe = 4, metric = "dot",
+      center = Some(center)).transform(withVec)
+
+    // under Verify: persist the fitted state (factors + bucket
+    // assignments) so the oracle can replay the serving stage in SQL
+    {
+      import graft.queries.OracleDir
+      val mu = typedLit(center.toArray)
+      def bkt(vec: org.apache.spark.sql.Column) =
+        graft.functions.FastExpressions.lshBucket(vec, mu, numBits)
+      for {
+        up <- OracleDir.writeArtifact(userFactors, d, "recsys_user")
+        ip <- OracleDir.writeArtifact(itemFactors, d, "recsys_item")
+        ib <- OracleDir.writeArtifact(
+          itemVecs.select(col("item_id"),
+            bkt(col("embedding")).as("bucket")), d, "recsys_item_buckets")
+        ub <- OracleDir.writeArtifact(
+          withVec.select(col("user_id"),
+            bkt(col("user_vec")).as("home")), d, "recsys_user_buckets")
+      } recsysArtifacts(d) = RecsysArtifacts(up, ip, ib, ub,
+        rank = userFactors.select("features").head().getSeq[Float](0).size,
+        retrievalK = retrievalK, finalK = finalK,
+        temperature = 20.0, seed = 42L)
+    }
 
     // stage 3: drop seen items and rank — the retrieval scores ARE the dot
     // scores (metric = "dot"), so filter (id, score) pairs together and

@@ -9,6 +9,10 @@ object Verify {
     // Pin dump-time oracles to THIS dir's fitted constants — a JVM that
     // has run queries for several dirs must not dump another dir's fit.
     graft.queries.OracleDir.active = Some(sfDir)
+    // table-sized fitted state (ALS factors, BPE merges) lands here as
+    // parquet; oracle SQL replays it via read_parquet. Underscore prefix:
+    // hidden from the driver's per-query parquet reads.
+    graft.queries.OracleDir.artifactDir = Some(s"$outDir/_artifacts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

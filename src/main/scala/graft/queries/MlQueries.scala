@@ -23,6 +23,11 @@ object MlQueries {
     scala.collection.concurrent.TrieMap.empty[String, PredictForestClassifier]
   private val calCache =
     scala.collection.concurrent.TrieMap.empty[String, CalibrateScores]
+  /** ALS factor side artifacts for the active verify dir:
+    * (userFactorPath, itemFactorPath, rank) — written by mlAlsRecommend,
+    * replayed by [[dynamicOracle]] via DuckDB read_parquet. */
+  private val alsArtCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, Int)]
 
   private val forestFeats = Seq("p_size_d", "p_brand_idx", "p_type_idx")
 
@@ -271,7 +276,75 @@ object MlQueries {
            |      (list_extract(bl, idx + 1) - list_extract(bl, idx)) END AS calibrated
            |FROM c ORDER BY o_orderkey""".stripMargin
     }
-    (forest.toSeq ++ forestClf.toSeq ++ lr.toSeq ++ cal.toSeq).toMap
+    // blocked top-N replay from the persisted factor parquet: the float
+    // dot is the same left fold in float32 (DuckDB FLOAT arithmetic stays
+    // single-precision), ranking/tie order is (score DESC, id ASC) — the
+    // heap's exact total order — so the serving stage hash-checks even
+    // though the FIT that produced the factors is training-based.
+    val als = OracleDir.pickDir(alsArtCache.keys).flatMap(alsArtCache.get)
+      .map { case (up, ip, rank) =>
+        val dot = (1 to rank).map(i => s"u.features[$i] * i.features[$i]")
+          .reduceLeft((a, b) => s"($a + $b)")
+        "ml_als_recommend" ->
+          s"""WITH uf AS (SELECT id, features FROM read_parquet('$up/*.parquet')),
+             |itf AS (SELECT id, features FROM read_parquet('$ip/*.parquet')),
+             |ru AS (SELECT DISTINCT c_custkey AS cust FROM customer),
+             |u AS (SELECT CAST(r.cust AS BIGINT) AS user_id, f.features
+             |  FROM ru r JOIN uf f ON CAST(r.cust AS INT) = f.id),
+             |pairs AS (SELECT u.user_id, i.id AS item_id, $dot AS score
+             |  FROM u CROSS JOIN itf i),
+             |rk AS (SELECT user_id, item_id, score, row_number() OVER
+             |    (PARTITION BY user_id ORDER BY score DESC, item_id) AS rank
+             |  FROM pairs)
+             |SELECT user_id AS user_id, CAST(rank AS INT) AS rank,
+             |  CAST(item_id AS BIGINT) AS item_id, CAST(score AS DOUBLE) AS score
+             |FROM rk WHERE rank <= 10 ORDER BY user_id, rank""".stripMargin
+      }
+    // the flagship's SERVING stage replayed whole from the persisted fit
+    // state (factors + LSH bucket assignments — the xxhash hyperplanes are
+    // fit parameters, not serving math): probe-bucket join, double-fold
+    // dot, (score DESC, id ASC) top-k, seen anti-filter, per-position md5
+    // softmax keys, final (key ASC, id ASC) top-10.
+    val recsys = OracleDir.pickDir(graft.Flagship.recsysArtifacts.keys)
+      .flatMap(graft.Flagship.recsysArtifacts.get).map { a =>
+        val dot = (1 to a.rank)
+          .map(j => s"f.features[$j]::DOUBLE * g.features[$j]::DOUBLE")
+          .reduceLeft((x, y) => s"($x + $y)")
+        "pipeline_recsys" ->
+          s"""WITH uf AS (SELECT id, features FROM read_parquet('${a.userPath}/*.parquet')),
+             |itf AS (SELECT id, features FROM read_parquet('${a.itemPath}/*.parquet')),
+             |ib AS (SELECT item_id, bucket FROM read_parquet('${a.itemBucketPath}/*.parquet')),
+             |ub AS (SELECT user_id, home FROM read_parquet('${a.userBucketPath}/*.parquet')),
+             |probes AS (SELECT user_id,
+             |    unnest([home, xor(home, 1), xor(home, 2), xor(home, 4)]) AS bucket
+             |  FROM ub),
+             |cand AS (SELECT p.user_id, b.item_id
+             |  FROM probes p JOIN ib b ON p.bucket = b.bucket),
+             |scored AS (SELECT c.user_id, c.item_id, $dot AS score
+             |  FROM cand c JOIN uf f ON CAST(c.user_id AS INT) = f.id
+             |  JOIN itf g ON CAST(c.item_id AS INT) = g.id),
+             |topk AS (SELECT user_id, item_id, score, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY score DESC, item_id) AS rk
+             |  FROM scored),
+             |seen AS (SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |unseen AS (SELECT t.user_id, t.item_id, t.score FROM topk t
+             |  WHERE t.rk <= ${a.retrievalK} AND NOT EXISTS (SELECT 1 FROM seen s
+             |    WHERE s.user_id = t.user_id AND s.item_id = t.item_id)),
+             |pos AS (SELECT user_id, item_id, score, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY item_id) - 1 AS i FROM unseen),
+             |keyed AS (SELECT user_id, item_id, score,
+             |    -ln((('0x' || substring(md5(user_id::VARCHAR || ':' || i::VARCHAR
+             |      || ':${a.seed}'), 1, 8))::BIGINT + 0.5) / 4294967296.0)
+             |      / exp(${a.temperature} * score) AS k FROM pos),
+             |fin AS (SELECT user_id, item_id, score, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY k, item_id) AS rank FROM keyed)
+             |SELECT user_id AS user_id, CAST(rank AS INT) AS rank,
+             |  CAST(item_id AS BIGINT) AS item_id, score AS score
+             |FROM fin WHERE rank <= ${a.finalK} ORDER BY user_id, rank""".stripMargin
+      }
+    (forest.toSeq ++ forestClf.toSeq ++ lr.toSeq ++ cal.toSeq ++ als.toSeq ++
+      recsys.toSeq).toMap
   }
 
   /** Deterministic portable-MLP weights (64 → 4 relu → 1 linear), exact
@@ -370,6 +443,15 @@ object MlQueries {
         maxIter = 3)
       (m.userFactors, m.itemFactors)
     }
+    // under Verify, the fitted factor TABLES are the model artifact —
+    // persist them beside the results and let the oracle replay the
+    // blocked top-N from the same parquet (the factors are plain floats,
+    // so the float dot/rank/tie order is exactly reproducible in SQL)
+    for {
+      up <- OracleDir.writeArtifact(uf, d, "als_user")
+      ip <- OracleDir.writeArtifact(itf, d, "als_item")
+    } alsArtCache(d) =
+      (up, ip, uf.select("features").head().getSeq[Float](0).size)
     val users = customer(spark, d).select(col("c_custkey").as("user_id"))
     PredictImplicit(uf, itf, numToRecommend = 10).transform(users)
       .select(col("user_id"),

@@ -15,6 +15,26 @@ import scala.collection.concurrent.TrieMap
 object OracleDir {
   @volatile var active: Option[String] = None
 
+  /** Verify-dir side-artifact root (set by [[graft.Verify]] to
+    * `<outDir>/_artifacts`): queries whose fitted state is a TABLE rather
+    * than a few literals (ALS factor frames, BPE merge lists) persist it
+    * here as parquet, and their dump-time oracle SQL replays against it
+    * via DuckDB's `read_parquet`. The underscore prefix keeps the dir
+    * invisible to the driver's per-query parquet reads. Unset outside
+    * Verify (bench/tests pay no artifact writes). */
+  @volatile var artifactDir: Option[String] = None
+
+  /** Write `df` (small, fit-sized) as a single-file parquet side artifact
+    * named `name`, returning its path — only when Verify is dumping for
+    * `d`. The ONE writer all artifact-backed oracles share. */
+  def writeArtifact(df: org.apache.spark.sql.DataFrame, d: String,
+      name: String): Option[String] =
+    artifactDir.filter(_ => active.contains(d)).map { root =>
+      val path = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    }
+
   /** Preferred dir among `dirs`: the active verify dir when fitted there,
     * else the smallest — never TrieMap iteration order. */
   def pickDir(dirs: Iterable[String]): Option[String] = {
