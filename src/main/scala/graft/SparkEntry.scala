@@ -28,5 +28,6 @@ object SparkEntry {
       graft.queries.MlQueries.dynamicOracle ++
       graft.queries.CurationQueries.semanticOracle ++
       graft.queries.CurationQueries.cosLshOracle ++
-      graft.queries.CurationQueries.qcOracle
+      graft.queries.CurationQueries.qcOracle ++
+      graft.queries.CurationQueries.bpeOracle
 }

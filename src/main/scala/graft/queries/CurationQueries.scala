@@ -61,6 +61,13 @@ object CurationQueries {
     * quantizers; Bench prewarms via [[prewarmBpe]]). */
   private val bpeCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  /** Verify-dir BPE side artifacts: the fitted merge list and the
+    * word-type lexicon (word → token string + count) — written by the
+    * bpe queries under Verify, replayed by [[bpeOracle]]. */
+  private val bpeMergeArt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val bpeLexArt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[graft] def cachedBpeMerges(spark: SparkSession, d: String): Seq[(String, String)] =
     bpeCache.getOrElseUpdate(d,
@@ -124,8 +131,14 @@ object CurationQueries {
     require(local == merges,
       s"BPE divergence: distributed ${merges.take(5)}... vs local ${local.take(5)}...")
     import spark.implicits._
-    merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+    val out = merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
       .toDF("rank", "left", "right")
+    // under Verify: the merge list IS the fitted artifact — persist it so
+    // the oracle pins the dumped ranks against the side parquet (the
+    // training itself stays covered by the local-trainer equality above)
+    OracleDir.writeArtifact(out, d, "bpe_merges")
+      .foreach(bpeMergeArt(d) = _)
+    out
   }
 
   /** Apply the learned merges corpus-wide (rows-only; the query REQUIRES
@@ -140,7 +153,23 @@ object CurationQueries {
     // word) and measured 155 s vs ~2 s here at sf0.1. The strategies are
     // value-identical (BpeSpec pins it); the codegen path stays covered
     // by spec + the small-vocab ops.
-    val toked = BpeTokenize(cachedBpeMerges(spark, d), "text", maxExprMerges = 0)
+    val merges = cachedBpeMerges(spark, d)
+    // under Verify: persist the word-type LEXICON (word → its BPE token
+    // string + count, via the same op over the distinct types). Per-word
+    // tokenization is fit state like centroid assignments; the oracle
+    // replays the APPLICATION — per-doc word order, concatenation, token
+    // count, fingerprint — from it in SQL.
+    if (OracleDir.artifactDir.isDefined && OracleDir.active.contains(d)) {
+      val types = documents(spark, d)
+        .select(explode(T.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+      val lex = BpeTokenize(merges, "w", maxExprMerges = 0).transform(types)
+        .select(col("w"), concat_ws(" ", col("bpe_tokens")).as("toks"),
+          size(col("bpe_tokens")).as("n"))
+      OracleDir.writeArtifact(lex, d, "bpe_lexicon")
+        .foreach(bpeLexArt(d) = _)
+    }
+    val toked = BpeTokenize(merges, "text", maxExprMerges = 0)
       .transform(documents(spark, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -440,6 +469,43 @@ object CurationQueries {
            |  CAST(floor(($mSql) * 1000000.0) AS BIGINT) AS margin_micro
            |FROM f ORDER BY doc_id""".stripMargin
     }.toMap
+
+  /** BPE dump-time oracles over the side artifacts: the vocab query pins
+    * its dumped ranks against the persisted merge list; the tokens query
+    * replays the APPLICATION — normalize, split, per-word lexicon lookup,
+    * in-order concatenation, token count and md5 fingerprint — entirely
+    * in SQL (the per-word tokenization is fit state, like centroid
+    * assignments; the lexicon itself is pinned distributed ≡ local by
+    * textBpeVocab's in-artifact trainer equality). */
+  def bpeOracle: Map[String, String] = {
+    val vocab = OracleDir.pickDir(bpeMergeArt.keys).flatMap(bpeMergeArt.get)
+      .map { p =>
+        "text_bpe_vocab" ->
+          s"""SELECT rank, "left", "right"
+             |FROM read_parquet('$p/*.parquet') ORDER BY rank""".stripMargin
+      }
+    val toks = OracleDir.pickDir(bpeLexArt.keys).flatMap(bpeLexArt.get)
+      .map { p =>
+        "text_bpe_tokens" ->
+          s"""WITH lex AS (SELECT w, toks, n FROM read_parquet('$p/*.parquet')),
+             |norm AS (SELECT doc_id,
+             |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+             |  FROM documents),
+             |wl AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+             |words AS (SELECT doc_id, unnest(ws) AS w,
+             |    generate_subscripts(ws, 1) AS i FROM wl),
+             |tok AS (SELECT j.doc_id, j.i, l.toks, l.n
+             |  FROM words j JOIN lex l ON j.w = l.w WHERE j.w <> ''),
+             |agg AS (SELECT doc_id, string_agg(toks, ' ' ORDER BY i) AS s,
+             |    CAST(sum(n) AS INT) AS n_bpe_tokens FROM tok GROUP BY doc_id)
+             |SELECT n.doc_id AS doc_id,
+             |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+             |  md5(coalesce(a.s, '')) AS bpe_fp
+             |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
+             |ORDER BY doc_id""".stripMargin
+      }
+    (vocab.toSeq ++ toks.toSeq).toMap
+  }
 
   /** Corpus boilerplate inventory ([[graft.ops.BoilerplateReport]]): the
     * top shared n-grams by distinct-document count — the
