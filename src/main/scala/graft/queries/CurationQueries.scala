@@ -642,6 +642,39 @@ object CurationQueries {
     idx.asRows(qs).orderBy("query_id", "rank")
   }
 
+  /** The ONLINE index lifecycle end-to-end: the corpus arrives as a
+    * 3-micro-batch document stream, [[graft.streaming.StreamingOps.bm25IndexSink]]
+    * maintains the persisted inverted index across batches (first batch
+    * fits, later batches append via `updatedWith`), and the probe runs
+    * against the final loaded version. Because the maintenance operator
+    * is additive over disjoint batches (spec-pinned boundary-independent),
+    * the maintained index equals the full rebuild — so this row shares
+    * text_bm25_topk's hash oracle: streaming ingest proven equal to the
+    * batch build by the DRIVER's own compare, not just a spec. */
+  def textBm25Stream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docRows = documents(spark, d)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("bm25_stream_idx").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.bm25IndexSink(dir)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(docRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val idx = graft.streaming.StreamingOps.loadBm25Index(spark, dir).get
+    val qs = documents(spark, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(T.words(col("text")), 1, 5)).as("query_text"))
+    idx.asRows(qs).orderBy("query_id", "rank")
+  }
+
   /** Hybrid retrieval: BM25 lexical ranks fused with a document-length
     * quality prior via reciprocal-rank fusion — the multi-ranker stack
     * (lexical + prior) production retrieval runs on top of single-index
@@ -1285,6 +1318,7 @@ object CurationQueries {
     "text_pii" -> (textPii _),
     "text_bm25_topk" -> (textBm25 _),
     "text_bm25_incremental" -> (textBm25Incremental _),
+    "text_bm25_stream" -> (textBm25Stream _),
     "text_hybrid_rrf" -> (textHybridRrf _),
     "text_keywords" -> (textKeywords _),
     "text_chunks" -> (textChunks _),
@@ -1437,7 +1471,10 @@ object CurationQueries {
     * statistics, spec-pinned) — it shares text_bm25_topk's oracle. (lazy:
     * oracleBase is declared below, after the helper SQL it interpolates.) */
   lazy val oracle: Map[String, String] = oracleBase +
-    ("text_bm25_incremental" -> oracleBase("text_bm25_topk"))
+    ("text_bm25_incremental" -> oracleBase("text_bm25_topk")) +
+    // the stream-maintained index equals the full rebuild (additive
+    // statistics, boundary-independence spec-pinned) — same oracle again
+    ("text_bm25_stream" -> oracleBase("text_bm25_topk"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "text_scrub_spans" ->

@@ -713,4 +713,132 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  // ---- streaming index maintenance -----------------------------------
+  //
+  // The online half of the index lifecycle: a document/item stream keeps
+  // the PERSISTED retrieval index current via foreachBatch, the same way
+  // incrementalDedupStream keeps the dedup index current. State lives in
+  // versioned parquet (never inside the stream), so serving reads the
+  // index with plain batch scans while ingest appends to it:
+  //
+  //   <indexDir>/v<batchId>/...   one immutable version per micro-batch
+  //   <indexDir>/_LATEST          pointer file naming the live version
+  //
+  // Each batch reads the version the pointer names, builds the next
+  // version in a NEW directory (no read-modify-write on live files), and
+  // moves the pointer last — a crashed batch leaves the pointer on the
+  // old consistent version, and a foreachBatch RETRY of the same batchId
+  // rewrites the same version dir from the same parent: idempotent.
+  // Because the update operators are additive over disjoint batches
+  // (Bm25Index.updatedWith, AnnIvf.updatedIndex — both spec-pinned equal
+  // to full rebuilds), the final index is identical under ANY micro-batch
+  // boundaries: the stream twin inherits the batch ops' determinism.
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The live version name in `<dir>/_LATEST`, if any. */
+  private def latestVersion(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] = {
+    val (fs, p) = fsOf(spark, dir)
+    val ptr = new org.apache.hadoop.fs.Path(p, "_LATEST")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
+  }
+
+  private def writePointer(spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: String): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    // write-then-rename: readers never observe a half-written pointer
+    val tmp = new org.apache.hadoop.fs.Path(p, s"._LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(p, "_LATEST")
+    fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
+  }
+
+  /** Load the live BM25 index from a sink-maintained directory (None
+    * before the first non-empty batch). Serving-side entry: probe with
+    * `loadBm25Index(...).get.asRows(queries)`. */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
+      : Option[graft.ops.Bm25Index] =
+    latestVersion(spark, indexDir).map { v =>
+      val meta = spark.read.parquet(s"$indexDir/$v/meta").head()
+      graft.ops.Bm25Index(
+        spark.read.parquet(s"$indexDir/$v/postings"),
+        spark.read.parquet(s"$indexDir/$v/dfreq"),
+        meta.getAs[Long]("docCount"), meta.getAs[Double]("avgdl"),
+        queryIdCol, queryTextCol, k, k1, b)
+    }
+
+  /** foreachBatch sink maintaining a persisted BM25 inverted index from a
+    * document stream: first non-empty batch fits the index, every later
+    * batch appends via [[graft.ops.Bm25Index.updatedWith]] (cost ∝ the
+    * batch's tokens — the corpus is never re-tokenized). Batches must
+    * carry DISJOINT doc ids (the ingest contract; run
+    * [[incrementalDedupStream]] upstream). Usage:
+    * `docs.writeStream.foreachBatch(bm25IndexSink(dir)).start()`. */
+  def bm25IndexSink(indexDir: String, docIdCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val next = loadBm25Index(spark, indexDir) match {
+          case Some(idx) => idx.updatedWith(batch, docIdCol, textCol)
+          case None => graft.ops.Bm25Index.fit(batch, docIdCol, textCol)
+        }
+        val v = s"v$batchId"
+        // materialize the new version BEFORE the pointer moves; the
+        // updatedWith frames read the OLD version's files, so the write
+        // never overlaps its own input
+        next.postings.write.mode("overwrite").parquet(s"$indexDir/$v/postings")
+        next.dfreq.write.mode("overwrite").parquet(s"$indexDir/$v/dfreq")
+        import spark.implicits._
+        Seq((next.docCount, next.avgdl)).toDF("docCount", "avgdl")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$v/meta")
+        writePointer(spark, indexDir, v)
+      }
+  }
+
+  /** Load the live IVF index frame from a sink-maintained directory —
+    * probe via `op.asRowsIndexed(queries, loadAnnIvfIndex(...).get)`. */
+  def loadAnnIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] =
+    latestVersion(spark, indexDir).map(v =>
+      spark.read.parquet(s"$indexDir/$v/index"))
+
+  /** foreachBatch sink maintaining a persisted IVF index from an item
+    * stream under `op`'s FROZEN coarse quantizer: each batch is assigned
+    * to its inverted lists via [[graft.ops.AnnIvf.updatedIndex]] (cost ∝
+    * the batch — per-item assignment against centroid literals, no
+    * shuffle) and appended as a new index version. Centroid staleness is
+    * the documented trade: monitor recall, refit + rebuild when the
+    * catalog's distribution drifts. Batches must carry disjoint item ids. */
+  def annIvfIndexSink(indexDir: String, op: graft.ops.AnnIvf)
+      : (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val next = loadAnnIvfIndex(spark, indexDir) match {
+          case Some(index) => op.updatedIndex(index, batch)
+          case None => graft.ops.AnnIvf.index(batch, op.centers,
+            op.itemIdCol, op.itemVecCol)
+        }
+        val v = s"v$batchId"
+        next.write.mode("overwrite").parquet(s"$indexDir/$v/index")
+        writePointer(spark, indexDir, v)
+      }
+  }
 }

@@ -592,4 +592,88 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == batch && got == Set(1L, 3L),
       s"stream alerts must equal batch contaminated ids: stream=$got batch=$batch")
   }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("bm25IndexSink: any micro-batch boundaries yield the identical " +
+      "persisted index, equal to a from-scratch fit") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the lazy dog sleeps"),
+      (3L, "quick dog quick fox"), (4L, "brown bears eat fish"),
+      (5L, "fish swim upstream"), (6L, "the fox eats the fish"),
+      (7L, "dogs and foxes"), (8L, "upstream data pipelines"),
+      (9L, "lazy pipelines sleep"))
+    // two streams over the same docs with DIFFERENT batch boundaries
+    def run(splits: Seq[Seq[(Long, String)]]): String = {
+      val dir = tmpDir("bm25_sink_")
+      val src = MemoryStream[(Long, String)]
+      val q = src.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch(StreamingOps.bm25IndexSink(dir)).start()
+      splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+      q.stop(); dir
+    }
+    val dirA = run(Seq(docs.take(3), docs.slice(3, 4), docs.drop(4)))
+    val dirB = run(Seq(docs.take(7), docs.drop(7)))
+    val idxA = StreamingOps.loadBm25Index(spark, dirA).get
+    val idxB = StreamingOps.loadBm25Index(spark, dirB).get
+    val full = graft.ops.Bm25Index.fit(docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    def postings(i: graft.ops.Bm25Index) =
+      i.postings.as[(Long, Int, String, Long)].collect().toSet
+    def dfreq(i: graft.ops.Bm25Index) =
+      i.dfreq.as[(String, Long)].collect().toSet
+    for ((label, i) <- Seq("splitA" -> idxA, "splitB" -> idxB)) {
+      assert(postings(i) == postings(full), s"$label postings != rebuild")
+      assert(dfreq(i) == dfreq(full), s"$label dfreq != rebuild")
+      assert(i.docCount == full.docCount && i.avgdl == full.avgdl,
+        s"$label scalars != rebuild (${i.docCount}, ${i.avgdl})")
+    }
+    // and the probe answers identically through the maintained index
+    val qs = Seq((1L, "quick fox"), (2L, "lazy fish"))
+      .toDF("query_id", "query_text")
+    val a = idxA.asRows(qs).as[(Long, Int, Long, Long)].collect().toSet
+    val f = full.asRows(qs).as[(Long, Int, Long, Long)].collect().toSet
+    assert(a == f, s"maintained-index probe != rebuild probe: $a vs $f")
+  }
+
+  test("annIvfIndexSink: streamed assignment equals the full index build") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val items = (1L to 60L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val itemsDf = items.toDF("item_id", "embedding")
+    val op = graft.ops.AnnIvf.fit(itemsDf, "query_id", "query_vec",
+      nlist = 4, nprobe = 2)
+    def run(splits: Seq[Seq[(Long, Seq[Float])]]): String = {
+      val dir = tmpDir("ivf_sink_")
+      val src = MemoryStream[(Long, Seq[Float])]
+      val q = src.toDF().toDF("item_id", "embedding").writeStream
+        .foreachBatch(StreamingOps.annIvfIndexSink(dir, op)).start()
+      splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+      q.stop(); dir
+    }
+    val dir = run(Seq(items.take(20), items.slice(20, 21), items.drop(21)))
+    val streamed = StreamingOps.loadAnnIvfIndex(spark, dir).get
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet
+    val rebuilt = graft.ops.AnnIvf.index(itemsDf, op.centers)
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet
+    assert(streamed == rebuilt,
+      "frozen-quantizer streamed assignments must be id-identical to a rebuild")
+  }
+
+  test("bm25IndexSink: an empty micro-batch leaves the index version untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("bm25_empty_")
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.bm25IndexSink(dir)).start()
+    src.addData((1L, "only doc")); q.processAllAvailable()
+    val v1 = StreamingOps.loadBm25Index(spark, dir).get.docCount
+    // a no-data trigger must not write a new (identical) version
+    q.processAllAvailable(); q.stop()
+    assert(v1 == 1L &&
+      StreamingOps.loadBm25Index(spark, dir).get.docCount == 1L)
+  }
 }
