@@ -217,12 +217,18 @@ object NgramLmScore {
   * applied per token. The fitted model is `numBuckets` coefficients + an
   * intercept (metadata scale, persists as plain doubles); scoring is ONE
   * sequential dot of the integer count vector against literal
-  * coefficients plus the intercept — codegen'd, linear in
-  * rows × tokens + rows × buckets, and bit-reproducible cross-engine
-  * because the counts are exact integers and the dot is the same
-  * left-fold both engines run (the ml_classifier oracle discipline; the
-  * `keep` verdict is the margin's sign, so no transcendental crosses
-  * engines).
+  * coefficients plus the intercept — codegen'd, and bit-reproducible
+  * cross-engine because the counts are exact integers and the dot is the
+  * same left-fold both engines run (the ml_classifier oracle discipline;
+  * the `keep` verdict is the margin's sign, so no transcendental crosses
+  * engines). Cost: tokens hash once per row, but the histogram builds by
+  * scanning the bucket array once PER BUCKET (`size(filter(bs, = b))`) —
+  * O(rows × tokens × numBuckets) in long comparisons, the price of
+  * staying inside codegen'd expressions (Catalyst has no in-place array
+  * update to fold a one-pass count vector with). Fine at the default 64
+  * buckets where the comparisons are branch-free long equality; a much
+  * larger feature space wants a custom Expression that fills the count
+  * array in one token pass before reaching for more buckets.
   */
 case class TextQualityClassifier(
     coefficients: Seq[Double],

@@ -428,8 +428,9 @@ object CurationQueries {
     * ([[graft.ops.TextQualityClassifier]] — the model-based filtering
     * stage next to the rule-based [[textQuality]]). Memoized per dir so
     * [[qcOracle]] inlines the SAME coefficients the dumped output used.
-    * Supervision for the demo: the single-digit sources play "curated",
-    * the rest "crawl" — an arbitrary but deterministic signal; the
+    * Supervision for the demo: sources with short names (≤ 4 chars, e.g.
+    * src0–src9) play "curated", longer ones "crawl" — an arbitrary but
+    * deterministic signal; the
     * capability under test is the featurize/fit/score plumbing, and the
     * margin replays bit-identically whatever the labels were. */
   private val qcCache =
@@ -457,11 +458,14 @@ object CurationQueries {
       val w = op.coefficients.mkString("[", ", ", "]")
       val mSql =
         s"list_inner_product(fv, '$w'::DOUBLE[]) + '${op.intercept}'::DOUBLE"
+      // salt and bucket count read from the FITTED op, never hard-coded —
+      // a changed default would otherwise silently desync this replay
+      val (salt, nb) = (op.salt, op.numBuckets)
       "text_quality_model" ->
         s"""WITH b AS (SELECT doc_id, list_transform($wordsSql,
-           |    t -> ('0x' || substring(md5(t || ':graft-qc'), 1, 8))::BIGINT % 64) AS bs
+           |    t -> ('0x' || substring(md5(t || ':$salt'), 1, 8))::BIGINT % $nb) AS bs
            |  FROM documents),
-           |f AS (SELECT doc_id, list_transform(range(0, 64),
+           |f AS (SELECT doc_id, list_transform(range(0, $nb),
            |    k -> CAST(len(list_filter(bs, x -> x = k)) AS DOUBLE)) AS fv
            |  FROM b)
            |SELECT doc_id,

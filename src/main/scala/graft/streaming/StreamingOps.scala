@@ -305,18 +305,38 @@ object StreamingOps {
       val out = List.newBuilder[LocfTick]
       // filler ticks stop maxFillDays past the last real observation —
       // the state-retirement horizon for users who go silent (without
-      // it a dead user's timeout would keep emitting carries forever)
-      while (s.nextDay >= 0 && s.nextDay <= completeUpTo &&
-          (s.pending.nonEmpty || s.carry.nonEmpty) &&
-          s.nextDay <= s.lastObsDay + maxFillDays) {
+      // it a dead user's timeout would keep emitting carries forever).
+      // lastObsDay advances ONLY here, when an observed day is emitted:
+      // folding a far-future event must not extend a dying regime's fill
+      // horizon, or output would depend on whether the watermark crossed
+      // the retirement point before the event arrived (the resurrection
+      // edge) — instead the cursor jumps past the gap below, exactly the
+      // removed-state restart.
+      var loop = s.nextDay >= 0
+      while (loop && s.nextDay <= completeUpTo &&
+          (s.pending.nonEmpty || s.carry.nonEmpty)) {
         val d = s.nextDay
-        val (v, obs) = s.pending.get(d) match {
-          case Some((_, _, c)) => (c, 1)
-          case None => (s.carry.get, 0) // nextDay starts at an observed day
+        s.pending.get(d) match {
+          case Some((_, _, c)) =>
+            out += LocfTick(uid,
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)), c, 1)
+            s = s.copy(nextDay = d + 1, carry = Some(c),
+              pending = s.pending - d, lastObsDay = d)
+          case None if s.carry.isDefined && d <= s.lastObsDay + maxFillDays =>
+            out += LocfTick(uid,
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)),
+              s.carry.get, 0)
+            s = s.copy(nextDay = d + 1)
+          case None =>
+            // fill horizon exhausted at d (or no carry yet): the old
+            // regime is over. A buffered future observation starts a
+            // FRESH regime at its own day — carry cleared, no backfill
+            // across the gap — identical to the path where retirement
+            // removed the state and the event re-created it.
+            if (s.pending.nonEmpty)
+              s = s.copy(nextDay = s.pending.keys.min, carry = None)
+            else loop = false
         }
-        out += LocfTick(uid,
-          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)), v, obs)
-        s = s.copy(nextDay = d + 1, carry = Some(v), pending = s.pending - d)
       }
       (out.result(), s)
     }
@@ -346,8 +366,10 @@ object StreamingOps {
               val nd = if (s.nextDay < 0) d
                 else if (s.carry.isEmpty) math.min(s.nextDay, d)
                 else s.nextDay
-              s = s.copy(pending = s.pending.updated(d, win), nextDay = nd,
-                lastObsDay = math.max(s.lastObsDay, d))
+              // lastObsDay is NOT advanced here — only emission of the
+              // observed tick moves it (see emitUpTo), so a post-horizon
+              // event cannot resurrect a dying regime's fill
+              s = s.copy(pending = s.pending.updated(d, win), nextDay = nd)
             }
           }
           val (ticks, s2) = emitUpTo(uid, s, completeUpTo)

@@ -324,6 +324,42 @@ class StreamingOpsSpec extends SparkSpec {
       s"fill stops maxFillDays past the last observation: $days")
   }
 
+  test("resampleStream resurrection after the fill horizon is " +
+      "batch-boundary-independent (fresh regime, no gap backfill)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.LocfEvent
+    def dts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val ev1 = LocfEvent(1L, dts(1), 1L, 4.0)
+    val ev10 = LocfEvent(1L, dts(10), 2L, 8.0) // reappears past maxFillDays
+    def run(name: String, batches: Seq[Seq[LocfEvent]]): Set[(String, Long, Int)] = {
+      val src = MemoryStream[LocfEvent]
+      val q = StreamingOps.resampleStream(src.toDS(),
+          watermark = "0 seconds", maxFillDays = 2)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      src.addData(LocfEvent(9L, dts(25), 97L, 1.0)); q.processAllAvailable()
+      src.addData(LocfEvent(9L, dts(26), 98L, 1.0)); q.processAllAvailable()
+      q.stop()
+      spark.table(name).filter($"user_id" === 1L)
+        .select($"day".cast("string"), $"value_cents", $"is_observed")
+        .as[(String, Long, Int)].collect().toSet
+    }
+    // live-state path: the reappearance folds while state is alive
+    val alive = run("locf_res_alive", Seq(Seq(ev1, ev10)))
+    // removed-state path: other-key traffic advances the watermark past
+    // the retirement horizon FIRST (timeout fires, state removed), the
+    // reappearance then re-creates state from scratch
+    val removed = run("locf_res_removed", Seq(Seq(ev1),
+      Seq(LocfEvent(8L, dts(8), 90L, 1.0)),
+      Seq(LocfEvent(8L, dts(9), 91L, 1.0)), Seq(ev10)))
+    val want = Set(
+      ("2024-01-01", 400L, 1), ("2024-01-02", 400L, 0), ("2024-01-03", 400L, 0),
+      ("2024-01-10", 800L, 1), ("2024-01-11", 800L, 0), ("2024-01-12", 800L, 0))
+    assert(alive == want, s"live-state path must start fresh at the gap: $alive")
+    assert(removed == want, s"removed-state path: $removed")
+  }
+
   test("qualityFilterStream verdicts equal the batch classifier (stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val op = graft.ops.TextQualityClassifier(
