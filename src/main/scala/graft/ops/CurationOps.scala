@@ -909,4 +909,21 @@ case class Purge(
       tombstones.select(col(idCol).as(sigIdCol)).distinct(),
       Seq(sigIdCol), "left_anti")
   }
+
+  /** The ANN inverted-list index after the purge — the dense-retrieval
+    * twin of [[updatedSignatureIndex]]: an [[graft.ops.AnnIvf.index]]
+    * frame (one row per item, keyed `__item_id`) minus the tombstoned
+    * ids, so a takedown also stops future probes from retrieving the
+    * removed items. One id anti-join over index-scale rows; the frozen
+    * quantizer is untouched (retirement never re-assigns survivors), so
+    * the retired index is row-identical to a rebuild over the surviving
+    * catalog — the lifecycle spec pins it. */
+  def updatedAnnIndex(annIndex: DataFrame,
+      itemIdCol: String = "__item_id"): DataFrame = {
+    require(annIndex.schema.fieldNames.contains(itemIdCol),
+      s"$name: ANN index is missing item id column '$itemIdCol'")
+    annIndex.join(
+      tombstones.select(col(idCol).cast("long").as(itemIdCol)).distinct(),
+      Seq(itemIdCol), "left_anti")
+  }
 }

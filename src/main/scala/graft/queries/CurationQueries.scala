@@ -866,6 +866,30 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Fixed literal quantizer for the ANN takedown row: dyadic-rational
+    * centroids (exact in float AND double), so the assignment replay in
+    * SQL is plain exact arithmetic — no k-means fit in the query path. */
+  private[graft] val purgeAnnCenters: Seq[Seq[Double]] =
+    (0 until 4).map(k => (0 until 64).map(d => ((d + k) % 7 - 3) / 8.0))
+
+  /** ANN-index takedown ([[graft.ops.Purge.updatedAnnIndex]]): the IVF
+    * inverted lists after retiring every 13th item — the dense-retrieval
+    * third of the index-retirement family (digest: op_purge_index,
+    * signatures: op_purge_signatures). Survivor assignments are untouched
+    * (the frozen quantizer), which is exactly what the oracle replays:
+    * the argmin of `|c|² − 2x·c` over the literal centroids, lowest-id
+    * tie-break, minus the tombstoned ids. */
+  def opPurgeAnn(spark: SparkSession, d: String): DataFrame = {
+    val items = embeddings(spark, d)
+      .select(col("vec_id").as("item_id"), col("embedding"))
+    val index = AnnIvf.index(items, purgeAnnCenters)
+    Purge(embeddings(spark, d).filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("doc_id")))
+      .updatedAnnIndex(index)
+      .select(col("__item_id").as("item_id"), col("__cid").cast("int").as("cid"))
+      .orderBy("item_id")
+  }
+
   /** The incremental-rebuild flagship: [[SnapshotDiff]] drives the
     * downstream recompute — quality signals are re-derived ONLY for
     * `added`/`changed` documents of the new build, so rebuild cost is
@@ -1293,6 +1317,7 @@ object CurationQueries {
     "op_purge" -> (opPurge _),
     "op_purge_index" -> (opPurgeIndex _),
     "op_purge_signatures" -> (opPurgeSignatures _),
+    "op_purge_ann" -> (opPurgeAnn _),
     "pipeline_incremental" -> (pipelineIncremental _),
     "pipeline_contamination" -> (pipelineContamination _),
     "dedup_prefix" -> (dedupPrefix _),
@@ -1600,6 +1625,22 @@ object CurationQueries {
       s"""SELECT doc_id, CAST(64 AS BIGINT) AS n_hashes FROM documents
          |WHERE doc_id % 13 != 0 AND len($wordsSql) >= 3
          |ORDER BY doc_id""".stripMargin,
+    "op_purge_ann" -> {
+      // the op's exact assignment arithmetic over the literal dyadic
+      // centroids: d_k = |c_k|² − 2·x·c_k, argmin with lowest-id ties
+      val ds = purgeAnnCenters.zipWithIndex.map { case (c, k) =>
+        val c2 = c.map(x => x * x).sum
+        s"'$c2'::DOUBLE - '2'::DOUBLE * list_inner_product(" +
+          s"embedding::DOUBLE[], '${c.mkString("[", ", ", "]")}'::DOUBLE[]) AS d$k"
+      }.mkString(",\n  ")
+      s"""WITH s AS (SELECT vec_id, $ds
+         |  FROM embeddings WHERE vec_id % 13 != 0)
+         |SELECT vec_id AS item_id,
+         |  CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+         |    WHEN d1 <= d2 AND d1 <= d3 THEN 1
+         |    WHEN d2 <= d3 THEN 2 ELSE 3 END AS INTEGER) AS cid
+         |FROM s ORDER BY item_id""".stripMargin
+    },
     "pipeline_incremental" ->
       s"""WITH o AS (SELECT doc_id,
          |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS old_hash
