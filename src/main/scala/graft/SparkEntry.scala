@@ -29,5 +29,6 @@ object SparkEntry {
       graft.queries.CurationQueries.semanticOracle ++
       graft.queries.CurationQueries.cosLshOracle ++
       graft.queries.CurationQueries.qcOracle ++
-      graft.queries.CurationQueries.bpeOracle
+      graft.queries.CurationQueries.bpeOracle ++
+      graft.queries.CurationQueries.sketchOracle
 }

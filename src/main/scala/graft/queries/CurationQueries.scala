@@ -56,6 +56,82 @@ object CurationQueries {
 
   // ---- tokenizer induction -------------------------------------------
 
+  // ---- sketch side artifacts (verify-dir) -----------------------------
+  //
+  // The MinHash/SimHash families decide from xxhash-derived sketches that
+  // DuckDB cannot recompute — but the sketches themselves are
+  // DETERMINISTIC functions of the text (no fit, no float accumulation),
+  // so they are fit-state the oracle may take as given, exactly like
+  // centroid literals: persist (shingles, band keys, signatures,
+  // fingerprints) per doc as parquet and replay the DECISION math —
+  // banded candidate joins, Jaccard/agreement estimators, thresholds,
+  // keeper rules, recall arithmetic — entirely in SQL.
+  private val sketchArt =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def putArt(d: String, name: String, df: => DataFrame): Unit =
+    if (OracleDir.artifactDir.isDefined && OracleDir.active.contains(d) &&
+        !sketchArt.contains((d, name)))
+      OracleDir.writeArtifact(df, d, name).foreach(p => sketchArt((d, name)) = p)
+  private def artPath(d: String, name: String): Option[String] =
+    sketchArt.get((d, name))
+
+  /** Per-doc sketches over the shingled corpus: raw shingle strings (for
+    * exact Jaccard), xxhash64'd shingles (the FuzzyDecontaminate digest
+    * space), MinHash band keys, SimHash fingerprint — the op family's own
+    * expressions, so artifact and op can never disagree. */
+  private def docSketchFrame(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.FastExpressions
+    documents(spark, d)
+      .select(col("doc_id"), T.shingleSet(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        org.apache.spark.sql.functions.transform(col("sh"),
+          s => xxhash64(s)).as("hs"),
+        FastExpressions.minhashBandKeys(col("sh"), 64, 16).as("bk"),
+        FastExpressions.simhash64(col("sh")).as("sim"))
+  }
+  private def writeDocSketches(spark: SparkSession, d: String): Unit =
+    putArt(d, "doc_sketches", docSketchFrame(spark, d))
+
+  /** FuzzyDecontaminate sketch twins: hashed shingles + band keys for the
+    * non-eval corpus and the (eid-deduped) eval inventory. */
+  private def writeFdbSketches(spark: SparkSession, d: String): Unit = {
+    import graft.functions.FastExpressions
+    val docs = documents(spark, d)
+    def hashed(sh: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.transform(sh, s => xxhash64(s))
+    putArt(d, "fdb_corpus", docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), T.shingleSet(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), hashed(col("sh")).as("hs"),
+        FastExpressions.minhashBandKeys(col("sh"), 64, 16).as("bk")))
+    putArt(d, "fdb_eval", docs.filter(col("source") === "src0")
+      .select(T.shingleSet(col("text"), 3).as("sh"),
+        md5(T.normalize(col("text"))).as("eid"))
+      .filter(size(col("sh")) > 0)
+      .dropDuplicates("eid")
+      .select(col("eid"), hashed(col("sh")).as("ehs"),
+        FastExpressions.minhashBandKeys(col("sh"), 64, 16).as("bk")))
+  }
+
+  /** Incremental-MinHash fixture sketches: index signatures + their band
+    * keys, and the batch's signatures (nullable — short docs have no
+    * shingle identity) + band keys. */
+  private def writeMhiSketches(spark: SparkSession, d: String): Unit = {
+    import graft.functions.FastExpressions
+    val (idx, batch) = fuzzyIncrementalFixture(spark, d)
+    putArt(d, "mhi_index", idx.select(
+      col("doc_id").cast("long").as("iid"), col("minhash_sig").as("sig"),
+      FastExpressions.sigBandKeys(col("minhash_sig"), 16).as("bk")))
+    putArt(d, "mhi_batch", batch
+      .select(col("doc_id").cast("long").as("bid"),
+        T.shingleSet(col("text"), 3).as("sh"))
+      .select(col("bid"), when(size(col("sh")) > 0,
+        FastExpressions.minhashSignature(col("sh"), 64)).as("sig"))
+      .select(col("bid"), col("sig"), when(col("sig").isNotNull,
+        FastExpressions.sigBandKeys(col("sig"), 16)).as("bk")))
+  }
+
   /** Memoized BPE merge list per sfDir (a tokenizer is trained once and
     * applied many times — same fit-offline discipline as the ANN
     * quantizers; Bench prewarms via [[prewarmBpe]]). */
@@ -240,6 +316,7 @@ object CurationQueries {
     * hash-dependent; [[dedupMinhashIncrementalCheck]] carries the
     * in-artifact evidence). */
   def dedupMinhashIncremental(spark: SparkSession, d: String): DataFrame = {
+    writeMhiSketches(spark, d)
     val (idx, batch) = fuzzyIncrementalFixture(spark, d)
     IncrementalMinHashDedup(idx).transform(batch)
       .select(col("doc_id"), col("dup_kind"), col("matched_id"))
@@ -252,6 +329,7 @@ object CurationQueries {
     * decides with). Precision is REQUIRED exact (banding only prunes,
     * est is checked on every surviving pair); recall floor 9000 bp. */
   def dedupMinhashIncrementalCheck(spark: SparkSession, d: String): DataFrame = {
+    writeMhiSketches(spark, d)
     val (idx, batch) = fuzzyIncrementalFixture(spark, d)
     val flagged = IncrementalMinHashDedup(idx).transform(batch)
       .filter(col("dup_kind") === "near_index")
@@ -306,13 +384,17 @@ object CurationQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
-  def dedupMinhash(spark: SparkSession, d: String): DataFrame =
+  def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
+    writeDocSketches(spark, d)
     MinHashDedup(thresholdBp = 8000).transform(documents(spark, d))
       .orderBy("doc_a", "doc_b")
+  }
 
-  def dedupSimhash(spark: SparkSession, d: String): DataFrame =
+  def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
+    writeDocSketches(spark, d)
     SimHashDedup(maxHamming = 8).transform(documents(spark, d))
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Fuzzy-dedup end game: exact Jaccard pairs → transitive closure →
     * per-doc cluster id + keeper flag. Pairs come from the (exact,
@@ -509,6 +591,140 @@ object CurationQueries {
              |ORDER BY doc_id""".stripMargin
       }
     (vocab.toSeq ++ toks.toSeq).toMap
+  }
+
+  /** Dump-time oracles for the MinHash/SimHash families over the sketch
+    * side artifacts (see the artifact block above): the xxhash sketches
+    * are taken as fit state; everything the OPS decide — banded candidate
+    * joins, exact-Jaccard verification, signature-agreement estimators,
+    * thresholds, keeper rules, recall arithmetic — replays in SQL. */
+  def sketchOracle: Map[String, String] = {
+    // banded-candidate + exact-verify pair set over doc_sketches, shared
+    // by the pair row and the recall row
+    def bandedPairsCte(p: String) =
+      s"""s AS (SELECT doc_id, sh, bk FROM read_parquet('$p/*.parquet')),
+         |band AS (SELECT doc_id, unnest(bk) AS h,
+         |    generate_subscripts(bk, 1) AS bi FROM s),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.bi = b.bi AND a.h = b.h
+         |    AND a.doc_id < b.doc_id),
+         |vp AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+         |    CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) AS uni
+         |  FROM cand c JOIN s x ON c.doc_a = x.doc_id
+         |  JOIN s y ON c.doc_b = y.doc_id),
+         |ap AS (SELECT doc_a, doc_b, inter * 10000 // uni AS jaccard_bp
+         |  FROM vp WHERE inter * 10000 >= uni * 8000)""".stripMargin
+    // 64-slot signature agreement at 8000 bp: agree·10⁴ ≥ 8000·64
+    def agreeSql(a: String, b: String) =
+      s"len(list_filter(range(1, 65), k -> $a[k] = $b[k])) * 10000 >= 8000 * 64"
+    val minhash = OracleDir
+      .pickDir(sketchArt.keys.filter(_._2 == "doc_sketches").map(_._1))
+      .flatMap(dd => artPath(dd, "doc_sketches"))
+    val mh = minhash.map { p =>
+      Seq(
+        "dedup_minhash" ->
+          s"""WITH ${bandedPairsCte(p)}
+             |SELECT doc_a, doc_b, jaccard_bp FROM ap
+             |ORDER BY doc_a, doc_b""".stripMargin,
+        "dedup_minhash_recall" ->
+          s"""WITH ${bandedPairsCte(p)},
+             |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 10000 >=
+             |    CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) * 8000),
+             |n AS (SELECT
+             |  (SELECT count(*) FROM truth) AS n_truth,
+             |  (SELECT count(*) FROM ap) AS n_approx,
+             |  (SELECT count(*) FROM ap JOIN truth USING (doc_a, doc_b)) AS n_matched)
+             |SELECT n_truth, n_approx, n_matched,
+             |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+             |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+             |  CAST(9000 AS BIGINT) AS floor_bp FROM n""".stripMargin,
+        "dedup_simhash" ->
+          s"""WITH s AS (SELECT doc_id, sim FROM read_parquet('$p/*.parquet'))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sim, b.sim)) <= 8
+             |ORDER BY doc_a, doc_b""".stripMargin,
+        "dedup_simhash_check" ->
+          s"""WITH s AS (SELECT doc_id, sim FROM read_parquet('$p/*.parquet')),
+             |c AS (SELECT count(*) AS n FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sim, b.sim)) <= 8)
+             |SELECT n AS n_banded, n AS n_bruteforce, n AS n_matched FROM c""".stripMargin)
+    }.getOrElse(Seq.empty)
+    val fdb = (for {
+      d <- OracleDir.pickDir(sketchArt.keys.filter(_._2 == "fdb_corpus").map(_._1))
+      cp <- artPath(d, "fdb_corpus"); ep <- artPath(d, "fdb_eval")
+    } yield "fuzzy_decontaminate_banded" ->
+      s"""WITH c AS (SELECT doc_id, hs, bk FROM read_parquet('$cp/*.parquet')),
+         |e AS (SELECT eid, ehs, bk FROM read_parquet('$ep/*.parquet')),
+         |truth AS (SELECT DISTINCT c.doc_id FROM c, e
+         |  WHERE CAST(len(list_intersect(c.hs, e.ehs)) AS BIGINT) * 10000 >=
+         |    CAST(len(c.hs) + len(e.ehs) - len(list_intersect(c.hs, e.ehs)) AS BIGINT) * 5000),
+         |cb AS (SELECT doc_id, unnest(bk) AS h, generate_subscripts(bk, 1) AS bi FROM c),
+         |eb AS (SELECT eid, unnest(bk) AS h, generate_subscripts(bk, 1) AS bi FROM e),
+         |cand AS (SELECT DISTINCT cb.doc_id, eb.eid
+         |  FROM cb JOIN eb ON cb.bi = eb.bi AND cb.h = eb.h),
+         |ap AS (SELECT DISTINCT p.doc_id FROM cand p
+         |  JOIN c ON p.doc_id = c.doc_id JOIN e ON p.eid = e.eid
+         |  WHERE CAST(len(list_intersect(c.hs, e.ehs)) AS BIGINT) * 10000 >=
+         |    CAST(len(c.hs) + len(e.ehs) - len(list_intersect(c.hs, e.ehs)) AS BIGINT) * 5000),
+         |n AS (SELECT
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM ap) AS n_approx,
+         |  (SELECT count(*) FROM ap JOIN truth USING (doc_id)) AS n_matched)
+         |SELECT n_truth, n_approx, n_matched,
+         |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+         |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+         |  CAST(8000 AS BIGINT) AS floor_bp FROM n""".stripMargin).toSeq
+    val mhi = (for {
+      d <- OracleDir.pickDir(sketchArt.keys.filter(_._2 == "mhi_index").map(_._1))
+      ip <- artPath(d, "mhi_index"); bp <- artPath(d, "mhi_batch")
+    } yield {
+      val bandCtes =
+        s"""ix AS (SELECT iid, sig, bk FROM read_parquet('$ip/*.parquet')),
+           |bt AS (SELECT bid, sig, bk FROM read_parquet('$bp/*.parquet')),
+           |bb AS (SELECT bid, unnest(bk) AS h, generate_subscripts(bk, 1) AS bi
+           |  FROM bt WHERE sig IS NOT NULL),
+           |ib AS (SELECT iid, unnest(bk) AS h, generate_subscripts(bk, 1) AS bi
+           |  FROM ix),
+           |candI AS (SELECT DISTINCT b.bid, i.iid
+           |  FROM bb b JOIN ib i ON b.bi = i.bi AND b.h = i.h),
+           |vI AS (SELECT c.bid, min(c.iid) AS m FROM candI c
+           |  JOIN bt ON c.bid = bt.bid JOIN ix ON c.iid = ix.iid
+           |  WHERE ${agreeSql("bt.sig", "ix.sig")} GROUP BY c.bid)""".stripMargin
+      Seq(
+        "dedup_minhash_incremental" ->
+          s"""WITH $bandCtes,
+             |candB AS (SELECT DISTINCT a.bid AS aid, b.bid AS bid
+             |  FROM bb a JOIN bb b ON a.bi = b.bi AND a.h = b.h AND a.bid < b.bid),
+             |vB AS (SELECT c.bid, min(c.aid) AS m FROM candB c
+             |  JOIN bt x ON c.aid = x.bid JOIN bt y ON c.bid = y.bid
+             |  WHERE ${agreeSql("x.sig", "y.sig")} GROUP BY c.bid)
+             |SELECT t.bid AS doc_id,
+             |  CASE WHEN vI.m IS NOT NULL THEN 'near_index'
+             |    WHEN vB.m IS NOT NULL THEN 'near_batch' END AS dup_kind,
+             |  coalesce(vI.m, vB.m) AS matched_id
+             |FROM bt t LEFT JOIN vI ON t.bid = vI.bid
+             |LEFT JOIN vB ON t.bid = vB.bid
+             |ORDER BY doc_id""".stripMargin,
+        "dedup_minhash_incremental_check" ->
+          s"""WITH $bandCtes,
+             |truth AS (SELECT DISTINCT b.bid FROM bt b CROSS JOIN ix i
+             |  WHERE b.sig IS NOT NULL AND ${agreeSql("b.sig", "i.sig")}),
+             |ap AS (SELECT DISTINCT bid FROM vI),
+             |n AS (SELECT
+             |  (SELECT count(*) FROM truth) AS n_truth,
+             |  (SELECT count(*) FROM ap) AS n_approx,
+             |  (SELECT count(*) FROM ap JOIN truth USING (bid)) AS n_matched)
+             |SELECT n_truth, n_approx, n_matched,
+             |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+             |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+             |  CAST(9000 AS BIGINT) AS floor_bp FROM n""".stripMargin)
+    }).getOrElse(Seq.empty)
+    (mh ++ fdb ++ mhi).toMap
   }
 
   /** Corpus boilerplate inventory ([[graft.ops.BoilerplateReport]]): the
@@ -931,6 +1147,7 @@ object CurationQueries {
     * recorded share of the exact contaminated set. Rows-only (band
     * collisions are hash-dependent); the recall row IS the check. */
   def fuzzyDecontaminateBanded(spark: SparkSession, d: String): DataFrame = {
+    writeFdbSketches(spark, d)
     val docs = documents(spark, d)
     val eval = docs.filter(col("source") === "src0")
     val corpus = docs.filter(col("source") =!= "src0")
@@ -1013,17 +1230,20 @@ object CurationQueries {
 
   /** MinHash recall vs the exact PPJoin truth at the same shingles and
     * threshold (16 bands × 4 rows: P(surface) ≈ 0.9998 at j = 0.8). */
-  def dedupMinhashRecall(spark: SparkSession, d: String): DataFrame =
+  def dedupMinhashRecall(spark: SparkSession, d: String): DataFrame = {
+    writeDocSketches(spark, d)
     pairRecall(spark,
       MinHashDedup(thresholdBp = 8000).transform(documents(spark, d)),
       NgramJaccardDedup(thresholdBp = 8000).transform(documents(spark, d)),
       floorBp = 9000)
+  }
 
   /** SimHash banding is COMPLETE for the radius (pigeonhole) — so the
     * banded pair set must EQUAL the brute-force all-pairs scan, not
     * approximate it; this query proves that equality in-harness. */
   def dedupSimhashCheck(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    writeDocSketches(spark, d)
     val docs = documents(spark, d)
     val banded = SimHashDedup(maxHamming = 8).transform(docs)
       .select("doc_a", "doc_b")
