@@ -30,5 +30,9 @@ object SparkEntry {
       graft.queries.CurationQueries.cosLshOracle ++
       graft.queries.CurationQueries.qcOracle ++
       graft.queries.CurationQueries.bpeOracle ++
-      graft.queries.CurationQueries.sketchOracle
+      graft.queries.CurationQueries.sketchOracle ++
+      graft.queries.CurationQueries.cosRecallOracle ++
+      graft.queries.CurationQueries.tfRecallOracle ++
+      graft.queries.CurationQueries.semProbeOracle ++
+      graft.queries.OpQueries.recallOracle
 }

@@ -427,6 +427,26 @@ case class TopFractionByGroup(
   /** Per-row budget in basis points (the shared [[Strata.caseOver]] fold). */
   def fracBp: Column = Strata.caseOver(col(strataCol), fracsBp, defaultBp)
 
+  /** The approx mode's per-stratum cut points ((stratum, fracBp, thr)) —
+    * 101-point grid: threshold = the (1 − frac) quantile, grid-rounded.
+    * percentile_approx needs a foldable percentage, so sketch the whole
+    * grid once per stratum and index into it per-stratum afterwards —
+    * the sketch agg is partial-aggregable, the result is strata-sized.
+    * Exposed because the thresholds ARE the approx mode's fit state
+    * (callers persist them; the selection itself is then plain
+    * comparisons any engine replays). */
+  def fittedThresholds(df: DataFrame): DataFrame = {
+    val grid = array((0 to 100).map(i => lit(i / 100.0)): _*)
+    df.groupBy(col(strataCol).as("__stratum"))
+      .agg(percentile_approx(col(scoreCol), grid, lit(10000)).as("__q"))
+      .withColumn("__fracBp", Strata.caseOver(col("__stratum"), fracsBp, defaultBp))
+      // element_at is 1-based; an all-NULL-score stratum has a NULL
+      // sketch, which must NOT read as keep-all — only fracBp=10000 may
+      .withColumn("__thr", element_at(col("__q"),
+        (lit(101) - (col("__fracBp") / lit(100.0)).cast("int"))))
+      .select(col("__stratum"), col("__fracBp"), col("__thr"))
+  }
+
   override def transform(df: DataFrame): DataFrame = {
     val out = transformSchema(df.schema)
     if (!approx) {
@@ -438,21 +458,7 @@ case class TopFractionByGroup(
         .filter(col(rankCol).cast("long") * 10000 <= fracBp.cast("long") * col("__cnt"))
         .select(out.fieldNames.map(col).toSeq: _*)
     } else {
-      // 101-point grid: threshold = the (1 - frac) quantile, grid-rounded.
-      // percentile_approx needs a foldable percentage, so sketch the whole
-      // grid once per stratum and index into it per-stratum afterwards —
-      // the sketch agg is partial-aggregable, the result is strata-sized
-      val grid = array((0 to 100).map(i => lit(i / 100.0)): _*)
-      val thresholds = df
-        .groupBy(col(strataCol).as("__stratum"))
-        .agg(percentile_approx(col(scoreCol), grid, lit(10000)).as("__q"))
-        .withColumn("__fracBp", Strata.caseOver(col("__stratum"), fracsBp, defaultBp))
-        // element_at is 1-based; an all-NULL-score stratum has a NULL
-        // sketch, which must NOT read as keep-all — only fracBp=10000 may
-        .withColumn("__thr", element_at(col("__q"),
-          (lit(101) - (col("__fracBp") / lit(100.0)).cast("int"))))
-        .select(col("__stratum"), col("__fracBp"), col("__thr"))
-      df.join(broadcast(thresholds),
+      df.join(broadcast(fittedThresholds(df)),
           df(strataCol) <=> col("__stratum"), "left")
         .filter(col("__fracBp") === 10000 ||
           (col("__fracBp") > 0 && col("__thr").isNotNull &&

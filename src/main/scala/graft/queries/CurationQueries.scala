@@ -478,6 +478,26 @@ object CurationQueries {
            |WHERE cosine >= '0.45'::DOUBLE ORDER BY id_a, id_b""".stripMargin
     }.toMap
 
+  /** neardup_cosine_lsh_recall composed from the two replays its sides
+    * hash-check with: approx = [[cosLshOracle]]'s bucketed pair set,
+    * truth = the exact all-pairs oracle — recallRow's counts and floor
+    * arithmetic in one statement. */
+  def cosRecallOracle: Map[String, String] =
+    cosLshOracle.get("neardup_cosine_lsh").map { ap =>
+      "neardup_cosine_lsh_recall" ->
+        s"""WITH ap AS ($ap),
+           |tr AS (${oracleBase("neardup_cosine")}),
+           |n AS (SELECT
+           |  (SELECT count(*) FROM tr) AS n_truth,
+           |  (SELECT count(*) FROM ap) AS n_approx,
+           |  (SELECT count(*) FROM ap a WHERE EXISTS (SELECT 1 FROM tr t
+           |    WHERE t.id_a = a.id_a AND t.id_b = a.id_b)) AS n_matched)
+           |SELECT n_truth, n_approx, n_matched,
+           |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+           |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+           |  CAST(6000 AS BIGINT) AS floor_bp FROM n""".stripMargin
+    }.toMap
+
   // ---- text analysis --------------------------------------------------
 
   def textStats(spark: SparkSession, d: String): DataFrame = {
@@ -990,18 +1010,79 @@ object CurationQueries {
     * pair) recovering at least the floor of the exact contaminated set.
     * Rows-only by nature (bucket membership depends on the k-means fit);
     * the recall row IS the in-artifact check. */
+  /** Memoized probe-mode fit (eval-side k-means centroids) so
+    * [[semProbeOracle]] inlines the SAME centers the dumped row used. */
+  private val semProbeCache =
+    scala.collection.concurrent.TrieMap.empty[String, SemanticDecontaminate]
+
   def semanticDecontaminateProbe(spark: SparkSession, d: String): DataFrame = {
     val emb = embeddings(spark, d)
     val eval = emb.filter(col("vec_id") % 10 === 0)
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-    val probe = SemanticDecontaminate
-      .fit(eval, threshold = 0.40, nlist = 8, nprobe = 2, maxIter = 5)
-      .transform(corpus)
+    val op = semProbeCache.getOrElseUpdate(d, SemanticDecontaminate
+      .fit(eval, threshold = 0.40, nlist = 8, nprobe = 2, maxIter = 5))
+    val probe = op.transform(corpus)
     val exact = SemanticDecontaminate(eval, threshold = 0.40).transform(corpus)
     Evidence.recallRow(spark,
       probe.filter(col("contaminated")), exact.filter(col("contaminated")),
       Seq("vec_id"), floorBp = 6000, requirePrecision = true)
   }
+
+  /** semantic_decontaminate_probe's oracle, generated at dump time with
+    * the fitted centroids inlined: eval vectors bucket to their nearest
+    * centroid, corpus rows probe their 2 nearest lists (the AnnIvf
+    * quantizer formula, |c|² − 2x·c, lowest-id ties), candidates verify
+    * with the shared guarded cosine at 0.40 — approx vs the exact
+    * all-pairs truth through the recallRow arithmetic. */
+  def semProbeOracle: Map[String, String] =
+    OracleDir.pick(semProbeCache).map { op =>
+      val centRows = op.centers.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[], '$c2'::DOUBLE)"
+      }.mkString(",\n  ")
+      "semantic_decontaminate_probe" ->
+        s"""WITH cent(cid, c, c2) AS (VALUES
+           |  $centRows),
+           |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |  WHERE vec_id % 10 = 0),
+           |co AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |  WHERE vec_id % 10 <> 0),
+           |ed AS (SELECT e.vec_id, cent.cid,
+           |    cent.c2 - '2'::DOUBLE * list_inner_product(e.v, cent.c) AS dd
+           |  FROM ev e CROSS JOIN cent),
+           |eb AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rk
+           |  FROM ed) WHERE rk = 1),
+           |cd AS (SELECT c.vec_id, cent.cid,
+           |    cent.c2 - '2'::DOUBLE * list_inner_product(c.v, cent.c) AS dd
+           |  FROM co c CROSS JOIN cent),
+           |cp AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rk
+           |  FROM cd) WHERE rk <= 2),
+           |ap AS (SELECT DISTINCT p.vec_id FROM cp p
+           |  JOIN eb ON p.cid = eb.cid
+           |  JOIN co c ON p.vec_id = c.vec_id JOIN ev e ON eb.vec_id = e.vec_id
+           |  WHERE (CASE WHEN sqrt(list_inner_product(c.v, c.v)) *
+           |        sqrt(list_inner_product(e.v, e.v)) = 0 THEN 0.0
+           |    ELSE list_inner_product(c.v, e.v) /
+           |      (sqrt(list_inner_product(c.v, c.v)) *
+           |       sqrt(list_inner_product(e.v, e.v))) END) >= '0.4'::DOUBLE),
+           |tr AS (SELECT DISTINCT c.vec_id FROM co c CROSS JOIN ev e
+           |  WHERE (CASE WHEN sqrt(list_inner_product(c.v, c.v)) *
+           |        sqrt(list_inner_product(e.v, e.v)) = 0 THEN 0.0
+           |    ELSE list_inner_product(c.v, e.v) /
+           |      (sqrt(list_inner_product(c.v, c.v)) *
+           |       sqrt(list_inner_product(e.v, e.v))) END) >= '0.4'::DOUBLE),
+           |n AS (SELECT
+           |  (SELECT count(*) FROM tr) AS n_truth,
+           |  (SELECT count(*) FROM ap) AS n_approx,
+           |  (SELECT count(*) FROM ap a WHERE EXISTS (SELECT 1 FROM tr t
+           |    WHERE t.vec_id = a.vec_id)) AS n_matched)
+           |SELECT n_truth, n_approx, n_matched,
+           |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+           |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+           |  CAST(6000 AS BIGINT) AS floor_bp FROM n""".stripMargin
+    }.toMap
 
   /** The defense-in-depth contamination audit — the three decontamination
     * tiers composed into one per-document verdict, each tier catching
@@ -1270,7 +1351,11 @@ object CurationQueries {
     * corpus sits AT the 0.45 boundary, the hardest regime for LSH). */
   def neardupCosineLshRecall(spark: SparkSession, d: String): DataFrame =
     pairRecall(spark,
-      CosineNearDup(threshold = 0.45, numBits = 6, numTables = 16)
+      // the SAME fitted center as neardup_cosine_lsh (and its oracle) —
+      // a recomputed mean can drift in the last bits and flip borderline
+      // bucket signs, desyncing the three
+      CosineNearDup(threshold = 0.45, numBits = cosLshBits,
+        numTables = cosLshTables, center = Some(cachedCosLshCenter(spark, d)))
         .transform(embeddings(spark, d)),
       CosineNearDup(threshold = 0.45, exact = true).transform(embeddings(spark, d)),
       floorBp = 6000, aCol = "id_a", bCol = "id_b")
@@ -1520,12 +1605,48 @@ object CurationQueries {
   def topFractionApproxRecall(spark: SparkSession, d: String): DataFrame = {
     val docs = documents(spark, d).select("doc_id", "lang", "n_chars")
     val fracs = Map("en" -> 4000)
+    val op = TopFractionByGroup("lang", "n_chars", "doc_id", fracs,
+      defaultBp = 7000, approx = true)
+    // the per-stratum cut points are the approx mode's fit state —
+    // persist them so the oracle replays selection + recall arithmetic
+    putArt(d, "tf_thresholds", op.fittedThresholds(docs))
     def run(approx: Boolean) =
-      TopFractionByGroup("lang", "n_chars", "doc_id", fracs,
-        defaultBp = 7000, approx = approx).transform(docs)
+      op.copy(approx = approx).transform(docs)
     Evidence.recallRow(spark, run(approx = true), run(approx = false),
       Seq("doc_id"), floorBp = 9000)
   }
+
+  /** curation_top_fraction_recall's oracle: approx side = the persisted
+    * cut points applied as plain comparisons; truth = the exact windowed
+    * rank selection; recallRow counts + floor in one statement. */
+  def tfRecallOracle: Map[String, String] =
+    OracleDir.pickDir(sketchArt.keys.filter(_._2 == "tf_thresholds").map(_._1))
+      .flatMap(dd => artPath(dd, "tf_thresholds")).map { p =>
+        "curation_top_fraction_recall" ->
+          s"""WITH thr AS (SELECT __stratum, __fracBp, __thr
+             |  FROM read_parquet('$p/*.parquet')),
+             |ap AS (SELECT doc_id FROM documents d
+             |  LEFT JOIN thr t ON d.lang IS NOT DISTINCT FROM t.__stratum
+             |  WHERE t.__fracBp = 10000 OR (t.__fracBp > 0
+             |    AND t.__thr IS NOT NULL AND d.n_chars >= t.__thr)),
+             |tr AS (SELECT doc_id FROM (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC NULLS LAST, doc_id) AS rk,
+             |    count(*) OVER (PARTITION BY lang) AS cnt,
+             |    CASE WHEN lang = 'en' THEN 4000 ELSE 7000 END AS fb
+             |  FROM documents)
+             |  WHERE rk * 10000 <= fb * cnt),
+             |n AS (SELECT
+             |  (SELECT count(*) FROM tr) AS n_truth,
+             |  (SELECT count(*) FROM ap) AS n_approx,
+             |  (SELECT count(*) FROM ap a WHERE EXISTS (SELECT 1 FROM tr t
+             |    WHERE t.doc_id = a.doc_id)) AS n_matched)
+             |SELECT n_truth, n_approx, n_matched,
+             |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+             |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+             |  CAST(9000 AS BIGINT) AS floor_bp FROM n""".stripMargin
+      }.toMap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_top_fraction" -> (topFraction _),

@@ -467,6 +467,67 @@ object OpQueries {
            |ORDER BY vec_id, pos""".stripMargin
     }.toMap
 
+  /** The ANN recall rows composed from the SAME dump-time replays their
+    * base rows hash-check with: approx = the family's oracle SQL (LSH
+    * sign matrices / IVF centroids / PQ codebooks as fitted literals),
+    * truth = the brute-force top-k oracle — the recallRow counts, floor
+    * and basis-point arithmetic replay in one statement, so the recall
+    * EVIDENCE itself is driver-hash-checked, not just floor-asserted
+    * in-artifact. */
+  def recallOracle: Map[String, String] = {
+    val truth = oracle("op_topk_retrieval")
+    def compose(approxSql: String, floor: Int): String =
+      s"""WITH ap AS ($approxSql),
+         |tr AS ($truth),
+         |n AS (SELECT
+         |  (SELECT count(*) FROM tr) AS n_truth,
+         |  (SELECT count(*) FROM ap) AS n_approx,
+         |  (SELECT count(*) FROM ap a WHERE EXISTS (SELECT 1 FROM tr t
+         |    WHERE t.vec_id = a.vec_id AND t.item_id = a.item_id)) AS n_matched)
+         |SELECT n_truth, n_approx, n_matched,
+         |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+         |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+         |  CAST($floor AS BIGINT) AS floor_bp FROM n""".stripMargin
+    val lsh = lshOracle.get("op_ann_lsh")
+      .map(s => "op_ann_lsh_recall" -> compose(s, 2000))
+    val ivf = ivfOracle.get("op_ann_ivf")
+      .map(s => "op_ann_ivf_recall" -> compose(s, 5000))
+    val pq = pqOracle.get("op_ann_pq")
+      .map(s => "op_ann_pq_recall" -> compose(s, 5000))
+    val pca = pcaRecallApproxSql
+      .map(s => "op_pca_ann_recall" -> compose(s, 8000))
+    (lsh.toSeq ++ ivf.toSeq ++ pq.toSeq ++ pca.toSeq).toMap
+  }
+
+  /** op_pca_ann_recall's approx side: 32-axis projections from the fitted
+    * literals, reduced-dot top-100 shortlist, exact full-space top-10
+    * re-rank — (vec_id, rank, item_id)-shaped like the other replays. */
+  private def pcaRecallApproxSql: Option[String] =
+    OracleDir.pickKey(pcaAxesCache, (k: (String, Int)) => k._1,
+        (k: (String, Int)) => k._2 == 32).map { case (_, axes) =>
+      val branches = axes.zipWithIndex.map { case (axis, i) =>
+        s"SELECT vec_id, label, $i AS pos, " +
+          s"list_inner_product(v, '${axis.mkString("[", ", ", "]")}'::DOUBLE[]) AS x FROM e"
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |red0 AS ($branches),
+         |red AS (SELECT vec_id, label, list(x ORDER BY pos) AS rv
+         |  FROM red0 GROUP BY vec_id, label),
+         |short AS (SELECT vec_id, item_id FROM (
+         |  SELECT q.vec_id AS vec_id, i.vec_id AS item_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_inner_product(q.rv, i.rv) DESC, i.vec_id) AS rk
+         |  FROM red q JOIN red i ON q.label = 0 AND i.label <> 0)
+         |  WHERE rk <= 100)
+         |SELECT vec_id, item_id FROM (
+         |  SELECT s.vec_id, s.item_id,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY list_inner_product(q.v, i.v) DESC, s.item_id) AS rk
+         |  FROM short s JOIN e q ON s.vec_id = q.vec_id
+         |  JOIN e i ON s.item_id = i.vec_id)
+         |WHERE rk <= 10""".stripMargin
+    }
+
   /** Memoized PQ residual codebooks against the SHARED nlist=32 coarse
     * quantizer (same fit-offline-probe-many rationale as centerCache;
     * the coarse centers are literally [[cachedCenters]]' — one fit serves
