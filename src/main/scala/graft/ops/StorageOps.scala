@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, DataFrameWriter, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -230,6 +230,67 @@ object StorageOps {
         n
       }.sum
     }
+  }
+
+  /** The z-value of pre-scaled key columns: bit j of column c lands at
+    * position `j·n + (n−1−c)` — the standard Morton interleave, so
+    * sorting by the result clusters rows that are close in EVERY key
+    * dimension. Pure integer bit arithmetic (shift/and/or — codegen'd,
+    * engine-portable, oracle-replayable); inputs must already be scaled
+    * to `[0, 2^bits)` longs. `bits·n` must stay ≤ 62. */
+  def zValueExpr(scaled: Seq[Column], bits: Int): Column = {
+    require(scaled.nonEmpty && bits >= 1 && bits * scaled.size <= 62,
+      "zValueExpr: need 1+ columns and bits*cols <= 62")
+    val n = scaled.size
+    val terms = for { j <- 0 until bits; c <- 0 until n } yield
+      shiftleft(shiftrightunsigned(scaled(c), j).bitwiseAND(lit(1L)),
+        j * n + (n - 1 - c))
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Exact integer min-max scaling of a LONG column into `[0, 2^bits)`:
+    * `((v − min) · (2^bits − 1)) DIV (max − min)` — all in 64-bit integer
+    * arithmetic (a double rescale loses exactness past 2^53 and would
+    * not replay cross-engine). Constant columns scale to 0. Caller
+    * provides min/max (one metadata-scale agg job). */
+  def zScaleSql(colName: String, min: Long, max: Long, bits: Int): String = {
+    val mask = (1L << bits) - 1
+    if (max <= min) "CAST(0 AS BIGINT)"
+    else s"CAST((($colName - ($min)) * $mask) DIV (($max) - ($min)) AS BIGINT)"
+  }
+
+  /** Z-order clustered parquet write — the MULTI-column data-skipping
+    * layout (Morton-curve clustering; the public lakehouse technique
+    * behind Delta/Iceberg OPTIMIZE ZORDER BY). A single-column sort makes
+    * row-group min/max stats selective on ONE column and useless on the
+    * rest; sorting by the interleaved z-value keeps every z-ordered file
+    * and row group confined to a small hyper-rectangle of the key space,
+    * so equality/range predicates on ANY of the z columns skip most row
+    * groups at scan time (min/max zone maps — no index structure, just
+    * layout). The 100 TB math: k always-filtered dimensions too
+    * high-cardinality to partition by (user id × timestamp, source ×
+    * score) get multiplicative skipping from ONE clustered rewrite.
+    *
+    * Scaling bounds come from one agg job (metadata scale); the rewrite
+    * is a range partition + in-partition sort on the z-value — the same
+    * shuffle a plain sorted write pays, so z-ordering is free relative
+    * to single-column clustering. `zcolName` keeps the z-value in the
+    * files (WritePartitionSpec reads it back for layout audits); pass
+    * null-free LONG columns. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 16, numFiles: Int = 8,
+      zcolName: String = "__zval"): Unit = {
+    require(zCols.size >= 2, "writeZOrdered: z-ordering needs 2+ columns")
+    val aggs = zCols.flatMap(c => Seq(min(col(c).cast("long")),
+      max(col(c).cast("long"))))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      expr(zScaleSql(c, bounds.getLong(2 * i), bounds.getLong(2 * i + 1), bits))
+    }
+    df.withColumn(zcolName, zValueExpr(scaled, bits))
+      .repartitionByRange(numFiles, col(zcolName))
+      .sortWithinPartitions(zcolName)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** ORC write/read — the second columnar interchange Spark carries

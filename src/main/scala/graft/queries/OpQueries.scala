@@ -359,9 +359,11 @@ object OpQueries {
              |  FROM scored)
              |SELECT vec_id, CAST(rank AS INTEGER) AS rank, item_id, score FROM ranked
              |WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
-        // the incremental-index query is id-identical to the rebuild by
-        // construction (assignment is per-item independent) — same oracle
-        Seq("op_ann_ivf" -> sql, "op_ann_index_update" -> sql)
+        // the incremental-index query AND the stream-maintained index are
+        // id-identical to the rebuild by construction (assignment is
+        // per-item independent) — same oracle for all three
+        Seq("op_ann_ivf" -> sql, "op_ann_index_update" -> sql,
+          "op_ann_ivf_stream" -> sql)
       }.toMap
 
   /** op_ann_pq's oracle — the full IVF-PQ path (encode, probe, ADC
@@ -572,6 +574,40 @@ object OpQueries {
       "item_id", "embedding")
     val updated = op.updatedIndex(prior, items.filter(col("item_id") % 3 === 0))
     op.asRowsIndexed(queries, updated).orderBy("vec_id", "rank")
+  }
+
+  /** The ONLINE dense-index lifecycle end-to-end (the IVF twin of
+    * text_bm25_stream): the catalog arrives as a 3-micro-batch item
+    * stream, [[graft.streaming.StreamingOps.annIvfIndexSink]] maintains
+    * the persisted inverted lists under the frozen quantizer across
+    * batches, and the probe runs against the final loaded version.
+    * Assignment is per-item independent, so the maintained index equals
+    * the full build and this row shares op_ann_ivf's dump-time oracle —
+    * streaming index ingest proven equal to the batch build by the
+    * driver's own compare. */
+  def annIvfStream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    val op = AnnIvf(ivfItems(spark, d), centers, "vec_id", "embedding",
+      k = 10, nprobe = math.min(8, centers.size), metric = "dot")
+    val itemRows = ivfItems(spark, d)
+      .as[(Long, Seq[Float])].collect()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream_idx").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.annIvfIndexSink(dir, op)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(itemRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val index = graft.streaming.StreamingOps.loadAnnIvfIndex(spark, dir).get
+    op.asRowsIndexed(queries, index).orderBy("vec_id", "rank")
   }
 
   /** IVF with nprobe = nlist: every inverted list is probed, so the
@@ -1308,6 +1344,7 @@ object OpQueries {
     "op_ann_lsh" -> (annLsh _),
     "op_ann_ivf" -> (annIvf _),
     "op_ann_index_update" -> (annIndexUpdate _),
+    "op_ann_ivf_stream" -> (annIvfStream _),
     "op_ann_lsh_recall" -> (annLshRecall _),
     "op_ann_ivf_recall" -> (annIvfRecall _),
     "op_ann_ivf_full" -> (annIvfFull _),

@@ -144,6 +144,26 @@ object StorageQueries {
       .orderBy("doc_id")
   }
 
+  /** Z-order clustered layout ([[StorageOps.writeZOrdered]]): orders
+    * clustered on (custkey, price-cents) — two always-filtered,
+    * too-high-cardinality-to-partition dimensions — then read back with
+    * the layout key. The z-value is exact integer bit math over
+    * SQL-recomputable min/max bounds, so the whole clustering key
+    * hash-checks; StorageOpsSpec proves the multi-column row-group
+    * skipping the layout exists for. */
+  def zorderLayout(spark: SparkSession, d: String): DataFrame = {
+    val path = s"${scratch(d)}/orders_zorder"
+    val o = orders(spark, d).select(col("o_orderkey"),
+      col("o_custkey").cast("long").as("ck"),
+      round(col("o_totalprice") * 100).cast("long").as("pc"))
+    StorageOps.writeZOrdered(o, path, Seq("ck", "pc"), bits = 16,
+      numFiles = 8)
+    spark.read.parquet(path)
+      .select(col("o_orderkey"), col("ck"), col("pc"),
+        col("__zval").as("zval"))
+      .orderBy("o_orderkey")
+  }
+
   /** ORC round trip — the Hive-ecosystem columnar egress twin. */
   def orcRoundtrip(spark: SparkSession, d: String): DataFrame = {
     val path = s"${scratch(d)}/docs_orc"
@@ -162,7 +182,8 @@ object StorageQueries {
     "op_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "op_orc_roundtrip" -> (orcRoundtrip _),
     "op_compact_files" -> (compactFiles _),
-    "op_schema_evolution" -> (schemaEvolution _))
+    "op_schema_evolution" -> (schemaEvolution _),
+    "op_zorder_layout" -> (zorderLayout _))
 
   private val roundtripSql =
     """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
@@ -189,5 +210,28 @@ object StorageQueries {
         |CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars % 100 AS INTEGER)
         |  ELSE -1 END AS quality,
         |CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INTEGER) AS batch
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "op_zorder_layout" -> {
+      // the exact Morton interleave of StorageOps.zValueExpr (bits = 16,
+      // 2 columns: ck bits land at 2j+1, pc bits at 2j), over the same
+      // integer min-max scaling — pure bit arithmetic, no fit state
+      // single line: a "\n |"-joined form would have its | operators
+      // eaten by the template's stripMargin
+      val zterms = (0 until 16).map(j =>
+        s"(((sa >> $j) & 1) << ${2 * j + 1}) | (((sb >> $j) & 1) << ${2 * j})")
+        .mkString(" | ")
+      s"""WITH t AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+         |b AS (SELECT min(ck) AS minck, max(ck) AS maxck,
+         |    min(pc) AS minpc, max(pc) AS maxpc FROM t),
+         |s AS (SELECT o_orderkey, ck, pc,
+         |    CASE WHEN maxck <= minck THEN 0
+         |      ELSE ((ck - minck) * 65535) // (maxck - minck) END AS sa,
+         |    CASE WHEN maxpc <= minpc THEN 0
+         |      ELSE ((pc - minpc) * 65535) // (maxpc - minpc) END AS sb
+         |  FROM t CROSS JOIN b)
+         |SELECT o_orderkey, ck, pc,
+         |  CAST($zterms AS BIGINT) AS zval
+         |FROM s ORDER BY o_orderkey""".stripMargin
+    })
 }

@@ -179,6 +179,49 @@ class StorageOpsSpec extends SparkSpec {
       "per-partition compaction must not change content")
   }
 
+  test("z-ordered layout skips files on EVERY z column; single-column sort only on one") {
+    // 64x64 uniform grid: the worst case for single-column clustering
+    // (sorting by a leaves b uniformly spread in every file)
+    val rows = for { a <- 0L until 64L; b <- 0L until 64L } yield (a, b, a * 64 + b)
+    val df = rows.toDF("a", "b", "payload")
+    val zpath = s"${tmp()}/zorder"
+    val spath = s"${tmp()}/asort"
+    StorageOps.writeZOrdered(df, zpath, Seq("a", "b"), bits = 6, numFiles = 8)
+    df.repartitionByRange(8, $"a").sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(spath)
+    def fileBounds(p: String, c: String): Seq[(Long, Long)] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col(c)), max(col(c))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+    def matching(bounds: Seq[(Long, Long)], v: Long): Int =
+      bounds.count { case (lo, hi) => lo <= v && v <= hi }
+    // the a-sorted layout cannot skip ANY file for a predicate on b
+    assert(matching(fileBounds(spath, "b"), 17L) == 8,
+      "single-column clustering leaves the other column unskippable")
+    // the z-ordered layout confines each file to a hyper-rectangle:
+    // a point predicate on EITHER column skips most files
+    val zb = matching(fileBounds(zpath, "b"), 17L)
+    val za = matching(fileBounds(zpath, "a"), 17L)
+    assert(zb <= 5 && za <= 5,
+      s"z-order must bound both dimensions per file: a-match=$za b-match=$zb")
+    // layout change, not content change
+    val back = spark.read.parquet(zpath).select("a", "b", "payload")
+    assert(back.count() == 4096 &&
+      back.except(df).isEmpty && df.except(back).isEmpty)
+  }
+
+  test("zValueExpr: interleave is exact on known bit patterns") {
+    // a = 0b101, b = 0b011 at 3 bits -> z = 100111 (a bits at odd
+    // positions, b bits at even): a2=1,b2=0,a1=0,b1=1,a0=1,b0=1
+    val out = Seq((5L, 3L)).toDF("a", "b")
+      .select(StorageOps.zValueExpr(Seq(col("a"), col("b")), 3).as("z"))
+      .head().getLong(0)
+    assert(out == 39L, s"expected 0b100111=39, got $out")
+  }
+
   test("writeForPointLookup emits parquet bloom filters on the key columns") {
     val root = tmp()
     val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
