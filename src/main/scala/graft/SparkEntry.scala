@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.OpQueries.pcaOracle ++ // dump-time: fitted literals
       graft.queries.OpQueries.ivfOracle ++
       graft.queries.OpQueries.pqOracle ++
+      graft.queries.OpQueries.sqOracle ++
       graft.queries.OpQueries.lshOracle ++
       graft.queries.MlQueries.dynamicOracle ++
       graft.queries.CurationQueries.semanticOracle ++

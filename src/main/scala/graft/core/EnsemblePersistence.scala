@@ -191,6 +191,17 @@ object EnsemblePersistence {
         ("itemIdCol" -> a.itemIdCol) ~ ("itemVecCol" -> a.itemVecCol) ~
         ("k" -> a.k) ~ ("nprobe" -> a.nprobe) ~ ("metric" -> a.metric) ~
         ("centers" -> a.centers.map(_.toList).toList)
+    case a: AnnSq =>
+      val p = artifactPath(dir, i, "sq_items")
+      a.items.write.mode("overwrite").parquet(p)
+      // fitted state is all plain doubles: coarse centroids + the per-dim
+      // scalar range (steps derive from mins/maxs, never persisted)
+      ("type" -> "AnnSq") ~ ("path" -> p) ~
+        ("queryIdCol" -> a.queryIdCol) ~ ("queryVecCol" -> a.queryVecCol) ~
+        ("itemIdCol" -> a.itemIdCol) ~ ("itemVecCol" -> a.itemVecCol) ~
+        ("k" -> a.k) ~ ("nprobe" -> a.nprobe) ~
+        ("centers" -> a.centers.map(_.toList).toList) ~
+        ("mins" -> a.mins.toList) ~ ("maxs" -> a.maxs.toList)
     case a: AnnIvfPq =>
       val p = artifactPath(dir, i, "pq_items")
       a.items.write.mode("overwrite").parquet(p)
@@ -672,6 +683,13 @@ object EnsemblePersistence {
           (o \ "centers").extract[List[List[Double]]],
           s("queryIdCol"), s("queryVecCol"), s("itemIdCol"), s("itemVecCol"),
           (o \ "k").extract[Int], (o \ "nprobe").extract[Int], s("metric"))
+      case "AnnSq" =>
+        AnnSq(spark.read.parquet(s("path")),
+          (o \ "centers").extract[List[List[Double]]],
+          (o \ "mins").extract[List[Double]],
+          (o \ "maxs").extract[List[Double]],
+          s("queryIdCol"), s("queryVecCol"), s("itemIdCol"), s("itemVecCol"),
+          (o \ "k").extract[Int], (o \ "nprobe").extract[Int])
       case "PredictForest" =>
         val mc = s("modelClass")
         mc match {

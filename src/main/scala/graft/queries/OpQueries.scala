@@ -284,6 +284,7 @@ object OpQueries {
     cachedCenters(spark, d, nlist = 32, maxIter = 5)
     cachedCenters(spark, d, nlist = 16, maxIter = 1)
     cachedCodebooks(spark, d)
+    cachedSqRange(spark, d)
   }
 
   /** Memoized PCA axes keyed by (dir, k) — the fit is an offline artifact
@@ -496,9 +497,11 @@ object OpQueries {
       .map(s => "op_ann_ivf_recall" -> compose(s, 5000))
     val pq = pqOracle.get("op_ann_pq")
       .map(s => "op_ann_pq_recall" -> compose(s, 5000))
+    val sq = sqOracle.get("op_ann_sq")
+      .map(s => "op_ann_sq_recall" -> compose(s, 5000))
     val pca = pcaRecallApproxSql
       .map(s => "op_pca_ann_recall" -> compose(s, 8000))
-    (lsh.toSeq ++ ivf.toSeq ++ pq.toSeq ++ pca.toSeq).toMap
+    (lsh.toSeq ++ ivf.toSeq ++ pq.toSeq ++ sq.toSeq ++ pca.toSeq).toMap
   }
 
   /** op_pca_ann_recall's approx side: 32-axis projections from the fitted
@@ -637,6 +640,93 @@ object OpQueries {
   def annIvfRecall(spark: SparkSession, d: String): DataFrame =
     Evidence.recallRow(spark, annIvf(spark, d), topkRetrieval(spark, d),
       Seq("vec_id", "item_id"), floorBp = 5000)
+
+  /** Memoized SQ8 scalar-quantizer range (per-dim [min,max] over the
+    * catalog) — fit-offline-probe-many like [[cachedCenters]]; the fitted
+    * doubles feed [[sqOracle]]'s SQL literals at dump time. */
+  private val sqRangeCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Double], Seq[Double])]
+
+  private def cachedSqRange(spark: SparkSession, d: String): (Seq[Double], Seq[Double]) =
+    sqRangeCache.getOrElseUpdate(d, AnnSq.fitRange(ivfItems(spark, d), "embedding"))
+
+  /** IVF,SQ8 ANN — the scalar-quantization tier of the FAISS surface
+    * (1 byte/dim: 4× memory compression with near-exact in-list ranking;
+    * see [[graft.ops.AnnSq]]). Same coarse quantizer as op_ann_ivf — one
+    * fit serves Flat, PQ and SQ8 — so recall differences against
+    * op_ann_ivf isolate pure quantization loss. Hash-oracled: encode,
+    * probe, reconstruct and score replay in DuckDB from the fitted
+    * min/step literals ([[sqOracle]]). */
+  def annSq(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    val (mins, maxs) = cachedSqRange(spark, d)
+    AnnSq(ivfItems(spark, d), centers, mins, maxs, "vec_id", "embedding",
+      k = 10, nprobe = math.min(8, centers.size))
+      .asRows(queries).orderBy("vec_id", "rank")
+  }
+
+  /** SQ8 recall@10 vs brute force. Quantization noise only reorders
+    * near-ties, so recall sits at IVF's probe-limited level (same 5000
+    * floor as op_ann_ivf_recall). */
+  def annSqRecall(spark: SparkSession, d: String): DataFrame =
+    Evidence.recallRow(spark, annSq(spark, d), topkRetrieval(spark, d),
+      Seq("vec_id", "item_id"), floorBp = 5000)
+
+  /** op_ann_sq's oracle — the full IVF,SQ8 path (assign, encode to byte
+    * codes, probe, reconstruct, exact dot over v̂) replayed in DuckDB from
+    * the fitted coarse centroids and per-dim min/step literals. Encode is
+    * `floor(x + 0.5)` with saturating LEAST/GREATEST — the explicitly
+    * portable rounding rule (bankers' rounding is the cross-engine trap);
+    * reconstruction `lo + code·st` is exact double arithmetic over
+    * literals, and `list_inner_product` bit-matches the sequential dot
+    * fold (op_topk_retrieval precedent). Empty until the query has run in
+    * this JVM (selective Verify → rows-only, as before). */
+  def sqOracle: Map[String, String] =
+    OracleDir.pickDir(sqRangeCache.keys).flatMap { d =>
+      centerCache.get((d, 32, 5)).map { centers =>
+        val (mins, maxs) = sqRangeCache(d)
+        val steps = mins.zip(maxs).map { case (lo, hi) => (hi - lo) / 255.0 }
+        val nprobe = math.min(8, centers.size)
+        val dim = mins.size
+        val centRows = centers.zipWithIndex.map { case (c, i) =>
+          val c2 = c.map(x => x * x).sum
+          s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[], '$c2'::DOUBLE)"
+        }.mkString(",\n  ")
+        val loLit = s"'${mins.mkString("[", ", ", "]")}'::DOUBLE[]"
+        val stLit = s"'${steps.mkString("[", ", ", "]")}'::DOUBLE[]"
+        "op_ann_sq" ->
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $centRows),
+             |sq(lo, st) AS (SELECT $loLit, $stLit),
+             |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE label <> 0),
+             |iass AS (SELECT item_id, v, cid, row_number() OVER
+             |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM items CROSS JOIN cent),
+             |irec AS (SELECT item_id, cid,
+             |    list_transform(range(1, ${dim + 1}), i -> lo[i] +
+             |      (CASE WHEN st[i] = 0 THEN 0
+             |        ELSE LEAST(255, GREATEST(0, CAST(floor((v[i] - lo[i]) / st[i] + 0.5) AS INTEGER))) END)
+             |      * st[i]) AS rv
+             |  FROM iass CROSS JOIN sq WHERE rn = 1),
+             |qs AS (SELECT vec_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE label = 0),
+             |qass AS (SELECT vec_id, qv, cid, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(qv, cv), cid) AS rn
+             |  FROM qs CROSS JOIN cent),
+             |probe AS (SELECT vec_id, qv, cid FROM qass WHERE rn <= $nprobe),
+             |scored AS (SELECT p.vec_id, i.item_id,
+             |    list_inner_product(p.qv, i.rv) AS score
+             |  FROM probe p JOIN irec i ON p.cid = i.cid),
+             |ranked AS (SELECT vec_id, item_id, score, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank
+             |  FROM scored)
+             |SELECT vec_id, CAST(rank AS INTEGER) AS rank, item_id, score FROM ranked
+             |WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
+      }
+    }.toMap
 
   /** IVF-PQ ANN — the memory-compressed FAISS scale path (`IVF32,PQ8`):
     * items travel as 8 codes + a list id, never as float vectors
@@ -1351,6 +1441,8 @@ object OpQueries {
     "op_ann_pq" -> (annPq _),
     "op_ann_pq_recall" -> (annPqRecall _),
     "op_ann_pq_exact" -> (annPqExact _),
+    "op_ann_sq" -> (annSq _),
+    "op_ann_sq_recall" -> (annSqRecall _),
     "op_trailing_features" -> (trailingFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),

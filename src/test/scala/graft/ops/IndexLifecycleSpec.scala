@@ -141,4 +141,39 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(got.forall { case (_, _, item, _) => !purgedIds.contains(item) },
       "a purged item must never be retrieved")
   }
+
+  test("SQ8 coded-index lifecycle: build + append + purge probes like a rebuild") {
+    val rnd = new scala.util.Random(13)
+    val seed = (1L to 40L).map(i => (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val added = (41L to 60L).map(i => (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val seedDf = seed.toDF("item_id", "embedding")
+    val addedDf = added.toDF("item_id", "embedding")
+    // quantizers (coarse + scalar range) freeze at build time — the SQ
+    // analog of the frozen IVF centroids; drift outside the fitted range
+    // saturates and is the documented refit trigger
+    val op = AnnSq.fit(seedDf, "query_id", "query_vec", nlist = 4, nprobe = 4)
+    val index1 = AnnSq.index(seedDf, op.centers, op.mins, op.maxs)
+    val index2 = op.updatedIndex(index1, addedDf)
+    val purgedIds = Seq(3L, 17L, 45L)
+    val purge = Purge(purgedIds.map(Tuple1(_)).toDF("doc_id"))
+    val index3 = purge.updatedAnnIndex(index2)
+    val survivors = seedDf.unionByName(addedDf)
+      .filter(!$"item_id".isInCollection(purgedIds))
+    val rebuilt = AnnSq.index(survivors, op.centers, op.mins, op.maxs)
+    def rows(idx: DataFrame) = idx.select($"__item_id", $"__cid", $"__codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(rows(index3) == rows(rebuilt),
+      "maintained SQ index != rebuild over the surviving catalog")
+    val queries = (101L to 110L)
+      .map(i => (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+      .toDF("query_id", "query_vec")
+    def probe(idx: DataFrame) =
+      op.transformIndexed(queries, idx)
+        .select($"query_id", $"candidate_ids")
+        .as[(Long, Seq[Long])].collect().toSet
+    val got = probe(index3)
+    assert(got == probe(rebuilt), "probe diverges from the rebuilt index")
+    assert(got.forall { case (_, items) => items.forall(!purgedIds.contains(_)) },
+      "a purged item must never be retrieved")
+  }
 }
