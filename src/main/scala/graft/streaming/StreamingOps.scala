@@ -863,4 +863,35 @@ object StreamingOps {
         writePointer(spark, indexDir, v)
       }
   }
+
+  /** Load the live SQ8 coded index from a sink-maintained directory —
+    * probe via `op.transformIndexed(queries, loadAnnSqIndex(...).get)`. */
+  def loadAnnSqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] =
+    latestVersion(spark, indexDir).map(v =>
+      spark.read.parquet(s"$indexDir/$v/index"))
+
+  /** foreachBatch sink maintaining a persisted SQ8 coded index
+    * ([[graft.ops.AnnSq]]) from an item stream under `op`'s FROZEN
+    * quantizers (coarse centroids + scalar range): each batch is
+    * assigned and byte-encoded map-side ([[graft.ops.AnnSq.updatedIndex]],
+    * cost ∝ the batch) and appended as a new index version. Staleness is
+    * the documented trade — values drifting outside the fitted range
+    * saturate; monitor recall, refit + rebuild on drift. Batches must
+    * carry disjoint item ids. */
+  def annSqIndexSink(indexDir: String, op: graft.ops.AnnSq)
+      : (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val next = loadAnnSqIndex(spark, indexDir) match {
+          case Some(index) => op.updatedIndex(index, batch)
+          case None => graft.ops.AnnSq.index(batch, op.centers, op.mins,
+            op.maxs, op.itemIdCol, op.itemVecCol)
+        }
+        val v = s"v$batchId"
+        next.write.mode("overwrite").parquet(s"$indexDir/$v/index")
+        writePointer(spark, indexDir, v)
+      }
+  }
 }

@@ -699,6 +699,32 @@ class StreamingOpsSpec extends SparkSpec {
       "frozen-quantizer streamed assignments must be id-identical to a rebuild")
   }
 
+  test("annSqIndexSink: streamed encode+assign equals the full coded-index build") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(19)
+    val items = (1L to 60L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val itemsDf = items.toDF("item_id", "embedding")
+    val op = graft.ops.AnnSq.fit(itemsDf, "query_id", "query_vec",
+      nlist = 4, nprobe = 2)
+    val dir = tmpDir("sq_sink_")
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(StreamingOps.annSqIndexSink(dir, op)).start()
+    Seq(items.take(20), items.slice(20, 21), items.drop(21)).foreach { s =>
+      src.addData(s: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamingOps.loadAnnSqIndex(spark, dir).get
+      .select("__item_id", "__cid", "__codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val rebuilt = graft.ops.AnnSq.index(itemsDf, op.centers, op.mins, op.maxs)
+      .select("__item_id", "__cid", "__codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(streamed == rebuilt,
+      "frozen-quantizer streamed codes must be id-identical to a rebuild")
+  }
+
   test("bm25IndexSink: an empty micro-batch leaves the index version untouched") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("bm25_empty_")
