@@ -871,6 +871,40 @@ object StreamingOps {
     latestVersion(spark, indexDir).map(v =>
       spark.read.parquet(s"$indexDir/$v/index"))
 
+  /** Retention vacuum for a sink-maintained versioned index directory
+    * (BM25 / IVF / SQ8): every batch writes a full new `v<batchId>` dir
+    * and moves `_LATEST`, so superseded versions accumulate forever — at
+    * one batch a minute a 100 TB index directory would grow ~1440 full
+    * index copies a day. Deletes all but the `keep` most-recent version
+    * dirs (by batch id), NEVER the `_LATEST`-pointed one (it is force-kept
+    * even when `keep = 0`). Returns the deleted version names.
+    *
+    * Retention contract: a reader pins a version by reading `_LATEST`
+    * once at load; `keep` must cover the longest in-flight read (keep = 2
+    * tolerates one full probe spanning a pointer swap). Safe to run
+    * concurrently with the sink — the sink only ever writes NEW version
+    * dirs and the pointer, and the pointed version is never deleted. */
+  def vacuumIndexVersions(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 0, s"vacuumIndexVersions: keep must be >= 0, got $keep")
+    val (fs, p) = fsOf(spark, indexDir)
+    if (!fs.exists(p)) return Seq.empty
+    val live = latestVersion(spark, indexDir)
+    val versions = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap { n =>
+        if (n.startsWith("v")) scala.util.Try(n.drop(1).toLong).toOption.map(n -> _)
+        else None
+      }
+      .sortBy(-_._2)
+    val doomed = versions.drop(keep).map(_._1).filterNot(live.contains)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, v), true)
+    }
+    doomed
+  }
+
   /** foreachBatch sink maintaining a persisted SQ8 coded index
     * ([[graft.ops.AnnSq]]) from an item stream under `op`'s FROZEN
     * quantizers (coarse centroids + scalar range): each batch is

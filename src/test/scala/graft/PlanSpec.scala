@@ -118,6 +118,24 @@ class PlanSpec extends SparkSpec {
       s"bounded-heap aggregate expected in plan:\n${p.take(800)}")
   }
 
+  test("SQ8 probe joins coded lists on the list id — no all-pairs, no global sort, no float shuffle") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, d)
+    val queriesDf = emb.filter(col("label") === 0).select("vec_id", "embedding")
+    val items = emb.filter(col("label") =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding"))
+    val centers = functions.VectorFunctions.fitCenters(items, "embedding", 4, 2, 42L)
+    val (mins, maxs) = ops.AnnSq.fitRange(items, "embedding")
+    val sq = ops.AnnSq(items, centers, mins, maxs, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val p = plan(sq.transform(queriesDf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "probe must be a cid equi-join, never all-pairs")
+    assert(!p.contains("GlobalSort"), "no global sort in SQ top-k")
+    assert(p.contains("partial_topkaggregator") || p.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregate expected in plan:\n${p.take(800)}")
+  }
+
   test("SelectByTag prunes untagged columns all the way to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("tags_prune").toString
     import spark.implicits._

@@ -725,6 +725,38 @@ class StreamingOpsSpec extends SparkSpec {
       "frozen-quantizer streamed codes must be id-identical to a rebuild")
   }
 
+  test("vacuumIndexVersions: retires superseded versions, never the pointed one") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val items = (1L to 30L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val itemsDf = items.toDF("item_id", "embedding")
+    val op = graft.ops.AnnSq.fit(itemsDf, "query_id", "query_vec",
+      nlist = 2, nprobe = 2)
+    val dir = tmpDir("sq_vacuum_")
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(StreamingOps.annSqIndexSink(dir, op)).start()
+    Seq(items.take(10), items.slice(10, 20), items.drop(20)).foreach { s =>
+      src.addData(s: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def versionDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
+    assert(versionDirs == Set("v0", "v1", "v2"), s"expected 3 versions: $versionDirs")
+    // keep=1 retires the two superseded versions; the live index still probes
+    val deleted = StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    assert(deleted.toSet == Set("v0", "v1") && versionDirs == Set("v2"))
+    val live = StreamingOps.loadAnnSqIndex(spark, dir).get
+      .select("__item_id").as[Long].collect().toSet
+    assert(live == (1L to 30L).toSet, "vacuum must not touch the live version")
+    // keep=0 force-keeps the _LATEST-pointed version
+    assert(StreamingOps.vacuumIndexVersions(spark, dir, keep = 0).isEmpty
+      && versionDirs == Set("v2"))
+    // idempotent on an already-clean or missing dir
+    assert(StreamingOps.vacuumIndexVersions(spark, dir + "_missing").isEmpty)
+  }
+
   test("bm25IndexSink: an empty micro-batch leaves the index version untouched") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("bm25_empty_")
