@@ -810,10 +810,13 @@ object StreamingOps {
     * batch appends via [[graft.ops.Bm25Index.updatedWith]] (cost ∝ the
     * batch's tokens — the corpus is never re-tokenized). Batches must
     * carry DISJOINT doc ids (the ingest contract; run
-    * [[incrementalDedupStream]] upstream). Usage:
+    * [[incrementalDedupStream]] upstream). `retainVersions` auto-vacuums
+    * superseded version dirs after each pointer swap
+    * ([[vacuumIndexVersions]]; None keeps every version). Usage:
     * `docs.writeStream.foreachBatch(bm25IndexSink(dir)).start()`. */
   def bm25IndexSink(indexDir: String, docIdCol: String = "doc_id",
-      textCol: String = "text"): (DataFrame, Long) => Unit = {
+      textCol: String = "text",
+      retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
@@ -831,6 +834,7 @@ object StreamingOps {
         Seq((next.docCount, next.avgdl)).toDF("docCount", "avgdl")
           .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$v/meta")
         writePointer(spark, indexDir, v)
+        retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
       }
   }
 
@@ -848,8 +852,8 @@ object StreamingOps {
     * shuffle) and appended as a new index version. Centroid staleness is
     * the documented trade: monitor recall, refit + rebuild when the
     * catalog's distribution drifts. Batches must carry disjoint item ids. */
-  def annIvfIndexSink(indexDir: String, op: graft.ops.AnnIvf)
-      : (DataFrame, Long) => Unit = {
+  def annIvfIndexSink(indexDir: String, op: graft.ops.AnnIvf,
+      retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
@@ -861,6 +865,7 @@ object StreamingOps {
         val v = s"v$batchId"
         next.write.mode("overwrite").parquet(s"$indexDir/$v/index")
         writePointer(spark, indexDir, v)
+        retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
       }
   }
 
@@ -913,8 +918,8 @@ object StreamingOps {
     * the documented trade — values drifting outside the fitted range
     * saturate; monitor recall, refit + rebuild on drift. Batches must
     * carry disjoint item ids. */
-  def annSqIndexSink(indexDir: String, op: graft.ops.AnnSq)
-      : (DataFrame, Long) => Unit = {
+  def annSqIndexSink(indexDir: String, op: graft.ops.AnnSq,
+      retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
@@ -926,6 +931,7 @@ object StreamingOps {
         val v = s"v$batchId"
         next.write.mode("overwrite").parquet(s"$indexDir/$v/index")
         writePointer(spark, indexDir, v)
+        retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
       }
   }
 }

@@ -757,6 +757,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.vacuumIndexVersions(spark, dir + "_missing").isEmpty)
   }
 
+  test("sink retainVersions auto-vacuums superseded versions after each pointer swap") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("bm25_retain_")
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.bm25IndexSink(dir, retainVersions = Some(1))).start()
+    src.addData((1L, "alpha beta")); q.processAllAvailable()
+    src.addData((2L, "gamma delta")); q.processAllAvailable()
+    src.addData((3L, "epsilon zeta")); q.processAllAvailable()
+    q.stop()
+    val versions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
+    assert(versions == Set("v2"), s"retention must leave only the live version: $versions")
+    assert(StreamingOps.loadBm25Index(spark, dir).get.docCount == 3L,
+      "the retained index must still hold the full maintained state")
+  }
+
   test("bm25IndexSink: an empty micro-batch leaves the index version untouched") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("bm25_empty_")
