@@ -757,37 +757,16 @@ object StreamingOps {
   // to full rebuilds), the final index is identical under ANY micro-batch
   // boundaries: the stream twin inherits the batch ops' determinism.
 
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** The live version name in `<dir>/_LATEST`, if any. */
+  // Versioned-state plumbing (full new v<batchId> dir per publication,
+  // atomically-renamed _LATEST pointer, explicit retention) is the shared
+  // commit protocol in graft.core.VersionedDir — the same object serves
+  // batch corpus republication (VersionedDir.publish/readLatest).
   private def latestVersion(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[String] = {
-    val (fs, p) = fsOf(spark, dir)
-    val ptr = new org.apache.hadoop.fs.Path(p, "_LATEST")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        if (s.isEmpty) None else Some(s)
-      } finally in.close()
-    }
-  }
+      dir: String): Option[String] = graft.core.VersionedDir.latest(spark, dir)
 
   private def writePointer(spark: org.apache.spark.sql.SparkSession,
-      dir: String, version: String): Unit = {
-    val (fs, p) = fsOf(spark, dir)
-    // write-then-rename: readers never observe a half-written pointer
-    val tmp = new org.apache.hadoop.fs.Path(p, s"._LATEST.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
-    val ptr = new org.apache.hadoop.fs.Path(p, "_LATEST")
-    fs.delete(ptr, false)
-    fs.rename(tmp, ptr)
-  }
+      dir: String, version: String): Unit =
+    graft.core.VersionedDir.writePointer(spark, dir, version)
 
   /** Load the live BM25 index from a sink-maintained directory (None
     * before the first non-empty batch). Serving-side entry: probe with
@@ -876,6 +855,30 @@ object StreamingOps {
     latestVersion(spark, indexDir).map(v =>
       spark.read.parquet(s"$indexDir/$v/index"))
 
+  /** Online ranking-quality monitoring — the streaming twin of
+    * [[graft.ops.EvalRanking]]: a served-candidates stream (query id,
+    * item id, rank) appends one integer-exact metric row per evaluated
+    * query (MRR / recall@k / NDCG@k vs the op's static relevance set) to
+    * a parquet monitoring log, stamped with the micro-batch id.
+    *
+    * Contract: a query's FULL ranked list arrives within one micro-batch
+    * (request-atomic — the natural serving shape: a ranker emits its
+    * top-k as one response). Under that contract the metric rows are
+    * IDENTICAL to the batch op over the concatenated stream for any
+    * batch boundaries, because EvalRanking is per-query independent
+    * [spec-pinned]. A list split across batches would score as two
+    * partial lists — the same disjointness discipline every ingest sink
+    * here documents. Cost per batch: one bounded equi-join + one
+    * per-query groupBy over the batch only. */
+  def evalRankingSink(outDir: String, op: graft.ops.EvalRanking)
+      : (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty)
+        op.transform(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+  }
+
   /** Retention vacuum for a sink-maintained versioned index directory
     * (BM25 / IVF / SQ8): every batch writes a full new `v<batchId>` dir
     * and moves `_LATEST`, so superseded versions accumulate forever — at
@@ -890,25 +893,8 @@ object StreamingOps {
     * concurrently with the sink — the sink only ever writes NEW version
     * dirs and the pointer, and the pointed version is never deleted. */
   def vacuumIndexVersions(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, keep: Int = 2): Seq[String] = {
-    require(keep >= 0, s"vacuumIndexVersions: keep must be >= 0, got $keep")
-    val (fs, p) = fsOf(spark, indexDir)
-    if (!fs.exists(p)) return Seq.empty
-    val live = latestVersion(spark, indexDir)
-    val versions = fs.listStatus(p).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .flatMap { n =>
-        if (n.startsWith("v")) scala.util.Try(n.drop(1).toLong).toOption.map(n -> _)
-        else None
-      }
-      .sortBy(-_._2)
-    val doomed = versions.drop(keep).map(_._1).filterNot(live.contains)
-    doomed.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(p, v), true)
-    }
-    doomed
-  }
+      indexDir: String, keep: Int = 2): Seq[String] =
+    graft.core.VersionedDir.vacuum(spark, indexDir, keep)
 
   /** foreachBatch sink maintaining a persisted SQ8 coded index
     * ([[graft.ops.AnnSq]]) from an item stream under `op`'s FROZEN

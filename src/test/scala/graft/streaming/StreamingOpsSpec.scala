@@ -757,6 +757,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.vacuumIndexVersions(spark, dir + "_missing").isEmpty)
   }
 
+  test("evalRankingSink: streamed per-query metrics equal the batch op under any query-atomic batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val rel = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "item_id")
+    val op = graft.ops.EvalRanking(rel, k = 3)
+    // three served queries: full hit list, partial, total miss
+    val served = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 20L, 2), (2L, 97L, 3),
+      (3L, 96L, 1), (3L, 95L, 2), (3L, 94L, 3))
+    def run(splits: Seq[Seq[(Long, Long, Int)]]): Set[Seq[Any]] = {
+      val dir = tmpDir("eval_sink_")
+      val src = MemoryStream[(Long, Long, Int)]
+      val q = src.toDF().toDF("query_id", "item_id", "rank").writeStream
+        .foreachBatch(StreamingOps.evalRankingSink(dir, op)).start()
+      splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(dir).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+    }
+    val oneShot = run(Seq(served))
+    val perQuery = run(Seq(served.take(3), served.slice(3, 6), served.drop(6)))
+    val batchRows = op.transform(served.toDF("query_id", "item_id", "rank"))
+      .collect().map(_.toSeq).toSet
+    assert(oneShot == batchRows, "one-batch stream != batch op")
+    assert(perQuery == batchRows, "query-atomic split stream != batch op")
+  }
+
   test("sink retainVersions auto-vacuums superseded versions after each pointer swap") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("bm25_retain_")
