@@ -164,6 +164,34 @@ object StorageQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Atomic versioned republication ([[graft.core.VersionedDir]]): v0
+    * publishes a half-corpus, a reader pins that snapshot by resolving
+    * `_LATEST`, v1 republishes the full corpus (with retention covering
+    * the in-flight read) — the pinned reader still sees exactly v0's
+    * rows while the live reader sees v1's. The union of both reads
+    * hash-checks against plain SQL over the source table: the oracle
+    * certifies that neither snapshot leaked the other's rows, which is
+    * the whole point of the pointer-swap commit protocol at 100 TB
+    * (recompute swaps in atomically under live readers). */
+  def publishVersions(spark: SparkSession, d: String): DataFrame = {
+    import graft.core.VersionedDir
+    val path = s"${scratch(d)}/docs_published"
+    // re-runnable: each invocation restarts the version history
+    val (fs, p) = VersionedDir.fsOf(spark, path)
+    fs.delete(p, true)
+    val docs = documents(spark, d)
+    VersionedDir.publish(docs.filter(col("doc_id") % 2 === 0), path)
+    val pinned = VersionedDir.readLatest(spark, path).get // resolves v0 NOW
+    // keep = 2 covers the pinned in-flight read across the swap
+    VersionedDir.publish(docs, path, retainVersions = Some(2))
+    val live = VersionedDir.readLatest(spark, path).get // resolves v1
+    pinned.withColumn("version", lit("v0"))
+      .unionByName(live.withColumn("version", lit("v1")))
+      .select(col("version"), col("doc_id"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("version", "doc_id")
+  }
+
   /** ORC round trip — the Hive-ecosystem columnar egress twin. */
   def orcRoundtrip(spark: SparkSession, d: String): DataFrame = {
     val path = s"${scratch(d)}/docs_orc"
@@ -183,7 +211,8 @@ object StorageQueries {
     "op_orc_roundtrip" -> (orcRoundtrip _),
     "op_compact_files" -> (compactFiles _),
     "op_schema_evolution" -> (schemaEvolution _),
-    "op_zorder_layout" -> (zorderLayout _))
+    "op_zorder_layout" -> (zorderLayout _),
+    "op_publish_versions" -> (publishVersions _))
 
   private val roundtripSql =
     """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
@@ -202,6 +231,13 @@ object StorageQueries {
         |FROM documents WHERE lang = 'en'
         |GROUP BY 1 ORDER BY source""".stripMargin,
     "op_csv_roundtrip" -> roundtripSql,
+    "op_publish_versions" ->
+      """SELECT 'v0' AS version, doc_id, md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'v1' AS version, doc_id, md5(text) AS text_md5
+        |FROM documents
+        |ORDER BY version, doc_id""".stripMargin,
     "op_jsonl_roundtrip" -> roundtripSql,
     "op_orc_roundtrip" -> roundtripSql,
     "op_compact_files" -> roundtripSql,
