@@ -145,6 +145,49 @@ object MlQueries {
     EvalRanking(relevant, k = 10).transform(ranked).orderBy("query_id")
   }
 
+  /** Streaming twin of [[mlEvalRanking]] via
+    * [[graft.streaming.StreamingOps.evalRankingSink]]: the SAME ranked
+    * lists arrive as a 3-micro-batch served-candidates stream (split
+    * query-atomically — a ranker emits its top-k as one response, the
+    * sink's documented contract), the sink appends per-query metric rows
+    * to a parquet monitoring log per batch, and the accumulated log
+    * hash-checks against the BATCH oracle verbatim: online evaluation
+    * proven equal to offline evaluation under any query-atomic batching.
+    * Timed cost deliberately includes the whole 3-batch stream
+    * lifecycle (the text_bm25_stream discipline). */
+  def mlEvalStream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val inter = orders(spark, d)
+      .join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("query_id"), col("l_partkey").as("item_id"),
+        col("l_quantity"), col("l_returnflag"))
+    val ranked = inter.groupBy("query_id", "item_id")
+      .agg(sum("l_quantity").as("qty"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("qty"), asc("item_id"))))
+      .filter(col("rank") <= 10)
+    val relevant = inter.filter(col("l_returnflag") === "R")
+      .select("query_id", "item_id").distinct()
+    val served = ranked.select(col("query_id"), col("item_id"), col("rank"))
+      .as[(Long, Long, Int)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("eval_stream_log").toString
+    val op = EvalRanking(relevant, k = 10)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Int)]
+    val q = src.toDF().toDF("query_id", "item_id", "rank").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.evalRankingSink(dir, op))
+      .start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(served.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(dir).drop("batch_id").orderBy("query_id")
+  }
+
   /** ml_eval_ranking's oracle — STATIC (the gain tables are deterministic
     * parameter constants, no fit involved). */
   private def evalRankingOracleSql: String = {
@@ -755,7 +798,8 @@ object MlQueries {
     "pipeline_recsys" -> (pipelineRecsys _),
     "ml_mlp_portable" -> (mlMlpPortable _),
     "ml_calibrate" -> (mlCalibrate _),
-    "ml_eval_ranking" -> (mlEvalRanking _))
+    "ml_eval_ranking" -> (mlEvalRanking _),
+    "ml_eval_stream" -> (mlEvalStream _))
 
   /** ml_workflow is the one ML query with a SQL-expressible output:
     * StringIndexer(frequencyDesc) == rank by (count DESC, value ASC), and
@@ -763,6 +807,9 @@ object MlQueries {
   val oracle: Map[String, String] = Map(
     "ml_mlp_portable" -> mlpOracleSql,
     "ml_eval_ranking" -> evalRankingOracleSql,
+    // the stream twin shares the batch oracle verbatim: the monitoring
+    // log over query-atomic batches IS the batch evaluation
+    "ml_eval_stream" -> evalRankingOracleSql,
     // the trees' CASE mirror, summed in model order like the op's fold;
     // the class cut is the op's precomputed margin-space threshold
     // constant (ln(0.7/0.3)), interpolated so neither engine re-derives ln
