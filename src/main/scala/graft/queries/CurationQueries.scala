@@ -384,6 +384,41 @@ object CurationQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The ingest loop LIVE
+    * ([[graft.streaming.StreamingOps.corpusIngestSink]]): the same drop
+    * as `pipeline_ingest` arrives as a 3-micro-batch stream (split by
+    * doc_id % 3), each batch labeled against the LIVE digest index
+    * (seeded with the prior corpus), keepers landing as immutable deltas
+    * under atomically-published (manifest, index) versions. The final
+    * manifest-resolved corpus hash-checks against a pure-SQL replay of
+    * the whole loop: a digest's keeper is its minimum (arrival batch,
+    * doc id) fresh row — first-accepted-wins made literal. Timed cost
+    * includes the full 3-batch stream lifecycle. */
+  def pipelineIngestStream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (prior, batch) = incrementalFixture(spark, d)
+    val rows = batch.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val dir = java.nio.file.Files
+      .createTempDirectory("corpus_ingest_q").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = src.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.corpusIngestSink(dir,
+        initialIndex = Some(prior)))
+      .start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(rows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.streaming.StreamingOps.loadCorpus(spark, dir).get
+      .select(col("doc_id"), col("content_hash"), col("ingest_batch"))
+      .orderBy("doc_id")
+  }
+
   def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
     writeDocSketches(spark, d)
     MinHashDedup(thresholdBp = 8000).transform(documents(spark, d))
@@ -1700,6 +1735,7 @@ object CurationQueries {
     "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
     "dedup_minhash_incremental_check" -> (dedupMinhashIncrementalCheck _),
     "pipeline_ingest" -> (pipelineIngest _),
+    "pipeline_ingest_stream" -> (pipelineIngestStream _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
@@ -2297,6 +2333,24 @@ object CurationQueries {
          |  LEFT JOIN prior p ON h.content_hash = p.h
          |  WHERE p.h IS NULL AND h.doc_id = k.keep_id)
          |ORDER BY content_hash""".stripMargin,
+    // the live ingest loop: keeper per digest = min (arrival batch,
+    // doc id) among fresh rows — first-accepted-wins made literal
+    "pipeline_ingest_stream" ->
+      s"""WITH prior AS (SELECT DISTINCT md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 BETWEEN 4 AND 7),
+         |hashed AS (SELECT doc_id, md5($normSql) AS content_hash,
+         |  doc_id % 3 AS m FROM batch),
+         |fresh AS (SELECT h.doc_id, h.content_hash, h.m FROM hashed h
+         |  LEFT JOIN prior p ON h.content_hash = p.h WHERE p.h IS NULL),
+         |rk AS (SELECT doc_id, content_hash, m, row_number() OVER
+         |  (PARTITION BY content_hash ORDER BY m, doc_id) AS rn FROM fresh)
+         |SELECT doc_id, content_hash, CAST(m AS BIGINT) AS ingest_batch
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // the ingest flagship replays end-to-end: fixture → digest labeling →
     // token gate → chunking → greedy per-shard packing (recursive CTE)
     "pipeline_ingest" ->

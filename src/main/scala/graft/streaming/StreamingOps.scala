@@ -920,4 +920,94 @@ object StreamingOps {
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
       }
   }
+
+  /** The live accepted corpus maintained by [[corpusIngestSink]] (None
+    * before the first accepting batch): resolve the pointed version's
+    * manifest, union the delta files it references. The manifest is
+    * metadata-scale (one row per ingest batch), so the collect is
+    * bounded; the union is a multi-path parquet scan — no shuffle. */
+  def loadCorpus(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] =
+    latestVersion(spark, stateDir).map { v =>
+      val deltas = spark.read.parquet(s"$stateDir/$v/manifest")
+        .select("delta").collect().map(_.getString(0))
+      spark.read.parquet(deltas.map(d => s"$stateDir/deltas/$d").toIndexedSeq: _*)
+    }
+
+  /** The live accepted-corpus digest index maintained by
+    * [[corpusIngestSink]] — the state the next ingest labels against. */
+  def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] =
+    latestVersion(spark, stateDir).map(v =>
+      spark.read.parquet(s"$stateDir/$v/index"))
+
+  /** foreachBatch sink maintaining the ACCEPTED CORPUS itself as
+    * versioned state — the live closure of the ingest loop
+    * ([[graft.ops.IncrementalDedup]] + `updatedIndex`, which batch
+    * deployments run by hand between drops): every micro-batch is
+    * labeled against the LIVE digest index, its keepers land as an
+    * immutable delta, and the (manifest, index) pair publishes as ONE
+    * new version — co-versioned in a single `v<batchId>` dir, so a
+    * reader can never observe a corpus whose digest index lags it.
+    *
+    * Layout: `deltas/d<n>` holds batch n's keepers (append-only,
+    * stamped `ingest_batch = n` for drop-level lineage); `v<n>/manifest`
+    * lists the live delta names; `v<n>/index` is the full digest index.
+    * Per-batch cost: the labeling joins ∝ the batch, one delta write ∝
+    * the batch's keepers, and an index rewrite ∝ accepted digests
+    * (16-byte identities — ~1/6000th of the corpus; at extreme cadence
+    * the index would delta the same way the corpus does). Version vacuum
+    * ([[vacuumIndexVersions]] / `retainVersions`) reclaims superseded
+    * manifest+index copies only — deltas stay, every live manifest
+    * references them all. Retroactive removal (takedown) is
+    * [[graft.ops.Purge]]'s batch job, as everywhere in this family.
+    *
+    * Determinism: the accepted digest SET equals the batch loop's under
+    * ANY micro-batch boundaries (first-accepted-wins is content-keyed);
+    * WHICH doc id keeps a digest follows the op's rule — min id within a
+    * batch, first arrival across batches — so the full corpus equals the
+    * sequential batch loop over the same batches [spec-pinned, both].
+    * A batch with no keepers publishes nothing (the empty-batch
+    * identity). `initialIndex` seeds the first version's labeling when a
+    * prior corpus exists (its docs are not replayed into the stream
+    * corpus — the stream owns only its own deltas). */
+  def corpusIngestSink(stateDir: String,
+      initialIndex: Option[DataFrame] = None,
+      idCol: String = "doc_id", textCol: String = "text",
+      normalized: Boolean = true,
+      retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val live = latestVersion(spark, stateDir)
+        val index = live.map(v => spark.read.parquet(s"$stateDir/$v/index"))
+          .orElse(initialIndex.map(_.select(col("content_hash"))))
+          .getOrElse(Seq.empty[String].toDF("content_hash"))
+        val op = graft.ops.IncrementalDedup(index, "content_hash",
+          idCol, textCol, normalized)
+        val keepers = op.transform(batch).filter(col("dup_kind").isNull)
+          .drop("dup_kind").withColumn("ingest_batch", lit(batchId))
+          .persist()
+        try {
+          if (!keepers.isEmpty) {
+            val v = s"v$batchId"
+            val delta = s"d$batchId"
+            keepers.write.mode("overwrite")
+              .parquet(s"$stateDir/deltas/$delta")
+            op.updatedIndex(batch).write.mode("overwrite")
+              .parquet(s"$stateDir/$v/index")
+            val prevManifest = live
+              .map(pv => spark.read.parquet(s"$stateDir/$pv/manifest")
+                .select("delta").as[String].collect().toSeq)
+              .getOrElse(Seq.empty)
+            (prevManifest :+ delta).toDF("delta")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$stateDir/$v/manifest")
+            writePointer(spark, stateDir, v)
+            retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
+          }
+        } finally keepers.unpersist()
+      }
+  }
 }

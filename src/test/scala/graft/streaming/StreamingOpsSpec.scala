@@ -815,4 +815,86 @@ class StreamingOpsSpec extends SparkSpec {
     assert(v1 == 1L &&
       StreamingOps.loadBm25Index(spark, dir).get.docCount == 1L)
   }
+
+  private def runCorpusIngest(dir: String,
+      splits: Seq[Seq[(Long, String)]],
+      initialIndex: Option[org.apache.spark.sql.DataFrame] = None,
+      retainVersions: Option[Int] = None): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.corpusIngestSink(dir,
+        initialIndex = initialIndex, retainVersions = retainVersions))
+      .start()
+    splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+  }
+
+  test("corpusIngestSink: streamed corpus equals the sequential batch ingest loop") {
+    val dir = tmpDir("corpus_ingest_")
+    val prior = Seq("seed doc").toDF("text")
+      .select(md5(graft.functions.TextFunctions.normalize($"text"))
+        .as("content_hash"))
+    val batches = Seq(
+      // 2 is a normalized within-batch dup of 1; 3 is new
+      Seq((1L, "alpha"), (2L, " Alpha "), (3L, "beta")),
+      // 4 duplicates the seeded prior corpus; 5 is new
+      Seq((4L, "seed doc"), (5L, "gamma")),
+      // 6 duplicates batch 0's keeper; 7/8 are within-batch dups
+      Seq((6L, "beta"), (7L, "delta"), (8L, "delta")))
+    runCorpusIngest(dir, batches, initialIndex = Some(prior))
+    // the reference: the batch ingest loop deployments run by hand
+    var idx = prior
+    val expected = scala.collection.mutable.Set.empty[(Long, String, Long)]
+    batches.zipWithIndex.foreach { case (b, m) =>
+      val df = b.toDF("doc_id", "text")
+      val op = graft.ops.IncrementalDedup(idx)
+      op.transform(df).filter($"dup_kind".isNull)
+        .select("doc_id", "content_hash").collect()
+        .foreach(r => expected += ((r.getLong(0), r.getString(1), m.toLong)))
+      idx = op.updatedIndex(df)
+    }
+    val got = StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id", "content_hash", "ingest_batch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected.toSet, s"stream corpus != batch loop: $got")
+    val gotIdx = StreamingOps.loadCorpusIndex(spark, dir).get
+      .as[String].collect().toSet
+    assert(gotIdx == idx.as[String].collect().toSet,
+      "stream digest index != batch loop index")
+  }
+
+  test("corpusIngestSink: accepted digest set is boundary-independent") {
+    val rows = Seq((1L, "a a"), (2L, " A  A "), (3L, "b"), (4L, "c"),
+      (5L, "b"), (6L, "d"))
+    def digests(splits: Seq[Seq[(Long, String)]]): Set[String] = {
+      val dir = tmpDir("corpus_bnd_")
+      runCorpusIngest(dir, splits)
+      StreamingOps.loadCorpusIndex(spark, dir).get.as[String].collect().toSet
+    }
+    val oneShot = digests(Seq(rows))
+    val split = digests(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)))
+    assert(oneShot == split && oneShot.size == 4,
+      s"digest set must not depend on batch boundaries: $oneShot vs $split")
+  }
+
+  test("corpusIngestSink: a batch with no keepers publishes nothing") {
+    val dir = tmpDir("corpus_nokeep_")
+    runCorpusIngest(dir, Seq(Seq((1L, "x")), Seq((2L, "x"))))
+    assert(graft.core.VersionedDir.versions(spark, dir) == Seq("v0"),
+      "an all-duplicate batch must not publish a version")
+    assert(StreamingOps.loadCorpus(spark, dir).get.count() == 1L)
+  }
+
+  test("corpusIngestSink: version retention reclaims manifests, deltas survive") {
+    val dir = tmpDir("corpus_retain_")
+    runCorpusIngest(dir,
+      Seq(Seq((1L, "a"), (2L, "b")), Seq((3L, "c")), Seq((4L, "d"))),
+      retainVersions = Some(1))
+    assert(graft.core.VersionedDir.versions(spark, dir) == Seq("v2"))
+    // vacuum removed superseded manifest+index copies only — the live
+    // manifest still references every delta, so the corpus stays whole
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
 }
