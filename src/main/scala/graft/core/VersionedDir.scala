@@ -73,6 +73,15 @@ object VersionedDir {
       .sortBy(-_._2).map(_._1)
   }
 
+  /** The next version name in log order (max existing + 1 — INCLUDING
+    * unreferenced garbage dirs, which therefore never collide with a
+    * new commit). Single-writer contract: two concurrent writers could
+    * race this read; the directory's owner is one process, exactly like
+    * a streaming sink's foreachBatch. */
+  def nextVersion(spark: SparkSession, dir: String): String =
+    "v" + (versions(spark, dir).headOption
+      .map(_.drop(1).toLong + 1).getOrElse(0L))
+
   /** Delete all but the `keep` most-recent version dirs — NEVER the
     * `_LATEST`-pointed one (force-kept even at keep = 0). Returns the
     * deleted names. Retention contract: a reader pins a version by
@@ -99,8 +108,7 @@ object VersionedDir {
   def publish(df: DataFrame, dir: String,
       retainVersions: Option[Int] = None): String = {
     val spark = df.sparkSession
-    val next = "v" + (versions(spark, dir).headOption
-      .map(_.drop(1).toLong + 1).getOrElse(0L))
+    val next = nextVersion(spark, dir)
     df.write.mode("overwrite").parquet(s"$dir/$next/data")
     writePointer(spark, dir, next)
     retainVersions.foreach(vacuum(spark, dir, _))

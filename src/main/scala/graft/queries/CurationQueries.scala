@@ -394,7 +394,9 @@ object CurationQueries {
     * the whole loop: a digest's keeper is its minimum (arrival batch,
     * doc id) fresh row — first-accepted-wins made literal. Timed cost
     * includes the full 3-batch stream lifecycle. */
-  def pipelineIngestStream(spark: SparkSession, d: String): DataFrame = {
+  /** Shared lifecycle driver for the corpus-state rows: run the 3-batch
+    * streamed ingest of the incremental fixture into a fresh state dir. */
+  private def streamedCorpusDir(spark: SparkSession, d: String): String = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val (prior, batch) = incrementalFixture(spark, d)
@@ -414,7 +416,33 @@ object CurationQueries {
         q.processAllAvailable()
       }
     } finally q.stop()
-    graft.streaming.StreamingOps.loadCorpus(spark, dir).get
+    dir
+  }
+
+  def pipelineIngestStream(spark: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps
+      .loadCorpus(spark, streamedCorpusDir(spark, d)).get
+      .select(col("doc_id"), col("content_hash"), col("ingest_batch"))
+      .orderBy("doc_id")
+
+  /** Takedown over the LIVE corpus state
+    * ([[graft.streaming.StreamingOps.purgeCorpusState]]): the streamed
+    * ingest of `pipeline_ingest_stream`, then every doc_id ≡ 0 (mod 7)
+    * is tombstoned — purge commits the compacted post-takedown version
+    * into the same log, version vacuum drops the pre-purge manifests,
+    * and delta vacuum reclaims the pre-purge delta files, making the
+    * removal PHYSICAL. The surviving corpus (read purely from the
+    * compacted delta) hash-checks against the ingest replay minus the
+    * tombstoned ids; lineage (`ingest_batch`) must survive compaction. */
+  def opPurgeCorpus(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val dir = streamedCorpusDir(spark, d)
+    val tombstones = StreamingOps.loadCorpus(spark, dir).get
+      .filter(col("doc_id") % 7 === 0).select("doc_id")
+    StreamingOps.purgeCorpusState(spark, dir, tombstones)
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    StreamingOps.vacuumCorpusDeltas(spark, dir)
+    StreamingOps.loadCorpus(spark, dir).get
       .select(col("doc_id"), col("content_hash"), col("ingest_batch"))
       .orderBy("doc_id")
   }
@@ -1736,6 +1764,7 @@ object CurationQueries {
     "dedup_minhash_incremental_check" -> (dedupMinhashIncrementalCheck _),
     "pipeline_ingest" -> (pipelineIngest _),
     "pipeline_ingest_stream" -> (pipelineIngestStream _),
+    "op_purge_corpus" -> (opPurgeCorpus _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
@@ -2351,6 +2380,24 @@ object CurationQueries {
          |  (PARTITION BY content_hash ORDER BY m, doc_id) AS rn FROM fresh)
          |SELECT doc_id, content_hash, CAST(m AS BIGINT) AS ingest_batch
          |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // takedown over the live corpus state: the ingest replay minus the
+    // tombstoned ids (doc_id ≡ 0 mod 7), surviving lineage intact
+    "op_purge_corpus" ->
+      s"""WITH prior AS (SELECT DISTINCT md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 BETWEEN 4 AND 7),
+         |hashed AS (SELECT doc_id, md5($normSql) AS content_hash,
+         |  doc_id % 3 AS m FROM batch),
+         |fresh AS (SELECT h.doc_id, h.content_hash, h.m FROM hashed h
+         |  LEFT JOIN prior p ON h.content_hash = p.h WHERE p.h IS NULL),
+         |rk AS (SELECT doc_id, content_hash, m, row_number() OVER
+         |  (PARTITION BY content_hash ORDER BY m, doc_id) AS rn FROM fresh)
+         |SELECT doc_id, content_hash, CAST(m AS BIGINT) AS ingest_batch
+         |FROM rk WHERE rn = 1 AND doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
     // the ingest flagship replays end-to-end: fixture → digest labeling →
     // token gate → chunking → greedy per-shard packing (recursive CTE)
     "pipeline_ingest" ->

@@ -970,44 +970,129 @@ object StreamingOps {
     * A batch with no keepers publishes nothing (the empty-batch
     * identity). `initialIndex` seeds the first version's labeling when a
     * prior corpus exists (its docs are not replayed into the stream
-    * corpus — the stream owns only its own deltas). */
+    * corpus — the stream owns only its own deltas).
+    *
+    * Commit identity: version names are LOG-ordered (max existing + 1),
+    * not batchId-named, so other writers — [[purgeCorpusState]], a
+    * restarted stream on a fresh checkpoint — share the same log without
+    * collisions. Retry idempotence comes from a per-version txn marker
+    * (`appId`, `batchId`): a retry of a batch whose commit already moved
+    * the pointer is a no-op; a NEW stream over the same directory must
+    * carry a new `appId` (the fresh-checkpoint contract, exactly the
+    * table-format transactional-writer discipline). */
   def corpusIngestSink(stateDir: String,
       initialIndex: Option[DataFrame] = None,
       idCol: String = "doc_id", textCol: String = "text",
       normalized: Boolean = true,
+      appId: String = "corpus-ingest",
       retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         import spark.implicits._
         val live = latestVersion(spark, stateDir)
-        val index = live.map(v => spark.read.parquet(s"$stateDir/$v/index"))
-          .orElse(initialIndex.map(_.select(col("content_hash"))))
-          .getOrElse(Seq.empty[String].toDF("content_hash"))
-        val op = graft.ops.IncrementalDedup(index, "content_hash",
-          idCol, textCol, normalized)
-        val keepers = op.transform(batch).filter(col("dup_kind").isNull)
-          .drop("dup_kind").withColumn("ingest_batch", lit(batchId))
-          .persist()
-        try {
-          if (!keepers.isEmpty) {
-            val v = s"v$batchId"
-            val delta = s"d$batchId"
-            keepers.write.mode("overwrite")
-              .parquet(s"$stateDir/deltas/$delta")
-            op.updatedIndex(batch).write.mode("overwrite")
-              .parquet(s"$stateDir/$v/index")
-            val prevManifest = live
-              .map(pv => spark.read.parquet(s"$stateDir/$pv/manifest")
-                .select("delta").as[String].collect().toSeq)
-              .getOrElse(Seq.empty)
-            (prevManifest :+ delta).toDF("delta")
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$stateDir/$v/manifest")
-            writePointer(spark, stateDir, v)
-            retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
-          }
-        } finally keepers.unpersist()
+        val alreadyCommitted = live.exists { v =>
+          val t = spark.read.parquet(s"$stateDir/$v/txn").head()
+          t.getAs[String]("appId") == appId && t.getAs[Long]("batchId") >= batchId
+        }
+        if (!alreadyCommitted) {
+          val index = live.map(v => spark.read.parquet(s"$stateDir/$v/index"))
+            .orElse(initialIndex.map(_.select(col("content_hash"))))
+            .getOrElse(Seq.empty[String].toDF("content_hash"))
+          val op = graft.ops.IncrementalDedup(index, "content_hash",
+            idCol, textCol, normalized)
+          val keepers = op.transform(batch).filter(col("dup_kind").isNull)
+            .drop("dup_kind").withColumn("ingest_batch", lit(batchId))
+            .persist()
+          try {
+            if (!keepers.isEmpty) {
+              val v = graft.core.VersionedDir.nextVersion(spark, stateDir)
+              val delta = "d" + v.drop(1)
+              keepers.write.mode("overwrite")
+                .parquet(s"$stateDir/deltas/$delta")
+              op.updatedIndex(batch).write.mode("overwrite")
+                .parquet(s"$stateDir/$v/index")
+              val prevManifest = live
+                .map(pv => spark.read.parquet(s"$stateDir/$pv/manifest")
+                  .select("delta").as[String].collect().toSeq)
+                .getOrElse(Seq.empty)
+              (prevManifest :+ delta).toDF("delta")
+                .coalesce(1).write.mode("overwrite")
+                .parquet(s"$stateDir/$v/manifest")
+              Seq((appId, batchId)).toDF("appId", "batchId")
+                .coalesce(1).write.mode("overwrite")
+                .parquet(s"$stateDir/$v/txn")
+              writePointer(spark, stateDir, v)
+              retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
+            }
+          } finally keepers.unpersist()
+        }
       }
+  }
+
+  /** In-place takedown for the sink-maintained corpus state — the
+    * retroactive half of the takedown loop ([[purgeStream]] prevents
+    * re-acceptance at ingest; this removes what was already accepted,
+    * [[graft.ops.Purge]]'s job everywhere in the family): republish the
+    * live corpus minus the tombstoned ids as ONE compacted delta plus
+    * the retired digest index, as the next version in the same commit
+    * log. Single-writer contract: pause the ingest sink around the call.
+    * Cost ∝ corpus — the full-rewrite every takedown pass costs, and the
+    * compaction also collapses the delta chain to length 1.
+    *
+    * The purged content remains physically present in OLD deltas until
+    * superseded versions are vacuumed ([[vacuumIndexVersions]]) AND
+    * unreferenced deltas are reclaimed ([[vacuumCorpusDeltas]]) — run
+    * both right after when the removal must be physical, not just
+    * logical. Returns the published version (None if no live corpus). */
+  def purgeCorpusState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, tombstones: DataFrame,
+      idCol: String = "doc_id"): Option[String] = {
+    import spark.implicits._
+    latestVersion(spark, stateDir).map { _ =>
+      val kept = loadCorpus(spark, stateDir).get
+        .join(tombstones.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .persist()
+      try {
+        val v = graft.core.VersionedDir.nextVersion(spark, stateDir)
+        val delta = "d" + v.drop(1)
+        kept.write.mode("overwrite").parquet(s"$stateDir/deltas/$delta")
+        kept.filter(col("content_hash").isNotNull)
+          .select(col("content_hash")).distinct()
+          .write.mode("overwrite").parquet(s"$stateDir/$v/index")
+        Seq(delta).toDF("delta").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/$v/manifest")
+        Seq(("corpus-purge", -1L)).toDF("appId", "batchId")
+          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/$v/txn")
+        writePointer(spark, stateDir, v)
+        v
+      } finally kept.unpersist()
+    }
+  }
+
+  /** Physical reclamation of corpus deltas no RETAINED version's
+    * manifest references (after [[purgeCorpusState]] + version vacuum,
+    * the pre-purge deltas). Returns the deleted delta names. Safe under
+    * the single-writer contract: a delta referenced by ANY existing
+    * version survives, so pinned readers of retained versions are
+    * unaffected. */
+  def vacuumCorpusDeltas(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Seq[String] = {
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
+    val deltaRoot = new org.apache.hadoop.fs.Path(p, "deltas")
+    if (!fs.exists(deltaRoot)) return Seq.empty
+    val referenced = graft.core.VersionedDir.versions(spark, stateDir)
+      .flatMap { v =>
+        val m = new org.apache.hadoop.fs.Path(p, s"$v/manifest")
+        if (fs.exists(m))
+          spark.read.parquet(m.toString).select("delta")
+            .collect().map(_.getString(0)).toSeq
+        else Seq.empty
+      }.toSet
+    val doomed = fs.listStatus(deltaRoot).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(referenced)
+    doomed.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(deltaRoot, d), true))
+    doomed
   }
 }

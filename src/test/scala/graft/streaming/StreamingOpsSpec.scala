@@ -897,4 +897,53 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.loadCorpus(spark, dir).get
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
+
+  test("corpusIngestSink: txn marker makes committed-batch retries no-ops; a new appId commits") {
+    val dir = tmpDir("corpus_txn_")
+    val sink = StreamingOps.corpusIngestSink(dir)
+    sink(Seq((1L, "a")).toDF("doc_id", "text"), 0L)
+    // foreachBatch retry of the already-committed batch: must not
+    // publish a second version (same appId, batchId not newer)
+    sink(Seq((1L, "a")).toDF("doc_id", "text"), 0L)
+    assert(graft.core.VersionedDir.versions(spark, dir) == Seq("v0"),
+      "a committed-batch retry must be a no-op")
+    // a fresh-checkpoint stream (new appId) restarts batchIds at 0 and
+    // MUST commit — log-ordered naming keeps its version collision-free
+    StreamingOps.corpusIngestSink(dir, appId = "corpus-ingest-2")(
+      Seq((2L, "b")).toDF("doc_id", "text"), 0L)
+    assert(graft.core.VersionedDir.versions(spark, dir) == Seq("v1", "v0"))
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("purgeCorpusState: takedown republishes, retires digests, and delta vacuum makes it physical") {
+    val dir = tmpDir("corpus_purge_")
+    runCorpusIngest(dir,
+      Seq(Seq((1L, "keep me"), (2L, "purge me")), Seq((3L, "also kept"))))
+    val purgedDigest = StreamingOps.loadCorpus(spark, dir).get
+      .filter($"doc_id" === 2L).select("content_hash").as[String].head()
+    val v = StreamingOps.purgeCorpusState(spark, dir,
+      Seq(2L).toDF("doc_id"))
+    assert(v.contains("v2"), s"purge commits the next log version, got $v")
+    // logical removal: live corpus and digest index no longer carry doc 2
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(!StreamingOps.loadCorpusIndex(spark, dir).get
+      .as[String].collect().contains(purgedDigest))
+    // lineage survives the compaction
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .filter($"doc_id" === 3L).select("ingest_batch").as[Long].head() == 1L)
+    // physical removal: vacuum superseded versions, then unreferenced deltas
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    val deleted = StreamingOps.vacuumCorpusDeltas(spark, dir)
+    assert(deleted.toSet == Set("d0", "d1"),
+      s"pre-purge deltas must be reclaimed, got $deleted")
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // the resumed ingest sink is just another writer in the same log
+    StreamingOps.corpusIngestSink(dir)(
+      Seq((4L, "new doc")).toDF("doc_id", "text"), 2L)
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
 }
