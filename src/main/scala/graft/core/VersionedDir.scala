@@ -118,4 +118,17 @@ object VersionedDir {
   /** The live table published via [[publish]] (None before the first). */
   def readLatest(spark: SparkSession, dir: String): Option[DataFrame] =
     latest(spark, dir).map(v => spark.read.parquet(s"$dir/$v/data"))
+
+  /** A specific retained version's table — time travel: audit an older
+    * snapshot, or diff two versions (e.g. feed both sides to
+    * SnapshotDiff). None if the version was never published or has been
+    * vacuumed; retention (`vacuum`'s `keep`) bounds how far back this
+    * reaches, exactly like a table format's history window. */
+  def readAt(spark: SparkSession, dir: String,
+      version: String): Option[DataFrame] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, s"$version/data")))
+      Some(spark.read.parquet(s"$dir/$version/data"))
+    else None
+  }
 }

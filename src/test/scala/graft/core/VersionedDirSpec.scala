@@ -48,6 +48,21 @@ class VersionedDirSpec extends SparkSpec {
     assert(VersionedDir.readLatest(spark, dir).get.count() == 1)
   }
 
+  test("readAt time-travels to retained versions; vacuumed history is gone") {
+    val dir = tmp()
+    VersionedDir.publish(Seq((1L, "old")).toDF("id", "x"), dir)
+    VersionedDir.publish(Seq((1L, "new")).toDF("id", "x"), dir)
+    assert(VersionedDir.readAt(spark, dir, "v0").get
+      .select("x").as[String].collect().toSeq == Seq("old"))
+    assert(VersionedDir.readAt(spark, dir, "v1").get
+      .select("x").as[String].collect().toSeq == Seq("new"))
+    assert(VersionedDir.readAt(spark, dir, "v9").isEmpty)
+    VersionedDir.vacuum(spark, dir, keep = 1)
+    // history reaches only as far as retention keeps it
+    assert(VersionedDir.readAt(spark, dir, "v0").isEmpty)
+    assert(VersionedDir.readAt(spark, dir, "v1").nonEmpty)
+  }
+
   test("publish retention vacuums superseded versions in the same call") {
     val dir = tmp()
     (0 until 4).foreach(i =>
