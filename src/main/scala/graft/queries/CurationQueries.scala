@@ -394,6 +394,18 @@ object CurationQueries {
     * the whole loop: a digest's keeper is its minimum (arrival batch,
     * doc id) fresh row — first-accepted-wins made literal. Timed cost
     * includes the full 3-batch stream lifecycle. */
+  private val snapshotDiffSql =
+    """WITH o AS (SELECT doc_id,
+      |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS old_hash
+      |  FROM documents WHERE doc_id % 10 != 3),
+      |n AS (SELECT doc_id, md5(text) AS new_hash FROM documents WHERE doc_id % 9 != 4)
+      |SELECT doc_id, old_hash, new_hash,
+      |  CASE WHEN o.old_hash IS NULL THEN 'added'
+      |       WHEN n.new_hash IS NULL THEN 'removed'
+      |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM n FULL JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Shared lifecycle driver for the corpus-state rows: run the 3-batch
     * streamed ingest of the incremental fixture into a fresh state dir. */
   private def streamedCorpusDir(spark: SparkSession, d: String): String = {
@@ -1322,6 +1334,30 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** The version-aware corpus audit: the SAME two snapshots as
+    * [[snapshotDiff]], but published through the
+    * [[graft.core.VersionedDir]] commit log and read back by TIME TRAVEL
+    * (`readAt("v0")` / `readAt("v1")`) before diffing — the audit a
+    * long-lived corpus log actually runs between retained versions
+    * (what changed between yesterday's pointer and today's?). Round
+    * trip through publication is content-neutral, so the row shares
+    * `snapshot_diff`'s oracle verbatim. */
+  def snapshotDiffVersions(spark: SparkSession, d: String): DataFrame = {
+    import graft.core.VersionedDir
+    val docs = documents(spark, d)
+    val old = docs.filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    val nw = docs.filter(col("doc_id") % 9 =!= 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("corpus_versions_").toString
+    VersionedDir.publish(old, dir)
+    VersionedDir.publish(nw, dir)
+    SnapshotDiff(VersionedDir.readAt(spark, dir, "v0").get)
+      .transform(VersionedDir.readAt(spark, dir, "v1").get)
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style targeted selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public method), made
     * integer-exact: importance = the ratio of a document's target-domain
@@ -1726,6 +1762,7 @@ object CurationQueries {
     "pipeline_contamination" -> (pipelineContamination _),
     "dedup_prefix" -> (dedupPrefix _),
     "snapshot_diff" -> (snapshotDiff _),
+    "snapshot_diff_versions" -> (snapshotDiffVersions _),
     "pipeline_dsir" -> (pipelineDsir _),
     "pipeline_mix" -> (pipelineMix _),
     "corpus_report" -> (corpusReport _),
@@ -2101,17 +2138,9 @@ object CurationQueries {
          |SELECT ph AS prefix_hash, doc_id AS keep_id, nt AS keep_tokens,
          |  CAST(n_copies AS BIGINT) AS n_copies
          |FROM w WHERE rn = 1 ORDER BY prefix_hash""".stripMargin,
-    "snapshot_diff" ->
-      """WITH o AS (SELECT doc_id,
-        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS old_hash
-        |  FROM documents WHERE doc_id % 10 != 3),
-        |n AS (SELECT doc_id, md5(text) AS new_hash FROM documents WHERE doc_id % 9 != 4)
-        |SELECT doc_id, old_hash, new_hash,
-        |  CASE WHEN o.old_hash IS NULL THEN 'added'
-        |       WHEN n.new_hash IS NULL THEN 'removed'
-        |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
-        |       ELSE 'changed' END AS status
-        |FROM n FULL JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "snapshot_diff" -> snapshotDiffSql,
+    // the round trip through VersionedDir publication is content-neutral
+    "snapshot_diff_versions" -> snapshotDiffSql,
     "pipeline_dsir" ->
       s"""WITH w AS (SELECT doc_id, lang, $wordsSql AS ws FROM documents),
          |g AS (SELECT doc_id, unnest(${gramSql(2)}) AS g FROM w WHERE len(ws) >= 2),
