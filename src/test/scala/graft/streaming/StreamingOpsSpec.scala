@@ -878,6 +878,28 @@ class StreamingOpsSpec extends SparkSpec {
       s"digest set must not depend on batch boundaries: $oneShot vs $split")
   }
 
+  test("corpusIngestSink: digest set invariant across seeded random batchings") {
+    // 40 docs over 12 distinct contents — heavy cross-batch duplication
+    val rows = (1L to 40L).map(i => (i, s"content ${i % 12}"))
+    def digests(splits: Seq[Seq[(Long, String)]]): Set[String] = {
+      val dir = tmpDir("corpus_rand_")
+      runCorpusIngest(dir, splits)
+      StreamingOps.loadCorpusIndex(spark, dir).get.as[String].collect().toSet
+    }
+    val expected = digests(Seq(rows))
+    assert(expected.size == 12)
+    Seq(7, 21, 404).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // random cut points -> 4 contiguous batches (empty slices allowed)
+      val cuts = Seq.fill(3)(rnd.nextInt(rows.size + 1)).sorted
+      val splits = (0 +: cuts :+ rows.size).sliding(2)
+        .map { case Seq(a, b) => rows.slice(a, b) }.toSeq
+        .filter(_.nonEmpty)
+      assert(digests(splits) == expected,
+        s"seed $seed batching changed the accepted digest set")
+    }
+  }
+
   test("corpusIngestSink: a batch with no keepers publishes nothing") {
     val dir = tmpDir("corpus_nokeep_")
     runCorpusIngest(dir, Seq(Seq((1L, "x")), Seq((2L, "x"))))
