@@ -437,6 +437,25 @@ object CurationQueries {
       .select(col("doc_id"), col("content_hash"), col("ingest_batch"))
       .orderBy("doc_id")
 
+  /** OPTIMIZE over the LIVE corpus state
+    * ([[graft.streaming.StreamingOps.compactCorpusState]]): the streamed
+    * ingest of `pipeline_ingest_stream`, then the 3-delta chain
+    * collapses to one compacted delta (new committed version), both
+    * vacuums reclaim the superseded chain, and the corpus — now read
+    * purely from the compacted delta — must STILL hash-check against
+    * the ingest replay: optimize is content-neutral by contract, and
+    * this row makes that contract driver-checked. */
+  def opCompactCorpus(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val dir = streamedCorpusDir(spark, d)
+    StreamingOps.compactCorpusState(spark, dir)
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    StreamingOps.vacuumCorpusDeltas(spark, dir)
+    StreamingOps.loadCorpus(spark, dir).get
+      .select(col("doc_id"), col("content_hash"), col("ingest_batch"))
+      .orderBy("doc_id")
+  }
+
   /** Takedown over the LIVE corpus state
     * ([[graft.streaming.StreamingOps.purgeCorpusState]]): the streamed
     * ingest of `pipeline_ingest_stream`, then every doc_id ≡ 0 (mod 7)
@@ -1802,6 +1821,7 @@ object CurationQueries {
     "pipeline_ingest" -> (pipelineIngest _),
     "pipeline_ingest_stream" -> (pipelineIngestStream _),
     "op_purge_corpus" -> (opPurgeCorpus _),
+    "op_compact_corpus" -> (opCompactCorpus _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
@@ -2394,6 +2414,24 @@ object CurationQueries {
     // the live ingest loop: keeper per digest = min (arrival batch,
     // doc id) among fresh rows — first-accepted-wins made literal
     "pipeline_ingest_stream" ->
+      s"""WITH prior AS (SELECT DISTINCT md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 BETWEEN 4 AND 7),
+         |hashed AS (SELECT doc_id, md5($normSql) AS content_hash,
+         |  doc_id % 3 AS m FROM batch),
+         |fresh AS (SELECT h.doc_id, h.content_hash, h.m FROM hashed h
+         |  LEFT JOIN prior p ON h.content_hash = p.h WHERE p.h IS NULL),
+         |rk AS (SELECT doc_id, content_hash, m, row_number() OVER
+         |  (PARTITION BY content_hash ORDER BY m, doc_id) AS rn FROM fresh)
+         |SELECT doc_id, content_hash, CAST(m AS BIGINT) AS ingest_batch
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // optimize is content-neutral: the compacted corpus replays as the
+    // ingest itself (shares pipeline_ingest_stream's oracle verbatim)
+    "op_compact_corpus" ->
       s"""WITH prior AS (SELECT DISTINCT md5($normSql) AS h
          |  FROM documents WHERE doc_id % 10 < 3),
          |batch AS (

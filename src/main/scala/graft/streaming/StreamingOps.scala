@@ -1070,6 +1070,48 @@ object StreamingOps {
     }
   }
 
+  /** OPTIMIZE for the corpus state — delta-chain compaction WITHOUT
+    * tombstones: after N small ingest batches the live manifest lists N
+    * small deltas and every corpus scan pays N-way read amplification;
+    * this republishes the SAME corpus as one delta sized toward
+    * `targetBytes` per file, as the next committed version in the log.
+    * Content-neutral — rows, `ingest_batch` lineage and the digest
+    * index are unchanged; only the physical chain collapses (the index
+    * files are copied into the new version so the (manifest, index)
+    * pair stays self-contained). Sizing is recursive over the
+    * REFERENCED deltas' actual bytes (the [[graft.ops.StorageOps]]
+    * compact lesson). Superseded versions and orphaned deltas reclaim
+    * via [[vacuumIndexVersions]] + [[vacuumCorpusDeltas]]; single-writer
+    * contract as everywhere. Returns the committed version (None if no
+    * live corpus). */
+  def compactCorpusState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, targetBytes: Long = 128L << 20): Option[String] = {
+    import spark.implicits._
+    latestVersion(spark, stateDir).map { lv =>
+      val corpus = loadCorpus(spark, stateDir).get.persist()
+      try {
+        val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
+        val deltas = spark.read.parquet(s"$stateDir/$lv/manifest")
+          .select("delta").as[String].collect()
+        val bytes = deltas.map(d => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(p, s"deltas/$d")).getLength).sum
+        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val v = graft.core.VersionedDir.nextVersion(spark, stateDir)
+        val delta = "d" + v.drop(1)
+        corpus.repartition(nFiles).write.mode("overwrite")
+          .parquet(s"$stateDir/deltas/$delta")
+        spark.read.parquet(s"$stateDir/$lv/index")
+          .write.mode("overwrite").parquet(s"$stateDir/$v/index")
+        Seq(delta).toDF("delta").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/$v/manifest")
+        Seq(("corpus-optimize", -1L)).toDF("appId", "batchId")
+          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/$v/txn")
+        writePointer(spark, stateDir, v)
+        v
+      } finally corpus.unpersist()
+    }
+  }
+
   /** Physical reclamation of corpus deltas no RETAINED version's
     * manifest references (after [[purgeCorpusState]] + version vacuum,
     * the pre-purge deltas). Returns the deleted delta names. Safe under

@@ -938,6 +938,37 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("compactCorpusState: optimize collapses the delta chain content-neutrally") {
+    val dir = tmpDir("corpus_opt_")
+    runCorpusIngest(dir,
+      Seq(Seq((1L, "a"), (2L, "b")), Seq((3L, "c")), Seq((4L, "d"))))
+    val before = StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id", "content_hash", "ingest_batch")
+      .collect().map(_.toSeq).toSet
+    val idxBefore = StreamingOps.loadCorpusIndex(spark, dir).get
+      .as[String].collect().toSet
+    val v = StreamingOps.compactCorpusState(spark, dir)
+    assert(v.contains("v3"))
+    // content-neutral: rows, lineage and digest index unchanged
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id", "content_hash", "ingest_batch")
+      .collect().map(_.toSeq).toSet == before)
+    assert(StreamingOps.loadCorpusIndex(spark, dir).get
+      .as[String].collect().toSet == idxBefore)
+    // the live manifest now lists ONE delta; vacuums reclaim the chain
+    assert(spark.read.parquet(s"$dir/v3/manifest").count() == 1L)
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    assert(StreamingOps.vacuumCorpusDeltas(spark, dir).toSet ==
+      Set("d0", "d1", "d2"))
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id", "content_hash", "ingest_batch")
+      .collect().map(_.toSeq).toSet == before)
+    // the resumed sink keeps committing into the same log
+    StreamingOps.corpusIngestSink(dir)(
+      Seq((5L, "e")).toDF("doc_id", "text"), 3L)
+    assert(StreamingOps.loadCorpus(spark, dir).get.count() == 5L)
+  }
+
   test("purgeCorpusState: takedown republishes, retires digests, and delta vacuum makes it physical") {
     val dir = tmpDir("corpus_purge_")
     runCorpusIngest(dir,
