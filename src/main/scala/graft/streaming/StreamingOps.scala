@@ -991,10 +991,23 @@ object StreamingOps {
         val spark = batch.sparkSession
         import spark.implicits._
         val live = latestVersion(spark, stateDir)
-        val alreadyCommitted = live.exists { v =>
-          val t = spark.read.parquet(s"$stateDir/$v/txn").head()
-          t.getAs[String]("appId") == appId && t.getAs[Long]("batchId") >= batchId
-        }
+        // Per-app txn lookup across RETAINED history (newest-first, stop
+        // at this app's latest commit) — checking only the live version
+        // would let a batch retry that arrives AFTER an intervening
+        // purge/optimize commit (different appId on the live version)
+        // recommit an already-committed batch and duplicate its keepers.
+        // Retention must therefore cover the crash-recovery horizon:
+        // vacuuming ALL of an app's txns re-opens the retry window.
+        val alreadyCommitted = graft.core.VersionedDir
+          .versions(spark, stateDir).iterator
+          .flatMap { v =>
+            scala.util.Try {
+              val t = spark.read.parquet(s"$stateDir/$v/txn").head()
+              (t.getAs[String]("appId"), t.getAs[Long]("batchId"))
+            }.toOption
+          }
+          .collectFirst { case (a, b) if a == appId => b >= batchId }
+          .getOrElse(false)
         if (!alreadyCommitted) {
           val index = live.map(v => spark.read.parquet(s"$stateDir/$v/index"))
             .orElse(initialIndex.map(_.select(col("content_hash"))))

@@ -938,6 +938,20 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("corpusIngestSink: a batch retry arriving after a purge commit is still a no-op") {
+    val dir = tmpDir("corpus_txn2_")
+    val sink = StreamingOps.corpusIngestSink(dir)
+    sink(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), 0L)
+    // intervening takedown commit — a DIFFERENT appId now owns the live
+    // version's txn, so a live-version-only check would miss batch 0
+    StreamingOps.purgeCorpusState(spark, dir, Seq(2L).toDF("doc_id"))
+    sink(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), 0L) // crash-replay
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id").as[Long].collect().toSeq.sorted == Seq(1L),
+      "the replayed batch must not recommit (and must not resurrect the purged doc)")
+    assert(graft.core.VersionedDir.versions(spark, dir) == Seq("v1", "v0"))
+  }
+
   test("compactCorpusState: optimize collapses the delta chain content-neutrally") {
     val dir = tmpDir("corpus_opt_")
     runCorpusIngest(dir,
