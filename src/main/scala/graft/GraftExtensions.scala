@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.functions._
 
 /** SQL surface for the custom Catalyst expressions: registered through
@@ -27,7 +28,20 @@ object GraftExtensions {
       s"$fn: expected an integer literal parameter, got $other")
   }
 
+  private def strArg(fn: String, e: Expression): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a string literal parameter, got $other")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("hash_bucket_counts", "fixed-order md5 bucket-count feature array of text",
+      (args: Seq[Expression]) => args match {
+        case Seq(c, s, b) => HashBucketCounts(c,
+          strArg("hash_bucket_counts", s), intArg("hash_bucket_counts", b))
+        case _ => throw new IllegalArgumentException(
+          "hash_bucket_counts(text, salt, numBuckets)")
+      }),
     ("array_dot", "dot product of two numeric arrays (double accumulation)",
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => ArrayDotProduct(a, b)

@@ -606,6 +606,58 @@ case class RepetitionSignals(child: Expression, ns: Seq[Int])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Fused hashing-trick featurizer — the hot path of
+  * [[graft.ops.TextQualityClassifier]] as one loop: normalize + split,
+  * md5-bucket each token (bit-identical to `TextFunctions.hashBucket`:
+  * the UNSIGNED first four md5 bytes of `token + ":" + salt`, mod
+  * `numBuckets`), and accumulate the fixed-order bucket-count array
+  * directly. Value-identical to the `size(filter(bs, _ === b))`-per-
+  * bucket HOF formulation (CodegenSpec pins the equality), but
+  * O(tokens + buckets) per row instead of O(tokens × buckets), and
+  * each token hashes ONCE instead of surviving numBuckets comparison
+  * passes. Fixed bucket order is what keeps the downstream margin a
+  * deterministic sequential fold. */
+case class HashBucketCounts(child: Expression, salt: String, numBuckets: Int)
+    extends UnaryExpression {
+
+  require(numBuckets >= 1, "numBuckets must be >= 1")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hash_bucket_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+  }
+
+  def compute(v: UTF8String): ArrayData = {
+    val words = TextNormal.normalizedWords(v)
+    val out = new Array[Double](numBuckets)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val d = md.digest((words(i) + ":" + salt)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // conv(substring(md5hex, 1, 8), 16, 10): unsigned first 4 bytes
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out((u % numBuckets).toInt) += 1.0
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashBucketCounts", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Fused span-merge scrub reconstruction — the hot path of
   * [[graft.ops.ScrubSharedGrams]] as one tight loop: given a token array
   * and the SORTED distinct 0-based start positions of shared n-gram
@@ -711,4 +763,6 @@ object FastExpressions {
     column(RepetitionSignals(expression(c), ns))
   def keptTokens(ws: Column, starts: Column, n: Int): Column =
     column(KeptTokens(expression(ws), expression(starts), n))
+  def hashBucketCounts(c: Column, salt: String, numBuckets: Int): Column =
+    column(HashBucketCounts(expression(c), salt, numBuckets))
 }

@@ -262,10 +262,16 @@ object TextQualityClassifier {
 
   /** The hashed count vector as a FIXED-ORDER double array (bucket 0..B-1)
     * — fixed order is what makes the margin a deterministic sequential
-    * fold instead of an order-dependent float sum. Tokens hash ONCE (the
-    * bucket array is the transform child, evaluated once per row); the
-    * per-bucket counts then filter cheap longs, not re-hash strings. */
-  def featureExpr(text: Column, numBuckets: Int, salt: String): Column = {
+    * fold instead of an order-dependent float sum. Backed by the fused
+    * [[graft.functions.HashBucketCounts]] expression: one loop per row,
+    * O(tokens + buckets), each token md5-hashed once. */
+  def featureExpr(text: Column, numBuckets: Int, salt: String): Column =
+    graft.functions.FastExpressions.hashBucketCounts(text, salt, numBuckets)
+
+  /** The original HOF formulation — O(tokens × buckets) per row — kept
+    * as the independent reference for CodegenSpec's fused ≡ HOF pin. */
+  private[graft] def featureExprHof(text: Column, numBuckets: Int,
+      salt: String): Column = {
     val buckets = transform(TF.words(text),
       w => TF.hashBucket(w, salt, numBuckets))
     element_at(transform(array(buckets), bs =>

@@ -81,6 +81,31 @@ class CodegenSpec extends SparkSpec {
     assert(df.head().getSeq[String](0) == Seq("c", "d"))
   }
 
+  test("HashBucketCounts equals the HOF featurizer and stays in codegen") {
+    // seeded corpus: mixed case, messy whitespace, empties, punctuation —
+    // everything the normalize + md5-bucket contract must agree on
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("Alpha", "beta", "GAMMA", "d-4", "e.mail@x", "", "  ", "über")
+    val rows = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    }
+    for (b <- Seq(1, 7, 64)) {
+      val both = rows.toDF("t").select(
+        FastExpressions.hashBucketCounts($"t", "graft-qc", b).as("fused"),
+        graft.ops.TextQualityClassifier.featureExprHof($"t", b, "graft-qc").as("hof"))
+      assert(both.filter(
+        concat_ws(",", $"fused") =!= concat_ws(",", $"hof")).count() == 0,
+        s"fused featurizer must equal the HOF form at numBuckets=$b")
+    }
+    val df = spark.range(3)
+      .select(concat(lit("a b c "), $"id").as("t"))
+      .select(FastExpressions.hashBucketCounts($"t", "s", 8).as("f"))
+    val code = generatedCode(df)
+    assert(code.contains(".compute("), "expected unboxed compute call")
+    assert(df.head().getSeq[Double](0).sum == 4.0) // 4 tokens, one count each
+  }
+
   test("hash expressions run via unboxed compute calls in generated code") {
     val df = spark.range(3)
       .select(concat(lit("a b c d e f w"), $"id").as("t"))
