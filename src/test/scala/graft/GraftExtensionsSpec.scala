@@ -67,6 +67,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(kept == Seq("a", "d", "e"), s"window [1,3) scrubbed: got $kept")
   }
 
+  test("hash_bucket_counts works from pure SQL and matches the Scala API") {
+    assert(registered)
+    val api = Seq("A b  C").toDF("text")
+      .select(graft.functions.FastExpressions
+        .hashBucketCounts($"text", "graft-qc", 8).as("f"))
+      .head().getSeq[Double](0)
+    val sql = spark.sql(
+      "SELECT hash_bucket_counts('A b  C', 'graft-qc', 8) AS f")
+      .head().getSeq[Double](0)
+    assert(api == sql && api.sum == 3.0, s"api=$api sql=$sql")
+  }
+
   test("non-literal integer parameters are rejected with a clear error") {
     assert(registered)
     Seq(("x y z", 2)).toDF("text", "n").createOrReplaceTempView("docs2")
