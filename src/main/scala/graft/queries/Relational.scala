@@ -250,7 +250,32 @@ object Relational {
         col("n_rows"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** RANGE-frame windowed aggregation — the time-interval sibling of
+    * q4's ROWS frames: per-customer trailing-30-day spend and order
+    * count, the frame defined by VALUE distance (all same-day peers
+    * included, so the result is tie-order-independent and hashes
+    * deterministically) rather than row position. Day numbers are
+    * integer days-since-epoch and money is integer cents, so both
+    * engines agree exactly. One shuffle on the partition key + a
+    * per-partition sort; the frame evaluates as a sliding two-pointer
+    * accumulation, linear per partition — the trailing-feature shape
+    * (`op_trailing_features`) expressed in pure windowed SQL. */
+  def q20_range_window(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders(spark, d).select(col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("day_no"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_no"))
+      .rangeBetween(-30, Window.currentRow)
+    o.select(col("o_orderkey"), col("o_custkey"), col("day_no"),
+        sum("cents").over(w).as("trailing_cents"),
+        count(lit(1)).over(w).as("trailing_n"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_range_window" -> (q20_range_window _),
     "q19_grouping_sets" -> (q19_grouping_sets _),
     "q18_intersect" -> (q18_intersect _),
     "q17_unpivot" -> (q17_unpivot _),
@@ -272,6 +297,17 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q20_range_window" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_no,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_custkey, day_no,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS trailing_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS trailing_n
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q19_grouping_sets" ->
       """SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
         |count(*) AS n_rows, sum(l_quantity) AS sum_qty
