@@ -274,7 +274,63 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Correlated scalar subqueries — "parts priced above their brand's
+    * average", the classical decorrelation workload: each WHERE-clause
+    * subquery references the outer row's brand, and Catalyst's subquery
+    * rewrite turns them into brand-keyed aggregates + joins (ONE pass
+    * over part per aggregate, a dictionary-scale broadcastable side —
+    * never a per-row subquery execution; at 100 TB that difference is
+    * the whole feature). The above-average test is integer-exact:
+    * `cents × brand_count > brand_cents_sum` avoids comparing against a
+    * double average whose last-ulp could differ across engines. */
+  def q21_correlated(spark: SparkSession, d: String): DataFrame = {
+    part(spark, d).select(col("p_partkey"), col("p_brand"),
+      round(col("p_retailprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q21_part")
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_above
+        |FROM q21_part p
+        |WHERE p.cents * (SELECT count(*) FROM q21_part p2
+        |                 WHERE p2.p_brand = p.p_brand)
+        |    > (SELECT sum(p3.cents) FROM q21_part p3
+        |       WHERE p3.p_brand = p.p_brand)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  /** WITH RECURSIVE — Spark 4's recursive-CTE operator on the classical
+    * gaps-and-islands workload: each user's longest run of CONSECUTIVE
+    * active days. Anchor = days with no predecessor (NOT EXISTS, itself
+    * a decorrelated anti-join); the recursive step joins `day + 1`, and
+    * strictly increasing day numbers make the recursion ACYCLIC, so
+    * UNION ALL terminates without needing recursive dedup (the level
+    * limit is raised as a safety net, not a semantic bound). Integer
+    * day numbers keep both engines exact. Execution is an iterated
+    * frontier equi-join against the (user, day) grid — the shape
+    * DupClusters drives by hand with pointer doubling; here the
+    * engine's recursion drives it, one brand-new Spark 4 surface the
+    * classical checklist was missing. */
+  def q22_recursive(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    events(spark, d).select(col("user_id"),
+      datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).as("day_no"))
+      .distinct().createOrReplaceTempView("q22_days")
+    spark.sql(
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, day_no, 1 AS len FROM q22_days d
+        |  WHERE NOT EXISTS (SELECT 1 FROM q22_days p
+        |    WHERE p.user_id = d.user_id AND p.day_no = d.day_no - 1)
+        |  UNION ALL
+        |  SELECT s.user_id, n.day_no, s.len + 1 AS len
+        |  FROM s JOIN q22_days n
+        |    ON n.user_id = s.user_id AND n.day_no = s.day_no + 1)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_recursive" -> (q22_recursive _),
+    "q21_correlated" -> (q21_correlated _),
     "q20_range_window" -> (q20_range_window _),
     "q19_grouping_sets" -> (q19_grouping_sets _),
     "q18_intersect" -> (q18_intersect _),
@@ -297,6 +353,29 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q22_recursive" ->
+      """WITH RECURSIVE days AS (SELECT DISTINCT user_id,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_no
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, day_no, 1 AS len FROM days d
+        |  WHERE NOT EXISTS (SELECT 1 FROM days p
+        |    WHERE p.user_id = d.user_id AND p.day_no = d.day_no - 1)
+        |  UNION ALL
+        |  SELECT s.user_id, n.day_no, s.len + 1 AS len
+        |  FROM s JOIN days n
+        |    ON n.user_id = s.user_id AND n.day_no = s.day_no + 1)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q21_correlated" ->
+      """WITH p AS (SELECT p_partkey, p_brand,
+        |  CAST(round(p_retailprice*100) AS BIGINT) AS cents FROM part)
+        |SELECT p_brand, count(*) AS n_above
+        |FROM p
+        |WHERE p.cents * (SELECT count(*) FROM p p2 WHERE p2.p_brand = p.p_brand)
+        |    > (SELECT CAST(sum(p3.cents) AS BIGINT) FROM p p3
+        |       WHERE p3.p_brand = p.p_brand)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q20_range_window" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_no,
