@@ -328,7 +328,35 @@ object Relational {
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
+  /** LATERAL join — the correlated derived table: each customer joined
+    * to their own 2 most recent orders (ORDER BY ... LIMIT 2 inside the
+    * lateral subquery, referencing the outer row). Catalyst decorrelates
+    * the per-row LIMIT into a partitioned rank filter — the same
+    * physical plan a hand-written window top-n gets (q4), which is
+    * exactly why the surface is safe at 100 TB: the "run a query per
+    * row" phrasing never executes per row. Tie-safe ordering
+    * (day DESC, o_orderkey DESC) keeps the picked rows deterministic
+    * across engines. */
+  def q23_lateral(spark: SparkSession, d: String): DataFrame = {
+    customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+      .createOrReplaceTempView("q23_cust")
+    orders(spark, d).select(col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("day_no"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q23_ord")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, r.o_orderkey, r.day_no, r.cents
+        |FROM q23_cust c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, day_no, cents FROM q23_ord o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY day_no DESC, o_orderkey DESC LIMIT 2) r
+        |ORDER BY c.c_custkey, r.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_lateral" -> (q23_lateral _),
     "q22_recursive" -> (q22_recursive _),
     "q21_correlated" -> (q21_correlated _),
     "q20_range_window" -> (q20_range_window _),
@@ -353,6 +381,18 @@ object Relational {
     "q10_events" -> (q10_events _))
 
   val oracle: Map[String, String] = Map(
+    "q23_lateral" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_no,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+        |  r.o_orderkey AS o_orderkey, r.day_no AS day_no, r.cents AS cents
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, day_no, cents FROM o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY day_no DESC, o_orderkey DESC LIMIT 2) r ON true
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
     "q22_recursive" ->
       """WITH RECURSIVE days AS (SELECT DISTINCT user_id,
         |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_no

@@ -485,6 +485,14 @@ class PlanSpec extends SparkSpec {
     assert(sk.contains("partial_count"), "key counting must map-side combine")
   }
 
+  test("lateral join with per-row LIMIT decorrelates to a window rank, not a per-row loop") {
+    val p = plan(queries.Relational.q23_lateral(spark, d))
+    assert(p.contains("Window"),
+      s"lateral LIMIT must rewrite to a partitioned rank:\n${p.take(800)}")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"no per-row execution of the lateral subquery:\n${p.take(800)}")
+  }
+
   test("pca projection is a shuffle-free per-row expression") {
     val emb = Tables.embeddings(spark, d)
     val p = plan(ops.PcaProject(Seq(Seq.fill(64)(0.1), Seq.fill(64)(-0.1)))
