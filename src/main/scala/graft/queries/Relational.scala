@@ -308,7 +308,13 @@ object Relational {
     * frontier equi-join against the (user, day) grid — the shape
     * DupClusters drives by hand with pointer doubling; here the
     * engine's recursion drives it, one brand-new Spark 4 surface the
-    * classical checklist was missing. */
+    * classical checklist was missing. Cost model: depth = the longest
+    * streak, and every level is one frontier join PASS (not per-row) —
+    * so wall-clock scales with streak length, not data size. When the
+    * recursion depth itself is data-dependent and large, the
+    * constant-pass form of this islands workload is the
+    * window/sessionize shape (q11, op_trailing_features); this row
+    * exists to exercise the recursion operator, not to replace them. */
   def q22_recursive(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
     events(spark, d).select(col("user_id"),
