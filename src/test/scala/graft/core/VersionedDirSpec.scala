@@ -63,6 +63,24 @@ class VersionedDirSpec extends SparkSpec {
     assert(VersionedDir.readAt(spark, dir, "v1").nonEmpty)
   }
 
+  test("an empty or missing pointer file reads as no live version") {
+    val dir = tmp()
+    assert(VersionedDir.latest(spark, dir).isEmpty) // no dir at all
+    VersionedDir.publish(Seq((1L, "a")).toDF("id", "x"), dir)
+    // truncate the pointer (a crashed writer's worst case AFTER our
+    // write-then-rename protocol would still be all-or-nothing; this
+    // simulates external corruption) — readers degrade to "no live
+    // version", never to a partial read
+    val (fs, p) = VersionedDir.fsOf(spark, dir)
+    val ptr = new org.apache.hadoop.fs.Path(p, "_LATEST")
+    fs.create(ptr, true).close()
+    assert(VersionedDir.latest(spark, dir).isEmpty)
+    assert(VersionedDir.readLatest(spark, dir).isEmpty)
+    // the versions and their data are intact — repair = rewrite pointer
+    VersionedDir.writePointer(spark, dir, "v0")
+    assert(VersionedDir.readLatest(spark, dir).get.count() == 1)
+  }
+
   test("publish retention vacuums superseded versions in the same call") {
     val dir = tmp()
     (0 until 4).foreach(i =>

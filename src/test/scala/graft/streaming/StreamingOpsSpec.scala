@@ -920,6 +920,19 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("corpusIngestSink: a reader pinned before later commits keeps its snapshot") {
+    val dir = tmpDir("corpus_snap_")
+    runCorpusIngest(dir, Seq(Seq((1L, "a"), (2L, "b"))))
+    val pinned = StreamingOps.loadCorpus(spark, dir).get // resolves v0 NOW
+    StreamingOps.corpusIngestSink(dir)(
+      Seq((3L, "c")).toDF("doc_id", "text"), 1L)
+    // the pinned frame still reads v0's manifest-resolved deltas even
+    // though the pointer has moved — corpus-level snapshot isolation
+    assert(pinned.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("corpusIngestSink: txn marker makes committed-batch retries no-ops; a new appId commits") {
     val dir = tmpDir("corpus_txn_")
     val sink = StreamingOps.corpusIngestSink(dir)
