@@ -1063,15 +1063,30 @@ object StreamingOps {
       idCol: String = "doc_id"): Option[String] = {
     import spark.implicits._
     latestVersion(spark, stateDir).map { _ =>
-      val kept = loadCorpus(spark, stateDir).get
-        .join(tombstones.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-        .persist()
+      val corpus = loadCorpus(spark, stateDir).get
+      val tombIds = tombstones.select(col(idCol)).distinct()
+      val kept = corpus.join(tombIds, Seq(idCol), "left_anti").persist()
       try {
         val v = graft.core.VersionedDir.nextVersion(spark, stateDir)
         val delta = "d" + v.drop(1)
         kept.write.mode("overwrite").parquet(s"$stateDir/deltas/$delta")
-        kept.filter(col("content_hash").isNotNull)
-          .select(col("content_hash")).distinct()
+        // RETIRE from the live index, never rebuild from survivors: the
+        // live index may hold digests the stream corpus does not carry
+        // (the seeded initialIndex of a prior corpus) — a rebuild would
+        // drop them and let later ingests re-accept prior-corpus
+        // content. A digest retires iff every carrier is tombstoned
+        // (graft.ops.Purge.updatedIndex semantics; here the corpus rows
+        // already carry their digest, so no re-hashing of text).
+        val flagged = corpus
+          .join(tombIds.withColumn("__tomb", lit(true)), Seq(idCol), "left")
+          .filter(col("content_hash").isNotNull)
+          .select(col("content_hash"),
+            coalesce(col("__tomb"), lit(false)).as("__tomb"))
+        val retired = flagged.groupBy("content_hash")
+          .agg(min(when(col("__tomb"), 1).otherwise(0)).as("__allTomb"))
+          .filter(col("__allTomb") === 1).select("content_hash")
+        loadCorpusIndex(spark, stateDir).get
+          .join(retired, Seq("content_hash"), "left_anti")
           .write.mode("overwrite").parquet(s"$stateDir/$v/index")
         Seq(delta).toDF("delta").coalesce(1)
           .write.mode("overwrite").parquet(s"$stateDir/$v/manifest")

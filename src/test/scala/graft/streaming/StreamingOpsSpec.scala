@@ -965,6 +965,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(graft.core.VersionedDir.versions(spark, dir) == Seq("v1", "v0"))
   }
 
+  test("purgeCorpusState retires only sole-carrier digests; seeded prior digests survive") {
+    val dir = tmpDir("corpus_purge2_")
+    val prior = Seq("prior doc").toDF("text")
+      .select(md5(graft.functions.TextFunctions.normalize($"text"))
+        .as("content_hash"))
+    runCorpusIngest(dir, Seq(Seq((1L, "a"), (2L, "b"))),
+      initialIndex = Some(prior))
+    StreamingOps.purgeCorpusState(spark, dir, Seq(2L).toDF("doc_id"))
+    val idx = StreamingOps.loadCorpusIndex(spark, dir).get
+      .as[String].collect().toSet
+    val priorDigest = prior.as[String].head()
+    // the seeded prior-corpus digest must SURVIVE the purge (retire,
+    // don't rebuild): a later ingest of prior-corpus content stays a dup
+    assert(idx.contains(priorDigest), "seeded digest lost by purge")
+    StreamingOps.corpusIngestSink(dir)(
+      Seq((9L, "prior doc")).toDF("doc_id", "text"), 1L)
+    assert(!StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id").as[Long].collect().contains(9L),
+      "prior-corpus content must not be re-accepted after a purge")
+  }
+
   test("compactCorpusState: optimize collapses the delta chain content-neutrally") {
     val dir = tmpDir("corpus_opt_")
     runCorpusIngest(dir,
