@@ -630,10 +630,15 @@ case class HashBucketCounts(child: Expression, salt: String, numBuckets: Int)
     case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
   }
 
+  // per-instance digest: reference objects deserialize per task and
+  // tasks are single-threaded, so reuse across rows is safe — avoids a
+  // provider lookup per row
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
   def compute(v: UTF8String): ArrayData = {
     val words = TextNormal.normalizedWords(v)
     val out = new Array[Double](numBuckets)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < words.length) {
       md.reset()
