@@ -1023,7 +1023,16 @@ object StreamingOps {
               val delta = "d" + v.drop(1)
               keepers.write.mode("overwrite")
                 .parquet(s"$stateDir/deltas/$delta")
-              op.updatedIndex(batch).write.mode("overwrite")
+              // == op.updatedIndex(batch), but derived from the already-
+              // persisted keepers (updatedIndex re-runs the labeling
+              // joins over the batch; keepers IS transform(batch)'s
+              // dup_kind-NULL slice, so prior ∪ keeper digests is the
+              // same frame for half the per-batch work)
+              index.select(col("content_hash"))
+                .union(keepers.filter(col("content_hash").isNotNull)
+                  .select(col("content_hash")))
+                .distinct()
+                .write.mode("overwrite")
                 .parquet(s"$stateDir/$v/index")
               val prevManifest = live
                 .map(pv => spark.read.parquet(s"$stateDir/$pv/manifest")
