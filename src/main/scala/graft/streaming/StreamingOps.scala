@@ -934,6 +934,25 @@ object StreamingOps {
       spark.read.parquet(deltas.map(d => s"$stateDir/deltas/$d").toIndexedSeq: _*)
     }
 
+  /** A specific RETAINED version's corpus (time travel over the commit
+    * log — audit an older snapshot, or feed two versions to
+    * [[graft.ops.SnapshotDiff]]: the `snapshot_diff_versions` workload
+    * over live sink state). None if the version was never committed or
+    * its manifest has been vacuumed; retention bounds the history
+    * window, exactly like [[graft.core.VersionedDir.readAt]]. */
+  def loadCorpusAt(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, version: String): Option[DataFrame] = {
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
+    val m = new org.apache.hadoop.fs.Path(p, s"$version/manifest")
+    if (!fs.exists(m)) None
+    else Some {
+      val deltas = spark.read.parquet(m.toString)
+        .select("delta").collect().map(_.getString(0))
+      spark.read.parquet(
+        deltas.map(d => s"$stateDir/deltas/$d").toIndexedSeq: _*)
+    }
+  }
+
   /** The live accepted-corpus digest index maintained by
     * [[corpusIngestSink]] — the state the next ingest labels against. */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,

@@ -933,6 +933,22 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("loadCorpusAt time-travels the corpus log; SnapshotDiff audits two versions") {
+    val dir = tmpDir("corpus_tt_")
+    runCorpusIngest(dir, Seq(Seq((1L, "a"), (2L, "b")), Seq((3L, "c"))))
+    val v0 = StreamingOps.loadCorpusAt(spark, dir, "v0").get
+    val v1 = StreamingOps.loadCorpusAt(spark, dir, "v1").get
+    assert(v0.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(StreamingOps.loadCorpusAt(spark, dir, "v9").isEmpty)
+    // the between-versions audit over live sink state: batch 1's keeper
+    // is exactly the 'added' row
+    val diff = graft.ops.SnapshotDiff(v0.select("doc_id", "text"))
+      .transform(v1.select("doc_id", "text"))
+    assert(diff.filter($"status" === "added")
+      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    assert(diff.filter($"status" === "unchanged").count() == 2L)
+  }
+
   test("corpusIngestSink: txn marker makes committed-batch retries no-ops; a new appId commits") {
     val dir = tmpDir("corpus_txn_")
     val sink = StreamingOps.corpusIngestSink(dir)
