@@ -317,10 +317,15 @@ object Relational {
     * exists to exercise the recursion operator, not to replace them. */
   def q22_recursive(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
-    events(spark, d).select(col("user_id"),
+    // cache the (user, day) grid: every recursion level joins the
+    // frontier against this view, and an uncached view would re-scan
+    // events + re-distinct once PER LEVEL (depth × scan cost)
+    val days = events(spark, d).select(col("user_id"),
       datediff(col("ts").cast("date"),
         lit("1970-01-01").cast("date")).as("day_no"))
-      .distinct().createOrReplaceTempView("q22_days")
+      .distinct().cache()
+    days.count() // materialize before the recursion starts
+    days.createOrReplaceTempView("q22_days")
     spark.sql(
       """WITH RECURSIVE s AS (
         |  SELECT user_id, day_no, 1 AS len FROM q22_days d
