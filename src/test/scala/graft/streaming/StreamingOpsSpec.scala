@@ -830,6 +830,21 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("evalRankingSink: an empty micro-batch appends no metric rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rel = Seq((1L, 10L)).toDF("query_id", "item_id")
+    val dir = tmpDir("eval_empty_")
+    val sink = StreamingOps.evalRankingSink(dir, graft.ops.EvalRanking(rel, k = 3))
+    sink(spark.emptyDataFrame
+      .sparkSession.createDataFrame(Seq.empty[(Long, Long, Int)])
+      .toDF("query_id", "item_id", "rank"), 0L)
+    // no parquet dir at all — the log stays append-only and gap-free
+    assert(!new java.io.File(dir).exists() ||
+      new java.io.File(dir).listFiles().isEmpty)
+    sink(Seq((1L, 10L, 1)).toDF("query_id", "item_id", "rank"), 1L)
+    assert(spark.read.parquet(dir).count() == 1L)
+  }
+
   test("corpusIngestSink: streamed corpus equals the sequential batch ingest loop") {
     val dir = tmpDir("corpus_ingest_")
     val prior = Seq("seed doc").toDF("text")
