@@ -768,6 +768,33 @@ object StreamingOps {
       dir: String, version: String): Unit =
     graft.core.VersionedDir.writePointer(spark, dir, version)
 
+  /** The latest batchId this `appId` committed into `dir`'s log, scanning
+    * retained versions newest-first (lazy — the common case reads ONE txn
+    * parquet: the app's own previous commit). Versions without a txn
+    * marker (unreferenced crash garbage, pre-protocol dirs) are skipped.
+    * Shared by every versioned sink: checking only the live version
+    * would let a batch retry that arrives AFTER another writer's commit
+    * (purge, optimize, a second app) recommit an already-committed
+    * batch. Retention caveat: vacuuming ALL of an app's txns re-opens
+    * its retry window — keep must cover the crash-recovery horizon. */
+  private def latestTxn(spark: org.apache.spark.sql.SparkSession,
+      dir: String, appId: String): Option[Long] =
+    graft.core.VersionedDir.versions(spark, dir).iterator
+      .flatMap { v =>
+        scala.util.Try {
+          val t = spark.read.parquet(s"$dir/$v/txn").head()
+          (t.getAs[String]("appId"), t.getAs[Long]("batchId"))
+        }.toOption
+      }
+      .collectFirst { case (a, b) if a == appId => b }
+
+  private def writeTxn(spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: String, appId: String, batchId: Long): Unit = {
+    import spark.implicits._
+    Seq((appId, batchId)).toDF("appId", "batchId")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$version/txn")
+  }
+
   /** Load the live BM25 index from a sink-maintained directory (None
     * before the first non-empty batch). Serving-side entry: probe with
     * `loadBm25Index(...).get.asRows(queries)`. */
@@ -791,19 +818,25 @@ object StreamingOps {
     * carry DISJOINT doc ids (the ingest contract; run
     * [[incrementalDedupStream]] upstream). `retainVersions` auto-vacuums
     * superseded version dirs after each pointer swap
-    * ([[vacuumIndexVersions]]; None keeps every version). Usage:
+    * ([[vacuumIndexVersions]]; None keeps every version). Commit
+    * identity is the corpus log's: LOG-ordered version names + a
+    * per-version (appId, batchId) txn marker, so committed-batch
+    * retries are no-ops and a fresh-checkpoint restart (new `appId`)
+    * shares the log collision-free. Usage:
     * `docs.writeStream.foreachBatch(bm25IndexSink(dir)).start()`. */
   def bm25IndexSink(indexDir: String, docIdCol: String = "doc_id",
       textCol: String = "text",
+      appId: String = "bm25-ingest",
       retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty) {
+      if (!batch.isEmpty &&
+          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         val spark = batch.sparkSession
         val next = loadBm25Index(spark, indexDir) match {
           case Some(idx) => idx.updatedWith(batch, docIdCol, textCol)
           case None => graft.ops.Bm25Index.fit(batch, docIdCol, textCol)
         }
-        val v = s"v$batchId"
+        val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
         // materialize the new version BEFORE the pointer moves; the
         // updatedWith frames read the OLD version's files, so the write
         // never overlaps its own input
@@ -812,6 +845,7 @@ object StreamingOps {
         import spark.implicits._
         Seq((next.docCount, next.avgdl)).toDF("docCount", "avgdl")
           .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$v/meta")
+        writeTxn(spark, indexDir, v, appId, batchId)
         writePointer(spark, indexDir, v)
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
       }
@@ -832,17 +866,20 @@ object StreamingOps {
     * the documented trade: monitor recall, refit + rebuild when the
     * catalog's distribution drifts. Batches must carry disjoint item ids. */
   def annIvfIndexSink(indexDir: String, op: graft.ops.AnnIvf,
+      appId: String = "ivf-ingest",
       retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty) {
+      if (!batch.isEmpty &&
+          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         val spark = batch.sparkSession
         val next = loadAnnIvfIndex(spark, indexDir) match {
           case Some(index) => op.updatedIndex(index, batch)
           case None => graft.ops.AnnIvf.index(batch, op.centers,
             op.itemIdCol, op.itemVecCol)
         }
-        val v = s"v$batchId"
+        val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
         next.write.mode("overwrite").parquet(s"$indexDir/$v/index")
+        writeTxn(spark, indexDir, v, appId, batchId)
         writePointer(spark, indexDir, v)
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
       }
@@ -905,17 +942,20 @@ object StreamingOps {
     * saturate; monitor recall, refit + rebuild on drift. Batches must
     * carry disjoint item ids. */
   def annSqIndexSink(indexDir: String, op: graft.ops.AnnSq,
+      appId: String = "sq-ingest",
       retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty) {
+      if (!batch.isEmpty &&
+          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         val spark = batch.sparkSession
         val next = loadAnnSqIndex(spark, indexDir) match {
           case Some(index) => op.updatedIndex(index, batch)
           case None => graft.ops.AnnSq.index(batch, op.centers, op.mins,
             op.maxs, op.itemIdCol, op.itemVecCol)
         }
-        val v = s"v$batchId"
+        val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
         next.write.mode("overwrite").parquet(s"$indexDir/$v/index")
+        writeTxn(spark, indexDir, v, appId, batchId)
         writePointer(spark, indexDir, v)
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
       }
@@ -1010,24 +1050,10 @@ object StreamingOps {
         val spark = batch.sparkSession
         import spark.implicits._
         val live = latestVersion(spark, stateDir)
-        // Per-app txn lookup across RETAINED history (newest-first, stop
-        // at this app's latest commit) — checking only the live version
-        // would let a batch retry that arrives AFTER an intervening
-        // purge/optimize commit (different appId on the live version)
-        // recommit an already-committed batch and duplicate its keepers.
-        // Retention must therefore cover the crash-recovery horizon:
-        // vacuuming ALL of an app's txns re-opens the retry window.
-        val alreadyCommitted = graft.core.VersionedDir
-          .versions(spark, stateDir).iterator
-          .flatMap { v =>
-            scala.util.Try {
-              val t = spark.read.parquet(s"$stateDir/$v/txn").head()
-              (t.getAs[String]("appId"), t.getAs[Long]("batchId"))
-            }.toOption
-          }
-          .collectFirst { case (a, b) if a == appId => b >= batchId }
-          .getOrElse(false)
-        if (!alreadyCommitted) {
+        // per-app txn dedup across retained history (see latestTxn):
+        // a batch retry after an intervening purge/optimize commit must
+        // not recommit and duplicate its keepers
+        if (!latestTxn(spark, stateDir, appId).exists(_ >= batchId)) {
           val index = live.map(v => spark.read.parquet(s"$stateDir/$v/index"))
             .orElse(initialIndex.map(_.select(col("content_hash"))))
             .getOrElse(Seq.empty[String].toDF("content_hash"))
@@ -1060,9 +1086,7 @@ object StreamingOps {
               (prevManifest :+ delta).toDF("delta")
                 .coalesce(1).write.mode("overwrite")
                 .parquet(s"$stateDir/$v/manifest")
-              Seq((appId, batchId)).toDF("appId", "batchId")
-                .coalesce(1).write.mode("overwrite")
-                .parquet(s"$stateDir/$v/txn")
+              writeTxn(spark, stateDir, v, appId, batchId)
               writePointer(spark, stateDir, v)
               retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
             }
@@ -1118,8 +1142,7 @@ object StreamingOps {
           .write.mode("overwrite").parquet(s"$stateDir/$v/index")
         Seq(delta).toDF("delta").coalesce(1)
           .write.mode("overwrite").parquet(s"$stateDir/$v/manifest")
-        Seq(("corpus-purge", -1L)).toDF("appId", "batchId")
-          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/$v/txn")
+        writeTxn(spark, stateDir, v, "corpus-purge", -1L)
         writePointer(spark, stateDir, v)
         v
       } finally kept.unpersist()
@@ -1160,8 +1183,7 @@ object StreamingOps {
           .write.mode("overwrite").parquet(s"$stateDir/$v/index")
         Seq(delta).toDF("delta").coalesce(1)
           .write.mode("overwrite").parquet(s"$stateDir/$v/manifest")
-        Seq(("corpus-optimize", -1L)).toDF("appId", "batchId")
-          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/$v/txn")
+        writeTxn(spark, stateDir, v, "corpus-optimize", -1L)
         writePointer(spark, stateDir, v)
         v
       } finally corpus.unpersist()

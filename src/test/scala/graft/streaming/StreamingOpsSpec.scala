@@ -802,6 +802,23 @@ class StreamingOpsSpec extends SparkSpec {
       "the retained index must still hold the full maintained state")
   }
 
+  test("index sinks share the corpus log's txn protocol: retries no-op, new appId commits") {
+    val dir = tmpDir("bm25_txn_")
+    val sink = StreamingOps.bm25IndexSink(dir)
+    sink(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    // committed-batch retry: must not publish a second (duplicating) version
+    sink(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    assert(graft.core.VersionedDir.versions(spark, dir) == Seq("v0"),
+      "a committed-batch retry must be a no-op")
+    assert(StreamingOps.loadBm25Index(spark, dir).get.docCount == 1L)
+    // fresh-checkpoint restart (new appId, batchIds restart at 0):
+    // log-ordered naming keeps its commit collision-free
+    StreamingOps.bm25IndexSink(dir, appId = "bm25-ingest-2")(
+      Seq((2L, "gamma delta")).toDF("doc_id", "text"), 0L)
+    assert(graft.core.VersionedDir.versions(spark, dir) == Seq("v1", "v0"))
+    assert(StreamingOps.loadBm25Index(spark, dir).get.docCount == 2L)
+  }
+
   test("bm25IndexSink: an empty micro-batch leaves the index version untouched") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("bm25_empty_")
