@@ -961,6 +961,35 @@ object StreamingOps {
       }
   }
 
+  /** One manifest row: a delta name plus its id ZONE MAP (min/max of
+    * the id column over the delta's rows, null for an empty delta) —
+    * the listing-level data-skipping stats [[loadCorpusPruned]] uses to
+    * drop whole deltas before any parquet footer is opened. */
+  case class ManifestEntry(delta: String,
+      min_id: Option[Long], max_id: Option[Long])
+
+  private def manifestEntry(delta: String,
+      rows: DataFrame, idCol: String): ManifestEntry = {
+    val s = rows.agg(min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long")).head()
+    ManifestEntry(delta,
+      if (s.isNullAt(0)) None else Some(s.getLong(0)),
+      if (s.isNullAt(1)) None else Some(s.getLong(1)))
+  }
+
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[ManifestEntry] = {
+    import spark.implicits._
+    spark.read.parquet(path).select("delta", "min_id", "max_id")
+      .as[ManifestEntry].collect().toIndexedSeq
+  }
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, entries: Seq[ManifestEntry]): Unit = {
+    import spark.implicits._
+    entries.toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** The live accepted corpus maintained by [[corpusIngestSink]] (None
     * before the first accepting batch): resolve the pointed version's
     * manifest, union the delta files it references. The manifest is
@@ -972,6 +1001,32 @@ object StreamingOps {
       val deltas = spark.read.parquet(s"$stateDir/$v/manifest")
         .select("delta").collect().map(_.getString(0))
       spark.read.parquet(deltas.map(d => s"$stateDir/deltas/$d").toIndexedSeq: _*)
+    }
+
+  /** Id-range read over the live corpus with MANIFEST-LEVEL data
+    * skipping: deltas whose [min_id, max_id] zone map cannot overlap
+    * `[minId, maxId]` are dropped before any parquet footer is opened —
+    * the listing-level complement to parquet's own row-group stats. At
+    * 100 TB with millions of deltas that is the difference between a
+    * metadata read and a million footer opens for a point-range query.
+    * Pruning is an optimization only: the residual `between` filter
+    * (itself pushed into the surviving scans) keeps the result exactly
+    * `loadCorpus.filter(idCol between ...)` [spec-pinned]. Deltas with
+    * null stats (empty) are kept conservatively. */
+  def loadCorpusPruned(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, minId: Long, maxId: Long,
+      idCol: String = "doc_id"): Option[DataFrame] =
+    latestVersion(spark, stateDir).map { v =>
+      val entries = readManifest(spark, s"$stateDir/$v/manifest")
+      val chosen = entries.filter(e =>
+        e.min_id.isEmpty || e.max_id.isEmpty ||
+          (e.min_id.get <= maxId && e.max_id.get >= minId))
+      // nothing overlaps: fall back to the full delta list purely to
+      // carry the schema — the residual filter still yields zero rows
+      val paths = (if (chosen.nonEmpty) chosen else entries)
+        .map(e => s"$stateDir/deltas/${e.delta}")
+      spark.read.parquet(paths: _*)
+        .filter(col(idCol).between(minId, maxId))
     }
 
   /** A specific RETAINED version's corpus (time travel over the commit
@@ -1080,12 +1135,10 @@ object StreamingOps {
                 .write.mode("overwrite")
                 .parquet(s"$stateDir/$v/index")
               val prevManifest = live
-                .map(pv => spark.read.parquet(s"$stateDir/$pv/manifest")
-                  .select("delta").as[String].collect().toSeq)
+                .map(pv => readManifest(spark, s"$stateDir/$pv/manifest"))
                 .getOrElse(Seq.empty)
-              (prevManifest :+ delta).toDF("delta")
-                .coalesce(1).write.mode("overwrite")
-                .parquet(s"$stateDir/$v/manifest")
+              writeManifest(spark, s"$stateDir/$v/manifest",
+                prevManifest :+ manifestEntry(delta, keepers, idCol))
               writeTxn(spark, stateDir, v, appId, batchId)
               writePointer(spark, stateDir, v)
               retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
@@ -1140,8 +1193,8 @@ object StreamingOps {
         loadCorpusIndex(spark, stateDir).get
           .join(retired, Seq("content_hash"), "left_anti")
           .write.mode("overwrite").parquet(s"$stateDir/$v/index")
-        Seq(delta).toDF("delta").coalesce(1)
-          .write.mode("overwrite").parquet(s"$stateDir/$v/manifest")
+        writeManifest(spark, s"$stateDir/$v/manifest",
+          Seq(manifestEntry(delta, kept, idCol)))
         writeTxn(spark, stateDir, v, "corpus-purge", -1L)
         writePointer(spark, stateDir, v)
         v
@@ -1164,7 +1217,8 @@ object StreamingOps {
     * contract as everywhere. Returns the committed version (None if no
     * live corpus). */
   def compactCorpusState(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, targetBytes: Long = 128L << 20): Option[String] = {
+      stateDir: String, targetBytes: Long = 128L << 20,
+      idCol: String = "doc_id"): Option[String] = {
     import spark.implicits._
     latestVersion(spark, stateDir).map { lv =>
       val corpus = loadCorpus(spark, stateDir).get.persist()
@@ -1181,8 +1235,8 @@ object StreamingOps {
           .parquet(s"$stateDir/deltas/$delta")
         spark.read.parquet(s"$stateDir/$lv/index")
           .write.mode("overwrite").parquet(s"$stateDir/$v/index")
-        Seq(delta).toDF("delta").coalesce(1)
-          .write.mode("overwrite").parquet(s"$stateDir/$v/manifest")
+        writeManifest(spark, s"$stateDir/$v/manifest",
+          Seq(manifestEntry(delta, corpus, idCol)))
         writeTxn(spark, stateDir, v, "corpus-optimize", -1L)
         writePointer(spark, stateDir, v)
         v

@@ -965,6 +965,31 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("loadCorpusPruned skips non-overlapping deltas at the manifest level") {
+    val dir = tmpDir("corpus_prune_")
+    runCorpusIngest(dir, Seq(
+      Seq((1L, "a"), (2L, "b")),
+      Seq((100L, "c"), (101L, "d")),
+      Seq((200L, "e"))))
+    val pruned = StreamingOps.loadCorpusPruned(spark, dir, 90L, 150L).get
+    // only delta d1 (ids 100-101) can overlap [90, 150]: the scan's
+    // input files must all live under it — d0/d2 never open
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/deltas/d1/")),
+      s"zone maps must prune d0/d2, scanned: ${files.mkString(", ")}")
+    // pruning is an optimization only: result == full read + filter
+    assert(pruned.select("doc_id").as[Long].collect().toSet == Set(100L, 101L))
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .filter($"doc_id".between(90L, 150L))
+      .select("doc_id").as[Long].collect().toSet == Set(100L, 101L))
+    // a range overlapping nothing still returns an empty, well-typed frame
+    assert(StreamingOps.loadCorpusPruned(spark, dir, 500L, 600L).get.count() == 0L)
+    // zone maps survive compaction (single delta spanning everything)
+    StreamingOps.compactCorpusState(spark, dir)
+    assert(StreamingOps.loadCorpusPruned(spark, dir, 90L, 150L).get
+      .select("doc_id").as[Long].collect().toSet == Set(100L, 101L))
+  }
+
   test("loadCorpusAt time-travels the corpus log; SnapshotDiff audits two versions") {
     val dir = tmpDir("corpus_tt_")
     runCorpusIngest(dir, Seq(Seq((1L, "a"), (2L, "b")), Seq((3L, "c"))))
