@@ -933,3 +933,103 @@ case class Purge(
       Seq(itemIdCol), "left_anti")
   }
 }
+
+/** Incremental maintenance of a per-document SIGNAL TABLE against a
+  * content-addressed corpus — the discipline that keeps derived
+  * curation state (quality vectors, language ids, token counts) in sync
+  * with a corpus that ingests, purges and compacts, while recomputing
+  * ONLY what changed. `prior` is the signal table as last published
+  * (keyed by `(idCol, hashCol)`); `transform(corpus)` returns the
+  * reconciled table for the corpus as it stands now:
+  *
+  *   - CARRIED: prior rows whose (id, content hash) still exist in the
+  *     corpus are served verbatim from the prior table — their text is
+  *     never re-read, never re-scored (one left-semi join on 8+16-byte
+  *     keys; the corpus side is a column-pruned identity scan, so at
+  *     100 TB the carried path reads two thin columns, not text).
+  *   - FRESH: corpus rows whose key is NOT in the prior table (new
+  *     ingests, or re-published content after an edit) run the signal
+  *     op — cost ∝ changed documents, never ∝ corpus.
+  *   - RETIRED: prior rows whose key left the corpus (takedown, purge)
+  *     simply do not survive the semi-join — signal rows cannot outlive
+  *     their documents, the derived-state half of the right-to-erasure
+  *     contract.
+  *
+  * Keying on CONTENT (id, hash) rather than file lineage is what makes
+  * this robust to [[graft.streaming.StreamingOps.compactCorpusState]] /
+  * [[graft.streaming.StreamingOps.purgeCorpusState]], which rewrite
+  * every delta file without changing surviving rows: a manifest-level
+  * diff would see "everything new" and recompute the world; the
+  * content-keyed reconcile recomputes nothing. (For strictly
+  * append-only logs the manifest diff IS the cheaper fast path — read
+  * only the new deltas — and composes with this op by passing just
+  * those rows; this op is the general path that also survives rewrites
+  * and removals.)
+  *
+  * Contract: `signal` must be deterministic and row-local, and its
+  * output must retain `idCol` and `hashCol` — then carried ≡ recomputed
+  * (spec-pinned), and the reconciled table equals `signal` run flat
+  * over the live corpus, plus a `carried` flag auditing which rows the
+  * incremental pass actually touched. */
+case class SignalReconcile(
+    prior: DataFrame,
+    signal: EnsembleOp,
+    idCol: String = "doc_id",
+    hashCol: String = "content_hash") extends EnsembleOp {
+
+  require(prior.schema.fieldNames.contains(idCol) &&
+    prior.schema.fieldNames.contains(hashCol),
+    s"$name: prior signal table needs key columns '$idCol' and '$hashCol'")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, hashCol)
+    val out = signal.transformSchema(in)
+    require(out.fieldNames.contains(idCol) && out.fieldNames.contains(hashCol),
+      s"$name: signal op '${signal.name}' must retain '$idCol' and '$hashCol'")
+    require(prior.schema.fieldNames.sorted.sameElements(out.fieldNames.sorted),
+      s"$name: prior columns ${prior.schema.fieldNames.sorted.mkString(",")} " +
+        s"!= signal output ${out.fieldNames.sorted.mkString(",")}")
+    StructType(out :+ StructField("carried", BooleanType, nullable = false))
+  }
+
+  override def transform(corpus: DataFrame): DataFrame = {
+    val keys = Seq(idCol, hashCol)
+    val ids = corpus.select(keys.map(col): _*)
+    val carried = prior.join(ids, keys, "left_semi")
+      .withColumn("carried", lit(true))
+    val fresh = signal
+      .transform(corpus.join(prior.select(keys.map(col): _*), keys, "left_anti"))
+      .withColumn("carried", lit(false))
+    carried.unionByName(fresh)
+  }
+}
+
+object SignalReconcile {
+  /** The signal table as VERSIONED DERIVED STATE of a corpus — the
+    * maintenance loop an operator actually runs after every corpus
+    * commit: reconcile the latest published signal version against the
+    * live corpus and publish the result as the next version of the
+    * signal table's own commit log ([[graft.core.VersionedDir]] —
+    * atomic pointer swap, snapshot-isolated readers, `readAt` time
+    * travel over signal history, vacuum-bounded retention). The first
+    * call (no published version yet) scores the whole corpus with
+    * every row marked fresh; each later call recomputes only changed
+    * documents and retires signals whose documents left. The published
+    * `carried` column is the per-version audit of what the incremental
+    * pass touched; it is dropped when the version serves as the next
+    * reconcile's prior. Returns the published version name. */
+  def publishAgainst(corpus: DataFrame, signalDir: String,
+      signal: graft.core.EnsembleOp,
+      idCol: String = "doc_id", hashCol: String = "content_hash",
+      retainVersions: Option[Int] = None): String = {
+    val spark = corpus.sparkSession
+    val out = graft.core.VersionedDir.readLatest(spark, signalDir) match {
+      case Some(prev) =>
+        SignalReconcile(prev.drop("carried"), signal, idCol, hashCol)
+          .transform(corpus)
+      case None =>
+        signal.transform(corpus).withColumn("carried", lit(false))
+    }
+    graft.core.VersionedDir.publish(out, signalDir, retainVersions)
+  }
+}

@@ -307,3 +307,49 @@ object TextQualityClassifier {
       textCol, numBuckets, salt)
   }
 }
+
+/** The heuristic quality-signal vector every curation pass starts from
+  * (the C4/Gopher-style length + lexical-diversity screen; the fitted
+  * complement is [[TextQualityClassifier]]): token count, type-token
+  * ratio and mean word length in integer basis points, a composite
+  * score, and the keep verdict. All integer arithmetic over the shared
+  * normal form ([[graft.functions.TextFunctions.words]]), so the whole
+  * vector replays exactly in SQL — the `text_quality` oracle — and,
+  * being row-local and deterministic, it is a valid [[SignalReconcile]]
+  * signal: recomputing a row can never disagree with a carried copy.
+  *
+  * `keyCols` pass through untouched (identity columns the signal table
+  * is keyed by — (id) for a plain table, (id, content_hash) when the
+  * table reconciles against a content-addressed corpus). Row-local,
+  * shuffle-free, codegen'd — linear at any scale. */
+case class QualitySignals(
+    textCol: String = "text",
+    keyCols: Seq[String] = Seq("doc_id"),
+    minTokens: Long = 20L,
+    minTtrBp: Long = 1500L) extends EnsembleOp {
+
+  require(keyCols.nonEmpty, s"$name: need at least one key column")
+
+  override def transformSchema(in: StructType): StructType = {
+    keyCols.foreach(requireCol(in, _)); requireCol(in, textCol)
+    StructType(keyCols.map(in(_)) ++ Seq(
+      StructField("n_tokens", LongType),
+      StructField("ttr_bp", LongType),
+      StructField("mwl_bp", LongType),
+      StructField("quality_score", LongType),
+      StructField("keep", BooleanType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val ws = T.words(col(textCol))
+    val nTok = size(ws).cast("long")
+    val ttrBp = T.bp(size(array_distinct(ws)), size(ws))
+    val mwlBp = T.bp(aggregate(ws, lit(0L), (acc, w) => acc + length(w)), size(ws))
+    val score = least(nTok, lit(100L)) +
+      floor(ttrBp / 100).cast("long") + floor(mwlBp / 1000).cast("long")
+    df.select(keyCols.map(col) ++ Seq(
+      nTok.as("n_tokens"), ttrBp.as("ttr_bp"), mwlBp.as("mwl_bp"),
+      score.as("quality_score"),
+      (nTok >= minTokens && ttrBp >= minTtrBp).as("keep")): _*)
+  }
+}

@@ -407,8 +407,13 @@ object CurationQueries {
       |FROM n FULL JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Shared lifecycle driver for the corpus-state rows: run the 3-batch
-    * streamed ingest of the incremental fixture into a fresh state dir. */
-  private def streamedCorpusDir(spark: SparkSession, d: String): String = {
+    * streamed ingest of the incremental fixture into a fresh state dir.
+    * `splitOf` assigns each doc id to its micro-batch (default: id mod 3,
+    * interleaved ids so every delta spans the id space; the zone-map row
+    * uses an id-RANGE split so deltas have disjoint id ranges and
+    * manifest pruning has something real to skip). */
+  private def streamedCorpusDir(spark: SparkSession, d: String,
+      splitOf: Long => Int = id => (id % 3).toInt): String = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val (prior, batch) = incrementalFixture(spark, d)
@@ -424,7 +429,7 @@ object CurationQueries {
       .start()
     try {
       (0 until 3).foreach { m =>
-        src.addData(rows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        src.addData(rows.filter(r => splitOf(r._1) == m).toIndexedSeq: _*)
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -476,6 +481,60 @@ object CurationQueries {
     StreamingOps.loadCorpus(spark, dir).get
       .select(col("doc_id"), col("content_hash"), col("ingest_batch"))
       .orderBy("doc_id")
+  }
+
+  /** Zone-map-pruned range read over the LIVE corpus state
+    * ([[graft.streaming.StreamingOps.loadCorpusPruned]]): the streamed
+    * ingest batched by ID RANGE (so each delta owns a disjoint id range
+    * and the manifest's [min_id, max_id] zone maps have something real
+    * to skip), then ids ≥ 10000 are read with manifest-level data
+    * skipping — the two low-range deltas are dropped before any parquet
+    * footer opens. Pruning must be invisible to results by contract
+    * (the residual filter guarantees it); this row makes the contract
+    * driver-checked: the pruned read hash-matches the ingest replay
+    * filtered to the range. */
+  def opCorpusPruned(spark: SparkSession, d: String): DataFrame = {
+    val dir = streamedCorpusDir(spark, d,
+      splitOf = id => if (id < 300L) 0 else if (id < 10000L) 1 else 2)
+    graft.streaming.StreamingOps
+      .loadCorpusPruned(spark, dir, 10000L, 20000L).get
+      .select(col("doc_id"), col("content_hash"), col("ingest_batch"))
+      .orderBy("doc_id")
+  }
+
+  /** The INCREMENTAL-CURATION flagship: derived signal state kept in
+    * sync with the LIVE corpus log, recomputing only what changed. The
+    * 3-batch streamed ingest builds the corpus; the quality-signal
+    * table is published against version v0 (batch 0's keepers — the
+    * signals as they stood after the first drop); then a takedown purge
+    * rewrites the corpus; and [[graft.ops.SignalReconcile]] brings the
+    * signal table to the live corpus: v0 survivors are CARRIED verbatim
+    * (never re-read, never re-scored), batch-1/2 keepers are FRESH
+    * (signal recompute ∝ changed docs), purged docs' signals are
+    * RETIRED. Content keying makes the reconcile blind to the purge's
+    * delta rewrite — carried rows stay carried though every corpus file
+    * changed. The oracle replays the whole lifecycle in SQL: the ingest
+    * replay minus tombstones, quality signals over it, and
+    * `carried ⇔ ingest_batch = 0` — the incremental pass must land
+    * exactly where a flat recompute over the final corpus lands, flag
+    * included. */
+  def pipelineIncrementalCuration(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val dir = streamedCorpusDir(spark, d)
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("signal_state_q").toString
+    val sig = QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    // signal version 1: published against the corpus as of v0 (batch 0)
+    SignalReconcile.publishAgainst(
+      StreamingOps.loadCorpusAt(spark, dir, "v0").get, sigDir, sig)
+    // the corpus moves on: batches 1-2 land, then a takedown purge
+    val tomb = StreamingOps.loadCorpus(spark, dir).get
+      .filter(col("doc_id") % 7 === 0).select("doc_id")
+    StreamingOps.purgeCorpusState(spark, dir, tomb)
+    // signal version 2: one incremental reconcile against the live corpus
+    SignalReconcile.publishAgainst(
+      StreamingOps.loadCorpus(spark, dir).get, sigDir, sig)
+    graft.core.VersionedDir.readLatest(spark, sigDir).get.orderBy("doc_id")
   }
 
   def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
@@ -851,19 +910,8 @@ object CurationQueries {
   /** Quality scoring: integer signals + a composite score + keep flag.
     * score = min(n_tokens,100) + ttr in percent + mean word length in
     * tenths, all integers. */
-  def textQuality(spark: SparkSession, d: String): DataFrame = {
-    val ws = T.words(col("text"))
-    val nTok = size(ws).cast("long")
-    val ttrBp = T.bp(size(array_distinct(ws)), size(ws))
-    val mwlBp = T.bp(aggregate(ws, lit(0L), (acc, w) => acc + length(w)), size(ws))
-    val score = least(nTok, lit(100L)) +
-      floor(ttrBp / 100).cast("long") + floor(mwlBp / 1000).cast("long")
-    documents(spark, d).select(
-      col("doc_id"), nTok.as("n_tokens"), ttrBp.as("ttr_bp"), mwlBp.as("mwl_bp"),
-      score.as("quality_score"),
-      (nTok >= 20 && ttrBp >= 1500).as("keep"))
-      .orderBy("doc_id")
-  }
+  def textQuality(spark: SparkSession, d: String): DataFrame =
+    QualitySignals().transform(documents(spark, d)).orderBy("doc_id")
 
   /** Gopher-style repetition filters (RepetitionStats): top 2-/3-gram and
     * duplicate 5-gram character fractions in basis points, plus the keep
@@ -1822,6 +1870,8 @@ object CurationQueries {
     "pipeline_ingest_stream" -> (pipelineIngestStream _),
     "op_purge_corpus" -> (opPurgeCorpus _),
     "op_compact_corpus" -> (opCompactCorpus _),
+    "pipeline_incremental_curation" -> (pipelineIncrementalCuration _),
+    "op_corpus_pruned" -> (opCorpusPruned _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
@@ -2465,6 +2515,58 @@ object CurationQueries {
          |  (PARTITION BY content_hash ORDER BY m, doc_id) AS rn FROM fresh)
          |SELECT doc_id, content_hash, CAST(m AS BIGINT) AS ingest_batch
          |FROM rk WHERE rn = 1 AND doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
+    // the zone-map-pruned range read must be indistinguishable from the
+    // unpruned read: the ingest replay (id-RANGE batching) filtered to
+    // the id range
+    "op_corpus_pruned" ->
+      s"""WITH prior AS (SELECT DISTINCT md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 BETWEEN 4 AND 7),
+         |hashed AS (SELECT doc_id, md5($normSql) AS content_hash,
+         |  CASE WHEN doc_id < 300 THEN 0 WHEN doc_id < 10000 THEN 1
+         |       ELSE 2 END AS m FROM batch),
+         |fresh AS (SELECT h.doc_id, h.content_hash, h.m FROM hashed h
+         |  LEFT JOIN prior p ON h.content_hash = p.h WHERE p.h IS NULL),
+         |rk AS (SELECT doc_id, content_hash, m, row_number() OVER
+         |  (PARTITION BY content_hash ORDER BY m, doc_id) AS rn FROM fresh)
+         |SELECT doc_id, content_hash, CAST(m AS BIGINT) AS ingest_batch
+         |FROM rk WHERE rn = 1 AND doc_id BETWEEN 10000 AND 20000
+         |ORDER BY doc_id""".stripMargin,
+    // the incremental-curation flagship replays whole: the ingest replay
+    // minus the purge tombstones, quality signals over the survivors, and
+    // carried ⇔ kept since v0 (batch-0 keepers) — the content-keyed
+    // reconcile must land exactly where a flat recompute lands
+    "pipeline_incremental_curation" ->
+      s"""WITH prior AS (SELECT DISTINCT md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 BETWEEN 4 AND 7),
+         |hashed AS (SELECT doc_id, text, md5($normSql) AS content_hash,
+         |  doc_id % 3 AS m FROM batch),
+         |fresh AS (SELECT h.doc_id, h.text, h.content_hash, h.m FROM hashed h
+         |  LEFT JOIN prior p ON h.content_hash = p.h WHERE p.h IS NULL),
+         |rk AS (SELECT doc_id, text, content_hash, m, row_number() OVER
+         |  (PARTITION BY content_hash ORDER BY m, doc_id) AS rn FROM fresh),
+         |corpus AS (SELECT doc_id, text, content_hash, m FROM rk
+         |  WHERE rn = 1 AND doc_id % 7 <> 0),
+         |t AS (SELECT doc_id, content_hash, m,
+         |  CAST(len($wordsSql) AS BIGINT) AS n_tokens,
+         |  CAST((CAST(len(list_distinct($wordsSql)) AS BIGINT) * 10000) // len($wordsSql) AS BIGINT) AS ttr_bp,
+         |  CAST((CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS BIGINT) * 10000)
+         |    // len($wordsSql) AS BIGINT) AS mwl_bp
+         |  FROM corpus)
+         |SELECT doc_id, content_hash, n_tokens, ttr_bp, mwl_bp,
+         |  CAST(least(n_tokens, 100) + ttr_bp // 100 + mwl_bp // 1000 AS BIGINT) AS quality_score,
+         |  (n_tokens >= 20 AND ttr_bp >= 1500) AS keep,
+         |  (m = 0) AS carried
+         |FROM t ORDER BY doc_id""".stripMargin,
     // the ingest flagship replays end-to-end: fixture → digest labeling →
     // token gate → chunking → greedy per-shard packing (recursive CTE)
     "pipeline_ingest" ->

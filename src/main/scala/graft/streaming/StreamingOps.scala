@@ -1048,6 +1048,35 @@ object StreamingOps {
     }
   }
 
+  /** Rows added to the corpus SINCE a retained version — the append-only
+    * incremental-read fast path: a manifest-level set difference picks
+    * the delta files the old version does not reference, and ONLY those
+    * files are scanned (cost ∝ new data, metadata-scale diff; at 100 TB
+    * this is how a downstream signal/index recompute reads a day's drop
+    * instead of the corpus). Correct only while the log is append-only
+    * between the two versions: [[purgeCorpusState]] /
+    * [[compactCorpusState]] REWRITE deltas, making "new delta files" ≠
+    * "new rows" — across such commits use the content-keyed reconcile
+    * ([[graft.ops.SignalReconcile]]) instead, which this fast path
+    * complements. None if `sinceVersion`'s manifest is vacuumed or no
+    * version is live; empty frame when nothing landed since. */
+  def corpusDeltasSince(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, sinceVersion: String): Option[DataFrame] = {
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
+    val old = new org.apache.hadoop.fs.Path(p, s"$sinceVersion/manifest")
+    if (!fs.exists(old)) None
+    else latestVersion(spark, stateDir).map { lv =>
+      val seen = spark.read.parquet(old.toString)
+        .select("delta").collect().map(_.getString(0)).toSet
+      val fresh = readManifest(spark, s"$stateDir/$lv/manifest")
+        .map(_.delta).filterNot(seen)
+      if (fresh.isEmpty)
+        loadCorpus(spark, stateDir).get.limit(0)
+      else spark.read.parquet(
+        fresh.map(d => s"$stateDir/deltas/$d"): _*)
+    }
+  }
+
   /** The live accepted-corpus digest index maintained by
     * [[corpusIngestSink]] — the state the next ingest labels against. */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,

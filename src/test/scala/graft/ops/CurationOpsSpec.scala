@@ -395,4 +395,105 @@ class CurationOpsSpec extends SparkSpec {
     assert(after.isNullAt(0),
       "post-purge the stale signature is gone: the re-ingest is a keeper")
   }
+
+  test("SignalReconcile: carried served verbatim, fresh recomputed, retired dropped") {
+    val sig = QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    def corpusOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("content_hash", md5(col("text")))
+    // prior state: signals over the v0 corpus, then POISONED — if the
+    // reconcile ever re-scores a carried row, the poison disappears and
+    // this spec fails: carried rows must be SERVED, never recomputed.
+    val v0 = corpusOf(
+      (1L, "alpha beta gamma delta"),
+      (2L, "to be purged soon enough"),
+      (3L, "left alone and carried forward"))
+    val prior = sig.transform(v0)
+      .withColumn("quality_score", col("quality_score") + 1000000L)
+    // live corpus: doc 2 purged, doc 4 freshly ingested, 1/3 unchanged
+    val live = corpusOf(
+      (1L, "alpha beta gamma delta"),
+      (3L, "left alone and carried forward"),
+      (4L, "a brand new arrival document"))
+    val out = SignalReconcile(prior, sig).transform(live)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L),
+      "retired keys must not survive; fresh keys must appear")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("quality_score"), r.getAs[Boolean]("carried"))).toMap
+    assert(byId(1L)._2 && byId(3L)._2 && !byId(4L)._2, s"carried flags: $byId")
+    assert(byId(1L)._1 > 1000000L && byId(3L)._1 > 1000000L,
+      "carried rows keep the prior values untouched (no recompute)")
+    val flat = sig.transform(live.filter(col("doc_id") === 4L)).collect().head
+    assert(byId(4L)._1 == flat.getAs[Long]("quality_score"),
+      "fresh rows equal a flat recompute")
+  }
+
+  test("SignalReconcile keys on content: an edited doc under the same id recomputes") {
+    val sig = QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    def corpusOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("content_hash", md5(col("text")))
+    val prior = sig.transform(corpusOf((1L, "the original text body here")))
+      .withColumn("quality_score", col("quality_score") + 1000000L)
+    val live = corpusOf((1L, "the edited replacement text body"))
+    val out = SignalReconcile(prior, sig).transform(live).collect()
+    assert(out.length == 1 && !out.head.getAs[Boolean]("carried"),
+      "same id, new hash: the old signal retires and the row re-scores")
+    assert(out.head.getAs[Long]("quality_score") < 1000000L,
+      "the recomputed score is the live text's, not the poisoned prior")
+  }
+
+  test("SignalReconcile transformSchema rejects mismatched prior / key-dropping signal") {
+    val sig = QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    val in = sig.transformSchema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content_hash", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val goodPrior = Seq.empty[(Long, String, Long, Long, Long, Long, Boolean)]
+      .toDF("doc_id", "content_hash", "n_tokens", "ttr_bp", "mwl_bp",
+        "quality_score", "keep")
+    // a signal op that drops the hash key cannot reconcile
+    val dropsKey = QualitySignals(keyCols = Seq("doc_id"))
+    assertThrows[IllegalArgumentException] {
+      SignalReconcile(goodPrior, dropsKey).transformSchema(
+        org.apache.spark.sql.types.StructType(in.filterNot(_.name == "carried")))
+    }
+    // a prior whose columns disagree with the signal output cannot either
+    val badPrior = Seq.empty[(Long, String)].toDF("doc_id", "content_hash")
+    assertThrows[IllegalArgumentException] {
+      SignalReconcile(badPrior, sig).transformSchema(
+        org.apache.spark.sql.types.StructType(in.filterNot(_.name == "carried")))
+    }
+  }
+
+  test("SignalReconcile.publishAgainst maintains the signal table as versioned state") {
+    val sig = QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    def corpusOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("content_hash", md5(col("text")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("signal_state_spec").toString
+    val c1 = corpusOf((1L, "first corpus text one"), (2L, "first corpus text two"))
+    val v1 = SignalReconcile.publishAgainst(c1, dir, sig)
+    val t1 = graft.core.VersionedDir.readLatest(spark, dir).get.collect()
+    assert(t1.length == 2 && t1.forall(!_.getAs[Boolean]("carried")),
+      "first publish scores everything fresh")
+    // corpus evolves: doc 2 removed, doc 3 added, doc 1 untouched
+    val c2 = corpusOf((1L, "first corpus text one"), (3L, "a new third document"))
+    SignalReconcile.publishAgainst(c2, dir, sig)
+    val t2 = graft.core.VersionedDir.readLatest(spark, dir).get
+      .orderBy("doc_id").collect()
+    assert(t2.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "retired doc 2 left the table; fresh doc 3 joined")
+    assert(t2.map(_.getAs[Boolean]("carried")).toSeq == Seq(true, false),
+      "lineage: doc 1 carried, doc 3 recomputed")
+    // the published version equals a flat recompute (minus the audit flag)
+    val flat = sig.transform(c2).orderBy("doc_id").collect()
+    assert(t2.map(_.getAs[Long]("quality_score")).toSeq ==
+      flat.map(_.getAs[Long]("quality_score")).toSeq)
+    // time travel: version 1 is still readable as published
+    val back = graft.core.VersionedDir.readAt(spark, dir, v1).get
+    assert(back.count() == 2L, "signal history survives the pointer swap")
+  }
 }

@@ -990,6 +990,26 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(100L, 101L))
   }
 
+  test("corpusDeltasSince reads only the new delta files (append-only fast path)") {
+    val dir = tmpDir("corpus_since_")
+    runCorpusIngest(dir, Seq(
+      Seq((1L, "a"), (2L, "b")),
+      Seq((3L, "c")),
+      Seq((4L, "d"), (5L, "e"))))
+    val since = StreamingOps.corpusDeltasSince(spark, dir, "v0").get
+    assert(since.select("doc_id").as[Long].collect().toSet == Set(3L, 4L, 5L))
+    // the scan touches ONLY the post-v0 delta files — cost ∝ new data
+    val files = since.inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("/deltas/d1/") || f.contains("/deltas/d2/")),
+      s"must not reopen v0's delta: ${files.mkString(", ")}")
+    // nothing landed since the live version: empty, well-typed frame
+    val lv = graft.core.VersionedDir.latest(spark, dir).get
+    assert(StreamingOps.corpusDeltasSince(spark, dir, lv).get.count() == 0L)
+    // a vacuumed/unknown version cannot anchor a diff
+    assert(StreamingOps.corpusDeltasSince(spark, dir, "v9").isEmpty)
+  }
+
   test("loadCorpusAt time-travels the corpus log; SnapshotDiff audits two versions") {
     val dir = tmpDir("corpus_tt_")
     runCorpusIngest(dir, Seq(Seq((1L, "a"), (2L, "b")), Seq((3L, "c"))))
