@@ -487,6 +487,18 @@ object EnsemblePersistence {
       ("type" -> "TextQualityClassifier") ~ ("coefficients" -> coef.toList) ~
         ("intercept" -> b0) ~ ("textCol" -> text) ~ ("numBuckets" -> nb) ~
         ("salt" -> salt)
+    case q: QualitySignals =>
+      ("type" -> "QualitySignals") ~ ("textCol" -> q.textCol) ~
+        ("keyCols" -> q.keyCols) ~ ("minTokens" -> q.minTokens) ~
+        ("minTtrBp" -> q.minTtrBp)
+    // the prior signal table persists whole (it IS the op's state);
+    // the signal op nests recursively like Ensemble's sub-ops
+    case sr: SignalReconcile =>
+      val p = artifactPath(dir, i, "prior_signals")
+      sr.prior.write.mode("overwrite").parquet(p)
+      ("type" -> "SignalReconcile") ~ ("path" -> p) ~
+        ("idCol" -> sr.idCol) ~ ("hashCol" -> sr.hashCol) ~
+        ("signal" -> describe(sr.signal, s"${i}_sig", dir, spark))
     case r: RepetitionStats =>
       ("type" -> "RepetitionStats") ~ ("textCol" -> r.textCol) ~
         ("idCol" -> r.idCol) ~ ("topNs" -> r.topNs) ~ ("dupNs" -> r.dupNs) ~
@@ -914,6 +926,13 @@ object EnsemblePersistence {
           // JNothing/JNull extract to Some(empty) under extractOpt — an
           // absent center must come back as None, not Some(Nil)
           (o \ "center").extractOpt[Seq[Double]].filter(_.nonEmpty))
+      case "QualitySignals" =>
+        QualitySignals(s("textCol"), (o \ "keyCols").extract[Seq[String]],
+          (o \ "minTokens").extract[Long], (o \ "minTtrBp").extract[Long])
+      case "SignalReconcile" =>
+        SignalReconcile(spark.read.parquet(s("path")),
+          instantiate((o \ "signal").extract[JObject], spark),
+          s("idCol"), s("hashCol"))
       case "RepetitionStats" =>
         RepetitionStats(s("textCol"), s("idCol"),
           (o \ "topNs").extract[Seq[Int]], (o \ "dupNs").extract[Seq[Int]],
@@ -953,3 +972,4 @@ object EnsemblePersistence {
     }
   }
 }
+

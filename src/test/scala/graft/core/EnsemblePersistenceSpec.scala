@@ -520,6 +520,25 @@ class EnsemblePersistenceSpec extends SparkSpec {
       op.transform(nw).orderBy("doc_id").collect().toSeq)
   }
 
+  test("SignalReconcile round-trips its prior table and nested signal op") {
+    val sig = graft.ops.QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    def corpusOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("content_hash", org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")))
+    val prior = sig.transform(corpusOf((1L, "kept around text"), (2L, "soon gone")))
+    val live = corpusOf((1L, "kept around text"), (3L, "new arrival text"))
+    val op = graft.ops.SignalReconcile(prior, sig)
+    val dir = Files.tmp("ens_sigrec")
+    EnsemblePersistence.save(Ensemble(Seq(op), live.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    val got = loaded.ops.head.asInstanceOf[graft.ops.SignalReconcile]
+    assert(got.signal.asInstanceOf[graft.ops.QualitySignals].keyCols ==
+      Seq("doc_id", "content_hash"))
+    assert(loaded.transform(live).orderBy("doc_id").collect().toSeq ==
+      op.transform(live).orderBy("doc_id").collect().toSeq)
+  }
+
   test("PrefixDedup round-trips as pure parameters") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c")).toDF("doc_id", "text")
     val op = PrefixDedup(n = 3)
