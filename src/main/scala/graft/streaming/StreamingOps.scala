@@ -1077,6 +1077,72 @@ object StreamingOps {
     }
   }
 
+  /** Bring the derived signal table up to the LIVE corpus — one
+    * content-keyed reconcile ([[graft.ops.SignalReconcile.publishAgainst]])
+    * published as the next version of the signal table's own commit
+    * log — IFF the corpus moved since the last signal publication.
+    * Each signal version records the corpus version it was derived
+    * from (a `source` marker alongside the data); when the live corpus
+    * version equals the latest marker the call is a no-op returning
+    * None, which is what makes a foreachBatch RETRY of a committed
+    * ingest batch publish nothing instead of stacking content-identical
+    * signal versions. A missing marker (crash between data write and
+    * marker write, pre-marker versions) re-publishes conservatively —
+    * idempotent in content, the same at-least-once stance as every
+    * sink here. None too when no corpus version is live yet. */
+  def publishSignalsFor(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, signalDir: String,
+      signal: graft.core.EnsembleOp,
+      idCol: String = "doc_id",
+      retainVersions: Option[Int] = None): Option[String] =
+    latestVersion(spark, corpusDir).flatMap { cv =>
+      val already = latestVersion(spark, signalDir).exists { sv =>
+        scala.util.Try(spark.read.parquet(s"$signalDir/$sv/source")
+          .head().getAs[String]("corpus_version")).toOption.contains(cv)
+      }
+      if (already) None
+      else {
+        val v = graft.ops.SignalReconcile.publishAgainst(
+          loadCorpus(spark, corpusDir).get, signalDir, signal,
+          idCol = idCol, retainVersions = retainVersions)
+        import spark.implicits._
+        Seq(cv).toDF("corpus_version").coalesce(1)
+          .write.mode("overwrite").parquet(s"$signalDir/$v/source")
+        Some(v)
+      }
+    }
+
+  /** The ingest loop WITH derived-state maintenance — the streaming
+    * twin of the whole incremental-curation discipline
+    * (`pipeline_incremental_curation`): every micro-batch first commits
+    * to the corpus log exactly as [[corpusIngestSink]] does, then
+    * [[publishSignalsFor]] reconciles the signal table to the corpus
+    * that batch produced. Per-batch signal cost ∝ the batch's keepers
+    * (carried rows are served from the previous signal version by
+    * (id, digest) semi-join — never re-read, never re-scored), so the
+    * stream pays incremental price while the table always equals a
+    * flat recompute over the live corpus [spec-pinned]. Retries of
+    * committed batches publish NOTHING on either log (corpus txn
+    * markers + signal source markers). Takedown composes: run
+    * [[purgeCorpusState]] then [[publishSignalsFor]] and the purged
+    * docs' signals retire with their documents. */
+  def curatedCorpusSink(stateDir: String, signalDir: String,
+      signal: graft.core.EnsembleOp,
+      initialIndex: Option[DataFrame] = None,
+      idCol: String = "doc_id", textCol: String = "text",
+      normalized: Boolean = true,
+      appId: String = "corpus-ingest",
+      retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
+    val ingest = corpusIngestSink(stateDir, initialIndex, idCol, textCol,
+      normalized, appId, retainVersions)
+    (batch: DataFrame, batchId: Long) => {
+      ingest(batch, batchId)
+      publishSignalsFor(batch.sparkSession, stateDir, signalDir, signal,
+        idCol, retainVersions)
+      ()
+    }
+  }
+
   /** The live accepted-corpus digest index maintained by
     * [[corpusIngestSink]] — the state the next ingest labels against. */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,

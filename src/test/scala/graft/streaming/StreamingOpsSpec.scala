@@ -990,6 +990,51 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(100L, 101L))
   }
 
+  test("curatedCorpusSink: signals track the corpus batch over batch; retries publish nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("curated_corpus_")
+    val sigDir = tmpDir("curated_signals_")
+    val sig = graft.ops.QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    val sink = StreamingOps.curatedCorpusSink(dir, sigDir, sig)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).start()
+    val splits = Seq(
+      Seq((1L, "alpha beta gamma words"), (2L, "delta epsilon zeta text")),
+      Seq((3L, "eta theta iota body"), (4L, "alpha beta gamma words")), // 4 dups 1
+      Seq((5L, "kappa lambda mu tail")))
+    splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    // the signal table always equals a flat recompute over the live corpus
+    val corpus = StreamingOps.loadCorpus(spark, dir).get
+    val flat = sig.transform(corpus).orderBy("doc_id").collect()
+    val live = graft.core.VersionedDir.readLatest(spark, sigDir).get
+      .orderBy("doc_id").collect()
+    assert(live.map(_.getLong(0)).toSeq == flat.map(_.getLong(0)).toSeq &&
+      live.map(_.getAs[Long]("quality_score")).toSeq ==
+        flat.map(_.getAs[Long]("quality_score")).toSeq,
+      "streamed signal state must equal the flat recompute")
+    // lineage: the last batch's keeper is fresh, everything earlier carried
+    assert(live.map(r => r.getLong(0) -> r.getAs[Boolean]("carried")).toMap ==
+      Map(1L -> true, 2L -> true, 3L -> true, 5L -> false))
+    // one signal version per corpus commit (batch 1's dup still keeps doc 3)
+    val sigVersions = graft.core.VersionedDir.versions(spark, sigDir).size
+    assert(sigVersions == 3, s"3 accepting batches -> 3 signal versions: $sigVersions")
+    // a foreachBatch RETRY of a committed batch publishes on NEITHER log
+    val corpusVersions = graft.core.VersionedDir.versions(spark, dir).size
+    sink(Seq((5L, "kappa lambda mu tail")).toDF("doc_id", "text"), 2L)
+    assert(graft.core.VersionedDir.versions(spark, dir).size == corpusVersions &&
+      graft.core.VersionedDir.versions(spark, sigDir).size == sigVersions,
+      "retry of a committed batchId must be a no-op end to end")
+    // takedown composes: purge, re-publish, signals retire with their docs
+    StreamingOps.purgeCorpusState(spark, dir,
+      Seq(1L).toDF("doc_id"))
+    StreamingOps.publishSignalsFor(spark, dir, sigDir, sig)
+    val after = graft.core.VersionedDir.readLatest(spark, sigDir).get
+    assert(after.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 5L),
+      "purged doc 1's signal row retires with its document")
+  }
+
   test("corpusDeltasSince reads only the new delta files (append-only fast path)") {
     val dir = tmpDir("corpus_since_")
     runCorpusIngest(dir, Seq(
