@@ -414,26 +414,35 @@ object CurationQueries {
     * manifest pruning has something real to skip). */
   private def streamedCorpusDir(spark: SparkSession, d: String,
       splitOf: Long => Int = id => (id % 3).toInt): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("corpus_ingest_q").toString
+    runFixtureStream(spark, d, splitOf)(prior =>
+      graft.streaming.StreamingOps.corpusIngestSink(dir,
+        initialIndex = Some(prior)))
+    dir
+  }
+
+  /** Drive the incremental fixture through `mkSink`'s foreachBatch sink
+    * as a 3-micro-batch stream (batch m = the ids `splitOf` maps to m);
+    * the sink factory receives the prior-corpus digest index. */
+  private def runFixtureStream(spark: SparkSession, d: String,
+      splitOf: Long => Int)(
+      mkSink: DataFrame => (DataFrame, Long) => Unit): Unit = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val (prior, batch) = incrementalFixture(spark, d)
     val rows = batch.select(col("doc_id"), col("text"))
       .as[(Long, String)].collect()
-    val dir = java.nio.file.Files
-      .createTempDirectory("corpus_ingest_q").toString
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val q = src.toDS().toDF("doc_id", "text").writeStream
-      .foreachBatch(graft.streaming.StreamingOps.corpusIngestSink(dir,
-        initialIndex = Some(prior)))
-      .start()
+      .foreachBatch(mkSink(prior)).start()
     try {
       (0 until 3).foreach { m =>
         src.addData(rows.filter(r => splitOf(r._1) == m).toIndexedSeq: _*)
         q.processAllAvailable()
       }
     } finally q.stop()
-    dir
   }
 
   def pipelineIngestStream(spark: SparkSession, d: String): DataFrame =
@@ -534,6 +543,28 @@ object CurationQueries {
     // signal version 2: one incremental reconcile against the live corpus
     SignalReconcile.publishAgainst(
       StreamingOps.loadCorpus(spark, dir).get, sigDir, sig)
+    graft.core.VersionedDir.readLatest(spark, sigDir).get.orderBy("doc_id")
+  }
+
+  /** The incremental-curation discipline LIVE
+    * ([[graft.streaming.StreamingOps.curatedCorpusSink]]): the streamed
+    * 3-batch ingest of `pipeline_ingest_stream`, but every micro-batch
+    * also reconciles the derived quality-signal table to the corpus it
+    * just committed — per-batch signal cost ∝ that batch's keepers,
+    * carried rows served from the previous signal version. The final
+    * signal table must equal a flat recompute over the final corpus,
+    * and its lineage must read `carried ⇔ accepted before the last
+    * batch` — both replayed by the ingest-replay + quality-math oracle. */
+  def pipelineCurationStream(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("curated_corpus_q").toString
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("curated_signals_q").toString
+    val sig = QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    runFixtureStream(spark, d, id => (id % 3).toInt)(prior =>
+      StreamingOps.curatedCorpusSink(dir, sigDir, sig,
+        initialIndex = Some(prior)))
     graft.core.VersionedDir.readLatest(spark, sigDir).get.orderBy("doc_id")
   }
 
@@ -1871,6 +1902,7 @@ object CurationQueries {
     "op_purge_corpus" -> (opPurgeCorpus _),
     "op_compact_corpus" -> (opCompactCorpus _),
     "pipeline_incremental_curation" -> (pipelineIncrementalCuration _),
+    "pipeline_curation_stream" -> (pipelineCurationStream _),
     "op_corpus_pruned" -> (opCorpusPruned _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -2566,6 +2598,34 @@ object CurationQueries {
          |  CAST(least(n_tokens, 100) + ttr_bp // 100 + mwl_bp // 1000 AS BIGINT) AS quality_score,
          |  (n_tokens >= 20 AND ttr_bp >= 1500) AS keep,
          |  (m = 0) AS carried
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // the live curation stream's final signal table: quality math over the
+    // full ingest replay, carried ⇔ accepted before the last micro-batch
+    "pipeline_curation_stream" ->
+      s"""WITH prior AS (SELECT DISTINCT md5($normSql) AS h
+         |  FROM documents WHERE doc_id % 10 < 3),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 BETWEEN 2 AND 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 BETWEEN 4 AND 7),
+         |hashed AS (SELECT doc_id, text, md5($normSql) AS content_hash,
+         |  doc_id % 3 AS m FROM batch),
+         |fresh AS (SELECT h.doc_id, h.text, h.content_hash, h.m FROM hashed h
+         |  LEFT JOIN prior p ON h.content_hash = p.h WHERE p.h IS NULL),
+         |rk AS (SELECT doc_id, text, content_hash, m, row_number() OVER
+         |  (PARTITION BY content_hash ORDER BY m, doc_id) AS rn FROM fresh),
+         |corpus AS (SELECT doc_id, text, content_hash, m FROM rk WHERE rn = 1),
+         |t AS (SELECT doc_id, content_hash, m,
+         |  CAST(len($wordsSql) AS BIGINT) AS n_tokens,
+         |  CAST((CAST(len(list_distinct($wordsSql)) AS BIGINT) * 10000) // len($wordsSql) AS BIGINT) AS ttr_bp,
+         |  CAST((CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS BIGINT) * 10000)
+         |    // len($wordsSql) AS BIGINT) AS mwl_bp
+         |  FROM corpus)
+         |SELECT doc_id, content_hash, n_tokens, ttr_bp, mwl_bp,
+         |  CAST(least(n_tokens, 100) + ttr_bp // 100 + mwl_bp // 1000 AS BIGINT) AS quality_score,
+         |  (n_tokens >= 20 AND ttr_bp >= 1500) AS keep,
+         |  (m < 2) AS carried
          |FROM t ORDER BY doc_id""".stripMargin,
     // the ingest flagship replays end-to-end: fixture → digest labeling →
     // token gate → chunking → greedy per-shard packing (recursive CTE)
