@@ -1077,17 +1077,20 @@ object StreamingOps {
     }
   }
 
-  /** Bring the derived signal table up to the LIVE corpus — one
-    * content-keyed reconcile ([[graft.ops.SignalReconcile.publishAgainst]])
-    * published as the next version of the signal table's own commit
-    * log — IFF the corpus moved since the last signal publication.
-    * Each signal version records the corpus version it was derived
-    * from (a `source` marker alongside the data); when the live corpus
-    * version equals the latest marker the call is a no-op returning
-    * None, which is what makes a foreachBatch RETRY of a committed
-    * ingest batch publish nothing instead of stacking content-identical
-    * signal versions. A missing marker (crash between data write and
-    * marker write, pre-marker versions) re-publishes conservatively —
+  /** Bring the derived signal table up to the LIVE corpus, published as
+    * the next version of the signal table's own commit log — IFF the
+    * corpus moved since the last signal publication. Append-only corpus
+    * moves take the manifest fast path (score ONLY the new delta files,
+    * carry the prior table wholesale — cost ∝ new data); takedown /
+    * compaction commits fall back to the content-keyed reconcile
+    * ([[graft.ops.SignalReconcile]], always correct). Each signal
+    * version records the corpus version it was derived from (a `source`
+    * marker alongside the data); when the live corpus version equals
+    * the latest marker the call is a no-op returning None, which is
+    * what makes a foreachBatch RETRY of a committed ingest batch
+    * publish nothing instead of stacking content-identical signal
+    * versions. A missing marker (crash between data write and marker
+    * write, pre-marker versions) re-publishes conservatively —
     * idempotent in content, the same at-least-once stance as every
     * sink here. None too when no corpus version is live yet. */
   def publishSignalsFor(spark: org.apache.spark.sql.SparkSession,
@@ -1096,15 +1099,49 @@ object StreamingOps {
       idCol: String = "doc_id",
       retainVersions: Option[Int] = None): Option[String] =
     latestVersion(spark, corpusDir).flatMap { cv =>
-      val already = latestVersion(spark, signalDir).exists { sv =>
+      val lastSv = latestVersion(spark, signalDir)
+      val lastSrc = lastSv.flatMap(sv =>
         scala.util.Try(spark.read.parquet(s"$signalDir/$sv/source")
-          .head().getAs[String]("corpus_version")).toOption.contains(cv)
-      }
-      if (already) None
+          .head().getAs[String]("corpus_version")).toOption)
+      if (lastSrc.contains(cv)) None
       else {
-        val v = graft.ops.SignalReconcile.publishAgainst(
-          loadCorpus(spark, corpusDir).get, signalDir, signal,
-          idCol = idCol, retainVersions = retainVersions)
+        // APPEND FAST PATH: when the commit chain from the version the
+        // prior signals were derived against is append-only (its
+        // manifest is a subset of the live one — purge/optimize rewrite
+        // deltas and fail this check), the fresh rows are exactly the
+        // new deltas: score those files alone and carry the prior table
+        // wholesale — per-commit cost ∝ new data, no corpus scan, no
+        // reconcile joins. Anything else (takedown, compaction, vacuumed
+        // history, no prior) falls back to the content-keyed reconcile,
+        // which is always correct.
+        val live = readManifest(spark, s"$corpusDir/$cv/manifest")
+          .map(_.delta).toSet
+        val out = (for {
+          pv <- lastSrc
+          sv <- lastSv
+          oldM <- scala.util.Try(
+            readManifest(spark, s"$corpusDir/$pv/manifest")
+              .map(_.delta).toSet).toOption
+          if oldM.subsetOf(live)
+          prior <- graft.core.VersionedDir.readAt(spark, signalDir, sv)
+        } yield {
+          val freshDeltas = (live -- oldM).toSeq.sorted
+          val carried = prior.drop("carried").withColumn("carried", lit(true))
+          if (freshDeltas.isEmpty) carried
+          else carried.unionByName(
+            signal.transform(spark.read.parquet(
+              freshDeltas.map(n => s"$corpusDir/deltas/$n"): _*))
+              .withColumn("carried", lit(false)))
+        }).getOrElse {
+          val corpus = loadCorpus(spark, corpusDir).get
+          graft.core.VersionedDir.readLatest(spark, signalDir) match {
+            case Some(prev) => graft.ops.SignalReconcile(
+              prev.drop("carried"), signal, idCol).transform(corpus)
+            case None =>
+              signal.transform(corpus).withColumn("carried", lit(false))
+          }
+        }
+        val v = graft.core.VersionedDir.publish(out, signalDir, retainVersions)
         import spark.implicits._
         Seq(cv).toDF("corpus_version").coalesce(1)
           .write.mode("overwrite").parquet(s"$signalDir/$v/source")

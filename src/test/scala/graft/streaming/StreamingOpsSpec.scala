@@ -1035,6 +1035,46 @@ class StreamingOpsSpec extends SparkSpec {
       "purged doc 1's signal row retires with its document")
   }
 
+  test("publishSignalsFor: append commits serve prior signals verbatim; purge falls back and retires") {
+    val dir = tmpDir("psf_corpus_")
+    val sigDir = tmpDir("psf_signals_")
+    val sig = graft.ops.QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    val ingest = StreamingOps.corpusIngestSink(dir)
+    ingest(Seq((1L, "first document body text"),
+      (7L, "doomed document body text")).toDF("doc_id", "text"), 0L)
+    StreamingOps.publishSignalsFor(spark, dir, sigDir, sig)
+    // poison the published signal data in place: any later re-score of
+    // these rows would erase the poison
+    val sv = graft.core.VersionedDir.latest(spark, sigDir).get
+    val poisoned = graft.core.VersionedDir.readAt(spark, sigDir, sv).get
+      .withColumn("quality_score", col("quality_score") + 1000000L)
+      .collect()
+    val schema = graft.core.VersionedDir.readAt(spark, sigDir, sv).get.schema
+    spark.createDataFrame(java.util.Arrays.asList(poisoned: _*), schema)
+      .write.mode("overwrite").parquet(s"$sigDir/$sv/data")
+    // APPEND: the fast path must carry the poisoned rows untouched and
+    // score only the new delta
+    ingest(Seq((2L, "second document body text")).toDF("doc_id", "text"), 1L)
+    StreamingOps.publishSignalsFor(spark, dir, sigDir, sig)
+    val t = graft.core.VersionedDir.readLatest(spark, sigDir).get
+      .orderBy("doc_id").collect()
+    assert(t.map(_.getLong(0)).toSeq == Seq(1L, 2L, 7L))
+    assert(t.filter(r => Set(1L, 7L)(r.getLong(0)))
+      .forall(_.getAs[Long]("quality_score") > 1000000L),
+      "append fast path must serve prior rows verbatim (no re-score)")
+    assert(t.find(_.getLong(0) == 2L).get.getAs[Long]("quality_score") < 1000000L)
+    // PURGE rewrites deltas -> manifest inclusion fails -> content-keyed
+    // fallback: retired row gone, surviving prior rows still verbatim
+    StreamingOps.purgeCorpusState(spark, dir, Seq(7L).toDF("doc_id"))
+    StreamingOps.publishSignalsFor(spark, dir, sigDir, sig)
+    val after = graft.core.VersionedDir.readLatest(spark, sigDir).get
+      .orderBy("doc_id").collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "purged doc 7's signal row must retire")
+    assert(after.head.getAs[Long]("quality_score") > 1000000L,
+      "the fallback reconcile also carries surviving rows verbatim")
+  }
+
   test("corpusDeltasSince reads only the new delta files (append-only fast path)") {
     val dir = tmpDir("corpus_since_")
     runCorpusIngest(dir, Seq(
