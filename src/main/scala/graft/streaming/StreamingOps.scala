@@ -1154,11 +1154,12 @@ object StreamingOps {
     * (`pipeline_incremental_curation`): every micro-batch first commits
     * to the corpus log exactly as [[corpusIngestSink]] does, then
     * [[publishSignalsFor]] reconciles the signal table to the corpus
-    * that batch produced. Per-batch signal cost ∝ the batch's keepers
-    * (carried rows are served from the previous signal version by
-    * (id, digest) semi-join — never re-read, never re-scored), so the
-    * stream pays incremental price while the table always equals a
-    * flat recompute over the live corpus [spec-pinned]. Retries of
+    * that batch produced. Per-batch signal cost ∝ the batch's keepers:
+    * an ingest commit is append-only, so the reconcile takes the
+    * manifest fast path — the new delta alone is scored, and the prior
+    * signal version carries wholesale, never re-read, never re-scored
+    * [poison-pinned]. The table always equals a flat recompute over the
+    * live corpus [spec-pinned]. Retries of
     * committed batches publish NOTHING on either log (corpus txn
     * markers + signal source markers). Takedown composes: run
     * [[purgeCorpusState]] then [[publishSignalsFor]] and the purged
