@@ -150,6 +150,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("extra"), "untagged columns must not be scanned")
   }
 
+  test("SignalReconcile's carried path scans only the identity columns") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sigrec_plan").toString
+    Seq((1L, "some body text here"), (2L, "another body of text"))
+      .toDF("doc_id", "text")
+      .withColumn("content_hash", md5(col("text")))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val sig = ops.QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    val prior = sig.transform(corpus)
+    val p = plan(ops.SignalReconcile(prior, sig).transform(corpus))
+    // the semi-join (carried) side must read (doc_id, content_hash) only
+    // — at 100 TB the carried path must never pay for document text
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,content_hash:string>"),
+      s"carried-side corpus scan must prune to the identity columns:\n${p.take(1200)}")
+  }
+
   test("hash split is a shuffle-free per-row projection") {
     val p = plan(ops.HashSplit("doc_id").transform(Tables.documents(spark, d)))
     assert(!p.contains("Exchange"), s"no shuffle expected:\n${p.take(600)}")
