@@ -1000,11 +1000,32 @@ case class SignalReconcile(
     val fresh = signal
       .transform(corpus.join(prior.select(keys.map(col): _*), keys, "left_anti"))
       .withColumn("carried", lit(false))
-    carried.unionByName(fresh)
+    // emit exactly transformSchema's declared order — prior may be a
+    // column permutation of the signal output (sorted-name equality is
+    // all the constructor requires), and unionByName would otherwise
+    // leak that permutation into the output layout
+    val outOrder = transformSchema(corpus.schema).fieldNames
+    carried.unionByName(fresh).select(outOrder.map(col): _*)
   }
 }
 
 object SignalReconcile {
+  /** The reconciled signal frame for (prior?, corpus): the incremental
+    * reconcile when a prior table exists, the all-fresh first scoring
+    * when none does — the one shared builder behind both maintenance
+    * loops ([[publishAgainst]] and
+    * [[graft.streaming.StreamingOps.publishSignalsFor]]'s fallback). */
+  def reconciled(prior: Option[DataFrame], corpus: DataFrame,
+      signal: graft.core.EnsembleOp,
+      idCol: String = "doc_id", hashCol: String = "content_hash"): DataFrame =
+    prior match {
+      case Some(prev) =>
+        SignalReconcile(prev.drop("carried"), signal, idCol, hashCol)
+          .transform(corpus)
+      case None =>
+        signal.transform(corpus).withColumn("carried", lit(false))
+    }
+
   /** The signal table as VERSIONED DERIVED STATE of a corpus — the
     * maintenance loop an operator actually runs after every corpus
     * commit: reconcile the latest published signal version against the
@@ -1023,13 +1044,9 @@ object SignalReconcile {
       idCol: String = "doc_id", hashCol: String = "content_hash",
       retainVersions: Option[Int] = None): String = {
     val spark = corpus.sparkSession
-    val out = graft.core.VersionedDir.readLatest(spark, signalDir) match {
-      case Some(prev) =>
-        SignalReconcile(prev.drop("carried"), signal, idCol, hashCol)
-          .transform(corpus)
-      case None =>
-        signal.transform(corpus).withColumn("carried", lit(false))
-    }
+    val out = reconciled(
+      graft.core.VersionedDir.readLatest(spark, signalDir),
+      corpus, signal, idCol, hashCol)
     graft.core.VersionedDir.publish(out, signalDir, retainVersions)
   }
 }

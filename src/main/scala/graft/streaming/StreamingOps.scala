@@ -1058,22 +1058,28 @@ object StreamingOps {
     * [[compactCorpusState]] REWRITE deltas, making "new delta files" ≠
     * "new rows" — across such commits use the content-keyed reconcile
     * ([[graft.ops.SignalReconcile]]) instead, which this fast path
-    * complements. None if `sinceVersion`'s manifest is vacuumed or no
-    * version is live; empty frame when nothing landed since. */
+    * complements — a rewrite is DETECTED here (the old manifest is no
+    * longer a subset of the live one) and answered with None rather
+    * than mislabeling the rewritten corpus as "added rows". None also
+    * if `sinceVersion`'s manifest is vacuumed or no version is live;
+    * empty frame when nothing landed since. */
   def corpusDeltasSince(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, sinceVersion: String): Option[DataFrame] = {
     val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
     val old = new org.apache.hadoop.fs.Path(p, s"$sinceVersion/manifest")
     if (!fs.exists(old)) None
-    else latestVersion(spark, stateDir).map { lv =>
+    else latestVersion(spark, stateDir).flatMap { lv =>
       val seen = spark.read.parquet(old.toString)
         .select("delta").collect().map(_.getString(0)).toSet
-      val fresh = readManifest(spark, s"$stateDir/$lv/manifest")
-        .map(_.delta).filterNot(seen)
-      if (fresh.isEmpty)
-        loadCorpus(spark, stateDir).get.limit(0)
-      else spark.read.parquet(
-        fresh.map(d => s"$stateDir/deltas/$d"): _*)
+      val liveM = readManifest(spark, s"$stateDir/$lv/manifest").map(_.delta)
+      if (!seen.subsetOf(liveM.toSet)) None // purge/compact rewrote deltas
+      else Some {
+        val fresh = liveM.filterNot(seen)
+        if (fresh.isEmpty)
+          loadCorpus(spark, stateDir).get.limit(0)
+        else spark.read.parquet(
+          fresh.map(d => s"$stateDir/deltas/$d"): _*)
+      }
     }
   }
 
@@ -1132,15 +1138,9 @@ object StreamingOps {
             signal.transform(spark.read.parquet(
               freshDeltas.map(n => s"$corpusDir/deltas/$n"): _*))
               .withColumn("carried", lit(false)))
-        }).getOrElse {
-          val corpus = loadCorpus(spark, corpusDir).get
-          graft.core.VersionedDir.readLatest(spark, signalDir) match {
-            case Some(prev) => graft.ops.SignalReconcile(
-              prev.drop("carried"), signal, idCol).transform(corpus)
-            case None =>
-              signal.transform(corpus).withColumn("carried", lit(false))
-          }
-        }
+        }).getOrElse(graft.ops.SignalReconcile.reconciled(
+          graft.core.VersionedDir.readLatest(spark, signalDir),
+          loadCorpus(spark, corpusDir).get, signal, idCol))
         val v = graft.core.VersionedDir.publish(out, signalDir, retainVersions)
         import spark.implicits._
         Seq(cv).toDF("corpus_version").coalesce(1)
@@ -1171,8 +1171,14 @@ object StreamingOps {
       normalized: Boolean = true,
       appId: String = "corpus-ingest",
       retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
+    // the corpus side keeps >= 2 versions: the ingest commit's vacuum
+    // runs BEFORE the signal publish reads the previous version's
+    // manifest for the append fast path — keep = 1 would delete it
+    // every batch and silently demote each reconcile to a full corpus
+    // scan (signal retention stays as requested; its versions are not
+    // read across batches except the latest)
     val ingest = corpusIngestSink(stateDir, initialIndex, idCol, textCol,
-      normalized, appId, retainVersions)
+      normalized, appId, retainVersions.map(_.max(2)))
     (batch: DataFrame, batchId: Long) => {
       ingest(batch, batchId)
       publishSignalsFor(batch.sparkSession, stateDir, signalDir, signal,

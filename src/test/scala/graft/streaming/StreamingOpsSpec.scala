@@ -1093,6 +1093,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.corpusDeltasSince(spark, dir, lv).get.count() == 0L)
     // a vacuumed/unknown version cannot anchor a diff
     assert(StreamingOps.corpusDeltasSince(spark, dir, "v9").isEmpty)
+    // a purge REWRITES deltas: "new files" would mislabel the whole
+    // rewritten corpus as added rows, so the diff refuses with None
+    StreamingOps.purgeCorpusState(spark, dir, Seq(3L).toDF("doc_id"))
+    assert(StreamingOps.corpusDeltasSince(spark, dir, "v0").isEmpty,
+      "a non-append-only chain must not be answered")
+  }
+
+  test("curatedCorpusSink under retention keeps the fast path alive") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("curated_retain_")
+    val sigDir = tmpDir("curated_retain_sig_")
+    val sig = graft.ops.QualitySignals(keyCols = Seq("doc_id", "content_hash"))
+    val sink = StreamingOps.curatedCorpusSink(dir, sigDir, sig,
+      retainVersions = Some(1))
+    sink(Seq((1L, "first document text body")).toDF("doc_id", "text"), 0L)
+    // poison v0 signals: if retention broke the fast path, batch 1's
+    // publish would fall back to a full reconcile — which ALSO carries
+    // verbatim, so additionally pin that the corpus side retained the
+    // previous version's manifest (the fast path's precondition)
+    val sv = graft.core.VersionedDir.latest(spark, sigDir).get
+    val rows = graft.core.VersionedDir.readAt(spark, sigDir, sv).get
+      .withColumn("quality_score", col("quality_score") + 1000000L).collect()
+    val sch = graft.core.VersionedDir.readAt(spark, sigDir, sv).get.schema
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+      .write.mode("overwrite").parquet(s"$sigDir/$sv/data")
+    sink(Seq((2L, "second document text body")).toDF("doc_id", "text"), 1L)
+    assert(graft.core.VersionedDir.versions(spark, dir).size >= 2,
+      "corpus retention is clamped to 2 so the fast path's prior manifest survives")
+    val t = graft.core.VersionedDir.readLatest(spark, sigDir).get
+      .orderBy("doc_id").collect()
+    assert(t.head.getAs[Long]("quality_score") > 1000000L,
+      "prior signals served verbatim under retention")
   }
 
   test("loadCorpusAt time-travels the corpus log; SnapshotDiff audits two versions") {
