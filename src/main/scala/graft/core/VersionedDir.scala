@@ -48,15 +48,20 @@ object VersionedDir {
 
   /** Move `_LATEST` to `version` (write-then-rename: readers never
     * observe a half-written pointer). The version's files must be fully
-    * materialized BEFORE this call — the pointer move IS the commit. */
+    * materialized BEFORE this call — the pointer move IS the commit.
+    * The rename OVERWRITES the existing pointer in one operation
+    * (FileContext semantics): a delete-then-rename pair would open a
+    * window with no pointer at all, where a crash loses the table and a
+    * concurrent reader resolves None mid-swap. */
   def writePointer(spark: SparkSession, dir: String, version: String): Unit = {
     val (fs, p) = fsOf(spark, dir)
     val tmp = new org.apache.hadoop.fs.Path(p, s"._LATEST.tmp")
     val out = fs.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(p, "_LATEST")
-    fs.delete(ptr, false)
-    fs.rename(tmp, ptr)
+    // throws on failure instead of FileSystem.rename's silent false
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** All `v<n>` version dir names under `dir`, newest first. */
@@ -94,7 +99,20 @@ object VersionedDir {
     val (fs, p) = fsOf(spark, dir)
     if (!fs.exists(p)) return Seq.empty
     val live = latest(spark, dir)
-    val doomed = versions(spark, dir).drop(keep).filterNot(live.contains)
+    // retention counts POINTER-COMMITTED history only (version number <=
+    // the live pointer's). A higher-numbered unreferenced dir is either
+    // crash garbage or another writer's in-flight commit: it must not
+    // consume a retention slot (or the slot's real version vanishes
+    // under a pinned reader) and must not be deleted here (that would
+    // race an in-flight commit) — once the pointer passes its number it
+    // joins committed history and ages out normally. No pointer = no
+    // committed history = nothing reclaimable.
+    val liveN = live.flatMap(v => scala.util.Try(v.drop(1).toLong).toOption)
+    val committed = liveN match {
+      case Some(n) => versions(spark, dir).filter(_.drop(1).toLong <= n)
+      case None => Seq.empty
+    }
+    val doomed = committed.drop(keep).filterNot(live.contains)
     doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, v), true))
     doomed
   }

@@ -34,39 +34,39 @@ object StreamingOps {
   case class SessionAgg(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, total_value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  /** Per-user state: ALL open session intervals, not just the newest.
+    * One carried interval cannot express an in-watermark late event that
+    * lands more than `gap` BEFORE the open session — a sorted replay
+    * yields two sessions there, so single-interval state made output
+    * depend on batch boundaries whenever gap < allowed lateness. */
+  case class SessionsState(open: Seq[SessionState])
 
-  /** The shared per-group session fold: sort the batch's events by
-    * (ts, event_id) — the batch op's total order, sub-millisecond aware —
-    * and split on `gapMs`. Returns sessions closed by IN-BATCH gaps plus
-    * the still-open state. */
-  private def foldSessions(userId: Long, rows: Iterator[Event],
-      prior: Option[SessionState], gapMs: Long)
-      : (List[SessionAgg], Option[SessionState]) = {
-    val sorted = rows.toSeq.sortWith { (a, b) =>
-      val c = a.ts.compareTo(b.ts)
-      c < 0 || (c == 0 && a.event_id < b.event_id)
-    }
-    var closed = List.empty[SessionAgg]
-    var cur = prior
-    sorted.foreach { e =>
-      val t = e.ts.getTime
-      cur match {
-        case Some(s) if t - s.last <= gapMs =>
-          // min/max, not assignment: an in-watermark LATE event (t before
-          // the carried state's bounds) must widen the session exactly as
-          // a sorted replay would — otherwise end < start and the output
-          // depends on batch boundaries
-          cur = Some(s.copy(start = math.min(s.start, t),
-            last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
-        case Some(s) =>
-          closed ::= SessionAgg(userId, new Timestamp(s.start),
-            new Timestamp(s.last), s.n, s.total)
-          cur = Some(SessionState(t, t, 1, e.value))
-        case None =>
-          cur = Some(SessionState(t, t, 1, e.value))
-      }
-    }
-    (closed.reverse, cur)
+  /** Insert one event into the open-interval set: it extends every
+    * interval within `gapMs` of its bounds (possibly BRIDGING two — a
+    * late arrival can fuse the sessions on either side of it) or opens
+    * its own. Insert-merge is ORDER-INDEPENDENT: the final interval set
+    * is the gap-split of the sorted event multiset, whatever order the
+    * stream delivered it in — which is exactly the replay-determinism
+    * contract. */
+  private def insertEvent(open: List[SessionState], t: Long, v: Double,
+      gapMs: Long): List[SessionState] = {
+    val (touch, rest) = open.partition(s =>
+      t >= s.start - gapMs && t <= s.last + gapMs)
+    touch.foldLeft(SessionState(t, t, 1, v)) { (a, s) =>
+      SessionState(math.min(a.start, s.start), math.max(a.last, s.last),
+        a.n + s.n, a.total + s.total)
+    } :: rest
+  }
+
+  /** The shared per-group session fold: merge the batch's events into
+    * the carried open-interval set. Returns the intervals sorted by
+    * start; the caller decides which are closable (watermark-expired
+    * for the event-time twin, all-but-newest for processing time). */
+  private def foldSessions(rows: Iterator[Event],
+      prior: Seq[SessionState], gapMs: Long): List[SessionState] = {
+    var open = prior.toList
+    rows.foreach(e => open = insertEvent(open, e.ts.getTime, e.value, gapMs))
+    open.sortBy(_.start)
   }
 
   /** Gap-based sessionization with explicit state (the reference's
@@ -80,21 +80,29 @@ object StreamingOps {
       : Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionAgg](OutputMode.Append, timeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+      .flatMapGroupsWithState[SessionsState, SessionAgg](OutputMode.Append, timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionsState]) =>
           if (state.hasTimedOut) {
-            val s = state.get
+            val done = state.get.open.sortBy(_.start)
             state.remove()
-            Iterator.single(SessionAgg(userId, new Timestamp(s.start),
+            done.iterator.map(s => SessionAgg(userId, new Timestamp(s.start),
               new Timestamp(s.last), s.n, s.total))
           } else {
-            val (closed, cur) = foldSessions(userId, rows, state.getOption, gapMs)
-            cur.foreach { s =>
-              state.update(s)
-              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
-                state.setTimeoutDuration(gapMs)
+            val open = foldSessions(rows,
+              state.getOption.map(_.open).getOrElse(Nil), gapMs)
+            // processing-time semantics: everything but the newest
+            // interval is already separated by more than the gap in
+            // event time — close it now; the newest waits on the clock
+            val (closed, cur) = (open.dropRight(1), open.lastOption)
+            cur match {
+              case Some(s) =>
+                state.update(SessionsState(Seq(s)))
+                if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                  state.setTimeoutDuration(gapMs)
+              case None => if (state.exists) state.remove()
             }
-            closed.iterator
+            closed.iterator.map(s => SessionAgg(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
           }
       }
   }
@@ -114,25 +122,30 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionAgg](OutputMode.Append,
+      .flatMapGroupsWithState[SessionsState, SessionAgg](OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionAgg(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total))
-          } else {
-            val (closed, cur) = foldSessions(userId, rows, state.getOption, gapMs)
-            cur.foreach { s =>
-              state.update(s)
-              // a timeout timestamp must sit beyond the current watermark;
-              // heavily-late sessions time out on the very next trigger
-              state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionsState]) =>
+          // shared close rule, timeout and data triggers alike: an
+          // interval is DONE once the watermark passes last + gap — no
+          // admissible event can extend or bridge it anymore; everything
+          // else stays open (state holds ALL open intervals, so a late
+          // event landing more than a gap before the newest session
+          // still finds — or founds — its own interval)
+          val open = foldSessions(rows,
+            state.getOption.map(_.open).getOrElse(Nil), gapMs)
+          val wm = state.getCurrentWatermarkMs()
+          val (done, alive) = open.partition(_.last + gapMs <= wm)
+          if (alive.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(SessionsState(alive))
+            // the earliest open interval drives the next timeout; it
+            // must sit beyond the current watermark — heavily-late
+            // intervals time out on the very next trigger
+            state.setTimeoutTimestamp(
+              math.max(alive.map(_.last + gapMs).min, wm + 1))
           }
+          done.sortBy(_.start).iterator.map(s => SessionAgg(userId,
+            new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
       }
   }
 
@@ -744,15 +757,19 @@ object StreamingOps {
   // versioned parquet (never inside the stream), so serving reads the
   // index with plain batch scans while ingest appends to it:
   //
-  //   <indexDir>/v<batchId>/...   one immutable version per micro-batch
-  //   <indexDir>/_LATEST          pointer file naming the live version
+  //   <indexDir>/v<n>/...   one immutable LOG-ORDERED version per commit
+  //   <indexDir>/_LATEST    pointer file naming the live version
   //
   // Each batch reads the version the pointer names, builds the next
-  // version in a NEW directory (no read-modify-write on live files), and
+  // version in a NEW directory (no read-modify-write on live files;
+  // n = max existing + 1, so other writers over the same log never
+  // collide), writes a per-version (appId, batchId) txn marker, and
   // moves the pointer last — a crashed batch leaves the pointer on the
-  // old consistent version, and a foreachBatch RETRY of the same batchId
-  // rewrites the same version dir from the same parent: idempotent.
-  // Because the update operators are additive over disjoint batches
+  // old consistent version, and a foreachBatch RETRY of a batchId whose
+  // txn marker is visible in POINTER-COMMITTED history is skipped as a
+  // no-op (a marker in an unreferenced dir is a crash-before-pointer:
+  // that batch never went live, so the retry recommits it). Because the
+  // update operators are additive over disjoint batches
   // (Bm25Index.updatedWith, AnnIvf.updatedIndex — both spec-pinned equal
   // to full rebuilds), the final index is identical under ANY micro-batch
   // boundaries: the stream twin inherits the batch ops' determinism.
@@ -769,24 +786,38 @@ object StreamingOps {
     graft.core.VersionedDir.writePointer(spark, dir, version)
 
   /** The latest batchId this `appId` committed into `dir`'s log, scanning
-    * retained versions newest-first (lazy — the common case reads ONE txn
-    * parquet: the app's own previous commit). Versions without a txn
-    * marker (unreferenced crash garbage, pre-protocol dirs) are skipped.
-    * Shared by every versioned sink: checking only the live version
-    * would let a batch retry that arrives AFTER another writer's commit
-    * (purge, optimize, a second app) recommit an already-committed
+    * POINTER-COMMITTED versions newest-first (lazy — the common case
+    * reads ONE txn parquet: the app's own previous commit). Only
+    * versions at or below the live pointer count: a txn marker in a
+    * higher-numbered unreferenced dir is a crash between writeTxn and
+    * writePointer — that batch never went live, and honoring its marker
+    * would skip the retry and silently lose the batch forever. Versions
+    * without a txn marker (pre-protocol dirs) are skipped; any OTHER
+    * failure reading a txn propagates — swallowing a transient IO error
+    * would read as "no txn" and recommit a committed batch, duplicating
+    * its rows. Shared by every versioned sink: checking only the live
+    * version would let a batch retry that arrives AFTER another writer's
+    * commit (purge, optimize, a second app) recommit an already-committed
     * batch. Retention caveat: vacuuming ALL of an app's txns re-opens
     * its retry window — keep must cover the crash-recovery horizon. */
   private def latestTxn(spark: org.apache.spark.sql.SparkSession,
-      dir: String, appId: String): Option[Long] =
+      dir: String, appId: String): Option[Long] = {
+    val liveN = graft.core.VersionedDir.latest(spark, dir)
+      .flatMap(v => scala.util.Try(v.drop(1).toLong).toOption)
     graft.core.VersionedDir.versions(spark, dir).iterator
+      .filter(v => liveN.exists(v.drop(1).toLong <= _))
       .flatMap { v =>
-        scala.util.Try {
+        try {
           val t = spark.read.parquet(s"$dir/$v/txn").head()
-          (t.getAs[String]("appId"), t.getAs[Long]("batchId"))
-        }.toOption
+          Some((t.getAs[String]("appId"), t.getAs[Long]("batchId")))
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("PATH_NOT_FOUND") => None
+          case _: java.io.FileNotFoundException => None
+        }
       }
       .collectFirst { case (a, b) if a == appId => b }
+  }
 
   private def writeTxn(spark: org.apache.spark.sql.SparkSession,
       dir: String, version: String, appId: String, batchId: Long): Unit = {
@@ -906,14 +937,23 @@ object StreamingOps {
     * [spec-pinned]. A list split across batches would score as two
     * partial lists — the same disjointness discipline every ingest sink
     * here documents. Cost per batch: one bounded equi-join + one
-    * per-query groupBy over the batch only. */
+    * per-query groupBy over the batch only.
+    *
+    * The log is hive-partitioned by `batch_id` and each batch overwrites
+    * ONLY its own partition (dynamic partition overwrite), so a
+    * foreachBatch RETRY rewrites the same rows instead of appending
+    * duplicates — retry-idempotent like every other sink here, without
+    * asking monitoring consumers to dedup. */
   def evalRankingSink(outDir: String, op: graft.ops.EvalRanking)
       : (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty)
         op.transform(batch)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
   }
 
   /** Retention vacuum for a sink-maintained versioned index directory
@@ -970,8 +1010,13 @@ object StreamingOps {
 
   private def manifestEntry(delta: String,
       rows: DataFrame, idCol: String): ManifestEntry = {
-    val s = rows.agg(min(col(idCol)).cast("long"),
-      max(col(idCol)).cast("long")).head()
+    // cast BEFORE min/max: a string id column's native min/max is
+    // lexicographic ("100" < "99"), which would build an inverted zone
+    // map and make the pruned read silently drop matching deltas —
+    // casting first keeps the aggregate in the comparison's own (long)
+    // ordering, and non-numeric ids become null = conservatively kept
+    val s = rows.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
     ManifestEntry(delta,
       if (s.isNullAt(0)) None else Some(s.getLong(0)),
       if (s.isNullAt(1)) None else Some(s.getLong(1)))
@@ -1021,9 +1066,10 @@ object StreamingOps {
       val chosen = entries.filter(e =>
         e.min_id.isEmpty || e.max_id.isEmpty ||
           (e.min_id.get <= maxId && e.max_id.get >= minId))
-      // nothing overlaps: fall back to the full delta list purely to
-      // carry the schema — the residual filter still yields zero rows
-      val paths = (if (chosen.nonEmpty) chosen else entries)
+      // nothing overlaps: ONE delta carries the schema (the residual
+      // filter still yields zero rows) — listing every delta here would
+      // pay the full-footer cost the zone maps exist to avoid
+      val paths = (if (chosen.nonEmpty) chosen else entries.take(1))
         .map(e => s"$stateDir/deltas/${e.delta}")
       spark.read.parquet(paths: _*)
         .filter(col(idCol).between(minId, maxId))
@@ -1075,8 +1121,8 @@ object StreamingOps {
       if (!seen.subsetOf(liveM.toSet)) None // purge/compact rewrote deltas
       else Some {
         val fresh = liveM.filterNot(seen)
-        if (fresh.isEmpty)
-          loadCorpus(spark, stateDir).get.limit(0)
+        if (fresh.isEmpty) // one delta carries the schema at O(1) cost
+          spark.read.parquet(s"$stateDir/deltas/${liveM.head}").limit(0)
         else spark.read.parquet(
           fresh.map(d => s"$stateDir/deltas/$d"): _*)
       }

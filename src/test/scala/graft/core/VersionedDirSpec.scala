@@ -31,7 +31,7 @@ class VersionedDirSpec extends SparkSpec {
     assert(VersionedDir.readLatest(spark, dir).get.count() == 2)
   }
 
-  test("an unreferenced version dir (crash before pointer move) is invisible and vacuumable") {
+  test("an unreferenced version dir (crash before pointer move) is invisible; vacuum spares it until the pointer passes") {
     val dir = tmp()
     VersionedDir.publish(Seq((1L, "live")).toDF("id", "x"), dir)
     // simulate a failed publish: v99 materialized, pointer never moved
@@ -40,12 +40,18 @@ class VersionedDirSpec extends SparkSpec {
     // readers still resolve the pointed version
     assert(VersionedDir.readLatest(spark, dir).get
       .select("x").as[String].collect().toSeq == Seq("live"))
-    // vacuum reclaims the garbage but force-keeps the pointed v0 even at
-    // keep = 0 (v99 sorts newer but is not _LATEST)
-    val deleted = VersionedDir.vacuum(spark, dir, keep = 0)
-    assert(deleted == Seq("v99"))
-    assert(VersionedDir.versions(spark, dir) == Seq("v0"))
+    // vacuum must NOT touch a dir above the pointer (it cannot tell
+    // crash garbage from another writer's in-flight commit), must not
+    // let it consume a retention slot (or v0 — the only real history —
+    // would vanish under a pinned reader), and force-keeps pointed v0
+    assert(VersionedDir.vacuum(spark, dir, keep = 0).isEmpty)
+    assert(VersionedDir.versions(spark, dir) == Seq("v99", "v0"))
     assert(VersionedDir.readLatest(spark, dir).get.count() == 1)
+    // once the pointer passes it (next commit lands at v100 = max + 1),
+    // the garbage joins committed history and ages out normally
+    VersionedDir.publish(Seq((2L, "next")).toDF("id", "x"), dir)
+    assert(VersionedDir.vacuum(spark, dir, keep = 1).toSet == Set("v99", "v0"))
+    assert(VersionedDir.versions(spark, dir) == Seq("v100"))
   }
 
   test("readAt time-travels to retained versions; vacuumed history is gone") {

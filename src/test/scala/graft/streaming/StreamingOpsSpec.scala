@@ -484,6 +484,57 @@ class StreamingOpsSpec extends SparkSpec {
       out.head.toString)
   }
 
+  test("sessionizeByEventTime: a late event more than a gap BEFORE the open session is its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    // gap (2 min) < allowed lateness (10 min): the config where
+    // single-interval state used to merge an in-watermark late event
+    // into a session it is more than a gap away from
+    val q = StreamingOps.sessionizeByEventTime(src.toDS(),
+      gapMs = 2 * 60_000L, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late_split").start()
+    src.addData(Event(1, ts(720), 10, "a", 1.0),
+      Event(2, ts(721), 10, "b", 1.0)) // session [12:00, 12:01]
+    q.processAllAvailable()
+    // 5 minutes BEFORE the open session's start, inside the watermark
+    // (wm = 12:01 - 10 min = 11:51 <= 11:55): replay yields TWO sessions
+    src.addData(Event(3, ts(715), 10, "c", 5.0))
+    q.processAllAvailable()
+    // push the watermark far past everything so both sessions close
+    src.addData(Event(99, ts(5000), 99, "x", 0.0))
+    q.processAllAvailable()
+    src.addData(Event(100, ts(5001), 99, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_late_split").as[SessionAgg].collect()
+      .filter(_.user_id == 10L).sortBy(_.session_start.getTime)
+    assert(out.length == 2, s"two sessions expected: ${out.toSeq}")
+    assert(out(0).session_start.getTime == ts(715).getTime &&
+      out(0).session_end.getTime == ts(715).getTime && out(0).n_events == 1)
+    assert(out(1).session_start.getTime == ts(720).getTime &&
+      out(1).session_end.getTime == ts(721).getTime && out(1).n_events == 2)
+    // and a bridging arrival fuses the two intervals it lands between
+    val src2 = MemoryStream[Event]
+    val q2 = StreamingOps.sessionizeByEventTime(src2.toDS(),
+      gapMs = 2 * 60_000L, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_bridge").start()
+    src2.addData(Event(1, ts(720), 10, "a", 1.0)); q2.processAllAvailable()
+    src2.addData(Event(2, ts(716), 10, "b", 1.0)); q2.processAllAvailable()
+    src2.addData(Event(3, ts(718), 10, "c", 1.0)) // within a gap of BOTH
+    q2.processAllAvailable()
+    src2.addData(Event(99, ts(5000), 99, "x", 0.0)); q2.processAllAvailable()
+    src2.addData(Event(100, ts(5001), 99, "x", 0.0)); q2.processAllAvailable()
+    q2.stop()
+    val fused = spark.table("sess_bridge").as[SessionAgg].collect()
+      .filter(_.user_id == 10L)
+    assert(fused.length == 1 && fused.head.n_events == 3 &&
+      fused.head.session_start.getTime == ts(716).getTime &&
+      fused.head.session_end.getTime == ts(720).getTime,
+      s"the bridging event must fuse both intervals: ${fused.toSeq}")
+  }
+
   test("sequenceStream matches the batch TrainingSequences output") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
@@ -1073,6 +1124,27 @@ class StreamingOpsSpec extends SparkSpec {
       "purged doc 7's signal row must retire")
     assert(after.head.getAs[Long]("quality_score") > 1000000L,
       "the fallback reconcile also carries surviving rows verbatim")
+  }
+
+  test("a crash between txn write and pointer move does not lose the batch on retry") {
+    val dir = tmpDir("corpus_crash_")
+    val sink = StreamingOps.corpusIngestSink(dir)
+    sink(Seq((1L, "first doc body")).toDF("doc_id", "text"), 0L)
+    // simulate batch 1 crashing AFTER its txn marker landed but BEFORE
+    // the pointer moved: the marker sits in an unreferenced version dir
+    val ghost = graft.core.VersionedDir.nextVersion(spark, dir)
+    Seq(("corpus-ingest", 1L)).toDF("appId", "batchId")
+      .write.parquet(s"$dir/$ghost/txn")
+    // the foreachBatch retry of batch 1 must RECOMMIT (honoring the
+    // ghost marker would skip it and silently lose the batch forever)
+    sink(Seq((2L, "second doc body")).toDF("doc_id", "text"), 1L)
+    assert(StreamingOps.loadCorpus(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "the retried batch's rows must reach the live corpus")
+    // and a retry of the now-committed batch 1 is a no-op
+    val n = graft.core.VersionedDir.versions(spark, dir).size
+    sink(Seq((2L, "second doc body")).toDF("doc_id", "text"), 1L)
+    assert(graft.core.VersionedDir.versions(spark, dir).size == n)
   }
 
   test("corpusDeltasSince reads only the new delta files (append-only fast path)") {
