@@ -65,15 +65,25 @@ case class AnnIvf(
     * [[updatedIndex]] rather than rebuilt per batch. */
   def transformIndexed(df: DataFrame, index: DataFrame): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    val probed = df.select(col(queryIdCol), col(queryVecCol))
+    val queries = df.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol), col(queryVecCol))
+    val probed = queries
       .withColumn("__cid", explode(
         arrayTransformCol(slice(array_sort(centroidStructs(col(queryVecCol))), 1, nprobe))))
-    probed.join(index, Seq("__cid"))
+    val hits = probed.join(index, Seq("__cid"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))
+    // one row per (non-null-vector) query even when every probed list is
+    // EMPTY (k-means leaves empty lists on small/drifted catalogs): the
+    // inner probe join alone would drop such queries from the output,
+    // violating transformSchema's one-row-per-query shape — they get
+    // empty candidate arrays instead
+    queries.select(col(queryIdCol)).join(hits, Seq(queryIdCol), "left")
       .select(col(queryIdCol),
-        col("__top.ids").as("candidate_ids"),
-        col("__top.scores").as("candidate_scores"))
+        coalesce(col("__top.ids"), typedLit(Array.empty[Long]))
+          .as("candidate_ids"),
+        coalesce(col("__top.scores"), typedLit(Array.empty[Double]))
+          .as("candidate_scores"))
   }
 
   /** Incremental index ingest: append a new item batch to the persisted

@@ -97,17 +97,24 @@ case class AnnSq(
     * is row-local over the candidates, the exact dot runs on v̂. */
   def transformIndexed(df: DataFrame, index: DataFrame): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    val probed = df.select(col(queryIdCol), col(queryVecCol))
+    val queries = df.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol), col(queryVecCol))
+    val probed = queries
       .withColumn("__cid", explode(org.apache.spark.sql.functions.transform(
         slice(array_sort(VectorFunctions.centroidStructs(col(queryVecCol), centers)),
           1, nprobe), s => s.getField("cid"))))
-    probed.join(index, Seq("__cid"))
+    val hits = probed.join(index, Seq("__cid"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"),
         VectorFunctions.dot(col(queryVecCol), decode(col("__codes")))).as("__top"))
+    // empty-probed-list queries keep their row (AnnIvf.transformIndexed's
+    // one-row-per-query contract; empty candidate arrays)
+    queries.select(col(queryIdCol)).join(hits, Seq(queryIdCol), "left")
       .select(col(queryIdCol),
-        col("__top.ids").as("candidate_ids"),
-        col("__top.scores").as("candidate_scores"))
+        coalesce(col("__top.ids"), typedLit(Array.empty[Long]))
+          .as("candidate_ids"),
+        coalesce(col("__top.scores"), typedLit(Array.empty[Double]))
+          .as("candidate_scores"))
   }
 
   /** Incremental ingest under the FROZEN quantizers (coarse + scalar):
@@ -138,8 +145,13 @@ object AnnSq {
         (lo, st) => struct(lo.as("lo"), st.as("st"))),
       (x, q) => {
         val lo = q.getField("lo"); val st = q.getField("st")
-        when(st === 0.0, 0).otherwise(
-          least(lit(255), greatest(lit(0),
+        // null element first: greatest/least SKIP nulls, so without the
+        // guard a null dimension would quietly encode as code 0 (= min_d)
+        // and produce a finite wrong score — the family's null discipline
+        // is NULL in, NULL out, never a silently-truncated value
+        when(x.isNull, lit(null).cast("int"))
+          .when(st === 0.0, 0)
+          .otherwise(least(lit(255), greatest(lit(0),
             floor((x - lo) / st + lit(0.5)).cast("int"))))
       })
 

@@ -89,7 +89,11 @@ case class NgramJaccardDedup(
     val docs = df.select(col(idCol).as("id"), T.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = docs.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    // n_sh as LONG: the size-compatibility and prefix filters multiply
+    // it by basis points — 32-bit math wraps negative at ~215k shingles
+    // (a long book) and silently drops true duplicate pairs
+    val sh = docs.select(col("id"),
+      size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix length ⌊(1−t)·|d|⌋+1 under (df ASC, shingle ASC) global order;
     // prefix rows are light (no arrays) — candidates dedupe before any
@@ -314,9 +318,18 @@ case class DupClusters(
     // majority of a deduped corpus) join in once at the end
     val nodes = edges.select(col("src").as("node")).distinct()
     def checksum(l: DataFrame): java.math.BigDecimal = {
+      // hash the label before summing: a direct numeric cast is NULL for
+      // string/date ids (transformSchema blesses them), which made every
+      // round's sum normalize to ZERO and convergence fire after two
+      // rounds with wide components still unresolved. xxhash64 works for
+      // any id type; the decimal sum cannot overflow. (With numeric
+      // labels the old sum was monotone under min-propagation; the hash
+      // sum instead changes with overwhelming probability whenever any
+      // label changes — a 2^-64-class collision is the accepted risk.)
       // sum over zero rows is NULL → normalize so an empty pair list
       // converges on the first round instead of NPE-ing the comparison
-      val v = l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      val v = l.agg(sum(xxhash64(col("label")).cast("decimal(38,0)")))
+        .head().getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v
     }
     // lazy localCheckpoint: the checksum action both materializes the
@@ -738,13 +751,15 @@ case class IncrementalMinHashDedup(
     // (no truncation needed), and checkpoint materialization takes the
     // process-global RDDCheckpointData lock, which can deadlock against a
     // broadcast-exchange thread's own doCheckpoint (observed live in the
-    // suite) — cache-block locks cannot
-    val sigged = df
+    // suite) — cache-block locks cannot. The cache is RELEASED below once
+    // the dup-count-sized match table materializes.
+    def signed(frame: DataFrame): DataFrame = frame
       .withColumn("__sh", T.shingleSet(col(textCol), n))
       .withColumn("minhash_sig",
         when(size(col("__sh")) > 0,
           FastExpressions.minhashSignature(col("__sh"), numHashes)))
       .drop("__sh")
+    val sigged = signed(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bsig = sigged.select(col(idCol).as("__bid"), col("minhash_sig").as("__bsig"))
       .filter(col("__bsig").isNotNull)
@@ -752,7 +767,12 @@ case class IncrementalMinHashDedup(
       posexplode(FastExpressions.sigBandKeys(col("__bsig"), bands))
         .as(Seq("band_idx", "band_hash")))
     // --- vs the accepted index -----------------------------------------
-    val isig = index.select(col(indexIdCol).cast("long").as("__iid"),
+    // index ids cast to the BATCH id's type (matched_id's declared type):
+    // the old unconditional cast("long") silently nulled string ids,
+    // which emptied the band join's key and labeled every re-ingested
+    // near-duplicate of an accepted doc a keeper
+    val isig = index.select(
+      col(indexIdCol).cast(df.schema(idCol).dataType).as("__iid"),
       col(indexSigCol).as("__isig"))
     val iband = isig.select(col("__iid"),
       posexplode(FastExpressions.sigBandKeys(col("__isig"), bands))
@@ -773,10 +793,16 @@ case class IncrementalMinHashDedup(
       .filter(estBp(col("__bsig"), col("__asig")) >= thresholdBp)
       .groupBy(col("__bid")).agg(min(col("__aid")).as("__batch_match"))
     // merge the two (id, match) tables FIRST — they are dup-count-sized,
-    // two longs per row — so the batch (with its text) crosses exactly
-    // ONE join, the ScrubSharedGrams discipline
+    // two ids per row — so the batch (with its text) crosses exactly
+    // ONE join, the ScrubSharedGrams discipline. Materializing the tiny
+    // match table is also what lets the batch-sized signature cache be
+    // RELEASED here instead of leaking across queries in a long-lived
+    // session (the final projection re-derives signatures in one fresh
+    // row-local pass — a recompute, not a cache).
     val matches = vsIndex.join(vsBatch, Seq("__bid"), "full_outer")
-    sigged
+      .localCheckpoint(true)
+    sigged.unpersist()
+    signed(df)
       .join(matches, col(idCol) === matches("__bid"), "left").drop("__bid")
       .withColumn("dup_kind",
         when(col("__idx_match").isNotNull, lit("near_index"))

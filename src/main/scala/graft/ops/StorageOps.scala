@@ -108,14 +108,33 @@ object StorageOps {
     *    are true, which TRIMS field whitespace on the way out;
     *  - `nullValue = \N` — CSV cannot otherwise distinguish NULL from
     *    the empty string (both serialize as nothing); the PostgreSQL
-    *    convention keeps them distinct. */
-  def writeCsv(df: DataFrame, path: String): Unit =
+    *    convention keeps them distinct.
+    * The sentinel is the format's one irreducible ambiguity: a FIELD
+    * whose actual value is the two characters `\N` writes byte-identical
+    * to a real NULL (quoting does not help — the reader unquotes before
+    * the null comparison), so the round trip would corrupt it to NULL.
+    * Rather than ship that silently, the write FAILS FAST when any
+    * string cell equals the sentinel (one cheap scan, and losslessness
+    * stays a checked contract, not a hope); such data belongs in
+    * parquet/ORC/JSONL, or pre-escape it. */
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => col(f.name))
+    if (stringCols.nonEmpty) {
+      val clash = df.filter(stringCols.map(_ === "\\N").reduce(_ || _)).limit(1)
+      require(clash.isEmpty,
+        "writeCsv: a string cell equals the NULL sentinel \\N — a CSV " +
+          "round trip would corrupt it to NULL; use parquet/ORC/JSONL " +
+          "for this data or rewrite the value")
+    }
     df.write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
       .option("nullValue", "\\N")
       .csv(path)
+  }
 
   /** CSV read with an explicit schema (schema inference is a full extra
     * pass over the data — never at scale). `multiLine` makes embedded
@@ -185,8 +204,13 @@ object StorageOps {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 512L << 20): Int = {
     require(targetBytes > 0, "compact: targetBytes must be positive")
-    val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rawPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = rawPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify NOW: listStatus returns fully-qualified absolute leaves, so
+    // the relative-path stripPrefix below would be a no-op against a
+    // relative inPath and the output would nest under a mangled
+    // out/<cwd>/<inPath>/col=value tree that breaks partition discovery
+    val hadoopPath = fs.makeQualified(rawPath)
     def visible(p: org.apache.hadoop.fs.Path): Boolean =
       // skip _SUCCESS markers AND .crc checksum shadows — counting those
       // would inflate the sizing on local filesystems
@@ -249,14 +273,20 @@ object StorageOps {
   }
 
   /** Exact integer min-max scaling of a LONG column into `[0, 2^bits)`:
-    * `((v − min) · (2^bits − 1)) DIV (max − min)` — all in 64-bit integer
-    * arithmetic (a double rescale loses exactness past 2^53 and would
-    * not replay cross-engine). Constant columns scale to 0. Caller
-    * provides min/max (one metadata-scale agg job). */
+    * `((v − min) · (2^bits − 1)) DIV (max − min)` — the multiply runs in
+    * DECIMAL(38,0), because 64-bit longs wrap once the column span
+    * exceeds 2^63/(2^bits−1) (~1.4e14 at bits = 16 — microsecond epochs
+    * spanning a few years already cross it), which would silently
+    * destroy the clustering; a double rescale instead loses exactness
+    * past 2^53 and would not replay cross-engine. Decimal keeps the
+    * arithmetic exact over the full long range and DIVs back to a
+    * sub-2^bits BIGINT. Constant columns scale to 0. Caller provides
+    * min/max (one metadata-scale agg job). */
   def zScaleSql(colName: String, min: Long, max: Long, bits: Int): String = {
     val mask = (1L << bits) - 1
     if (max <= min) "CAST(0 AS BIGINT)"
-    else s"CAST((($colName - ($min)) * $mask) DIV (($max) - ($min)) AS BIGINT)"
+    else s"CAST(((CAST($colName AS DECIMAL(38,0)) - ($min)) * $mask) " +
+      s"DIV (CAST($max AS DECIMAL(38,0)) - ($min)) AS BIGINT)"
   }
 
   /** Z-order clustered parquet write — the MULTI-column data-skipping
@@ -284,6 +314,13 @@ object StorageOps {
     val aggs = zCols.flatMap(c => Seq(min(col(c).cast("long")),
       max(col(c).cast("long"))))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input (or an all-null column) has no bounds: write the empty
+    // frame as-is instead of NPE-ing on the null aggregate below
+    if (bounds.isNullAt(0)) {
+      df.withColumn(zcolName, lit(0L))
+        .write.mode("overwrite").parquet(path)
+      return
+    }
     val scaled = zCols.zipWithIndex.map { case (c, i) =>
       expr(zScaleSql(c, bounds.getLong(2 * i), bounds.getLong(2 * i + 1), bits))
     }

@@ -84,4 +84,20 @@ class AnnIvfSpec extends SparkSpec {
     assert(loaded.transform(queries).orderBy("vec_id").collect().toSeq ==
       fitted.transform(queries).orderBy("vec_id").collect().toSeq)
   }
+
+  test("a query probing only EMPTY inverted lists keeps its row (empty candidates)") {
+    import org.apache.spark.sql.functions._
+    // two centroids; every item sits near A, so B's list is empty
+    val items = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)))
+      .toDF("item_id", "embedding")
+    val centers = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0))
+    val op = AnnIvf(items, centers, "qid", "qvec", k = 5, nprobe = 1)
+    val qs = Seq((10L, Seq(-1.0, 0.0)), (11L, Seq(1.0, 0.0)))
+      .toDF("qid", "qvec")
+    val out = op.transform(qs).orderBy("qid").collect()
+    assert(out.length == 2, s"both queries must keep their rows: ${out.toSeq}")
+    assert(out(0).getAs[scala.collection.Seq[Long]]("candidate_ids").isEmpty,
+      "the empty-list query emits empty candidate arrays")
+    assert(out(1).getAs[scala.collection.Seq[Long]]("candidate_ids").nonEmpty)
+  }
 }

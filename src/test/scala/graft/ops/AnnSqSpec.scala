@@ -115,4 +115,15 @@ class AnnSqSpec extends SparkSpec {
     val b = back.ops.head.asInstanceOf[AnnSq].asRows(queries).collect().map(_.toSeq).toSeq
     assert(a == b, "reloaded SQ op scores differently")
   }
+
+  test("encodeExpr propagates a NULL vector element instead of encoding min_d") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(1).toDF("i").select(
+      AnnSq.encodeExpr(typedLit(Seq[java.lang.Double](0.5, null)),
+        mins = Seq(0.0, 0.0), steps = Seq(1.0 / 255, 1.0 / 255)).as("codes"))
+    val codes = df.collect().head.getAs[scala.collection.Seq[Any]]("codes")
+    assert(codes(0) == 128, s"real element quantizes: $codes")
+    assert(codes(1) == null,
+      s"null element must encode NULL, never code 0 (= min_d): $codes")
+  }
 }

@@ -353,4 +353,38 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(1) == 1L,
       "normalized 4-prefixes agree; the 9-token copy is kept")
   }
+
+  test("NgramJaccardDedup survives very long documents (long-safe basis-point math)") {
+    // ~220k shingles per doc: 32-bit n_sh * 10000 wraps negative and the
+    // size-compatibility filter silently dropped the pair pre-fix
+    val words = (0 until 220000).map(i => (i % 99991).toString).mkString(" ")
+    val docs = Seq((1L, words), (2L, words)).toDF("doc_id", "text")
+    val out = NgramJaccardDedup(thresholdBp = 8000).transform(docs).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L && out.head.getLong(1) == 2L,
+      s"the identical long-document pair must surface: ${out.toSeq}")
+  }
+
+  test("DupClusters distributed path converges correctly for STRING ids") {
+    // edgeBudget = 0 forces the distributed label propagation; a chain of
+    // diameter 6 needs >2 rounds — the old numeric-cast checksum summed
+    // to zero for string ids and declared convergence after round 2
+    val chain = Seq(("a","b"), ("b","c"), ("c","d"), ("d","e"), ("e","f"), ("f","g"))
+      .toDF("doc_a", "doc_b")
+    val out = DupClusters(edgeBudget = 0L).transform(chain)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out.values.toSet.size == 1 && out.values.head == "a",
+      s"one component, min-id keeper 'a': $out")
+  }
+
+  test("IncrementalMinHashDedup matches against a STRING-id index") {
+    val text = (0 until 200).map(i => s"w$i").mkString(" ")
+    val index = Seq(("doc-accepted", text)).toDF("doc_id", "text")
+    val idx = IncrementalMinHashDedup.signatures(index)
+      .select(col("doc_id"), col("minhash_sig"))
+    val batch = Seq(("doc-new", text)).toDF("doc_id", "text")
+    val out = IncrementalMinHashDedup(idx).transform(batch).collect().head
+    assert(out.getAs[String]("dup_kind") == "near_index" &&
+      out.getAs[String]("matched_id") == "doc-accepted",
+      s"string-id index match must label the re-ingest: $out")
+  }
 }

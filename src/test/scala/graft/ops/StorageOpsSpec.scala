@@ -265,4 +265,55 @@ class StorageOpsSpec extends SparkSpec {
     // the partition column survives the layout round trip
     assert(filtered.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("zScaleSql stays exact when the column span exceeds the 64-bit multiply range") {
+    // span ~4.6e18 (microsecond epochs over decades): (v-min)*65535 wraps
+    // a 64-bit long; the decimal rescale must stay exact and in-range
+    val lo = 0L; val hi = 4_600_000_000_000_000_000L
+    val df = Seq(lo, hi / 2, hi).toDF("v")
+    val out = df.selectExpr(StorageOps.zScaleSql("v", lo, hi, 16) + " AS s")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 32767L, 65535L), s"exact decimal rescale: $out")
+  }
+
+  test("writeCsv fails fast when a cell collides with the NULL sentinel") {
+    val dir = tmp()
+    val bad = Seq((1L, "fine"), (2L, "\\N")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      StorageOps.writeCsv(bad, dir)
+    }
+    assert(e.getMessage.contains("NULL sentinel"))
+    // a null round-trips; the sentinel-free frame writes normally
+    val ok = Seq((1L, "fine"), (2L, null)).toDF("id", "s")
+    StorageOps.writeCsv(ok, dir)
+    val back = StorageOps.readCsv(spark, dir, ok.schema).orderBy("id").collect()
+    assert(back(1).isNullAt(1), "a real NULL survives the round trip")
+  }
+
+  test("compact preserves partition layout for a RELATIVE input path") {
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    val base = new java.io.File("target/compact_rel_spec")
+    if (base.exists()) rmTree(base)
+    val in = "target/compact_rel_spec/in"
+    val out = "target/compact_rel_spec/out"
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+      .write.partitionBy("k").parquet(in)
+    StorageOps.compact(spark, in, out)
+    // partition dirs must land at the OUTPUT ROOT (out/k=a, out/k=b) —
+    // a mangled nested tree breaks partition discovery on read
+    val sub = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(sub.contains("k=a") && sub.contains("k=b"), s"got: $sub")
+    assert(spark.read.parquet(out).columns.toSet == Set("id", "k"))
+    rmTree(base)
+  }
+
+  test("writeZOrdered handles an empty input without NPE") {
+    val dir = tmp()
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    StorageOps.writeZOrdered(empty, dir, Seq("a", "b"))
+    assert(spark.read.parquet(dir).count() == 0L)
+  }
 }
