@@ -101,8 +101,9 @@ object EnsemblePersistence {
       ("type" -> "ExplodeCandidates") ~ ("inputCol" -> in) ~ ("outputCol" -> out)
     case Padding(c, l, v) =>
       ("type" -> "Padding") ~ ("inputCol" -> c) ~ ("length" -> l) ~ ("padValue" -> v)
-    case Categorify(cols, suffix) =>
-      ("type" -> "Categorify") ~ ("cols" -> cols) ~ ("suffix" -> suffix)
+    case Categorify(cols, suffix, budget) =>
+      ("type" -> "Categorify") ~ ("cols" -> cols) ~ ("suffix" -> suffix) ~
+        ("broadcastBudgetBytes" -> budget)
     case StandardScale(cols, suffix) =>
       ("type" -> "StandardScale") ~ ("cols" -> cols) ~ ("suffix" -> suffix)
     case q: QueryFeatureStore =>
@@ -609,7 +610,8 @@ object EnsemblePersistence {
       case "Padding" =>
         Padding(s("inputCol"), (o \ "length").extract[Int],
           (o \ "padValue").extract[Double])
-      case "Categorify" => Categorify(ss("cols"), s("suffix"))
+      case "Categorify" => Categorify(ss("cols"), s("suffix"),
+        (o \ "broadcastBudgetBytes").extractOpt[Long].getOrElse(1L << 30))
       case "StandardScale" => StandardScale(ss("cols"), s("suffix"))
       case "ReciprocalRankFusion" =>
         ReciprocalRankFusion(spark.read.parquet(s("path")), s("queryCol"),

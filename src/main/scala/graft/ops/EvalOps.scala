@@ -68,7 +68,15 @@ case class EvalRanking(
         sum(element_at(gains, col(rankCol).cast("int"))).as("__dcg_nanos"),
         min(col(rankCol)).as("__minrank"))
     val idcg = typedLit(idcgNanos.toArray)
-    topk.select(queryCol).distinct()
+    // metric base = every query PRESENT in the ranked input, not only
+    // those with top-k rows: a query whose candidates all rank past k
+    // must score zero, not vanish (averaging recall only over answered
+    // queries overstates quality exactly when retrieval fails). A query
+    // with NO input rows at all is outside the op's view — retrievers
+    // that emit nothing for a no-match query (BM25) leave those to the
+    // caller's accounting (empty-in → empty-out, which is also what
+    // keeps the per-batch monitoring sink's stream ≡ batch identity).
+    df.select(col(queryCol)).distinct()
       .join(relCounts, Seq(queryCol), "left")
       .join(hits, Seq(queryCol), "left")
       // ideal DCG for this query: the best case places min(n_rel, k)

@@ -39,6 +39,24 @@ private[ops] object SizeGate {
     * planner re-broadcast, never a sort-merge of the fact table). */
   def side(grp: DataFrame, bytes: Long, budget: Long): DataFrame =
     if (bytes <= budget) broadcast(grp) else grp.hint("shuffle_hash")
+
+  /** Measure an already-FITTED dictionary frame directly (one count +
+    * mean-key-payload job at dictionary scale — exact, not sketched) and
+    * pick its join side; `valueBytes` = the per-key statistics payload.
+    * The one gate every fitted-dictionary join routes through
+    * (TargetEncoding, JoinGroupby, Categorify) — one estimate to fix,
+    * not three drifting copies. */
+  def gateGrouped(grp: DataFrame, keyCol: String, valueBytes: Long,
+      budget: Long): DataFrame = {
+    val payload = grp.schema(keyCol).dataType match {
+      case StringType | BinaryType => avg(octet_length(col(keyCol).cast("string")))
+      case dt => avg(lit(dt.defaultSize.toDouble))
+    }
+    val row = grp.agg(count(lit(1)).as("n"), payload.as("b")).head()
+    val bytes = row.getLong(0) *
+      (valueBytes + (if (row.isNullAt(1)) 8L else row.getDouble(1).toLong))
+    side(grp, bytes, budget)
+  }
 }
 
 /** Smoothed target (mean) encoding of categorical columns — the
@@ -117,10 +135,17 @@ case class TargetEncoding(
         if (leaveOneOut)
           // the row's own label leaves its group statistic; groups of one
           // collapse to the prior (n-1+smoothing keeps the denominator
-          // positive for smoothing > 0, and the when-guard covers s=0)
-          when(col(c).isNull || n <= 1.0, lit(prior)).otherwise(
-            (s - y.cast("double") + lit(prior) * lit(smoothing)) /
-              (n - lit(1.0) + lit(smoothing)))
+          // positive for smoothing > 0, and the when-guard covers s=0).
+          // An UNLABELED row (null target) contributed nothing to s/n —
+          // there is nothing to leave out, so it gets the full smoothed
+          // group statistic (blind subtraction would null its encoding)
+          when(col(c).isNull, lit(prior))
+            .when(y.isNull && n > 0.0,
+              (s + lit(prior) * lit(smoothing)) / (n + lit(smoothing)))
+            .when(n <= 1.0, lit(prior))
+            .otherwise(
+              (s - y.cast("double") + lit(prior) * lit(smoothing)) /
+                (n - lit(1.0) + lit(smoothing)))
         else
           when(col(c).isNull, lit(prior)).otherwise(
             (s + lit(prior) * lit(smoothing)) / (n + lit(smoothing)))
@@ -134,16 +159,8 @@ case class TargetEncoding(
     * payload fits the budget; shuffle-hash join otherwise (a 1B-key
     * id column would kill a driver broadcast — the PredictImplicit /
     * NegativeSampling size-gate discipline). */
-  private def dictSide(grp: DataFrame, c: String): DataFrame = {
-    val payload = grp.schema(c).dataType match {
-      case StringType | BinaryType => avg(octet_length(col(c).cast("string")))
-      case dt => avg(lit(dt.defaultSize.toDouble))
-    }
-    val row = grp.agg(count(lit(1)).as("n"), payload.as("b")).head()
-    val n = row.getLong(0)
-    val bytes = n * (16 + (if (row.isNullAt(1)) 8L else row.getDouble(1).toLong))
-    if (bytes <= broadcastBudgetBytes) broadcast(grp) else grp.hint("shuffle_hash")
-  }
+  private def dictSide(grp: DataFrame, c: String): DataFrame =
+    SizeGate.gateGrouped(grp, c, valueBytes = 16L, broadcastBudgetBytes)
 }
 
 /** Per-group statistics joined back as features — NVTabular's
@@ -204,9 +221,18 @@ case class JoinGroupby(
   override def transform(df: DataFrame): DataFrame = {
     val aggs: Seq[Column] = {
       val perValue = valueCols.flatMap { v =>
+        // integral means derive from the EXACT long sum (one double
+        // division at the end): summing per-row double casts is
+        // accumulation-order-dependent past 2^53, which would break the
+        // op's own exact-long-sums determinism claim cross-engine
+        val meanNum = df.schema(v).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            sum(col(v)).cast("double")
+          case _ => sum(col(v).cast("double"))
+        }
         stats.filterNot(_ == "count").map {
           case "sum" => sum(col(v)).as(s"${keyCol}_${v}_sum")
-          case "mean" => (sum(col(v).cast("double")) / count(col(v)))
+          case "mean" => (meanNum / count(col(v)))
             .as(s"${keyCol}_${v}_mean")
           case "min" => min(col(v)).as(s"${keyCol}_${v}_min")
           case "max" => max(col(v)).as(s"${keyCol}_${v}_max")
@@ -218,14 +244,8 @@ case class JoinGroupby(
     }
     val grp = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
-    val payload = grp.schema(keyCol).dataType match {
-      case StringType | BinaryType => avg(octet_length(col(keyCol).cast("string")))
-      case dt => avg(lit(dt.defaultSize.toDouble))
-    }
-    val row = grp.agg(count(lit(1)).as("n"), payload.as("b")).head()
-    val bytes = row.getLong(0) *
-      (8L * aggs.length + (if (row.isNullAt(1)) 8L else row.getDouble(1).toLong))
-    val side = if (bytes <= broadcastBudgetBytes) broadcast(grp) else grp.hint("shuffle_hash")
+    val side = SizeGate.gateGrouped(grp, keyCol,
+      valueBytes = 8L * aggs.length, broadcastBudgetBytes)
     df.join(side, Seq(keyCol), "left")
   }
 }
@@ -302,6 +322,18 @@ case class FillMissing(
 
   override def transformSchema(in: StructType): StructType = {
     (constants.keys ++ medianCols).foreach(requireCol(in, _))
+    // the declared output type is the INPUT column's; a constant whose
+    // literal type would widen the coalesce (double const on an int
+    // column) must be rejected here, not silently truncated by the
+    // runtime cast below or silently widened against this declaration
+    constants.foreach { case (c, v) =>
+      val litT = org.apache.spark.sql.catalyst.expressions.Literal(v).dataType
+      val colT = in(c).dataType
+      require(org.apache.spark.sql.catalyst.analysis.TypeCoercion
+          .findTightestCommonType(litT, colT).contains(colT),
+        s"$name: constant for '$c' has type ${litT.sql}, which does not " +
+          s"fit ${colT.sql} losslessly")
+    }
     medianCols.foreach(c => require(in(c).dataType.isInstanceOf[NumericType],
       s"$name: median fill needs a numeric column, '$c' is ${in(c).dataType.sql}"))
     (constants.keys ++ medianCols).foreach(c =>
@@ -327,7 +359,10 @@ case class FillMissing(
         }.toMap
       }
     val constFilled = constants.keys.toSeq.sorted.foldLeft(df) { (d, c) =>
-      d.withColumn(c + suffix, coalesce(col(c), lit(constants(c))))
+      // cast the (schema-validated lossless) literal to the column type
+      // so the runtime type equals transformSchema's declaration
+      d.withColumn(c + suffix,
+        coalesce(col(c), lit(constants(c)).cast(df.schema(c).dataType)))
     }
     medianCols.foldLeft(constFilled) { (d, c) =>
       d.withColumn(c + suffix, coalesce(col(c).cast("double"), lit(medians(c))))

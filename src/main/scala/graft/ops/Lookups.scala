@@ -48,8 +48,16 @@ case class QueryFeatureStore(
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, entityCol)
-    feats.foreach(c => require(features.schema.fieldNames.contains(c),
-      s"$name: feature '$c' not in feature table"))
+    feats.foreach { c =>
+      require(features.schema.fieldNames.contains(c),
+        s"$name: feature '$c' not in feature table")
+      // fail at schema time, not as a downstream AMBIGUOUS_REFERENCE: a
+      // request column with the same (prefixed) name would duplicate in
+      // the joined frame (the PointInTimeJoin contract, applied here)
+      require(!in.fieldNames.contains(outputPrefix + c),
+        s"$name: output column '${outputPrefix + c}' collides with the " +
+          "request schema — set outputPrefix")
+    }
     val joined = StructType(in ++ feats.map(featField))
     if (includeId) joined else StructType(joined.filterNot(_.name == entityCol))
   }
@@ -111,10 +119,20 @@ case class PointInTimeJoin(
     // feature rows sort before request rows at equal ts → "<=" visibility
     val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col("__pit_req"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = feats.foldLeft(unioned)((d, c) =>
-      d.withColumn(outputPrefix + c,
-        last(col(outputPrefix + c), ignoreNulls = true).over(w)))
-    filled.filter(col("__pit_req") === 1).drop("__pit_req")
+    // carry the latest feature ROW as one struct (ASOF semantics, what
+    // the DuckDB oracle computes): filling each column independently
+    // with last(ignoreNulls) would resurrect older values through a
+    // NULL in the latest row and could stitch together a feature row
+    // that never existed. A feature row's struct is non-null even when
+    // every field is null, so a null field correctly shadows history;
+    // one window pass instead of one per feature column, too.
+    val filled = unioned
+      .withColumn("__pit_row", when(col("__pit_req") === 0,
+        struct(feats.map(c => col(outputPrefix + c)): _*)))
+      .withColumn("__pit_row", last(col("__pit_row"), ignoreNulls = true).over(w))
+    val out = feats.foldLeft(filled)((d, c) =>
+      d.withColumn(outputPrefix + c, col("__pit_row").getField(outputPrefix + c)))
+    out.filter(col("__pit_req") === 1).drop("__pit_req", "__pit_row")
   }
 }
 
@@ -203,7 +221,8 @@ case class EmbeddingLookup(
   * value through one partition (fatal exactly when Categorify matters:
   * high-cardinality ids/URLs, NVTabular's main use).
   */
-case class Categorify(cols: Seq[String], suffix: String = "_idx") extends EnsembleOp {
+case class Categorify(cols: Seq[String], suffix: String = "_idx",
+    broadcastBudgetBytes: Long = 1L << 30) extends EnsembleOp {
 
   override def transformSchema(in: StructType): StructType = {
     cols.foreach(requireCol(in, _))
@@ -221,13 +240,22 @@ case class Categorify(cols: Seq[String], suffix: String = "_idx") extends Ensemb
     val schema = StructType(sorted.schema :+ StructField(c + suffix, IntegerType, nullable = false))
     sorted.sparkSession.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) =>
+        // int codes are the declared output type; past 2^31 codes toInt
+        // would silently wrap negative — that cardinality regime belongs
+        // to the stateless HashBucket, so fail loudly here
+        require(i <= Int.MaxValue,
+          s"Categorify: column '$c' exceeds ${Int.MaxValue} distinct " +
+            "values — use HashBucket for ultra-high-cardinality columns")
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toInt) },
       schema)
   }
 
   override def transform(df: DataFrame): DataFrame = {
     val encoded = cols.foldLeft(df) { (d, c) =>
-      d.join(broadcast(dictionary(df, c)), Seq(c), "left")
+      // size-gated like every fitted-dictionary join (an unconditional
+      // broadcast of a 100M-value URL dictionary kills the driver)
+      d.join(SizeGate.gateGrouped(dictionary(df, c), c,
+          valueBytes = 4L, broadcastBudgetBytes), Seq(c), "left")
         .withColumn(c + suffix, coalesce(col(c + suffix), lit(-1)))
     }
     Tags.tag(encoded, cols.map(c => (c + suffix) -> Seq(Tags.Categorical)): _*)
@@ -285,9 +313,15 @@ case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends 
       case _ => false
     }).toSet
     val aggs = cols.flatMap { c =>
+      // square and sum in DECIMAL(38,0): the product in the input's own
+      // type wraps at ~46k for ints and ~3e9 for longs (x*x per ROW, not
+      // the sum) and silently corrupts mean/std; decimal keeps the sums
+      // exact up to Σx² < 10^38 — far past any realistic fixed-point
+      // feature — and still derives the same double mean/std
       if (integral(c)) Seq(
-        sum(col(c)).as(s"__s1_$c"),
-        sum(col(c) * col(c)).as(s"__s2_$c"),
+        sum(col(c).cast("decimal(38,0)")).as(s"__s1_$c"),
+        sum(col(c).cast("decimal(38,0)") * col(c).cast("decimal(38,0)"))
+          .as(s"__s2_$c"),
         count(col(c)).as(s"__n_$c"))
       else Seq(
         avg(col(c)).as(s"__mean_$c"), stddev_pop(col(c)).as(s"__std_$c"))

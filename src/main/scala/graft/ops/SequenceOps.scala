@@ -51,13 +51,20 @@ case class DocumentChunks(
     // double division exact, so floor matches integer division
     val nc = (lit(1) + floor((greatest(n - chunkSize, lit(0)) + lit(stride - 1))
       / lit(stride))).cast("int")
-    df.select(col(idCol), graft.functions.TextFunctions.words(col(textCol)).as("__ws"))
+    df.select(col(idCol),
+      // drop empty tokens: words("") is [""], and an unfiltered empty or
+      // whitespace-only document would emit one phantom chunk with
+      // n_tokens = 1 and empty text — Bm25Index filters the same
+      // tokenizer's empties for exactly this reason
+      filter(graft.functions.TextFunctions.words(col(textCol)),
+        w => length(w) > 0).as("__ws"))
       // a NULL text has no chunks by contract. (On this build size(NULL)
       // is NULL, and NULL arithmetic would silently drop the row anyway;
       // under legacy sizeOfNull=true it is -1, which would make nc = 1
       // and emit one bogus empty chunk — filter explicitly so the
-      // contract never depends on that config.)
-      .filter(col("__ws").isNotNull)
+      // contract never depends on that config.) An EMPTY token list
+      // (empty/whitespace-only text) likewise has no chunks.
+      .filter(col("__ws").isNotNull && size(col("__ws")) > 0)
       .select(col(idCol), col("__ws"),
         explode(sequence(lit(0), nc - 1)).as("chunk_id"))
       .select(col(idCol), col("chunk_id"),

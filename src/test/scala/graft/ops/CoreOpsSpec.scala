@@ -613,4 +613,62 @@ test("SkewReport ranks the heaviest keys with exact shares and mean multiples") 
     assert(zh.getLong(3) == 50L && zh.isNullAt(4) && zh.getBoolean(6),
       s"zh can fill none of its 50-token share: $zh")
   }
+
+  test("PointInTimeJoin attaches the latest feature ROW wholesale (ASOF, not per-column LOCF)") {
+    import java.sql.Timestamp
+    val feat = Seq(
+      (1L, new Timestamp(1000L), Some(5.0), Some(10.0)),
+      (1L, new Timestamp(2000L), Option.empty[Double], Some(20.0)))
+      .toDF("entity_id", "ts", "fa", "fb")
+    val req = Seq((1L, new Timestamp(3000L))).toDF("entity_id", "ts")
+    val out = PointInTimeJoin(feat, "entity_id", "ts").transform(req).collect().head
+    // the latest row (ts=2000) wins WHOLESALE: fa is NULL there, and a
+    // per-column fill would resurrect fa=5.0 from ts=1000 — a feature
+    // row that never existed (ASOF JOIN semantics, what the oracle runs)
+    assert(out.isNullAt(out.fieldIndex("fa")),
+      s"fa must be the latest row's NULL, not a resurrected older value: $out")
+    assert(out.getAs[Double]("fb") == 20.0)
+  }
+
+  test("StandardScale integral sums survive values whose squares overflow a long") {
+    val v = 4_000_000_000L // v*v = 1.6e19 > Long.MaxValue
+    val df = Seq(v, 0L).toDF("x")
+    val out = StandardScale(Seq("x")).transform(df)
+      .orderBy(desc("x")).collect()
+    // mean 2e9, std 2e9 -> scaled = +-1 exactly
+    assert(out.map(_.getAs[Double]("x_scaled")).toSeq == Seq(1.0, -1.0),
+      s"decimal sums keep the rescale exact: ${out.toSeq}")
+  }
+
+  test("QueryFeatureStore rejects feature names colliding with request columns") {
+    val feat = Seq((1L, 9.9)).toDF("entity_id", "price")
+    val req = Seq((1L, 1.0)).toDF("entity_id", "price")
+    assertThrows[IllegalArgumentException] {
+      QueryFeatureStore(feat, "entity_id").transformSchema(req.schema)
+    }
+  }
+
+  test("EvalRanking scores a query whose candidates all rank past k as ZERO, not absent") {
+    val rel = Seq((1L, 10L), (2L, 20L)).toDF("query_id", "item_id")
+    // query 2 was served, but its only candidate ranks past k = 3 —
+    // basing metrics on top-k rows alone would silently drop it and
+    // average recall only over the answered queries
+    val ranked = Seq((1L, 10L, 1), (2L, 20L, 7)).toDF("query_id", "item_id", "rank")
+    val out = EvalRanking(rel, k = 3).transform(ranked)
+      .orderBy("query_id").collect()
+    assert(out.length == 2, s"the failed query must appear: ${out.toSeq}")
+    val failed = out(1)
+    assert(failed.getLong(0) == 2L && failed.getAs[Long]("hits") == 0L &&
+      failed.getAs[Long]("recall_bp") == 0L &&
+      failed.getAs[Long]("rr_micros") == 0L,
+      s"zero metrics, not absence: $failed")
+  }
+
+  test("DocumentChunks emits no chunks for empty or whitespace-only documents") {
+    val docs = Seq((1L, "real words here"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = DocumentChunks().transform(docs).collect()
+    assert(out.forall(_.getLong(0) == 1L),
+      s"empty docs must produce no phantom chunk: ${out.toSeq}")
+  }
 }

@@ -224,4 +224,43 @@ class FeatureOpsSpec extends SparkSpec {
       DriftReport(df, Map("x" -> Seq(3.0, 1.0)))
     }
   }
+
+  test("TargetEncoding LOO gives unlabeled rows the full group statistic, never NULL") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(2.0))).toDF("cat", "y")
+    val out = TargetEncoding(Seq("cat"), "y", smoothing = 1.0, leaveOneOut = true)
+      .transform(df).collect()
+    val unlabeled = out.find(r => r.getString(0) == "a" && r.isNullAt(1)).get
+    val enc = unlabeled.getAs[Double]("cat_te")
+    assert(!unlabeled.isNullAt(unlabeled.fieldIndex("cat_te")),
+      "a null-target row must still be encoded")
+    // prior = 6/3 = 2.0; full stat for 'a' = (4 + 2*1)/(2 + 1) = 2.0
+    assert(math.abs(enc - 2.0) < 1e-12, s"full smoothed statistic expected: $enc")
+  }
+
+  test("FillMissing rejects a constant whose type would widen the column") {
+    val df = Seq((1L, Some(1))).toDF("id", "v")
+    assertThrows[IllegalArgumentException] {
+      FillMissing(constants = Map("v" -> 0.5)).transformSchema(df.schema)
+    }
+    // a narrower integral constant is fine and keeps the declared type
+    val ok = Seq((1L, Option.empty[Long])).toDF("id", "v")
+    val out = FillMissing(constants = Map("v" -> 7)).transform(ok)
+    assert(out.schema("v_filled").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.collect().head.getAs[Long]("v_filled") == 7L)
+  }
+
+  test("JoinGroupby integral mean derives from the exact long sum") {
+    // 2^53 + 2 and 0: a per-row double cast loses the +2 before summing
+    val big = (1L << 53) + 2L
+    val df = Seq(("k", big), ("k", 0L)).toDF("key", "v")
+    val out = JoinGroupby("key", Seq("v"), Seq("sum", "mean"))
+      .transform(df).collect().head
+    assert(out.getAs[Long]("key_v_sum") == big,
+      "the exact long sum is the anchor")
+    assert(out.getAs[Double]("key_v_mean") == big.toDouble / 2.0,
+      "mean = exact-sum / count, one final double division")
+  }
 }
