@@ -139,9 +139,9 @@ case class BloomDecontaminate(
 
   override def transform(df: DataFrame): DataFrame = {
     import Decontaminate.gramDigests
-    // the eval inventory feeds the sketch fit (eager) and the exact
-    // verify join (lazy); it is MB-scale by definition, so extracting it
-    // twice beats a persist the caller would have to release
+    // the eval inventory is extracted three times (count, sketch fit,
+    // exact verify join); it is MB-scale by definition, so three passes
+    // beat a persist the caller would have to release
     val evalGrams = eval
       .select(explode(gramDigests(col(evalTextCol), n)).as("__gram"))
       .distinct()

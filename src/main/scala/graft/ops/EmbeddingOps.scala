@@ -252,7 +252,9 @@ object PcaProject {
     * back as plain doubles (column i of the d×k loading matrix). */
   def fit(df: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", outputCol: String = "reduced"): PcaProject = {
-    val assembled = df.select(
+    // null vectors cannot shape the axes (MLlib's covariance agg NPEs
+    // on them — the TextQualityClassifier.train discipline)
+    val assembled = df.where(col(vecCol).isNotNull).select(
       org.apache.spark.ml.functions.array_to_vector(
         col(vecCol).cast("array<double>")).as("__features"))
     val model = new org.apache.spark.ml.feature.PCA()

@@ -385,19 +385,27 @@ case class PredictClassifier(
     StructType(in :+ StructField(outputCol, DoubleType))
   }
 
-  override def transform(df: DataFrame): DataFrame =
-    model.setFeaturesCol("__features").setPredictionCol(outputCol)
+  override def transform(df: DataFrame): DataFrame = {
+    // MLlib's prediction UDF NPEs on a null feature vector (null text /
+    // zero-vector upstream): score the non-null rows, carry null rows
+    // through with a NULL prediction — the family's scoring contract
+    val scored = model.setFeaturesCol("__features").setPredictionCol(outputCol)
       .setProbabilityCol("__prob").setRawPredictionCol("__raw")
-      .transform(withVec(df))
+      .transform(withVec(df.where(col(featuresArrayCol).isNotNull)))
       .drop("__features", "__prob", "__raw")
+    scored.unionByName(df.where(col(featuresArrayCol).isNull)
+      .withColumn(outputCol, lit(null).cast(DoubleType)))
+  }
 }
 
 object PredictClassifier {
   def trainLogistic(df: DataFrame, featuresArrayCol: String, labelCol: String,
       maxIter: Int = 20): PredictClassifier = {
-    val prep = df.withColumn("__features",
-      org.apache.spark.ml.functions.array_to_vector(
-        col(featuresArrayCol).cast("array<double>")))
+    // null feature rows cannot vote in the fit (MLlib NPEs on them)
+    val prep = df.where(col(featuresArrayCol).isNotNull)
+      .withColumn("__features",
+        org.apache.spark.ml.functions.array_to_vector(
+          col(featuresArrayCol).cast("array<double>")))
     val lr = new LogisticRegression()
       .setFeaturesCol("__features").setLabelCol(labelCol).setMaxIter(maxIter)
       .fit(prep)
@@ -457,6 +465,10 @@ case class CalibrateScores(
     val interp = y1 + ((y2 - y1) * (s - x1)) / (x2 - x1)
     df.withColumn(outputCol,
       when(s.isNull, lit(null))
+        // MLlib's binarySearch ranks NaN above every boundary: predict
+        // returns predictions.last — mirror it or the spec-pinned
+        // replay-equality breaks on the first NaN score
+        .when(isnan(s), element_at(pl, b))
         .when(idx === 0, element_at(pl, 1))     // clamp below the range
         .when(idx === b, element_at(pl, b))     // clamp above / exact last
         .when(x1 === s, y1)                     // exact boundary hit

@@ -25,15 +25,22 @@ case class MaskPii(
       StructField(outCol, StringType)))
   }
 
-  override def transform(df: DataFrame): DataFrame =
-    df.withColumn("n_emails",
-        size(regexp_extract_all(col(textCol), lit(MaskPii.EmailRe), lit(0))))
-      .withColumn("n_ips",
-        size(regexp_extract_all(col(textCol), lit(MaskPii.Ipv4Re), lit(0))))
+  override def transform(df: DataFrame): DataFrame = {
+    val emailMasked =
+      regexp_replace(col(textCol), MaskPii.EmailRe, MaskPii.EmailToken)
+    // n_ips counts AFTER the email mask: an IP embedded in an email
+    // address is consumed by the <EMAIL> token, so the counts reconcile
+    // exactly with the placeholder tokens the output actually contains.
+    // Null text -> zero counts (never a null count), null masked text.
+    df.withColumn("n_emails", coalesce(
+        size(regexp_extract_all(col(textCol), lit(MaskPii.EmailRe), lit(0))),
+        lit(0)))
+      .withColumn("n_ips", coalesce(
+        size(regexp_extract_all(emailMasked, lit(MaskPii.Ipv4Re), lit(0))),
+        lit(0)))
       .withColumn(outCol,
-        regexp_replace(
-          regexp_replace(col(textCol), MaskPii.EmailRe, MaskPii.EmailToken),
-          MaskPii.Ipv4Re, MaskPii.IpToken))
+        regexp_replace(emailMasked, MaskPii.Ipv4Re, MaskPii.IpToken))
+  }
 }
 
 object MaskPii {
@@ -350,6 +357,11 @@ case class QualitySignals(
     df.select(keyCols.map(col) ++ Seq(
       nTok.as("n_tokens"), ttrBp.as("ttr_bp"), mwlBp.as("mwl_bp"),
       score.as("quality_score"),
-      (nTok >= minTokens && ttrBp >= minTtrBp).as("keep")): _*)
+      // never a NULL verdict (the RepetitionStats contract): a null-text
+      // doc measures nothing (null signals) but must still fall on ONE
+      // side of a keep/reject split — a null keep fails both filter(keep)
+      // and filter(!keep), silently losing the row from both corpora
+      coalesce(nTok >= minTokens && ttrBp >= minTtrBp, lit(false))
+        .as("keep")): _*)
   }
 }

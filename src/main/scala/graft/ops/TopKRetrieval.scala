@@ -28,6 +28,8 @@ case class TopKRetrieval(
     metric: String = "dot", // dot | cosine
     outputCol: String = "candidate_ids") extends EnsembleOp {
 
+  require(k >= 1, s"$name: k must be >= 1, got $k")
+
   private def score(q: Column, it: Column): Column = metric match {
     case "dot"    => VectorFunctions.dot(q, it)
     case "cosine" => VectorFunctions.cosine(q, it)
@@ -45,13 +47,23 @@ case class TopKRetrieval(
 
   override def transform(df: DataFrame): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    val it = broadcast(items.select(
-      col(itemIdCol).cast("long").as("__item_id"), col(itemVecCol).as("__item_vec")))
+    // the same null discipline on the ITEM side: a null (or
+    // dimension-mismatched — ArrayDotProduct yields NULL) item vector
+    // would otherwise score 0.0 against every query via the tuple
+    // encoder's coercion and surface as a phantom candidate above all
+    // negatively-scored true neighbors
+    val it = broadcast(items
+      .where(col(itemVecCol).isNotNull)
+      .select(col(itemIdCol).cast("long").as("__item_id"),
+        col(itemVecCol).as("__item_vec")))
     // a null query vector has no similarity to anything: drop the row
     // (same contract as AnnLsh, whose null bucket never joins) — without
     // this, the tuple encoder silently coerces the null score to 0.0 and
-    // the user receives arbitrary candidates "scored" 0
+    // the user receives arbitrary candidates "scored" 0. distinct():
+    // duplicate request rows would feed every item twice and duplicate
+    // ids inside top-k (PredictImplicit.requestedUsers discipline)
     df.where(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol), col(queryVecCol)).distinct()
       .join(it)  // broadcast nested loop: every query scores every item
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))

@@ -2408,8 +2408,9 @@ object CurationQueries {
       val email = graft.ops.MaskPii.EmailRe
       val ip = graft.ops.MaskPii.Ipv4Re
       s"""SELECT doc_id,
-         |CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
-         |CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips,
+         |CAST(coalesce(len(regexp_extract_all(text, '$email')), 0) AS INTEGER) AS n_emails,
+         |CAST(coalesce(len(regexp_extract_all(
+         |  regexp_replace(text, '$email', '<EMAIL>', 'g'), '$ip')), 0) AS INTEGER) AS n_ips,
          |md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
          |  '$ip', '<IP>', 'g')) AS masked_fp
          |FROM documents ORDER BY doc_id""".stripMargin

@@ -176,4 +176,41 @@ class ModelOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("item-factor table is empty"), e.getMessage)
   }
+
+  test("TopKRetrieval ignores null item vectors and deduplicates repeated query rows") {
+    val items = Seq((1L, Seq(-1.0, 0.0)), (2L, Seq(-0.5, 0.0)),
+      (3L, null: Seq[Double])).toDF("item_id", "embedding")
+    val q = Seq((10L, Seq(1.0, 0.0)), (10L, Seq(1.0, 0.0)))
+      .toDF("qid", "qvec")
+    val out = TopKRetrieval(items, "qid", "qvec", k = 4).transform(q).collect()
+    assert(out.length == 1, "duplicate query rows collapse to one")
+    val ids = out.head.getAs[scala.collection.Seq[Long]]("candidate_ids")
+    // both real items score negative; a null item would have surfaced as
+    // a phantom 0.0-scored leader — and dup queries would double the ids
+    assert(ids.toSeq == Seq(2L, 1L),
+      s"no phantom null-vector candidate, no duplicated ids: $ids")
+  }
+
+  test("PredictClassifier scores null feature rows as NULL instead of NPE-ing") {
+    val train = Seq((Seq(1.0, 0.0), 1.0), (Seq(0.0, 1.0), 0.0),
+      (Seq(0.9, 0.1), 1.0), (Seq(0.1, 0.9), 0.0)).toDF("emb", "label")
+    val clf = PredictClassifier.trainLogistic(train, "emb", "label")
+    val score = Seq((1L, Seq(1.0, 0.0)), (2L, null: Seq[Double]))
+      .toDF("id", "emb")
+    val out = clf.transform(score).orderBy("id").collect()
+    assert(out(0).getAs[Double]("prediction") == 1.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("prediction")),
+      "null features -> NULL prediction, never a crash")
+  }
+
+  test("CalibrateScores sends NaN scores to the LAST prediction (MLlib parity)") {
+    val op = CalibrateScores(boundaries = Seq(0.0, 1.0, 2.0),
+      predictions = Seq(0.1, 0.5, 0.9), scoreCol = "s")
+    val out = op.transform(Seq(Double.NaN, -5.0, 5.0).toDF("s"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val byScore = out.map { case (k, v) => (if (k.isNaN) "nan" else k.toString) -> v }.toMap
+    assert(byScore("nan") == 0.9,
+      "NaN ranks above every boundary in MLlib's binarySearch -> predictions.last")
+    assert(byScore("-5.0") == 0.1 && byScore("5.0") == 0.9)
+  }
 }

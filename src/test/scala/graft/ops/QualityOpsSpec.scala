@@ -157,4 +157,31 @@ class QualityOpsSpec extends SparkSpec {
       TextQualityClassifier(Seq(1.0, 2.0), 0.0, numBuckets = 64)
     }
   }
+
+  test("MaskPii counts reconcile with emitted tokens when an IP hides inside an email") {
+    val df = Seq((1L, "reach me at 1.2.3.4@mail.example or 10.0.0.1"))
+      .toDF("doc_id", "text")
+    val out = MaskPii().transform(df).collect().head
+    assert(out.getAs[Int]("n_emails") == 1)
+    // the address's 1.2.3.4 is consumed by <EMAIL>; only 10.0.0.1 masks as <IP>
+    assert(out.getAs[Int]("n_ips") == 1,
+      s"IPs inside masked emails must not be double-counted: $out")
+    val masked = out.getAs[String]("text_masked")
+    assert(masked.contains("<EMAIL>") &&
+      masked.split("<IP>", -1).length == 2, s"one <IP> token: $masked")
+    // null text: zero counts, null masked output
+    val nul = MaskPii().transform(Seq((2L, null: String)).toDF("doc_id", "text"))
+      .collect().head
+    assert(nul.getAs[Int]("n_emails") == 0 && nul.getAs[Int]("n_ips") == 0 &&
+      nul.isNullAt(nul.fieldIndex("text_masked")))
+  }
+
+  test("QualitySignals never emits a NULL keep verdict") {
+    val df = Seq((1L, null: String), (2L, "enough words to look at here"))
+      .toDF("doc_id", "text")
+    val out = QualitySignals().transform(df).orderBy("doc_id").collect()
+    assert(!out(0).isNullAt(out(0).fieldIndex("keep")) &&
+      !out(0).getAs[Boolean]("keep"),
+      "a null-text doc must land on the reject side, not vanish from both")
+  }
 }
