@@ -233,13 +233,19 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      // null elements carry no identity — skip them (getUTF8String's
+      // null behavior is ArrayData-implementation-dependent; inputs from
+      // shingleSet are null-free, which scopes the HOF-identity contract)
+      val sv = arr.getUTF8String(i)
+      if (sv != null) {
+        val base = XxHash64Function.hash(sv, StringType, 42L)
       var k = 0
       while (k < numHashes) {
         // chain the hash-family index exactly like xxhash64(elem, k)
         val h = XxHash64Function.hash(k, IntegerType, base)
         if (h < sig(k)) sig(k) = h
         k += 1
+        }
       }
       i += 1
     }
@@ -296,12 +302,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      // null elements carry no identity — skip them (getUTF8String's
+      // null behavior is ArrayData-implementation-dependent; inputs from
+      // shingleSet are null-free, which scopes the HOF-identity contract)
+      val sv = arr.getUTF8String(i)
+      if (sv != null) {
+        val base = XxHash64Function.hash(sv, StringType, 42L)
       var k = 0
       while (k < numHashes) {
         val h = XxHash64Function.hash(k, IntegerType, base)
         if (h < sig(k)) sig(k) = h
         k += 1
+        }
       }
       i += 1
     }
@@ -474,6 +486,11 @@ private[functions] object TextNormal {
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression {
 
+  // n <= 0 would make `words.length < n` unreachable and the gram loop
+  // emit [""] for EVERY document — identical shingle sets, identical
+  // MinHash signatures, whole corpus flagged mutually near-duplicate
+  require(n >= 1, s"word_shingles: n must be >= 1, got $n")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
@@ -575,8 +592,9 @@ case class RepetitionSignals(child: Expression, ns: Seq[Int])
             chars += wordChars(i + j)
             j += 1
           }
-          val e = counts.get(sb.toString)
-          if (e == null) counts.put(sb.toString, Array(1L, chars))
+          val g = sb.toString // one materialization for get AND put
+          val e = counts.get(g)
+          if (e == null) counts.put(g, Array(1L, chars))
           else e(0) += 1L
           i += 1
         }

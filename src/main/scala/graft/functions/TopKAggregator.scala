@@ -44,9 +44,16 @@ class TopKAggregator(k: Int) extends Aggregator[(Long, Double), TopKBuf, TopK] {
 
   override def reduce(b0: TopKBuf, a: (Long, Double)): TopKBuf = {
     val n = b0.n
+    // NaN never enters the heap: better() is false for every comparison
+    // involving NaN, so one admitted NaN row would freeze the insertion
+    // scan at its slot and silently unsort the buffer. Call sites also
+    // route NULL scores here as NaN (coalesce) — the typed encoder's
+    // primitive Double field would otherwise kill the job on the first
+    // null-scored row.
+    if (a._2.isNaN) b0
     // steady-state fast path: a full buffer rejects a non-improving row
     // with ONE comparison against the current minimum
-    if (n == k && !better(a._1, a._2, b0.ids(n - 1), b0.scores(n - 1))) b0
+    else if (n == k && !better(a._1, a._2, b0.ids(n - 1), b0.scores(n - 1))) b0
     else {
       var pos = n
       while (pos > 0 && better(a._1, a._2, b0.ids(pos - 1), b0.scores(pos - 1))) pos -= 1

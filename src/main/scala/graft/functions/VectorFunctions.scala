@@ -25,12 +25,6 @@ object VectorFunctions {
     when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
   }
 
-  /** Squared euclidean distance. */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double"); d * d
-    }), lit(0.0), (acc, x) => acc + x)
-
   /** array<struct<d, cid>> of (rank-equivalent squared distance, centroid
     * id) per literal centroid: d²(x,c) = |x|² − 2x·c + |c|² with the
     * rank-invariant |x|² dropped. Struct ordering makes array_min /

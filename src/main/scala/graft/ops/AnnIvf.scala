@@ -72,7 +72,8 @@ case class AnnIvf(
         arrayTransformCol(slice(array_sort(centroidStructs(col(queryVecCol))), 1, nprobe))))
     val hits = probed.join(index, Seq("__cid"))
       .groupBy(col(queryIdCol))
-      .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))
+      .agg(topk(col("__item_id"), coalesce(score(col(queryVecCol), col("__item_vec")),
+        lit(Double.NaN))).as("__top"))
     // one row per (non-null-vector) query even when every probed list is
     // EMPTY (k-means leaves empty lists on small/drifted catalogs): the
     // inner probe join alone would drop such queries from the output,

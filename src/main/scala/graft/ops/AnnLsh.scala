@@ -86,7 +86,8 @@ case class AnnLsh(
       .drop("__home")
     probed.join(indexed, Seq("__bucket"))
       .groupBy(col(queryIdCol))
-      .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))
+      .agg(topk(col("__item_id"), coalesce(score(col(queryVecCol), col("__item_vec")),
+        lit(Double.NaN))).as("__top"))
       .select(col(queryIdCol),
         col("__top.ids").as("candidate_ids"),
         col("__top.scores").as("candidate_scores"))

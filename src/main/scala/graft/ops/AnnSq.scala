@@ -106,7 +106,8 @@ case class AnnSq(
     val hits = probed.join(index, Seq("__cid"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"),
-        VectorFunctions.dot(col(queryVecCol), decode(col("__codes")))).as("__top"))
+        coalesce(VectorFunctions.dot(col(queryVecCol), decode(col("__codes"))),
+          lit(Double.NaN))).as("__top"))
     // empty-probed-list queries keep their row (AnnIvf.transformIndexed's
     // one-row-per-query contract; empty candidate arrays)
     queries.select(col(queryIdCol)).join(hits, Seq(queryIdCol), "left")

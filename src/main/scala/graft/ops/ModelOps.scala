@@ -224,7 +224,8 @@ case class PredictImplicit(
       .join(items) // cartesian: |users|/p × |items|/q tasks, all parallel
       .groupBy(col(userCol))
       .agg(topk(col("__iid"),
-        VectorFunctions.dot(col("__uvec"), col("__ivec"))).as("__top"))
+        coalesce(VectorFunctions.dot(col("__uvec"), col("__ivec")),
+          lit(Double.NaN))).as("__top"))
       .select(col(userCol),
         col("__top.ids").cast("array<int>").as("ids"),
         col("__top.scores").cast("array<float>").as("scores"))

@@ -66,7 +66,8 @@ case class TopKRetrieval(
       .select(col(queryIdCol), col(queryVecCol)).distinct()
       .join(it)  // broadcast nested loop: every query scores every item
       .groupBy(col(queryIdCol))
-      .agg(topk(col("__item_id"), score(col(queryVecCol), col("__item_vec"))).as("__top"))
+      .agg(topk(col("__item_id"), coalesce(score(col(queryVecCol), col("__item_vec")),
+        lit(Double.NaN))).as("__top"))
       .select(col(queryIdCol),
         col("__top.ids").as(outputCol),
         col("__top.scores").as("candidate_scores"))

@@ -40,4 +40,18 @@ class TopKAggregatorSpec extends AnyFunSuite {
     val got = xs.foldLeft(agg.zero)(agg.reduce).toPairs
     assert(got == Seq((2L, 1.0), (5L, 1.0), (9L, 1.0)))
   }
+
+  test("NaN scores never enter the heap (one NaN row would unsort the buffer)") {
+    val agg = new TopKAggregator(3)
+    var b = agg.zero
+    b = agg.reduce(b, (1L, 5.0))
+    b = agg.reduce(b, (2L, Double.NaN))
+    b = agg.reduce(b, (3L, 9.0))
+    b = agg.reduce(b, (4L, 7.0))
+    b = agg.reduce(b, (5L, 8.0))
+    val out = agg.finish(agg.merge(agg.zero, b))
+    assert(out.ids.toSeq == Seq(3L, 5L, 4L) &&
+      out.scores.toSeq == Seq(9.0, 8.0, 7.0),
+      s"NaN skipped, order intact: ${out.ids.toSeq} / ${out.scores.toSeq}")
+  }
 }

@@ -213,4 +213,15 @@ class ModelOpsSpec extends SparkSpec {
       "NaN ranks above every boundary in MLlib's binarySearch -> predictions.last")
     assert(byScore("-5.0") == 0.1 && byScore("5.0") == 0.9)
   }
+
+  test("TopKRetrieval survives a dimension-mismatched item vector (NULL score skipped)") {
+    val items = Seq((1L, Seq(-1.0, 0.0)), (2L, Seq(0.5, 0.5, 0.5))) // dim mismatch
+      .toDF("item_id", "embedding")
+    val q = Seq((10L, Seq(1.0, 0.0))).toDF("qid", "qvec")
+    // pre-fix this killed the job ("Null value appeared in non-nullable
+    // field") — the mismatched item's NULL dot must simply not compete
+    val out = TopKRetrieval(items, "qid", "qvec", k = 4).transform(q).collect().head
+    assert(out.getAs[scala.collection.Seq[Long]]("candidate_ids").toSeq == Seq(1L),
+      s"only the well-formed item competes: $out")
+  }
 }
