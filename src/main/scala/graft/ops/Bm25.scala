@@ -156,14 +156,18 @@ case class Bm25Index(
 }
 
 object Bm25Index {
-  /** Build the inverted index over a corpus: postings + document
-    * frequencies + (N, avgdl). Tokenization is the canonical
-    * [[TextFunctions.words]] normal form shared with the dedup family.
-    * Null/empty documents count toward N (and pull avgdl down) but emit
-    * no postings — they are simply unfindable. */
-  def fit(docs: DataFrame, docIdCol: String, textCol: String,
-      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+  /** The four additive statistics of a document set: (postings, dfreq,
+    * docCount, sumDl). Over DISJOINT doc batches every one of them sums
+    * exactly — postings rows are per-(doc, term), document frequencies
+    * are long counts, and sumDl is a long token total — which is what
+    * lets a streaming sink persist each batch's stats as an immutable
+    * DELTA and recover the union index by unioning deltas (postings),
+    * summing dfreq per term, and adding the two scalars, bit-identical
+    * to a from-scratch [[fit]]. Tokenization is the canonical
+    * [[graft.functions.TextFunctions.words]] normal form shared with
+    * the dedup family. Cost ∝ the input's tokens. */
+  def stats(docs: DataFrame, docIdCol: String, textCol: String)
+      : (DataFrame, DataFrame, Long, Long) = {
     val toks = docs.select(col(docIdCol).cast("long").as("__doc_id"),
       arrayFilter(T.words(col(textCol)), w => length(w) > 0).as("__ws"))
     val postings = toks
@@ -172,15 +176,27 @@ object Bm25Index {
       .groupBy(col("__doc_id"), col("__dl"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
     val dfreq = postings.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val s = toks.agg(count(lit(1)).as("n"),
+      sum(coalesce(size(col("__ws")), lit(0))).as("sdl")).head()
+    (postings, dfreq, s.getLong(0),
+      if (s.isNullAt(1)) 0L else s.getLong(1))
+  }
+
+  /** Build the inverted index over a corpus: postings + document
+    * frequencies + (N, avgdl). Tokenization is the canonical
+    * [[TextFunctions.words]] normal form shared with the dedup family.
+    * Null/empty documents count toward N (and pull avgdl down) but emit
+    * no postings — they are simply unfindable. */
+  def fit(docs: DataFrame, docIdCol: String, textCol: String,
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+    val (postings, dfreq, n, sumDl) = stats(docs, docIdCol, textCol)
+    require(n >= 1, "Bm25Index.fit: empty corpus")
     // exact-integer avgdl: long sum / long count, ONE double division —
     // any engine computing sum(dl)/N from the same integers gets the
     // identical double (unlike a running double mean, which is
     // accumulation-order-dependent)
-    val s = toks.agg(count(lit(1)).as("n"),
-      sum(coalesce(size(col("__ws")), lit(0))).as("sdl")).head()
-    val n = s.getLong(0)
-    require(n >= 1, "Bm25Index.fit: empty corpus")
-    Bm25Index(postings, dfreq, n, s.getLong(1).toDouble / n,
+    Bm25Index(postings, dfreq, n, sumDl.toDouble / n,
       queryIdCol, queryTextCol, k, k1, b)
   }
 }

@@ -755,29 +755,45 @@ object StreamingOps {
   // the PERSISTED retrieval index current via foreachBatch, the same way
   // incrementalDedupStream keeps the dedup index current. State lives in
   // versioned parquet (never inside the stream), so serving reads the
-  // index with plain batch scans while ingest appends to it:
+  // index with plain batch scans while ingest appends to it. The layout
+  // is the corpus log's delta+manifest shape (corpusIngestSink below):
   //
-  //   <indexDir>/v<n>/...   one immutable LOG-ORDERED version per commit
-  //   <indexDir>/_LATEST    pointer file naming the live version
+  //   <indexDir>/deltas/d<n>/...  ONE immutable per-batch delta — the
+  //                               batch's OWN postings / assigned rows
+  //                               only, O(batch) bytes
+  //   <indexDir>/v<n>/manifest    the live delta list (metadata-scale,
+  //                               one row per commit)
+  //   <indexDir>/v<n>/meta        cumulative additive scalars (BM25:
+  //                               docCount, sumDl) — one tiny file
+  //   <indexDir>/_LATEST          pointer file naming the live version
   //
-  // Each batch reads the version the pointer names, builds the next
-  // version in a NEW directory (no read-modify-write on live files;
-  // n = max existing + 1, so other writers over the same log never
-  // collide), writes a per-version (appId, batchId) txn marker, and
-  // moves the pointer last — a crashed batch leaves the pointer on the
-  // old consistent version, and a foreachBatch RETRY of a batchId whose
-  // txn marker is visible in POINTER-COMMITTED history is skipped as a
-  // no-op (a marker in an unreferenced dir is a crash-before-pointer:
-  // that batch never went live, so the retry recommits it). Because the
-  // update operators are additive over disjoint batches
-  // (Bm25Index.updatedWith, AnnIvf.updatedIndex — both spec-pinned equal
-  // to full rebuilds), the final index is identical under ANY micro-batch
-  // boundaries: the stream twin inherits the batch ops' determinism.
+  // Each batch computes its own delta (never re-reading the index —
+  // every per-batch statistic is additive over disjoint batches), writes
+  // it under `deltas/`, publishes the next version's manifest+meta+txn
+  // in a NEW `v<n>` dir (n = max existing + 1, so other writers over the
+  // same log never collide), and moves the pointer last — a crashed
+  // batch leaves the pointer on the old consistent version, and a
+  // foreachBatch RETRY of a batchId whose txn marker is visible in
+  // POINTER-COMMITTED history is skipped as a no-op (a marker in an
+  // unreferenced dir is a crash-before-pointer: that batch never went
+  // live, so the retry recommits it). BOTH the per-batch compute AND the
+  // per-batch persist are O(batch): at 100 TB with minute-level
+  // micro-batches a commit writes megabytes of delta, not a terabyte of
+  // index copy — version dirs hold only metadata, so retention vacuum is
+  // cheap, and compactIndexState is the OPTIMIZE that collapses the
+  // delta chain when read amplification grows. Loaders recover the
+  // union index exactly: postings/index rows union (plan-neutral — BM25
+  // probes group by term, ANN probes group by list), dfreq sums per
+  // term, the scalars are stored pre-summed; the result is identical to
+  // a from-scratch fit under ANY micro-batch boundaries
+  // (Bm25Index.stats additivity, AnnIvf/AnnSq frozen-quantizer row-local
+  // assignment — all spec-pinned), so the stream twin inherits the
+  // batch ops' determinism.
 
-  // Versioned-state plumbing (full new v<batchId> dir per publication,
-  // atomically-renamed _LATEST pointer, explicit retention) is the shared
-  // commit protocol in graft.core.VersionedDir — the same object serves
-  // batch corpus republication (VersionedDir.publish/readLatest).
+  // Versioned-state plumbing (log-ordered v<n> dirs, atomically-renamed
+  // _LATEST pointer, explicit retention) is the shared commit protocol
+  // in graft.core.VersionedDir — the same object serves batch corpus
+  // republication (VersionedDir.publish/readLatest).
   private def latestVersion(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[String] = graft.core.VersionedDir.latest(spark, dir)
 
@@ -827,30 +843,44 @@ object StreamingOps {
   }
 
   /** Load the live BM25 index from a sink-maintained directory (None
-    * before the first non-empty batch). Serving-side entry: probe with
-    * `loadBm25Index(...).get.asRows(queries)`. */
+    * before the first non-empty batch): union the manifest's postings
+    * deltas (a multi-path scan, no shuffle — BM25 probes group by term,
+    * so the union is plan-neutral), roll the per-delta document
+    * frequencies up per term (vocab-scale — far below postings-scale;
+    * [[compactIndexState]] pre-rolls it when the chain grows), and
+    * derive avgdl from the stored exact long sums — the identical ONE
+    * double division a from-scratch fit performs. Serving-side entry:
+    * probe with `loadBm25Index(...).get.asRows(queries)`. */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
       : Option[graft.ops.Bm25Index] =
     latestVersion(spark, indexDir).map { v =>
+      val deltas = spark.read.parquet(s"$indexDir/$v/manifest")
+        .select("delta").collect().map(_.getString(0)).toIndexedSeq
+      val postings = spark.read.parquet(
+        deltas.map(d => s"$indexDir/deltas/$d/postings"): _*)
+      val dfreq = spark.read.parquet(
+        deltas.map(d => s"$indexDir/deltas/$d/dfreq"): _*)
+        .groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
       val meta = spark.read.parquet(s"$indexDir/$v/meta").head()
-      graft.ops.Bm25Index(
-        spark.read.parquet(s"$indexDir/$v/postings"),
-        spark.read.parquet(s"$indexDir/$v/dfreq"),
-        meta.getAs[Long]("docCount"), meta.getAs[Double]("avgdl"),
+      val n = meta.getAs[Long]("docCount")
+      graft.ops.Bm25Index(postings, dfreq,
+        n, meta.getAs[Long]("sumDl").toDouble / n,
         queryIdCol, queryTextCol, k, k1, b)
     }
 
   /** foreachBatch sink maintaining a persisted BM25 inverted index from a
-    * document stream: first non-empty batch fits the index, every later
-    * batch appends via [[graft.ops.Bm25Index.updatedWith]] (cost ∝ the
-    * batch's tokens — the corpus is never re-tokenized). Batches must
-    * carry DISJOINT doc ids (the ingest contract; run
-    * [[incrementalDedupStream]] upstream). `retainVersions` auto-vacuums
-    * superseded version dirs after each pointer swap
-    * ([[vacuumIndexVersions]]; None keeps every version). Commit
-    * identity is the corpus log's: LOG-ordered version names + a
+    * document stream in the delta+manifest layout: each batch tokenizes
+    * ONLY itself ([[graft.ops.Bm25Index.stats]] — the corpus is never
+    * re-read or re-tokenized), lands its postings+dfreq as an immutable
+    * `deltas/d<n>` dir, and publishes manifest + cumulative (docCount,
+    * sumDl) meta as the next version — per-batch compute AND persist
+    * both O(batch). Batches must carry DISJOINT doc ids (the ingest
+    * contract; run [[incrementalDedupStream]] upstream). `retainVersions`
+    * auto-vacuums superseded version dirs (metadata only — deltas stay
+    * referenced; [[vacuumIndexVersions]]; None keeps every version).
+    * Commit identity is the corpus log's: LOG-ordered version names + a
     * per-version (appId, batchId) txn marker, so committed-batch
     * retries are no-ops and a fresh-checkpoint restart (new `appId`)
     * shares the log collision-free. Usage:
@@ -863,65 +893,103 @@ object StreamingOps {
       if (!batch.isEmpty &&
           !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         val spark = batch.sparkSession
-        val next = loadBm25Index(spark, indexDir) match {
-          case Some(idx) => idx.updatedWith(batch, docIdCol, textCol)
-          case None => graft.ops.Bm25Index.fit(batch, docIdCol, textCol)
-        }
-        val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
-        // materialize the new version BEFORE the pointer moves; the
-        // updatedWith frames read the OLD version's files, so the write
-        // never overlaps its own input
-        next.postings.write.mode("overwrite").parquet(s"$indexDir/$v/postings")
-        next.dfreq.write.mode("overwrite").parquet(s"$indexDir/$v/dfreq")
         import spark.implicits._
-        Seq((next.docCount, next.avgdl)).toDF("docCount", "avgdl")
+        val (bPostings, bDfreq, bN, bSumDl) =
+          graft.ops.Bm25Index.stats(batch, docIdCol, textCol)
+        val live = latestVersion(spark, indexDir)
+        val (n0, s0) = live.map { lv =>
+          val m = spark.read.parquet(s"$indexDir/$lv/meta").head()
+          (m.getAs[Long]("docCount"), m.getAs[Long]("sumDl"))
+        }.getOrElse((0L, 0L))
+        val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
+        val delta = "d" + v.drop(1)
+        // materialize delta + metadata BEFORE the pointer moves; deltas
+        // are write-once, so the write never overlaps any reader
+        bPostings.write.mode("overwrite")
+          .parquet(s"$indexDir/deltas/$delta/postings")
+        bDfreq.write.mode("overwrite")
+          .parquet(s"$indexDir/deltas/$delta/dfreq")
+        Seq((n0 + bN, s0 + bSumDl)).toDF("docCount", "sumDl")
           .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$v/meta")
+        val prevManifest = live
+          .map(lv => readManifest(spark, s"$indexDir/$lv/manifest"))
+          .getOrElse(Seq.empty)
+        // zone map from the delta just written (cheap footer-stats scan)
+        writeManifest(spark, s"$indexDir/$v/manifest", prevManifest :+
+          manifestEntry(delta,
+            spark.read.parquet(s"$indexDir/deltas/$delta/postings"),
+            "__doc_id"))
         writeTxn(spark, indexDir, v, appId, batchId)
         writePointer(spark, indexDir, v)
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
       }
+  }
+
+  /** The union of a versioned index log's `index` deltas — the live
+    * coded/assigned item table as one multi-path parquet scan (no
+    * shuffle; ANN probes group by list id, so the union is plan-neutral). */
+  private def loadIndexDeltas(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, version: String): DataFrame = {
+    val deltas = spark.read.parquet(s"$indexDir/$version/manifest")
+      .select("delta").collect().map(_.getString(0)).toIndexedSeq
+    spark.read.parquet(deltas.map(d => s"$indexDir/deltas/$d/index"): _*)
+  }
+
+  /** One delta-layout index commit: land the batch's own assigned rows
+    * as `deltas/d<n>/index`, publish manifest+txn as `v<n>`, move the
+    * pointer — the shared body of [[annIvfIndexSink]] /
+    * [[annSqIndexSink]] (both per-item row-local assignments against
+    * frozen quantizer literals, so a batch's rows ARE its delta). */
+  private def commitIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchIndex: DataFrame, idCol: String,
+      appId: String, batchId: Long, retainVersions: Option[Int]): Unit = {
+    val live = latestVersion(spark, indexDir)
+    val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
+    val delta = "d" + v.drop(1)
+    batchIndex.write.mode("overwrite")
+      .parquet(s"$indexDir/deltas/$delta/index")
+    val prevManifest = live
+      .map(lv => readManifest(spark, s"$indexDir/$lv/manifest"))
+      .getOrElse(Seq.empty)
+    writeManifest(spark, s"$indexDir/$v/manifest", prevManifest :+
+      manifestEntry(delta,
+        spark.read.parquet(s"$indexDir/deltas/$delta/index"), idCol))
+    writeTxn(spark, indexDir, v, appId, batchId)
+    writePointer(spark, indexDir, v)
+    retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
   }
 
   /** Load the live IVF index frame from a sink-maintained directory —
     * probe via `op.asRowsIndexed(queries, loadAnnIvfIndex(...).get)`. */
   def loadAnnIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[DataFrame] =
-    latestVersion(spark, indexDir).map(v =>
-      spark.read.parquet(s"$indexDir/$v/index"))
+    latestVersion(spark, indexDir).map(loadIndexDeltas(spark, indexDir, _))
 
   /** foreachBatch sink maintaining a persisted IVF index from an item
     * stream under `op`'s FROZEN coarse quantizer: each batch is assigned
-    * to its inverted lists via [[graft.ops.AnnIvf.updatedIndex]] (cost ∝
-    * the batch — per-item assignment against centroid literals, no
-    * shuffle) and appended as a new index version. Centroid staleness is
-    * the documented trade: monitor recall, refit + rebuild when the
-    * catalog's distribution drifts. Batches must carry disjoint item ids. */
+    * to its inverted lists map-side (per-item assignment against
+    * centroid literals, no shuffle, the existing index never re-read)
+    * and lands as an immutable `deltas/d<n>` dir — per-batch compute
+    * AND persist both O(batch). Centroid staleness is the documented
+    * trade: monitor recall, refit + rebuild when the catalog's
+    * distribution drifts. Batches must carry disjoint item ids. */
   def annIvfIndexSink(indexDir: String, op: graft.ops.AnnIvf,
       appId: String = "ivf-ingest",
       retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
-        val spark = batch.sparkSession
-        val next = loadAnnIvfIndex(spark, indexDir) match {
-          case Some(index) => op.updatedIndex(index, batch)
-          case None => graft.ops.AnnIvf.index(batch, op.centers,
-            op.itemIdCol, op.itemVecCol)
-        }
-        val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
-        next.write.mode("overwrite").parquet(s"$indexDir/$v/index")
-        writeTxn(spark, indexDir, v, appId, batchId)
-        writePointer(spark, indexDir, v)
-        retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
-      }
+          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId))
+        commitIndexDelta(batch.sparkSession, indexDir,
+          graft.ops.AnnIvf.index(batch, op.centers,
+            op.itemIdCol, op.itemVecCol),
+          "__item_id", appId, batchId, retainVersions)
   }
 
   /** Load the live SQ8 coded index from a sink-maintained directory —
     * probe via `op.transformIndexed(queries, loadAnnSqIndex(...).get)`. */
   def loadAnnSqIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[DataFrame] =
-    latestVersion(spark, indexDir).map(v =>
-      spark.read.parquet(s"$indexDir/$v/index"))
+    latestVersion(spark, indexDir).map(loadIndexDeltas(spark, indexDir, _))
 
   /** Online ranking-quality monitoring — the streaming twin of
     * [[graft.ops.EvalRanking]]: a served-candidates stream (query id,
@@ -957,12 +1025,14 @@ object StreamingOps {
   }
 
   /** Retention vacuum for a sink-maintained versioned index directory
-    * (BM25 / IVF / SQ8): every batch writes a full new `v<batchId>` dir
-    * and moves `_LATEST`, so superseded versions accumulate forever — at
-    * one batch a minute a 100 TB index directory would grow ~1440 full
-    * index copies a day. Deletes all but the `keep` most-recent version
-    * dirs (by batch id), NEVER the `_LATEST`-pointed one (it is force-kept
-    * even when `keep = 0`). Returns the deleted version names.
+    * (BM25 / IVF / SQ8, and the corpus log — same layout): deletes all
+    * but the `keep` most-recent `v<n>` dirs, NEVER the `_LATEST`-pointed
+    * one (it is force-kept even when `keep = 0`). Returns the deleted
+    * version names. Version dirs hold only manifest/meta/txn metadata in
+    * the delta layout, so this reclaims history bookkeeping; the
+    * payload deltas stay referenced by the live manifest — deltas no
+    * RETAINED manifest references (post-compaction chains) reclaim via
+    * [[vacuumCorpusDeltas]].
     *
     * Retention contract: a reader pins a version by reading `_LATEST`
     * once at load; `keep` must cover the longest in-flight read (keep = 2
@@ -973,32 +1043,81 @@ object StreamingOps {
       indexDir: String, keep: Int = 2): Seq[String] =
     graft.core.VersionedDir.vacuum(spark, indexDir, keep)
 
+  /** OPTIMIZE for a sink-maintained index log (BM25 / IVF / SQ8): after
+    * N ingest batches the live manifest lists N small deltas and every
+    * probe pays N-way read amplification (plus, for BM25, the per-term
+    * dfreq roll-up at load); this republishes the SAME index as one
+    * delta sized toward `targetBytes` per file, as the next committed
+    * version in the log — content-neutral, probes identical
+    * [spec-pinned]. BM25's dfreq is pre-rolled per term here, so the
+    * loader's roll-up becomes a no-op-shaped aggregate over already-
+    * unique terms; cumulative meta copies forward unchanged. Superseded
+    * versions and the orphaned pre-compaction deltas reclaim via
+    * [[vacuumIndexVersions]] + [[vacuumCorpusDeltas]]. Single-writer
+    * contract: pause the ingest sink around the call, exactly like
+    * [[compactCorpusState]]. Returns the committed version (None if no
+    * live index). */
+  def compactIndexState(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetBytes: Long = 128L << 20): Option[String] =
+    latestVersion(spark, indexDir).map { lv =>
+      val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
+      val deltas = spark.read.parquet(s"$indexDir/$lv/manifest")
+        .select("delta").collect().map(_.getString(0)).toIndexedSeq
+      // delta table names (postings+dfreq for BM25, index for ANN) from
+      // the layout itself — one compaction serves every index family
+      val tables = fs.listStatus(
+        new org.apache.hadoop.fs.Path(p, s"deltas/${deltas.head}"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+      val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
+      val delta = "d" + v.drop(1)
+      tables.foreach { t =>
+        val paths = deltas.map(d => s"$indexDir/deltas/$d/$t")
+        val bytes = paths.map(pp => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(pp)).getLength).sum
+        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val unioned = spark.read.parquet(paths: _*)
+        val df = if (t == "dfreq")
+          unioned.groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
+        else unioned
+        df.repartition(nFiles).write.mode("overwrite")
+          .parquet(s"$indexDir/deltas/$delta/$t")
+      }
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, s"$lv/meta")))
+        spark.read.parquet(s"$indexDir/$lv/meta").coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexDir/$v/meta")
+      // zone map over the compacted main table's id column
+      val entry = (if (tables.contains("postings")) Some("__doc_id")
+        else if (tables.contains("index")) Some("__item_id") else None)
+        .map { idc =>
+          val t = if (tables.contains("postings")) "postings" else "index"
+          manifestEntry(delta,
+            spark.read.parquet(s"$indexDir/deltas/$delta/$t"), idc)
+        }.getOrElse(ManifestEntry(delta, None, None))
+      writeManifest(spark, s"$indexDir/$v/manifest", Seq(entry))
+      writeTxn(spark, indexDir, v, "index-optimize", -1L)
+      writePointer(spark, indexDir, v)
+      v
+    }
+
   /** foreachBatch sink maintaining a persisted SQ8 coded index
     * ([[graft.ops.AnnSq]]) from an item stream under `op`'s FROZEN
     * quantizers (coarse centroids + scalar range): each batch is
-    * assigned and byte-encoded map-side ([[graft.ops.AnnSq.updatedIndex]],
-    * cost ∝ the batch) and appended as a new index version. Staleness is
-    * the documented trade — values drifting outside the fitted range
-    * saturate; monitor recall, refit + rebuild on drift. Batches must
-    * carry disjoint item ids. */
+    * assigned and byte-encoded map-side (per-item work against quantizer
+    * literals, the existing index never re-read) and lands as an
+    * immutable `deltas/d<n>` dir — per-batch compute AND persist both
+    * O(batch). Staleness is the documented trade — values drifting
+    * outside the fitted range saturate; monitor recall, refit + rebuild
+    * on drift. Batches must carry disjoint item ids. */
   def annSqIndexSink(indexDir: String, op: graft.ops.AnnSq,
       appId: String = "sq-ingest",
       retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
-        val spark = batch.sparkSession
-        val next = loadAnnSqIndex(spark, indexDir) match {
-          case Some(index) => op.updatedIndex(index, batch)
-          case None => graft.ops.AnnSq.index(batch, op.centers, op.mins,
-            op.maxs, op.itemIdCol, op.itemVecCol)
-        }
-        val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
-        next.write.mode("overwrite").parquet(s"$indexDir/$v/index")
-        writeTxn(spark, indexDir, v, appId, batchId)
-        writePointer(spark, indexDir, v)
-        retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
-      }
+          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId))
+        commitIndexDelta(batch.sparkSession, indexDir,
+          graft.ops.AnnSq.index(batch, op.centers, op.mins, op.maxs,
+            op.itemIdCol, op.itemVecCol),
+          "__item_id", appId, batchId, retainVersions)
   }
 
   /** One manifest row: a delta name plus its id ZONE MAP (min/max of

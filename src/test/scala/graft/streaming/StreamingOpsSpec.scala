@@ -870,6 +870,84 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.loadBm25Index(spark, dir).get.docCount == 2L)
   }
 
+  test("index sinks persist O(batch) deltas — version dirs hold only metadata; " +
+      "compactIndexState collapses the chain probe-neutrally") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the lazy dog sleeps"),
+      (3L, "quick dog quick fox"), (4L, "brown bears eat fish"),
+      (5L, "fish swim upstream"), (6L, "the fox eats the fish"),
+      (7L, "dogs and foxes"), (8L, "upstream data pipelines"),
+      (9L, "lazy pipelines sleep"))
+    val dir = tmpDir("bm25_compact_")
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.bm25IndexSink(dir)).start()
+    Seq(docs.take(3), docs.slice(3, 6), docs.drop(6)).foreach { s =>
+      src.addData(s: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // THE write-amplification pin: a commit persists the batch's OWN
+    // postings as a delta — the v<n> dirs carry manifest/meta/txn only,
+    // never an index copy
+    val root = new java.io.File(dir)
+    for (v <- root.listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("v"))) {
+      val sub = v.listFiles().map(_.getName).toSet
+      assert(sub.subsetOf(Set("manifest", "meta", "txn")),
+        s"${v.getName} holds index payload, not metadata: $sub")
+    }
+    assert(new java.io.File(root, "deltas").listFiles().map(_.getName).toSet
+      == Set("d0", "d1", "d2"), "one immutable delta per committed batch")
+    val qs = Seq((1L, "quick fox"), (2L, "lazy fish"))
+      .toDF("query_id", "query_text")
+    val before = StreamingOps.loadBm25Index(spark, dir).get
+      .asRows(qs).collect().map(_.toSeq).toSet
+    // OPTIMIZE: same index, chain length 1, dfreq pre-rolled
+    assert(StreamingOps.compactIndexState(spark, dir).contains("v3"))
+    val idx = StreamingOps.loadBm25Index(spark, dir).get
+    assert(idx.docCount == 9L)
+    assert(spark.read.parquet(s"$dir/v3/manifest").count() == 1L,
+      "compaction must republish the corpus as one delta")
+    assert(idx.asRows(qs).collect().map(_.toSeq).toSet == before,
+      "compaction must be probe-neutral")
+    // reclamation: version vacuum retires metadata history, then the
+    // orphaned pre-compaction deltas physically reclaim
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    assert(StreamingOps.vacuumCorpusDeltas(spark, dir).toSet
+      == Set("d0", "d1", "d2"))
+    assert(StreamingOps.loadBm25Index(spark, dir).get
+      .asRows(qs).collect().map(_.toSeq).toSet == before,
+      "probes must survive compaction + vacuum")
+  }
+
+  test("compactIndexState on an ANN index log keeps assignments identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val items = (1L to 60L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val itemsDf = items.toDF("item_id", "embedding")
+    val op = graft.ops.AnnIvf.fit(itemsDf, "query_id", "query_vec",
+      nlist = 4, nprobe = 2)
+    val dir = tmpDir("ivf_compact_")
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(StreamingOps.annIvfIndexSink(dir, op)).start()
+    Seq(items.take(20), items.slice(20, 40), items.drop(40)).foreach { s =>
+      src.addData(s: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val before = StreamingOps.loadAnnIvfIndex(spark, dir).get
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet
+    assert(StreamingOps.compactIndexState(spark, dir).contains("v3"))
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    StreamingOps.vacuumCorpusDeltas(spark, dir)
+    val after = StreamingOps.loadAnnIvfIndex(spark, dir).get
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet
+    assert(after == before && after.size == 60,
+      "ANN compaction + vacuum must be content-neutral")
+  }
+
   test("bm25IndexSink: an empty micro-batch leaves the index version untouched") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("bm25_empty_")
