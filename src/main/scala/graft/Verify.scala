@@ -10,9 +10,14 @@ object Verify {
     // has run queries for several dirs must not dump another dir's fit.
     graft.queries.OracleDir.active = Some(sfDir)
     // table-sized fitted state (ALS factors, BPE merges) lands here as
-    // parquet; oracle SQL replays it via read_parquet. Underscore prefix:
-    // hidden from the driver's per-query parquet reads.
-    graft.queries.OracleDir.artifactDir = Some(s"$outDir/_artifacts")
+    // parquet; oracle SQL replays it via read_parquet against ABSOLUTE
+    // paths, so the location is immaterial to the oracles. It lives as a
+    // SIBLING of outDir, not inside it: the driver enumerates outDir's
+    // subdirectories as query results, and artifact tables (which may
+    // carry array-typed fit state no oracle compares directly) crashed
+    // its pandas row-sort when they sat inside (round 9's `_artifacts`
+    // error entry).
+    graft.queries.OracleDir.artifactDir = Some(s"${outDir}_artifacts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

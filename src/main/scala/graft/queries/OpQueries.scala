@@ -1228,12 +1228,17 @@ object OpQueries {
       .orderBy("vec_id", "pos")
   }
 
-  /** Approximate distinct cardinalities (HLL++) vs the exact count —
-    * the 100 TB profiling tool whose sketch is mergeable and
-    * partition-order-independent. Rows-only (sketch estimates are not
-    * cross-engine-portable); the in-query check bounds the relative
-    * error at 3× the configured rsd, thrown if violated and recorded in
-    * the artifact. */
+  /** Approximate distinct cardinalities (HLL++) checked against the
+    * exact count — the 100 TB profiling tool whose sketch is mergeable
+    * and partition-order-independent. The raw estimate is
+    * engine-specific (HLL register contents are not cross-engine-
+    * portable), so the HASHED row is the CONTRACT, the same trick that
+    * oracles the ANN recall rows: per source, the exact ground truth
+    * (computed both sides), the 3×rsd bound in basis points, and
+    * `within_bound` DERIVED FROM THE LIVE SKETCH — the oracle asserts
+    * TRUE, so a drifting sketch turns the row hash-red; the in-query
+    * require additionally names the failure instead of leaving an
+    * opaque mismatch. */
   def approxDistinct(spark: SparkSession, d: String): DataFrame = {
     import graft.functions.{TextFunctions => T}
     val toks = documents(spark, d)
@@ -1243,10 +1248,12 @@ object OpQueries {
         approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
       .withColumn("err_bp",
         expr("abs(approx_distinct - exact_distinct) * 10000 DIV exact_distinct"))
-      .orderBy("source")
     val worst = out.agg(max(col("err_bp"))).head().getLong(0)
     require(worst <= 600, s"HLL error $worst bp exceeds 3x rsd bound (600 bp)")
-    out
+    out.select(col("source"), col("exact_distinct"),
+        lit(600L).as("bound_bp"),
+        (col("err_bp") <= 600L).as("within_bound"))
+      .orderBy("source")
   }
 
   /** The exact-distinct twin of [[approxDistinct]] (family convention:
@@ -1483,6 +1490,13 @@ object OpQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "op_approx_distinct" ->
+      """SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,
+        |  CAST(600 AS BIGINT) AS bound_bp, TRUE AS within_bound
+        |FROM (SELECT source,
+        |  unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "op_approx_distinct_exact" ->
       """SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
         |FROM (SELECT source,
