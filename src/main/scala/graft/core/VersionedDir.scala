@@ -80,12 +80,77 @@ object VersionedDir {
 
   /** The next version name in log order (max existing + 1 — INCLUDING
     * unreferenced garbage dirs, which therefore never collide with a
-    * new commit). Single-writer contract: two concurrent writers could
-    * race this read; the directory's owner is one process, exactly like
-    * a streaming sink's foreachBatch. */
+    * new commit). The read itself is racy under concurrent writers —
+    * [[reserveNextVersion]] closes the race with create-exclusive
+    * semantics; callers on the single-writer path (a streaming sink's
+    * foreachBatch owns its directory) may use this directly. */
   def nextVersion(spark: SparkSession, dir: String): String =
     "v" + (versions(spark, dir).headOption
       .map(_.drop(1).toLong + 1).getOrElse(0L))
+
+  /** Thrown when optimistic concurrency detects a competing commit —
+    * the Delta/Iceberg commit-conflict model: the losing writer fails
+    * LOUDLY (retry = re-read state, re-derive, re-reserve) instead of
+    * silently overwriting the winner's files or regressing the pointer
+    * over its commit. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Claim `version` exclusively: create-exclusive of the version dir's
+    * `_RESERVED` marker (atomic on HDFS and local FS — the second
+    * creator throws), so two writers that both computed the same next
+    * version can never both write into it; exactly one proceeds and the
+    * loser gets a [[CommitConflictException]]. A crash after reserve
+    * leaves an unreferenced dir — garbage for vacuum once the pointer
+    * passes it, never corruption, and never reused ([[nextVersion]]
+    * counts it). */
+  def reserve(spark: SparkSession, dir: String, version: String): String = {
+    val (fs, p) = fsOf(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(p, s"$version/_RESERVED")
+    try {
+      fs.create(marker, false).close()
+      version
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException)
+          if fs.exists(marker) || e.getMessage.contains("exist") =>
+        throw new CommitConflictException(
+          s"VersionedDir.reserve: $dir/$version already reserved by a " +
+          "concurrent writer — re-read the log and retry on a fresh version")
+    }
+  }
+
+  /** [[nextVersion]] + [[reserve]]: the multi-writer-safe way to open a
+    * commit. Two orchestrator-double-fired jobs that race the
+    * next-version read both compute the same number; the reservation
+    * lets exactly one in. */
+  def reserveNextVersion(spark: SparkSession, dir: String): String =
+    reserve(spark, dir, nextVersion(spark, dir))
+
+  /** Move the pointer to `version` AFTER re-reading it — the second
+    * half of optimistic concurrency: a slower writer whose reserved
+    * version was overtaken by a newer committed one must not swing the
+    * pointer BACKWARD over the winner's commit (readers would resolve a
+    * stale snapshot and [[vacuum]] retention math would misorder).
+    * Throws [[CommitConflictException]] for the loser; the files it
+    * wrote stay as unreferenced garbage for vacuum. The re-read-then-
+    * rename pair is not itself atomic — on a filesystem with atomic
+    * create-exclusive (HDFS, local) the version RESERVATION already
+    * serialized same-number writers, so this check only guards the
+    * cross-number ordering window, the same residual S3-style window a
+    * table format closes with a coordination service. */
+  def commitPointer(spark: SparkSession, dir: String, version: String): Unit = {
+    val mine = version.drop(1).toLong
+    latest(spark, dir).foreach { live =>
+      val n = scala.util.Try(live.drop(1).toLong).toOption.getOrElse(-1L)
+      if (n >= mine)
+        throw new CommitConflictException(
+          s"VersionedDir.commitPointer: $dir is already at $live >= " +
+          s"$version — a concurrent writer committed first; this " +
+          "commit's files remain unreferenced for vacuum")
+    }
+    writePointer(spark, dir, version)
+  }
 
   /** Delete all but the `keep` most-recent version dirs — NEVER the
     * `_LATEST`-pointed one (force-kept even at keep = 0). Returns the
@@ -118,17 +183,21 @@ object VersionedDir {
   }
 
   /** Atomically publish `df` as the next version of a batch-maintained
-    * table: write the FULL frame to a fresh `v<n>/data` (n = highest
-    * existing + 1), move the pointer last, optionally vacuum. A reader
-    * holding the previous version keeps its snapshot; a crash before the
+    * table: RESERVE a fresh `v<n>` (create-exclusive — two racing
+    * publishers get distinct versions or exactly one proceeds), write
+    * the FULL frame to `v<n>/data`, move the pointer last through the
+    * optimistic-concurrency check, optionally vacuum. A reader holding
+    * the previous version keeps its snapshot; a crash before the
     * pointer move leaves an unreferenced dir for the next vacuum, never
-    * a half-visible table. Returns the published version name. */
+    * a half-visible table; a writer that loses either race throws
+    * [[CommitConflictException]] loudly instead of silently dropping the
+    * winner's commit. Returns the published version name. */
   def publish(df: DataFrame, dir: String,
       retainVersions: Option[Int] = None): String = {
     val spark = df.sparkSession
-    val next = nextVersion(spark, dir)
+    val next = reserveNextVersion(spark, dir)
     df.write.mode("overwrite").parquet(s"$dir/$next/data")
-    writePointer(spark, dir, next)
+    commitPointer(spark, dir, next)
     retainVersions.foreach(vacuum(spark, dir, _))
     next
   }

@@ -797,9 +797,13 @@ object StreamingOps {
   private def latestVersion(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[String] = graft.core.VersionedDir.latest(spark, dir)
 
+  // Pointer swaps go through the optimistic-concurrency check: the
+  // sinks' foreachBatch is single-writer per checkpoint, but the LOG is
+  // shared with purge/optimize jobs and fresh-checkpoint restarts — a
+  // double-fired one must lose loudly, never regress the pointer.
   private def writePointer(spark: org.apache.spark.sql.SparkSession,
       dir: String, version: String): Unit =
-    graft.core.VersionedDir.writePointer(spark, dir, version)
+    graft.core.VersionedDir.commitPointer(spark, dir, version)
 
   /** The latest batchId this `appId` committed into `dir`'s log, scanning
     * POINTER-COMMITTED versions newest-first (lazy — the common case
@@ -901,7 +905,7 @@ object StreamingOps {
           val m = spark.read.parquet(s"$indexDir/$lv/meta").head()
           (m.getAs[Long]("docCount"), m.getAs[Long]("sumDl"))
         }.getOrElse((0L, 0L))
-        val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
+        val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
         val delta = "d" + v.drop(1)
         // materialize delta + metadata BEFORE the pointer moves; deltas
         // are write-once, so the write never overlaps any reader
@@ -944,7 +948,7 @@ object StreamingOps {
       indexDir: String, batchIndex: DataFrame, idCol: String,
       appId: String, batchId: Long, retainVersions: Option[Int]): Unit = {
     val live = latestVersion(spark, indexDir)
-    val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
+    val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
     val delta = "d" + v.drop(1)
     batchIndex.write.mode("overwrite")
       .parquet(s"$indexDir/deltas/$delta/index")
@@ -1068,7 +1072,7 @@ object StreamingOps {
       val tables = fs.listStatus(
         new org.apache.hadoop.fs.Path(p, s"deltas/${deltas.head}"))
         .filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
-      val v = graft.core.VersionedDir.nextVersion(spark, indexDir)
+      val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
       val delta = "d" + v.drop(1)
       tables.foreach { t =>
         val paths = deltas.map(d => s"$indexDir/deltas/$d/$t")
@@ -1423,7 +1427,7 @@ object StreamingOps {
             .persist()
           try {
             if (!keepers.isEmpty) {
-              val v = graft.core.VersionedDir.nextVersion(spark, stateDir)
+              val v = graft.core.VersionedDir.reserveNextVersion(spark, stateDir)
               val delta = "d" + v.drop(1)
               keepers.write.mode("overwrite")
                 .parquet(s"$stateDir/deltas/$delta")
@@ -1476,7 +1480,7 @@ object StreamingOps {
       val tombIds = tombstones.select(col(idCol)).distinct()
       val kept = corpus.join(tombIds, Seq(idCol), "left_anti").persist()
       try {
-        val v = graft.core.VersionedDir.nextVersion(spark, stateDir)
+        val v = graft.core.VersionedDir.reserveNextVersion(spark, stateDir)
         val delta = "d" + v.drop(1)
         kept.write.mode("overwrite").parquet(s"$stateDir/deltas/$delta")
         // RETIRE from the live index, never rebuild from survivors: the
@@ -1533,7 +1537,7 @@ object StreamingOps {
         val bytes = deltas.map(d => fs.getContentSummary(
           new org.apache.hadoop.fs.Path(p, s"deltas/$d")).getLength).sum
         val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        val v = graft.core.VersionedDir.nextVersion(spark, stateDir)
+        val v = graft.core.VersionedDir.reserveNextVersion(spark, stateDir)
         val delta = "d" + v.drop(1)
         corpus.repartition(nFiles).write.mode("overwrite")
           .parquet(s"$stateDir/deltas/$delta")

@@ -87,6 +87,49 @@ class VersionedDirSpec extends SparkSpec {
     assert(VersionedDir.readLatest(spark, dir).get.count() == 1)
   }
 
+  test("racing publishers on the same version: the reservation admits exactly one") {
+    val dir = tmp()
+    VersionedDir.publish(Seq((1L, "base")).toDF("id", "x"), dir)
+    // two orchestrator-double-fired jobs read the log concurrently and
+    // compute the SAME next version — the create-exclusive reservation
+    // lets exactly one in, the loser throws loudly
+    val contested = VersionedDir.nextVersion(spark, dir)
+    assert(VersionedDir.reserve(spark, dir, contested) == contested)
+    val e = intercept[VersionedDir.CommitConflictException] {
+      VersionedDir.reserve(spark, dir, contested)
+    }
+    assert(e.getMessage.contains(contested))
+    // the winner's commit completes normally through the same version
+    Seq((2L, "A")).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$dir/$contested/data")
+    VersionedDir.commitPointer(spark, dir, contested)
+    assert(VersionedDir.readLatest(spark, dir).get
+      .select("x").as[String].collect().toSeq == Seq("A"))
+  }
+
+  test("an overtaken slow writer cannot regress the pointer: exactly one commit wins") {
+    val dir = tmp()
+    VersionedDir.publish(Seq((1L, "base")).toDF("id", "x"), dir)
+    // A opens its commit first (reserves v1) then stalls; B opens (v2 —
+    // the reservation dir already advances the log) and commits first
+    val vA = VersionedDir.reserveNextVersion(spark, dir)
+    val vB = VersionedDir.reserveNextVersion(spark, dir)
+    assert(vA == "v1" && vB == "v2")
+    Seq((2L, "B")).toDF("id", "x").write.mode("overwrite").parquet(s"$dir/$vB/data")
+    VersionedDir.commitPointer(spark, dir, vB)
+    // A wakes and tries to finish: the pointer re-read fails it LOUDLY —
+    // silently renaming would regress readers onto the stale v1 snapshot
+    Seq((2L, "A")).toDF("id", "x").write.mode("overwrite").parquet(s"$dir/$vA/data")
+    intercept[VersionedDir.CommitConflictException] {
+      VersionedDir.commitPointer(spark, dir, vA)
+    }
+    // the winner's commit is intact; the loser's files are unreferenced
+    // garbage for vacuum, never a visible table
+    assert(VersionedDir.latest(spark, dir).contains(vB))
+    assert(VersionedDir.readLatest(spark, dir).get
+      .select("x").as[String].collect().toSeq == Seq("B"))
+  }
+
   test("publish retention vacuums superseded versions in the same call") {
     val dir = tmp()
     (0 until 4).foreach(i =>

@@ -894,6 +894,7 @@ class StreamingOpsSpec extends SparkSpec {
     for (v <- root.listFiles().filter(f =>
         f.isDirectory && f.getName.startsWith("v"))) {
       val sub = v.listFiles().map(_.getName).toSet
+        .filterNot(_.contains("_RESERVED")) // OCC marker + crc sidecar
       assert(sub.subsetOf(Set("manifest", "meta", "txn")),
         s"${v.getName} holds index payload, not metadata: $sub")
     }
