@@ -200,9 +200,11 @@ object Bench {
     val qsCold = jsonMap(_._2)
     val total = results.map(_._3).filter(_ >= 0).sum
     val warmOk = results.filter(_._3 >= 0)
+    // full {...} object or bare null — interpolating inside literal
+    // braces would emit invalid {null} when no query has a warm timing
     val heaviest = if (warmOk.isEmpty) "null" else {
       val (hn, _, hw) = warmOk.maxBy(_._3)
-      "\"" + hn + "\":" + hw
+      "{\"" + hn + "\":" + hw + "}"
     }
     // key order matters: the driver archives only the TAIL of stdout, so
     // whatever comes LAST in this line is what survives truncation. Cold
@@ -211,7 +213,7 @@ object Bench {
     // records the steady-state numbers (BENCH_r08 recorded cold timings
     // for exactly this reason).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_cold":$qsCold,"n_queries":${results.size},"heaviest_warm":{$heaviest},"total_warm":$total,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_cold":$qsCold,"n_queries":${results.size},"heaviest_warm":$heaviest,"total_warm":$total,"queries":$qs}"""
     println(line)
     // also land the line in a file: the driver captures only the last 4 KB
     // of stdout, which truncated the first ~24 queries out of BENCH_r03

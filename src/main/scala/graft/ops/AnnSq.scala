@@ -190,8 +190,19 @@ object AnnSq {
       Seq(min(x).as(s"__lo$i"), max(x).as(s"__hi$i"))
     }
     val row = probe.agg(aggs.head, aggs.tail: _*).head()
-    val lows = (0 until dim).map(i => row.getDouble(2 * i))
-    val highs = (0 until dim).map(i => row.getDouble(2 * i + 1))
+    // a null aggregate means NO vector carried dimension i (ragged
+    // vectors shorter than the probed first row): getDouble would
+    // return 0.0 / throw depending on codegen — fail with the bad
+    // dimension named instead of fitting a wrong range silently
+    def at(idx: Int, dim0: Int): Double = {
+      require(!row.isNullAt(idx),
+        s"AnnSq.fitRange: dimension $dim0 is null across the catalog — " +
+        "ragged vectors (shorter than the probed first row); fix the " +
+        "embedding column before fitting")
+      row.getDouble(idx)
+    }
+    val lows = (0 until dim).map(i => at(2 * i, i))
+    val highs = (0 until dim).map(i => at(2 * i + 1, i))
     (lows, highs)
   }
 

@@ -230,8 +230,21 @@ case class JoinGroupby(
             sum(col(v)).cast("double")
           case _ => sum(col(v).cast("double"))
         }
+        // integral sums accumulate in DECIMAL(38,0) and fail LOUDLY if
+        // the total leaves BIGINT range — at 100 TB a per-key int sum
+        // can pass 2^63, where the native long sum wraps silently under
+        // non-ANSI mode (the StandardScale lesson); output stays BIGINT
+        val sumCol = df.schema(v).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val s = sum(col(v).cast("decimal(38,0)"))
+            when(s > lit(Long.MaxValue) || s < lit(Long.MinValue),
+              raise_error(lit(s"$name: sum($v) overflows BIGINT — " +
+                "keep the DECIMAL stat instead")))
+              .otherwise(s.cast("long"))
+          case _ => sum(col(v))
+        }
         stats.filterNot(_ == "count").map {
-          case "sum" => sum(col(v)).as(s"${keyCol}_${v}_sum")
+          case "sum" => sumCol.as(s"${keyCol}_${v}_sum")
           case "mean" => (meanNum / count(col(v)))
             .as(s"${keyCol}_${v}_mean")
           case "min" => min(col(v)).as(s"${keyCol}_${v}_min")

@@ -243,6 +243,16 @@ object StorageOps {
         .write.mode("overwrite").parquet(outPath)
       n
     } else {
+      // fail FAST on a mixed layout (data files at the root alongside
+      // col=value dirs): the per-leaf loop would silently drop the
+      // root-level files from the compacted output — a malformed hive
+      // tree must be repaired, not half-copied
+      val rootFiles = fs.listStatus(hadoopPath)
+        .filter(s => s.isFile && visible(s.getPath)).map(_.getPath.getName)
+      require(rootFiles.isEmpty,
+        s"compact: mixed layout under $inPath — data files " +
+        s"[${rootFiles.mkString(", ")}] sit at the root alongside " +
+        "partition directories; compacting would drop them")
       leaves.map { leaf =>
         // same relative col=value/... path on the output side — the
         // compacted layout prunes exactly like the input did
