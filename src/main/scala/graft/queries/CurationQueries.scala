@@ -1633,6 +1633,52 @@ object CurationQueries {
       .orderBy("vec_id")
   }
 
+  /** Embedding-derived DENSE state through the SAME (id, content_hash)
+    * reconcile loop as the text signals ([[pipelineIncrementalCuration]]):
+    * nearest-centroid cluster assignment ([[graft.ops.ClusterAssign]]
+    * over the shared k=8 centers) published as derived state of a
+    * vector catalog, which then MOVES — new vectors ingest
+    * (vec_id % 5 = 4 arrive late), some re-encode in place
+    * (vec_id % 11 = 0 flip sign — an embedding-model refresh), and a
+    * takedown purges vec_id % 7 = 0 — and ONE incremental reconcile
+    * brings the signal current. Content keying does the whole routing:
+    * unchanged vectors are CARRIED verbatim (their assignment is never
+    * recomputed — at 100 TB the carried path never touches the float
+    * payload), re-encoded vectors hash differently and re-assign FRESH,
+    * purged vectors' assignments RETIRE with their rows. The content
+    * hash is a row-local digest of the vector's exact float text forms
+    * — internal key only, dropped from the output, so the oracle
+    * replays carried-ness from the move sets and the assignment from
+    * centroid literals (the op_cluster_assign math over the moved
+    * catalog). */
+  def pipelineEmbeddingReconcile(spark: SparkSession, d: String): DataFrame = {
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("emb_signal_q").toString
+    val centers = cachedSemCenters(spark, d)
+    val sig = ClusterAssign(centers, idCol = "vec_id", vecCol = "embedding")
+    def keyed(catalog: DataFrame): DataFrame = catalog.withColumn(
+      "content_hash",
+      md5(concat_ws(",", transform(col("embedding"), x => x.cast("string")))))
+    val emb = embeddings(spark, d)
+    // signal v0: the catalog before the late ingests
+    SignalReconcile.publishAgainst(
+      keyed(emb.filter(col("vec_id") % 5 =!= 4)), sigDir, sig,
+      idCol = "vec_id")
+    // the catalog moves: late ingests + in-place re-encode + purge
+    val moved = emb
+      .withColumn("embedding",
+        when(col("vec_id") % 11 === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      .filter(col("vec_id") % 7 =!= 0)
+    // signal v1: one content-keyed reconcile against the live catalog
+    SignalReconcile.publishAgainst(keyed(moved), sigDir, sig,
+      idCol = "vec_id")
+    graft.core.VersionedDir.readLatest(spark, sigDir).get
+      .select(col("vec_id"), col("cluster_id"), col("d2"), col("carried"))
+      .orderBy("vec_id")
+  }
+
   /** neardup_semantic's oracle, generated at oracle-dump time from the
     * fitted centers (empty until the query has run in this JVM). */
   def semanticOracle: Map[String, String] =
@@ -1672,6 +1718,27 @@ object CurationQueries {
         "op_cluster_assign" ->
           s"""WITH $clusterCte
              |SELECT vec_id, cid AS cluster_id, d2 FROM a ORDER BY vec_id""".stripMargin,
+        // the moved catalog replaces `e`: purge filter + sign-flip
+        // re-encode (FLOAT negation then the same DOUBLE widening Spark
+        // applies — exact); carried-ness replays from the move sets,
+        // because hash-unchanged ⇔ not re-encoded for vectors already
+        // present in v0
+        "pipeline_embedding_reconcile" ->
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $rows),
+             |e AS (SELECT vec_id,
+             |    CASE WHEN vec_id % 11 = 0
+             |      THEN list_transform(embedding, x -> -x)::DOUBLE[]
+             |      ELSE embedding::DOUBLE[] END AS v
+             |  FROM embeddings WHERE vec_id % 7 <> 0),
+             |ass AS (SELECT vec_id, v, cid,
+             |    (c2 - 2.0 * list_inner_product(v, cv)) + list_inner_product(v, v) AS d2,
+             |    row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM e CROSS JOIN cent)
+             |SELECT vec_id, cid AS cluster_id, d2,
+             |  (vec_id % 5 <> 4 AND vec_id % 11 <> 0) AS carried
+             |FROM ass WHERE rn = 1 ORDER BY vec_id""".stripMargin,
         "corpus_cluster_report" ->
           s"""WITH $clusterCte,
              |tot AS (SELECT count(*) AS t FROM a)
@@ -1874,6 +1941,7 @@ object CurationQueries {
     "op_cluster_assign" -> (clusterAssign _),
     "corpus_cluster_report" -> (clusterReport _),
     "pipeline_semantic_dedup" -> (pipelineSemanticDedup _),
+    "pipeline_embedding_reconcile" -> (pipelineEmbeddingReconcile _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_simhash_check" -> (dedupSimhashCheck _),
     "neardup_cosine_lsh_recall" -> (neardupCosineLshRecall _),

@@ -444,6 +444,34 @@ class CurationOpsSpec extends SparkSpec {
       "the recomputed score is the live text's, not the poisoned prior")
   }
 
+  test("SignalReconcile carries DENSE embedding-derived state: re-encoded vectors " +
+      "recompute, unchanged assignments are served poisoned-verbatim") {
+    val sig = graft.ops.ClusterAssign(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)), idCol = "vec_id")
+    def catalogOf(rows: (Long, Seq[Float])*) =
+      rows.toSeq.toDF("vec_id", "embedding").withColumn("content_hash",
+        md5(concat_ws(",", transform(col("embedding"), x => x.cast("string")))))
+    val v0 = catalogOf(
+      (1L, Seq(0.5f, 0.5f)), (2L, Seq(9.0f, 9.0f)), (3L, Seq(1.0f, 0.0f)))
+    // poison the prior assignments: a reconcile that re-scores a carried
+    // vector would wash the poison out
+    val prior = sig.transform(v0).withColumn("d2", col("d2") + 1e9)
+    // vec 2 purged; vec 3 RE-ENCODED near the far centroid; vec 4 new
+    val live = catalogOf(
+      (1L, Seq(0.5f, 0.5f)), (3L, Seq(9.5f, 9.5f)), (4L, Seq(10.0f, 9.0f)))
+    val out = SignalReconcile(prior, sig, idCol = "vec_id").transform(live)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Int]("cluster_id"), r.getAs[Double]("d2"),
+        r.getAs[Boolean]("carried"))).toMap
+    assert(byId(1L)._3 && byId(1L)._2 > 1e8,
+      "unchanged vector: assignment served verbatim from the prior")
+    assert(!byId(3L)._3 && byId(3L)._1 == 1 && byId(3L)._2 < 1e8,
+      "re-encoded vector: new hash, fresh nearest-centroid recompute")
+    assert(!byId(4L)._3 && byId(4L)._1 == 1, "new vector scores fresh")
+  }
+
   test("SignalReconcile transformSchema rejects mismatched prior / key-dropping signal") {
     val sig = QualitySignals(keyCols = Seq("doc_id", "content_hash"))
     val in = sig.transformSchema(org.apache.spark.sql.types.StructType(Seq(
