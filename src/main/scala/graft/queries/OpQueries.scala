@@ -990,6 +990,34 @@ object OpQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** The skew STRESS twin of [[saltedJoin]]: a deliberately hot key —
+    * every even orderkey's lineitem collapses onto skew_key 1, so one
+    * key carries ~50% of the fact (hundreds of times the median key's
+    * share) — joined to a dim under a FORCED sort-merge plan (`merge`
+    * hint: broadcast would sidestep skew entirely, and the op exists
+    * precisely for dims too big to broadcast). The salt splits the hot
+    * key's rows across 32 shuffle buckets, so the straggler partition
+    * that would hold half the fact holds ~1/32 of it instead —
+    * SkewJoinSpec pins the per-bucket ceiling (max salted bucket within
+    * 10× the median; unsalted, the hot key alone is >100× the median
+    * group). The bench row records the end-to-end cost of the mitigated
+    * plan; correctness is the unsalted SQL join, as for every salted
+    * row. */
+  def saltedJoinSkew(spark: SparkSession, d: String): DataFrame = {
+    val fact = lineitem(spark, d).select(
+      when(col("l_orderkey") % 2 === 0, lit(1L))
+        .otherwise(pmod(col("l_partkey"), lit(1000L))).as("skew_key"),
+      col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+    val dim = spark.range(0, 1000)
+      .select(col("id").as("skew_key"), (col("id") % 7).as("dim_grp"))
+      .hint("merge")
+    SaltedJoin(dim, on = "skew_key", saltBy = "l_orderkey", saltBuckets = 32)
+      .transform(fact)
+      .groupBy("dim_grp")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"))
+      .orderBy("dim_grp")
+  }
+
   /** A 3-stage Ensemble (Selection → Rename → QueryFeatureStore) feeding an
     * aggregate — proves schema propagation end-to-end under the oracle. */
   def pipelineEnsemble(spark: SparkSession, d: String): DataFrame = {
@@ -1462,6 +1490,7 @@ object OpQueries {
     "op_asof_join" -> (asofJoin _),
     "op_interval_join" -> (intervalJoin _),
     "op_salted_join" -> (saltedJoin _),
+    "op_salted_join_skew" -> (saltedJoinSkew _),
     "op_stratified_sample" -> (stratifiedSample _),
     "op_upsample_mix" -> (upsampleMix _),
     "op_weighted_sample" -> (weightedSample _),
@@ -1933,6 +1962,15 @@ object OpQueries {
         |CAST(l_quantity AS BIGINT) AS qty, p_brand, p_type
         |FROM lineitem JOIN part ON p_partkey=l_partkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "op_salted_join_skew" ->
+      """WITH f AS (SELECT
+        |  CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_partkey % 1000 END AS skew_key,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |d AS (SELECT range AS skew_key, range % 7 AS dim_grp FROM range(0, 1000))
+        |SELECT dim_grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM f JOIN d USING (skew_key)
+        |GROUP BY dim_grp ORDER BY dim_grp""".stripMargin,
     "op_pipeline_ensemble" ->
       """SELECT p_brand, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON p_partkey=l_partkey
