@@ -761,6 +761,81 @@ case class KeptTokens(ws: Expression, starts: Expression, n: Int)
     copy(ws = l, starts = r)
 }
 
+/** Per-byte bin counts over a binary column — `counts[(b & 0xFF) % bins]`
+  * for every byte from offset `skip` on: the multimodal decode/embed
+  * byte loop ([[graft.ops.DecodeMedia]] / [[graft.ops.MediaEmbed]]) as
+  * ONE fused codegen'd pass instead of a mapPartitions row-boxing
+  * stage. A higher-order-function formulation
+  * (`transform(sequence(...), i -> ...)` + per-bin `filter`) allocates
+  * a byte-index array per row and walks it once per bin — this loop
+  * touches each byte once. Exact integer counts; null binary → null. */
+case class ByteHistogram(child: Expression, bins: Int, skip: Int)
+    extends UnaryExpression {
+
+  require(bins >= 1, "byte_histogram: bins must be >= 1")
+  require(skip >= 0, "byte_histogram: skip must be >= 0")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "byte_histogram"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a binary input")
+
+  def compute(c: Array[Byte]): ArrayData = {
+    val counts = new Array[Int](bins)
+    var i = skip
+    while (i < c.length) { counts((c(i) & 0xFF) % bins) += 1; i += 1 }
+    ArrayData.toArrayData(counts)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteHist", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Every `step`-th byte of a binary column from offset `skip` on, as a
+  * new binary — the multimodal resize payload selection
+  * ([[graft.ops.ResizeMedia]]) as a codegen'd expression. The
+  * hex-string alternative (`unhex` over a transformed `hex` split)
+  * materializes a 2x string and an index array per row; this is one
+  * allocation of exactly the output size. Null binary → null. */
+case class ByteStride(child: Expression, skip: Int, step: Int)
+    extends UnaryExpression {
+
+  require(skip >= 0, "byte_stride: skip must be >= 0")
+  require(step >= 1, "byte_stride: step must be >= 1")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "byte_stride"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a binary input")
+
+  def compute(c: Array[Byte]): Array[Byte] = {
+    if (c.length <= skip) return Array.emptyByteArray
+    val out = new Array[Byte]((c.length - skip + step - 1) / step)
+    var i = skip; var j = 0
+    while (i < c.length) { out(j) = c(i); j += 1; i += step }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteStride", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column wrappers (Spark 4: Column↔Expression bridge lives in
   * sql.classic.ExpressionUtils). */
 object FastExpressions {
@@ -788,4 +863,8 @@ object FastExpressions {
     column(KeptTokens(expression(ws), expression(starts), n))
   def hashBucketCounts(c: Column, salt: String, numBuckets: Int): Column =
     column(HashBucketCounts(expression(c), salt, numBuckets))
+  def byteHistogram(c: Column, bins: Int, skip: Int): Column =
+    column(ByteHistogram(expression(c), bins, skip))
+  def byteStride(c: Column, skip: Int, step: Int): Column =
+    column(ByteStride(expression(c), skip, step))
 }

@@ -84,4 +84,56 @@ class MultimodalOpsSpec extends SparkSpec {
       df.schema)
     assert(MediaEmbed().transform(nullRow).collect().head.isNullAt(1))
   }
+
+  test("the expression-based decode/embed equals the reference stub byte-for-byte") {
+    val rnd = new scala.util.Random(47)
+    val media = (1L to 40L).map { i =>
+      // varied lengths incl. header-only and odd sizes
+      val len = (i % 5) match { case 0 => 4; case 1 => 5; case _ => 4 + rnd.nextInt(60) }
+      (i, Array.tabulate(len)(_ => rnd.nextInt(256).toByte))
+    }
+    val df = media.toDF("media_id", "content")
+    val got = DecodeMedia().transform(df).orderBy("media_id")
+      .as[(Long, Int, Int, Seq[Float])].collect()
+    media.zip(got).foreach { case ((id, bytes), (gid, w, h, feats)) =>
+      val (sw, sh, sf) = MultimodalOps.decodeStub(bytes)
+      assert(id == gid && w == sw && h == sh, s"dims diverge at $id")
+      assert(feats == sf.toSeq, s"histogram diverges from the stub at $id")
+    }
+    // MediaEmbed normalized mode vs the stub's tiled loop
+    val emb = MediaEmbed(dim = 32).transform(df).orderBy("media_id")
+      .as[(Long, Seq[Float])].collect()
+    media.zip(emb).foreach { case ((id, bytes), (gid, v)) =>
+      val d = 32; val bins = MultimodalOps.histBins
+      val ref = new Array[Float](d)
+      for (t <- 0 until d / bins; i <- 4 until bytes.length)
+        ref(t * bins + (((bytes(i) & 0xFF) + t) % bins)) += 1f
+      val t0 = math.max(1, bytes.length - 4).toFloat
+      assert(id == gid && v == ref.map(_ / t0).toSeq,
+        s"embedding diverges from the stub loop at $id")
+    }
+  }
+
+  test("media ops are Catalyst-transparent: no object boxing, codegen'd plans") {
+    // a range-backed source: a local Seq would be constant-folded into a
+    // LocalTableScan (ConvertToLocalRelation), hiding the plan shape
+    val df = spark.range(1, 50).select(col("id").as("media_id"),
+      unhex(md5(col("id").cast("string"))).as("content"))
+    val ops: Seq[(graft.core.EnsembleOp, String)] = Seq(
+      (DecodeMedia(), "byte_histogram"),
+      (ResizeMedia(), "byte_stride"),
+      (MediaEmbed(dim = 32), "byte_histogram"))
+    for ((op, marker) <- ops) {
+      val plan = op.transform(df).queryExecution.executedPlan.toString
+      assert(!plan.contains("MapPartitions") &&
+        !plan.contains("SerializeFromObject") &&
+        !plan.contains("DeserializeToObject"),
+        s"${op.name} must be expression-based (no object boxing), got:\n$plan")
+      assert(plan.contains(marker),
+        s"${op.name} must run the fused $marker byte loop, got:\n$plan")
+    }
+    // the per-BYTE work is inside the codegen'd fused expressions; only
+    // the O(bins)=16-element HOF normalization evaluates interpreted
+    // (Spark HOFs never codegen), which is bin-level, not byte-level
+  }
 }
