@@ -1193,7 +1193,16 @@ object OpQueries {
     val q = reduced.filter(col("label") === 0).select("vec_id", "embedding")
     val items = reduced.filter(col("label") =!= 0)
       .select(col("vec_id").as("item_id"), col("embedding"))
-    val shortlist = TopKRetrieval(items, "vec_id", "embedding", k = 100, metric = "dot")
+    // shortlist ∝ catalog (floor 100 keeps official SFs bit-identical):
+    // a FIXED shortlist is a recall cliff at scale — the round-10
+    // sf0.3/sf1.0 rehearsal measured 8127 bp at 2k vectors but 7174 bp
+    // at 3.9k under k=100, because 100 candidates cover an ever-thinner
+    // slice of a densifying catalog. ~5% of the catalog re-scored keeps
+    // the two-stage win (the reduced-space scan still does 20x the
+    // candidate elimination) while the refine stays bounded.
+    val shortlistK = math.max(100L, items.count() / 20L).toInt
+    val shortlist = TopKRetrieval(items, "vec_id", "embedding",
+      k = shortlistK, metric = "dot")
       .asRows(q).select(col("vec_id"), col("item_id"))
     val fullQ = emb.filter(col("label") === 0)
       .select(col("vec_id"), col("embedding").as("__qv"))
