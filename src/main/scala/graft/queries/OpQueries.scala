@@ -737,9 +737,18 @@ object OpQueries {
     val emb = embeddings(spark, d)
     val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
     val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
-    AnnIvfPq(ivfItems(spark, d), centers, cachedCodebooks(spark, d),
+    val items = ivfItems(spark, d)
+    // refine ∝ catalog (floor 200 keeps official SFs bit-identical): the
+    // same recall cliff the PCA shortlist had — nprobe=8/32 probes a
+    // FIXED FRACTION of lists (scale-stable), but a FIXED refine cutoff
+    // covers an ever-thinner slice of the probed set, so ADC ranking
+    // noise pushes true neighbors below it as the catalog densifies
+    // (round-10 rehearsal: the 5000 bp floor tripped at 8k vectors).
+    // ~5% of the catalog re-ranked keeps the compression win.
+    val refineK = math.max(200L, items.count() / 20L).toInt
+    AnnIvfPq(items, centers, cachedCodebooks(spark, d),
       "vec_id", "embedding", k = 10, nprobe = math.min(8, centers.size),
-      refine = 200)
+      refine = refineK)
       .asRows(queries).orderBy("vec_id", "rank")
   }
 
