@@ -152,6 +152,36 @@ object VersionedDir {
     writePointer(spark, dir, version)
   }
 
+  /** [[commitPointer]] with LINEAGE conflict detection — for commits
+    * whose content DERIVES from a prior snapshot (a manifest extended
+    * with one delta, a compaction of the chain, cumulative meta sums):
+    * the ordering check alone cannot catch an interleaved commit on a
+    * DIFFERENT version number. Concretely: a compactor reads the chain
+    * at v5 and reserves v7 while an appender (which reserved v6 first)
+    * commits v6 — v7 > v6 passes the ordering check, yet v7's manifest
+    * was built from v5 and silently DROPS the v6 delta from the live
+    * table. Delta/Iceberg solve this with commit-log conflict checking;
+    * here the equivalent is: the snapshot this commit was derived from
+    * (`basedOn`, None for a first commit) must STILL be the live one at
+    * pointer-swap time, else the loser throws and its files stay as
+    * unreferenced garbage for vacuum. Same residual re-read→rename
+    * window as [[commitPointer]] — loud-on-conflict for the
+    * double-fired-job case the single-writer contract worries about,
+    * not a coordination service. */
+  def commitPointerFrom(spark: SparkSession, dir: String, version: String,
+      basedOn: Option[String]): Unit = {
+    val live = latest(spark, dir)
+    if (live != basedOn)
+      throw new CommitConflictException(
+        s"VersionedDir.commitPointerFrom: $dir moved " +
+        s"${basedOn.getOrElse("<none>")} -> ${live.getOrElse("<none>")} " +
+        s"since this commit ($version) read its base snapshot — a " +
+        "concurrent writer committed in between and this commit's " +
+        "content does not include it; files remain unreferenced for " +
+        "vacuum (re-read the log, re-derive, retry)")
+    writePointer(spark, dir, version)
+  }
+
   /** Delete all but the `keep` most-recent version dirs — NEVER the
     * `_LATEST`-pointed one (force-kept even at keep = 0). Returns the
     * deleted names. Retention contract: a reader pins a version by

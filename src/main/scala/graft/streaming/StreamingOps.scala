@@ -797,13 +797,17 @@ object StreamingOps {
   private def latestVersion(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[String] = graft.core.VersionedDir.latest(spark, dir)
 
-  // Pointer swaps go through the optimistic-concurrency check: the
-  // sinks' foreachBatch is single-writer per checkpoint, but the LOG is
-  // shared with purge/optimize jobs and fresh-checkpoint restarts — a
-  // double-fired one must lose loudly, never regress the pointer.
+  // Pointer swaps go through the optimistic-concurrency LINEAGE check:
+  // every commit here derives its content (manifest chain, cumulative
+  // meta, retired index) from the base snapshot it read, so the base
+  // must still be live at swap time. The sinks' foreachBatch is
+  // single-writer per checkpoint, but the LOG is shared with
+  // purge/optimize jobs and fresh-checkpoint restarts — a double-fired
+  // one must lose loudly, never regress the pointer NOR silently drop
+  // an interleaved commit's delta from the manifest it republishes.
   private def writePointer(spark: org.apache.spark.sql.SparkSession,
-      dir: String, version: String): Unit =
-    graft.core.VersionedDir.commitPointer(spark, dir, version)
+      dir: String, version: String, basedOn: Option[String]): Unit =
+    graft.core.VersionedDir.commitPointerFrom(spark, dir, version, basedOn)
 
   /** The latest batchId this `appId` committed into `dir`'s log, scanning
     * POINTER-COMMITTED versions newest-first (lazy — the common case
@@ -924,7 +928,7 @@ object StreamingOps {
             spark.read.parquet(s"$indexDir/deltas/$delta/postings"),
             "__doc_id"))
         writeTxn(spark, indexDir, v, appId, batchId)
-        writePointer(spark, indexDir, v)
+        writePointer(spark, indexDir, v, live)
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
       }
   }
@@ -959,7 +963,7 @@ object StreamingOps {
       manifestEntry(delta,
         spark.read.parquet(s"$indexDir/deltas/$delta/index"), idCol))
     writeTxn(spark, indexDir, v, appId, batchId)
-    writePointer(spark, indexDir, v)
+    writePointer(spark, indexDir, v, live)
     retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
   }
 
@@ -1099,7 +1103,7 @@ object StreamingOps {
         }.getOrElse(ManifestEntry(delta, None, None))
       writeManifest(spark, s"$indexDir/$v/manifest", Seq(entry))
       writeTxn(spark, indexDir, v, "index-optimize", -1L)
-      writePointer(spark, indexDir, v)
+      writePointer(spark, indexDir, v, Some(lv))
       v
     }
 
@@ -1448,7 +1452,7 @@ object StreamingOps {
               writeManifest(spark, s"$stateDir/$v/manifest",
                 prevManifest :+ manifestEntry(delta, keepers, idCol))
               writeTxn(spark, stateDir, v, appId, batchId)
-              writePointer(spark, stateDir, v)
+              writePointer(spark, stateDir, v, live)
               retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
             }
           } finally keepers.unpersist()
@@ -1475,7 +1479,7 @@ object StreamingOps {
       stateDir: String, tombstones: DataFrame,
       idCol: String = "doc_id"): Option[String] = {
     import spark.implicits._
-    latestVersion(spark, stateDir).map { _ =>
+    latestVersion(spark, stateDir).map { lv =>
       val corpus = loadCorpus(spark, stateDir).get
       val tombIds = tombstones.select(col(idCol)).distinct()
       val kept = corpus.join(tombIds, Seq(idCol), "left_anti").persist()
@@ -1504,7 +1508,7 @@ object StreamingOps {
         writeManifest(spark, s"$stateDir/$v/manifest",
           Seq(manifestEntry(delta, kept, idCol)))
         writeTxn(spark, stateDir, v, "corpus-purge", -1L)
-        writePointer(spark, stateDir, v)
+        writePointer(spark, stateDir, v, Some(lv))
         v
       } finally kept.unpersist()
     }
@@ -1546,7 +1550,7 @@ object StreamingOps {
         writeManifest(spark, s"$stateDir/$v/manifest",
           Seq(manifestEntry(delta, corpus, idCol)))
         writeTxn(spark, stateDir, v, "corpus-optimize", -1L)
-        writePointer(spark, stateDir, v)
+        writePointer(spark, stateDir, v, Some(lv))
         v
       } finally corpus.unpersist()
     }

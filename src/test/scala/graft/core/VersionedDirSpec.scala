@@ -130,6 +130,76 @@ class VersionedDirSpec extends SparkSpec {
       .select("x").as[String].collect().toSeq == Seq("B"))
   }
 
+  test("lineage check: an interleaved commit on a LOWER number fails the derived commit") {
+    val dir = tmp()
+    VersionedDir.publish(Seq((1L, "base")).toDF("id", "x"), dir) // v0
+    // A compactor reads its base snapshot at v0 and reserves v1; an
+    // appender then reserves v2 and commits FIRST. The compactor's
+    // content (a republished manifest/meta derived from v0) now silently
+    // lacks the appender's delta — the ORDERING check alone cannot see
+    // it when the compactor's number is higher, and here it is lower:
+    // cover both interleavings.
+    val base = VersionedDir.latest(spark, dir)
+    val vCompact = VersionedDir.reserveNextVersion(spark, dir) // v1
+    val vAppend = VersionedDir.reserveNextVersion(spark, dir) // v2
+    Seq((2L, "append")).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$dir/$vAppend/data")
+    VersionedDir.commitPointerFrom(spark, dir, vAppend, base)
+    Seq((1L, "compacted")).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$dir/$vCompact/data")
+    // this interleaving (stale commit on the LOWER number) is the one
+    // the plain ordering check also catches — the lineage check must
+    // subsume it; the ordering-invisible case is the next test
+    intercept[VersionedDir.CommitConflictException] {
+      VersionedDir.commitPointerFrom(spark, dir, vCompact, base)
+    }
+    assert(VersionedDir.latest(spark, dir).contains(vAppend))
+  }
+
+  test("lineage check: a derived commit on a HIGHER number must not drop the interleaved delta") {
+    val dir = tmp()
+    VersionedDir.publish(Seq((1L, "base")).toDF("id", "x"), dir) // v0
+    val base = VersionedDir.latest(spark, dir)
+    // appender opens first (v1), compactor reads its base at v0 but
+    // reserves AFTER the appender (v2 — a higher number, so the plain
+    // ordering check of commitPointer would let it through and the
+    // appender's v1 delta would vanish from the live manifest)
+    val vAppend = VersionedDir.reserveNextVersion(spark, dir) // v1
+    val vCompact = VersionedDir.reserveNextVersion(spark, dir) // v2
+    Seq((2L, "append")).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$dir/$vAppend/data")
+    VersionedDir.commitPointerFrom(spark, dir, vAppend, base)
+    Seq((1L, "compacted-from-v0")).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$dir/$vCompact/data")
+    intercept[VersionedDir.CommitConflictException] {
+      VersionedDir.commitPointerFrom(spark, dir, vCompact, base)
+    }
+    // the appender's commit stays live; the stale compaction is garbage
+    assert(VersionedDir.latest(spark, dir).contains(vAppend))
+    // and a RE-DERIVED compaction from the NEW live snapshot succeeds
+    val base2 = VersionedDir.latest(spark, dir)
+    val vRetry = VersionedDir.reserveNextVersion(spark, dir)
+    Seq((2L, "compacted-from-v1")).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$dir/$vRetry/data")
+    VersionedDir.commitPointerFrom(spark, dir, vRetry, base2)
+    assert(VersionedDir.latest(spark, dir).contains(vRetry))
+  }
+
+  test("lineage check: a first commit requires the log to still be empty") {
+    val dir = tmp()
+    // two bootstrap writers race an empty log: the second's content
+    // assumed empty priors (docCount 0, empty manifest) — it must lose
+    val vA = VersionedDir.reserveNextVersion(spark, dir) // v0
+    val vB = VersionedDir.reserveNextVersion(spark, dir) // v1
+    Seq((1L, "A")).toDF("id", "x").write.mode("overwrite").parquet(s"$dir/$vA/data")
+    VersionedDir.commitPointerFrom(spark, dir, vA, None)
+    Seq((1L, "B")).toDF("id", "x").write.mode("overwrite").parquet(s"$dir/$vB/data")
+    intercept[VersionedDir.CommitConflictException] {
+      VersionedDir.commitPointerFrom(spark, dir, vB, None)
+    }
+    assert(VersionedDir.latest(spark, dir).contains(vA))
+  }
+
   test("publish retention vacuums superseded versions in the same call") {
     val dir = tmp()
     (0 until 4).foreach(i =>
