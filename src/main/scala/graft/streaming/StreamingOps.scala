@@ -896,7 +896,8 @@ object StreamingOps {
   def bm25IndexSink(indexDir: String, docIdCol: String = "doc_id",
       textCol: String = "text",
       appId: String = "bm25-ingest",
-      retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
+      retainVersions: Option[Int] = None,
+      autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty &&
           !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
@@ -930,6 +931,8 @@ object StreamingOps {
         writeTxn(spark, indexDir, v, appId, batchId)
         writePointer(spark, indexDir, v, live)
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
+        maybeCompact(spark, indexDir, autoCompactDeltas, retainVersions,
+          () => compactIndexState(spark, indexDir))
       }
   }
 
@@ -983,14 +986,19 @@ object StreamingOps {
     * distribution drifts. Batches must carry disjoint item ids. */
   def annIvfIndexSink(indexDir: String, op: graft.ops.AnnIvf,
       appId: String = "ivf-ingest",
-      retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
+      retainVersions: Option[Int] = None,
+      autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId))
+          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnIvf.index(batch, op.centers,
             op.itemIdCol, op.itemVecCol),
           "__item_id", appId, batchId, retainVersions)
+        maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
+          retainVersions,
+          () => compactIndexState(batch.sparkSession, indexDir))
+      }
   }
 
   /** Load the live SQ8 coded index from a sink-maintained directory —
@@ -1107,6 +1115,39 @@ object StreamingOps {
       v
     }
 
+  /** Post-commit auto-OPTIMIZE for a delta+manifest log (the sinks'
+    * `autoCompactDeltas` hook): when the LIVE manifest chain exceeds
+    * `maxDeltas` entries, run the matching compaction as the next
+    * commit, then reclaim deltas no retained version references. Runs
+    * on the sink's own thread right after its commit (the table-format
+    * auto-OPTIMIZE shape), so the single-writer discipline holds and
+    * the lineage check never fires against ourselves. The cost model is
+    * the LSM one: each row is rewritten every ~maxDeltas commits —
+    * amortized write amplification 1/maxDeltas of the index per commit,
+    * bounding the read-side union fan-in at maxDeltas in exchange.
+    * Pick maxDeltas ≈ (index bytes)/(delta bytes) · (tolerable write
+    * overhead); probe plans are unchanged either way [lifecycle-spec
+    * pinned]. */
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxDeltas: Option[Int], retainVersions: Option[Int],
+      compact: () => Option[String]): Unit =
+    maxDeltas.foreach { t =>
+      require(t >= 1, s"autoCompactDeltas must be >= 1, got $t")
+      latestVersion(spark, dir).foreach { lv =>
+        if (spark.read.parquet(s"$dir/$lv/manifest").count() > t) {
+          compact()
+          // retention ran at the data commit, BEFORE the compaction
+          // commit existed — re-run it so the pre-compaction version
+          // (whose manifest still references the collapsed chain) ages
+          // out under the same keep budget, letting the delta reclaim
+          // actually delete; without this the old chain lingers until
+          // the next unrelated commit's vacuum
+          retainVersions.foreach(vacuumIndexVersions(spark, dir, _))
+          vacuumCorpusDeltas(spark, dir)
+        }
+      }
+    }
+
   /** foreachBatch sink maintaining a persisted SQ8 coded index
     * ([[graft.ops.AnnSq]]) from an item stream under `op`'s FROZEN
     * quantizers (coarse centroids + scalar range): each batch is
@@ -1118,14 +1159,19 @@ object StreamingOps {
     * on drift. Batches must carry disjoint item ids. */
   def annSqIndexSink(indexDir: String, op: graft.ops.AnnSq,
       appId: String = "sq-ingest",
-      retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
+      retainVersions: Option[Int] = None,
+      autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId))
+          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnSq.index(batch, op.centers, op.mins, op.maxs,
             op.itemIdCol, op.itemVecCol),
           "__item_id", appId, batchId, retainVersions)
+        maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
+          retainVersions,
+          () => compactIndexState(batch.sparkSession, indexDir))
+      }
   }
 
   /** One manifest row: a delta name plus its id ZONE MAP (min/max of
@@ -1411,7 +1457,8 @@ object StreamingOps {
       idCol: String = "doc_id", textCol: String = "text",
       normalized: Boolean = true,
       appId: String = "corpus-ingest",
-      retainVersions: Option[Int] = None): (DataFrame, Long) => Unit = {
+      retainVersions: Option[Int] = None,
+      autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
@@ -1454,6 +1501,9 @@ object StreamingOps {
               writeTxn(spark, stateDir, v, appId, batchId)
               writePointer(spark, stateDir, v, live)
               retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
+              maybeCompact(spark, stateDir, autoCompactDeltas,
+                retainVersions,
+                () => compactCorpusState(spark, stateDir, idCol = idCol))
             }
           } finally keepers.unpersist()
         }

@@ -949,6 +949,43 @@ class StreamingOpsSpec extends SparkSpec {
       "ANN compaction + vacuum must be content-neutral")
   }
 
+  test("bm25IndexSink auto-compaction bounds the delta chain; probes stay exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 10L).map(i => (i, s"doc number $i quick brown fox ${"word " * i.toInt}"))
+    val dir = tmpDir("bm25_autocompact_")
+    val src = MemoryStream[(Long, String)]
+    // threshold 2: the 3rd/5th commits trip the post-commit OPTIMIZE, so
+    // the chain length a reader unions is bounded regardless of how many
+    // batches ever landed; retention 1 lets the orphaned pre-compaction
+    // deltas physically reclaim inside the same hook
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.bm25IndexSink(dir,
+        retainVersions = Some(1), autoCompactDeltas = Some(2))).start()
+    docs.grouped(2).foreach { s => src.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val lv = graft.core.VersionedDir.latest(spark, dir).get
+    assert(spark.read.parquet(s"$dir/$lv/manifest").count() <= 2,
+      "auto-compaction must keep the live chain at or under the threshold")
+    // the deltas dir holds only what retained manifests reference — the
+    // pre-compaction chain reclaimed without a manual OPTIMIZE/vacuum
+    val referenced = spark.read.parquet(s"$dir/$lv/manifest")
+      .select("delta").as[String].collect().toSet
+    val onDisk = new java.io.File(dir, "deltas").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(onDisk == referenced,
+      s"orphaned deltas must reclaim: disk=$onDisk referenced=$referenced")
+    // probe-neutral vs a from-scratch fit over the same corpus
+    val qs = Seq((1L, "quick fox"), (2L, "word number"))
+      .toDF("query_id", "query_text")
+    val maintained = StreamingOps.loadBm25Index(spark, dir).get
+    assert(maintained.docCount == 10L)
+    val scratch = graft.ops.Bm25Index.fit(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    assert(maintained.asRows(qs).collect().map(_.toSeq).toSet ==
+      scratch.asRows(qs).collect().map(_.toSeq).toSet,
+      "auto-compacted index must probe like a from-scratch fit")
+  }
+
   test("bm25IndexSink: an empty micro-batch leaves the index version untouched") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("bm25_empty_")
