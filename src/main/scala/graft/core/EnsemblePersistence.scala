@@ -481,6 +481,14 @@ object EnsemblePersistence {
     case BoilerplateReport(id, text, n, md, tk) =>
       ("type" -> "BoilerplateReport") ~ ("idCol" -> id) ~ ("textCol" -> text) ~
         ("n" -> n) ~ ("minDocs" -> md) ~ ("topK" -> tk)
+    case q: QuantizerDrift =>
+      // reference catalog as a parquet side artifact (the TopKRetrieval
+      // convention); centers inline — fit-time literals, never refit
+      val p = artifactPath(dir, i, "drift_reference")
+      q.reference.write.mode("overwrite").parquet(p)
+      ("type" -> "QuantizerDrift") ~
+        ("centers" -> q.centers.map(_.toList).toList) ~
+        ("path" -> p) ~ ("idCol" -> q.idCol) ~ ("vecCol" -> q.vecCol)
     case ClusterAssign(cs, id, vec, wd) =>
       ("type" -> "ClusterAssign") ~ ("centers" -> cs.map(_.toList).toList) ~
         ("idCol" -> id) ~ ("vecCol" -> vec) ~ ("withDistance" -> wd)
@@ -913,6 +921,9 @@ object EnsemblePersistence {
       case "ClusterAssign" =>
         ClusterAssign((o \ "centers").extract[List[List[Double]]],
           s("idCol"), s("vecCol"), (o \ "withDistance").extract[Boolean])
+      case "QuantizerDrift" =>
+        QuantizerDrift((o \ "centers").extract[List[List[Double]]],
+          spark.read.parquet(s("path")), s("idCol"), s("vecCol"))
       case "TextQualityClassifier" =>
         TextQualityClassifier((o \ "coefficients").extract[List[Double]],
           (o \ "intercept").extract[Double], s("textCol"),

@@ -247,6 +247,80 @@ case class ClusterAssign(
   }
 }
 
+/** Frozen-quantizer drift report — the REFIT TRIGGER the streaming
+  * index sinks promise ("monitor recall, refit on drift"): compare a
+  * NEW batch's nearest-centroid assignment profile against the
+  * REFERENCE catalog the quantizer was fitted over, per cluster, in
+  * exact arithmetic. Emits one row per cluster present on either side:
+  * counts, basis-point shares, the absolute share drift, the
+  * reference's max in-cluster distance (`theta_d2`, the fitted
+  * coverage radius), and how many new items land OUTSIDE it (`n_far` —
+  * items the frozen quantizer has never seen the like of; a new item
+  * in a cluster with no reference mass is far by definition). Large
+  * `drift_bp` = the mixture moved; large `n_far` = the space moved;
+  * either says refit + rebuild (FAISS operational practice). Scale: two
+  * partial-aggregable passes collapse both sides to k rows before a
+  * k-row broadcastable join — no shuffle carries vectors. Null vectors
+  * carry no assignment and are excluded from both sides. */
+case class QuantizerDrift(
+    centers: Seq[Seq[Double]],
+    reference: DataFrame,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") extends EnsembleOp {
+
+  require(centers.nonEmpty, s"$name: need at least one centroid")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, vecCol)
+    StructType(Seq(
+      StructField("cluster_id", IntegerType),
+      StructField("ref_count", LongType),
+      StructField("new_count", LongType),
+      StructField("ref_share_bp", LongType),
+      StructField("new_share_bp", LongType),
+      StructField("drift_bp", LongType),
+      StructField("theta_d2", DoubleType),
+      StructField("n_far", LongType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val assign = ClusterAssign(centers, idCol, vecCol)
+    val refA = assign.transform(reference.filter(col(vecCol).isNotNull))
+    val newA = assign.transform(df.filter(col(vecCol).isNotNull))
+    // k-row aggregates; the exact max distance is order-independent, so
+    // theta_d2 replays bit-identically in any engine
+    val refAgg = refA.groupBy("cluster_id")
+      .agg(count(lit(1)).as("ref_count"), max(col("d2")).as("theta_d2"))
+    val newAgg = newA
+      .join(broadcast(refAgg.select(col("cluster_id"),
+        col("theta_d2").as("__theta"))), Seq("cluster_id"), "left")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("new_count"),
+        sum(when(col("__theta").isNull || col("d2") > col("__theta"), 1L)
+          .otherwise(0L)).as("n_far"))
+    val joined = refAgg.join(newAgg, Seq("cluster_id"), "full_outer")
+      .select(col("cluster_id"),
+        coalesce(col("ref_count"), lit(0L)).as("ref_count"),
+        coalesce(col("new_count"), lit(0L)).as("new_count"),
+        col("theta_d2"),
+        coalesce(col("n_far"), lit(0L)).as("n_far"))
+    // integer basis points against each side's own total (the
+    // MixturePlan discipline: never a float ratio in a hashed output)
+    val totals = joined.agg(sum(col("ref_count")).as("__rt"),
+      sum(col("new_count")).as("__nt"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("cluster_id"), col("ref_count"), col("new_count"),
+        when(col("__rt") === 0, lit(0L))
+          .otherwise(expr("ref_count * 10000 div __rt")).as("ref_share_bp"),
+        when(col("__nt") === 0, lit(0L))
+          .otherwise(expr("new_count * 10000 div __nt")).as("new_share_bp"),
+        col("theta_d2"), col("n_far"))
+      .withColumn("drift_bp", abs(col("new_share_bp") - col("ref_share_bp")))
+      .select("cluster_id", "ref_count", "new_count", "ref_share_bp",
+        "new_share_bp", "drift_bp", "theta_d2", "n_far")
+  }
+}
+
 object PcaProject {
   /** Fit the principal axes with MLlib PCA and build the op; axes come
     * back as plain doubles (column i of the d×k loading matrix). */

@@ -1596,6 +1596,22 @@ object CurationQueries {
       .select(col("vec_id"), col("cluster_id"), col("d2"))
       .orderBy("vec_id")
 
+  /** Frozen-quantizer drift report ([[graft.ops.QuantizerDrift]] over
+    * the shared k=8 centers): the catalog (label ≠ 0) is the reference
+    * the quantizer was fitted over, the query slice (label = 0) plays
+    * the newly-arriving batch — per-cluster share drift in basis points
+    * plus coverage-radius escapes, the refit trigger the streaming
+    * index sinks document. Hash-oracled end to end: assignment replays
+    * from centroid literals, theta is an order-independent exact max,
+    * and every share is integer basis points. */
+  def annDriftReport(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    QuantizerDrift(cachedSemCenters(spark, d),
+      reference = emb.filter(col("label") =!= 0))
+      .transform(emb.filter(col("label") === 0))
+      .orderBy("cluster_id")
+  }
+
   /** Cluster-share corpus report — the semantic-mixture diagnostic
     * (cluster sizes, basis-point shares, integer-micro SSE): one
     * partial-aggregable groupBy collapses the corpus to k rows; the share
@@ -1718,6 +1734,45 @@ object CurationQueries {
         "op_cluster_assign" ->
           s"""WITH $clusterCte
              |SELECT vec_id, cid AS cluster_id, d2 FROM a ORDER BY vec_id""".stripMargin,
+        // drift report: the same assignment math split by label; theta
+        // is an order-independent exact max, shares are integer basis
+        // points, so the whole refit-trigger row set hash-replays
+        "op_ann_drift" ->
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $rows),
+             |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+             |  WHERE embedding IS NOT NULL),
+             |ass AS (SELECT vec_id, label, cid,
+             |    (c2 - 2.0 * list_inner_product(v, cv)) + list_inner_product(v, v) AS d2,
+             |    row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM e CROSS JOIN cent),
+             |a AS (SELECT vec_id, label, cid, d2 FROM ass WHERE rn = 1),
+             |refagg AS (SELECT cid, count(*) AS ref_count, max(d2) AS theta_d2
+             |  FROM a WHERE label <> 0 GROUP BY cid),
+             |newagg AS (SELECT n.cid AS cid, count(*) AS new_count,
+             |    CAST(sum(CASE WHEN r.theta_d2 IS NULL OR n.d2 > r.theta_d2
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_far
+             |  FROM (SELECT cid, d2 FROM a WHERE label = 0) n
+             |  LEFT JOIN refagg r ON n.cid = r.cid GROUP BY n.cid),
+             |j AS (SELECT coalesce(r.cid, n.cid) AS cluster_id,
+             |    coalesce(r.ref_count, 0) AS ref_count,
+             |    coalesce(n.new_count, 0) AS new_count,
+             |    r.theta_d2 AS theta_d2, coalesce(n.n_far, 0) AS n_far
+             |  FROM refagg r FULL OUTER JOIN newagg n ON r.cid = n.cid),
+             |tot AS (SELECT sum(ref_count) AS rt, sum(new_count) AS nt FROM j)
+             |SELECT cluster_id, CAST(ref_count AS BIGINT) AS ref_count,
+             |  CAST(new_count AS BIGINT) AS new_count,
+             |  CAST(CASE WHEN rt = 0 THEN 0
+             |    ELSE ref_count * 10000 // rt END AS BIGINT) AS ref_share_bp,
+             |  CAST(CASE WHEN nt = 0 THEN 0
+             |    ELSE new_count * 10000 // nt END AS BIGINT) AS new_share_bp,
+             |  CAST(abs(CASE WHEN nt = 0 THEN 0
+             |      ELSE new_count * 10000 // nt END
+             |    - CASE WHEN rt = 0 THEN 0
+             |      ELSE ref_count * 10000 // rt END) AS BIGINT) AS drift_bp,
+             |  theta_d2, CAST(n_far AS BIGINT) AS n_far
+             |FROM j CROSS JOIN tot ORDER BY cluster_id""".stripMargin,
         // the moved catalog replaces `e`: purge filter + sign-flip
         // re-encode (FLOAT negation then the same DOUBLE widening Spark
         // applies — exact); carried-ness replays from the move sets,
@@ -1939,6 +1994,7 @@ object CurationQueries {
     "neardup_semantic_full" -> (neardupSemanticFull _),
     "neardup_semantic" -> (neardupSemantic _),
     "op_cluster_assign" -> (clusterAssign _),
+    "op_ann_drift" -> (annDriftReport _),
     "corpus_cluster_report" -> (clusterReport _),
     "pipeline_semantic_dedup" -> (pipelineSemanticDedup _),
     "pipeline_embedding_reconcile" -> (pipelineEmbeddingReconcile _),

@@ -863,20 +863,37 @@ object StreamingOps {
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
       : Option[graft.ops.Bm25Index] =
-    latestVersion(spark, indexDir).map { v =>
-      val deltas = spark.read.parquet(s"$indexDir/$v/manifest")
+    latestVersion(spark, indexDir).flatMap(loadBm25IndexAt(
+      spark, indexDir, _, queryIdCol, queryTextCol, k, k1, b))
+
+  /** A specific RETAINED version's BM25 index (time travel over the
+    * index log — reproduce an evaluation against the exact snapshot
+    * that served it, or A/B two index states; the index-side analog of
+    * [[loadCorpusAt]]). None if the version was never committed or its
+    * metadata has been vacuumed; retention bounds the window. */
+  def loadBm25IndexAt(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, version: String,
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
+      : Option[graft.ops.Bm25Index] = {
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, s"$version/manifest")))
+      None
+    else Some {
+      val deltas = spark.read.parquet(s"$indexDir/$version/manifest")
         .select("delta").collect().map(_.getString(0)).toIndexedSeq
       val postings = spark.read.parquet(
         deltas.map(d => s"$indexDir/deltas/$d/postings"): _*)
       val dfreq = spark.read.parquet(
         deltas.map(d => s"$indexDir/deltas/$d/dfreq"): _*)
         .groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
-      val meta = spark.read.parquet(s"$indexDir/$v/meta").head()
+      val meta = spark.read.parquet(s"$indexDir/$version/meta").head()
       val n = meta.getAs[Long]("docCount")
       graft.ops.Bm25Index(postings, dfreq,
         n, meta.getAs[Long]("sumDl").toDouble / n,
         queryIdCol, queryTextCol, k, k1, b)
     }
+  }
 
   /** foreachBatch sink maintaining a persisted BM25 inverted index from a
     * document stream in the delta+manifest layout: each batch tokenizes
@@ -975,6 +992,18 @@ object StreamingOps {
   def loadAnnIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[DataFrame] =
     latestVersion(spark, indexDir).map(loadIndexDeltas(spark, indexDir, _))
+
+  /** A specific RETAINED version's ANN index frame (time travel over
+    * the index log, IVF and SQ8 alike — the index-side analog of
+    * [[loadCorpusAt]]: reproduce an evaluation against the snapshot
+    * that served it). None once the version's manifest is vacuumed. */
+  def loadAnnIndexAt(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, version: String): Option[DataFrame] = {
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, s"$version/manifest")))
+      None
+    else Some(loadIndexDeltas(spark, indexDir, version))
+  }
 
   /** foreachBatch sink maintaining a persisted IVF index from an item
     * stream under `op`'s FROZEN coarse quantizer: each batch is assigned

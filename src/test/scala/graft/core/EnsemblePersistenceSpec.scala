@@ -609,6 +609,19 @@ class EnsemblePersistenceSpec extends SparkSpec {
       qc.transform(docs).collect().toSeq)
   }
 
+  test("QuantizerDrift round-trips its reference catalog as a side artifact") {
+    val ref = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((11L, Seq(0.5f, 0.5f)), (12L, Seq(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val op = QuantizerDrift(Seq(Seq(0.0, 0.0), Seq(3.0, 4.0)), ref)
+    val dir = Files.tmp("ens_drift")
+    EnsemblePersistence.save(Ensemble(Seq(op), batch.schema), dir, spark)
+    val loaded = EnsemblePersistence.load(dir, spark)
+    assert(loaded.transform(batch).orderBy("cluster_id").collect().toSeq ==
+      op.transform(batch).orderBy("cluster_id").collect().toSeq)
+  }
+
   test("EvalRanking round-trips its relevance set as a side artifact") {
     val ranked = Seq((1L, "a", 1), (1L, "b", 2)).toDF("query_id", "item_id", "rank")
     val rel = Seq((1L, "b")).toDF("query_id", "item_id")

@@ -121,6 +121,43 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("QuantizerDrift: share drift, coverage escapes, unseen clusters") {
+    import spark.implicits._
+    val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0))
+    // reference: 3 items in c0 (max d2 = 2), 1 in c1 (d2 = 2), none in c2
+    val ref = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(9.0f, 1.0f))).toDF("vec_id", "embedding")
+    // new batch: 1 inside c0's radius, 1 OUTSIDE it (d2 = 8 > 2),
+    // 2 in c2 — a cluster with no reference mass (far by definition)
+    val batch = Seq(
+      (11L, Seq(1.0f, 0.0f)),  // c0, d2 = 1 <= theta 2
+      (12L, Seq(2.0f, 2.0f)),  // c0, d2 = 8 > theta 2 -> far
+      (13L, Seq(0.0f, 9.0f)), (14L, Seq(1.0f, 10.0f))) // c2: unseen
+      .toDF("vec_id", "embedding")
+    val out = QuantizerDrift(centers, ref).transform(batch)
+      .orderBy("cluster_id")
+      .select("cluster_id", "ref_count", "new_count", "ref_share_bp",
+        "new_share_bp", "drift_bp", "n_far")
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0, 3L, 2L, 7500L, 5000L, 2500L, 1L),   // one escape past theta
+      (1, 1L, 0L, 2500L, 0L, 2500L, 0L),      // mixture mass vanished
+      (2, 0L, 2L, 0L, 5000L, 5000L, 2L)),     // unseen cluster: all far
+      s"got $out")
+    // theta is the reference's exact max in-cluster d2 (c0: (1,1) -> 2)
+    val theta = QuantizerDrift(centers, ref).transform(batch)
+      .filter($"cluster_id" === 0).select("theta_d2").as[Double].head()
+    assert(theta == 2.0)
+    // null vectors carry no assignment on either side
+    val withNull = QuantizerDrift(centers,
+      ref.withColumn("embedding",
+        when($"vec_id" === 3L, lit(null)).otherwise($"embedding")))
+      .transform(batch).filter($"cluster_id" === 0)
+      .select("ref_count").as[Long].head()
+    assert(withNull == 2L, "a null reference vector must not count")
+  }
+
   test("ClusterAssign: nearest centroid with exact d2, lowest-id tie-break") {
     import spark.implicits._
     val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0))

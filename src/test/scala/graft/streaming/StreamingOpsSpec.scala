@@ -949,6 +949,34 @@ class StreamingOpsSpec extends SparkSpec {
       "ANN compaction + vacuum must be content-neutral")
   }
 
+  test("index time travel: a retained version probes as the index that served it") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 9L).map(i => (i, s"doc $i quick brown fox " + ("w" + i)))
+    val dir = tmpDir("bm25_tt_")
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.bm25IndexSink(dir)).start()
+    docs.grouped(3).foreach { s => src.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val qs = Seq((1L, "quick fox")).toDF("query_id", "query_text")
+    // v1 = the index after the first TWO batches: byte-identical probes
+    // to a from-scratch fit over those six docs — an eval run against
+    // "the index as of v1" is reproducible after later commits
+    val at = StreamingOps.loadBm25IndexAt(spark, dir, "v1").get
+    assert(at.docCount == 6L)
+    val scratch = graft.ops.Bm25Index.fit(
+      docs.take(6).toDF("doc_id", "text"), "doc_id", "text")
+    assert(at.asRows(qs).collect().map(_.toSeq).toSet ==
+      scratch.asRows(qs).collect().map(_.toSeq).toSet)
+    // the live load is unchanged by time travel; a vacuumed or never-
+    // committed version reads as None, never a partial index
+    assert(StreamingOps.loadBm25Index(spark, dir).get.docCount == 9L)
+    assert(StreamingOps.loadBm25IndexAt(spark, dir, "v9").isEmpty)
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    assert(StreamingOps.loadBm25IndexAt(spark, dir, "v1").isEmpty,
+      "vacuumed history must read as None")
+  }
+
   test("bm25IndexSink auto-compaction bounds the delta chain; probes stay exact") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (1L to 10L).map(i => (i, s"doc number $i quick brown fox ${"word " * i.toInt}"))
