@@ -828,7 +828,7 @@ object StreamingOps {
       dir: String, appId: String): Option[Long] = {
     val liveN = graft.core.VersionedDir.latest(spark, dir)
       .flatMap(v => scala.util.Try(v.drop(1).toLong).toOption)
-    graft.core.VersionedDir.versions(spark, dir).iterator
+    val scanned = graft.core.VersionedDir.versions(spark, dir).iterator
       .filter(v => liveN.exists(v.drop(1).toLong <= _))
       .flatMap { v =>
         try {
@@ -841,6 +841,10 @@ object StreamingOps {
         }
       }
       .collectFirst { case (a, b) if a == appId => b }
+    // the retention-proof pointer remembers commits whose version dirs
+    // other writers' churn has vacuumed; within retention the scan is
+    // authoritative (the pointer may lag one commit after a crash)
+    (scanned ++ readTxnPointer(spark, dir, appId)).reduceOption(_ max _)
   }
 
   private def writeTxn(spark: org.apache.spark.sql.SparkSession,
@@ -848,6 +852,47 @@ object StreamingOps {
     import spark.implicits._
     Seq((appId, batchId)).toDF("appId", "batchId")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$version/txn")
+  }
+
+  /** Retention-proof per-app commit memory: a root-level `_TXN_<appId>`
+    * pointer holding the app's latest committed batchId, written AFTER
+    * the version pointer swap (write-then-rename, the `_LATEST`
+    * discipline). The per-version txn parquet inside retained history
+    * stays the source of truth; this file extends the retry-dedup
+    * window past retention — without it, an OPTIMIZE/purge commit (a
+    * different appId) followed by version vacuum ages the ingest app's
+    * txn marker out of the log, and a late orchestrator replay of a
+    * committed batch RECOMMITS it (BM25 postings have no content-dedup
+    * net, so that double-counts documents) [spec-pinned]. Ordering
+    * matters: written after the commit goes live, so a crash in between
+    * leaves the file stale and the retry falls back to the version scan
+    * — never the reverse, where a live file covers a batch that never
+    * committed and the retry skips it, losing the batch. Residual
+    * window: a crash between pointer swap and this write AND retention
+    * churning past the version before the retry — the prompt-restart
+    * case the checkpoint itself covers. */
+  private def writeTxnPointer(spark: org.apache.spark.sql.SparkSession,
+      dir: String, appId: String, batchId: Long): Unit = {
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(p, s"._TXN_$appId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(p, s"_TXN_$appId"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readTxnPointer(spark: org.apache.spark.sql.SparkSession,
+      dir: String, appId: String): Option[Long] = {
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, dir)
+    val f = new org.apache.hadoop.fs.Path(p, s"_TXN_$appId")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try scala.util.Try(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong).toOption
+      finally in.close()
+    }
   }
 
   /** Load the live BM25 index from a sink-maintained directory (None
@@ -947,6 +992,7 @@ object StreamingOps {
             "__doc_id"))
         writeTxn(spark, indexDir, v, appId, batchId)
         writePointer(spark, indexDir, v, live)
+        writeTxnPointer(spark, indexDir, appId, batchId)
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
         maybeCompact(spark, indexDir, autoCompactDeltas, retainVersions,
           () => compactIndexState(spark, indexDir))
@@ -984,6 +1030,7 @@ object StreamingOps {
         spark.read.parquet(s"$indexDir/deltas/$delta/index"), idCol))
     writeTxn(spark, indexDir, v, appId, batchId)
     writePointer(spark, indexDir, v, live)
+    writeTxnPointer(spark, indexDir, appId, batchId)
     retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
   }
 
@@ -1529,6 +1576,7 @@ object StreamingOps {
                 prevManifest :+ manifestEntry(delta, keepers, idCol))
               writeTxn(spark, stateDir, v, appId, batchId)
               writePointer(spark, stateDir, v, live)
+              writeTxnPointer(spark, stateDir, appId, batchId)
               retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
               maybeCompact(spark, stateDir, autoCompactDeltas,
                 retainVersions,

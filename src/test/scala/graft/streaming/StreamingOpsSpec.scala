@@ -949,6 +949,37 @@ class StreamingOpsSpec extends SparkSpec {
       "ANN compaction + vacuum must be content-neutral")
   }
 
+  test("a committed-batch retry is a no-op even after retention vacuumed its txn version") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("bm25_retry_vacuum_")
+    val b0 = Seq((1L, "quick brown fox"), (2L, "lazy dog"))
+    val b1 = Seq((3L, "seven eight nine"))
+    // keep=1: after batch 1 commits, the version holding batch 0's txn
+    // marker is vacuumed — the retry dedup must NOT depend on retained
+    // metadata history (an orchestrator can replay an old batch long
+    // after retention aged its version out; BM25 postings have no
+    // content-dedup safety net, so a recommit double-counts documents)
+    val sink = StreamingOps.bm25IndexSink(dir, retainVersions = Some(1))
+    sink(b0.toDF("doc_id", "text"), 0L)
+    sink(b1.toDF("doc_id", "text"), 1L)
+    assert(StreamingOps.loadBm25Index(spark, dir).get.docCount == 3L)
+    // late replay of committed batch 0
+    sink(b0.toDF("doc_id", "text"), 0L)
+    val idx = StreamingOps.loadBm25Index(spark, dir).get
+    assert(idx.docCount == 3L,
+      s"retried batch must not recommit: docCount ${idx.docCount}")
+    // the harder interleaving: an OPTIMIZE (different appId) commits on
+    // top, then retention vacuums the version holding the ingest app's
+    // last txn — the app's commit memory must survive other writers'
+    // commits aging its version out, or a late replay double-counts
+    StreamingOps.compactIndexState(spark, dir)
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    sink(b1.toDF("doc_id", "text"), 1L)
+    val after = StreamingOps.loadBm25Index(spark, dir).get
+    assert(after.docCount == 3L,
+      s"replay after optimize+vacuum must be a no-op: ${after.docCount}")
+  }
+
   test("index time travel: a retained version probes as the index that served it") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (1L to 9L).map(i => (i, s"doc $i quick brown fox " + ("w" + i)))
