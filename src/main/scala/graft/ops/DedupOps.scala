@@ -73,8 +73,15 @@ case class NgramJaccardDedup(
     val (result, cached) = build(df)
     // the pair list is tiny (collisions only) — materialize it eagerly so
     // the corpus-sized shingle cache can be released instead of leaking
-    // across queries in a long-lived session
-    val out = result.localCheckpoint(true)
+    // across queries in a long-lived session. persist+count, NOT an eager
+    // localCheckpoint: checkpointing a plan that holds a broadcast
+    // exchange can deadlock on Spark's process-global RDDCheckpointData
+    // monitor against the broadcast thread's own doCheckpoint (lock
+    // inversion — observed twice in this suite). Materialization is the
+    // point here, not lineage truncation; persisted blocks free via
+    // ContextCleaner once the frame is unreachable.
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     cached.unpersist()
     out
   }
@@ -163,8 +170,11 @@ case class MinHashDedup(
 
   override def transform(df: DataFrame): DataFrame = {
     val (result, cached) = build(df)
-    // eager pair materialization → release the corpus-sized cache
-    val out = result.localCheckpoint(true)
+    // eager pair materialization → release the corpus-sized cache;
+    // persist+count, not localCheckpoint (the broadcast-vs-checkpoint
+    // lock-inversion deadlock — see NgramJaccardDedup.transform)
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     cached.unpersist()
     out
   }
@@ -353,12 +363,22 @@ case class DupClusters(
     var prevSum = checksum(labels)
     var converged = false
     var iters = 0
+    // shuffle_hash hints on every in-loop join: the round's plan gets
+    // localCheckpoint'ed, and checkpointing a plan that holds a
+    // BROADCAST exchange can deadlock on Spark's process-global
+    // RDDCheckpointData monitor against the broadcast thread's own
+    // doCheckpoint (lock inversion — reproduced in this op's 60-node
+    // chain spec). Checkpointing here is non-negotiable (lineage must
+    // truncate across rounds), so the broadcast is what goes; at scale
+    // shuffle-hash is the right strategy for these label-map joins
+    // anyway, and AQE cannot override an explicit strategy hint.
     while (!converged && iters < maxIters) {
-      val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
+      val prop = edges.join(
+          labels.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node")).agg(min("label").as("nlabel"))
       // every paired node has ≥1 neighbour, so the propagation covers all
       // of `labels`; inner-join + least keeps the node's own label in play
-      val combined = labels.join(prop, Seq("node"))
+      val combined = labels.join(prop.hint("shuffle_hash"), Seq("node"))
         .select(col("node"), least(col("label"), col("nlabel")).as("label"))
       // pointer-doubling shortcut: label ← label(label). Every label value
       // IS a node of the same component (labels start as node ids and only
@@ -366,7 +386,8 @@ case class DupClusters(
       // into one round — rounds ∝ log(diameter), not diameter. The left
       // join + coalesce only guards the impossible miss.
       val next = combined
-        .join(combined.select(col("node").as("label"), col("label").as("__ll")),
+        .join(combined.select(col("node").as("label"), col("label").as("__ll"))
+            .hint("shuffle_hash"),
           Seq("label"), "left")
         .select(col("node"), coalesce(col("__ll"), col("label")).as("label"))
         .localCheckpoint(false)
@@ -521,8 +542,11 @@ case class CosineNearDup(
   /** Scale path: LSH-bucketed candidates, exact verification. */
   private def transformBucketed(df: DataFrame): DataFrame = {
     val (result, cached) = buildBucketed(df)
-    // eager pair materialization → release the corpus-sized cache
-    val out = result.localCheckpoint(true)
+    // eager pair materialization → release the corpus-sized cache;
+    // persist+count, not localCheckpoint (the broadcast-vs-checkpoint
+    // lock-inversion deadlock — see NgramJaccardDedup.transform)
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     cached.unpersist()
     out
   }
