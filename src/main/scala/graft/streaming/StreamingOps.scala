@@ -831,13 +831,9 @@ object StreamingOps {
     val scanned = graft.core.VersionedDir.versions(spark, dir).iterator
       .filter(v => liveN.exists(v.drop(1).toLong <= _))
       .flatMap { v =>
-        try {
-          val t = spark.read.parquet(s"$dir/$v/txn").head()
-          Some((t.getAs[String]("appId"), t.getAs[Long]("batchId")))
-        } catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("PATH_NOT_FOUND") => None
-          case _: java.io.FileNotFoundException => None
+        readSmallFile(spark, s"$dir/$v/txn").map { t =>
+          val i = t.lastIndexOf(',')
+          (t.take(i), t.drop(i + 1).trim.toLong)
         }
       }
       .collectFirst { case (a, b) if a == appId => b }
@@ -847,12 +843,11 @@ object StreamingOps {
     (scanned ++ readTxnPointer(spark, dir, appId)).reduceOption(_ max _)
   }
 
+  // `appId,batchId` one-liner; split on the LAST comma so appIds with
+  // commas cannot shift the batch field
   private def writeTxn(spark: org.apache.spark.sql.SparkSession,
-      dir: String, version: String, appId: String, batchId: Long): Unit = {
-    import spark.implicits._
-    Seq((appId, batchId)).toDF("appId", "batchId")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$version/txn")
-  }
+      dir: String, version: String, appId: String, batchId: Long): Unit =
+    writeSmallFile(spark, s"$dir/$version/txn", s"$appId,$batchId")
 
   /** Retention-proof per-app commit memory: a root-level `_TXN_<appId>`
     * pointer holding the app's latest committed batchId, written AFTER
@@ -925,20 +920,32 @@ object StreamingOps {
     if (!fs.exists(new org.apache.hadoop.fs.Path(p, s"$version/manifest")))
       None
     else Some {
-      val deltas = spark.read.parquet(s"$indexDir/$version/manifest")
-        .select("delta").collect().map(_.getString(0)).toIndexedSeq
+      val deltas = readManifest(spark, s"$indexDir/$version/manifest")
+        .map(_.delta)
       val postings = spark.read.parquet(
         deltas.map(d => s"$indexDir/deltas/$d/postings"): _*)
       val dfreq = spark.read.parquet(
         deltas.map(d => s"$indexDir/deltas/$d/dfreq"): _*)
         .groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
-      val meta = spark.read.parquet(s"$indexDir/$version/meta").head()
-      val n = meta.getAs[Long]("docCount")
+      val (n, sumDl) = readMeta(spark, s"$indexDir/$version/meta")
       graft.ops.Bm25Index(postings, dfreq,
-        n, meta.getAs[Long]("sumDl").toDouble / n,
+        n, sumDl.toDouble / n,
         queryIdCol, queryTextCol, k, k1, b)
     }
   }
+
+  // `docCount,sumDl` one-liner — the cumulative BM25 scale stats
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    val t = readSmallFile(spark, path).getOrElse(
+      throw new IllegalStateException(s"missing meta: $path"))
+    val f = t.trim.split(",")
+    (f(0).toLong, f(1).toLong)
+  }
+
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, docCount: Long, sumDl: Long): Unit =
+    writeSmallFile(spark, path, s"$docCount,$sumDl")
 
   /** foreachBatch sink maintaining a persisted BM25 inverted index from a
     * document stream in the delta+manifest layout: each batch tokenizes
@@ -968,10 +975,8 @@ object StreamingOps {
         val (bPostings, bDfreq, bN, bSumDl) =
           graft.ops.Bm25Index.stats(batch, docIdCol, textCol)
         val live = latestVersion(spark, indexDir)
-        val (n0, s0) = live.map { lv =>
-          val m = spark.read.parquet(s"$indexDir/$lv/meta").head()
-          (m.getAs[Long]("docCount"), m.getAs[Long]("sumDl"))
-        }.getOrElse((0L, 0L))
+        val (n0, s0) = live.map(lv => readMeta(spark, s"$indexDir/$lv/meta"))
+          .getOrElse((0L, 0L))
         val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
         val delta = "d" + v.drop(1)
         // materialize delta + metadata BEFORE the pointer moves; deltas
@@ -980,8 +985,7 @@ object StreamingOps {
           .parquet(s"$indexDir/deltas/$delta/postings")
         bDfreq.write.mode("overwrite")
           .parquet(s"$indexDir/deltas/$delta/dfreq")
-        Seq((n0 + bN, s0 + bSumDl)).toDF("docCount", "sumDl")
-          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$v/meta")
+        writeMeta(spark, s"$indexDir/$v/meta", n0 + bN, s0 + bSumDl)
         val prevManifest = live
           .map(lv => readManifest(spark, s"$indexDir/$lv/manifest"))
           .getOrElse(Seq.empty)
@@ -1004,8 +1008,8 @@ object StreamingOps {
     * shuffle; ANN probes group by list id, so the union is plan-neutral). */
   private def loadIndexDeltas(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, version: String): DataFrame = {
-    val deltas = spark.read.parquet(s"$indexDir/$version/manifest")
-      .select("delta").collect().map(_.getString(0)).toIndexedSeq
+    val deltas = readManifest(spark, s"$indexDir/$version/manifest")
+      .map(_.delta)
     spark.read.parquet(deltas.map(d => s"$indexDir/deltas/$d/index"): _*)
   }
 
@@ -1153,8 +1157,8 @@ object StreamingOps {
       indexDir: String, targetBytes: Long = 128L << 20): Option[String] =
     latestVersion(spark, indexDir).map { lv =>
       val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
-      val deltas = spark.read.parquet(s"$indexDir/$lv/manifest")
-        .select("delta").collect().map(_.getString(0)).toIndexedSeq
+      val deltas = readManifest(spark, s"$indexDir/$lv/manifest")
+        .map(_.delta)
       // delta table names (postings+dfreq for BM25, index for ANN) from
       // the layout itself — one compaction serves every index family
       val tables = fs.listStatus(
@@ -1174,9 +1178,10 @@ object StreamingOps {
         df.repartition(nFiles).write.mode("overwrite")
           .parquet(s"$indexDir/deltas/$delta/$t")
       }
-      if (fs.exists(new org.apache.hadoop.fs.Path(p, s"$lv/meta")))
-        spark.read.parquet(s"$indexDir/$lv/meta").coalesce(1)
-          .write.mode("overwrite").parquet(s"$indexDir/$v/meta")
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, s"$lv/meta"))) {
+        val (n0, s0) = readMeta(spark, s"$indexDir/$lv/meta")
+        writeMeta(spark, s"$indexDir/$v/meta", n0, s0)
+      }
       // zone map over the compacted main table's id column
       val entry = (if (tables.contains("postings")) Some("__doc_id")
         else if (tables.contains("index")) Some("__item_id") else None)
@@ -1210,7 +1215,7 @@ object StreamingOps {
     maxDeltas.foreach { t =>
       require(t >= 1, s"autoCompactDeltas must be >= 1, got $t")
       latestVersion(spark, dir).foreach { lv =>
-        if (spark.read.parquet(s"$dir/$lv/manifest").count() > t) {
+        if (readManifest(spark, s"$dir/$lv/manifest").size > t) {
           compact()
           // retention ran at the data commit, BEFORE the compaction
           // commit existed — re-run it so the pre-compaction version
@@ -1271,18 +1276,54 @@ object StreamingOps {
       if (s.isNullAt(1)) None else Some(s.getLong(1)))
   }
 
-  private def readManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[ManifestEntry] = {
-    import spark.implicits._
-    spark.read.parquet(path).select("delta", "min_id", "max_id")
-      .as[ManifestEntry].collect().toIndexedSeq
+  // Commit-protocol metadata (manifest / meta / txn / source markers) is
+  // DRIVER-KNOWN and metadata-scale — a handful of values per commit.
+  // Persisting it through Spark parquet jobs cost 3+ jobs per commit and
+  // as many more per load (scheduler overhead dominated the whole
+  // lifecycle family's latency at small batch sizes). It is now written
+  // and read directly through the Hadoop FS as one-line-per-record text,
+  // like the `_LATEST` pointer — zero Spark jobs. The files live inside
+  // not-yet-published v<n> dirs until the pointer swap, so no reader
+  // ever observes a partial write; the DATA (deltas, digest index)
+  // stays parquet.
+  private def writeSmallFile(spark: org.apache.spark.sql.SparkSession,
+      path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, entries: Seq[ManifestEntry]): Unit = {
-    import spark.implicits._
-    entries.toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  private def readSmallFile(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
   }
+
+  // one `delta,min,max` line per entry (empty field = no stat); delta
+  // names are log-generated (`d<n>`), so the separator is collision-free
+  private[graft] def readManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[ManifestEntry] =
+    readSmallFile(spark, path).getOrElse(
+      throw new IllegalStateException(s"missing manifest: $path"))
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val f = line.split(",", -1)
+        ManifestEntry(f(0),
+          if (f(1).isEmpty) None else Some(f(1).toLong),
+          if (f(2).isEmpty) None else Some(f(2).toLong))
+      }.toIndexedSeq
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, entries: Seq[ManifestEntry]): Unit =
+    writeSmallFile(spark, path, entries.map(e =>
+      s"${e.delta},${e.min_id.getOrElse("")},${e.max_id.getOrElse("")}")
+      .mkString("\n"))
 
   /** The live accepted corpus maintained by [[corpusIngestSink]] (None
     * before the first accepting batch): resolve the pointed version's
@@ -1292,9 +1333,8 @@ object StreamingOps {
   def loadCorpus(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[DataFrame] =
     latestVersion(spark, stateDir).map { v =>
-      val deltas = spark.read.parquet(s"$stateDir/$v/manifest")
-        .select("delta").collect().map(_.getString(0))
-      spark.read.parquet(deltas.map(d => s"$stateDir/deltas/$d").toIndexedSeq: _*)
+      val deltas = readManifest(spark, s"$stateDir/$v/manifest").map(_.delta)
+      spark.read.parquet(deltas.map(d => s"$stateDir/deltas/$d"): _*)
     }
 
   /** Id-range read over the live corpus with MANIFEST-LEVEL data
@@ -1336,10 +1376,9 @@ object StreamingOps {
     val m = new org.apache.hadoop.fs.Path(p, s"$version/manifest")
     if (!fs.exists(m)) None
     else Some {
-      val deltas = spark.read.parquet(m.toString)
-        .select("delta").collect().map(_.getString(0))
+      val deltas = readManifest(spark, m.toString).map(_.delta)
       spark.read.parquet(
-        deltas.map(d => s"$stateDir/deltas/$d").toIndexedSeq: _*)
+        deltas.map(d => s"$stateDir/deltas/$d"): _*)
     }
   }
 
@@ -1364,8 +1403,7 @@ object StreamingOps {
     val old = new org.apache.hadoop.fs.Path(p, s"$sinceVersion/manifest")
     if (!fs.exists(old)) None
     else latestVersion(spark, stateDir).flatMap { lv =>
-      val seen = spark.read.parquet(old.toString)
-        .select("delta").collect().map(_.getString(0)).toSet
+      val seen = readManifest(spark, old.toString).map(_.delta).toSet
       val liveM = readManifest(spark, s"$stateDir/$lv/manifest").map(_.delta)
       if (!seen.subsetOf(liveM.toSet)) None // purge/compact rewrote deltas
       else Some {
@@ -1402,8 +1440,7 @@ object StreamingOps {
     latestVersion(spark, corpusDir).flatMap { cv =>
       val lastSv = latestVersion(spark, signalDir)
       val lastSrc = lastSv.flatMap(sv =>
-        scala.util.Try(spark.read.parquet(s"$signalDir/$sv/source")
-          .head().getAs[String]("corpus_version")).toOption)
+        readSmallFile(spark, s"$signalDir/$sv/source").map(_.trim))
       if (lastSrc.contains(cv)) None
       else {
         // APPEND FAST PATH: when the commit chain from the version the
@@ -1437,9 +1474,7 @@ object StreamingOps {
           graft.core.VersionedDir.readLatest(spark, signalDir),
           loadCorpus(spark, corpusDir).get, signal, idCol))
         val v = graft.core.VersionedDir.publish(out, signalDir, retainVersions)
-        import spark.implicits._
-        Seq(cv).toDF("corpus_version").coalesce(1)
-          .write.mode("overwrite").parquet(s"$signalDir/$v/source")
+        writeSmallFile(spark, s"$signalDir/$v/source", cv)
         Some(v)
       }
     }
@@ -1663,8 +1698,8 @@ object StreamingOps {
       val corpus = loadCorpus(spark, stateDir).get.persist()
       try {
         val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
-        val deltas = spark.read.parquet(s"$stateDir/$lv/manifest")
-          .select("delta").as[String].collect()
+        val deltas = readManifest(spark, s"$stateDir/$lv/manifest")
+          .map(_.delta)
         val bytes = deltas.map(d => fs.getContentSummary(
           new org.apache.hadoop.fs.Path(p, s"deltas/$d")).getLength).sum
         val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -1697,9 +1732,7 @@ object StreamingOps {
     val referenced = graft.core.VersionedDir.versions(spark, stateDir)
       .flatMap { v =>
         val m = new org.apache.hadoop.fs.Path(p, s"$v/manifest")
-        if (fs.exists(m))
-          spark.read.parquet(m.toString).select("delta")
-            .collect().map(_.getString(0)).toSeq
+        if (fs.exists(m)) readManifest(spark, m.toString).map(_.delta)
         else Seq.empty
       }.toSet
     val doomed = fs.listStatus(deltaRoot).toSeq.filter(_.isDirectory)

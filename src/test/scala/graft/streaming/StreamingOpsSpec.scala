@@ -895,6 +895,7 @@ class StreamingOpsSpec extends SparkSpec {
         f.isDirectory && f.getName.startsWith("v"))) {
       val sub = v.listFiles().map(_.getName).toSet
         .filterNot(_.contains("_RESERVED")) // OCC marker + crc sidecar
+        .filterNot(_.startsWith(".")) // FS checksum sidecars of the files
       assert(sub.subsetOf(Set("manifest", "meta", "txn")),
         s"${v.getName} holds index payload, not metadata: $sub")
     }
@@ -908,7 +909,7 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.compactIndexState(spark, dir).contains("v3"))
     val idx = StreamingOps.loadBm25Index(spark, dir).get
     assert(idx.docCount == 9L)
-    assert(spark.read.parquet(s"$dir/v3/manifest").count() == 1L,
+    assert(StreamingOps.readManifest(spark, s"$dir/v3/manifest").size == 1,
       "compaction must republish the corpus as one delta")
     assert(idx.asRows(qs).collect().map(_.toSeq).toSet == before,
       "compaction must be probe-neutral")
@@ -1023,12 +1024,12 @@ class StreamingOpsSpec extends SparkSpec {
     docs.grouped(2).foreach { s => src.addData(s: _*); q.processAllAvailable() }
     q.stop()
     val lv = graft.core.VersionedDir.latest(spark, dir).get
-    assert(spark.read.parquet(s"$dir/$lv/manifest").count() <= 2,
+    assert(StreamingOps.readManifest(spark, s"$dir/$lv/manifest").size <= 2,
       "auto-compaction must keep the live chain at or under the threshold")
     // the deltas dir holds only what retained manifests reference — the
     // pre-compaction chain reclaimed without a manual OPTIMIZE/vacuum
-    val referenced = spark.read.parquet(s"$dir/$lv/manifest")
-      .select("delta").as[String].collect().toSet
+    val referenced = StreamingOps.readManifest(spark, s"$dir/$lv/manifest")
+      .map(_.delta).toSet
     val onDisk = new java.io.File(dir, "deltas").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(onDisk == referenced,
@@ -1461,7 +1462,7 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.loadCorpusIndex(spark, dir).get
       .as[String].collect().toSet == idxBefore)
     // the live manifest now lists ONE delta; vacuums reclaim the chain
-    assert(spark.read.parquet(s"$dir/v3/manifest").count() == 1L)
+    assert(StreamingOps.readManifest(spark, s"$dir/v3/manifest").size == 1)
     StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
     assert(StreamingOps.vacuumCorpusDeltas(spark, dir).toSet ==
       Set("d0", "d1", "d2"))
