@@ -1518,11 +1518,33 @@ object StreamingOps {
   }
 
   /** The live accepted-corpus digest index maintained by
-    * [[corpusIngestSink]] — the state the next ingest labels against. */
+    * [[corpusIngestSink]] — the state the next ingest labels against.
+    * Delta-layout like the corpus itself: `v<n>/index_manifest` lists
+    * the live `idxdeltas/x<m>` dirs (each one batch's NEW digests), and
+    * the index is their union — so a batch commit writes O(batch)
+    * digest bytes, never the cumulative index (the same
+    * write-amplification fix the postings sinks got; purge/compact
+    * collapse the chain to one delta as their full pass already pays). */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[DataFrame] =
     latestVersion(spark, stateDir).map(v =>
-      spark.read.parquet(s"$stateDir/$v/index"))
+      loadIndexChain(spark, stateDir, v))
+
+  private def loadIndexChain(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, version: String): DataFrame = {
+    val names = readIndexManifest(spark, s"$stateDir/$version/index_manifest")
+    spark.read.parquet(names.map(n => s"$stateDir/idxdeltas/$n"): _*)
+  }
+
+  private def readIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] =
+    readSmallFile(spark, path).getOrElse(
+      throw new IllegalStateException(s"missing index manifest: $path"))
+      .split("\n").iterator.filter(_.nonEmpty).toIndexedSeq
+
+  private def writeIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, names: Seq[String]): Unit =
+    writeSmallFile(spark, path, names.mkString("\n"))
 
   /** foreachBatch sink maintaining the ACCEPTED CORPUS itself as
     * versioned state — the live closure of the ingest loop
@@ -1535,11 +1557,13 @@ object StreamingOps {
     *
     * Layout: `deltas/d<n>` holds batch n's keepers (append-only,
     * stamped `ingest_batch = n` for drop-level lineage); `v<n>/manifest`
-    * lists the live delta names; `v<n>/index` is the full digest index.
-    * Per-batch cost: the labeling joins ∝ the batch, one delta write ∝
-    * the batch's keepers, and an index rewrite ∝ accepted digests
-    * (16-byte identities — ~1/6000th of the corpus; at extreme cadence
-    * the index would delta the same way the corpus does). Version vacuum
+    * lists the live delta names; the digest index is its own delta
+    * chain (`v<n>/index_manifest` over `idxdeltas/x<m>` dirs — each one
+    * batch's NEW digests). Per-batch cost: the labeling joins ∝ the
+    * batch, one corpus-delta write ∝ the batch's keepers, one
+    * digest-delta write ∝ the batch's accepted digests — NOTHING
+    * cumulative is rewritten per commit; purge/compact collapse both
+    * chains as part of the full pass they already pay. Version vacuum
     * ([[vacuumIndexVersions]] / `retainVersions`) reclaims superseded
     * manifest+index copies only — deltas stay, every live manifest
     * references them all. Retroactive removal (takedown) is
@@ -1579,7 +1603,7 @@ object StreamingOps {
         // a batch retry after an intervening purge/optimize commit must
         // not recommit and duplicate its keepers
         if (!latestTxn(spark, stateDir, appId).exists(_ >= batchId)) {
-          val index = live.map(v => spark.read.parquet(s"$stateDir/$v/index"))
+          val index = live.map(v => loadIndexChain(spark, stateDir, v))
             .orElse(initialIndex.map(_.select(col("content_hash"))))
             .getOrElse(Seq.empty[String].toDF("content_hash"))
           val op = graft.ops.IncrementalDedup(index, "content_hash",
@@ -1593,17 +1617,26 @@ object StreamingOps {
               val delta = "d" + v.drop(1)
               keepers.write.mode("overwrite")
                 .parquet(s"$stateDir/deltas/$delta")
-              // == op.updatedIndex(batch), but derived from the already-
-              // persisted keepers (updatedIndex re-runs the labeling
-              // joins over the batch; keepers IS transform(batch)'s
-              // dup_kind-NULL slice, so prior ∪ keeper digests is the
-              // same frame for half the per-batch work)
-              index.select(col("content_hash"))
-                .union(keepers.filter(col("content_hash").isNotNull)
-                  .select(col("content_hash")))
-                .distinct()
+              // the index DELTA is the batch's own accepted digests —
+              // O(batch) bytes, never the cumulative index; distinct by
+              // construction across deltas (a digest already in the
+              // chain labels its carrier an index-dup, never a keeper).
+              // A seeded first commit folds initialIndex in — one-time.
+              val xdelta = "x" + v.drop(1)
+              val newDigests =
+                keepers.filter(col("content_hash").isNotNull)
+                  .select(col("content_hash")).distinct()
+              (if (live.isEmpty && initialIndex.isDefined)
+                 index.select(col("content_hash")).union(newDigests).distinct()
+               else newDigests)
                 .write.mode("overwrite")
-                .parquet(s"$stateDir/$v/index")
+                .parquet(s"$stateDir/idxdeltas/$xdelta")
+              val prevIdxM = live
+                .map(pv => readIndexManifest(spark,
+                  s"$stateDir/$pv/index_manifest"))
+                .getOrElse(Seq.empty)
+              writeIndexManifest(spark, s"$stateDir/$v/index_manifest",
+                prevIdxM :+ xdelta)
               val prevManifest = live
                 .map(pv => readManifest(spark, s"$stateDir/$pv/manifest"))
                 .getOrElse(Seq.empty)
@@ -1664,9 +1697,14 @@ object StreamingOps {
         val retired = flagged.groupBy("content_hash")
           .agg(min(when(col("__tomb"), 1).otherwise(0)).as("__allTomb"))
           .filter(col("__allTomb") === 1).select("content_hash")
+        // the purge pays a full index pass anyway — collapse the digest
+        // chain to one delta (and a singleton index manifest), mirroring
+        // the corpus-delta collapse above
+        val xdelta = "x" + v.drop(1)
         loadCorpusIndex(spark, stateDir).get
           .join(retired, Seq("content_hash"), "left_anti")
-          .write.mode("overwrite").parquet(s"$stateDir/$v/index")
+          .write.mode("overwrite").parquet(s"$stateDir/idxdeltas/$xdelta")
+        writeIndexManifest(spark, s"$stateDir/$v/index_manifest", Seq(xdelta))
         writeManifest(spark, s"$stateDir/$v/manifest",
           Seq(manifestEntry(delta, kept, idCol)))
         writeTxn(spark, stateDir, v, "corpus-purge", -1L)
@@ -1682,9 +1720,10 @@ object StreamingOps {
     * this republishes the SAME corpus as one delta sized toward
     * `targetBytes` per file, as the next committed version in the log.
     * Content-neutral — rows, `ingest_batch` lineage and the digest
-    * index are unchanged; only the physical chain collapses (the index
-    * files are copied into the new version so the (manifest, index)
-    * pair stays self-contained). Sizing is recursive over the
+    * index are unchanged; only the physical chains collapse (the digest
+    * chain to one `idxdeltas` delta alongside the corpus chain, so the
+    * (manifest, index_manifest) pair stays self-contained). Sizing is
+    * recursive over the
     * REFERENCED deltas' actual bytes (the [[graft.ops.StorageOps]]
     * compact lesson). Superseded versions and orphaned deltas reclaim
     * via [[vacuumIndexVersions]] + [[vacuumCorpusDeltas]]; single-writer
@@ -1707,8 +1746,12 @@ object StreamingOps {
         val delta = "d" + v.drop(1)
         corpus.repartition(nFiles).write.mode("overwrite")
           .parquet(s"$stateDir/deltas/$delta")
-        spark.read.parquet(s"$stateDir/$lv/index")
-          .write.mode("overwrite").parquet(s"$stateDir/$v/index")
+        // collapse the digest chain alongside the corpus chain — the
+        // OPTIMIZE is the full pass that buys back the read fan-in
+        val xdelta = "x" + v.drop(1)
+        loadIndexChain(spark, stateDir, lv).coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/idxdeltas/$xdelta")
+        writeIndexManifest(spark, s"$stateDir/$v/index_manifest", Seq(xdelta))
         writeManifest(spark, s"$stateDir/$v/manifest",
           Seq(manifestEntry(delta, corpus, idCol)))
         writeTxn(spark, stateDir, v, "corpus-optimize", -1L)
@@ -1727,18 +1770,29 @@ object StreamingOps {
   def vacuumCorpusDeltas(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Seq[String] = {
     val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
-    val deltaRoot = new org.apache.hadoop.fs.Path(p, "deltas")
-    if (!fs.exists(deltaRoot)) return Seq.empty
-    val referenced = graft.core.VersionedDir.versions(spark, stateDir)
-      .flatMap { v =>
-        val m = new org.apache.hadoop.fs.Path(p, s"$v/manifest")
-        if (fs.exists(m)) readManifest(spark, m.toString).map(_.delta)
-        else Seq.empty
-      }.toSet
-    val doomed = fs.listStatus(deltaRoot).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).filterNot(referenced)
-    doomed.foreach(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(deltaRoot, d), true))
-    doomed
+    val versions = graft.core.VersionedDir.versions(spark, stateDir)
+    def reclaim(root: String, refs: Set[String]): Seq[String] = {
+      val rootPath = new org.apache.hadoop.fs.Path(p, root)
+      if (!fs.exists(rootPath)) Seq.empty
+      else {
+        val doomed = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filterNot(refs)
+        doomed.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(rootPath, d), true))
+        doomed
+      }
+    }
+    val dataRefs = versions.flatMap { v =>
+      val m = new org.apache.hadoop.fs.Path(p, s"$v/manifest")
+      if (fs.exists(m)) readManifest(spark, m.toString).map(_.delta)
+      else Seq.empty
+    }.toSet
+    // digest-index deltas reclaim by the same rule over their own chain
+    val idxRefs = versions.flatMap { v =>
+      val m = new org.apache.hadoop.fs.Path(p, s"$v/index_manifest")
+      if (fs.exists(m)) readIndexManifest(spark, m.toString)
+      else Seq.empty
+    }.toSet
+    reclaim("deltas", dataRefs) ++ reclaim("idxdeltas", idxRefs)
   }
 }

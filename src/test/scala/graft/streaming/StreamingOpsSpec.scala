@@ -1167,6 +1167,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.loadCorpus(spark, dir).get.count() == 1L)
   }
 
+  test("corpusIngestSink: digest-index deltas are O(batch), never cumulative") {
+    val dir = tmpDir("corpus_idxdelta_")
+    runCorpusIngest(dir, Seq(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      Seq((4L, "d"), (5L, "a")), // 5 is an index dup -> 1 new digest
+      Seq((6L, "e"), (7L, "f"))))
+    // THE write-amplification pin for the digest index: each x<n> holds
+    // exactly batch n's NEWLY-accepted digests — a cumulative rewrite
+    // (the pre-round-10 layout) would show 3,4,6 instead of 3,1,2
+    val sizes = Seq("x0", "x1", "x2").map(x =>
+      spark.read.parquet(s"$dir/idxdeltas/$x").count())
+    assert(sizes == Seq(3L, 1L, 2L), s"per-batch digest deltas: $sizes")
+    // and the union IS the live index the next ingest labels against
+    assert(StreamingOps.loadCorpusIndex(spark, dir).get
+      .distinct().count() == 6L)
+  }
+
   test("corpusIngestSink: version retention reclaims manifests, deltas survive") {
     val dir = tmpDir("corpus_retain_")
     runCorpusIngest(dir,
@@ -1464,8 +1481,10 @@ class StreamingOpsSpec extends SparkSpec {
     // the live manifest now lists ONE delta; vacuums reclaim the chain
     assert(StreamingOps.readManifest(spark, s"$dir/v3/manifest").size == 1)
     StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    // BOTH physical chains reclaim: the corpus deltas and the digest-
+    // index deltas the compaction collapsed
     assert(StreamingOps.vacuumCorpusDeltas(spark, dir).toSet ==
-      Set("d0", "d1", "d2"))
+      Set("d0", "d1", "d2", "x0", "x1", "x2"))
     assert(StreamingOps.loadCorpus(spark, dir).get
       .select("doc_id", "content_hash", "ingest_batch")
       .collect().map(_.toSeq).toSet == before)
@@ -1495,8 +1514,8 @@ class StreamingOpsSpec extends SparkSpec {
     // physical removal: vacuum superseded versions, then unreferenced deltas
     StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
     val deleted = StreamingOps.vacuumCorpusDeltas(spark, dir)
-    assert(deleted.toSet == Set("d0", "d1"),
-      s"pre-purge deltas must be reclaimed, got $deleted")
+    assert(deleted.toSet == Set("d0", "d1", "x0", "x1"),
+      s"pre-purge corpus AND digest deltas must be reclaimed, got $deleted")
     assert(StreamingOps.loadCorpus(spark, dir).get
       .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
     // the resumed ingest sink is just another writer in the same log
