@@ -1009,6 +1009,37 @@ class StreamingOpsSpec extends SparkSpec {
       "vacuumed history must read as None")
   }
 
+  test("ANN index time travel: a pinned version is the exact index that served it") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(37)
+    val items = (1L to 30L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val itemsDf = items.toDF("item_id", "embedding")
+    val op = graft.ops.AnnIvf.fit(itemsDf, "query_id", "query_vec",
+      nlist = 2, nprobe = 2)
+    val dir = tmpDir("ivf_tt_")
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(StreamingOps.annIvfIndexSink(dir, op)).start()
+    Seq(items.take(10), items.slice(10, 20), items.drop(20)).foreach { s =>
+      src.addData(s: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // v1 = the catalog after two batches: identical rows to a fresh
+    // index over those 20 items, regardless of the later commit
+    val at = StreamingOps.loadAnnIndexAt(spark, dir, "v1").get
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet
+    val scratch = graft.ops.AnnIvf.index(
+      items.take(20).toDF("item_id", "embedding"), op.centers)
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet
+    assert(at == scratch, "pinned ANN snapshot must equal the fresh index")
+    assert(StreamingOps.loadAnnIvfIndex(spark, dir).get.count() == 30L)
+    assert(StreamingOps.loadAnnIndexAt(spark, dir, "v9").isEmpty)
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    assert(StreamingOps.loadAnnIndexAt(spark, dir, "v1").isEmpty,
+      "vacuumed history must read as None")
+  }
+
   test("bm25IndexSink auto-compaction bounds the delta chain; probes stay exact") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (1L to 10L).map(i => (i, s"doc number $i quick brown fox ${"word " * i.toInt}"))
