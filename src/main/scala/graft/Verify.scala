@@ -17,7 +17,10 @@ object Verify {
     // carry array-typed fit state no oracle compares directly) crashed
     // its pandas row-sort when they sat inside (round 9's `_artifacts`
     // error entry).
-    graft.queries.OracleDir.artifactDir = Some(s"${outDir}_artifacts")
+    // strip trailing separators: "results/" + "_artifacts" would land the
+    // artifacts back INSIDE the enumerated dir and resurrect that crash
+    graft.queries.OracleDir.artifactDir =
+      Some(outDir.replaceAll("/+$", "") + "_artifacts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

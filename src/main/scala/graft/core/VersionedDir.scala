@@ -32,19 +32,29 @@ object VersionedDir {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** The live version name in `<dir>/_LATEST`, if any. */
-  def latest(spark: SparkSession, dir: String): Option[String] = {
+  /** All lines of `<dir>/_LATEST` (empty if the pointer is missing):
+    * line 0 is the live version name; any further lines are an opaque
+    * TRAILER a committer may attach ([[writePointer]]'s `trailer`) —
+    * commit-scoped metadata that must swap ATOMICALLY with the version
+    * itself (the streaming sinks keep their retention-proof per-app
+    * transaction map here, so "which version is live" and "which batch
+    * last committed" can never disagree after a crash). */
+  def pointerLines(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, p) = fsOf(spark, dir)
     val ptr = new org.apache.hadoop.fs.Path(p, "_LATEST")
-    if (!fs.exists(ptr)) None
+    if (!fs.exists(ptr)) Seq.empty
     else {
       val in = fs.open(ptr)
-      try {
-        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        if (s.isEmpty) None else Some(s)
-      } finally in.close()
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.linesIterator.toIndexedSeq
+      finally in.close()
     }
   }
+
+  /** The live version name in `<dir>/_LATEST`, if any (first line —
+    * trailer lines are committer metadata, see [[pointerLines]]). */
+  def latest(spark: SparkSession, dir: String): Option[String] =
+    pointerLines(spark, dir).headOption.map(_.trim).filter(_.nonEmpty)
 
   /** Move `_LATEST` to `version` (write-then-rename: readers never
     * observe a half-written pointer). The version's files must be fully
@@ -52,12 +62,19 @@ object VersionedDir {
     * The rename OVERWRITES the existing pointer in one operation
     * (FileContext semantics): a delete-then-rename pair would open a
     * window with no pointer at all, where a crash loses the table and a
-    * concurrent reader resolves None mid-swap. */
-  def writePointer(spark: SparkSession, dir: String, version: String): Unit = {
+    * concurrent reader resolves None mid-swap. `trailer` lines ride the
+    * same rename — metadata attached to the commit can therefore never
+    * be observed out of step with the version (no second rename, no
+    * crash window between the two). */
+  def writePointer(spark: SparkSession, dir: String, version: String,
+      trailer: Seq[String] = Nil): Unit = {
+    require(!version.contains("\n") && trailer.forall(!_.contains("\n")),
+      "pointer lines must be newline-free")
     val (fs, p) = fsOf(spark, dir)
     val tmp = new org.apache.hadoop.fs.Path(p, s"._LATEST.tmp")
     val out = fs.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
+    try out.write((version +: trailer).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(p, "_LATEST")
     // throws on failure instead of FileSystem.rename's silent false
     org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
@@ -97,13 +114,20 @@ object VersionedDir {
     extends RuntimeException(msg)
 
   /** Claim `version` exclusively: create-exclusive of the version dir's
-    * `_RESERVED` marker (atomic on HDFS and local FS — the second
-    * creator throws), so two writers that both computed the same next
-    * version can never both write into it; exactly one proceeds and the
-    * loser gets a [[CommitConflictException]]. A crash after reserve
-    * leaves an unreferenced dir — garbage for vacuum once the pointer
-    * passes it, never corruption, and never reused ([[nextVersion]]
-    * counts it). */
+    * `_RESERVED` marker (atomic create-exclusive on HDFS; best-effort
+    * check-then-create on RawLocalFileSystem, where the residual race is
+    * narrower than the next-version read race it guards), so two writers
+    * that both computed the same next version can never both write into
+    * it; exactly one proceeds and the loser gets a
+    * [[CommitConflictException]]. A crash after reserve leaves an
+    * unreferenced dir — garbage for vacuum once the pointer passes it,
+    * never corruption, and never reused ([[nextVersion]] counts it).
+    * Conflict classification: only an exception whose cause is verifiably
+    * "marker already exists" (re-checked against the filesystem, plus the
+    * explicit already-exists message, null-safe) maps to
+    * [[CommitConflictException]]; any other IO failure (missing parent,
+    * permission, transient FS error) propagates as-is so a persistent
+    * fault is not mistaken for an endlessly-retryable conflict. */
   def reserve(spark: SparkSession, dir: String, version: String): String = {
     val (fs, p) = fsOf(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(p, s"$version/_RESERVED")
@@ -113,7 +137,8 @@ object VersionedDir {
     } catch {
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: java.io.IOException)
-          if fs.exists(marker) || e.getMessage.contains("exist") =>
+          if fs.exists(marker) ||
+             Option(e.getMessage).exists(_.contains("already exist")) =>
         throw new CommitConflictException(
           s"VersionedDir.reserve: $dir/$version already reserved by a " +
           "concurrent writer — re-read the log and retry on a fresh version")
@@ -139,7 +164,8 @@ object VersionedDir {
     * serialized same-number writers, so this check only guards the
     * cross-number ordering window, the same residual S3-style window a
     * table format closes with a coordination service. */
-  def commitPointer(spark: SparkSession, dir: String, version: String): Unit = {
+  def commitPointer(spark: SparkSession, dir: String, version: String,
+      trailer: Seq[String] = Nil): Unit = {
     val mine = version.drop(1).toLong
     latest(spark, dir).foreach { live =>
       val n = scala.util.Try(live.drop(1).toLong).toOption.getOrElse(-1L)
@@ -149,7 +175,7 @@ object VersionedDir {
           s"$version — a concurrent writer committed first; this " +
           "commit's files remain unreferenced for vacuum")
     }
-    writePointer(spark, dir, version)
+    writePointer(spark, dir, version, trailer)
   }
 
   /** [[commitPointer]] with LINEAGE conflict detection — for commits
@@ -169,7 +195,7 @@ object VersionedDir {
     * double-fired-job case the single-writer contract worries about,
     * not a coordination service. */
   def commitPointerFrom(spark: SparkSession, dir: String, version: String,
-      basedOn: Option[String]): Unit = {
+      basedOn: Option[String], trailer: Seq[String] = Nil): Unit = {
     val live = latest(spark, dir)
     if (live != basedOn)
       throw new CommitConflictException(
@@ -179,7 +205,7 @@ object VersionedDir {
         "concurrent writer committed in between and this commit's " +
         "content does not include it; files remain unreferenced for " +
         "vacuum (re-read the log, re-derive, retry)")
-    writePointer(spark, dir, version)
+    writePointer(spark, dir, version, trailer)
   }
 
   /** Delete all but the `keep` most-recent version dirs — NEVER the

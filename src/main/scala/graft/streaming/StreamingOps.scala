@@ -765,7 +765,11 @@ object StreamingOps {
   //                               one row per commit)
   //   <indexDir>/v<n>/meta        cumulative additive scalars (BM25:
   //                               docCount, sumDl) — one tiny file
-  //   <indexDir>/_LATEST          pointer file naming the live version
+  //   <indexDir>/_LATEST          pointer file naming the live version;
+  //                               trailer lines carry the per-app
+  //                               committed-batch map (txn:<app>,<batch>)
+  //                               so the swap and the retry-dedup memory
+  //                               are ONE atomic rename
   //
   // Each batch computes its own delta (never re-reading the index —
   // every per-batch statistic is additive over disjoint batches), writes
@@ -805,9 +809,48 @@ object StreamingOps {
   // purge/optimize jobs and fresh-checkpoint restarts — a double-fired
   // one must lose loudly, never regress the pointer NOR silently drop
   // an interleaved commit's delta from the manifest it republishes.
+  /** The one pointer swap every commit here goes through: lineage-checked
+    * ([[graft.core.VersionedDir.commitPointerFrom]]) AND carrying the
+    * retention-proof per-app transaction map as the pointer's trailer
+    * lines — `txn` upserts the committing app's latest batchId; a commit
+    * with no batch identity (purge, OPTIMIZE) carries the map forward
+    * UNCHANGED, so another writer's commit can never erase an ingest
+    * app's replay memory. One file, one rename: the version swap and the
+    * txn update are a single atomic operation, so no crash can separate
+    * "the batch's data went live" from "the batch is remembered as
+    * committed" — the residual double-commit window of a separate
+    * post-swap txn write (crash between the two + retention churning
+    * past the version before the retry) is closed by construction
+    * [spec-pinned]. */
   private def writePointer(spark: org.apache.spark.sql.SparkSession,
-      dir: String, version: String, basedOn: Option[String]): Unit =
-    graft.core.VersionedDir.commitPointerFrom(spark, dir, version, basedOn)
+      dir: String, version: String, basedOn: Option[String],
+      txn: Option[(String, Long)] = None): Unit = {
+    val merged = txn.fold(txnMap(spark, dir)) { case (app, b) =>
+      val m = txnMap(spark, dir)
+      m + (app -> math.max(b, m.getOrElse(app, Long.MinValue)))
+    }
+    // one `txn:<appId>,<batchId>` line per writer app, sorted for
+    // deterministic bytes; app count is config-scale (one per distinct
+    // writer — a decommissioned app's line is inert and may be pruned
+    // by hand if a log ever accumulates many retired writers)
+    val trailer = merged.toSeq.sortBy(_._1)
+      .map { case (a, b) => s"txn:$a,$b" }
+    graft.core.VersionedDir.commitPointerFrom(
+      spark, dir, version, basedOn, trailer)
+  }
+
+  /** The per-app committed-batch map carried in the live pointer's
+    * trailer (empty before the first commit). Split on the LAST comma so
+    * appIds containing commas cannot shift the batch field. */
+  private def txnMap(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Long] =
+    graft.core.VersionedDir.pointerLines(spark, dir).drop(1)
+      .filter(_.startsWith("txn:"))
+      .map { line =>
+        val body = line.drop(4)
+        val i = body.lastIndexOf(',')
+        body.take(i) -> body.drop(i + 1).trim.toLong
+      }.toMap
 
   /** The latest batchId this `appId` committed into `dir`'s log, scanning
     * POINTER-COMMITTED versions newest-first (lazy — the common case
@@ -837,10 +880,13 @@ object StreamingOps {
         }
       }
       .collectFirst { case (a, b) if a == appId => b }
-    // the retention-proof pointer remembers commits whose version dirs
-    // other writers' churn has vacuumed; within retention the scan is
-    // authoritative (the pointer may lag one commit after a crash)
-    (scanned ++ readTxnPointer(spark, dir, appId)).reduceOption(_ max _)
+    // the pointer-trailer txn map remembers commits whose version dirs
+    // other writers' churn has vacuumed — retention-proof (the pointer
+    // itself is never vacuumed) and crash-proof (it swaps in the SAME
+    // rename as the version, see writePointer); within retention the
+    // version scan is redundant with it but kept as the auditable,
+    // time-travelable record
+    (scanned ++ txnMap(spark, dir).get(appId)).reduceOption(_ max _)
   }
 
   // `appId,batchId` one-liner; split on the LAST comma so appIds with
@@ -848,47 +894,6 @@ object StreamingOps {
   private def writeTxn(spark: org.apache.spark.sql.SparkSession,
       dir: String, version: String, appId: String, batchId: Long): Unit =
     writeSmallFile(spark, s"$dir/$version/txn", s"$appId,$batchId")
-
-  /** Retention-proof per-app commit memory: a root-level `_TXN_<appId>`
-    * pointer holding the app's latest committed batchId, written AFTER
-    * the version pointer swap (write-then-rename, the `_LATEST`
-    * discipline). The per-version txn parquet inside retained history
-    * stays the source of truth; this file extends the retry-dedup
-    * window past retention — without it, an OPTIMIZE/purge commit (a
-    * different appId) followed by version vacuum ages the ingest app's
-    * txn marker out of the log, and a late orchestrator replay of a
-    * committed batch RECOMMITS it (BM25 postings have no content-dedup
-    * net, so that double-counts documents) [spec-pinned]. Ordering
-    * matters: written after the commit goes live, so a crash in between
-    * leaves the file stale and the retry falls back to the version scan
-    * — never the reverse, where a live file covers a batch that never
-    * committed and the retry skips it, losing the batch. Residual
-    * window: a crash between pointer swap and this write AND retention
-    * churning past the version before the retry — the prompt-restart
-    * case the checkpoint itself covers. */
-  private def writeTxnPointer(spark: org.apache.spark.sql.SparkSession,
-      dir: String, appId: String, batchId: Long): Unit = {
-    val (fs, p) = graft.core.VersionedDir.fsOf(spark, dir)
-    val tmp = new org.apache.hadoop.fs.Path(p, s"._TXN_$appId.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
-      .rename(tmp, new org.apache.hadoop.fs.Path(p, s"_TXN_$appId"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
-  private def readTxnPointer(spark: org.apache.spark.sql.SparkSession,
-      dir: String, appId: String): Option[Long] = {
-    val (fs, p) = graft.core.VersionedDir.fsOf(spark, dir)
-    val f = new org.apache.hadoop.fs.Path(p, s"_TXN_$appId")
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try scala.util.Try(scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toLong).toOption
-      finally in.close()
-    }
-  }
 
   /** Load the live BM25 index from a sink-maintained directory (None
     * before the first non-empty batch): union the manifest's postings
@@ -917,7 +922,8 @@ object StreamingOps {
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
       : Option[graft.ops.Bm25Index] = {
     val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(p, s"$version/manifest")))
+    if (!isCommitted(spark, indexDir, version) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(p, s"$version/manifest")))
       None
     else Some {
       val deltas = readManifest(spark, s"$indexDir/$version/manifest")
@@ -995,8 +1001,7 @@ object StreamingOps {
             spark.read.parquet(s"$indexDir/deltas/$delta/postings"),
             "__doc_id"))
         writeTxn(spark, indexDir, v, appId, batchId)
-        writePointer(spark, indexDir, v, live)
-        writeTxnPointer(spark, indexDir, appId, batchId)
+        writePointer(spark, indexDir, v, live, Some(appId -> batchId))
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
         maybeCompact(spark, indexDir, autoCompactDeltas, retainVersions,
           () => compactIndexState(spark, indexDir))
@@ -1033,8 +1038,7 @@ object StreamingOps {
       manifestEntry(delta,
         spark.read.parquet(s"$indexDir/deltas/$delta/index"), idCol))
     writeTxn(spark, indexDir, v, appId, batchId)
-    writePointer(spark, indexDir, v, live)
-    writeTxnPointer(spark, indexDir, appId, batchId)
+    writePointer(spark, indexDir, v, live, Some(appId -> batchId))
     retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
   }
 
@@ -1051,9 +1055,24 @@ object StreamingOps {
   def loadAnnIndexAt(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, version: String): Option[DataFrame] = {
     val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(p, s"$version/manifest")))
+    if (!isCommitted(spark, indexDir, version) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(p, s"$version/manifest")))
       None
     else Some(loadIndexDeltas(spark, indexDir, version))
+  }
+
+  /** True iff `version` is POINTER-COMMITTED history (its number is at
+    * or below the live `_LATEST`'s). A reserved-but-never-committed dir
+    * — a crashed writer, or a lineage-conflict loser whose manifest
+    * silently omits the interleaved winner's delta — also carries a
+    * manifest, but its snapshot never went live; time travel must not
+    * serve it ("None if never committed" is the contract). */
+  private def isCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: String): Boolean = {
+    val mine = scala.util.Try(version.drop(1).toLong).toOption
+    val liveN = latestVersion(spark, dir)
+      .flatMap(v => scala.util.Try(v.drop(1).toLong).toOption)
+    mine.exists(m => liveN.exists(m <= _))
   }
 
   /** foreachBatch sink maintaining a persisted IVF index from an item
@@ -1299,6 +1318,14 @@ object StreamingOps {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
+    // a DIRECTORY here is a state dir written by the pre-text-file
+    // revision (commit metadata as parquet directories) — fail with the
+    // diagnosis instead of an opaque can't-open-a-directory IOException
+    else if (fs.getFileStatus(p).isDirectory)
+      throw new IllegalStateException(
+        s"$path is a directory — legacy parquet-layout commit metadata " +
+        "from an older revision of this log; rebuild the state dir " +
+        "(re-run the stream from its source) before reading it here")
     else {
       val in = fs.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
@@ -1374,7 +1401,7 @@ object StreamingOps {
       stateDir: String, version: String): Option[DataFrame] = {
     val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
     val m = new org.apache.hadoop.fs.Path(p, s"$version/manifest")
-    if (!fs.exists(m)) None
+    if (!isCommitted(spark, stateDir, version) || !fs.exists(m)) None
     else Some {
       val deltas = readManifest(spark, m.toString).map(_.delta)
       spark.read.parquet(
@@ -1643,8 +1670,7 @@ object StreamingOps {
               writeManifest(spark, s"$stateDir/$v/manifest",
                 prevManifest :+ manifestEntry(delta, keepers, idCol))
               writeTxn(spark, stateDir, v, appId, batchId)
-              writePointer(spark, stateDir, v, live)
-              writeTxnPointer(spark, stateDir, appId, batchId)
+              writePointer(spark, stateDir, v, live, Some(appId -> batchId))
               retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
               maybeCompact(spark, stateDir, autoCompactDeltas,
                 retainVersions,

@@ -981,6 +981,43 @@ class StreamingOpsSpec extends SparkSpec {
       s"replay after optimize+vacuum must be a no-op: ${after.docCount}")
   }
 
+  test("txn memory swaps atomically with the pointer: no post-swap write to crash between") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("bm25_txn_atomic_")
+    val sink = StreamingOps.bm25IndexSink(dir)
+    sink(Seq((1L, "quick brown fox"), (2L, "lazy dog")).toDF("doc_id", "text"), 0L)
+    sink(Seq((3L, "seven eight nine")).toDF("doc_id", "text"), 1L)
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, dir)
+    // the commit and its retry-dedup memory are ONE file, swapped by ONE
+    // rename — the historical residual (crash between the pointer swap
+    // and a separate post-swap txn write, then retention churning past
+    // the version before the retry) cannot exist: there is no state in
+    // which the version is live but the app's batch is not remembered
+    def ptrLines = graft.core.VersionedDir.pointerLines(spark, dir)
+    assert(ptrLines.head == "v1" && ptrLines.contains("txn:bm25-ingest,1"),
+      s"pointer must embed the committing app's txn: $ptrLines")
+    assert(!fs.listStatus(p).exists(_.getPath.getName.startsWith("_TXN_")),
+      "no separate root txn pointer may exist in the protocol")
+    // an OPTIMIZE commit (different app, no batch identity) must CARRY
+    // the ingest app's memory forward, not erase it
+    StreamingOps.compactIndexState(spark, dir)
+    assert(ptrLines.head == "v2" && ptrLines.contains("txn:bm25-ingest,1"),
+      s"other writers' commits must carry the txn map forward: $ptrLines")
+    // crash-injection equivalent: the state right after any pointer swap
+    // IS the fully-committed state — erase every OTHER trace of the txn
+    // (vacuum all history metadata, as retention would) and replay both
+    // batches; the pointer alone must dedup them
+    StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
+    graft.core.VersionedDir.versions(spark, dir).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"$v/txn"), false)
+    }
+    sink(Seq((1L, "quick brown fox"), (2L, "lazy dog")).toDF("doc_id", "text"), 0L)
+    sink(Seq((3L, "seven eight nine")).toDF("doc_id", "text"), 1L)
+    val idx = StreamingOps.loadBm25Index(spark, dir).get
+    assert(idx.docCount == 3L,
+      s"replay after vacuum must be a no-op on the pointer's memory alone: ${idx.docCount}")
+  }
+
   test("index time travel: a retained version probes as the index that served it") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (1L to 9L).map(i => (i, s"doc $i quick brown fox " + ("w" + i)))
@@ -1004,6 +1041,16 @@ class StreamingOpsSpec extends SparkSpec {
     // committed version reads as None, never a partial index
     assert(StreamingOps.loadBm25Index(spark, dir).get.docCount == 9L)
     assert(StreamingOps.loadBm25IndexAt(spark, dir, "v9").isEmpty)
+    // a reserved-but-never-committed version can CARRY a manifest (a
+    // crashed writer, or a lineage-conflict loser) — but its snapshot
+    // never went live, so time travel must refuse it, not serve it
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, dir)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(p, "v2/manifest"),
+      fs, new org.apache.hadoop.fs.Path(p, "v9/manifest"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(StreamingOps.loadBm25IndexAt(spark, dir, "v9").isEmpty,
+      "an uncommitted version's manifest must not time-travel")
     StreamingOps.vacuumIndexVersions(spark, dir, keep = 1)
     assert(StreamingOps.loadBm25IndexAt(spark, dir, "v1").isEmpty,
       "vacuumed history must read as None")
