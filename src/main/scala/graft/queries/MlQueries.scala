@@ -185,7 +185,8 @@ object MlQueries {
         q.processAllAvailable()
       }
     } finally q.stop()
-    spark.read.parquet(dir).drop("batch_id").orderBy("query_id")
+    graft.streaming.StreamingOps.loadEvalLog(spark, dir).get
+      .drop("batch_id").orderBy("query_id")
   }
 
   /** ml_eval_ranking's oracle — STATIC (the gain tables are deterministic

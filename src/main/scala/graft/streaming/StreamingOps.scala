@@ -1004,7 +1004,9 @@ object StreamingOps {
         writePointer(spark, indexDir, v, live, Some(appId -> batchId))
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
         maybeCompact(spark, indexDir, autoCompactDeltas, retainVersions,
-          () => compactIndexState(spark, indexDir))
+          () => compactIndexState(spark, indexDir,
+            tierFraction = Some(AutoCompactTierFraction),
+            maxKeepers = autoCompactDeltas.get - 1))
       }
   }
 
@@ -1096,7 +1098,9 @@ object StreamingOps {
           "__item_id", appId, batchId, retainVersions)
         maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
           retainVersions,
-          () => compactIndexState(batch.sparkSession, indexDir))
+          () => compactIndexState(batch.sparkSession, indexDir,
+            tierFraction = Some(AutoCompactTierFraction),
+            maxKeepers = autoCompactDeltas.get - 1))
       }
   }
 
@@ -1122,22 +1126,41 @@ object StreamingOps {
     * here documents. Cost per batch: one bounded equi-join + one
     * per-query groupBy over the batch only.
     *
-    * The log is hive-partitioned by `batch_id` and each batch overwrites
-    * ONLY its own partition (dynamic partition overwrite), so a
-    * foreachBatch RETRY rewrites the same rows instead of appending
-    * duplicates — retry-idempotent like every other sink here, without
-    * asking monitoring consumers to dedup. */
-  def evalRankingSink(outDir: String, op: graft.ops.EvalRanking)
-      : (DataFrame, Long) => Unit = {
+    * The log is a versioned delta chain like every other sink here
+    * (each batch's metric rows land as one immutable `deltas/d<n>`
+    * stamped `batch_id`, O(batch) bytes), read back via
+    * [[loadEvalLog]]. That buys the full commit protocol for free:
+    * retries of committed batches are no-ops (txn markers), retention
+    * vacuum bounds version metadata, and `autoCompactDeltas` runs the
+    * size-tiered OPTIMIZE so a monitoring log that accumulates one tiny
+    * delta per micro-batch FOREVER keeps a bounded file count for
+    * readers — an append-forever log whose listing grows without bound
+    * is itself a scale bug [spec-pinned]. */
+  def evalRankingSink(outDir: String, op: graft.ops.EvalRanking,
+      appId: String = "eval-monitor",
+      retainVersions: Option[Int] = None,
+      autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty)
-        op.transform(batch)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
+      if (!batch.isEmpty &&
+          !latestTxn(batch.sparkSession, outDir, appId).exists(_ >= batchId)) {
+        val spark = batch.sparkSession
+        commitIndexDelta(spark, outDir,
+          op.transform(batch).withColumn("batch_id", lit(batchId)),
+          "query_id", appId, batchId, retainVersions)
+        maybeCompact(spark, outDir, autoCompactDeltas, retainVersions,
+          () => compactIndexState(spark, outDir,
+            tierFraction = Some(AutoCompactTierFraction),
+            maxKeepers = autoCompactDeltas.get - 1))
+      }
   }
+
+  /** The accumulated monitoring log maintained by [[evalRankingSink]]
+    * (None before the first non-empty batch): the union of the live
+    * manifest's deltas — one multi-path scan over a BOUNDED file set
+    * when the sink compacts. */
+  def loadEvalLog(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Option[DataFrame] =
+    latestVersion(spark, outDir).map(loadIndexDeltas(spark, outDir, _))
 
   /** Retention vacuum for a sink-maintained versioned index directory
     * (BM25 / IVF / SQ8, and the corpus log — same layout): deletes all
@@ -1171,48 +1194,89 @@ object StreamingOps {
     * [[vacuumIndexVersions]] + [[vacuumCorpusDeltas]]. Single-writer
     * contract: pause the ingest sink around the call, exactly like
     * [[compactCorpusState]]. Returns the committed version (None if no
-    * live index). */
+    * live index).
+    *
+    * When `tierFraction` is set the rewrite is TIERED instead of full —
+    * the LSM size-tiering rule: a delta holding at least that fraction
+    * of the chain's bytes is a KEEPER (its files untouched, its zone map
+    * carried forward from the old manifest), and only the small tail
+    * merges into one new delta. A mature 1 TB index that accumulated
+    * many tiny late batches therefore rewrites megabytes, never the
+    * terabyte base; small merged runs grow geometrically until they
+    * graduate to keepers, so amortized write amplification per row is
+    * O(log(index/batch)) rewrites, the LSM bound. Returns None when
+    * fewer than two deltas qualify for the merge (nothing useful to
+    * compact — all-keeper chains stay as they are). */
   def compactIndexState(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, targetBytes: Long = 128L << 20): Option[String] =
-    latestVersion(spark, indexDir).map { lv =>
+      indexDir: String, targetBytes: Long = 128L << 20,
+      tierFraction: Option[Double] = None,
+      maxKeepers: Int = Int.MaxValue): Option[String] =
+    latestVersion(spark, indexDir).flatMap { lv =>
       val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
-      val deltas = readManifest(spark, s"$indexDir/$lv/manifest")
-        .map(_.delta)
-      // delta table names (postings+dfreq for BM25, index for ANN) from
-      // the layout itself — one compaction serves every index family
-      val tables = fs.listStatus(
-        new org.apache.hadoop.fs.Path(p, s"deltas/${deltas.head}"))
-        .filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
-      val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
-      val delta = "d" + v.drop(1)
-      tables.foreach { t =>
-        val paths = deltas.map(d => s"$indexDir/deltas/$d/$t")
-        val bytes = paths.map(pp => fs.getContentSummary(
-          new org.apache.hadoop.fs.Path(pp)).getLength).sum
-        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        val unioned = spark.read.parquet(paths: _*)
-        val df = if (t == "dfreq")
-          unioned.groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
-        else unioned
-        df.repartition(nFiles).write.mode("overwrite")
-          .parquet(s"$indexDir/deltas/$delta/$t")
+      val entries = readManifest(spark, s"$indexDir/$lv/manifest")
+      val (keepers, merge) = tierSplit(
+        fs, p, "deltas", entries.map(_.delta), tierFraction, maxKeepers)
+      if (merge.size < 2) None
+      else Some {
+        val kept = entries.filter(e => keepers.contains(e.delta))
+        // delta table names (postings+dfreq for BM25, index for ANN) from
+        // the layout itself — one compaction serves every index family
+        val tables = fs.listStatus(
+          new org.apache.hadoop.fs.Path(p, s"deltas/${merge.head}"))
+          .filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+        val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
+        val delta = "d" + v.drop(1)
+        tables.foreach { t =>
+          val paths = merge.map(d => s"$indexDir/deltas/$d/$t")
+          val bytes = paths.map(pp => fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(pp)).getLength).sum
+          val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          val unioned = spark.read.parquet(paths: _*)
+          // partial pre-roll is exact: the loader still sums per term
+          // across deltas, so rolling up WITHIN the merged set commutes
+          val df = if (t == "dfreq")
+            unioned.groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
+          else unioned
+          df.repartition(nFiles).write.mode("overwrite")
+            .parquet(s"$indexDir/deltas/$delta/$t")
+        }
+        if (fs.exists(new org.apache.hadoop.fs.Path(p, s"$lv/meta"))) {
+          val (n0, s0) = readMeta(spark, s"$indexDir/$lv/meta")
+          writeMeta(spark, s"$indexDir/$v/meta", n0, s0)
+        }
+        // merged zone map from the OLD entries — no scan: min of mins /
+        // max of maxs, conservative None if any member had no stats
+        val mergedOld = entries.filter(e => merge.contains(e.delta))
+        val entry = ManifestEntry(delta,
+          if (mergedOld.forall(_.min_id.isDefined))
+            mergedOld.flatMap(_.min_id).minOption else None,
+          if (mergedOld.forall(_.max_id.isDefined))
+            mergedOld.flatMap(_.max_id).maxOption else None)
+        writeManifest(spark, s"$indexDir/$v/manifest", kept :+ entry)
+        writeTxn(spark, indexDir, v, "index-optimize", -1L)
+        writePointer(spark, indexDir, v, Some(lv))
+        v
       }
-      if (fs.exists(new org.apache.hadoop.fs.Path(p, s"$lv/meta"))) {
-        val (n0, s0) = readMeta(spark, s"$indexDir/$lv/meta")
-        writeMeta(spark, s"$indexDir/$v/meta", n0, s0)
-      }
-      // zone map over the compacted main table's id column
-      val entry = (if (tables.contains("postings")) Some("__doc_id")
-        else if (tables.contains("index")) Some("__item_id") else None)
-        .map { idc =>
-          val t = if (tables.contains("postings")) "postings" else "index"
-          manifestEntry(delta,
-            spark.read.parquet(s"$indexDir/deltas/$delta/$t"), idc)
-        }.getOrElse(ManifestEntry(delta, None, None))
-      writeManifest(spark, s"$indexDir/$v/manifest", Seq(entry))
-      writeTxn(spark, indexDir, v, "index-optimize", -1L)
-      writePointer(spark, indexDir, v, Some(lv))
-      v
+    }
+
+  /** The size-tiered keeper/merge split over a delta chain: a delta is
+    * a KEEPER iff its bytes are at least `fraction` of the chain's total
+    * AND it ranks among the `maxKeepers` largest (the cap restores the
+    * read fan-in bound even over equal-sized deltas, where the fraction
+    * rule alone would exempt everything); fraction None = full rewrite,
+    * nothing kept. Returns (keepers, mergeSet) in chain order. */
+  private def tierSplit(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, sub: String, names: Seq[String],
+      fraction: Option[Double], maxKeepers: Int): (Seq[String], Seq[String]) =
+    fraction match {
+      case None => (Seq.empty, names)
+      case Some(f) =>
+        val sizes = names.map(n => n -> fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(root, s"$sub/$n")).getLength).toMap
+        val total = sizes.valuesIterator.sum
+        val keep = names.sortBy(n => -sizes(n)).take(math.max(0, maxKeepers))
+          .takeWhile(n => sizes(n) >= f * total).toSet
+        names.partition(keep)
     }
 
   /** Post-commit auto-OPTIMIZE for a delta+manifest log (the sinks'
@@ -1225,8 +1289,14 @@ object StreamingOps {
     * the LSM one: each row is rewritten every ~maxDeltas commits —
     * amortized write amplification 1/maxDeltas of the index per commit,
     * bounding the read-side union fan-in at maxDeltas in exchange.
-    * Pick maxDeltas ≈ (index bytes)/(delta bytes) · (tolerable write
-    * overhead); probe plans are unchanged either way [lifecycle-spec
+    * The rewrite itself is SIZE-TIERED ([[compactIndexState]]'s
+    * `tierFraction` = [[AutoCompactTierFraction]]): deltas holding ≥ 1/8
+    * of the chain's bytes are kept untouched and only the small tail
+    * merges — so a mature index that accumulated many tiny late batches
+    * merges the megabytes of tail, never rewrites the base [spec-pinned];
+    * merged runs grow geometrically until they graduate to keepers (the
+    * LSM amortized O(log) bound). Pick maxDeltas ≈ tolerable read
+    * fan-in; probe plans are unchanged either way [lifecycle-spec
     * pinned]. */
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxDeltas: Option[Int], retainVersions: Option[Int],
@@ -1234,8 +1304,8 @@ object StreamingOps {
     maxDeltas.foreach { t =>
       require(t >= 1, s"autoCompactDeltas must be >= 1, got $t")
       latestVersion(spark, dir).foreach { lv =>
-        if (readManifest(spark, s"$dir/$lv/manifest").size > t) {
-          compact()
+        if (readManifest(spark, s"$dir/$lv/manifest").size > t &&
+            compact().isDefined) {
           // retention ran at the data commit, BEFORE the compaction
           // commit existed — re-run it so the pre-compaction version
           // (whose manifest still references the collapsed chain) ages
@@ -1247,6 +1317,12 @@ object StreamingOps {
         }
       }
     }
+
+  /** A delta is exempt from auto-compaction rewrites while it holds at
+    * least this fraction of its chain's bytes (1/8 — large enough that
+    * at most 8 keepers exist, small enough that merged runs graduate
+    * quickly). */
+  val AutoCompactTierFraction: Double = 0.125
 
   /** foreachBatch sink maintaining a persisted SQ8 coded index
     * ([[graft.ops.AnnSq]]) from an item stream under `op`'s FROZEN
@@ -1270,7 +1346,9 @@ object StreamingOps {
           "__item_id", appId, batchId, retainVersions)
         maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
           retainVersions,
-          () => compactIndexState(batch.sparkSession, indexDir))
+          () => compactIndexState(batch.sparkSession, indexDir,
+            tierFraction = Some(AutoCompactTierFraction),
+            maxKeepers = autoCompactDeltas.get - 1))
       }
   }
 
@@ -1674,7 +1752,9 @@ object StreamingOps {
               retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
               maybeCompact(spark, stateDir, autoCompactDeltas,
                 retainVersions,
-                () => compactCorpusState(spark, stateDir, idCol = idCol))
+                () => compactCorpusState(spark, stateDir, idCol = idCol,
+                  tierFraction = Some(AutoCompactTierFraction),
+                  maxKeepers = autoCompactDeltas.get - 1))
             }
           } finally keepers.unpersist()
         }
@@ -1754,36 +1834,69 @@ object StreamingOps {
     * compact lesson). Superseded versions and orphaned deltas reclaim
     * via [[vacuumIndexVersions]] + [[vacuumCorpusDeltas]]; single-writer
     * contract as everywhere. Returns the committed version (None if no
-    * live corpus). */
+    * live corpus, or nothing useful to merge).
+    *
+    * `tierFraction` switches to the size-tiered PARTIAL rewrite (see
+    * [[compactIndexState]]): deltas holding at least that fraction of
+    * their chain's bytes are keepers — files untouched, manifest entries
+    * carried forward — and only the small tail merges; the rule applies
+    * to the corpus chain and the digest chain INDEPENDENTLY (each side
+    * is a pure union, so merging any subset is content-neutral). A
+    * mature corpus accumulating tiny late batches merges megabytes per
+    * trigger instead of rewriting terabytes. */
   def compactCorpusState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, targetBytes: Long = 128L << 20,
-      idCol: String = "doc_id"): Option[String] = {
-    import spark.implicits._
-    latestVersion(spark, stateDir).map { lv =>
-      val corpus = loadCorpus(spark, stateDir).get.persist()
-      try {
-        val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
-        val deltas = readManifest(spark, s"$stateDir/$lv/manifest")
-          .map(_.delta)
-        val bytes = deltas.map(d => fs.getContentSummary(
-          new org.apache.hadoop.fs.Path(p, s"deltas/$d")).getLength).sum
-        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      idCol: String = "doc_id",
+      tierFraction: Option[Double] = None,
+      maxKeepers: Int = Int.MaxValue): Option[String] = {
+    latestVersion(spark, stateDir).flatMap { lv =>
+      val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
+      val entries = readManifest(spark, s"$stateDir/$lv/manifest")
+      val idxNames = readIndexManifest(spark, s"$stateDir/$lv/index_manifest")
+      val (dKeep, dMerge) = tierSplit(
+        fs, p, "deltas", entries.map(_.delta), tierFraction, maxKeepers)
+      val (xKeep, xMerge) =
+        tierSplit(fs, p, "idxdeltas", idxNames, tierFraction, maxKeepers)
+      if (dMerge.size < 2 && xMerge.size < 2) None
+      else Some {
         val v = graft.core.VersionedDir.reserveNextVersion(spark, stateDir)
-        val delta = "d" + v.drop(1)
-        corpus.repartition(nFiles).write.mode("overwrite")
-          .parquet(s"$stateDir/deltas/$delta")
-        // collapse the digest chain alongside the corpus chain — the
-        // OPTIMIZE is the full pass that buys back the read fan-in
-        val xdelta = "x" + v.drop(1)
-        loadIndexChain(spark, stateDir, lv).coalesce(1)
-          .write.mode("overwrite").parquet(s"$stateDir/idxdeltas/$xdelta")
-        writeIndexManifest(spark, s"$stateDir/$v/index_manifest", Seq(xdelta))
-        writeManifest(spark, s"$stateDir/$v/manifest",
-          Seq(manifestEntry(delta, corpus, idCol)))
+        val newManifest =
+          if (dMerge.size < 2) entries
+          else {
+            val delta = "d" + v.drop(1)
+            val paths = dMerge.map(d => s"$stateDir/deltas/$d")
+            val bytes = paths.map(pp => fs.getContentSummary(
+              new org.apache.hadoop.fs.Path(pp)).getLength).sum
+            val nFiles =
+              math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+            spark.read.parquet(paths: _*).repartition(nFiles)
+              .write.mode("overwrite").parquet(s"$stateDir/deltas/$delta")
+            // merged zone map from the OLD entries — min of mins / max of
+            // maxs over a union is exact; None if any member had no stats
+            val mergedOld = entries.filter(e => dMerge.contains(e.delta))
+            entries.filter(e => dKeep.contains(e.delta)) :+ ManifestEntry(
+              delta,
+              if (mergedOld.forall(_.min_id.isDefined))
+                mergedOld.flatMap(_.min_id).minOption else None,
+              if (mergedOld.forall(_.max_id.isDefined))
+                mergedOld.flatMap(_.max_id).maxOption else None)
+          }
+        val newIdx =
+          if (xMerge.size < 2) idxNames
+          else {
+            val xdelta = "x" + v.drop(1)
+            spark.read.parquet(
+                xMerge.map(x => s"$stateDir/idxdeltas/$x"): _*)
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$stateDir/idxdeltas/$xdelta")
+            xKeep :+ xdelta
+          }
+        writeIndexManifest(spark, s"$stateDir/$v/index_manifest", newIdx)
+        writeManifest(spark, s"$stateDir/$v/manifest", newManifest)
         writeTxn(spark, stateDir, v, "corpus-optimize", -1L)
         writePointer(spark, stateDir, v, Some(lv))
         v
-      } finally corpus.unpersist()
+      }
     }
   }
 

@@ -825,7 +825,7 @@ class StreamingOpsSpec extends SparkSpec {
         .foreachBatch(StreamingOps.evalRankingSink(dir, op)).start()
       splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
       q.stop()
-      spark.read.parquet(dir).drop("batch_id")
+      StreamingOps.loadEvalLog(spark, dir).get.drop("batch_id")
         .collect().map(_.toSeq).toSet
     }
     val oneShot = run(Seq(served))
@@ -1124,6 +1124,60 @@ class StreamingOpsSpec extends SparkSpec {
       "auto-compacted index must probe like a from-scratch fit")
   }
 
+  test("tiered auto-compaction merges the tiny tail but never rewrites the large base") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("bm25_tiered_")
+    val big = (1L to 400L).map(i => (i, s"base document $i " + ("lorem ipsum " * 20)))
+    val tiny = (401L to 404L).map(i => (i, s"late doc $i"))
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.bm25IndexSink(dir,
+        retainVersions = Some(1), autoCompactDeltas = Some(2))).start()
+    src.addData(big: _*); q.processAllAvailable()
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, dir)
+    def fileTimes(d: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(p, s"deltas/$d/postings"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val baseBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(p, "deltas/d0")).getLength
+    val baseTimes = fileTimes("d0")
+    // four tiny late batches: each 3rd commit trips the auto-OPTIMIZE —
+    // a mature index must merge the megabytes of tail, NEVER rewrite the
+    // base for them (the LSM tiering exemption)
+    tiny.foreach { t => src.addData(t); q.processAllAvailable() }
+    q.stop()
+    val lv = graft.core.VersionedDir.latest(spark, dir).get
+    val chain = StreamingOps.readManifest(spark, s"$dir/$lv/manifest")
+      .map(_.delta)
+    assert(chain.contains("d0"),
+      s"the large base delta must survive compaction untouched: $chain")
+    assert(chain.size <= 3,
+      s"the read fan-in bound must hold: $chain")
+    assert(fileTimes("d0") == baseTimes,
+      "the base delta's files must be byte-identical (no rewrite)")
+    chain.filterNot(_ == "d0").foreach { d =>
+      val b = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(p, s"deltas/$d")).getLength
+      assert(b < baseBytes / 4,
+        s"merged tail deltas must stay tail-sized: $d has $b vs base $baseBytes")
+    }
+    // probe-neutral vs a from-scratch fit over everything
+    val qs = Seq((1L, "lorem ipsum"), (2L, "late doc")).toDF("query_id", "query_text")
+    val maintained = StreamingOps.loadBm25Index(spark, dir).get
+    assert(maintained.docCount == 404L)
+    val scratch = graft.ops.Bm25Index.fit(
+      (big ++ tiny).toDF("doc_id", "text"), "doc_id", "text")
+    assert(maintained.asRows(qs).collect().map(_.toSeq).toSet ==
+      scratch.asRows(qs).collect().map(_.toSeq).toSet)
+    // an all-keepers chain (nothing dominated) is NOT a useful merge:
+    // tiered compaction declines rather than rewriting large deltas
+    val before = graft.core.VersionedDir.latest(spark, dir)
+    assert(StreamingOps.compactIndexState(spark, dir,
+      tierFraction = Some(0.001)).isEmpty,
+      "a chain of all-keeper deltas must decline to compact")
+    assert(graft.core.VersionedDir.latest(spark, dir) == before)
+  }
+
   test("bm25IndexSink: an empty micro-batch leaves the index version untouched") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("bm25_empty_")
@@ -1152,6 +1206,39 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("evalRankingSink compaction bounds the monitoring log's listing forever") {
+    val rel = (1L to 30L).map(i => (i, i * 10)).toDF("query_id", "item_id")
+    val op = graft.ops.EvalRanking(rel, k = 3)
+    val dir = tmpDir("eval_compact_")
+    val sink = StreamingOps.evalRankingSink(dir, op,
+      retainVersions = Some(1), autoCompactDeltas = Some(2))
+    // 3x the threshold in batches: an append-forever log would list one
+    // delta per batch; the auto-OPTIMIZE must keep what a reader lists
+    // bounded by the threshold, not by the batch count
+    val served = (0 until 6).map(b => (b + 1L, (b + 1) * 10L, 1))
+    served.zipWithIndex.foreach { case (row, b) =>
+      sink(Seq(row).toDF("query_id", "item_id", "rank"), b.toLong)
+    }
+    val lv = graft.core.VersionedDir.latest(spark, dir).get
+    val referenced = StreamingOps.readManifest(spark, s"$dir/$lv/manifest")
+      .map(_.delta).toSet
+    assert(referenced.size <= 3,
+      s"live chain must stay bounded by the threshold: $referenced")
+    val onDisk = new java.io.File(dir, "deltas").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(onDisk == referenced,
+      s"orphaned eval deltas must reclaim: disk=$onDisk refs=$referenced")
+    // a committed batch's retry is a no-op (the shared txn protocol)
+    sink(Seq(served.head).toDF("query_id", "item_id", "rank"), 0L)
+    // content equals the batch op over the concatenated stream
+    val log = StreamingOps.loadEvalLog(spark, dir).get
+    assert(log.count() == 6L)
+    val batchRows = op.transform(
+      served.toDF("query_id", "item_id", "rank")).collect().map(_.toSeq).toSet
+    assert(log.drop("batch_id").collect().map(_.toSeq).toSet == batchRows,
+      "compacted monitoring log must equal the batch op's rows")
+  }
+
   test("evalRankingSink: an empty micro-batch appends no metric rows") {
     implicit val sqlCtx = spark.sqlContext
     val rel = Seq((1L, 10L)).toDF("query_id", "item_id")
@@ -1161,10 +1248,9 @@ class StreamingOpsSpec extends SparkSpec {
       .sparkSession.createDataFrame(Seq.empty[(Long, Long, Int)])
       .toDF("query_id", "item_id", "rank"), 0L)
     // no parquet dir at all — the log stays append-only and gap-free
-    assert(!new java.io.File(dir).exists() ||
-      new java.io.File(dir).listFiles().isEmpty)
+    assert(StreamingOps.loadEvalLog(spark, dir).isEmpty)
     sink(Seq((1L, 10L, 1)).toDF("query_id", "item_id", "rank"), 1L)
-    assert(spark.read.parquet(dir).count() == 1L)
+    assert(StreamingOps.loadEvalLog(spark, dir).get.count() == 1L)
   }
 
   test("corpusIngestSink: streamed corpus equals the sequential batch ingest loop") {
