@@ -431,7 +431,9 @@ object StreamingOps {
     docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol), explode(gramDigests(col(textCol), n)).as("__gram"))
-      .join(inventory, Seq("__gram"), "left_semi")
+      // eval-benchmark grams are small-side by contract — pin the
+      // broadcast so the planner never shuffles the unbounded stream side
+      .join(broadcast(inventory), Seq("__gram"), "left_semi")
       .dropDuplicatesWithinWatermark(idCol)
       .select(idCol, tsCol)
   }
@@ -464,7 +466,10 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol), col(vecCol).as("__v"),
         sqrt(V.dot(col(vecCol), col(vecCol))).as("__n"))
-      .crossJoin(evalP)
+      // the probe set is small-side BY CONTRACT (an eval benchmark, not
+      // a corpus) — pin BroadcastNestedLoopJoin so the planner can never
+      // decide to shuffle the unbounded STREAM side instead [spec-pinned]
+      .crossJoin(broadcast(evalP))
       .filter(graft.ops.SemanticDecontaminate.cosine(
         col("__v"), col("__n"), col("__ev"), col("__en")) >= threshold)
       .dropDuplicatesWithinWatermark(idCol)
@@ -685,7 +690,8 @@ object StreamingOps {
     * ingest the tombstone list is metadata-scale and broadcast. */
   def purgeStream(docs: DataFrame, tombstones: DataFrame,
       idCol: String = "doc_id"): DataFrame =
-    docs.join(tombstones.select(idCol).distinct(), Seq(idCol), "left_anti")
+    docs.join(broadcast(tombstones.select(idCol).distinct()),
+      Seq(idCol), "left_anti")
 
   case class TrailingFeat(event_id: Long, user_id: Long,
       ns: Seq[Long], sums: Seq[Long])

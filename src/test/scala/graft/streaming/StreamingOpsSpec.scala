@@ -1206,6 +1206,36 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static small sides are broadcast-pinned: the stream side never shuffles") {
+    implicit val sqlCtx = spark.sqlContext
+    // semanticDecontaminateStream: the eval probe set is small BY
+    // CONTRACT — the executed micro-batch plan must broadcast it
+    // (BroadcastNestedLoopJoin) with no Exchange on the stream side,
+    // not rely on the planner's size estimate of a persisted frame
+    val eval = Seq(Seq(1f, 0f), Seq(0f, 1f)).toDF("embedding")
+    val src = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    val out = StreamingOps.semanticDecontaminateStream(
+      src.toDF().toDF("vec_id", "ts", "embedding"), eval)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sdp_plan").start()
+    src.addData((1L, ts(1), Seq(1f, 0f)), (2L, ts(2), Seq(0.6f, -0.8f)))
+    q.processAllAvailable()
+    val plan = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    q.stop()
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe set must broadcast:\n$plan")
+    // the only exchange in the batch plan may be the broadcast itself
+    // and the dedup state-store hash partitioning — never a shuffle
+    // FEEDING the join (the join's stream-side child must be exchange-free)
+    val joinIdx = plan.indexOf("BroadcastNestedLoopJoin")
+    assert(!plan.substring(joinIdx).contains("ShuffleExchange"),
+      s"stream side of the probe join must not shuffle:\n$plan")
+    assert(spark.table("sdp_plan").collect().map(_.getLong(0)).toSet == Set(1L),
+      "hint must not change results (cos(v1,e1)=1 >= 0.9; v2 misses)")
+  }
+
   test("evalRankingSink compaction bounds the monitoring log's listing forever") {
     val rel = (1L to 30L).map(i => (i, i * 10)).toDF("query_id", "item_id")
     val op = graft.ops.EvalRanking(rel, k = 3)
