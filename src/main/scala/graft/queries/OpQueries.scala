@@ -303,15 +303,33 @@ object OpQueries {
     cachedPcaAxes(spark, d, 8); cachedPcaAxes(spark, d, 32)
   }
 
+  /** Fitted-axes side artifacts (dir, k) -> parquet path — the ALS
+    * factor-table pattern: the axes ride to the oracle as a PARQUET
+    * table (`pos`, `axis DOUBLE[]`), not SQL literals, so the oracle
+    * artifact stays metadata-scale no matter the dimensionality (at
+    * >4k dims the inlined-literal payload was the bottleneck artifact)
+    * and the doubles round-trip exactly (binary, no string parse). */
+  private val pcaAxesArt =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def writePcaAxesArtifact(spark: SparkSession, d: String,
+      k: Int, axes: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    OracleDir.writeArtifact(
+      axes.zipWithIndex.map { case (a, i) => (i, a) }.toDF("pos", "axis"),
+      d, s"pca_axes_$k")
+      .foreach(p => pcaAxesArt((d, k)) = p)
+  }
+
   /** Resolve the LSH hyperplane center outside any timed window. */
   def prewarmLshCenter(spark: SparkSession, d: String): Unit =
     cachedLshCenter(spark, d)
 
   /** op_pca_project's oracle, generated at oracle-dump time (Verify dumps
-    * AFTER the queries run) with the FITTED axes inlined as SQL literals —
-    * the projection is pure dot arithmetic over those constants, so DuckDB
-    * replays it exactly: Double.toString round-trips through DuckDB's
-    * parser bit-identically, and `list_inner_product` already bit-matches
+    * AFTER the queries run) against the FITTED axes persisted as a
+    * parquet side artifact ([[writePcaAxesArtifact]] — the ALS
+    * factor-table pattern): the projection is pure dot arithmetic over
+    * those constants, and `list_inner_product` bit-matches
     * [[graft.functions.VectorFunctions.dot]] under the hash oracle
     * (op_topk_retrieval / op_ann_ivf_full precedent). Empty until the
     * query has run in this JVM (a selective Verify that skips
@@ -457,16 +475,14 @@ object OpQueries {
     }.toMap
 
   def pcaOracle: Map[String, String] =
-    OracleDir.pickKey(pcaAxesCache, (k: (String, Int)) => k._1,
-        (k: (String, Int)) => k._2 == 8).map { case (key, axes) =>
-      val branches = axes.zipWithIndex.map { case (axis, i) =>
-        val litArr = axis.mkString("[", ", ", "]")
-        s"SELECT vec_id, $i AS pos, list_inner_product(v, '$litArr'::DOUBLE[]) AS x FROM e"
-      }.mkString("\nUNION ALL ")
+    OracleDir.pickDir(pcaAxesArt.keys.collect { case (d, 8) => d })
+      .flatMap(d => pcaAxesArt.get((d, 8))).map { p =>
       "op_pca_project" ->
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-           |SELECT vec_id, pos, CAST(floor(x * 1000000.0) AS BIGINT) AS x_micro
-           |FROM ($branches)
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ax AS (SELECT pos, axis FROM read_parquet('$p/*.parquet'))
+           |SELECT vec_id, pos,
+           |  CAST(floor(list_inner_product(v, axis) * 1000000.0) AS BIGINT) AS x_micro
+           |FROM e CROSS JOIN ax
            |ORDER BY vec_id, pos""".stripMargin
     }.toMap
 
@@ -508,14 +524,12 @@ object OpQueries {
     * literals, reduced-dot top-100 shortlist, exact full-space top-10
     * re-rank — (vec_id, rank, item_id)-shaped like the other replays. */
   private def pcaRecallApproxSql: Option[String] =
-    OracleDir.pickKey(pcaAxesCache, (k: (String, Int)) => k._1,
-        (k: (String, Int)) => k._2 == 32).map { case (_, axes) =>
-      val branches = axes.zipWithIndex.map { case (axis, i) =>
-        s"SELECT vec_id, label, $i AS pos, " +
-          s"list_inner_product(v, '${axis.mkString("[", ", ", "]")}'::DOUBLE[]) AS x FROM e"
-      }.mkString("\nUNION ALL ")
+    OracleDir.pickDir(pcaAxesArt.keys.collect { case (d, 32) => d })
+      .flatMap(d => pcaAxesArt.get((d, 32))).map { p =>
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |red0 AS ($branches),
+         |ax AS (SELECT pos, axis FROM read_parquet('$p/*.parquet')),
+         |red0 AS (SELECT vec_id, label, pos,
+         |  list_inner_product(v, axis) AS x FROM e CROSS JOIN ax),
          |red AS (SELECT vec_id, label, list(x ORDER BY pos) AS rv
          |  FROM red0 GROUP BY vec_id, label),
          |short AS (SELECT vec_id, item_id FROM (
@@ -1190,7 +1204,9 @@ object OpQueries {
   def pcaAnnRecall(spark: SparkSession, d: String): DataFrame = {
     import graft.functions.{VectorFunctions => V}
     val emb = embeddings(spark, d)
-    val op = PcaProject(cachedPcaAxes(spark, d, 32))
+    val axes32 = cachedPcaAxes(spark, d, 32)
+    writePcaAxesArtifact(spark, d, 32, axes32)
+    val op = PcaProject(axes32)
     // materialize the projection BEFORE the pair join: inlined under the
     // broadcast-NL scorer, the k axis-dots would re-evaluate PER PAIR
     // (measured 175 s at sf0.1 vs ~2 s cached — the per-vector cost is
@@ -1259,6 +1275,7 @@ object OpQueries {
   def pcaProject(spark: SparkSession, d: String): DataFrame = {
     val emb = embeddings(spark, d)
     val axes = cachedPcaAxes(spark, d, 8)
+    writePcaAxesArtifact(spark, d, 8, axes)
     val op = PcaProject(axes)
     // orthonormality: |<a_i, a_j> - [i==j]| within 1e-9
     for (i <- axes.indices; j <- i until axes.size) {
