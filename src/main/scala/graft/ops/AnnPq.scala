@@ -229,3 +229,120 @@ object AnnIvfPq {
     } finally { res.unpersist(blocking = false) }
   }
 }
+
+/** Frozen PQ sub-codebook drift report — [[QuantizerDrift]]'s twin for
+  * [[AnnIvfPq]]'s SECOND quantization stage (the per-subspace residual
+  * codebooks; reference faiss.py:191-218's `IVF<nlist>,PQ<m>` fits both
+  * stages offline). The coarse-centroid drift report catches a moving
+  * catalog at list granularity, but the sub-codebooks have their own
+  * staleness failure mode: residual distributions can drift WITHIN
+  * stable lists, inflating quantization error and silently eroding ADC
+  * ranking quality with no coarse-level signal. Per (subspace, code):
+  * code-usage share drift between the fitted reference and a new batch
+  * (integer basis points against each side's own per-subspace total —
+  * every vector contributes exactly one code per subspace) plus
+  * coverage escapes: `theta_d2` is the reference's exact max
+  * sub-residual quantization error for that code, `n_far` counts new
+  * vectors quantizing beyond it. Two passes of map-side expressions
+  * (assignment against centroid/codebook literals) into
+  * partial-aggregable group-bys over m·ksub keys — metadata-scale
+  * output, no shuffle of vectors, the same 100 TB shape as
+  * [[QuantizerDrift]]. Every output is an exact max or integer
+  * arithmetic, so the whole refit trigger hash-replays in SQL. */
+case class PqCodebookDrift(
+    centers: Seq[Seq[Double]],
+    codebooks: Seq[Seq[Seq[Double]]], // m × ksub × dsub
+    reference: DataFrame,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") extends EnsembleOp {
+
+  require(centers.nonEmpty, s"$name: need at least one coarse centroid")
+  require(codebooks.nonEmpty, s"$name: need at least one subspace codebook")
+  private val m = codebooks.size
+  private val ksub = codebooks.head.size
+  private val dsub = codebooks.head.head.size
+  require(codebooks.forall(cb => cb.size == ksub && cb.forall(_.size == dsub)),
+    s"$name: ragged codebooks — every subspace needs $ksub entries of dim $dsub")
+  require(centers.forall(_.size == m * dsub),
+    s"$name: coarse centroids are dim ${centers.head.size}, " +
+      s"but m·dsub = ${m * dsub} — fit and codebooks disagree on the vector dim")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, idCol); requireCol(in, vecCol)
+    StructType(Seq(
+      StructField("subspace", IntegerType),
+      StructField("code", IntegerType),
+      StructField("ref_count", LongType),
+      StructField("new_count", LongType),
+      StructField("ref_share_bp", LongType),
+      StructField("new_share_bp", LongType),
+      StructField("drift_bp", LongType),
+      StructField("theta_d2", DoubleType),
+      StructField("n_far", LongType)))
+  }
+
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+  private val centersLit: Column =
+    array(centers.map(c => typedLit(c.toArray)): _*)
+
+  /** One (subspace, code, d2) row per vector per subspace: coarse-assign,
+    * take the residual, per-subspace argmin over the codebook with the
+    * (d, code) struct-min tie-break; d2 is the exact quantization error
+    * `(|e|² − 2·r_j·e) + r_j·r_j` — the [[ClusterAssign]] fold order the
+    * dump-time oracle replays. Pure map-side expressions + one explode. */
+  private def codeD2(df: DataFrame): DataFrame = {
+    val x = col(vecCol)
+    val cid = VectorFunctions.nearestCentroid(x, centers)
+    val res = zip_with(x.cast("array<double>"),
+      element_at(centersLit, col("__cid") + 1), (a, b) => a - b)
+    def subJ(j: Int) = slice(col("__res"), j * dsub + 1, dsub)
+    val perSub = array((0 until m).map { j =>
+      val best = array_min(array(codebooks(j).zipWithIndex.map { case (e, kk) =>
+        val e2 = e.map(v => v * v).sum
+        struct((lit(e2) - lit(2.0) * dot(subJ(j), typedLit(e.toArray)))
+          .as("d"), lit(kk).as("code"))
+      }: _*))
+      struct(lit(j).as("j"), best.getField("code").as("code"),
+        (best.getField("d") + dot(subJ(j), subJ(j))).as("d2"))
+    }: _*)
+    df.filter(x.isNotNull)
+      .withColumn("__cid", cid)
+      .withColumn("__res", res)
+      .select(explode(perSub).as("__s"))
+      .select(col("__s.j").as("subspace"), col("__s.code").as("code"),
+        col("__s.d2").as("d2"))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val refAgg = codeD2(reference).groupBy("subspace", "code")
+      .agg(count(lit(1)).as("ref_count"), max(col("d2")).as("theta_d2"))
+    val newAgg = codeD2(df)
+      .join(broadcast(refAgg.select(col("subspace"), col("code"),
+        col("theta_d2").as("__theta"))), Seq("subspace", "code"), "left")
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("new_count"),
+        sum(when(col("__theta").isNull || col("d2") > col("__theta"), 1L)
+          .otherwise(0L)).as("n_far"))
+    val joined = refAgg.join(newAgg, Seq("subspace", "code"), "full_outer")
+      .select(col("subspace"), col("code"),
+        coalesce(col("ref_count"), lit(0L)).as("ref_count"),
+        coalesce(col("new_count"), lit(0L)).as("new_count"),
+        col("theta_d2"),
+        coalesce(col("n_far"), lit(0L)).as("n_far"))
+    // per-subspace denominators (m rows, broadcast back): every vector
+    // lands exactly one code per subspace, so shares within a subspace
+    // sum to 10000 — the MixturePlan integer-bp discipline
+    val totals = joined.groupBy("subspace")
+      .agg(sum(col("ref_count")).as("__rt"), sum(col("new_count")).as("__nt"))
+    joined.join(broadcast(totals), Seq("subspace"))
+      .select(col("subspace"), col("code"), col("ref_count"), col("new_count"),
+        when(col("__rt") === 0, lit(0L))
+          .otherwise(expr("ref_count * 10000 div __rt")).as("ref_share_bp"),
+        when(col("__nt") === 0, lit(0L))
+          .otherwise(expr("new_count * 10000 div __nt")).as("new_share_bp"),
+        col("theta_d2"), col("n_far"))
+      .withColumn("drift_bp", abs(col("new_share_bp") - col("ref_share_bp")))
+      .select("subspace", "code", "ref_count", "new_count", "ref_share_bp",
+        "new_share_bp", "drift_bp", "theta_d2", "n_far")
+  }
+}

@@ -419,7 +419,7 @@ object OpQueries {
         }
         val codeCols = (0 until m).map(j =>
           s"max(CASE WHEN j = $j THEN code END) AS c$j").mkString(", ")
-        "op_ann_pq" ->
+        val pqSql =
           s"""WITH cent(cid, cv, c2) AS (VALUES
              |  $centRows),
              |cb(j, code, e, e2) AS (VALUES
@@ -471,8 +471,65 @@ object OpQueries {
              |      (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank
              |  FROM ex) WHERE rank <= 10
              |ORDER BY vec_id, rank""".stripMargin
+        // sub-codebook drift: the same assignment + per-subspace encode
+        // math split by label; d2 replays ClusterAssign's fold order
+        // `(e2 − 2·r_j·e) + r_j·r_j`, theta is an order-independent
+        // exact max, shares are integer basis points per subspace
+        val sl = s"r.r[cb.j * $dsub + 1 : cb.j * $dsub + $dsub]"
+        val driftSql =
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $centRows),
+             |cb(j, code, e, e2) AS (VALUES
+             |  $cbRows),
+             |emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |ass AS (SELECT vec_id, label, v, cv, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM emb CROSS JOIN cent),
+             |res AS (SELECT vec_id, label,
+             |    list_transform(range(1, ${dim + 1}), i -> v[i] - cv[i]) AS r
+             |  FROM ass WHERE rn = 1),
+             |sc AS (SELECT vec_id, label, j, code, d2 FROM (
+             |  SELECT r.vec_id, r.label, cb.j, cb.code,
+             |    (cb.e2 - 2.0 * list_inner_product($sl, cb.e))
+             |      + list_inner_product($sl, $sl) AS d2,
+             |    row_number() OVER (PARTITION BY r.vec_id, cb.j
+             |      ORDER BY cb.e2 - 2.0 * list_inner_product($sl, cb.e), cb.code) AS rn
+             |  FROM res r CROSS JOIN cb) WHERE rn = 1),
+             |refagg AS (SELECT j, code, count(*) AS ref_count, max(d2) AS theta_d2
+             |  FROM sc WHERE label <> 0 GROUP BY j, code),
+             |newagg AS (SELECT n.j AS j, n.code AS code, count(*) AS new_count,
+             |    CAST(sum(CASE WHEN r.theta_d2 IS NULL OR n.d2 > r.theta_d2
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_far
+             |  FROM (SELECT j, code, d2 FROM sc WHERE label = 0) n
+             |  LEFT JOIN refagg r ON n.j = r.j AND n.code = r.code
+             |  GROUP BY n.j, n.code),
+             |jn AS (SELECT coalesce(r.j, n.j) AS subspace,
+             |    coalesce(r.code, n.code) AS code,
+             |    coalesce(r.ref_count, 0) AS ref_count,
+             |    coalesce(n.new_count, 0) AS new_count,
+             |    r.theta_d2 AS theta_d2, coalesce(n.n_far, 0) AS n_far
+             |  FROM refagg r FULL OUTER JOIN newagg n
+             |    ON r.j = n.j AND r.code = n.code),
+             |tot AS (SELECT subspace, sum(ref_count) AS rt, sum(new_count) AS nt
+             |  FROM jn GROUP BY subspace)
+             |SELECT jn.subspace AS subspace, jn.code AS code,
+             |  CAST(ref_count AS BIGINT) AS ref_count,
+             |  CAST(new_count AS BIGINT) AS new_count,
+             |  CAST(CASE WHEN rt = 0 THEN 0
+             |    ELSE ref_count * 10000 // rt END AS BIGINT) AS ref_share_bp,
+             |  CAST(CASE WHEN nt = 0 THEN 0
+             |    ELSE new_count * 10000 // nt END AS BIGINT) AS new_share_bp,
+             |  CAST(abs(CASE WHEN nt = 0 THEN 0
+             |      ELSE new_count * 10000 // nt END
+             |    - CASE WHEN rt = 0 THEN 0
+             |      ELSE ref_count * 10000 // rt END) AS BIGINT) AS drift_bp,
+             |  theta_d2, CAST(n_far AS BIGINT) AS n_far
+             |FROM jn JOIN tot ON jn.subspace = tot.subspace
+             |ORDER BY subspace, code""".stripMargin
+        Seq("op_ann_pq" -> pqSql, "op_ann_pq_drift" -> driftSql)
       }
-    }.toMap
+    }.getOrElse(Seq.empty).toMap
 
   def pcaOracle: Map[String, String] =
     OracleDir.pickDir(pcaAxesArt.keys.collect { case (d, 8) => d })
@@ -772,6 +829,26 @@ object OpQueries {
   def annPqRecall(spark: SparkSession, d: String): DataFrame =
     Evidence.recallRow(spark, annPq(spark, d), topkRetrieval(spark, d),
       Seq("vec_id", "item_id"), floorBp = 5000)
+
+  /** Frozen PQ sub-codebook drift report ([[graft.ops.PqCodebookDrift]]
+    * over the shared IVF32,PQ8 fit): the catalog (label ≠ 0) is the fit
+    * reference, the query slice (label = 0) plays the new batch — per
+    * (subspace, code) usage-share drift in basis points plus
+    * quantization-error escapes past the reference's exact max. The
+    * refit trigger for the SECOND quantization stage, which
+    * [[CurationQueries.annDriftReport]]'s coarse-centroid report cannot
+    * see (residuals can drift within stable lists). Hash-oracled end to
+    * end: assignment and encoding replay from centroid/codebook
+    * literals, theta is an order-independent exact max, shares are
+    * integer basis points. */
+  def annPqDrift(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    PqCodebookDrift(cachedCenters(spark, d, nlist = 32, maxIter = 5),
+      cachedCodebooks(spark, d),
+      reference = emb.filter(col("label") =!= 0))
+      .transform(emb.filter(col("label") === 0))
+      .orderBy("subspace", "code")
+  }
 
   /** IVF-PQ with nprobe = nlist AND refine ≥ |items|: every list is
     * probed and ADC nominates every item, so the exact re-rank IS
@@ -1510,6 +1587,7 @@ object OpQueries {
     "op_ann_ivf_full" -> (annIvfFull _),
     "op_ann_pq" -> (annPq _),
     "op_ann_pq_recall" -> (annPqRecall _),
+    "op_ann_pq_drift" -> (annPqDrift _),
     "op_ann_pq_exact" -> (annPqExact _),
     "op_ann_sq" -> (annSq _),
     "op_ann_sq_recall" -> (annSqRecall _),

@@ -138,6 +138,54 @@ class AnnPqSpec extends SparkSpec {
       pq.transform(queries).collect().toSeq)
   }
 
+  test("PqCodebookDrift: identical batch reports zero drift and zero escapes") {
+    val ref = Seq(
+      (1L, Seq(-0.5f, 1.0f, 2.0f, 0.0f)), (2L, Seq(0.5f, 0.25f, 0.0f, -2.0f)),
+      (3L, Seq(8.5f, 8.25f, 10.0f, 8.0f)), (4L, Seq(7.5f, 9.0f, 8.0f, 6.0f))
+    ).toDF("vec_id", "embedding")
+    val out = PqCodebookDrift(centers, codebooks, reference = ref)
+      .transform(ref).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("ref_count") == r.getAs[Long]("new_count"))
+      assert(r.getAs[Long]("drift_bp") == 0L, s"self-drift must be 0: $r")
+      assert(r.getAs[Long]("n_far") == 0L,
+        s"a reference vector cannot escape its own exact max: $r")
+    }
+    // shares within each subspace partition the batch: sum to 10000
+    // modulo the integer-floor remainder (< #codes)
+    val bySub = out.groupBy(_.getAs[Int]("subspace"))
+    bySub.foreach { case (j, rows) =>
+      val s = rows.map(_.getAs[Long]("ref_share_bp")).sum
+      assert(s > 10000 - rows.size && s <= 10000,
+        s"subspace $j shares must floor-partition 10000: $s")
+    }
+  }
+
+  test("PqCodebookDrift: a shifted batch drives share drift and theta escapes") {
+    val ref = Seq(
+      (1L, Seq(-0.5f, 1.0f, 2.0f, 0.0f)), (2L, Seq(0.5f, 0.25f, 0.0f, -2.0f)),
+      (3L, Seq(0.4f, 0.3f, 1.9f, 0.1f))).toDF("vec_id", "embedding")
+    // every new vector's subspace-1 residual sits far past any reference
+    // quantization error, and usage concentrates on one code
+    val fresh = Seq(
+      (10L, Seq(0.5f, 0.25f, 40.0f, 40.0f)),
+      (11L, Seq(0.5f, 0.25f, 44.0f, -40.0f))).toDF("vec_id", "embedding")
+    val out = PqCodebookDrift(centers, codebooks, reference = ref)
+      .transform(fresh).collect()
+    val sub1 = out.filter(_.getAs[Int]("subspace") == 1)
+    assert(sub1.map(_.getAs[Long]("n_far")).sum == 2L,
+      s"both shifted vectors must escape subspace 1's fitted radius: ${sub1.toSeq}")
+    assert(out.exists(_.getAs[Long]("drift_bp") > 0L),
+      "concentrated code usage must register as share drift")
+    // new_count rows with no reference carrier keep a NULL theta
+    out.filter(r => r.getAs[Long]("ref_count") == 0L).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("theta_d2")))
+      assert(r.getAs[Long]("n_far") == r.getAs[Long]("new_count"),
+        "vectors on a never-fitted code are all escapes by definition")
+    }
+  }
+
   test("fail fast: nprobe out of range, ragged codebooks, dim mismatch, m not dividing dim") {
     val items = Seq((1L, Seq(0.1f, 0.2f, 0.3f, 0.4f))).toDF("item_id", "embedding")
     intercept[IllegalArgumentException] {
