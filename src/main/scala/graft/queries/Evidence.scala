@@ -37,4 +37,43 @@ object Evidence {
     Seq((nt, na, nm, recallBp, floorBp.toLong))
       .toDF("n_truth", "n_approx", "n_matched", "recall_bp", "floor_bp")
   }
+
+  /** [[recallRow]] over a SEEDED QUERY SAMPLE, with a 95%
+    * normal-approximation binomial lower bound on the per-pair recall —
+    * the monitoring shape that still RUNS at production scale. The
+    * full-population recall rows are indictment evidence whose all-pairs
+    * truth sweep cannot exist beyond rehearsal SFs; confining the exact
+    * sweep to a fixed-size sample makes the cost ∝ sample × catalog
+    * (constant in query volume), and `ci_low_bp` quantifies exactly what
+    * the sample bought: recall_bp − floor(1.96·10⁴·√(p(1−p)/n)). Every
+    * step of the margin is fixed-order IEEE double arithmetic
+    * (mul/div/sub/sqrt are correctly rounded), so the whole row —
+    * including the bound — hash-replays cross-engine. The floor gate
+    * stays on the OBSERVED recall (the [[recallRow]] contract); the CI
+    * column is the honesty label for how far to trust it. */
+  def sampledRecallRow(spark: SparkSession, approx: DataFrame,
+      exact: DataFrame, keyCols: Seq[String], floorBp: Int,
+      nQueriesSampled: Long): DataFrame = {
+    import spark.implicits._
+    val truth = exact.select(keyCols.map(col): _*)
+    val ap = approx.select(keyCols.map(col): _*)
+    val matched = ap.join(truth, keyCols, "left_semi")
+    val row = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(ap.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(matched.agg(count(lit(1)).as("n_matched"))).head()
+    val (nt, na, nm) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val recallBp = if (nt == 0) 10000L else nm * 10000 / nt
+    val marginBp = if (nt == 0) 0L else {
+      val p = nm.toDouble / nt.toDouble
+      math.floor(19600.0 * math.sqrt(p * (1.0 - p) / nt.toDouble)).toLong
+    }
+    val minTruth = 30
+    require(nt < minTruth || recallBp >= floorBp,
+      s"sampled recall floor violated: $recallBp bp < $floorBp bp " +
+      s"over $nt truth rows ($nQueriesSampled queries)")
+    Seq((nQueriesSampled, nt, na, nm, recallBp, recallBp - marginBp,
+        floorBp.toLong))
+      .toDF("n_queries_sampled", "n_truth", "n_approx", "n_matched",
+        "recall_bp", "ci_low_bp", "floor_bp")
+  }
 }

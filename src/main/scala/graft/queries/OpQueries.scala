@@ -378,11 +378,66 @@ object OpQueries {
              |  FROM scored)
              |SELECT vec_id, CAST(rank AS INTEGER) AS rank, item_id, score FROM ranked
              |WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
+        // sampled recall monitor: the SAME probe math confined to the
+        // md5-ranked query sample, brute-force truth over the sample
+        // only, counts + the fixed-order IEEE-double binomial margin
+        val pRecall =
+          "CAST(n_matched AS DOUBLE) / CAST(n_truth AS DOUBLE)"
+        val sampledSql =
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $rows),
+             |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE label <> 0),
+             |iass AS (SELECT item_id, v, cid, row_number() OVER
+             |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM items CROSS JOIN cent),
+             |i AS (SELECT item_id, v, cid FROM iass WHERE rn = 1),
+             |qs AS (SELECT vec_id, qv FROM (
+             |  SELECT vec_id, embedding::DOUBLE[] AS qv, row_number() OVER
+             |      (ORDER BY ('0x' || substring(md5(vec_id::VARCHAR || ':graft-recall'), 1, 8))::BIGINT,
+             |        vec_id) AS srk
+             |  FROM embeddings WHERE label = 0) WHERE srk <= 25),
+             |qass AS (SELECT vec_id, qv, cid, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(qv, cv), cid) AS rn
+             |  FROM qs CROSS JOIN cent),
+             |probe AS (SELECT vec_id, qv, cid FROM qass WHERE rn <= $nprobe),
+             |scored AS (SELECT p.vec_id, i.item_id,
+             |    list_inner_product(p.qv, i.v) AS score
+             |  FROM probe p JOIN i ON p.cid = i.cid),
+             |ap AS (SELECT vec_id, item_id FROM (
+             |  SELECT vec_id, item_id, row_number() OVER
+             |      (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank
+             |  FROM scored) WHERE rank <= 10),
+             |tr AS (SELECT vec_id, item_id FROM (
+             |  SELECT q.vec_id, i.item_id, row_number() OVER
+             |      (PARTITION BY q.vec_id
+             |       ORDER BY list_inner_product(q.qv, i.v) DESC, i.item_id) AS rank
+             |  FROM qs q CROSS JOIN i) WHERE rank <= 10),
+             |n AS (SELECT
+             |  (SELECT count(*) FROM qs) AS nq,
+             |  (SELECT count(*) FROM tr) AS n_truth,
+             |  (SELECT count(*) FROM ap) AS n_approx,
+             |  (SELECT count(*) FROM ap a WHERE EXISTS (SELECT 1 FROM tr t
+             |    WHERE t.vec_id = a.vec_id AND t.item_id = a.item_id)) AS n_matched)
+             |SELECT CAST(nq AS BIGINT) AS n_queries_sampled,
+             |  CAST(n_truth AS BIGINT) AS n_truth,
+             |  CAST(n_approx AS BIGINT) AS n_approx,
+             |  CAST(n_matched AS BIGINT) AS n_matched,
+             |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+             |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+             |  (CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+             |    ELSE n_matched * 10000 // n_truth END)
+             |  - (CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+             |    ELSE CAST(floor(19600.0 * sqrt($pRecall * (1.0 - $pRecall)
+             |      / CAST(n_truth AS DOUBLE))) AS BIGINT) END) AS ci_low_bp,
+             |  CAST(5000 AS BIGINT) AS floor_bp
+             |FROM n""".stripMargin
         // the incremental-index query AND the stream-maintained index are
         // id-identical to the rebuild by construction (assignment is
         // per-item independent) — same oracle for all three
         Seq("op_ann_ivf" -> sql, "op_ann_index_update" -> sql,
-          "op_ann_ivf_stream" -> sql)
+          "op_ann_ivf_stream" -> sql,
+          "op_ann_ivf_recall_sampled" -> sampledSql)
       }.toMap
 
   /** op_ann_pq's oracle — the full IVF-PQ path (encode, probe, ADC
@@ -711,6 +766,50 @@ object OpQueries {
   def annIvfRecall(spark: SparkSession, d: String): DataFrame =
     Evidence.recallRow(spark, annIvf(spark, d), topkRetrieval(spark, d),
       Seq("vec_id", "item_id"), floorBp = 5000)
+
+  /** How many queries the sampled recall monitor exact-sweeps — FIXED by
+    * design, not a catalog fraction: the binomial margin depends on the
+    * sample size alone, so recall monitoring precision (and cost) stays
+    * constant as the platform grows; `ci_low_bp` carries the honesty. */
+  private val RecallSampleQueries = 25
+
+  /** Sampled recall evidence for the IVF index
+    * ([[Evidence.sampledRecallRow]]): a seeded md5-ranked sample of
+    * [[RecallSampleQueries]] queries, IVF probe and brute-force truth
+    * both confined to the sample, recall + 95% binomial lower bound in
+    * the row. This is the variant that still exists at 100 TB — the
+    * full-population recall rows are rehearsal-SF indictment evidence;
+    * this one's truth sweep costs sample × catalog, runs in seconds at
+    * any SF, and is hash-oracled end to end (md5 rank replays, the CI
+    * arithmetic is fixed-order IEEE double). */
+  def annIvfRecallSampled(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, d)
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    val items = ivfItems(spark, d)
+    // seeded deterministic sample: rank queries by the first-8-hex md5
+    // bucket (the softmax-sampling discipline), keep the lowest N. The
+    // global window is QUERY-side only — request-scale, never the catalog
+    val bk = conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit(":graft-recall"))), 1, 8), 16, 10).cast("long")
+    val sampled = emb.filter(col("label") === 0)
+      .withColumn("__bk", bk)
+      .withColumn("__srk", row_number().over(
+        Window.orderBy(col("__bk"), col("vec_id"))))
+      .filter(col("__srk") <= RecallSampleQueries)
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    try {
+      val nq = sampled.count()
+      val approx = AnnIvf(items, centers, "vec_id", "embedding",
+        k = 10, nprobe = math.min(8, centers.size), metric = "dot")
+        .asRows(sampled)
+      val truth = TopKRetrieval(items, "vec_id", "embedding",
+        k = 10, metric = "dot").asRows(sampled)
+      Evidence.sampledRecallRow(spark, approx, truth,
+        Seq("vec_id", "item_id"), floorBp = 5000, nQueriesSampled = nq)
+    } finally sampled.unpersist()
+  }
 
   /** Memoized SQ8 scalar-quantizer range (per-dim [min,max] over the
     * catalog) — fit-offline-probe-many like [[cachedCenters]]; the fitted
@@ -1584,6 +1683,7 @@ object OpQueries {
     "op_ann_ivf_stream" -> (annIvfStream _),
     "op_ann_lsh_recall" -> (annLshRecall _),
     "op_ann_ivf_recall" -> (annIvfRecall _),
+    "op_ann_ivf_recall_sampled" -> (annIvfRecallSampled _),
     "op_ann_ivf_full" -> (annIvfFull _),
     "op_ann_pq" -> (annPq _),
     "op_ann_pq_recall" -> (annPqRecall _),
