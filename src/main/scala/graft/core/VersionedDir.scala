@@ -164,8 +164,13 @@ object VersionedDir {
     * serialized same-number writers, so this check only guards the
     * cross-number ordering window, the same residual S3-style window a
     * table format closes with a coordination service. */
+  /** `trailer` semantics (both commit methods): None PRESERVES the live
+    * pointer's trailer lines verbatim — so a writer that knows nothing
+    * about trailer metadata (batch [[publish]], an OPTIMIZE job) can
+    * never erase another writer's commit memory by swapping the pointer;
+    * Some(lines) replaces it (the sinks pass their updated txn map). */
   def commitPointer(spark: SparkSession, dir: String, version: String,
-      trailer: Seq[String] = Nil): Unit = {
+      trailer: Option[Seq[String]] = None): Unit = {
     val mine = version.drop(1).toLong
     latest(spark, dir).foreach { live =>
       val n = scala.util.Try(live.drop(1).toLong).toOption.getOrElse(-1L)
@@ -175,7 +180,8 @@ object VersionedDir {
           s"$version — a concurrent writer committed first; this " +
           "commit's files remain unreferenced for vacuum")
     }
-    writePointer(spark, dir, version, trailer)
+    writePointer(spark, dir, version,
+      trailer.getOrElse(pointerLines(spark, dir).drop(1)))
   }
 
   /** [[commitPointer]] with LINEAGE conflict detection — for commits
@@ -195,7 +201,7 @@ object VersionedDir {
     * double-fired-job case the single-writer contract worries about,
     * not a coordination service. */
   def commitPointerFrom(spark: SparkSession, dir: String, version: String,
-      basedOn: Option[String], trailer: Seq[String] = Nil): Unit = {
+      basedOn: Option[String], trailer: Option[Seq[String]] = None): Unit = {
     val live = latest(spark, dir)
     if (live != basedOn)
       throw new CommitConflictException(
@@ -205,7 +211,8 @@ object VersionedDir {
         "concurrent writer committed in between and this commit's " +
         "content does not include it; files remain unreferenced for " +
         "vacuum (re-read the log, re-derive, retry)")
-    writePointer(spark, dir, version, trailer)
+    writePointer(spark, dir, version,
+      trailer.getOrElse(pointerLines(spark, dir).drop(1)))
   }
 
   /** Delete all but the `keep` most-recent version dirs — NEVER the

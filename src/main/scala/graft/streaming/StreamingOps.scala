@@ -842,7 +842,7 @@ object StreamingOps {
     val trailer = merged.toSeq.sortBy(_._1)
       .map { case (a, b) => s"txn:$a,$b" }
     graft.core.VersionedDir.commitPointerFrom(
-      spark, dir, version, basedOn, trailer)
+      spark, dir, version, basedOn, Some(trailer))
   }
 
   /** The per-app committed-batch map carried in the live pointer's

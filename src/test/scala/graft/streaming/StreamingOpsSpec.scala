@@ -1016,6 +1016,11 @@ class StreamingOpsSpec extends SparkSpec {
     val idx = StreamingOps.loadBm25Index(spark, dir).get
     assert(idx.docCount == 3L,
       s"replay after vacuum must be a no-op on the pointer's memory alone: ${idx.docCount}")
+    // even a trailer-IGNORANT writer (batch publish knows nothing of txn
+    // maps) must preserve the memory when it swaps the pointer
+    graft.core.VersionedDir.publish(Seq((1L, "x")).toDF("id", "v"), dir)
+    assert(ptrLines.contains("txn:bm25-ingest,1"),
+      s"a plain publish must carry the trailer forward: $ptrLines")
   }
 
   test("index time travel: a retained version probes as the index that served it") {
