@@ -845,6 +845,42 @@ object CurationQueries {
              |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
              |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
              |  CAST(9000 AS BIGINT) AS floor_bp FROM n""".stripMargin,
+        "dedup_minhash_recall_sampled" -> {
+          val pr = "CAST(n_matched AS DOUBLE) / CAST(n_truth AS DOUBLE)"
+          s"""WITH ${bandedPairsCte(p)},
+             |qs AS (SELECT doc_id FROM (
+             |  SELECT doc_id, row_number() OVER (ORDER BY
+             |    ('0x' || substring(md5(doc_id::VARCHAR || ':graft-recall'), 1, 8))::BIGINT,
+             |    doc_id) AS srk FROM s) WHERE srk <= 120),
+             |aps AS (SELECT doc_a, doc_b FROM ap
+             |  WHERE doc_a IN (SELECT doc_id FROM qs)
+             |    OR doc_b IN (SELECT doc_id FROM qs)),
+             |truth AS (SELECT DISTINCT least(q.qid, b.doc_id) AS doc_a,
+             |    greatest(q.qid, b.doc_id) AS doc_b
+             |  FROM (SELECT s.doc_id AS qid, s.sh AS qsh FROM s
+             |    JOIN qs ON s.doc_id = qs.doc_id) q
+             |  JOIN s b ON q.qid <> b.doc_id
+             |  WHERE CAST(len(list_intersect(q.qsh, b.sh)) AS BIGINT) * 10000 >=
+             |    CAST(len(list_distinct(q.qsh || b.sh)) AS BIGINT) * 8000),
+             |n AS (SELECT
+             |  (SELECT count(*) FROM qs) AS nq,
+             |  (SELECT count(*) FROM truth) AS n_truth,
+             |  (SELECT count(*) FROM aps) AS n_approx,
+             |  (SELECT count(*) FROM aps JOIN truth USING (doc_a, doc_b)) AS n_matched)
+             |SELECT CAST(nq AS BIGINT) AS n_queries_sampled,
+             |  CAST(n_truth AS BIGINT) AS n_truth,
+             |  CAST(n_approx AS BIGINT) AS n_approx,
+             |  CAST(n_matched AS BIGINT) AS n_matched,
+             |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+             |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+             |  (CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+             |    ELSE n_matched * 10000 // n_truth END)
+             |  - (CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+             |    ELSE CAST(floor(19600.0 * sqrt($pr * (1.0 - $pr)
+             |      / CAST(n_truth AS DOUBLE))) AS BIGINT) END) AS ci_low_bp,
+             |  CAST(9000 AS BIGINT) AS floor_bp
+             |FROM n""".stripMargin
+        },
         "dedup_simhash" ->
           s"""WITH s AS (SELECT doc_id, sim FROM read_parquet('$p/*.parquet'))
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1516,6 +1552,57 @@ object CurationQueries {
       floorBp = 9000)
   }
 
+  /** Sampled MinHash recall — the dedup-family monitoring shape that
+    * still RUNS at 100 TB ([[Evidence.sampledRecallRow]]; the ANN twin
+    * is op_ann_ivf_recall_sampled). [[dedupMinhashRecall]]'s truth side
+    * sweeps the whole corpus and exists only at rehearsal SFs; here a
+    * seeded md5-ranked DOC sample is exact-swept against the corpus
+    * (ONE-sided sampling: truth = every qualifying pair TOUCHING the
+    * sample, so the sweep costs sample × corpus — linear, not
+    * quadratic), the banded path is scored on the same touching-pair
+    * scope, and the row carries the 95% binomial lower bound. Exact
+    * Jaccard uses the same shingle sets and integer-bp predicate as the
+    * full row's oracle, so the whole row hash-replays. */
+  def dedupMinhashRecallSampled(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    writeDocSketches(spark, d)
+    val docs = documents(spark, d)
+    val bk = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":graft-recall"))), 1, 8), 16, 10).cast("long")
+    val sampleIds = docs.select("doc_id")
+      .withColumn("__bk", bk)
+      .withColumn("__srk", row_number().over(
+        Window.orderBy(col("__bk"), col("doc_id"))))
+      .filter(col("__srk") <= 120)
+      .select("doc_id").persist()
+    try {
+      val nq = sampleIds.count()
+      val banded = MinHashDedup(thresholdBp = 8000).transform(docs)
+        .select("doc_a", "doc_b")
+      // banded pairs touching the sample — broadcast-NL semi join against
+      // the metadata-scale sample list
+      val ap = banded.join(broadcast(sampleIds),
+        banded("doc_a") === sampleIds("doc_id") ||
+          banded("doc_b") === sampleIds("doc_id"), "left_semi")
+      // truth: sampled docs exact-swept against the corpus (both
+      // orientations normalize to doc_a < doc_b; a pair with both ends
+      // sampled appears twice → distinct) — the same shingle sets and
+      // predicate the full row's oracle brute-forces over all pairs
+      val sh = docs.select(col("doc_id"),
+        T.shingleSet(col("text"), 3).as("sh"))
+      val qsh = sh.join(sampleIds, "doc_id")
+        .select(col("doc_id").as("qid"), col("sh").as("qsh"))
+      val truth = sh.join(broadcast(qsh), col("qid") =!= col("doc_id"))
+        .filter(size(array_intersect(col("qsh"), col("sh"))).cast("long") * 10000 >=
+          size(array_union(col("qsh"), col("sh"))).cast("long") * 8000)
+        .select(least(col("qid"), col("doc_id")).as("doc_a"),
+          greatest(col("qid"), col("doc_id")).as("doc_b"))
+        .distinct()
+      Evidence.sampledRecallRow(spark, ap, truth, Seq("doc_a", "doc_b"),
+        floorBp = 9000, nQueriesSampled = nq)
+    } finally sampleIds.unpersist()
+  }
+
   /** SimHash banding is COMPLETE for the radius (pigeonhole) — so the
     * banded pair set must EQUAL the brute-force all-pairs scan, not
     * approximate it; this query proves that equality in-harness. */
@@ -1999,6 +2086,7 @@ object CurationQueries {
     "pipeline_semantic_dedup" -> (pipelineSemanticDedup _),
     "pipeline_embedding_reconcile" -> (pipelineEmbeddingReconcile _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
+    "dedup_minhash_recall_sampled" -> (dedupMinhashRecallSampled _),
     "dedup_simhash_check" -> (dedupSimhashCheck _),
     "neardup_cosine_lsh_recall" -> (neardupCosineLshRecall _),
     "text_repetition" -> (textRepetition _),

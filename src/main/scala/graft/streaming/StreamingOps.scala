@@ -1150,8 +1150,11 @@ object StreamingOps {
       if (!batch.isEmpty &&
           !latestTxn(batch.sparkSession, outDir, appId).exists(_ >= batchId)) {
         val spark = batch.sparkSession
+        // metric rows are QUERY-scale (one per evaluated query in the
+        // batch) — coalesce to one file per delta so the log's physical
+        // listing tracks the delta count, not the shuffle partitioning
         commitIndexDelta(spark, outDir,
-          op.transform(batch).withColumn("batch_id", lit(batchId)),
+          op.transform(batch).withColumn("batch_id", lit(batchId)).coalesce(1),
           "query_id", appId, batchId, retainVersions)
         maybeCompact(spark, outDir, autoCompactDeltas, retainVersions,
           () => compactIndexState(spark, outDir,
