@@ -1598,26 +1598,43 @@ object CurationQueries {
       // and the uni > 0 guard excludes that degenerate case explicitly
       // on both engines. Both orientations normalize to doc_a < doc_b;
       // a pair with both ends sampled appears twice → distinct.
-      val withN = docs
-        .select(col("doc_id"), T.shingleSet(col("text"), 3).as("sh"))
-        .withColumn("n", size(col("sh")).cast("long"))
-      val qside = withN.join(broadcast(sampleIds), "doc_id")
-        .select(col("doc_id").as("qid"), col("n").as("nq"),
-          explode(col("sh")).as("s"))
-      val cside = withN.select(col("doc_id"), col("n").as("nd"),
-        explode(col("sh")).as("s"))
-      val truth = qside.join(cside, Seq("s"))
-        .filter(col("qid") =!= col("doc_id"))
-        .groupBy("qid", "doc_id", "nq", "nd")
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter") * 10000 >=
-          (col("nq") + col("nd") - col("inter")) * 8000)
-        .select(least(col("qid"), col("doc_id")).as("doc_a"),
-          greatest(col("qid"), col("doc_id")).as("doc_b"))
-        .distinct()
+      val truth = sampledExactJaccardTruth(docs, sampleIds)
       Evidence.sampledRecallRow(spark, ap, truth, Seq("doc_a", "doc_b"),
         floorBp = 9000, nQueriesSampled = nq)
     } finally sampleIds.unpersist()
+  }
+
+  /** The sampled exact-Jaccard truth frame (see
+    * [[dedupMinhashRecallSampled]] for the shape rationale) — separated
+    * so PlanSpec can pin its physical shape directly. */
+  private[graft] def sampledExactJaccardTruth(docs: DataFrame,
+      sampleIds: DataFrame): DataFrame = {
+    val withN = docs
+      .select(col("doc_id"), T.shingleSet(col("text"), 3).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+    val qside = withN.join(broadcast(sampleIds), "doc_id")
+      .select(col("doc_id").as("qid"), col("n").as("nq"),
+        explode(col("sh")).as("s"))
+    val cside = withN.select(col("doc_id"), col("n").as("nd"),
+      explode(col("sh")).as("s"))
+    qside.join(cside, Seq("s"))
+      .filter(col("qid") =!= col("doc_id"))
+      .groupBy("qid", "doc_id", "nq", "nd")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 10000 >=
+        (col("nq") + col("nd") - col("inter")) * 8000)
+      .select(least(col("qid"), col("doc_id")).as("doc_a"),
+        greatest(col("qid"), col("doc_id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** PlanSpec entry: the sampled truth over a source-backed sample list
+    * (a LocalRelation sample would constant-fold the join away). */
+  private[graft] def dedupMinhashRecallSampledTruthPlan(
+      spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    sampledExactJaccardTruth(docs,
+      docs.select("doc_id").filter(col("doc_id") % 4 === 0))
   }
 
   /** SimHash banding is COMPLETE for the radius (pigeonhole) — so the

@@ -517,4 +517,33 @@ class PlanSpec extends SparkSpec {
       .transform(emb))
     assert(!p.contains("Exchange"), s"no shuffle expected:\n${p.take(600)}")
   }
+
+  test("pq codebook drift shuffles only (subspace, code) keys — vectors never move") {
+    val emb = Tables.embeddings(spark, d)
+    val centers = Seq(Seq.fill(64)(0.1), Seq.fill(64)(-0.1))
+    val codebooks = Seq.fill(8)(Seq(Seq.fill(8)(0.05), Seq.fill(8)(-0.05)))
+    val p = plan(ops.PqCodebookDrift(centers, codebooks,
+      reference = emb.filter(org.apache.spark.sql.functions.col("label") =!= 0))
+      .transform(emb.filter(org.apache.spark.sql.functions.col("label") === 0)))
+    // encode + explode are map-side; the only hash exchanges carry the
+    // m·ksub-key aggregates and the m-row totals — no exchange may carry
+    // an embedding column (the vectors stay where they were scanned)
+    assert(p.contains("HashAggregate"), p.take(600))
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => !e.contains("embedding")),
+      s"no exchange may carry vectors:\n${exchanges.mkString("\n")}")
+    assert(p.contains("BroadcastExchange"),
+      "theta and per-subspace totals must broadcast back, not shuffle")
+  }
+
+  test("sampled dedup truth is an inverted-index equi-join — no pair-space NL sweep") {
+    val p = plan(queries.CurationQueries.dedupMinhashRecallSampledTruthPlan(spark, d))
+    assert(!p.contains("CartesianProduct"),
+      s"truth must not be an all-pairs product:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"truth must equi-join on the shingle, not NL over pairs:\n${p.take(800)}")
+    assert(p.contains("partial_count"),
+      "|A∩B| must arrive as a map-side-combined group count")
+  }
 }

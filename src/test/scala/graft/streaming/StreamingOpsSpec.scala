@@ -1023,6 +1023,23 @@ class StreamingOpsSpec extends SparkSpec {
       s"a plain publish must carry the trailer forward: $ptrLines")
   }
 
+  test("legacy parquet-directory commit metadata fails with a diagnosis, not an opaque IO error") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("bm25_legacy_")
+    val sink = StreamingOps.bm25IndexSink(dir)
+    sink(Seq((1L, "quick brown fox")).toDF("doc_id", "text"), 0L)
+    // simulate a state dir written by the pre-text-file revision: the
+    // txn marker is a parquet DIRECTORY, not a one-line file
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(p, "v0/txn"), false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "v0/txn/part-0"))
+    val e = intercept[IllegalStateException] {
+      sink(Seq((2L, "lazy dog")).toDF("doc_id", "text"), 1L)
+    }
+    assert(e.getMessage.contains("legacy"),
+      s"must name the legacy layout, got: ${e.getMessage}")
+  }
+
   test("index time travel: a retained version probes as the index that served it") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (1L to 9L).map(i => (i, s"doc $i quick brown fox " + ("w" + i)))
