@@ -828,35 +828,50 @@ object StreamingOps {
     * post-swap txn write (crash between the two + retention churning
     * past the version before the retry) is closed by construction
     * [spec-pinned]. */
+  /** Most app entries the pointer trailer retains, evicting the least
+    * recently COMMITTING app beyond it. A replay can only come from a
+    * checkpoint that carries its appId, and every live checkpointed app
+    * re-upserts its entry (moving to the recent end) each commit — so an
+    * evicted entry belongs to an app that has not committed across 256
+    * other apps' turnover: a retired fresh-checkpoint identity whose
+    * checkpoint (the only thing that could replay under that appId) is
+    * operationally gone. Bounds the pointer at ~KB forever even under
+    * nightly fresh-checkpoint restarts for years. */
+  private val MaxTxnTrailerApps = 256
+
   private def writePointer(spark: org.apache.spark.sql.SparkSession,
       dir: String, version: String, basedOn: Option[String],
       txn: Option[(String, Long)] = None): Unit = {
-    val merged = txn.fold(txnMap(spark, dir)) { case (app, b) =>
-      val m = txnMap(spark, dir)
-      m + (app -> math.max(b, m.getOrElse(app, Long.MinValue)))
+    // trailer lines keep COMMIT order (oldest first); an upsert moves
+    // the app to the recent end, the cap evicts from the stale end
+    val prev = txnEntries(spark, dir)
+    val merged = txn.fold(prev) { case (app, b) =>
+      val kept = prev.filterNot(_._1 == app)
+      val hi = prev.collectFirst { case (a, x) if a == app => x }
+        .fold(b)(math.max(b, _))
+      (kept :+ (app -> hi)).takeRight(MaxTxnTrailerApps)
     }
-    // one `txn:<appId>,<batchId>` line per writer app, sorted for
-    // deterministic bytes; app count is config-scale (one per distinct
-    // writer — a decommissioned app's line is inert and may be pruned
-    // by hand if a log ever accumulates many retired writers)
-    val trailer = merged.toSeq.sortBy(_._1)
-      .map { case (a, b) => s"txn:$a,$b" }
+    val trailer = merged.map { case (a, b) => s"txn:$a,$b" }
     graft.core.VersionedDir.commitPointerFrom(
       spark, dir, version, basedOn, Some(trailer))
   }
 
-  /** The per-app committed-batch map carried in the live pointer's
-    * trailer (empty before the first commit). Split on the LAST comma so
-    * appIds containing commas cannot shift the batch field. */
-  private def txnMap(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Map[String, Long] =
+  /** The per-app committed-batch entries carried in the live pointer's
+    * trailer, in stored (commit) order — empty before the first commit.
+    * Split on the LAST comma so appIds containing commas cannot shift
+    * the batch field. */
+  private def txnEntries(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Long)] =
     graft.core.VersionedDir.pointerLines(spark, dir).drop(1)
       .filter(_.startsWith("txn:"))
       .map { line =>
         val body = line.drop(4)
         val i = body.lastIndexOf(',')
         body.take(i) -> body.drop(i + 1).trim.toLong
-      }.toMap
+      }
+
+  private def txnMap(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Long] = txnEntries(spark, dir).toMap
 
   /** The latest batchId this `appId` committed into `dir`'s log, scanning
     * POINTER-COMMITTED versions newest-first (lazy — the common case
@@ -1109,6 +1124,55 @@ object StreamingOps {
             maxKeepers = autoCompactDeltas.get - 1))
       }
   }
+
+  /** Close the quantizer-staleness loop for a sink-maintained IVF index:
+    * refit the coarse quantizer over the CURRENTLY INDEXED catalog and
+    * republish the re-assigned index as the next committed version of
+    * the SAME log — the rebuild that [[graft.ops.QuantizerDrift]] (and
+    * [[graft.ops.PqCodebookDrift]] for the PQ stage) reports exist to
+    * trigger, executed under the commit protocol: live readers keep the
+    * snapshot they pinned, the swap is one pointer rename, and the old
+    * quantizer's versions stay time-travelable until vacuumed (an eval
+    * run against "the index that served last week" still reproduces).
+    * Works in-log because IVF,Flat deltas carry the RAW vectors; the
+    * SQ8/PQ logs store lossy codes, so their rebuilds re-encode from the
+    * source catalog and then commit through the same protocol. Full pass
+    * by design — a refit invalidates every assignment (the purge/OPTIMIZE
+    * cost class); single-writer contract: pause the ingest sink around
+    * the call. Returns (refitted centers, committed version); None if no
+    * live index. */
+  def refitAnnIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, nlist: Int = 32, maxIter: Int = 10,
+      seed: Long = 42L, targetBytes: Long = 128L << 20)
+      : Option[(Seq[Seq[Double]], String)] =
+    latestVersion(spark, indexDir).map { lv =>
+      val items = loadIndexDeltas(spark, indexDir, lv)
+        .select(col("__item_id").as("item_id"),
+          col("__item_vec").as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val centers = graft.functions.VectorFunctions.fitCenters(
+          items, "embedding", nlist, maxIter, seed)
+        val assigned = graft.ops.AnnIvf.index(items, centers)
+        val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
+        val oldBytes = readManifest(spark, s"$indexDir/$lv/manifest")
+          .map(e => fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(p, s"deltas/${e.delta}")).getLength)
+          .sum
+        val nFiles =
+          math.max(1L, (oldBytes + targetBytes - 1) / targetBytes).toInt
+        val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
+        val delta = "d" + v.drop(1)
+        assigned.repartition(nFiles).write.mode("overwrite")
+          .parquet(s"$indexDir/deltas/$delta/index")
+        writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
+          delta, spark.read.parquet(s"$indexDir/deltas/$delta/index"),
+          "__item_id")))
+        writeTxn(spark, indexDir, v, "ivf-refit", -1L)
+        writePointer(spark, indexDir, v, Some(lv))
+        (centers, v)
+      } finally items.unpersist()
+    }
 
   /** Load the live SQ8 coded index from a sink-maintained directory —
     * probe via `op.transformIndexed(queries, loadAnnSqIndex(...).get)`. */

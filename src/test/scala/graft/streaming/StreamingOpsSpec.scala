@@ -1109,6 +1109,49 @@ class StreamingOpsSpec extends SparkSpec {
       "vacuumed history must read as None")
   }
 
+  test("refitAnnIvfIndex: drift trigger's action republishes refit assignments atomically in-log") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    // quantizer fitted on a cluster near the origin...
+    val early = (1L to 20L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat * 0.1f)))
+    // ...then the catalog drifts to a far-away mode the frozen centers
+    // cannot cover — the QuantizerDrift scenario
+    val late = (21L to 40L).map(i =>
+      (i, Seq.fill(4)(10f + rnd.nextGaussian().toFloat * 0.1f)))
+    val op = graft.ops.AnnIvf.fit(early.toDF("item_id", "embedding"),
+      "query_id", "query_vec", nlist = 2, nprobe = 2)
+    val dir = tmpDir("ivf_refit_")
+    val sink = StreamingOps.annIvfIndexSink(dir, op)
+    sink(early.toDF("item_id", "embedding"), 0L)
+    sink(late.toDF("item_id", "embedding"), 1L)
+    val stale = StreamingOps.loadAnnIvfIndex(spark, dir).get
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet
+    val (centers, v) = StreamingOps.refitAnnIvfIndex(spark, dir,
+      nlist = 2, maxIter = 5, seed = 7L).get
+    assert(v == "v2")
+    // the republished index IS a fresh index over the same items under
+    // the refit quantizer — and it actually separates the two modes
+    val refit = StreamingOps.loadAnnIvfIndex(spark, dir).get
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet
+    val scratch = graft.ops.AnnIvf.index(
+      (early ++ late).toDF("item_id", "embedding"), centers)
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet
+    assert(refit == scratch, "refit index must equal a fresh index")
+    val byCluster = refit.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byCluster.size == 2 &&
+      byCluster.values.toSet == Set((1L to 20L).toSet, (21L to 40L).toSet),
+      s"refit centers must separate the drifted mode: $byCluster")
+    // the pre-refit snapshot stays time-travelable (reproduce an eval
+    // against the index that served it), and the ingest app's commit
+    // memory survives the refit commit: the batch replay is a no-op
+    assert(StreamingOps.loadAnnIndexAt(spark, dir, "v1").get
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toSet == stale)
+    sink(late.toDF("item_id", "embedding"), 1L)
+    assert(StreamingOps.loadAnnIvfIndex(spark, dir).get.count() == 40L,
+      "a committed batch replayed after the refit must not recommit")
+  }
+
   test("bm25IndexSink auto-compaction bounds the delta chain; probes stay exact") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (1L to 10L).map(i => (i, s"doc number $i quick brown fox ${"word " * i.toInt}"))
