@@ -1174,6 +1174,44 @@ object StreamingOps {
       } finally items.unpersist()
     }
 
+  /** The SQ8 twin of [[refitAnnIvfIndex]] — here the log stores LOSSY
+    * byte codes, so the rebuild re-fits quantizers (coarse centers +
+    * per-dim range) and re-encodes from the SOURCE catalog the caller
+    * supplies, then commits through the same protocol: one pointer
+    * rename, pinned readers unaffected, pre-rebuild versions
+    * time-travelable, ingest commit memory carried. Values drifted
+    * outside the old fitted range stop saturating the moment the new
+    * range lands. Full pass by design; single-writer contract: pause
+    * the ingest sink. Returns (refitted op template, version). */
+  def rebuildAnnSqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, items: DataFrame,
+      itemIdCol: String = "item_id", itemVecCol: String = "embedding",
+      nlist: Int = 32, maxIter: Int = 10, seed: Long = 42L,
+      targetBytes: Long = 128L << 20): Option[(graft.ops.AnnSq, String)] =
+    latestVersion(spark, indexDir).map { lv =>
+      val op = graft.ops.AnnSq.fit(items, "query_id", "query_vec",
+        itemIdCol, itemVecCol, nlist = nlist, maxIter = maxIter, seed = seed)
+      val coded = graft.ops.AnnSq.index(items, op.centers, op.mins, op.maxs,
+        itemIdCol, itemVecCol)
+      val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
+      val oldBytes = readManifest(spark, s"$indexDir/$lv/manifest")
+        .map(e => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(p, s"deltas/${e.delta}")).getLength)
+        .sum
+      val nFiles =
+        math.max(1L, (oldBytes + targetBytes - 1) / targetBytes).toInt
+      val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
+      val delta = "d" + v.drop(1)
+      coded.repartition(nFiles).write.mode("overwrite")
+        .parquet(s"$indexDir/deltas/$delta/index")
+      writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
+        delta, spark.read.parquet(s"$indexDir/deltas/$delta/index"),
+        "__item_id")))
+      writeTxn(spark, indexDir, v, "sq-rebuild", -1L)
+      writePointer(spark, indexDir, v, Some(lv))
+      (op, v)
+    }
+
   /** Load the live SQ8 coded index from a sink-maintained directory —
     * probe via `op.transformIndexed(queries, loadAnnSqIndex(...).get)`. */
   def loadAnnSqIndex(spark: org.apache.spark.sql.SparkSession,

@@ -1152,6 +1152,44 @@ class StreamingOpsSpec extends SparkSpec {
       "a committed batch replayed after the refit must not recommit")
   }
 
+  test("rebuildAnnSqIndex: re-fit + re-encode from the source catalog, committed in-log") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(43)
+    val early = (1L to 15L).map(i => (i, Seq.fill(4)(rnd.nextFloat())))
+    // drifted values saturate the OLD fitted [0,1] range
+    val late = (16L to 30L).map(i => (i, Seq.fill(4)(100f + rnd.nextFloat())))
+    val op0 = graft.ops.AnnSq.fit(early.toDF("item_id", "embedding"),
+      "query_id", "query_vec", nlist = 2, maxIter = 5)
+    val dir = tmpDir("sq_rebuild_")
+    val sink = StreamingOps.annSqIndexSink(dir, op0)
+    sink(early.toDF("item_id", "embedding"), 0L)
+    sink(late.toDF("item_id", "embedding"), 1L)
+    // under the stale range every drifted value encodes to the 255 cap
+    val staleCodes = StreamingOps.loadAnnSqIndex(spark, dir).get
+      .filter($"__item_id" > 15L).select("__codes")
+      .as[Seq[Int]].collect()
+    assert(staleCodes.forall(_.forall(_ == 255)),
+      "drifted values must saturate the stale range (the failure mode)")
+    val all = (early ++ late).toDF("item_id", "embedding")
+    val (op1, v) = StreamingOps.rebuildAnnSqIndex(spark, dir, all,
+      nlist = 2, maxIter = 5).get
+    assert(v == "v2")
+    val rebuilt = StreamingOps.loadAnnSqIndex(spark, dir).get
+      .select("__item_id", "__cid", "__codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val scratch = graft.ops.AnnSq.index(all, op1.centers, op1.mins, op1.maxs)
+      .select("__item_id", "__cid", "__codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(rebuilt == scratch, "rebuilt index must equal a fresh encode")
+    assert(!rebuilt.filter(_._1 > 15L).forall(_._3.forall(_ == 255)),
+      "the refit range must stop saturating the drifted values")
+    // pinned history + commit memory survive the rebuild
+    assert(StreamingOps.loadAnnIndexAt(spark, dir, "v1").get.count() == 30L)
+    sink(late.toDF("item_id", "embedding"), 1L)
+    assert(StreamingOps.loadAnnSqIndex(spark, dir).get.count() == 30L,
+      "a committed batch replayed after the rebuild must not recommit")
+  }
+
   test("bm25IndexSink auto-compaction bounds the delta chain; probes stay exact") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (1L to 10L).map(i => (i, s"doc number $i quick brown fox ${"word " * i.toInt}"))
