@@ -1733,6 +1733,22 @@ object CurationQueries {
       .orderBy("cluster_id")
   }
 
+  /** The drift report collapsed to the REFIT DECISION — the exact row an
+    * orchestrator alerts on before invoking
+    * [[graft.streaming.StreamingOps.refitAnnIvfIndex]] /
+    * [[graft.streaming.StreamingOps.rebuildAnnSqIndex]]: refit when any
+    * cluster's share drifted ≥ 2000 bp or ≥ 5% of the new batch lands
+    * outside its cluster's fitted radius. Integer arithmetic end to end,
+    * so the trigger itself — not just the report — is hash-oracled. */
+  def annRefitDecision(spark: SparkSession, d: String): DataFrame =
+    annDriftReport(spark, d)
+      .agg(max(col("drift_bp")).as("max_drift_bp"),
+        sum(col("n_far")).as("n_far_total"),
+        sum(col("new_count")).as("new_total"))
+      .select(col("max_drift_bp"), col("n_far_total"), col("new_total"),
+        (col("max_drift_bp") >= 2000 ||
+          col("n_far_total") * 10000 >= col("new_total") * 500).as("refit"))
+
   /** Cluster-share corpus report — the semantic-mixture diagnostic
     * (cluster sizes, basis-point shares, integer-micro SSE): one
     * partial-aggregable groupBy collapses the corpus to k rows; the share
@@ -1818,6 +1834,45 @@ object CurationQueries {
 
   /** neardup_semantic's oracle, generated at oracle-dump time from the
     * fitted centers (empty until the query has run in this JVM). */
+  /** op_ann_drift's report SQL over the fitted center literals —
+    * shared by the report row and the refit-decision aggregate. */
+  private def driftReportSql(rows: String): String =
+    s"""WITH cent(cid, cv, c2) AS (VALUES
+                 |  $rows),
+                 |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+                 |  WHERE embedding IS NOT NULL),
+                 |ass AS (SELECT vec_id, label, cid,
+                 |    (c2 - 2.0 * list_inner_product(v, cv)) + list_inner_product(v, v) AS d2,
+                 |    row_number() OVER
+                 |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+                 |  FROM e CROSS JOIN cent),
+                 |a AS (SELECT vec_id, label, cid, d2 FROM ass WHERE rn = 1),
+                 |refagg AS (SELECT cid, count(*) AS ref_count, max(d2) AS theta_d2
+                 |  FROM a WHERE label <> 0 GROUP BY cid),
+                 |newagg AS (SELECT n.cid AS cid, count(*) AS new_count,
+                 |    CAST(sum(CASE WHEN r.theta_d2 IS NULL OR n.d2 > r.theta_d2
+                 |      THEN 1 ELSE 0 END) AS BIGINT) AS n_far
+                 |  FROM (SELECT cid, d2 FROM a WHERE label = 0) n
+                 |  LEFT JOIN refagg r ON n.cid = r.cid GROUP BY n.cid),
+                 |j AS (SELECT coalesce(r.cid, n.cid) AS cluster_id,
+                 |    coalesce(r.ref_count, 0) AS ref_count,
+                 |    coalesce(n.new_count, 0) AS new_count,
+                 |    r.theta_d2 AS theta_d2, coalesce(n.n_far, 0) AS n_far
+                 |  FROM refagg r FULL OUTER JOIN newagg n ON r.cid = n.cid),
+                 |tot AS (SELECT sum(ref_count) AS rt, sum(new_count) AS nt FROM j)
+                 |SELECT cluster_id, CAST(ref_count AS BIGINT) AS ref_count,
+                 |  CAST(new_count AS BIGINT) AS new_count,
+                 |  CAST(CASE WHEN rt = 0 THEN 0
+                 |    ELSE ref_count * 10000 // rt END AS BIGINT) AS ref_share_bp,
+                 |  CAST(CASE WHEN nt = 0 THEN 0
+                 |    ELSE new_count * 10000 // nt END AS BIGINT) AS new_share_bp,
+                 |  CAST(abs(CASE WHEN nt = 0 THEN 0
+                 |      ELSE new_count * 10000 // nt END
+                 |    - CASE WHEN rt = 0 THEN 0
+                 |      ELSE ref_count * 10000 // rt END) AS BIGINT) AS drift_bp,
+                 |  theta_d2, CAST(n_far AS BIGINT) AS n_far
+                 |FROM j CROSS JOIN tot ORDER BY cluster_id""".stripMargin
+
   def semanticOracle: Map[String, String] =
     OracleDir.pick(semCenterCache).map { centers =>
       val rows = centers.zipWithIndex.map { case (c, i) =>
@@ -1858,42 +1913,16 @@ object CurationQueries {
         // drift report: the same assignment math split by label; theta
         // is an order-independent exact max, shares are integer basis
         // points, so the whole refit-trigger row set hash-replays
-        "op_ann_drift" ->
-          s"""WITH cent(cid, cv, c2) AS (VALUES
-             |  $rows),
-             |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-             |  WHERE embedding IS NOT NULL),
-             |ass AS (SELECT vec_id, label, cid,
-             |    (c2 - 2.0 * list_inner_product(v, cv)) + list_inner_product(v, v) AS d2,
-             |    row_number() OVER
-             |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
-             |  FROM e CROSS JOIN cent),
-             |a AS (SELECT vec_id, label, cid, d2 FROM ass WHERE rn = 1),
-             |refagg AS (SELECT cid, count(*) AS ref_count, max(d2) AS theta_d2
-             |  FROM a WHERE label <> 0 GROUP BY cid),
-             |newagg AS (SELECT n.cid AS cid, count(*) AS new_count,
-             |    CAST(sum(CASE WHEN r.theta_d2 IS NULL OR n.d2 > r.theta_d2
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_far
-             |  FROM (SELECT cid, d2 FROM a WHERE label = 0) n
-             |  LEFT JOIN refagg r ON n.cid = r.cid GROUP BY n.cid),
-             |j AS (SELECT coalesce(r.cid, n.cid) AS cluster_id,
-             |    coalesce(r.ref_count, 0) AS ref_count,
-             |    coalesce(n.new_count, 0) AS new_count,
-             |    r.theta_d2 AS theta_d2, coalesce(n.n_far, 0) AS n_far
-             |  FROM refagg r FULL OUTER JOIN newagg n ON r.cid = n.cid),
-             |tot AS (SELECT sum(ref_count) AS rt, sum(new_count) AS nt FROM j)
-             |SELECT cluster_id, CAST(ref_count AS BIGINT) AS ref_count,
-             |  CAST(new_count AS BIGINT) AS new_count,
-             |  CAST(CASE WHEN rt = 0 THEN 0
-             |    ELSE ref_count * 10000 // rt END AS BIGINT) AS ref_share_bp,
-             |  CAST(CASE WHEN nt = 0 THEN 0
-             |    ELSE new_count * 10000 // nt END AS BIGINT) AS new_share_bp,
-             |  CAST(abs(CASE WHEN nt = 0 THEN 0
-             |      ELSE new_count * 10000 // nt END
-             |    - CASE WHEN rt = 0 THEN 0
-             |      ELSE ref_count * 10000 // rt END) AS BIGINT) AS drift_bp,
-             |  theta_d2, CAST(n_far AS BIGINT) AS n_far
-             |FROM j CROSS JOIN tot ORDER BY cluster_id""".stripMargin,
+        "op_ann_drift" -> driftReportSql(rows),
+        // the trigger decision is one integer aggregate over the report
+        "op_ann_refit_decision" ->
+          s"""WITH dd AS (${driftReportSql(rows)})
+             |SELECT max(drift_bp) AS max_drift_bp,
+             |  CAST(sum(n_far) AS BIGINT) AS n_far_total,
+             |  CAST(sum(new_count) AS BIGINT) AS new_total,
+             |  (max(drift_bp) >= 2000
+             |    OR sum(n_far) * 10000 >= sum(new_count) * 500) AS refit
+             |FROM dd""".stripMargin,
         // the moved catalog replaces `e`: purge filter + sign-flip
         // re-encode (FLOAT negation then the same DOUBLE widening Spark
         // applies — exact); carried-ness replays from the move sets,
@@ -2116,6 +2145,7 @@ object CurationQueries {
     "neardup_semantic" -> (neardupSemantic _),
     "op_cluster_assign" -> (clusterAssign _),
     "op_ann_drift" -> (annDriftReport _),
+    "op_ann_refit_decision" -> (annRefitDecision _),
     "corpus_cluster_report" -> (clusterReport _),
     "pipeline_semantic_dedup" -> (pipelineSemanticDedup _),
     "pipeline_embedding_reconcile" -> (pipelineEmbeddingReconcile _),
