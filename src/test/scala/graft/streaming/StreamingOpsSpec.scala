@@ -1023,6 +1023,27 @@ class StreamingOpsSpec extends SparkSpec {
       s"a plain publish must carry the trailer forward: $ptrLines")
   }
 
+  test("two writer apps interleaving on one log keep independent replay memories") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("bm25_twoapp_")
+    // the fresh-checkpoint contract: a restarted stream is a NEW app on
+    // the SAME log; its batch numbering restarts at 0 without colliding
+    // with the old app's memory
+    val a = StreamingOps.bm25IndexSink(dir, appId = "app-a")
+    val b = StreamingOps.bm25IndexSink(dir, appId = "app-b")
+    a(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    b(Seq((2L, "gamma delta")).toDF("doc_id", "text"), 0L)
+    a(Seq((3L, "epsilon zeta")).toDF("doc_id", "text"), 1L)
+    val lines = graft.core.VersionedDir.pointerLines(spark, dir)
+    assert(lines.contains("txn:app-a,1") && lines.contains("txn:app-b,0"),
+      s"both apps' memories must ride the live pointer: $lines")
+    // each app's replay is judged against ITS OWN entry — b's batch 1 is
+    // new work even though a already committed a batch 1
+    a(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L) // replay: no-op
+    b(Seq((4L, "eta theta")).toDF("doc_id", "text"), 1L)  // fresh: commits
+    assert(StreamingOps.loadBm25Index(spark, dir).get.docCount == 4L)
+  }
+
   test("legacy parquet-directory commit metadata fails with a diagnosis, not an opaque IO error") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("bm25_legacy_")
