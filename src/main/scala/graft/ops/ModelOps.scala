@@ -258,28 +258,59 @@ case class PredictImplicit(
     joined.mapPartitions { rows =>
       val ids = bcIds.value; val mat = bcMat.value
       val m = ids.length
-      rows.map { case (uid, uvec) =>
-        // bounded min-heap of (score, id) — root is the worst kept entry
-        val hScore = new Array[Float](k); val hId = new Array[Int](k)
-        var size = 0
+      // USER TILING: one user's pass streams the whole packed matrix
+      // (|items|·rank·4 bytes). Near this op's broadcast gate the matrix
+      // is up to broadcastBudgetBytes (1 GB default) — far beyond L3 —
+      // so user-at-a-time scoring re-reads it from DRAM per user
+      // (~150 TB of traffic for 150k users at the ceiling); a tile of
+      // users per matrix pass divides that by the tile size and keeps
+      // each item row hot in L1 across the tile. At rehearsal SFs the
+      // matrix fits cache and the loop is compute-bound either way
+      // (measured flat at sf1.0's 6 MB matrix — the serial float fold
+      // the oracle replays caps per-pair ILP), so the tile is a
+      // no-cost-now, necessary-at-the-gate shape. Result-identical by
+      // construction: every per-pair dot keeps the same float fold
+      // (d ascending) and every user sees items in the same order
+      // (j ascending) as the untiled loop — the dump-time oracle
+      // replays both orders, so the hash contract is untouched.
+      val tileSize = 16
+      rows.grouped(tileSize).flatMap { tile =>
+        val t = tile.length
+        val uids = new Array[Long](t)
+        val uvecs = new Array[Array[Float]](t)
+        var u = 0
+        while (u < t) { uids(u) = tile(u)._1; uvecs(u) = tile(u)._2; u += 1 }
+        // bounded min-heap of (score, id) per user — root is the worst
+        val hScore = Array.ofDim[Float](t, k)
+        val hId = Array.ofDim[Int](t, k)
+        val size = new Array[Int](t)
         var j = 0
         while (j < m) {
-          var s = 0.0f; var d = 0; val base = j * rank
-          while (d < rank) { s += uvec(d) * mat(base + d); d += 1 }
-          if (size < k) {
-            hScore(size) = s; hId(size) = ids(j); size += 1
-            if (size == k) { // heapify once full
-              var p = k / 2 - 1
-              while (p >= 0) { siftDown(hScore, hId, p, k); p -= 1 }
+          val base = j * rank; val id = ids(j)
+          u = 0
+          while (u < t) {
+            val uvec = uvecs(u)
+            var s = 0.0f; var d = 0
+            while (d < rank) { s += uvec(d) * mat(base + d); d += 1 }
+            val hs = hScore(u); val hi = hId(u)
+            if (size(u) < k) {
+              hs(size(u)) = s; hi(size(u)) = id; size(u) += 1
+              if (size(u) == k) { // heapify once full
+                var p = k / 2 - 1
+                while (p >= 0) { siftDown(hs, hi, p, k); p -= 1 }
+              }
+            } else if (s > hs(0) || (s == hs(0) && id < hi(0))) {
+              hs(0) = s; hi(0) = id; siftDown(hs, hi, 0, k)
             }
-          } else if (s > hScore(0) || (s == hScore(0) && ids(j) < hId(0))) {
-            hScore(0) = s; hId(0) = ids(j); siftDown(hScore, hId, 0, k)
+            u += 1
           }
           j += 1
         }
-        // order the kept entries by (score desc, id asc)
-        val idx = (0 until size).sortBy(x => (-hScore(x), hId(x)))
-        (uid, idx.map(hId).toArray, idx.map(hScore).toArray)
+        (0 until t).iterator.map { u =>
+          // order the kept entries by (score desc, id asc)
+          val idx = (0 until size(u)).sortBy(x => (-hScore(u)(x), hId(u)(x)))
+          (uids(u), idx.map(hId(u)).toArray, idx.map(hScore(u)).toArray)
+        }
       }
     }.toDF(userCol, "ids", "scores")
   }
