@@ -206,6 +206,22 @@ object AnnIvfPq {
       itemIdCol, itemVecCol, k, math.min(nprobe, centers.size), refine)
   }
 
+  /** The PQ half of the drift→action table ([[PqCodebookDrift]] is the
+    * trigger): re-fit ONLY the per-subspace residual codebooks against
+    * the op's FROZEN coarse quantizer, over the current catalog. This is
+    * the cheap rebuild for the common staleness mode the sub-codebook
+    * drift report detects — residual distributions moving WITHIN stable
+    * lists: the coarse assignment (and therefore the probe routing, the
+    * inverted-list layout, and any persisted list structure) is
+    * untouched, only the m·ksub codebook doubles re-fit and the items
+    * re-encode. When the COARSE report ([[QuantizerDrift]]) also fires,
+    * use the full [[fit]] instead — both quantizers are stale. */
+  def refitCodebooks(op: AnnIvfPq, items: DataFrame,
+      maxIter: Int = 10, seed: Long = 42L): AnnIvfPq =
+    op.copy(items = items, codebooks = fitCodebooks(
+      items, op.itemVecCol, op.centers,
+      op.codebooks.size, op.codebooks.head.size, maxIter, seed))
+
   /** Residual codebooks for a FIXED coarse quantizer: one pass builds all
     * residual subvectors; m seeded k-means fits (ksub centroids over dsub
     * dims each) run over slices of the SAME cached residual frame. */

@@ -849,7 +849,17 @@ object StreamingOps {
       val kept = prev.filterNot(_._1 == app)
       val hi = prev.collectFirst { case (a, x) if a == app => x }
         .fold(b)(math.max(b, _))
-      (kept :+ (app -> hi)).takeRight(MaxTxnTrailerApps)
+      val next = (kept :+ (app -> hi)).takeRight(MaxTxnTrailerApps)
+      // eviction must be OBSERVABLE: it closes the evicted app's replay
+      // window, which is only safe if that app's checkpoint is truly
+      // retired — an operator should see it happen, not discover it
+      (kept :+ (app -> hi)).dropRight(MaxTxnTrailerApps).foreach { case (a, _) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"txn trailer cap ($MaxTxnTrailerApps apps) evicted '$a' from " +
+          s"$dir — its replay-dedup window is closed; if that app's " +
+          "checkpoint still exists, a replayed batch would recommit")
+      }
+      next
     }
     val trailer = merged.map { case (a, b) => s"txn:$a,$b" }
     graft.core.VersionedDir.commitPointerFrom(

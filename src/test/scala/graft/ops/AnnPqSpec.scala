@@ -186,6 +186,36 @@ class AnnPqSpec extends SparkSpec {
     }
   }
 
+  test("refitCodebooks: the cheap PQ drift action — codebooks re-fit, coarse quantizer frozen") {
+    // fresh catalog sits in the SAME coarse regions (near centers 0/8)
+    // but its residuals cluster at ±3 per subspace — nowhere near the
+    // fitted codebook entries: the within-list drift mode
+    // PqCodebookDrift exists to catch
+    val fresh = Seq(
+      (1L, Seq(3f, 3f, 3f, 3f)), (2L, Seq(-3f, -3f, -3f, -3f)),
+      (3L, Seq(11f, 11f, 5f, 5f)), (4L, Seq(5f, 5f, 11f, 11f)),
+      (5L, Seq(3f, 3f, -3f, -3f)), (6L, Seq(-3f, -3f, 3f, 3f))
+    ).toDF("item_id", "embedding")
+    val op0 = op(fresh)
+    val op1 = AnnIvfPq.refitCodebooks(op0, fresh, maxIter = 5, seed = 3L)
+    assert(op1.centers == op0.centers,
+      "the coarse quantizer (probe routing, list layout) must be untouched")
+    assert(op1.codebooks != op0.codebooks)
+    // worst-case residual quantization error, measured by the drift
+    // report's exact theta over the same catalog: the stale codebooks
+    // leave every residual far from any entry; the refit ones cover the
+    // two residual modes per subspace exactly (k=2 k-means over two
+    // point clusters), so theta collapses to ~0
+    def maxTheta(cbs: Seq[Seq[Seq[Double]]]): Double =
+      PqCodebookDrift(centers, cbs, reference = fresh).transform(fresh)
+        .agg(org.apache.spark.sql.functions.max("theta_d2")).head().getDouble(0)
+    val stale = maxTheta(op0.codebooks)
+    val refit = maxTheta(op1.codebooks)
+    assert(stale > 1.0, s"drifted residuals must quantize badly pre-refit: $stale")
+    assert(refit < 1e-9,
+      s"refit codebooks must cover the residual modes exactly: $refit")
+  }
+
   test("fail fast: nprobe out of range, ragged codebooks, dim mismatch, m not dividing dim") {
     val items = Seq((1L, Seq(0.1f, 0.2f, 0.3f, 0.4f))).toDF("item_id", "embedding")
     intercept[IllegalArgumentException] {
