@@ -1779,6 +1779,42 @@ class StreamingOpsSpec extends SparkSpec {
       "prior-corpus content must not be re-accepted after a purge")
   }
 
+  test("corpus tiered auto-compaction: tiny late batches merge, the big base never rewrites") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("corpus_tiered_")
+    val big = (1L to 300L).map(i => (i, s"base doc $i " + ("corpus words " * 10)))
+    val tiny = (301L to 304L).map(i => (i, s"late $i"))
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.corpusIngestSink(dir,
+        retainVersions = Some(1), autoCompactDeltas = Some(2))).start()
+    src.addData(big: _*); q.processAllAvailable()
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, dir)
+    def times(sub: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(p, sub))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val baseTimes = times("deltas/d0")
+    tiny.foreach { t => src.addData(t); q.processAllAvailable() }
+    q.stop()
+    val lv = graft.core.VersionedDir.latest(spark, dir).get
+    val chain = StreamingOps.readManifest(spark, s"$dir/$lv/manifest").map(_.delta)
+    assert(chain.contains("d0") && chain.size <= 3,
+      s"base kept, fan-in bounded: $chain")
+    assert(times("deltas/d0") == baseTimes,
+      "the base corpus delta's files must be byte-identical (no rewrite)")
+    // BOTH chains tier: the digest index merges its tiny tail too and
+    // stays complete — the next ingest labels against all 304 digests
+    assert(StreamingOps.loadCorpusIndex(spark, dir).get.count() == 304L,
+      "digest index must stay complete across tiered merges")
+    // content-neutral end to end: the corpus equals all accepted docs
+    assert(StreamingOps.loadCorpus(spark, dir).get.count() == 304L)
+    // reclaim leaves only referenced deltas on disk (both chains)
+    val onDisk = new java.io.File(dir, "deltas").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(onDisk == chain.toSet,
+      s"orphaned corpus deltas must reclaim: $onDisk vs $chain")
+  }
+
   test("compactCorpusState: optimize collapses the delta chain content-neutrally") {
     val dir = tmpDir("corpus_opt_")
     runCorpusIngest(dir,
