@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -836,6 +837,137 @@ case class ByteStride(child: Expression, skip: Int, step: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** The whole IVF-PQ encode — coarse-assign, residual, per-subspace
+  * codebook argmin — as ONE fused loop per row. Value-identical to the
+  * literal-tree formulation in [[graft.ops.AnnIvfPq.encodedIndex]] /
+  * [[graft.ops.PqCodebookDrift]] (struct-min over
+  * `|e|² − 2·r_j·e` with lowest-code tie-break, all dots sequential
+  * double folds, `|e|²` pre-summed driver-side with the same Scala fold),
+  * so the DuckDB oracle replay is unchanged bit for bit.
+  *
+  * Why it exists: the expression-tree form unrolls nlist + m·ksub
+  * struct-min branches PER ROW into generated Java — for m=8, ksub=16
+  * that is ~160 dot-product subtrees whose JIT time dominates the whole
+  * query at rehearsal SFs (SCALE.md round-11 residual 2). This is the
+  * simhash64 treatment: one `compute` call on unboxed ArrayData, no
+  * CodegenFallback row boxing, WholeStageCodegen span intact.
+  *
+  * Returns struct<cid:int, codes:array<int>, d2:array<double>> — cid the
+  * coarse list, codes the m sub-codes, d2 the EXACT per-subspace
+  * quantization error `(|e|² − 2·r_j·e) + r_j·r_j` (what
+  * [[graft.ops.PqCodebookDrift]] thresholds). NULL when the vector's
+  * length disagrees with m·dsub or any element is null — the same
+  * null-poisoning the zip_with formulation produced. */
+case class PqEncode(
+    child: Expression,
+    centers: Seq[Seq[Double]],
+    codebooks: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
+
+  private val m = codebooks.size
+  private val ksub = codebooks.head.size
+  private val dsub = codebooks.head.head.size
+  require(centers.nonEmpty && centers.forall(_.size == m * dsub),
+    s"pq_encode: centroid dim must equal m*dsub = ${m * dsub}")
+  require(codebooks.forall(cb => cb.size == ksub && cb.forall(_.size == dsub)),
+    "pq_encode: ragged codebooks")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("d2", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a float/double array")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val centersArr: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+  // |c|² / |e|² via the SAME driver-side Scala fold the literal tree used
+  @transient private lazy val c2: Array[Double] =
+    centers.map(c => c.map(v => v * v).sum).toArray
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val e2: Array[Array[Double]] =
+    codebooks.map(_.map(e => e.map(v => v * v).sum).toArray).toArray
+
+  // nanSafeCompareDoubles' "is a strictly better minimum" half: NaN ranks
+  // greatest, equal keeps the earlier (lower) index — struct-min semantics
+  @inline private def better(d: Double, best: Double): Boolean =
+    d < best || (java.lang.Double.isNaN(best) && !java.lang.Double.isNaN(d))
+
+  def compute(arr: ArrayData): InternalRow = {
+    val dim = m * dsub
+    if (arr.numElements() != dim) return null
+    val x = new Array[Double](dim)
+    var t = 0
+    while (t < dim) {
+      if (arr.isNullAt(t)) return null
+      x(t) = if (isFloat) arr.getFloat(t).toDouble else arr.getDouble(t)
+      t += 1
+    }
+    // coarse: argmin |c|² − 2·x·c (rank-invariant |x|² dropped)
+    var cid = 0; var bestC = java.lang.Double.NaN
+    var i = 0
+    while (i < centersArr.length) {
+      val c = centersArr(i)
+      var s = 0.0; var u = 0
+      while (u < dim) { s += x(u) * c(u); u += 1 }
+      val d = c2(i) - 2.0 * s
+      if (i == 0 || better(d, bestC)) { bestC = d; cid = i }
+      i += 1
+    }
+    // residual against the assigned centroid
+    val cc = centersArr(cid)
+    val r = new Array[Double](dim)
+    t = 0
+    while (t < dim) { r(t) = x(t) - cc(t); t += 1 }
+    // per-subspace argmin over the codebook; d2 adds back |r_j|²
+    val codes = new Array[Int](m)
+    val d2 = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val off = j * dsub
+      val cb = cbArr(j); val es = e2(j)
+      var bestK = 0; var bestD = java.lang.Double.NaN
+      var k = 0
+      while (k < ksub) {
+        val e = cb(k)
+        var s = 0.0; var u = 0
+        while (u < dsub) { s += r(off + u) * e(u); u += 1 }
+        val d = es(k) - 2.0 * s
+        if (k == 0 || better(d, bestD)) { bestD = d; bestK = k }
+        k += 1
+      }
+      var rr = 0.0; var u = 0
+      while (u < dsub) { val v = r(off + u); rr += v * v; u += 1 }
+      codes(j) = bestK
+      d2(j) = bestD + rr
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](cid,
+      ArrayData.toArrayData(codes), ArrayData.toArrayData(d2)))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $ref.compute($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column wrappers (Spark 4: Column↔Expression bridge lives in
   * sql.classic.ExpressionUtils). */
 object FastExpressions {
@@ -867,4 +999,7 @@ object FastExpressions {
     column(ByteHistogram(expression(c), bins, skip))
   def byteStride(c: Column, skip: Int, step: Int): Column =
     column(ByteStride(expression(c), skip, step))
+  def pqEncode(c: Column, centers: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): Column =
+    column(PqEncode(expression(c), centers, codebooks))
 }

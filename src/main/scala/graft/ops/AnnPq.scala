@@ -75,8 +75,6 @@ case class AnnIvfPq(
     s"$name: refine must be 0 (off) or >= k, got $refine < $k")
 
   private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
-  private val centersLit: Column =
-    array(centers.map(c => typedLit(c.toArray)): _*)
 
   /** j-th subvector (0-based), as a 1-based slice. */
   private def sub(vec: Column, j: Int): Column = slice(vec, j * dsub + 1, dsub)
@@ -93,25 +91,17 @@ case class AnnIvfPq(
     * residuals are smaller than raw vectors, so the same codebook budget
     * buys less quantization error. */
   def encodedIndex: DataFrame = {
-    val x = col(itemVecCol)
-    val cid = VectorFunctions.nearestCentroid(x, centers)
-    val res = zip_with(x.cast("array<double>"),
-      element_at(centersLit, col("__cid") + 1), (a, b) => a - b)
-    val codes = array((0 until m).map { j =>
-      // argmin_k |r_j − cb_jk|² via the same rank-trick as the coarse
-      // quantizer: |cb|² − 2·r_j·cb (the |r_j|² term is rank-invariant);
-      // struct ordering gives the deterministic lowest-k tie-break
-      array_min(array(codebooks(j).zipWithIndex.map { case (e, kk) =>
-        val e2 = e.map(v => v * v).sum
-        struct((lit(e2) - lit(2.0) * dot(sub(col("__res"), j), typedLit(e.toArray)))
-          .as("d"), lit(kk).as("code"))
-      }: _*)).getField("code")
-    }: _*)
-    items.select(col(itemIdCol).cast("long").as("__item_id"), x)
-      .withColumn("__cid", cid)
-      .withColumn("__res", res)
-      .withColumn("__codes", codes)
-      .select("__item_id", "__cid", "__codes")
+    // one fused pass per row (coarse argmin → residual → m codebook
+    // argmins): graft.functions.PqEncode is value-identical to the
+    // unrolled |cb|² − 2·r_j·cb struct-min tree this replaced, but its
+    // generated code is one `compute` call instead of nlist + m·ksub
+    // inlined dot subtrees — JIT of that tree dominated the PQ family at
+    // rehearsal SFs (SCALE.md round-11 residual 2)
+    items.select(col(itemIdCol).cast("long").as("__item_id"),
+        graft.functions.FastExpressions
+          .pqEncode(col(itemVecCol), centers, codebooks).as("__enc"))
+      .select(col("__item_id"), col("__enc.cid").as("__cid"),
+        col("__enc.codes").as("__codes"))
   }
 
   /** Per-query ADC lookup table: tab[j][k] = q_j · cb_jk (m×ksub doubles,
@@ -297,36 +287,21 @@ case class PqCodebookDrift(
       StructField("n_far", LongType)))
   }
 
-  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
-  private val centersLit: Column =
-    array(centers.map(c => typedLit(c.toArray)): _*)
-
-  /** One (subspace, code, d2) row per vector per subspace: coarse-assign,
-    * take the residual, per-subspace argmin over the codebook with the
-    * (d, code) struct-min tie-break; d2 is the exact quantization error
+  /** One (subspace, code, d2) row per vector per subspace via the same
+    * fused [[graft.functions.PqEncode]] pass as the index encode —
+    * coarse-assign, residual, per-subspace argmin with the lowest-code
+    * tie-break; d2 is the exact quantization error
     * `(|e|² − 2·r_j·e) + r_j·r_j` — the [[ClusterAssign]] fold order the
-    * dump-time oracle replays. Pure map-side expressions + one explode. */
+    * dump-time oracle replays. One compute call + one posexplode. */
   private def codeD2(df: DataFrame): DataFrame = {
     val x = col(vecCol)
-    val cid = VectorFunctions.nearestCentroid(x, centers)
-    val res = zip_with(x.cast("array<double>"),
-      element_at(centersLit, col("__cid") + 1), (a, b) => a - b)
-    def subJ(j: Int) = slice(col("__res"), j * dsub + 1, dsub)
-    val perSub = array((0 until m).map { j =>
-      val best = array_min(array(codebooks(j).zipWithIndex.map { case (e, kk) =>
-        val e2 = e.map(v => v * v).sum
-        struct((lit(e2) - lit(2.0) * dot(subJ(j), typedLit(e.toArray)))
-          .as("d"), lit(kk).as("code"))
-      }: _*))
-      struct(lit(j).as("j"), best.getField("code").as("code"),
-        (best.getField("d") + dot(subJ(j), subJ(j))).as("d2"))
-    }: _*)
     df.filter(x.isNotNull)
-      .withColumn("__cid", cid)
-      .withColumn("__res", res)
-      .select(explode(perSub).as("__s"))
-      .select(col("__s.j").as("subspace"), col("__s.code").as("code"),
-        col("__s.d2").as("d2"))
+      .select(graft.functions.FastExpressions
+        .pqEncode(x, centers, codebooks).as("__enc"))
+      .select(posexplode(arrays_zip(col("__enc.codes").as("code"),
+        col("__enc.d2").as("d2"))).as(Seq("subspace", "__p")))
+      .select(col("subspace"), col("__p.code").as("code"),
+        col("__p.d2").as("d2"))
   }
 
   override def transform(df: DataFrame): DataFrame = {

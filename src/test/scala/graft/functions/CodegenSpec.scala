@@ -152,4 +152,83 @@ class CodegenSpec extends SparkSpec {
     }.toMap
     assert(viaPlan == expected)
   }
+
+  test("PqEncode is bit-identical to the literal-tree formulation and stays in codegen") {
+    // the exact formulation PqEncode replaced in AnnIvfPq.encodedIndex /
+    // PqCodebookDrift.codeD2: coarse struct-min over |c|² − 2·x·c,
+    // zip_with residual, per-subspace struct-min over |e|² − 2·r_j·e with
+    // lowest-code tie-break, d2 = best_d + r_j·r_j. Random non-dyadic
+    // floats make this a true floating-point fold-order identity check —
+    // the DuckDB oracle replays these values, so bit-identity is the bar.
+    val rnd = new scala.util.Random(19)
+    val m = 3; val dsub = 4; val dim = m * dsub
+    val centers: Seq[Seq[Double]] =
+      Seq.fill(5)(Seq.fill(dim)(rnd.nextGaussian() * 2.0))
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      Seq.fill(m)(Seq.fill(6)(Seq.fill(dsub)(rnd.nextGaussian())))
+    // RDD-backed (not a literal LocalRelation, which would fold the
+    // Project away and skip WSCG; repartitioning instead would wrap the
+    // plan in AdaptiveSparkPlanExec and hide the codegen span)
+    val vecs = spark.sparkContext.parallelize(
+      (0 until 300).map(i =>
+        (i.toLong, Seq.fill(dim)((rnd.nextGaussian() * 3).toFloat))), 4)
+      .toDF("id", "v")
+
+    val centersLit = array(centers.map(c => typedLit(c.toArray)): _*)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      FastExpressions.arrayDot(a, b)
+    val cid = array_min(array(centers.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot($"v", typedLit(c.toArray))).as("d"),
+        lit(i).as("cid"))
+    }: _*)).getField("cid")
+    def subJ(j: Int) = slice($"__res", j * dsub + 1, dsub)
+    val perSub = (0 until m).map { j =>
+      val best = array_min(array(codebooks(j).zipWithIndex.map { case (e, kk) =>
+        val e2 = e.map(v => v * v).sum
+        struct((lit(e2) - lit(2.0) * dot(subJ(j), typedLit(e.toArray))).as("d"),
+          lit(kk).as("code"))
+      }: _*))
+      (best.getField("code"), best.getField("d") + dot(subJ(j), subJ(j)))
+    }
+    val hof = vecs
+      .withColumn("__cid", cid)
+      .withColumn("__res", zip_with($"v".cast("array<double>"),
+        element_at(centersLit, $"__cid" + 1), (a, b) => a - b))
+      .select($"id", $"__cid".as("cid"),
+        array(perSub.map(_._1): _*).as("codes"),
+        array(perSub.map(_._2): _*).as("d2"))
+
+    val fusedDf = vecs.select($"id",
+      FastExpressions.pqEncode($"v", centers, codebooks).as("e"))
+      .select($"id", $"e.cid".as("cid"), $"e.codes".as("codes"), $"e.d2".as("d2"))
+    assert(generatedCode(fusedDf).contains(".compute("),
+      "expected unboxed compute call")
+
+    val got = fusedDf.as[(Long, Int, Seq[Int], Seq[Double])]
+      .collect().sortBy(_._1)
+    val want = hof.as[(Long, Int, Seq[Int], Seq[Double])]
+      .collect().sortBy(_._1)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"fused/HOF divergence at id ${g._1}: $g vs $w")
+    }
+  }
+
+  test("PqEncode: lowest-code tie-break on duplicate entries; null on bad input") {
+    // duplicate codebook entries → struct-min semantics pick the LOWEST code
+    val centers = Seq(Seq(0.0, 0.0))
+    val cbs = Seq(
+      Seq(Seq(1.0), Seq(1.0), Seq(2.0)), // codes 0 and 1 tie exactly
+      Seq(Seq(5.0), Seq(-1.0), Seq(9.0)))
+    val df = Seq((1L, Seq(1.0f, -1.0f))).toDF("id", "v")
+      .select($"id", FastExpressions.pqEncode($"v", centers, cbs).as("e"))
+    val row = df.select($"e.cid", $"e.codes").head()
+    assert(row.getInt(0) == 0)
+    assert(row.getSeq[Int](1) == Seq(0, 1))
+    // wrong-length vector → NULL (the zip_with null-poisoning contract)
+    val bad = Seq((1L, Seq(1.0f))).toDF("id", "v")
+      .select(FastExpressions.pqEncode($"v", centers, cbs).as("e"))
+    assert(bad.filter($"e".isNull).count() == 1)
+  }
 }
