@@ -619,6 +619,44 @@ object OpQueries {
          |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
          |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
          |  CAST($floor AS BIGINT) AS floor_bp FROM n""".stripMargin
+    // sampled twins (PQ/SQ; IVF's bespoke one lives in ivfOracle): the
+    // base replay post-filtered to the seeded md5-ranked sample — each
+    // query's top-k is independent of the others, so filtering the full
+    // replay to the sample is row-identical to probing the sample —
+    // plus the count and fixed-order binomial-margin arithmetic of
+    // Evidence.sampledRecallRow
+    val pRecall = "CAST(n_matched AS DOUBLE) / CAST(n_truth AS DOUBLE)"
+    def composeSampled(approxSql: String, floor: Int): String =
+      s"""WITH samp AS (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER
+         |      (ORDER BY ('0x' || substring(md5(vec_id::VARCHAR || ':graft-recall'), 1, 8))::BIGINT,
+         |        vec_id) AS srk
+         |  FROM embeddings WHERE label = 0) WHERE srk <= $RecallSampleQueries),
+         |ap0 AS ($approxSql),
+         |ap AS (SELECT a.vec_id AS vec_id, a.item_id AS item_id FROM ap0 a
+         |  WHERE EXISTS (SELECT 1 FROM samp s WHERE s.vec_id = a.vec_id)),
+         |tr0 AS ($truth),
+         |tr AS (SELECT t.vec_id AS vec_id, t.item_id AS item_id FROM tr0 t
+         |  WHERE EXISTS (SELECT 1 FROM samp s WHERE s.vec_id = t.vec_id)),
+         |n AS (SELECT
+         |  (SELECT count(*) FROM samp) AS nq,
+         |  (SELECT count(*) FROM tr) AS n_truth,
+         |  (SELECT count(*) FROM ap) AS n_approx,
+         |  (SELECT count(*) FROM ap a WHERE EXISTS (SELECT 1 FROM tr t
+         |    WHERE t.vec_id = a.vec_id AND t.item_id = a.item_id)) AS n_matched)
+         |SELECT CAST(nq AS BIGINT) AS n_queries_sampled,
+         |  CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_approx AS BIGINT) AS n_approx,
+         |  CAST(n_matched AS BIGINT) AS n_matched,
+         |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+         |    ELSE n_matched * 10000 // n_truth END AS recall_bp,
+         |  (CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+         |    ELSE n_matched * 10000 // n_truth END)
+         |  - (CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(19600.0 * sqrt($pRecall * (1.0 - $pRecall)
+         |      / CAST(n_truth AS DOUBLE))) AS BIGINT) END) AS ci_low_bp,
+         |  CAST($floor AS BIGINT) AS floor_bp
+         |FROM n""".stripMargin
     val lsh = lshOracle.get("op_ann_lsh")
       .map(s => "op_ann_lsh_recall" -> compose(s, 2000))
     val ivf = ivfOracle.get("op_ann_ivf")
@@ -629,7 +667,12 @@ object OpQueries {
       .map(s => "op_ann_sq_recall" -> compose(s, 5000))
     val pca = pcaRecallApproxSql
       .map(s => "op_pca_ann_recall" -> compose(s, 8000))
-    (lsh.toSeq ++ ivf.toSeq ++ pq.toSeq ++ sq.toSeq ++ pca.toSeq).toMap
+    val pqS = pqOracle.get("op_ann_pq")
+      .map(s => "op_ann_pq_recall_sampled" -> composeSampled(s, 5000))
+    val sqS = sqOracle.get("op_ann_sq")
+      .map(s => "op_ann_sq_recall_sampled" -> composeSampled(s, 5000))
+    (lsh.toSeq ++ ivf.toSeq ++ pq.toSeq ++ sq.toSeq ++ pca.toSeq ++
+      pqS.toSeq ++ sqS.toSeq).toMap
   }
 
   /** op_pca_ann_recall's approx side: 32-axis projections from the fitted
@@ -782,28 +825,40 @@ object OpQueries {
     * this one's truth sweep costs sample × catalog, runs in seconds at
     * any SF, and is hash-oracled end to end (md5 rank replays, the CI
     * arithmetic is fixed-order IEEE double). */
-  def annIvfRecallSampled(spark: SparkSession, d: String): DataFrame = {
+  def annIvfRecallSampled(spark: SparkSession, d: String): DataFrame =
+    sampledAnnRecall(spark, d) { (sampled, items, centers) =>
+      AnnIvf(items, centers, "vec_id", "embedding",
+        k = 10, nprobe = math.min(8, centers.size), metric = "dot")
+        .asRows(sampled)
+    }
+
+  /** The seeded md5-ranked query sample: rank queries by the first-8-hex
+    * md5 bucket (the softmax-sampling discipline), keep the lowest N. The
+    * global window is QUERY-side only — request-scale, never the catalog. */
+  private def recallQuerySample(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embeddings(spark, d)
-    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
-    val items = ivfItems(spark, d)
-    // seeded deterministic sample: rank queries by the first-8-hex md5
-    // bucket (the softmax-sampling discipline), keep the lowest N. The
-    // global window is QUERY-side only — request-scale, never the catalog
     val bk = conv(substring(md5(concat(col("vec_id").cast("string"),
       lit(":graft-recall"))), 1, 8), 16, 10).cast("long")
-    val sampled = emb.filter(col("label") === 0)
+    embeddings(spark, d).filter(col("label") === 0)
       .withColumn("__bk", bk)
       .withColumn("__srk", row_number().over(
         Window.orderBy(col("__bk"), col("vec_id"))))
       .filter(col("__srk") <= RecallSampleQueries)
       .select(col("vec_id"), col("embedding"))
-      .persist()
+  }
+
+  /** The sampled-recall harness shared by the IVF / PQ / SQ8 monitors:
+    * sample, run the family's approx path and the brute-force truth both
+    * confined to the sample, emit the counts + binomial-bound row. One
+    * shape so the three tiers' monitoring rows cannot drift apart. */
+  private def sampledAnnRecall(spark: SparkSession, d: String)(
+      approxOf: (DataFrame, DataFrame, Seq[Seq[Double]]) => DataFrame): DataFrame = {
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    val items = ivfItems(spark, d)
+    val sampled = recallQuerySample(spark, d).persist()
     try {
       val nq = sampled.count()
-      val approx = AnnIvf(items, centers, "vec_id", "embedding",
-        k = 10, nprobe = math.min(8, centers.size), metric = "dot")
-        .asRows(sampled)
+      val approx = approxOf(sampled, items, centers)
       val truth = TopKRetrieval(items, "vec_id", "embedding",
         k = 10, metric = "dot").asRows(sampled)
       Evidence.sampledRecallRow(spark, approx, truth,
@@ -843,6 +898,17 @@ object OpQueries {
   def annSqRecall(spark: SparkSession, d: String): DataFrame =
     Evidence.recallRow(spark, annSq(spark, d), topkRetrieval(spark, d),
       Seq("vec_id", "item_id"), floorBp = 5000)
+
+  /** SQ8's sampled recall monitor — [[annIvfRecallSampled]]'s shape over
+    * the scalar-quantized index: the variant that still runs at 100 TB
+    * (truth sweep ∝ sample × catalog), hash-oracled end to end since the
+    * SQ8 path replays from the fitted min/step literals. */
+  def annSqRecallSampled(spark: SparkSession, d: String): DataFrame =
+    sampledAnnRecall(spark, d) { (sampled, items, centers) =>
+      val (mins, maxs) = cachedSqRange(spark, d)
+      AnnSq(items, centers, mins, maxs, "vec_id", "embedding",
+        k = 10, nprobe = math.min(8, centers.size)).asRows(sampled)
+    }
 
   /** op_ann_sq's oracle — the full IVF,SQ8 path (assign, encode to byte
     * codes, probe, reconstruct, exact dot over v̂) replayed in DuckDB from
@@ -928,6 +994,18 @@ object OpQueries {
   def annPqRecall(spark: SparkSession, d: String): DataFrame =
     Evidence.recallRow(spark, annPq(spark, d), topkRetrieval(spark, d),
       Seq("vec_id", "item_id"), floorBp = 5000)
+
+  /** IVF-PQ's sampled recall monitor — [[annIvfRecallSampled]]'s shape
+    * over the product-quantized index (same catalog-fraction refine as
+    * [[annPq]], so the monitor watches the SERVED configuration), hash-
+    * oracled end to end from the fitted centroid/codebook literals. */
+  def annPqRecallSampled(spark: SparkSession, d: String): DataFrame =
+    sampledAnnRecall(spark, d) { (sampled, items, centers) =>
+      val refineK = math.max(200L, items.count() / 20L).toInt
+      AnnIvfPq(items, centers, cachedCodebooks(spark, d),
+        "vec_id", "embedding", k = 10, nprobe = math.min(8, centers.size),
+        refine = refineK).asRows(sampled)
+    }
 
   /** Frozen PQ sub-codebook drift report ([[graft.ops.PqCodebookDrift]]
     * over the shared IVF32,PQ8 fit): the catalog (label ≠ 0) is the fit
@@ -1687,10 +1765,12 @@ object OpQueries {
     "op_ann_ivf_full" -> (annIvfFull _),
     "op_ann_pq" -> (annPq _),
     "op_ann_pq_recall" -> (annPqRecall _),
+    "op_ann_pq_recall_sampled" -> (annPqRecallSampled _),
     "op_ann_pq_drift" -> (annPqDrift _),
     "op_ann_pq_exact" -> (annPqExact _),
     "op_ann_sq" -> (annSq _),
     "op_ann_sq_recall" -> (annSqRecall _),
+    "op_ann_sq_recall_sampled" -> (annSqRecallSampled _),
     "op_trailing_features" -> (trailingFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),
