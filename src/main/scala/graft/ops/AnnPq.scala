@@ -90,19 +90,19 @@ case class AnnIvfPq(
     * the RESIDUAL against the assigned centroid (IVFADC; Jégou §IV.A):
     * residuals are smaller than raw vectors, so the same codebook budget
     * buys less quantization error. */
-  def encodedIndex: DataFrame = {
-    // one fused pass per row (coarse argmin → residual → m codebook
-    // argmins): graft.functions.PqEncode is value-identical to the
-    // unrolled |cb|² − 2·r_j·cb struct-min tree this replaced, but its
-    // generated code is one `compute` call instead of nlist + m·ksub
-    // inlined dot subtrees — JIT of that tree dominated the PQ family at
-    // rehearsal SFs (SCALE.md round-11 residual 2)
-    items.select(col(itemIdCol).cast("long").as("__item_id"),
-        graft.functions.FastExpressions
-          .pqEncode(col(itemVecCol), centers, codebooks).as("__enc"))
-      .select(col("__item_id"), col("__enc.cid").as("__cid"),
-        col("__enc.codes").as("__codes"))
-  }
+  def encodedIndex: DataFrame =
+    AnnIvfPq.index(items, centers, codebooks, itemIdCol, itemVecCol)
+
+  /** Incremental index ingest under the FROZEN quantizers ([[AnnIvf
+    * .updatedIndex]]'s discipline one tier down): encoding is per-item
+    * independent, so appending the batch's codes is id-identical to a
+    * full re-encode over the union, at the cost of encoding only the
+    * batch. Staleness is the documented trade — [[PqCodebookDrift]] is
+    * the sub-codebook monitor, [[AnnIvfPq.refitCodebooks]] the cheap
+    * action. */
+  def updatedIndex(index: DataFrame, newItems: DataFrame): DataFrame =
+    index.unionByName(
+      AnnIvfPq.index(newItems, centers, codebooks, itemIdCol, itemVecCol))
 
   /** Per-query ADC lookup table: tab[j][k] = q_j · cb_jk (m×ksub doubles,
     * one array literal tree per query row). */
@@ -123,7 +123,20 @@ case class AnnIvfPq(
       StructField("candidate_scores", ArrayType(DoubleType))))
   }
 
-  override def transform(df: DataFrame): DataFrame = {
+  override def transform(df: DataFrame): DataFrame =
+    transformIndexed(df, encodedIndex)
+
+  /** Probe a PREBUILT code table (the `(__item_id, __cid, __codes)`
+    * shape [[AnnIvfPq.index]] emits — persisted parquet, or the live
+    * frame of a sink-maintained index log): same probe plan, zero
+    * encode work for the catalog — the serving path when the index is
+    * maintained incrementally ([[updatedIndex]] /
+    * [[graft.streaming.StreamingOps.annPqIndexSink]]) rather than
+    * re-encoded per query job. The refine pass still fetches full
+    * vectors from `items` by id — the raw catalog is the refine store,
+    * the code table the probe store, exactly FAISS's
+    * refine-with-stored-vectors split. */
+  def transformIndexed(df: DataFrame, index: DataFrame): DataFrame = {
     val q = col(queryVecCol)
     val probed = df.select(col(queryIdCol), q)
       .withColumn("__tab", lutCol(q))
@@ -140,7 +153,7 @@ case class AnnIvfPq(
           (code, row) => element_at(row, code + 1)),
         lit(0.0), (acc, x) => acc + x)
     val adcTop = udaf(new TopKAggregator(if (refine > 0) refine else k))
-    val coarseTop = probed.join(encodedIndex, Seq("__cid"))
+    val coarseTop = probed.join(index, Seq("__cid"))
       .groupBy(col(queryIdCol))
       .agg(adcTop(col("__item_id"), adc).as("__top"))
     val ranked =
@@ -169,8 +182,14 @@ case class AnnIvfPq(
   }
 
   /** Relational form: one row per (query, rank, item, score). */
-  def asRows(df: DataFrame): DataFrame =
-    transform(df).select(col(queryIdCol),
+  def asRows(df: DataFrame): DataFrame = rowsOf(transform(df))
+
+  /** Relational form over a prebuilt code table ([[transformIndexed]]). */
+  def asRowsIndexed(df: DataFrame, index: DataFrame): DataFrame =
+    rowsOf(transformIndexed(df, index))
+
+  private def rowsOf(out: DataFrame): DataFrame =
+    out.select(col(queryIdCol),
       posexplode(arrays_zip(col("candidate_ids"), col("candidate_scores")))
         .as(Seq("pos", "pair")))
       .select(col(queryIdCol), (col("pos") + 1).as("rank"),
@@ -179,6 +198,24 @@ case class AnnIvfPq(
 }
 
 object AnnIvfPq {
+  /** The compact searchable index frame — the ONE encode definition
+    * ([[AnnIvfPq.encodedIndex]], [[AnnIvfPq.updatedIndex]] and the
+    * streaming sink all build through here, so incremental and rebuilt
+    * indexes can never disagree). One fused [[graft.functions.PqEncode]]
+    * pass per row (coarse argmin → residual → m codebook argmins) —
+    * value-identical to the unrolled |cb|² − 2·r_j·cb struct-min tree it
+    * replaced, but generated as one `compute` call instead of nlist +
+    * m·ksub inlined dot subtrees, whose JIT dominated the PQ family at
+    * rehearsal SFs (SCALE.md round-11 residual 2). */
+  def index(items: DataFrame, centers: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      itemIdCol: String = "item_id", itemVecCol: String = "embedding"): DataFrame =
+    items.select(col(itemIdCol).cast("long").as("__item_id"),
+        graft.functions.FastExpressions
+          .pqEncode(col(itemVecCol), centers, codebooks).as("__enc"))
+      .select(col("__item_id"), col("__enc.cid").as("__cid"),
+        col("__enc.codes").as("__codes"))
+
   /** Train coarse quantizer + per-subspace residual codebooks (seeded
     * MLlib k-means throughout; m+1 fits, each over a metadata-scale
     * parameter count). `dim` must be divisible by `m`. */

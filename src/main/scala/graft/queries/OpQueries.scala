@@ -582,7 +582,11 @@ object OpQueries {
              |  theta_d2, CAST(n_far AS BIGINT) AS n_far
              |FROM jn JOIN tot ON jn.subspace = tot.subspace
              |ORDER BY subspace, code""".stripMargin
-        Seq("op_ann_pq" -> pqSql, "op_ann_pq_drift" -> driftSql)
+        // the sink-maintained code table is id-identical to the batch
+        // encode by construction (one shared index definition, per-item
+        // independent) — same oracle for the streaming-lifecycle row
+        Seq("op_ann_pq" -> pqSql, "op_ann_pq_stream" -> pqSql,
+          "op_ann_pq_drift" -> driftSql)
       }
     }.getOrElse(Seq.empty).toMap
 
@@ -1006,6 +1010,43 @@ object OpQueries {
         "vec_id", "embedding", k = 10, nprobe = math.min(8, centers.size),
         refine = refineK).asRows(sampled)
     }
+
+  /** The ONLINE PQ-index lifecycle end-to-end ([[annIvfStream]] one
+    * quantization tier down): the catalog arrives as a 3-micro-batch
+    * item stream, [[graft.streaming.StreamingOps.annPqIndexSink]]
+    * maintains the persisted code table under the frozen quantizers
+    * across batches, and the probe (ADC + catalog-fraction refine) runs
+    * against the final loaded version. Encoding is per-item independent
+    * through the one shared [[AnnIvfPq.index]] definition, so the
+    * maintained index equals the full build and this row shares
+    * op_ann_pq's dump-time oracle — streaming PQ ingest proven equal to
+    * the batch build by the driver's own compare. */
+  def annPqStream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    val items = ivfItems(spark, d)
+    val refineK = math.max(200L, items.count() / 20L).toInt
+    val op = AnnIvfPq(items, centers, cachedCodebooks(spark, d),
+      "vec_id", "embedding", k = 10, nprobe = math.min(8, centers.size),
+      refine = refineK)
+    val itemRows = items.as[(Long, Seq[Float])].collect()
+    val dir = java.nio.file.Files.createTempDirectory("pq_stream_idx").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.annPqIndexSink(dir, op)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(itemRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val index = graft.streaming.StreamingOps.loadAnnPqIndex(spark, dir).get
+    op.asRowsIndexed(queries, index).orderBy("vec_id", "rank")
+  }
 
   /** Frozen PQ sub-codebook drift report ([[graft.ops.PqCodebookDrift]]
     * over the shared IVF32,PQ8 fit): the catalog (label ≠ 0) is the fit
@@ -1766,6 +1807,7 @@ object OpQueries {
     "op_ann_pq" -> (annPq _),
     "op_ann_pq_recall" -> (annPqRecall _),
     "op_ann_pq_recall_sampled" -> (annPqRecallSampled _),
+    "op_ann_pq_stream" -> (annPqStream _),
     "op_ann_pq_drift" -> (annPqDrift _),
     "op_ann_pq_exact" -> (annPqExact _),
     "op_ann_sq" -> (annSq _),

@@ -1473,6 +1473,44 @@ object StreamingOps {
       }
   }
 
+  /** foreachBatch sink maintaining a persisted IVF-PQ code index
+    * ([[graft.ops.AnnIvfPq]]) from an item stream under `op`'s FROZEN
+    * quantizers (coarse centroids + residual sub-codebooks): each batch
+    * is encoded map-side through the one shared
+    * [[graft.ops.AnnIvfPq.index]] definition (per-item fused PqEncode
+    * against quantizer literals, the existing index never re-read) and
+    * lands as an immutable `deltas/d<n>` dir — per-batch compute AND
+    * persist both O(batch). The probe store is the ~m-bytes-per-item
+    * code table this log maintains; the refine store stays the raw
+    * catalog, fetched by id. Staleness is the documented trade —
+    * [[graft.ops.PqCodebookDrift]] is the monitor,
+    * [[graft.ops.AnnIvfPq.refitCodebooks]] + a from-log re-encode the
+    * cheap action. Batches must carry disjoint item ids. */
+  def annPqIndexSink(indexDir: String, op: graft.ops.AnnIvfPq,
+      appId: String = "pq-ingest",
+      retainVersions: Option[Int] = None,
+      autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty &&
+          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
+        commitIndexDelta(batch.sparkSession, indexDir,
+          graft.ops.AnnIvfPq.index(batch, op.centers, op.codebooks,
+            op.itemIdCol, op.itemVecCol),
+          "__item_id", appId, batchId, retainVersions)
+        maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
+          retainVersions,
+          () => compactIndexState(batch.sparkSession, indexDir,
+            tierFraction = Some(AutoCompactTierFraction),
+            maxKeepers = autoCompactDeltas.get - 1))
+      }
+  }
+
+  /** Load the live PQ code table from a sink-maintained directory —
+    * probe via `op.asRowsIndexed(queries, loadAnnPqIndex(...).get)`. */
+  def loadAnnPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] =
+    latestVersion(spark, indexDir).map(loadIndexDeltas(spark, indexDir, _))
+
   /** One manifest row: a delta name plus its id ZONE MAP (min/max of
     * the id column over the delta's rows, null for an empty delta) —
     * the listing-level data-skipping stats [[loadCorpusPruned]] uses to

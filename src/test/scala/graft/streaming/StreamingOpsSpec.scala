@@ -776,6 +776,44 @@ class StreamingOpsSpec extends SparkSpec {
       "frozen-quantizer streamed codes must be id-identical to a rebuild")
   }
 
+  test("annPqIndexSink: streamed encode equals the full code-table build; probe identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val items = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val itemsDf = items.toDF("item_id", "embedding")
+    val op = graft.ops.AnnIvfPq.fit(itemsDf, "query_id", "query_vec",
+      nlist = 4, m = 2, ksub = 4, nprobe = 2, refine = 0, k = 3)
+    val dir = tmpDir("pq_sink_")
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(StreamingOps.annPqIndexSink(dir, op)).start()
+    Seq(items.take(20), items.slice(20, 21), items.drop(21)).foreach { s =>
+      src.addData(s: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamingOps.loadAnnPqIndex(spark, dir).get
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("__item_id", "__cid", "__codes")
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    val rebuilt = graft.ops.AnnIvfPq.index(itemsDf, op.centers, op.codebooks)
+    assert(codeSet(streamed) == codeSet(rebuilt),
+      "frozen-quantizer streamed codes must be id-identical to a rebuild")
+    // incremental append through the op shares the same ONE definition
+    val viaUpdate = op.updatedIndex(
+      graft.ops.AnnIvfPq.index(itemsDf.filter($"item_id" <= 30), op.centers, op.codebooks),
+      itemsDf.filter($"item_id" > 30))
+    assert(codeSet(viaUpdate) == codeSet(rebuilt),
+      "updatedIndex must be id-identical to a full re-encode")
+    // and the ADC probe answers identically through the maintained table
+    val qs = (101L to 105L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("query_id", "query_vec")
+    val a = op.asRowsIndexed(qs, streamed)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val f = op.asRows(qs).as[(Long, Int, Long, Double)].collect().toSet
+    assert(a == f, "maintained-index probe != batch-encode probe")
+  }
+
   test("vacuumIndexVersions: retires superseded versions, never the pointed one") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(23)
