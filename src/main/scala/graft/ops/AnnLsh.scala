@@ -63,18 +63,26 @@ case class AnnLsh(
   /** The hyperplane center: the fit-time `center` when given (persisted
     * ensembles MUST pass it — double partial-agg merge order makes a
     * recomputed mean drift in the last bits, flipping borderline bucket
-    * signs), else the item mean computed here (one job, dictionary scale). */
-  def resolvedCenter: Seq[Double] =
+    * signs), else the item mean computed here (one job, dictionary scale;
+    * memoized — transform touches it from both the index and probe sides). */
+  @transient lazy val resolvedCenter: Seq[Double] =
     center.getOrElse(VectorFunctions.meanVector(items, itemVecCol).toSeq)
 
-  override def transform(df: DataFrame): DataFrame = {
+  override def transform(df: DataFrame): DataFrame =
+    transformIndexed(df,
+      AnnLsh.index(items, resolvedCenter, numBits, itemIdCol, itemVecCol))
+
+  /** Probe a PREBUILT bucket table (the `(__item_id, __item_vec,
+    * __bucket)` shape [[AnnLsh.index]] emits — persisted parquet
+    * bucketed by `__bucket`, or the live frame of a sink-maintained
+    * index log): same probe plan, zero bucketing work for the catalog —
+    * the serving path when the index is maintained incrementally
+    * ([[updatedIndex]] / [[graft.streaming.StreamingOps.annLshIndexSink]]). */
+  def transformIndexed(df: DataFrame, index: DataFrame): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
     // item mean as a literal (#dims doubles, metadata scale) — both sides
     // bucket against the same centered hyperplanes, plans stay join-free
     val mu = typedLit(resolvedCenter.toArray)
-    val indexed = items.select(
-      col(itemIdCol).cast("long").as("__item_id"), col(itemVecCol).as("__item_vec"),
-      bucket(col(itemVecCol), mu).as("__bucket"))
     // home bucket computed ONCE per query row; the nprobe-1 single-bit-flip
     // probes are cheap integer XORs of that value
     val probes = array((0 until nprobe).map(i =>
@@ -84,7 +92,7 @@ case class AnnLsh(
       .withColumn("__home", bucket(col(queryVecCol), mu))
       .withColumn("__bucket", explode(probes))
       .drop("__home")
-    probed.join(indexed, Seq("__bucket"))
+    probed.join(index, Seq("__bucket"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"), coalesce(score(col(queryVecCol), col("__item_vec")),
         lit(Double.NaN))).as("__top"))
@@ -93,13 +101,46 @@ case class AnnLsh(
         col("__top.scores").as("candidate_scores"))
   }
 
+  /** Incremental index ingest under the FROZEN hyperplane center
+    * ([[AnnIvf.updatedIndex]]'s discipline): bucketing is per-item
+    * independent, so appending the batch's bucketed rows is id-identical
+    * to a full rebuild over the union, at the cost of bucketing only the
+    * batch. The frozen center is the staleness trade — a drifting
+    * catalog mean skews bucket occupancy; the recall rows are the
+    * monitor, a re-center + rebuild the action. */
+  def updatedIndex(index: DataFrame, newItems: DataFrame): DataFrame =
+    index.unionByName(
+      AnnLsh.index(newItems, resolvedCenter, numBits, itemIdCol, itemVecCol))
+
   /** Relational form: one row per (query, rank, item, score) — scalar
     * columns only, the shape the correctness harness can sort and hash. */
-  def asRows(df: DataFrame): DataFrame =
-    transform(df).select(col(queryIdCol),
+  def asRows(df: DataFrame): DataFrame = rowsOf(transform(df))
+
+  /** Relational form over a prebuilt bucket table ([[transformIndexed]]). */
+  def asRowsIndexed(df: DataFrame, index: DataFrame): DataFrame =
+    rowsOf(transformIndexed(df, index))
+
+  private def rowsOf(out: DataFrame): DataFrame =
+    out.select(col(queryIdCol),
       posexplode(arrays_zip(col("candidate_ids"), col("candidate_scores")))
         .as(Seq("pos", "pair")))
       .select(col(queryIdCol), (col("pos") + 1).as("rank"),
         col("pair.candidate_ids").as("item_id"),
         col("pair.candidate_scores").as("score"))
+}
+
+object AnnLsh {
+  /** The bucketed index frame — the ONE bucketing definition
+    * (transform, [[AnnLsh.updatedIndex]] and the streaming sink all
+    * build through here, so incremental and rebuilt indexes can never
+    * disagree). `center` must be the op's FROZEN fit-time center:
+    * double partial-agg merge order makes a recomputed mean drift in
+    * the last bits, flipping borderline bucket signs. */
+  def index(items: DataFrame, center: Seq[Double], numBits: Int,
+      itemIdCol: String = "item_id", itemVecCol: String = "embedding"): DataFrame =
+    items.select(
+      col(itemIdCol).cast("long").as("__item_id"),
+      col(itemVecCol).as("__item_vec"),
+      graft.functions.FastExpressions.lshBucket(col(itemVecCol),
+        typedLit(center.toArray), numBits).as("__bucket"))
 }

@@ -200,6 +200,41 @@ object OpQueries {
       .asRows(queries).orderBy("vec_id", "rank")
   }
 
+  /** The ONLINE LSH-index lifecycle end-to-end ([[annIvfStream]]'s shape
+    * for the sign-projection tier): the catalog arrives as a
+    * 3-micro-batch item stream,
+    * [[graft.streaming.StreamingOps.annLshIndexSink]] maintains the
+    * persisted bucket table under the frozen center across batches, and
+    * the probe runs against the final loaded version. Bucketing is
+    * per-item independent through the one shared [[AnnLsh.index]]
+    * definition, so the maintained index equals the full build and this
+    * row shares op_ann_lsh's dump-time oracle. */
+  def annLshStream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val items = emb.filter(col("label") =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding"))
+    val op = AnnLsh(items, "vec_id", "embedding", k = 10, numBits = annLshBits,
+      nprobe = annLshProbes, metric = "cosine",
+      center = Some(cachedLshCenter(spark, d)))
+    val itemRows = items.as[(Long, Seq[Float])].collect()
+    val dir = java.nio.file.Files.createTempDirectory("lsh_stream_idx").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.annLshIndexSink(dir, op)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(itemRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val index = graft.streaming.StreamingOps.loadAnnLshIndex(spark, dir).get
+    op.asRowsIndexed(queries, index).orderBy("vec_id", "rank")
+  }
+
   /** op_ann_lsh's oracle, generated at dump time. The hyperplanes are ±1
     * sign vectors read from bit p of xxhash64(dim, seed=42) — DuckDB has
     * no xxhash64, but the RESOLVED sign matrix is a deterministic fitted
@@ -256,6 +291,11 @@ object OpQueries {
            |      (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank
            |  FROM scored) WHERE rank <= 10
            |ORDER BY vec_id, rank""".stripMargin
+    }.toList.flatMap { case (n, sql) =>
+      // the sink-maintained bucket table is id-identical to the batch
+      // build (one bucketing definition, per-item independent) — same
+      // oracle for the streaming-lifecycle row
+      Seq(n -> sql, "op_ann_lsh_stream" -> sql)
     }.toMap
 
   /** Memoized IVF coarse-quantizer centers keyed by (sfDir, nlist,
@@ -1797,6 +1837,7 @@ object OpQueries {
     "op_categorify" -> (categorify _),
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
+    "op_ann_lsh_stream" -> (annLshStream _),
     "op_ann_ivf" -> (annIvf _),
     "op_ann_index_update" -> (annIndexUpdate _),
     "op_ann_ivf_stream" -> (annIvfStream _),

@@ -1511,6 +1511,42 @@ object StreamingOps {
       indexDir: String): Option[DataFrame] =
     latestVersion(spark, indexDir).map(loadIndexDeltas(spark, indexDir, _))
 
+  /** foreachBatch sink maintaining a persisted LSH bucket index
+    * ([[graft.ops.AnnLsh]]) from an item stream under the op's FROZEN
+    * hyperplane center (resolved ONCE at sink construction — a
+    * per-batch recomputed mean would drift in the last bits and flip
+    * borderline bucket signs): each batch buckets map-side through the
+    * one shared [[graft.ops.AnnLsh.index]] definition and lands as an
+    * immutable `deltas/d<n>` dir — per-batch compute AND persist both
+    * O(batch). Center staleness is the documented trade: a drifting
+    * catalog mean skews bucket occupancy; monitor the recall rows,
+    * re-center + rebuild on drift. Batches must carry disjoint item ids. */
+  def annLshIndexSink(indexDir: String, op: graft.ops.AnnLsh,
+      appId: String = "lsh-ingest",
+      retainVersions: Option[Int] = None,
+      autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
+    val mu = op.resolvedCenter
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty &&
+          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
+        commitIndexDelta(batch.sparkSession, indexDir,
+          graft.ops.AnnLsh.index(batch, mu, op.numBits,
+            op.itemIdCol, op.itemVecCol),
+          "__item_id", appId, batchId, retainVersions)
+        maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
+          retainVersions,
+          () => compactIndexState(batch.sparkSession, indexDir,
+            tierFraction = Some(AutoCompactTierFraction),
+            maxKeepers = autoCompactDeltas.get - 1))
+      }
+  }
+
+  /** Load the live LSH bucket table from a sink-maintained directory —
+    * probe via `op.asRowsIndexed(queries, loadAnnLshIndex(...).get)`. */
+  def loadAnnLshIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] =
+    latestVersion(spark, indexDir).map(loadIndexDeltas(spark, indexDir, _))
+
   /** One manifest row: a delta name plus its id ZONE MAP (min/max of
     * the id column over the delta's rows, null for an empty delta) —
     * the listing-level data-skipping stats [[loadCorpusPruned]] uses to

@@ -814,6 +814,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(a == f, "maintained-index probe != batch-encode probe")
   }
 
+  test("annLshIndexSink: streamed bucketing equals the full build under the frozen center") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(37)
+    val items = (1L to 60L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val itemsDf = items.toDF("item_id", "embedding")
+    val mu = graft.functions.VectorFunctions
+      .meanVector(itemsDf, "embedding").toSeq
+    val op = graft.ops.AnnLsh(itemsDf, "query_id", "query_vec",
+      k = 3, numBits = 4, nprobe = 2, metric = "cosine", center = Some(mu))
+    val dir = tmpDir("lsh_sink_")
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(StreamingOps.annLshIndexSink(dir, op)).start()
+    Seq(items.take(20), items.slice(20, 21), items.drop(21)).foreach { s =>
+      src.addData(s: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamingOps.loadAnnLshIndex(spark, dir).get
+    def bucketSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("__item_id", "__bucket").as[(Long, Int)].collect().toSet
+    val rebuilt = graft.ops.AnnLsh.index(itemsDf, mu, op.numBits)
+    assert(bucketSet(streamed) == bucketSet(rebuilt),
+      "frozen-center streamed buckets must be id-identical to a rebuild")
+    // incremental append through the op shares the same ONE definition
+    val viaUpdate = op.updatedIndex(
+      graft.ops.AnnLsh.index(itemsDf.filter($"item_id" <= 30), mu, op.numBits),
+      itemsDf.filter($"item_id" > 30))
+    assert(bucketSet(viaUpdate) == bucketSet(rebuilt),
+      "updatedIndex must be id-identical to a full rebuild")
+    // and the probe answers identically through the maintained table
+    val qs = (101L to 105L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat))).toDF("query_id", "query_vec")
+    val a = op.asRowsIndexed(qs, streamed)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val f = op.asRows(qs).as[(Long, Int, Long, Double)].collect().toSet
+    assert(a == f, "maintained-index probe != batch-build probe")
+  }
+
   test("vacuumIndexVersions: retires superseded versions, never the pointed one") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(23)
