@@ -1222,6 +1222,48 @@ object StreamingOps {
       (op, v)
     }
 
+  /** The PQ action of the drift→action table
+    * ([[graft.ops.PqCodebookDrift]] is the trigger): re-fit ONLY the
+    * residual sub-codebooks against `op`'s FROZEN coarse quantizer
+    * ([[graft.ops.AnnIvfPq.refitCodebooks]] — the cheap rebuild for
+    * residual distributions drifting WITHIN stable lists: coarse
+    * assignment, probe routing and list layout are untouched by
+    * construction), re-encode from the SOURCE catalog the caller
+    * supplies (codes are lossy — the log cannot re-derive residuals),
+    * and commit the new code table as the next version through the same
+    * one-rename protocol: pinned readers unaffected, pre-rebuild
+    * versions time-travelable, ingest commit memory carried. When the
+    * COARSE report also fires, re-fit both stages
+    * ([[graft.ops.AnnIvfPq.fit]]) instead. Full pass by design;
+    * single-writer contract: pause the ingest sink. Returns
+    * (refit op, version). */
+  def rebuildAnnPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, op: graft.ops.AnnIvfPq, items: DataFrame,
+      maxIter: Int = 10, seed: Long = 42L,
+      targetBytes: Long = 128L << 20): Option[(graft.ops.AnnIvfPq, String)] =
+    latestVersion(spark, indexDir).map { lv =>
+      val refit = graft.ops.AnnIvfPq.refitCodebooks(op, items, maxIter, seed)
+      val coded = graft.ops.AnnIvfPq.index(items, refit.centers,
+        refit.codebooks, op.itemIdCol, op.itemVecCol)
+      val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
+      val oldBytes = readManifest(spark, s"$indexDir/$lv/manifest")
+        .map(e => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(p, s"deltas/${e.delta}")).getLength)
+        .sum
+      val nFiles =
+        math.max(1L, (oldBytes + targetBytes - 1) / targetBytes).toInt
+      val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
+      val delta = "d" + v.drop(1)
+      coded.repartition(nFiles).write.mode("overwrite")
+        .parquet(s"$indexDir/deltas/$delta/index")
+      writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
+        delta, spark.read.parquet(s"$indexDir/deltas/$delta/index"),
+        "__item_id")))
+      writeTxn(spark, indexDir, v, "pq-rebuild", -1L)
+      writePointer(spark, indexDir, v, Some(lv))
+      (refit, v)
+    }
+
   /** Load the live SQ8 coded index from a sink-maintained directory —
     * probe via `op.transformIndexed(queries, loadAnnSqIndex(...).get)`. */
   def loadAnnSqIndex(spark: org.apache.spark.sql.SparkSession,

@@ -1288,6 +1288,60 @@ class StreamingOpsSpec extends SparkSpec {
       "a committed batch replayed after the rebuild must not recommit")
   }
 
+  test("rebuildAnnPqIndex: codebook-only refit re-encodes in-log; coarse routing frozen") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    // two stable coarse modes at ±5; early residuals are tight gaussians
+    def vec(i: Long, off: Double) = {
+      val s = if (i % 2 == 0) 1.0 else -1.0
+      Seq.fill(8)((s * 5.0 + off + rnd.nextGaussian() * 0.05).toFloat)
+    }
+    val early = (1L to 20L).map(i => (i, vec(i, 0.0)))
+    // ...then residuals drift WITHIN the same lists (offset +0.5 — far
+    // closer to the home mode than to the other): the PqCodebookDrift
+    // scenario, invisible at coarse granularity
+    val late = (21L to 40L).map(i => (i, vec(i, 0.5)))
+    val op0 = graft.ops.AnnIvfPq.fit(early.toDF("item_id", "embedding"),
+      "query_id", "query_vec", nlist = 2, m = 2, ksub = 2, maxIter = 5,
+      refine = 0, k = 3)
+    val dir = tmpDir("pq_rebuild_")
+    val sink = StreamingOps.annPqIndexSink(dir, op0)
+    sink(early.toDF("item_id", "embedding"), 0L)
+    sink(late.toDF("item_id", "embedding"), 1L)
+    val stale = StreamingOps.loadAnnPqIndex(spark, dir).get
+      .select("__item_id", "__cid").as[(Long, Int)].collect().toMap
+    val all = (early ++ late).toDF("item_id", "embedding")
+    val (op1, v) = StreamingOps.rebuildAnnPqIndex(spark, dir, op0, all,
+      maxIter = 5).get
+    assert(v == "v2")
+    assert(op1.centers == op0.centers,
+      "the codebook-only refit must not touch the coarse quantizer")
+    val rebuilt = StreamingOps.loadAnnPqIndex(spark, dir).get
+      .select("__item_id", "__cid", "__codes")
+      .as[(Long, Int, Seq[Int])].collect()
+    val scratch = graft.ops.AnnIvfPq.index(all, op1.centers, op1.codebooks)
+      .select("__item_id", "__cid", "__codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(rebuilt.toSet == scratch, "rebuilt table must equal a fresh encode")
+    assert(rebuilt.map(r => r._1 -> r._2).toMap == stale,
+      "coarse routing (list membership) must be IDENTICAL pre/post refit")
+    // the refit codebooks quantize the drifted residuals strictly better:
+    // total exact quantization error (PqEncode's d2) drops
+    def totalD2(cbs: Seq[Seq[Seq[Double]]]) =
+      late.toDF("item_id", "embedding").select(
+        graft.functions.FastExpressions
+          .pqEncode($"embedding", op0.centers, cbs).as("e"))
+        .select(explode($"e.d2").as("d"))
+        .agg(sum($"d")).head().getDouble(0)
+    assert(totalD2(op1.codebooks) < totalD2(op0.codebooks),
+      "refit sub-codebooks must reduce quantization error on the drifted batch")
+    // pinned history + commit memory survive the rebuild
+    assert(StreamingOps.loadAnnIndexAt(spark, dir, "v1").get.count() == 40L)
+    sink(late.toDF("item_id", "embedding"), 1L)
+    assert(StreamingOps.loadAnnPqIndex(spark, dir).get.count() == 40L,
+      "a committed batch replayed after the rebuild must not recommit")
+  }
+
   test("bm25IndexSink auto-compaction bounds the delta chain; probes stay exact") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (1L to 10L).map(i => (i, s"doc number $i quick brown fox ${"word " * i.toInt}"))
