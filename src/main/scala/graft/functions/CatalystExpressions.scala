@@ -968,6 +968,142 @@ case class PqEncode(
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** The PQ ADC lookup-sum fused into one loop: Σ_j tab[j][codes[j]]
+  * without the zip_with + aggregate HOF pair it replaces. Value-identical
+  * to `aggregate(zip_with(codes, tab, (c, row) => element_at(row, c+1)),
+  * 0.0, (acc, x) => acc + x)` — the same j-ascending `((0+t0)+t1)+…`
+  * fold the DuckDB oracle replays, and the same null discipline:
+  * mismatched lengths (zip_with padding) or an out-of-range code
+  * (element_at's null) poison the sum to NULL. Why it exists: the probe
+  * join evaluates ADC once per CANDIDATE, and higher-order functions are
+  * CodegenFallback — each candidate paid interpreted lambda evaluation
+  * plus an intermediate array; this is one compiled loop over unboxed
+  * ArrayData. */
+case class AdcLookupSum(
+    left: Expression, // codes (array<int>, length m)
+    right: Expression) // per-query LUT (array<array<double>>, m × ksub)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lookup_sum"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (int array, double-array array)")
+  }
+
+  def compute(codes: ArrayData, tab: ArrayData): Any = {
+    val m = codes.numElements()
+    if (tab.numElements() != m) return null
+    var s = 0.0; var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j) || tab.isNullAt(j)) return null
+      val row = tab.getArray(j)
+      val c = codes.getInt(j)
+      // element_at(row, c+1): out-of-range or null entry → NULL, which
+      // poisons the whole fold in the composed form
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      s += row.getDouble(c)
+      j += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcLookupSum", this)
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val res = ctx.freshName("adc")
+      s"""
+         |Object $res = $ref.compute($c, $t);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $res).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** SQ8 decode+dot fused into one loop: q · (lo + code·st) without
+  * materializing the reconstructed vector. Value-identical to
+  * `ArrayDotProduct(q, AnnSq.decodeExpr(codes, mins, steps))` — same
+  * i-ascending fold, same per-term arithmetic `q_i · (lo_i + c_i·st_i)`
+  * (each product/add is one correctly-rounded IEEE op, so eliminating
+  * the intermediate array cannot change a bit), same null discipline
+  * (NULL on length mismatch with the fitted dim or any null element —
+  * the zip_with-padding + null-product-poisons-the-dot behavior of the
+  * composed form). Why it exists: the probe join evaluates the score
+  * once per CANDIDATE (nprobe·|list| rows per query) and the composed
+  * form allocated one dim-length double array per candidate — the only
+  * allocation left in the SQ8 hot loop after ArrayDotProduct fused the
+  * dot itself. The DuckDB replay (`list_inner_product(qv, rv)` over the
+  * reconstructed rv) is unchanged bit for bit. */
+case class SqDecodeDot(
+    left: Expression, // query vector (float/double array)
+    right: Expression, // SQ8 codes (int array)
+    mins: Seq[Double],
+    steps: Seq[Double]) extends BinaryExpression {
+
+  require(mins.nonEmpty && mins.size == steps.size,
+    "sq_decode_dot: min/step tables disagree")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_decode_dot"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (float/double array, int array)")
+  }
+
+  @transient private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val lo: Array[Double] = mins.toArray
+  @transient private lazy val st: Array[Double] = steps.toArray
+
+  def compute(q: ArrayData, codes: ArrayData): Any = {
+    val dim = lo.length
+    if (q.numElements() != dim || codes.numElements() != dim) return null
+    var s = 0.0; var i = 0
+    while (i < dim) {
+      if (q.isNullAt(i) || codes.isNullAt(i)) return null
+      val qd = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
+      s += qd * (lo(i) + codes.getInt(i).toDouble * st(i))
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqDecodeDot", this)
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val res = ctx.freshName("sqdd")
+      s"""
+         |Object $res = $ref.compute($q, $c);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $res).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers (Spark 4: Column↔Expression bridge lives in
   * sql.classic.ExpressionUtils). */
 object FastExpressions {
@@ -1002,4 +1138,9 @@ object FastExpressions {
   def pqEncode(c: Column, centers: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]]): Column =
     column(PqEncode(expression(c), centers, codebooks))
+  def sqDecodeDot(q: Column, codes: Column,
+      mins: Seq[Double], steps: Seq[Double]): Column =
+    column(SqDecodeDot(expression(q), expression(codes), mins, steps))
+  def adcLookupSum(codes: Column, tab: Column): Column =
+    column(AdcLookupSum(expression(codes), expression(tab)))
 }

@@ -146,12 +146,14 @@ case class AnnIvfPq(
         .getField("cid")))
       .drop(queryVecCol)
     // ADC: element_at(qc, cid+1) + Σ_j tab[j][codes[j]] — m lookups per
-    // candidate, no float-vector math after the per-query table build
+    // candidate, no float-vector math after the per-query table build.
+    // The lookup-sum is the fused AdcLookupSum expression: bit-identical
+    // to the zip_with + aggregate HOF pair (same ((0+t0)+t1)+… fold the
+    // oracle replays), but HOFs are CodegenFallback — the composed form
+    // paid interpreted lambda eval + an intermediate array PER CANDIDATE
     val adc = element_at(col("__qc"), col("__cid") + 1) +
-      aggregate(
-        zip_with(col("__codes"), col("__tab"),
-          (code, row) => element_at(row, code + 1)),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.FastExpressions
+        .adcLookupSum(col("__codes"), col("__tab"))
     val adcTop = udaf(new TopKAggregator(if (refine > 0) refine else k))
     val coarseTop = probed.join(index, Seq("__cid"))
       .groupBy(col(queryIdCol))

@@ -103,10 +103,16 @@ case class AnnSq(
       .withColumn("__cid", explode(org.apache.spark.sql.functions.transform(
         slice(array_sort(VectorFunctions.centroidStructs(col(queryVecCol), centers)),
           1, nprobe), s => s.getField("cid"))))
+    // fused decode+dot (q · (lo + code·st) in one loop): bit-identical
+    // to dot(q, decode(codes)) — same fold order, same per-term IEEE
+    // arithmetic, same null discipline — but allocation-free where the
+    // composed form materialized one reconstructed vector PER CANDIDATE
+    // (nprobe·|list| rows per query, the SQ8 hot loop)
     val hits = probed.join(index, Seq("__cid"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"),
-        coalesce(VectorFunctions.dot(col(queryVecCol), decode(col("__codes"))),
+        coalesce(graft.functions.FastExpressions.sqDecodeDot(
+          col(queryVecCol), col("__codes"), mins, steps),
           lit(Double.NaN))).as("__top"))
     // empty-probed-list queries keep their row (AnnIvf.transformIndexed's
     // one-row-per-query contract; empty candidate arrays)

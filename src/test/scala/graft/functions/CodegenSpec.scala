@@ -215,6 +215,82 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("SqDecodeDot is bit-identical to dot(q, decode(codes)) and stays in codegen") {
+    // random non-dyadic floats + full-range codes: a true fold-order
+    // identity check against the composed form the DuckDB oracle replays
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val mins = Seq.fill(dim)(rnd.nextGaussian() * 2.0)
+    val steps = Seq.fill(dim)(rnd.nextDouble() * 0.1)
+    val rows = spark.sparkContext.parallelize(
+      (0 until 200).map(i => (i.toLong,
+        Seq.fill(dim)((rnd.nextGaussian() * 3).toFloat),
+        Seq.fill(dim)(rnd.nextInt(256)))), 4)
+      .toDF("id", "q", "codes")
+    // SEPARATE frames: the composed form's zip_with is CodegenFallback,
+    // which evicts any operator containing it from WSCG — colocating the
+    // two would mask exactly the regression this spec pins (that the
+    // fused form KEEPS the probe stage inside whole-stage codegen)
+    val fusedDf = rows.select($"id",
+      FastExpressions.sqDecodeDot($"q", $"codes", mins, steps).as("fused"))
+    val composedDf = rows.select($"id",
+      FastExpressions.arrayDot($"q",
+        graft.ops.AnnSq.decodeExpr($"codes", mins, steps)).as("composed"))
+    assert(generatedCode(fusedDf).contains(".compute("),
+      "expected unboxed compute call")
+    val got = fusedDf.as[(Long, Double)].collect().sortBy(_._1)
+    val want = composedDf.as[(Long, Double)].collect().sortBy(_._1)
+    got.zip(want).foreach { case ((id, f), (_, c)) =>
+      assert(f == c, s"fused/composed divergence at id $id: $f vs $c")
+    }
+    // null discipline: null element or length mismatch → NULL, like the
+    // composed zip_with + null-product form
+    val bad = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3, 4)),     // wrong dim (fitted dim = 16)
+      (2L, Seq.fill(dim)(1.0f), Seq.fill(dim - 1)(0) :+ -1)) // fine (codes any int)
+      .toDF("id", "q", "codes")
+      .select($"id", FastExpressions.sqDecodeDot($"q", $"codes", mins, steps).as("d"))
+    assert(bad.filter($"id" === 1L).head().isNullAt(1),
+      "length mismatch must be NULL")
+    assert(!bad.filter($"id" === 2L).head().isNullAt(1))
+  }
+
+  test("AdcLookupSum equals the zip_with+aggregate fold and stays in codegen") {
+    val rnd = new scala.util.Random(29)
+    val m = 8; val ksub = 16
+    val rows = spark.sparkContext.parallelize(
+      (0 until 200).map(i => (i.toLong,
+        Seq.fill(m)(rnd.nextInt(ksub)),
+        Seq.fill(m)(Seq.fill(ksub)(rnd.nextGaussian())))), 4)
+      .toDF("id", "codes", "tab")
+    // separate frames: the composed HOF pair is CodegenFallback and would
+    // evict a shared Project from WSCG (the SqDecodeDot lesson)
+    val fusedDf = rows.select($"id",
+      FastExpressions.adcLookupSum($"codes", $"tab").as("s"))
+    val composedDf = rows.select($"id",
+      aggregate(zip_with($"codes", $"tab",
+        (code, row) => element_at(row, code + 1)),
+        lit(0.0), (acc, x) => acc + x).as("s"))
+    assert(generatedCode(fusedDf).contains(".compute("),
+      "expected unboxed compute call")
+    val got = fusedDf.as[(Long, Double)].collect().sortBy(_._1)
+    val want = composedDf.as[(Long, Double)].collect().sortBy(_._1)
+    got.zip(want).foreach { case ((id, f), (_, c)) =>
+      assert(f == c, s"fused/composed divergence at id $id: $f vs $c")
+    }
+    // null discipline: out-of-range code (element_at's null) and length
+    // mismatch (zip_with padding) both poison the sum to NULL
+    val bad = Seq(
+      (1L, Seq(0, 99), Seq(Seq(1.0), Seq(2.0))),  // code 99 out of range
+      (2L, Seq(0), Seq(Seq(1.0), Seq(2.0))),       // fewer codes than rows
+      (3L, Seq(0, 0), Seq(Seq(1.0), Seq(2.0))))    // clean
+      .toDF("id", "codes", "tab")
+      .select($"id", FastExpressions.adcLookupSum($"codes", $"tab").as("s"))
+    assert(bad.filter($"id" === 1L).head().isNullAt(1))
+    assert(bad.filter($"id" === 2L).head().isNullAt(1))
+    assert(bad.filter($"id" === 3L).head().getDouble(1) == 3.0)
+  }
+
   test("PqEncode: lowest-code tie-break on duplicate entries; null on bad input") {
     // duplicate codebook entries → struct-min semantics pick the LOWEST code
     val centers = Seq(Seq(0.0, 0.0))
