@@ -134,8 +134,14 @@ case class AnnSq(
       itemIdCol, itemVecCol))
 
   /** Relational form: one row per (query, rank, item, score). */
-  def asRows(df: DataFrame): DataFrame =
-    transform(df).select(col(queryIdCol),
+  def asRows(df: DataFrame): DataFrame = rowsOf(transform(df))
+
+  /** Relational form over a prebuilt coded index ([[transformIndexed]]). */
+  def asRowsIndexed(df: DataFrame, index: DataFrame): DataFrame =
+    rowsOf(transformIndexed(df, index))
+
+  private def rowsOf(out: DataFrame): DataFrame =
+    out.select(col(queryIdCol),
       posexplode(arrays_zip(col("candidate_ids"), col("candidate_scores")))
         .as(Seq("pos", "pair")))
       .select(col(queryIdCol), (col("pos") + 1).as("rank"),

@@ -1006,7 +1006,48 @@ object OpQueries {
              |SELECT vec_id, CAST(rank AS INTEGER) AS rank, item_id, score FROM ranked
              |WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
       }
+    }.toList.flatMap { case (n, sql) =>
+      // the sink-maintained coded index is id-identical to the batch
+      // encode (one index definition, per-item independent) — same
+      // oracle for the streaming-lifecycle row
+      Seq(n -> sql, "op_ann_sq_stream" -> sql)
     }.toMap
+
+  /** The ONLINE SQ8-index lifecycle end-to-end ([[annIvfStream]]'s shape
+    * for the scalar-quantized tier; completes the four-tier symmetry
+    * with op_ann_{ivf,pq,lsh}_stream): the catalog arrives as a
+    * 3-micro-batch item stream,
+    * [[graft.streaming.StreamingOps.annSqIndexSink]] maintains the
+    * persisted coded index under the frozen quantizers across batches,
+    * and the probe runs against the final loaded version. Encoding is
+    * per-item independent through the one shared [[AnnSq.index]]
+    * definition, so the maintained index equals the full build and this
+    * row shares op_ann_sq's dump-time oracle. */
+  def annSqStream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0).select(col("vec_id"), col("embedding"))
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    val (mins, maxs) = cachedSqRange(spark, d)
+    val items = ivfItems(spark, d)
+    val op = AnnSq(items, centers, mins, maxs, "vec_id", "embedding",
+      k = 10, nprobe = math.min(8, centers.size))
+    val itemRows = items.as[(Long, Seq[Float])].collect()
+    val dir = java.nio.file.Files.createTempDirectory("sq_stream_idx").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.annSqIndexSink(dir, op)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(itemRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val index = graft.streaming.StreamingOps.loadAnnSqIndex(spark, dir).get
+    op.asRowsIndexed(queries, index).orderBy("vec_id", "rank")
+  }
 
   /** IVF-PQ ANN — the memory-compressed FAISS scale path (`IVF32,PQ8`):
     * items travel as 8 codes + a list id, never as float vectors
@@ -1852,6 +1893,7 @@ object OpQueries {
     "op_ann_pq_drift" -> (annPqDrift _),
     "op_ann_pq_exact" -> (annPqExact _),
     "op_ann_sq" -> (annSq _),
+    "op_ann_sq_stream" -> (annSqStream _),
     "op_ann_sq_recall" -> (annSqRecall _),
     "op_ann_sq_recall_sampled" -> (annSqRecallSampled _),
     "op_trailing_features" -> (trailingFeatures _),
