@@ -129,6 +129,58 @@ case class AnnLsh(
         col("pair.candidate_scores").as("score"))
 }
 
+/** LSH bucket-occupancy skew report — the fit-quality monitor the sf1.0
+  * rehearsal indicted (SCALE.md "recsys sf1.0 adjudication"): sign-
+  * projection buckets over clustered embedding geometry are FIT-
+  * dependent — the average-targeting bits sizing (items/64) does not
+  * bound the heavy tail, and retrieval cost follows the probed buckets'
+  * sizes, so a heavy bucket silently multiplies every query that probes
+  * it (measured: heaviest bucket 22× uniform → 4.8× the uniform
+  * candidate volume). This op is the trigger half of the remedy: one
+  * partial-aggregable groupBy over bucket ids (metadata-scale output),
+  * all-integer columns so the row hash-replays from the resolved sign
+  * matrix. `skew_bp = max_count·10000 div ceil(n/2^bits)` — re-center /
+  * resize the fit, or switch the catalog to the k-means tier
+  * ([[AnnIvf]], which adapts its cells to clustered geometry), when it
+  * exceeds the deployment's bound. */
+case class LshSkewReport(
+    center: Seq[Double],
+    numBits: Int,
+    vecCol: String = "embedding") extends EnsembleOp {
+
+  require(numBits >= 1 && numBits <= 30, s"$name: numBits in [1, 30]")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, vecCol)
+    StructType(Seq(
+      StructField("n_items", LongType),
+      StructField("n_buckets", LongType),
+      StructField("n_occupied", LongType),
+      StructField("max_count", LongType),
+      StructField("uniform_count", LongType),
+      StructField("skew_bp", LongType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val nBuckets = 1L << numBits
+    val counts = df.filter(col(vecCol).isNotNull)
+      .select(graft.functions.FastExpressions.lshBucket(col(vecCol),
+        typedLit(center.toArray), numBits).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
+    counts.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n_items"),
+      count(lit(1)).as("n_occupied"),
+      coalesce(max(col("__c")), lit(0L)).as("max_count"))
+      .select(col("n_items"), lit(nBuckets).as("n_buckets"),
+        col("n_occupied"), col("max_count"))
+      .withColumn("uniform_count",
+        expr(s"(n_items + ${nBuckets - 1}L) div ${nBuckets}L"))
+      .withColumn("skew_bp",
+        when(col("uniform_count") === 0L, 0L)
+          .otherwise(expr("max_count * 10000L div uniform_count")))
+  }
+}
+
 object AnnLsh {
   /** The bucketed index frame — the ONE bucketing definition
     * (transform, [[AnnLsh.updatedIndex]] and the streaming sink all

@@ -235,6 +235,20 @@ object OpQueries {
     op.asRowsIndexed(queries, index).orderBy("vec_id", "rank")
   }
 
+  /** LSH bucket-occupancy skew over the op_ann_lsh fitted state
+    * ([[graft.ops.LshSkewReport]]): the fit-quality trigger the sf1.0
+    * recsys adjudication motivated — retrieval cost follows probed
+    * bucket sizes, and sign-LSH occupancy on clustered geometry is
+    * fit-dependent, so the histogram summary must be a monitored row,
+    * not an assumption. All-integer outputs; hash-replayed from the
+    * same resolved sign matrix as op_ann_lsh. */
+  def annLshSkew(spark: SparkSession, d: String): DataFrame = {
+    val items = embeddings(spark, d).filter(col("label") =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding"))
+    LshSkewReport(cachedLshCenter(spark, d), annLshBits)
+      .transform(items)
+  }
+
   /** op_ann_lsh's oracle, generated at dump time. The hyperplanes are ±1
     * sign vectors read from bit p of xxhash64(dim, seed=42) — DuckDB has
     * no xxhash64, but the RESOLVED sign matrix is a deterministic fitted
@@ -295,8 +309,54 @@ object OpQueries {
       // the sink-maintained bucket table is id-identical to the batch
       // build (one bucketing definition, per-item independent) — same
       // oracle for the streaming-lifecycle row
-      Seq(n -> sql, "op_ann_lsh_stream" -> sql)
+      Seq(n -> sql, "op_ann_lsh_stream" -> sql,
+        // pick can't be empty here — this flatMap runs inside its
+        // non-empty branch, on the same dir-pinned center
+        "op_ann_lsh_skew" -> lshSkewSql(OracleDir.pick(lshCenterCache).get))
     }.toMap
+
+  /** op_ann_lsh_skew's oracle: the item-bucket CTE from the op_ann_lsh
+    * replay (same resolved sign matrix, same strict `> 0` sign and
+    * d-ascending projection fold), collapsed to the all-integer
+    * histogram summary — ceil-division uniform target, basis-point
+    * skew, empty-catalog zeros. */
+  private def lshSkewSql(mu: Seq[Double]): String = {
+    val numBits = annLshBits
+    val dim = mu.size
+    val nBuckets = 1L << numBits
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    val signRows = (0 until numBits).map { p =>
+      val sv = (0 until dim).map { dd =>
+        val h = XxHash64Function.hash(dd, IntegerType, 42L)
+        if (((h >>> p) & 1L) == 1L) 1.0 else -1.0
+      }
+      s"($p, ${1 << p}, '${sv.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH c(mu) AS (VALUES ('${mu.mkString("[", ", ", "]")}'::DOUBLE[])),
+       |s(p, pw, sv) AS (VALUES
+       |  $signRows),
+       |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE label <> 0 AND embedding IS NOT NULL),
+       |ib AS (SELECT item_id,
+       |    CAST(sum(CASE WHEN list_inner_product(diff, sv) > 0 THEN pw ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM (SELECT item_id, list_transform(range(1, ${dim + 1}), i -> v[i] - mu[i]) AS diff
+       |    FROM items CROSS JOIN c) CROSS JOIN s
+       |  GROUP BY item_id),
+       |counts AS (SELECT bucket, count(*) AS c FROM ib GROUP BY bucket),
+       |agg AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_items,
+       |    CAST(count(*) AS BIGINT) AS n_occupied,
+       |    CAST(coalesce(max(c), 0) AS BIGINT) AS max_count
+       |  FROM counts)
+       |SELECT n_items, CAST($nBuckets AS BIGINT) AS n_buckets, n_occupied,
+       |  max_count,
+       |  (n_items + ${nBuckets - 1}) // $nBuckets AS uniform_count,
+       |  CASE WHEN (n_items + ${nBuckets - 1}) // $nBuckets = 0
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE max_count * 10000 // ((n_items + ${nBuckets - 1}) // $nBuckets)
+       |  END AS skew_bp
+       |FROM agg""".stripMargin
+  }
 
   /** Memoized IVF coarse-quantizer centers keyed by (sfDir, nlist,
     * maxIter). A served IVF index is fit offline once and probed many
@@ -1879,6 +1939,7 @@ object OpQueries {
     "op_topk_retrieval" -> (topkRetrieval _),
     "op_ann_lsh" -> (annLsh _),
     "op_ann_lsh_stream" -> (annLshStream _),
+    "op_ann_lsh_skew" -> (annLshSkew _),
     "op_ann_ivf" -> (annIvf _),
     "op_ann_index_update" -> (annIndexUpdate _),
     "op_ann_ivf_stream" -> (annIvfStream _),

@@ -45,4 +45,32 @@ class AnnLshSpec extends SparkSpec {
       .select(explode($"candidate_ids")).as[Long].collect()
     assert(out.forall(itemIds.contains))
   }
+
+  test("LshSkewReport: degenerate one-bucket catalog maxes skew; spread catalog spreads") {
+    // every vector identical → all land in ONE bucket: max_count = n,
+    // the worst case the monitor exists to flag
+    val same = (1L to 40L).map(i => (i, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("item_id", "embedding")
+    val mu = Seq(0.0, 0.0, 0.0, 0.0)
+    val r1 = LshSkewReport(mu, numBits = 4).transform(same).head()
+    assert(r1.getLong(0) == 40L) // n_items
+    assert(r1.getLong(1) == 16L) // n_buckets
+    assert(r1.getLong(2) == 1L)  // n_occupied
+    assert(r1.getLong(3) == 40L) // max_count
+    assert(r1.getLong(4) == 3L)  // uniform_count = ceil(40/16)
+    assert(r1.getLong(5) == 40L * 10000L / 3L) // skew_bp
+    // a gaussian spread occupies many buckets and pulls skew down
+    val rnd = new scala.util.Random(11)
+    val spread = (1L to 400L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat))).toDF("item_id", "embedding")
+    val r2 = LshSkewReport(mu, numBits = 4).transform(spread).head()
+    assert(r2.getLong(2) > 8L, s"expected many occupied buckets: ${r2.getLong(2)}")
+    assert(r2.getLong(5) < r1.getLong(5),
+      "spread catalog must report lower skew than the degenerate one")
+    // null vectors are excluded, empty catalog reports zeros
+    val r3 = LshSkewReport(mu, numBits = 4)
+      .transform(Seq((1L, null: Seq[Float])).toDF("item_id", "embedding")).head()
+    assert((0 until 6).filter(_ != 1).forall(i => r3.getLong(i) == 0L),
+      s"empty catalog must report zeros: $r3")
+  }
 }
