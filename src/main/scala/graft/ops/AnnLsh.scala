@@ -152,21 +152,22 @@ case class LshSkewReport(
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, vecCol)
-    StructType(Seq(
-      StructField("n_items", LongType),
-      StructField("n_buckets", LongType),
-      StructField("n_occupied", LongType),
-      StructField("max_count", LongType),
-      StructField("uniform_count", LongType),
-      StructField("skew_bp", LongType)))
+    BucketSkew.schema
   }
 
-  override def transform(df: DataFrame): DataFrame = {
-    val nBuckets = 1L << numBits
-    val counts = df.filter(col(vecCol).isNotNull)
-      .select(graft.functions.FastExpressions.lshBucket(col(vecCol),
-        typedLit(center.toArray), numBits).as("__b"))
-      .groupBy("__b").agg(count(lit(1)).as("__c"))
+  override def transform(df: DataFrame): DataFrame =
+    BucketSkew.summarize(
+      df.filter(col(vecCol).isNotNull)
+        .select(graft.functions.FastExpressions.lshBucket(col(vecCol),
+          typedLit(center.toArray), numBits).as("__b")),
+      1L << numBits)
+}
+
+/** The shared occupancy-summary shape behind [[LshSkewReport]] and
+  * [[IvfSkewReport]]: bucket ids in, ONE all-integer row out. */
+private[ops] object BucketSkew {
+  def summarize(buckets: DataFrame, nBuckets: Long): DataFrame = {
+    val counts = buckets.groupBy("__b").agg(count(lit(1)).as("__c"))
     counts.agg(
       coalesce(sum(col("__c")), lit(0L)).as("n_items"),
       count(lit(1)).as("n_occupied"),
@@ -179,6 +180,42 @@ case class LshSkewReport(
         when(col("uniform_count") === 0L, 0L)
           .otherwise(expr("max_count * 10000L div uniform_count")))
   }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_items", LongType),
+    StructField("n_buckets", LongType),
+    StructField("n_occupied", LongType),
+    StructField("max_count", LongType),
+    StructField("uniform_count", LongType),
+    StructField("skew_bp", LongType)))
+}
+
+/** [[LshSkewReport]]'s twin for the k-means tiers (IVF,Flat / IVF-PQ /
+  * IVF,SQ8 share the coarse quantizer, so one report covers all three):
+  * inverted-LIST occupancy. K-means adapts its cells to clustered
+  * geometry, which is exactly why it is the documented remedy when the
+  * LSH report trips — but empty/heavy lists are still data-dependent
+  * (bad convergence, drift after an incremental ingest run under frozen
+  * centers), probe cost follows the probed lists' sizes, and nlist is
+  * sized to ~64 items/list ASSUMING balance. Same all-integer summary,
+  * hash-replayable from the centroid literals. */
+case class IvfSkewReport(
+    centers: Seq[Seq[Double]],
+    vecCol: String = "embedding") extends EnsembleOp {
+
+  require(centers.nonEmpty, s"$name: need at least one centroid")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, vecCol)
+    BucketSkew.schema
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    BucketSkew.summarize(
+      df.filter(col(vecCol).isNotNull)
+        .select(graft.functions.VectorFunctions
+          .nearestCentroid(col(vecCol), centers).as("__b")),
+      centers.size.toLong)
 }
 
 object AnnLsh {

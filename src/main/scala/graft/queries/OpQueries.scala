@@ -249,6 +249,14 @@ object OpQueries {
       .transform(items)
   }
 
+  /** Inverted-list occupancy over the shared IVF32 coarse quantizer
+    * ([[graft.ops.IvfSkewReport]]) — one report covers the Flat/PQ/SQ8
+    * tiers since they share the fit. Hash-replayed from the centroid
+    * literals via the op_ann_ivf assignment CTE. */
+  def annIvfSkew(spark: SparkSession, d: String): DataFrame =
+    IvfSkewReport(cachedCenters(spark, d, nlist = 32, maxIter = 5))
+      .transform(ivfItems(spark, d))
+
   /** op_ann_lsh's oracle, generated at dump time. The hyperplanes are ±1
     * sign vectors read from bit p of xxhash64(dim, seed=42) — DuckDB has
     * no xxhash64, but the RESOLVED sign matrix is a deterministic fitted
@@ -535,9 +543,34 @@ object OpQueries {
         // the incremental-index query AND the stream-maintained index are
         // id-identical to the rebuild by construction (assignment is
         // per-item independent) — same oracle for all three
+        // list-occupancy summary from the same assignment CTE: the
+        // all-integer histogram with ceil-uniform target and bp skew
+        val n = centers.size
+        val skewSql =
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $rows),
+             |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE label <> 0 AND embedding IS NOT NULL),
+             |iass AS (SELECT item_id, cid, row_number() OVER
+             |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM items CROSS JOIN cent),
+             |counts AS (SELECT cid, count(*) AS c FROM iass WHERE rn = 1 GROUP BY cid),
+             |agg AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_items,
+             |    CAST(count(*) AS BIGINT) AS n_occupied,
+             |    CAST(coalesce(max(c), 0) AS BIGINT) AS max_count
+             |  FROM counts)
+             |SELECT n_items, CAST($n AS BIGINT) AS n_buckets, n_occupied,
+             |  max_count,
+             |  (n_items + ${n - 1}) // $n AS uniform_count,
+             |  CASE WHEN (n_items + ${n - 1}) // $n = 0
+             |    THEN CAST(0 AS BIGINT)
+             |    ELSE max_count * 10000 // ((n_items + ${n - 1}) // $n)
+             |  END AS skew_bp
+             |FROM agg""".stripMargin
         Seq("op_ann_ivf" -> sql, "op_ann_index_update" -> sql,
           "op_ann_ivf_stream" -> sql,
-          "op_ann_ivf_recall_sampled" -> sampledSql)
+          "op_ann_ivf_recall_sampled" -> sampledSql,
+          "op_ann_ivf_skew" -> skewSql)
       }.toMap
 
   /** op_ann_pq's oracle — the full IVF-PQ path (encode, probe, ADC
@@ -1940,6 +1973,7 @@ object OpQueries {
     "op_ann_lsh" -> (annLsh _),
     "op_ann_lsh_stream" -> (annLshStream _),
     "op_ann_lsh_skew" -> (annLshSkew _),
+    "op_ann_ivf_skew" -> (annIvfSkew _),
     "op_ann_ivf" -> (annIvf _),
     "op_ann_index_update" -> (annIndexUpdate _),
     "op_ann_ivf_stream" -> (annIvfStream _),

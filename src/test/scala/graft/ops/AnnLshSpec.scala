@@ -73,4 +73,18 @@ class AnnLshSpec extends SparkSpec {
     assert((0 until 6).filter(_ != 1).forall(i => r3.getLong(i) == 0L),
       s"empty catalog must report zeros: $r3")
   }
+
+  test("IvfSkewReport: list occupancy over fixed centroids, lowest-cid tie-break") {
+    // two centroids; 30 items near c0, 10 near c1 → counts (30, 10)
+    val items = ((1L to 30L).map(i => (i, Seq(1.0f, 0.0f))) ++
+      (31L to 40L).map(i => (i, Seq(0.0f, 5.0f)))).toDF("item_id", "embedding")
+    val centers = Seq(Seq(1.0, 0.0), Seq(0.0, 5.0))
+    val r = IvfSkewReport(centers).transform(items).head()
+    assert(r.getLong(0) == 40L) // n_items
+    assert(r.getLong(1) == 2L)  // n_buckets = nlist
+    assert(r.getLong(2) == 2L)  // n_occupied
+    assert(r.getLong(3) == 30L) // max_count
+    assert(r.getLong(4) == 20L) // uniform_count
+    assert(r.getLong(5) == 15000L) // skew_bp = 30*10000/20
+  }
 }
