@@ -167,6 +167,19 @@ object Bench {
       }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Previous committed artifact (for round-over-round deltas): our own
+    // bench_results.json format, parsed with a regex so Bench stays
+    // dependency-free. Missing/unparsable → empty map (first round, or
+    // a selective local run).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "bench_results.json")
+    val baselineWarm: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8")
+      val re = """"([^"]+)":\{"cold":[-0-9.eE]+,"warm":([-0-9.eE]+)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
     val results = selected.map { case (name, fn) =>
       // Steady state is the official number: the FIRST execution of a
       // query in a JVM pays one-time JIT/codegen warm-up of its biggest
@@ -193,6 +206,35 @@ object Bench {
       System.err.println(f"[bench] $name%-24s cold ${cold}%7.2fs  warm ${warm}%7.2fs")
       (name, cold, warm)
     }
+    // Isolated re-measure of flagged rows — SCALE.md's host-drift
+    // discipline automated (round-11 VERDICT item 6): in-board numbers
+    // swing 1.3-3× on this virtualized host, so the N largest
+    // round-over-round warm regressions vs the previous committed
+    // artifact (fallback when none parses: the N heaviest rows) re-run
+    // AFTER the board, twice each with full settle, min kept — the
+    // artifact then carries in-board AND isolated columns so a
+    // regression can be adjudicated without a hand re-run.
+    val remeasureN = args.sliding(2).collectFirst {
+      case Array("--remeasure-worst", n) => n.toInt
+    }.orElse(sys.env.get("SPARK_GRAFT_BENCH_REMEASURE").map(_.toInt))
+      .getOrElse(4)
+    val flagged: Seq[String] = {
+      val warmOk = results.filter(_._3 >= 0)
+      if (remeasureN <= 0) Seq.empty
+      else if (baselineWarm.nonEmpty)
+        warmOk.flatMap { case (n, _, w) =>
+          baselineWarm.get(n).map(b => (n, w - b)) }
+          .filter(_._2 > 0).sortBy(-_._2).take(remeasureN).map(_._1)
+      else warmOk.sortBy(-_._3).take(remeasureN).map(_._1)
+    }
+    val isolated: Map[String, Double] = flagged.map { n =>
+      val fn = SparkEntry.queries(n)
+      val runs = Seq(timedRun(n, fn), timedRun(n, fn)).filter(_ >= 0)
+      val best = if (runs.isEmpty) -1.0 else runs.min
+      System.err.println(f"[bench] isolated $n%-24s ${best}%7.2fs")
+      n -> best
+    }.toMap
+
     def jsonMap(sel: ((String, Double, Double)) => Double): String =
       results.map { case t @ (k, _, _) => "\"" + k + "\":" + sel(t) }
         .mkString("{", ",", "}")
@@ -222,6 +264,30 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
+    // the COMPLETE machine-readable artifact (round-11 VERDICT item 5:
+    // the driver archives only a stdout tail, which truncated 128 of 192
+    // rows out of BENCH_r11) — committed into the repo so every row
+    // survives, with per-query cold / warm / isolated columns and the
+    // baseline the deltas were computed against
+    val artPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESULTS",
+      "bench_results.json")
+    val perQuery = results.map { case (n, c, w) =>
+      val iso = isolated.get(n).map(i => s""","isolated":$i""").getOrElse("")
+      s""""$n":{"cold":$c,"warm":$w$iso}"""
+    }.mkString(",")
+    val art = s"""{"sf":"$sfDir","n_queries":${results.size},""" +
+      s""""total_warm":$total,"baseline":${
+        if (baselineWarm.isEmpty) "null" else "\"" + baselinePath + "\""},""" +
+      s""""queries":{$perQuery}}"""
+    // a selective local run must not clobber the committed full-board
+    // artifact the next round's baseline deltas read
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(artPath),
+        (art + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $artPath: $e") }
+    else System.err.println(
+      s"[bench] selective run — skipped writing $artPath")
     spark.stop()
   }
 }

@@ -72,14 +72,55 @@ object Flagship {
     })
 
   /** Verify-dir side artifacts of one [[recommend]] serving pass:
-    * factor tables, LSH item buckets, user home buckets, and the scalar
-    * parameters the oracle replay needs. The bucket assignments are
-    * fit-state like centroid literals — the oracle does not re-derive the
-    * xxhash hyperplanes, it replays the SERVING math (probe join, double
-    * dot, top-k, seen filter, softmax keys) from them. */
+    * factor tables, index assignments (LSH buckets or IVF lists —
+    * `retriever` records which tier served), user probe buckets, and
+    * the scalar parameters the oracle replay needs. The assignments are
+    * fit-state like centroid literals — the oracle does not re-derive
+    * the xxhash hyperplanes / k-means fit, it replays the SERVING math
+    * (probe join, double dot, top-k, seen filter, softmax keys) from
+    * them. For `retriever = "lsh"` the user table carries one `home`
+    * bucket per user (the XOR probe flips are serving math, replayed in
+    * SQL); for `"ivf"` it carries the EXPLODED (user_id, bucket) probe
+    * rows — the nprobe-nearest-centroid routing under the frozen
+    * quantizer, per-user fit state like the item assignments. */
   case class RecsysArtifacts(userPath: String, itemPath: String,
       itemBucketPath: String, userBucketPath: String, rank: Int,
-      retrievalK: Int, finalK: Int, temperature: Double, seed: Long)
+      retrievalK: Int, finalK: Int, temperature: Double, seed: Long,
+      retriever: String = "lsh")
+
+  /** The occupancy-skew bound (basis points of the ceil-uniform bucket
+    * target) above which [[chooseRetriever]] abandons the sign-LSH tier
+    * for k-means IVF. Calibrated from the sf1.0 rehearsal indictment
+    * (SCALE.md): a healthy centered fit reads ~18000 bp (1.8× uniform
+    * in the heaviest bucket — normal Poisson-ish spread at ~64
+    * items/bucket), the pathological skewed-cone fit ~435000 bp, and
+    * retrieval cost follows the probed buckets' sizes, so the bound
+    * sits well above healthy variance and far below the measured
+    * cliff: 8× uniform. */
+  val LshSkewBoundBp: Long = 80000L
+
+  /** The ACTION half of the LSH-skew remedy ([[graft.ops.LshSkewReport]]
+    * is the trigger): probe the would-be LSH fit's bucket occupancy and
+    * pick the retrieval tier — sign-LSH while the fit geometry spreads
+    * (cheapest index: no training, one mean vector of state), k-means
+    * IVF when the catalog's cone collapses the fixed hyperplane buckets
+    * (`skew_bp > LshSkewBoundBp`), because trained centroids adapt
+    * their cells to clustered geometry where fixed planes cannot — and
+    * IVF is also the reference's own index family
+    * (merlin/systems/dag/ops/faiss.py:213-214, `IVF32,Flat`). One
+    * metadata-scale aggregate over the (persisted) item vectors; the
+    * returned skew_bp is the evidence behind the decision. */
+  def chooseRetriever(itemVecs: DataFrame, center: Seq[Double],
+      numBits: Int, vecCol: String = "embedding"): (String, Long) = {
+    val skewBp = graft.ops.LshSkewReport(center, numBits, vecCol)
+      .transform(itemVecs).head().getAs[Long]("skew_bp")
+    val tier = if (skewBp > LshSkewBoundBp) "ivf" else "lsh"
+    if (tier == "ivf")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"LSH bucket skew $skewBp bp > $LshSkewBoundBp bp — " +
+        "switching the retrieval tier to k-means IVF")
+    (tier, skewBp)
+  }
 
   val recsysArtifacts =
     scala.collection.concurrent.TrieMap.empty[String, RecsysArtifacts]
@@ -116,7 +157,7 @@ object Flagship {
     * time and travels as an op parameter so a reloaded ensemble buckets
     * with bit-identical hyperplanes. */
   def servingEnsemble(spark: SparkSession, d: String, retrievalK: Int = 100,
-      finalK: Int = 10, retriever: String = "lsh"): (Ensemble, DataFrame) = {
+      finalK: Int = 10, retriever: String = "auto"): (Ensemble, DataFrame) = {
     val interactions = interactionsFrame(spark, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val als = PredictImplicit.train(interactions, "user", "item", "strength",
@@ -133,20 +174,35 @@ object Flagship {
       .select(col("c_custkey").cast("long").as("user_id"),
         col("c_mktsegment"), col("c_acctbal"))
     interactions.unpersist()
-    // interchangeable ANN backends, both persistable with their fitted
+    // interchangeable ANN backends, all persistable with their fitted
     // state as plain parameters: hyperplane LSH (fit = one mean vector)
-    // or k-means IVF (fit = nlist centroids, lists sized ~64 items)
+    // or k-means IVF (fit = nlist centroids, lists sized ~64 items).
+    // "auto" (the default) is the skew-aware choice: LSH while its fit
+    // geometry spreads, IVF when the occupancy report trips
+    // ([[chooseRetriever]] — the sf1.0 rehearsal's 5× cliff was exactly
+    // a skewed factor cone served through fixed hyperplanes).
+    def lshOp(): graft.core.EnsembleOp = {
+      val numBits = math.max(4, math.min(12,
+        (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
+      val center = graft.functions.VectorFunctions.meanVector(itemVecs, "embedding").toSeq
+      AnnLsh(itemVecs, "user_id", "user_vec", k = retrievalK,
+        numBits = numBits, nprobe = 4, metric = "dot", center = Some(center))
+    }
+    def ivfOp(): graft.core.EnsembleOp = {
+      val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
+      AnnIvf.fit(itemVecs, "user_id", "user_vec", k = retrievalK,
+        nlist = nlist, nprobe = math.min(8, nlist), metric = "dot")
+    }
     val retrieval: graft.core.EnsembleOp = retriever match {
-      case "lsh" =>
+      case "lsh" => lshOp()
+      case "ivf" => ivfOp()
+      case "auto" =>
         val numBits = math.max(4, math.min(12,
           (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
-        val center = graft.functions.VectorFunctions.meanVector(itemVecs, "embedding").toSeq
-        AnnLsh(itemVecs, "user_id", "user_vec", k = retrievalK,
-          numBits = numBits, nprobe = 4, metric = "dot", center = Some(center))
-      case "ivf" =>
-        val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
-        AnnIvf.fit(itemVecs, "user_id", "user_vec", k = retrievalK,
-          nlist = nlist, nprobe = math.min(8, nlist), metric = "dot")
+        val center = graft.functions.VectorFunctions
+          .meanVector(itemVecs, "embedding").toSeq
+        if (chooseRetriever(itemVecs, center, numBits)._1 == "lsh") lshOp()
+        else ivfOp()
       case "pq" =>
         // ALS factors are rank-dim (small); aim for ~4-dim subspaces but
         // take the largest m that DIVIDES the rank (rank/4 itself need
@@ -158,7 +214,8 @@ object Flagship {
         AnnIvfPq.fit(itemVecs, "user_id", "user_vec", k = retrievalK,
           nlist = nlist, m = m, ksub = 16,
           nprobe = math.min(8, nlist), refine = retrievalK * 4)
-      case r => throw new IllegalArgumentException(s"unknown retriever '$r' (lsh|ivf|pq)")
+      case r => throw new IllegalArgumentException(
+        s"unknown retriever '$r' (auto|lsh|ivf|pq)")
     }
     val ens = Ensemble(Seq(
       QueryFeatureStore(userVecs, "user_id", Seq("user_vec"), includeId = true),
@@ -171,8 +228,12 @@ object Flagship {
     (ens, requests)
   }
 
+  /** `retriever`: None (production default) = skew-aware auto-decide via
+    * [[chooseRetriever]]; Some("lsh"|"ivf") pins the tier — the test
+    * seam that lets the IVF serving branch (and its oracle replay) run
+    * end-to-end on catalogs whose healthy geometry would never trip it. */
   def recommend(spark: SparkSession, d: String, retrievalK: Int = 100,
-      finalK: Int = 10): DataFrame = {
+      finalK: Int = 10, retriever: Option[String] = None): DataFrame = {
     // stage 0: the implicit-feedback model — prefit parquet factors when
     // prewarmed (the offline-artifact serving discipline), inline ALS
     // otherwise. interactions feeds the fit (fallback path) + seen-set.
@@ -197,43 +258,77 @@ object Flagship {
       requests.schema).transform(requests)
       .filter(col("user_vec").isNotNull) // cold users have no factors
 
-    // stage 2: top-k retrieval against the item-factor "index" via LSH
-    // buckets (the 100 TB path: candidates per user ≈ items/2^bits ×
-    // nprobe, not |items| — brute force here would score |users|·|items|
-    // pairs, which already times out at sf0.1). Bucket bits scale with the
-    // catalog so buckets average ~64 items at any scale factor. The
-    // center is computed ONCE here and passed as fit state: the artifact
-    // dump below buckets with the same literal (a recomputed double mean
-    // can drift in the last bits and flip borderline signs).
+    // stage 2: top-k retrieval against the item-factor "index" (the
+    // 100 TB path: candidates per user ≈ bucket-size × nprobe, not
+    // |items| — brute force here would score |users|·|items| pairs,
+    // which already times out at sf0.1). The tier is skew-aware
+    // ([[chooseRetriever]]): sign-LSH with bits scaled so buckets
+    // average ~64 items while the fit geometry spreads; k-means IVF
+    // when the occupancy report trips — the sf1.0 rehearsal measured a
+    // skewed ALS factor cone putting 22× the uniform load in the
+    // heaviest LSH bucket and 4.8× the expected candidate volume
+    // through the probe join, and trained centroids adapt to exactly
+    // that geometry. The LSH center is computed ONCE and passed as fit
+    // state: the artifact dump below buckets with the same literal (a
+    // recomputed double mean can drift in the last bits and flip
+    // borderline signs); the IVF centroids are likewise fit once and
+    // shared between the serving op and the artifact dump.
     val nItems = itemVecs.count()
     val numBits = math.max(4, math.min(12,
       (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
     val center = graft.functions.VectorFunctions
       .meanVector(itemVecs, "embedding").toSeq
-    val retrieved = AnnLsh(itemVecs, "user_id", "user_vec",
-      k = retrievalK, numBits = numBits, nprobe = 4, metric = "dot",
-      center = Some(center)).transform(withVec)
+    // GRAFT_RECSYS_RETRIEVER: a harness seam for driving the non-default
+    // tier through the FULL Verify/oracle flow (the tier is otherwise
+    // data-decided, and healthy test catalogs never trip to IVF)
+    val tier = retriever
+      .orElse(sys.env.get("GRAFT_RECSYS_RETRIEVER"))
+      .getOrElse(chooseRetriever(itemVecs, center, numBits)._1)
+    // (retrieved frame, item assignment artifact, user probe artifact)
+    val (retrieved, itemBuckets, userBuckets) = tier match {
+      case "lsh" =>
+        val mu = typedLit(center.toArray)
+        def bkt(vec: org.apache.spark.sql.Column) =
+          graft.functions.FastExpressions.lshBucket(vec, mu, numBits)
+        (AnnLsh(itemVecs, "user_id", "user_vec",
+          k = retrievalK, numBits = numBits, nprobe = 4, metric = "dot",
+          center = Some(center)).transform(withVec),
+         itemVecs.select(col("item_id"), bkt(col("embedding")).as("bucket")),
+         withVec.select(col("user_id"), bkt(col("user_vec")).as("home")))
+      case _ =>
+        val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
+        val nprobe = math.min(8, nlist)
+        val centers = graft.functions.VectorFunctions
+          .fitCenters(itemVecs, "embedding", nlist, maxIter = 10, seed = 42L)
+        val op = AnnIvf(itemVecs, centers, "user_id", "user_vec",
+          k = retrievalK, nprobe = nprobe, metric = "dot")
+        // user probe routing under the frozen quantizer — the same
+        // sorted-slice formula as AnnIvf's probe side, exploded to
+        // (user_id, bucket) rows so the oracle's probe join reads it
+        // exactly like the LSH home-bucket table
+        val probeCids = org.apache.spark.sql.functions.transform(
+          slice(array_sort(graft.functions.VectorFunctions
+            .centroidStructs(col("user_vec"), centers)), 1, nprobe),
+          s => s.getField("cid"))
+        (op.transform(withVec),
+         AnnIvf.index(itemVecs, centers)
+           .select(col("__item_id").as("item_id"), col("__cid").as("bucket")),
+         withVec.select(col("user_id"), explode(probeCids).as("bucket")))
+    }
 
-    // under Verify: persist the fitted state (factors + bucket
+    // under Verify: persist the fitted state (factors + index/probe
     // assignments) so the oracle can replay the serving stage in SQL
     {
       import graft.queries.OracleDir
-      val mu = typedLit(center.toArray)
-      def bkt(vec: org.apache.spark.sql.Column) =
-        graft.functions.FastExpressions.lshBucket(vec, mu, numBits)
       for {
         up <- OracleDir.writeArtifact(userFactors, d, "recsys_user")
         ip <- OracleDir.writeArtifact(itemFactors, d, "recsys_item")
-        ib <- OracleDir.writeArtifact(
-          itemVecs.select(col("item_id"),
-            bkt(col("embedding")).as("bucket")), d, "recsys_item_buckets")
-        ub <- OracleDir.writeArtifact(
-          withVec.select(col("user_id"),
-            bkt(col("user_vec")).as("home")), d, "recsys_user_buckets")
+        ib <- OracleDir.writeArtifact(itemBuckets, d, "recsys_item_buckets")
+        ub <- OracleDir.writeArtifact(userBuckets, d, "recsys_user_buckets")
       } recsysArtifacts(d) = RecsysArtifacts(up, ip, ib, ub,
         rank = userFactors.select("features").head().getSeq[Float](0).size,
         retrievalK = retrievalK, finalK = finalK,
-        temperature = 20.0, seed = 42L)
+        temperature = 20.0, seed = 42L, retriever = tier)
     }
 
     // stage 3: drop seen items and rank — the retrieval scores ARE the dot

@@ -856,8 +856,15 @@ case class ByteStride(child: Expression, skip: Int, step: Int)
   * coarse list, codes the m sub-codes, d2 the EXACT per-subspace
   * quantization error `(|e|² − 2·r_j·e) + r_j·r_j` (what
   * [[graft.ops.PqCodebookDrift]] thresholds). NULL when the vector's
-  * length disagrees with m·dsub or any element is null — the same
-  * null-poisoning the zip_with formulation produced. */
+  * length disagrees with m·dsub or any element is null — the NULL-in/
+  * NULL-out discipline, which is deliberately STRICTER than the old
+  * struct-min tree (a null element there sorted first and yielded
+  * cid=0 with all-zero codes): degenerate vectors are now EXCLUDED
+  * from AnnIvfPq.index and PqCodebookDrift histograms rather than
+  * polluting list 0. Note the tier asymmetry this buys: AnnIvf's
+  * nearestCentroid path still assigns such a vector to a list, so the
+  * Flat and PQ tiers intentionally disagree on null-element input —
+  * valid catalogs (the ingest contract) carry none. */
 case class PqEncode(
     child: Expression,
     centers: Seq[Seq[Double]],
@@ -972,9 +979,15 @@ case class PqEncode(
   * without the zip_with + aggregate HOF pair it replaces. Value-identical
   * to `aggregate(zip_with(codes, tab, (c, row) => element_at(row, c+1)),
   * 0.0, (acc, x) => acc + x)` — the same j-ascending `((0+t0)+t1)+…`
-  * fold the DuckDB oracle replays, and the same null discipline:
-  * mismatched lengths (zip_with padding) or an out-of-range code
-  * (element_at's null) poison the sum to NULL. Why it exists: the probe
+  * fold the DuckDB oracle replays — on every input PqEncode can emit
+  * (codes in [0, ksub)). Null discipline for corrupt inputs: mismatched
+  * lengths (zip_with padding) or an out-of-range code poison the sum to
+  * NULL — for codes ≥ ksub that matches element_at, but element_at
+  * THROWS on index 0 (a code of −1) and under ANSI mode on any
+  * out-of-range index, where this expression stays NULL; since PqEncode
+  * never emits negative codes, the divergence is unreachable from the
+  * encode path and NULL is the deliberate non-throwing choice for a
+  * corrupted code table. Why it exists: the probe
   * join evaluates ADC once per CANDIDATE, and higher-order functions are
   * CodegenFallback — each candidate paid interpreted lambda evaluation
   * plus an intermediate array; this is one compiled loop over unboxed

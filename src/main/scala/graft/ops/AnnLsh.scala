@@ -148,7 +148,10 @@ case class LshSkewReport(
     numBits: Int,
     vecCol: String = "embedding") extends EnsembleOp {
 
-  require(numBits >= 1 && numBits <= 30, s"$name: numBits in [1, 30]")
+  // cap aligned with LshBucket/AnnLsh's [1, 32] so every fittable op can
+  // be monitored by its own skew report; 1L << 32 is long-safe and the
+  // summary columns are all long arithmetic
+  require(numBits >= 1 && numBits <= 32, s"$name: numBits in [1, 32]")
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, vecCol)

@@ -86,20 +86,40 @@ object BpeTrainer {
   }
 
   /** Learn `numMerges` merges. Stops early when no pair reaches
-    * `minPairCount` (corpus exhausted into whole words). */
+    * `minPairCount` (corpus exhausted into whole words). BATCHED: each
+    * Spark counting pass yields as many consecutive greedy merges as
+    * [[planBatch]] can prove safe, so the driver coordinates
+    * merges/avg-batch jobs instead of one job PER merge — the round-11
+    * scale nit (a 32k-merge vocab was 32k driver-coordinated jobs; the
+    * batched trainer is provably merge-list-identical, spec-pinned both
+    * against [[fitLocal]] and on the job count). */
   def fit(docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L, checkpointEvery: Int = 8): Seq[(String, String)] = {
+      minPairCount: Long = 2L, checkpointEvery: Int = 8,
+      batchWindow: Int = 64): Seq[(String, String)] =
+    fitWithStats(docs, textCol, numMerges, minPairCount, checkpointEvery,
+      batchWindow)._1
+
+  /** [[fit]] plus the number of counting passes (= Spark collect jobs)
+    * it ran — the observable the job-count spec pins. */
+  private[ops] def fitWithStats(docs: DataFrame, textCol: String,
+      numMerges: Int, minPairCount: Long = 2L, checkpointEvery: Int = 8,
+      batchWindow: Int = 64): (Seq[(String, String)], Int) = {
     require(numMerges >= 1, "BpeTrainer: numMerges must be >= 1")
     require(checkpointEvery >= 1, "BpeTrainer: checkpointEvery must be >= 1")
+    require(batchWindow >= 1, "BpeTrainer: batchWindow must be >= 1")
     var wf = wordTypes(docs, textCol).localCheckpoint(true)
     // the superseded checkpoint's blocks are released once the next one
     // materializes — otherwise numMerges/checkpointEvery stale copies of
     // the type table would pile up in storage over a long fit
     var prevCheckpoint = wf
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var r = 0
+    var rounds = 0
+    var sinceCheckpoint = 0
     var exhausted = false
-    while (r < numMerges && !exhausted) {
+    while (merges.size < numMerges && !exhausted) {
+      // ONE aggregate job per round: the (cnt desc, a, b)-sorted top
+      // window plus one overflow row, whose count upper-bounds every
+      // uncollected pair (planBatch's out-of-window bound)
       val top = wf
         .filter(size(col("__toks")) > 1)
         .select(col("__freq"), explode(zip_with(
@@ -109,23 +129,92 @@ object BpeTrainer {
         .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
         .agg(sum("__freq").as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getAs[Long]("cnt") < minPairCount) exhausted = true
+        .limit(batchWindow + 1).collect()
+      rounds += 1
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < minPairCount)
+        exhausted = true
       else {
-        val a = top.head.getAs[String]("a")
-        val b = top.head.getAs[String]("b")
-        merges += ((a, b))
-        wf = wf.withColumn("__toks", mergePair(col("__toks"), a, b))
-        r += 1
+        val collected = top.take(batchWindow).map(r =>
+          ((r.getAs[String]("a"), r.getAs[String]("b")), r.getAs[Long]("cnt"))).toSeq
+        val tailCnt =
+          if (top.length > batchWindow) top.last.getAs[Long]("cnt") else 0L
+        val batch = planBatch(collected, tailCnt,
+          numMerges - merges.size, minPairCount)
+        merges ++= batch
+        wf = batch.foldLeft(wf) { case (f, (a, b)) =>
+          f.withColumn("__toks", mergePair(col("__toks"), a, b))
+        }
+        sinceCheckpoint += batch.size
         // truncate lineage so plan depth stays bounded by checkpointEvery
-        if (r % checkpointEvery == 0) {
+        if (sinceCheckpoint >= checkpointEvery) {
           wf = wf.localCheckpoint(true)
           prevCheckpoint.unpersist(blocking = false)
           prevCheckpoint = wf
+          sinceCheckpoint = 0
         }
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
+  }
+
+  /** The driver-side batch plan over one counting pass: the maximal
+    * PREFIX of the sorted pair table that is provably the next run of
+    * serial greedy choices — merge-list-identical to one-merge-per-pass
+    * by construction. `collected` is the (cnt desc, a asc, b asc)-sorted
+    * window; `tailCnt` bounds every pair OUTSIDE it (the overflow row's
+    * count; 0 when the table fit the window).
+    *
+    * A candidate c_i extends the batch iff, in the state after applying
+    * the already-accepted c_1..c_{i-1}, serial greedy's argmax is still
+    * exactly c_i. Three facts close that proof:
+    *
+    *  1. Merging elsewhere never CREATES an occurrence of a pair that
+    *     shares no token with it, and destroys occurrences only of
+    *     pairs that do — so a candidate token-disjoint from every
+    *     accepted merge (and from their merged symbol strings) keeps
+    *     its exact count, while any pair BELOW it in sort order can
+    *     only have fallen further. A candidate that DOES share a token
+    *     has an unknown (reduced) count, so the scan must STOP there —
+    *     skipping it could skip serial's true next choice.
+    *  2. A pair CREATED by accepted merge q = (a,b) involves its merged
+    *     symbol s: each (x, s) occurrence was an x·a·b trigram, so
+    *     count(x, s) ≤ count(x, a); symmetrically count(s, x) ≤
+    *     count(b, x), and (s, s') pairs reduce to count(b, a') — all
+    *     bounded by pre-state counts with a or b on the matching side,
+    *     hence by max(collected pairs ending at a, collected pairs
+    *     starting at b, tailCnt). A candidate accepted after q must
+    *     STRICTLY exceed that bound (ties lose to the created pair's
+    *     possibly-smaller lexicographic key).
+    *  3. Pairs outside the window are ≤ tailCnt < the window's counts,
+    *     so the prefix is contiguous in serial order.
+    */
+  private[ops] def planBatch(collected: Seq[((String, String), Long)],
+      tailCnt: Long, limit: Int, minPairCount: Long): Seq[(String, String)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val usedTokens = scala.collection.mutable.HashSet.empty[String]
+    val mergedSyms = scala.collection.mutable.HashSet.empty[String]
+    var createdUB = Long.MinValue
+    val it = collected.iterator
+    var stop = false
+    while (!stop && it.hasNext && accepted.size < limit) {
+      val ((a, b), cnt) = it.next()
+      if (cnt < minPairCount) stop = true
+      else if (accepted.nonEmpty &&
+          (usedTokens(a) || usedTokens(b) || mergedSyms(a) || mergedSyms(b) ||
+           cnt <= createdUB)) stop = true
+      else {
+        accepted += ((a, b))
+        usedTokens += a += b
+        mergedSyms += (a + b)
+        val ubLeft = collected.collect {
+          case ((_, r), c) if r == a => c }.maxOption.getOrElse(0L)
+        val ubRight = collected.collect {
+          case ((l, _), c) if l == b => c }.maxOption.getOrElse(0L)
+        createdUB = math.max(createdUB,
+          math.max(tailCnt, math.max(ubLeft, ubRight)))
+      }
+    }
+    accepted.toSeq
   }
 
   /** Independent single-node reference trainer over a word-frequency map

@@ -177,7 +177,7 @@ object CurationQueries {
   private def cachedBm25(spark: SparkSession, d: String): Bm25Index =
     bm25Cache.getOrElseUpdate(d, {
       val idx = Bm25Index.fit(documents(spark, d), "doc_id", "text")
-      val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+      val dir = OracleDir.tempDir("bm25_idx")
       idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
       idx.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
       idx.copy(postings = spark.read.parquet(s"$dir/postings"),
@@ -414,8 +414,7 @@ object CurationQueries {
     * manifest pruning has something real to skip). */
   private def streamedCorpusDir(spark: SparkSession, d: String,
       splitOf: Long => Int = id => (id % 3).toInt): String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("corpus_ingest_q").toString
+    val dir = OracleDir.tempDir("corpus_ingest_q")
     runFixtureStream(spark, d, splitOf)(prior =>
       graft.streaming.StreamingOps.corpusIngestSink(dir,
         initialIndex = Some(prior)))
@@ -530,8 +529,7 @@ object CurationQueries {
   def pipelineIncrementalCuration(spark: SparkSession, d: String): DataFrame = {
     import graft.streaming.StreamingOps
     val dir = streamedCorpusDir(spark, d)
-    val sigDir = java.nio.file.Files
-      .createTempDirectory("signal_state_q").toString
+    val sigDir = OracleDir.tempDir("signal_state_q")
     val sig = QualitySignals(keyCols = Seq("doc_id", "content_hash"))
     // signal version 1: published against the corpus as of v0 (batch 0)
     SignalReconcile.publishAgainst(
@@ -557,10 +555,8 @@ object CurationQueries {
     * batch` — both replayed by the ingest-replay + quality-math oracle. */
   def pipelineCurationStream(spark: SparkSession, d: String): DataFrame = {
     import graft.streaming.StreamingOps
-    val dir = java.nio.file.Files
-      .createTempDirectory("curated_corpus_q").toString
-    val sigDir = java.nio.file.Files
-      .createTempDirectory("curated_signals_q").toString
+    val dir = OracleDir.tempDir("curated_corpus_q")
+    val sigDir = OracleDir.tempDir("curated_signals_q")
     val sig = QualitySignals(keyCols = Seq("doc_id", "content_hash"))
     runFixtureStream(spark, d, id => (id % 3).toInt)(prior =>
       StreamingOps.curatedCorpusSink(dir, sigDir, sig,
@@ -1107,7 +1103,7 @@ object CurationQueries {
     val docRows = documents(spark, d)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect()
-    val dir = java.nio.file.Files.createTempDirectory("bm25_stream_idx").toString
+    val dir = OracleDir.tempDir("bm25_stream_idx")
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val q = src.toDF().toDF("doc_id", "text").writeStream
@@ -1484,8 +1480,7 @@ object CurationQueries {
       .withColumn("text", when(col("doc_id") % 7 === 0,
         concat(col("text"), lit(" v1"))).otherwise(col("text")))
     val nw = docs.filter(col("doc_id") % 9 =!= 4)
-    val dir = java.nio.file.Files
-      .createTempDirectory("corpus_versions_").toString
+    val dir = OracleDir.tempDir("corpus_versions_")
     VersionedDir.publish(old, dir)
     VersionedDir.publish(nw, dir)
     SnapshotDiff(VersionedDir.readAt(spark, dir, "v0").get)
@@ -1805,8 +1800,7 @@ object CurationQueries {
     * centroid literals (the op_cluster_assign math over the moved
     * catalog). */
   def pipelineEmbeddingReconcile(spark: SparkSession, d: String): DataFrame = {
-    val sigDir = java.nio.file.Files
-      .createTempDirectory("emb_signal_q").toString
+    val sigDir = OracleDir.tempDir("emb_signal_q")
     val centers = cachedSemCenters(spark, d)
     val sig = ClusterAssign(centers, idCol = "vec_id", vecCol = "embedding")
     def keyed(catalog: DataFrame): DataFrame = catalog.withColumn(

@@ -172,7 +172,7 @@ object MlQueries {
       .select("query_id", "item_id").distinct()
     val served = ranked.select(col("query_id"), col("item_id"), col("rank"))
       .as[(Long, Long, Int)].collect()
-    val dir = java.nio.file.Files.createTempDirectory("eval_stream_log").toString
+    val dir = OracleDir.tempDir("eval_stream_log")
     val op = EvalRanking(relevant, k = 10)
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Int)]
@@ -345,23 +345,36 @@ object MlQueries {
              |FROM rk WHERE rank <= 10 ORDER BY user_id, rank""".stripMargin
       }
     // the flagship's SERVING stage replayed whole from the persisted fit
-    // state (factors + LSH bucket assignments — the xxhash hyperplanes are
-    // fit parameters, not serving math): probe-bucket join, double-fold
-    // dot, (score DESC, id ASC) top-k, seen anti-filter, per-position md5
-    // softmax keys, final (key ASC, id ASC) top-10.
+    // state (factors + index/probe assignments — the xxhash hyperplanes /
+    // k-means centroids are fit parameters, not serving math): probe
+    // join, double-fold dot, (score DESC, id ASC) top-k, seen
+    // anti-filter, per-position md5 softmax keys, final (key ASC, id
+    // ASC) top-10. The probe CTE follows the tier [[graft.Flagship]]'s
+    // skew-aware chooseRetriever picked: LSH persists one home bucket
+    // per user and the XOR flips replay as serving math; IVF persists
+    // the exploded nprobe-nearest-centroid routing itself (per-user fit
+    // state under the frozen quantizer), so the probes CTE is a plain
+    // read — everything downstream is shared.
     val recsys = OracleDir.pickDir(graft.Flagship.recsysArtifacts.keys)
       .flatMap(graft.Flagship.recsysArtifacts.get).map { a =>
         val dot = (1 to a.rank)
           .map(j => s"f.features[$j]::DOUBLE * g.features[$j]::DOUBLE")
           .reduceLeft((x, y) => s"($x + $y)")
+        val ubProbes = a.retriever match {
+          case "ivf" =>
+            s"""ub AS (SELECT user_id, bucket FROM read_parquet('${a.userBucketPath}/*.parquet')),
+               |probes AS (SELECT user_id, bucket FROM ub),""".stripMargin
+          case _ =>
+            s"""ub AS (SELECT user_id, home FROM read_parquet('${a.userBucketPath}/*.parquet')),
+               |probes AS (SELECT user_id,
+               |    unnest([home, xor(home, 1), xor(home, 2), xor(home, 4)]) AS bucket
+               |  FROM ub),""".stripMargin
+        }
         "pipeline_recsys" ->
           s"""WITH uf AS (SELECT id, features FROM read_parquet('${a.userPath}/*.parquet')),
              |itf AS (SELECT id, features FROM read_parquet('${a.itemPath}/*.parquet')),
              |ib AS (SELECT item_id, bucket FROM read_parquet('${a.itemBucketPath}/*.parquet')),
-             |ub AS (SELECT user_id, home FROM read_parquet('${a.userBucketPath}/*.parquet')),
-             |probes AS (SELECT user_id,
-             |    unnest([home, xor(home, 1), xor(home, 2), xor(home, 4)]) AS bucket
-             |  FROM ub),
+             |$ubProbes
              |cand AS (SELECT p.user_id, b.item_id
              |  FROM probes p JOIN ib b ON p.bucket = b.bucket),
              |scored AS (SELECT c.user_id, c.item_id, $dot AS score

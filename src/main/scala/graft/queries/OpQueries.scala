@@ -220,7 +220,7 @@ object OpQueries {
       nprobe = annLshProbes, metric = "cosine",
       center = Some(cachedLshCenter(spark, d)))
     val itemRows = items.as[(Long, Seq[Float])].collect()
-    val dir = java.nio.file.Files.createTempDirectory("lsh_stream_idx").toString
+    val dir = OracleDir.tempDir("lsh_stream_idx")
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Seq[Float])]
     val q = src.toDF().toDF("item_id", "embedding").writeStream
@@ -808,8 +808,10 @@ object OpQueries {
       .map(s => "op_ann_pq_recall_sampled" -> composeSampled(s, 5000))
     val sqS = sqOracle.get("op_ann_sq")
       .map(s => "op_ann_sq_recall_sampled" -> composeSampled(s, 5000))
+    val lshS = lshOracle.get("op_ann_lsh")
+      .map(s => "op_ann_lsh_recall_sampled" -> composeSampled(s, 2000))
     (lsh.toSeq ++ ivf.toSeq ++ pq.toSeq ++ sq.toSeq ++ pca.toSeq ++
-      pqS.toSeq ++ sqS.toSeq).toMap
+      pqS.toSeq ++ sqS.toSeq ++ lshS.toSeq).toMap
   }
 
   /** op_pca_ann_recall's approx side: 32-axis projections from the fitted
@@ -904,7 +906,7 @@ object OpQueries {
       k = 10, nprobe = math.min(8, centers.size), metric = "dot")
     val itemRows = ivfItems(spark, d)
       .as[(Long, Seq[Float])].collect()
-    val dir = java.nio.file.Files.createTempDirectory("ivf_stream_idx").toString
+    val dir = OracleDir.tempDir("ivf_stream_idx")
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Seq[Float])]
     val q = src.toDF().toDF("item_id", "embedding").writeStream
@@ -988,7 +990,8 @@ object OpQueries {
     * sample, run the family's approx path and the brute-force truth both
     * confined to the sample, emit the counts + binomial-bound row. One
     * shape so the three tiers' monitoring rows cannot drift apart. */
-  private def sampledAnnRecall(spark: SparkSession, d: String)(
+  private def sampledAnnRecall(spark: SparkSession, d: String,
+      floorBp: Int = 5000)(
       approxOf: (DataFrame, DataFrame, Seq[Seq[Double]]) => DataFrame): DataFrame = {
     val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
     val items = ivfItems(spark, d)
@@ -999,9 +1002,26 @@ object OpQueries {
       val truth = TopKRetrieval(items, "vec_id", "embedding",
         k = 10, metric = "dot").asRows(sampled)
       Evidence.sampledRecallRow(spark, approx, truth,
-        Seq("vec_id", "item_id"), floorBp = 5000, nQueriesSampled = nq)
+        Seq("vec_id", "item_id"), floorBp = floorBp, nQueriesSampled = nq)
     } finally sampled.unpersist()
   }
+
+  /** LSH's sampled recall monitor — completes the four-tier symmetry
+    * (IVF/PQ/SQ8 landed in round 11): the constant-cost variant that
+    * still runs at 100 TB for the tier where it matters MOST, since
+    * sign-LSH is the skew-prone fit ([[graft.ops.LshSkewReport]]) and
+    * the one [[graft.Flagship.chooseRetriever]] abandons when occupancy
+    * trips — recall degradation under a drifting catalog mean is this
+    * row's signal. Same md5-ranked 25-query sample, same dot-metric
+    * brute-force truth as the other tiers (the full-population twin
+    * op_ann_lsh_recall shares that truth and its 2000 bp floor: the
+    * cosine approx path vs dot truth keeps the floor conservative). */
+  def annLshRecallSampled(spark: SparkSession, d: String): DataFrame =
+    sampledAnnRecall(spark, d, floorBp = 2000) { (sampled, items, _) =>
+      AnnLsh(items, "vec_id", "embedding", k = 10, numBits = annLshBits,
+        nprobe = annLshProbes, metric = "cosine",
+        center = Some(cachedLshCenter(spark, d))).asRows(sampled)
+    }
 
   /** Memoized SQ8 scalar-quantizer range (per-dim [min,max] over the
     * catalog) — fit-offline-probe-many like [[cachedCenters]]; the fitted
@@ -1127,7 +1147,7 @@ object OpQueries {
     val op = AnnSq(items, centers, mins, maxs, "vec_id", "embedding",
       k = 10, nprobe = math.min(8, centers.size))
     val itemRows = items.as[(Long, Seq[Float])].collect()
-    val dir = java.nio.file.Files.createTempDirectory("sq_stream_idx").toString
+    val dir = OracleDir.tempDir("sq_stream_idx")
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Seq[Float])]
     val q = src.toDF().toDF("item_id", "embedding").writeStream
@@ -1207,7 +1227,7 @@ object OpQueries {
       "vec_id", "embedding", k = 10, nprobe = math.min(8, centers.size),
       refine = refineK)
     val itemRows = items.as[(Long, Seq[Float])].collect()
-    val dir = java.nio.file.Files.createTempDirectory("pq_stream_idx").toString
+    val dir = OracleDir.tempDir("pq_stream_idx")
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Seq[Float])]
     val q = src.toDF().toDF("item_id", "embedding").writeStream
@@ -1978,6 +1998,7 @@ object OpQueries {
     "op_ann_index_update" -> (annIndexUpdate _),
     "op_ann_ivf_stream" -> (annIvfStream _),
     "op_ann_lsh_recall" -> (annLshRecall _),
+    "op_ann_lsh_recall_sampled" -> (annLshRecallSampled _),
     "op_ann_ivf_recall" -> (annIvfRecall _),
     "op_ann_ivf_recall_sampled" -> (annIvfRecallSampled _),
     "op_ann_ivf_full" -> (annIvfFull _),

@@ -24,6 +24,33 @@ object OracleDir {
     * Verify (bench/tests pay no artifact writes). */
   @volatile var artifactDir: Option[String] = None
 
+  /** A harness-lifetime temp directory (streaming index logs, corpus
+    * state dirs): created now, recursively deleted at JVM exit by one
+    * shared shutdown hook. Deletion cannot be eager — the query fns
+    * return LAZY frames that read these dirs when the caller (Verify's
+    * parquet write, a test's collect) finally materializes them — but a
+    * long-lived harness JVM invoking many queries must not leak one
+    * on-disk index copy per invocation forever (round-11 ADVICE). */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tempDirHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      tempDirs.asScala.foreach { t =>
+        if (java.nio.file.Files.exists(t))
+          java.nio.file.Files.walk(t).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }))
+  }
+
+  def tempDir(prefix: String): String = {
+    tempDirHook
+    val t = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(t)
+    t.toString
+  }
+
   /** Write `df` (small, fit-sized) as a single-file parquet side artifact
     * named `name`, returning its path — only when Verify is dumping for
     * `d`. The ONE writer all artifact-backed oracles share. */

@@ -1058,22 +1058,119 @@ object StreamingOps {
     * frozen quantizer literals, so a batch's rows ARE its delta). */
   private def commitIndexDelta(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batchIndex: DataFrame, idCol: String,
-      appId: String, batchId: Long, retainVersions: Option[Int]): Unit = {
+      appId: String, batchId: Long, retainVersions: Option[Int],
+      occupancy: Option[(String, Long)] = None): Unit = {
     val live = latestVersion(spark, indexDir)
     val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
     val delta = "d" + v.drop(1)
     batchIndex.write.mode("overwrite")
       .parquet(s"$indexDir/deltas/$delta/index")
+    // per-delta bucket histogram (O(min(batch, buckets)) rows — counted
+    // from the batch alone, never the accumulated index)
+    occupancy.foreach { case (bucketCol, _) =>
+      writeDeltaBucketCounts(spark, s"$indexDir/deltas/$delta", bucketCol)
+    }
     val prevManifest = live
       .map(lv => readManifest(spark, s"$indexDir/$lv/manifest"))
       .getOrElse(Seq.empty)
-    writeManifest(spark, s"$indexDir/$v/manifest", prevManifest :+
+    val manifest = prevManifest :+
       manifestEntry(delta,
-        spark.read.parquet(s"$indexDir/deltas/$delta/index"), idCol))
+        spark.read.parquet(s"$indexDir/deltas/$delta/index"), idCol)
+    writeManifest(spark, s"$indexDir/$v/manifest", manifest)
+    occupancy.foreach { case (bucketCol, nBuckets) =>
+      writeOccupancy(spark, indexDir, v, manifest.map(_.delta),
+        bucketCol, nBuckets)
+    }
     writeTxn(spark, indexDir, v, appId, batchId)
     writePointer(spark, indexDir, v, live, Some(appId -> batchId))
     retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
   }
+
+  // ——— per-version occupancy monitoring (the drift-visibility record
+  // between refit decisions — round-11 VERDICT item 3) ———————————————
+  //
+  // Design: each delta dir carries a `bcounts` parquet — that DELTA's
+  // per-bucket row counts, computed from the batch alone (O(batch); the
+  // accumulated index is never re-read at commit). The committed
+  // version's occupancy summary rolls the manifest chain's bcounts up
+  // (counts are additive across deltas) into the 4-integer line
+  // `$v/occupancy` = "n_items,n_buckets,n_occupied,max_count" — the
+  // [[graft.ops.LshSkewReport]]/[[graft.ops.IvfSkewReport]] summary
+  // riding the one-line metadata protocol, stamped per commit, so
+  // occupancy drift between refit decisions is visible IN the log
+  // ([[occupancyLog]]) instead of requiring an ad-hoc full-index scan.
+  // Roll-up cost per commit: ≤ chain-deltas × occupied-buckets tiny
+  // rows — bucket-scale (items/~64), bounded further by auto-compaction
+  // collapsing the chain; strictly below re-scanning the index.
+
+  private def writeDeltaBucketCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      deltaDir: String, bucketCol: String): Unit =
+    spark.read.parquet(s"$deltaDir/index")
+      .groupBy(col(bucketCol).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$deltaDir/bcounts")
+
+  /** The chain's per-bucket counts: sum of the deltas' `bcounts`
+    * histograms; a delta missing its side file (written by a
+    * pre-occupancy revision, or a merged delta from an older OPTIMIZE)
+    * is derived from its index rows on the fly — one bounded catch-up
+    * scan, after which compaction folds it into a counted delta. */
+  private def chainBucketCounts(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, deltas: Seq[String], bucketCol: String): DataFrame = {
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
+    val per = deltas.map { d =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, s"deltas/$d/bcounts")))
+        spark.read.parquet(s"$indexDir/deltas/$d/bcounts")
+      else
+        spark.read.parquet(s"$indexDir/deltas/$d/index")
+          .groupBy(col(bucketCol).cast("long").as("__b"))
+          .agg(count(lit(1)).as("__c"))
+    }
+    per.reduce(_ unionByName _)
+      .groupBy("__b").agg(sum(col("__c")).as("__c"))
+  }
+
+  private def writeOccupancy(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, version: String, deltas: Seq[String],
+      bucketCol: String, nBuckets: Long): Unit = {
+    val s = chainBucketCounts(spark, indexDir, deltas, bucketCol)
+      .agg(coalesce(sum(col("__c")), lit(0L)),
+        count(lit(1)), coalesce(max(col("__c")), lit(0L))).head()
+    writeSmallFile(spark, s"$indexDir/$version/occupancy",
+      s"${s.getLong(0)},$nBuckets,${s.getLong(1)},${s.getLong(2)}")
+  }
+
+  /** One committed version's occupancy summary — the same integer
+    * arithmetic as [[graft.ops.LshSkewReport]]'s row (ceil-division
+    * uniform target, basis-point skew). */
+  case class IndexOccupancy(nItems: Long, nBuckets: Long,
+      nOccupied: Long, maxCount: Long) {
+    def uniformCount: Long =
+      if (nBuckets == 0) 0L else (nItems + nBuckets - 1) / nBuckets
+    def skewBp: Long =
+      if (uniformCount == 0L) 0L else maxCount * 10000L / uniformCount
+  }
+
+  /** The occupancy summary stamped when `version` committed; None for
+    * versions written without occupancy tracking (eval logs, BM25,
+    * pre-occupancy revisions) or vacuumed metadata. */
+  def readIndexOccupancy(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, version: String): Option[IndexOccupancy] =
+    readSmallFile(spark, s"$indexDir/$version/occupancy").map { t =>
+      val f = t.trim.split(",")
+      IndexOccupancy(f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong)
+    }
+
+  /** The retained occupancy history of a sink-maintained index, oldest
+    * first — bucket-skew drift between refit decisions as data, read
+    * from the one-line version metadata (no index scan). */
+  def occupancyLog(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[(String, IndexOccupancy)] =
+    graft.core.VersionedDir.versions(spark, indexDir)
+      .filter(isCommitted(spark, indexDir, _))
+      .flatMap(v => readIndexOccupancy(spark, indexDir, v).map(v -> _))
+      .sortBy(_._1.drop(1).toLong)
 
   /** Load the live IVF index frame from a sink-maintained directory —
     * probe via `op.asRowsIndexed(queries, loadAnnIvfIndex(...).get)`. */
@@ -1126,7 +1223,8 @@ object StreamingOps {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnIvf.index(batch, op.centers,
             op.itemIdCol, op.itemVecCol),
-          "__item_id", appId, batchId, retainVersions)
+          "__item_id", appId, batchId, retainVersions,
+          occupancy = Some(("__cid", op.centers.size.toLong)))
         maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
           retainVersions,
           () => compactIndexState(batch.sparkSession, indexDir,
@@ -1175,14 +1273,41 @@ object StreamingOps {
         val delta = "d" + v.drop(1)
         assigned.repartition(nFiles).write.mode("overwrite")
           .parquet(s"$indexDir/deltas/$delta/index")
+        writeDeltaBucketCounts(spark, s"$indexDir/deltas/$delta", "__cid")
         writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
           delta, spark.read.parquet(s"$indexDir/deltas/$delta/index"),
           "__item_id")))
+        writeOccupancy(spark, indexDir, v, Seq(delta), "__cid",
+          centers.size.toLong)
         writeTxn(spark, indexDir, v, "ivf-refit", -1L)
         writePointer(spark, indexDir, v, Some(lv))
         (centers, v)
       } finally items.unpersist()
     }
+
+  /** The trigger→action composition for inverted-list skew — the
+    * k-means twin of [[graft.Flagship.chooseRetriever]]'s LSH remedy:
+    * read the LIVE version's stamped occupancy summary (the
+    * [[occupancyLog]] line the sinks commit — no index scan), and when
+    * its basis-point skew exceeds `boundBp` run [[refitAnnIvfIndex]] —
+    * a fresh k-means over the currently indexed catalog re-adapts the
+    * cells to whatever geometry the frozen quantizer drifted away from,
+    * and the refitted version stamps its own (now-balanced) occupancy
+    * line, closing the loop in the log itself. Returns Some((observed
+    * skew, refit centers, committed version)) when the action fired;
+    * None when the index is healthy, untracked, or absent.
+    * Single-writer contract as refit: pause the ingest sink. */
+  def refitAnnIvfIndexIfSkewed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, boundBp: Long, nlist: Int = 32, maxIter: Int = 10,
+      seed: Long = 42L, targetBytes: Long = 128L << 20)
+      : Option[(Long, Seq[Seq[Double]], String)] =
+    for {
+      lv <- latestVersion(spark, indexDir)
+      occ <- readIndexOccupancy(spark, indexDir, lv)
+      if occ.skewBp > boundBp
+      (centers, v) <- refitAnnIvfIndex(spark, indexDir, nlist, maxIter,
+        seed, targetBytes)
+    } yield (occ.skewBp, centers, v)
 
   /** The SQ8 twin of [[refitAnnIvfIndex]] — here the log stores LOSSY
     * byte codes, so the rebuild re-fits quantizers (coarse centers +
@@ -1214,9 +1339,12 @@ object StreamingOps {
       val delta = "d" + v.drop(1)
       coded.repartition(nFiles).write.mode("overwrite")
         .parquet(s"$indexDir/deltas/$delta/index")
+      writeDeltaBucketCounts(spark, s"$indexDir/deltas/$delta", "__cid")
       writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
         delta, spark.read.parquet(s"$indexDir/deltas/$delta/index"),
         "__item_id")))
+      writeOccupancy(spark, indexDir, v, Seq(delta), "__cid",
+        op.centers.size.toLong)
       writeTxn(spark, indexDir, v, "sq-rebuild", -1L)
       writePointer(spark, indexDir, v, Some(lv))
       (op, v)
@@ -1256,9 +1384,12 @@ object StreamingOps {
       val delta = "d" + v.drop(1)
       coded.repartition(nFiles).write.mode("overwrite")
         .parquet(s"$indexDir/deltas/$delta/index")
+      writeDeltaBucketCounts(spark, s"$indexDir/deltas/$delta", "__cid")
       writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
         delta, spark.read.parquet(s"$indexDir/deltas/$delta/index"),
         "__item_id")))
+      writeOccupancy(spark, indexDir, v, Seq(delta), "__cid",
+        refit.centers.size.toLong)
       writeTxn(spark, indexDir, v, "pq-rebuild", -1L)
       writePointer(spark, indexDir, v, Some(lv))
       (refit, v)
@@ -1391,17 +1522,30 @@ object StreamingOps {
         val delta = "d" + v.drop(1)
         tables.foreach { t =>
           val paths = merge.map(d => s"$indexDir/deltas/$d/$t")
-          val bytes = paths.map(pp => fs.getContentSummary(
-            new org.apache.hadoop.fs.Path(pp)).getLength).sum
-          val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-          val unioned = spark.read.parquet(paths: _*)
-          // partial pre-roll is exact: the loader still sums per term
-          // across deltas, so rolling up WITHIN the merged set commutes
-          val df = if (t == "dfreq")
-            unioned.groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
-          else unioned
-          df.repartition(nFiles).write.mode("overwrite")
-            .parquet(s"$indexDir/deltas/$delta/$t")
+          // a delta written before occupancy tracking may lack the
+          // `bcounts` side histogram: merging a PARTIAL set would
+          // undercount, so bcounts only merges when every member has it
+          // (otherwise the occupancy roll-up derives the merged delta's
+          // counts from its index rows on the fly — exact, bounded)
+          val allPresent = paths.forall(pp =>
+            fs.exists(new org.apache.hadoop.fs.Path(pp)))
+          if (t != "bcounts" || allPresent) {
+            val bytes = paths.map(pp => fs.getContentSummary(
+              new org.apache.hadoop.fs.Path(pp)).getLength).sum
+            val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+            val unioned = spark.read.parquet(paths: _*)
+            // partial pre-roll is exact: the loader still sums per
+            // term/bucket across deltas, so rolling up WITHIN the merged
+            // set commutes
+            val df =
+              if (t == "dfreq")
+                unioned.groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
+              else if (t == "bcounts")
+                unioned.groupBy(col("__b")).agg(sum(col("__c")).as("__c"))
+              else unioned
+            df.repartition(nFiles).write.mode("overwrite")
+              .parquet(s"$indexDir/deltas/$delta/$t")
+          }
         }
         if (fs.exists(new org.apache.hadoop.fs.Path(p, s"$lv/meta"))) {
           val (n0, s0) = readMeta(spark, s"$indexDir/$lv/meta")
@@ -1416,6 +1560,10 @@ object StreamingOps {
           if (mergedOld.forall(_.max_id.isDefined))
             mergedOld.flatMap(_.max_id).maxOption else None)
         writeManifest(spark, s"$indexDir/$v/manifest", kept :+ entry)
+        // compaction rewrites files, never rows — the occupancy summary
+        // is invariant, so the stamped line carries forward verbatim
+        readSmallFile(spark, s"$indexDir/$lv/occupancy").foreach(
+          writeSmallFile(spark, s"$indexDir/$v/occupancy", _))
         writeTxn(spark, indexDir, v, "index-optimize", -1L)
         writePointer(spark, indexDir, v, Some(lv))
         v
@@ -1506,7 +1654,8 @@ object StreamingOps {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnSq.index(batch, op.centers, op.mins, op.maxs,
             op.itemIdCol, op.itemVecCol),
-          "__item_id", appId, batchId, retainVersions)
+          "__item_id", appId, batchId, retainVersions,
+          occupancy = Some(("__cid", op.centers.size.toLong)))
         maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
           retainVersions,
           () => compactIndexState(batch.sparkSession, indexDir,
@@ -1538,7 +1687,8 @@ object StreamingOps {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnIvfPq.index(batch, op.centers, op.codebooks,
             op.itemIdCol, op.itemVecCol),
-          "__item_id", appId, batchId, retainVersions)
+          "__item_id", appId, batchId, retainVersions,
+          occupancy = Some(("__cid", op.centers.size.toLong)))
         maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
           retainVersions,
           () => compactIndexState(batch.sparkSession, indexDir,
@@ -1574,7 +1724,8 @@ object StreamingOps {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnLsh.index(batch, mu, op.numBits,
             op.itemIdCol, op.itemVecCol),
-          "__item_id", appId, batchId, retainVersions)
+          "__item_id", appId, batchId, retainVersions,
+          occupancy = Some(("__bucket", 1L << op.numBits)))
         maybeCompact(batch.sparkSession, indexDir, autoCompactDeltas,
           retainVersions,
           () => compactIndexState(batch.sparkSession, indexDir,

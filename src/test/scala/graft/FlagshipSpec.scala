@@ -70,6 +70,65 @@ class FlagshipSpec extends SparkSpec {
     assert(loaded.transform(requests).orderBy("user_id").collect().toSeq == a)
   }
 
+  test("chooseRetriever: the sf1.0 skew geometry in miniature trips the IVF action") {
+    // the rehearsal pathology in miniature: ALS factors collapsed into a
+    // line through the mean — after centering, every vector projects onto
+    // the fixed hyperplanes with one of two ± sign patterns, so ~2 of
+    // 2^bits buckets carry the whole catalog (SCALE.md measured 22×
+    // uniform in the heaviest bucket at sf1.0; this is the same geometry
+    // taken to its limit)
+    val dir = Seq(1.0, 2.0, 3.0, 0.5, -1.5, 0.7, 2.2, -0.9)
+    val line = (1L to 240L).map { i =>
+      val s = (i.toDouble - 120.5) / 40.0
+      (i, dir.map(x => (x * s).toFloat))
+    }.toDF("item_id", "embedding")
+    val muL = graft.functions.VectorFunctions.meanVector(line, "embedding").toSeq
+    val (t1, bp1) = Flagship.chooseRetriever(line, muL, numBits = 5)
+    assert(bp1 > Flagship.LshSkewBoundBp,
+      s"cone geometry must exceed the skew bound: $bp1 bp")
+    assert(t1 == "ivf", s"cone geometry must trip the IVF action ($bp1 bp)")
+
+    // spread geometry keeps the cheap LSH tier
+    val rnd = new scala.util.Random(7)
+    val spread = (1L to 240L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("item_id", "embedding")
+    val muS = graft.functions.VectorFunctions.meanVector(spread, "embedding").toSeq
+    val (t2, bp2) = Flagship.chooseRetriever(spread, muS, numBits = 5)
+    assert(t2 == "lsh", s"spread geometry must keep LSH ($bp2 bp)")
+    assert(bp2 <= Flagship.LshSkewBoundBp)
+  }
+
+  test("auto retriever keeps LSH on the healthy test catalog (skew below bound)") {
+    // the decision the default serving graph now makes: sf0.001's ALS
+    // factor fit measures ~25k bp (probe-verified), under the 80k bound,
+    // so "auto" must resolve to the sign-LSH tier — the cheap index stays
+    // the default until the occupancy monitor actually trips
+    val d = "/root/testdata/sf0.001"
+    val (ens, requests) = Flagship.servingEnsemble(spark, d, retrievalK = 50)
+    assert(ens.ops.exists(_.isInstanceOf[graft.ops.AnnLsh]),
+      s"auto must pick AnnLsh on healthy geometry: ${ens.ops.map(_.getClass.getSimpleName)}")
+    assert(ens.transform(requests).count() > 0)
+  }
+
+  test("forced-IVF recommend serves the full 4-stage graph (the tripped-skew branch)") {
+    // the branch chooseRetriever activates when the occupancy monitor
+    // trips: same 4-stage contract — ranked, deduplicated, seen-filtered
+    // k-lists — through the k-means tier instead of sign-LSH
+    val d = "/root/testdata/sf0.001"
+    val out = Flagship.recommend(spark, d, retriever = Some("ivf")).cache()
+    assert(out.count() > 0, "IVF-served recommend must produce rows")
+    val row = out.select("ordered_ids", "ordered_scores")
+      .as[(Seq[Long], Seq[Double])].head()
+    assert(row._1.size == 10 && row._1.distinct.size == 10)
+    val recs = out.select($"user_id", explode($"ordered_ids").as("item_id"))
+    val seen = Tables.orders(spark, d)
+      .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .distinct()
+    assert(recs.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
+    out.unpersist()
+  }
+
   test("recommendations exclude already-seen items") {
     val d = "/root/testdata/sf0.001"
     val recs = Flagship.recommend(spark, d)

@@ -75,6 +75,43 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("planBatch: contiguous safe prefix — disjoint+UB accept, shared-token stop, tie stop") {
+    import BpeTrainer.planBatch
+    // token-disjoint second pair whose count exceeds every created-pair
+    // bound (maxRight(b) = 8 via (b,x)) → both merges batch in one pass
+    assert(planBatch(Seq((("a", "b"), 10L), (("c", "d"), 9L), (("b", "x"), 8L)),
+      0L, 10, 1L) == Seq(("a", "b"), ("c", "d")))
+    // second shares a token with the accepted merge → its post-merge
+    // count is unknown: the scan must STOP, never skip past it
+    assert(planBatch(Seq((("a", "b"), 10L), (("b", "y"), 9L), (("c", "d"), 8L)),
+      0L, 10, 1L) == Seq(("a", "b")))
+    // a pair created by merge 1 could reach count 5 (bounded by (b,z));
+    // a 5-count candidate TIES with it and could lose lexicographically
+    assert(planBatch(Seq((("a", "b"), 10L), (("c", "d"), 5L), (("b", "z"), 5L)),
+      0L, 10, 1L) == Seq(("a", "b")))
+    // out-of-window bound: unseen pairs may reach tailCnt=8
+    assert(planBatch(Seq((("a", "b"), 10L), (("c", "d"), 7L)), 8L, 10, 1L)
+      == Seq(("a", "b")))
+    // a candidate naming the just-created SYMBOL string — merging could
+    // create new occurrences of it → stop
+    assert(planBatch(Seq((("a", "b"), 10L), (("ab", "c"), 9L)), 0L, 10, 1L)
+      == Seq(("a", "b")))
+    // remaining-merge limit and the minPairCount floor
+    assert(planBatch(Seq((("a", "b"), 10L), (("c", "d"), 9L)), 0L, 1, 1L)
+      == Seq(("a", "b")))
+    assert(planBatch(Seq((("a", "b"), 1L)), 0L, 10, 2L) == Seq.empty)
+  }
+
+  test("batched fit: fewer counting passes than merges, merge-list identical at any window") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, rounds) = BpeTrainer.fitWithStats(docs, "text", numMerges = 20)
+    // batchWindow=1 degenerates to the serial one-merge-per-pass trainer
+    val serial = BpeTrainer.fit(docs, "text", numMerges = 20, batchWindow = 1)
+    assert(merges == serial, "batched greedy must equal the serial merge order")
+    assert(merges.length == 20)
+    assert(rounds < 20, s"batching must beat one counting pass per merge: $rounds")
+  }
+
   test("ensemble save/load round-trips the tokenizer with its merge list") {
     import graft.core.{Ensemble, EnsemblePersistence}
     val df = Seq((1L, "aaab aab"), (2L, "ab aaab")).toDF("doc_id", "text")

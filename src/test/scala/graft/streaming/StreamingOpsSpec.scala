@@ -1250,6 +1250,94 @@ class StreamingOpsSpec extends SparkSpec {
       "a committed batch replayed after the refit must not recommit")
   }
 
+  test("index sinks stamp per-version occupancy; a tripped skew bound drives the in-log IVF refit") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    // quantizer fitted on a tight origin cluster; the catalog then
+    // drifts to a far mode that collapses into ONE frozen list — the
+    // occupancy-skew scenario the stamped lines exist to make visible
+    val early = (1L to 20L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat * 0.1f)))
+    val late = (21L to 100L).map(i =>
+      (i, Seq.fill(4)(8f + rnd.nextGaussian().toFloat * 0.1f)))
+    val op = graft.ops.AnnIvf.fit(early.toDF("item_id", "embedding"),
+      "query_id", "query_vec", nlist = 4, nprobe = 2)
+    val dir = tmpDir("ivf_occ_")
+    val sink = StreamingOps.annIvfIndexSink(dir, op)
+    sink(early.toDF("item_id", "embedding"), 0L)
+    // the stamped summary equals the direct batch report over the same
+    // catalog + centroids — one occupancy definition, two surfaces
+    val o0 = StreamingOps.readIndexOccupancy(spark, dir, "v0").get
+    val r0 = graft.ops.IvfSkewReport(op.centers)
+      .transform(early.toDF("item_id", "embedding")).head()
+    assert((o0.nItems, o0.nBuckets, o0.nOccupied, o0.maxCount) ==
+      ((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3))))
+    assert(o0.uniformCount == r0.getLong(4) && o0.skewBp == r0.getLong(5))
+
+    sink(late.toDF("item_id", "embedding"), 1L)
+    val o1 = StreamingOps.readIndexOccupancy(spark, dir, "v1").get
+    val r1 = graft.ops.IvfSkewReport(op.centers)
+      .transform((early ++ late).toDF("item_id", "embedding")).head()
+    assert(o1.skewBp == r1.getLong(5) && o1.nItems == 100L)
+    assert(o1.skewBp > o0.skewBp,
+      s"drifted ingest must raise the stamped skew: ${o0.skewBp} -> ${o1.skewBp}")
+    // the log is the drift record, oldest first
+    assert(StreamingOps.occupancyLog(spark, dir).map(_._1) == Seq("v0", "v1"))
+
+    // healthy bound → no action fires
+    assert(StreamingOps.refitAnnIvfIndexIfSkewed(spark, dir,
+      boundBp = o1.skewBp + 1, nlist = 4, maxIter = 5, seed = 7L).isEmpty)
+    // tripped bound → the refit commits and stamps its rebalanced line
+    val (obs, centers, v2) = StreamingOps.refitAnnIvfIndexIfSkewed(spark, dir,
+      boundBp = o1.skewBp - 1, nlist = 4, maxIter = 5, seed = 7L).get
+    assert(obs == o1.skewBp && centers.size == 4)
+    val o2 = StreamingOps.readIndexOccupancy(spark, dir, v2).get
+    assert(o2.nItems == 100L)
+    assert(o2.skewBp < o1.skewBp,
+      s"refit centers must rebalance the lists: ${o1.skewBp} -> ${o2.skewBp}")
+
+    // compaction rewrites files, never rows: the stamped line carries
+    // forward verbatim, and the merged delta's pre-rolled bcounts keep
+    // the NEXT commit's roll-up exact
+    sink((101L to 110L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat * 0.1f)))
+      .toDF("item_id", "embedding"), 2L)
+    val preCompact = StreamingOps.readIndexOccupancy(spark, dir,
+      graft.core.VersionedDir.latest(spark, dir).get).get
+    assert(StreamingOps.compactIndexState(spark, dir).isDefined)
+    val lv = graft.core.VersionedDir.latest(spark, dir).get
+    assert(StreamingOps.readIndexOccupancy(spark, dir, lv).contains(preCompact))
+    sink((111L to 115L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat * 0.1f)))
+      .toDF("item_id", "embedding"), 3L)
+    val oAfter = StreamingOps.readIndexOccupancy(spark, dir,
+      graft.core.VersionedDir.latest(spark, dir).get).get
+    assert(oAfter.nItems == 115L,
+      s"post-compaction roll-up must count every row: $oAfter")
+  }
+
+  test("annLshIndexSink stamps 2^bits-bucket occupancy per committed version") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(59)
+    val items = (1L to 80L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val itemsDf = items.toDF("item_id", "embedding")
+    val op = graft.ops.AnnLsh(itemsDf, "query_id", "query_vec",
+      numBits = 4, nprobe = 2,
+      center = Some(graft.functions.VectorFunctions
+        .meanVector(itemsDf, "embedding").toSeq))
+    val dir = tmpDir("lsh_occ_")
+    val sink = StreamingOps.annLshIndexSink(dir, op)
+    sink(items.take(30).toDF("item_id", "embedding"), 0L)
+    sink(items.drop(30).toDF("item_id", "embedding"), 1L)
+    val o = StreamingOps.readIndexOccupancy(spark, dir, "v1").get
+    val r = graft.ops.LshSkewReport(op.resolvedCenter, 4)
+      .transform(itemsDf).head()
+    assert((o.nItems, o.nBuckets, o.nOccupied, o.maxCount) ==
+      ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(o.nBuckets == 16L && o.skewBp == r.getLong(5))
+  }
+
   test("rebuildAnnSqIndex: re-fit + re-encode from the source catalog, committed in-log") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(43)
