@@ -1117,6 +1117,113 @@ case class SqDecodeDot(
     copy(left = l, right = r)
 }
 
+/** The IVF coarse-assignment kernel — the `n` nearest centroid ids by
+  * `(d, cid)` ascending with `d = |c|² − 2·v·c` — fused into ONE loop
+  * over unboxed ArrayData. Value-identical on valid input to the
+  * struct-tree formulation it replaces
+  * (`slice(array_sort(VectorFunctions.centroidStructs(v, centers)), 1,
+  * n)` projected to cids, and `array_min(...).getField("cid")` for
+  * n = 1): `|c|²` is the same driver-side Scala fold inlined by the
+  * struct tree, the dot is the same sequential double fold as
+  * [[ArrayDotProduct]], `d = c2 − 2.0·dot` the same arithmetic, and
+  * candidate comparison uses `java.lang.Double.compare` — Spark's own
+  * double ordering (−0.0 < 0.0, NaN greatest), with the lowest-cid
+  * tie-break falling out of ascending scan order.
+  *
+  * Why it exists: the struct-tree form emits one dot-product subtree
+  * PER CENTROID into the generated Java — fine at the reference's
+  * nlist = 32, but the serving-scale coarse quantizer sizes nlist to
+  * ~catalog/64 (hundreds to thousands), where the generated method
+  * blows past JIT limits and the whole projection (plus the per-row
+  * array_sort of nlist structs) drops to interpreted eval — measured
+  * as the sf1.0 recsys IVF fallback timing out where this loop costs
+  * nlist·dim multiplies per row. The PqEncode treatment, applied to
+  * the coarse stage.
+  *
+  * Null discipline (the [[PqEncode]] NULL-in/NULL-out precedent,
+  * deliberately STRICTER than the struct tree): a null vector, null
+  * element, or a length disagreeing with the centroid dim yields NULL —
+  * the struct tree instead sorted null distances first and captured
+  * degenerate vectors in list 0. Such rows now drop from index joins
+  * instead of polluting the lowest list; valid catalogs (the ingest
+  * contract) carry none. */
+case class NearestCids(child: Expression, centers: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression {
+
+  require(centers.nonEmpty, "nearest_cids: need at least one centroid")
+  private val dim = centers.head.size
+  require(centers.forall(_.size == dim), "nearest_cids: ragged centers")
+  require(n >= 1 && n <= centers.size, "nearest_cids: n in [1, nlist]")
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+  @transient private lazy val c2: Array[Double] =
+    centers.map(c => c.map(x => x * x).sum).toArray
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cids"
+  override def nullable: Boolean = true
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a float/double array input")
+  }
+
+  def compute(v: ArrayData): Any = {
+    if (v.numElements() != dim) return null
+    val isFloat = elemType == FloatType
+    val x = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      x(j) = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      j += 1
+    }
+    // bounded insertion by (d, cid): cids ascend through the scan, so a
+    // strict d-compare alone realizes the lowest-cid tie-break
+    val bestD = new Array[Double](n)
+    val bestC = new Array[Int](n)
+    var filled = 0
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += x(k) * c(k); k += 1 }
+      val d = c2(i) - 2.0 * s
+      if (filled < n || java.lang.Double.compare(d, bestD(filled - 1)) < 0) {
+        var p = if (filled < n) filled else n - 1
+        while (p > 0 && java.lang.Double.compare(d, bestD(p - 1)) < 0) {
+          bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
+        }
+        bestD(p) = d; bestC(p) = i
+        if (filled < n) filled += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(bestC)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCids", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column wrappers (Spark 4: Column↔Expression bridge lives in
   * sql.classic.ExpressionUtils). */
 object FastExpressions {
@@ -1156,4 +1263,6 @@ object FastExpressions {
     column(SqDecodeDot(expression(q), expression(codes), mins, steps))
   def adcLookupSum(codes: Column, tab: Column): Column =
     column(AdcLookupSum(expression(codes), expression(tab)))
+  def nearestCids(c: Column, centers: Seq[Seq[Double]], n: Int): Column =
+    column(NearestCids(expression(c), centers, n))
 }

@@ -38,9 +38,24 @@ object VectorFunctions {
         lit(i).as("cid"))
     }: _*)
 
-  /** Id of the nearest centroid (deterministic lowest-id tie-break). */
+  /** Id of the nearest centroid (deterministic lowest-id tie-break) —
+    * the fused [[graft.functions.NearestCids]] loop, value-identical to
+    * `array_min(centroidStructs(...)).getField("cid")` on valid input
+    * (CodegenSpec pins the bit-identity); the struct tree emitted one
+    * dot subtree per centroid into generated code, which drops to
+    * interpreted eval at serving-scale nlist (measured 215 s for one
+    * occupancy report over 200k×3125 at sf1.0 vs ~1 s fused). Null
+    * discipline is the PqEncode precedent: degenerate vectors (null,
+    * null element, wrong length) yield NULL instead of capturing into
+    * centroid 0. */
   def nearestCentroid(vec: Column, centers: Seq[Seq[Double]]): Column =
-    array_min(centroidStructs(vec, centers)).getField("cid")
+    element_at(FastExpressions.nearestCids(vec, centers, 1), 1)
+
+  /** The `n` nearest centroid ids, (d, cid)-ascending — the probe-side
+    * twin (replaces `slice(array_sort(centroidStructs(...)), 1, n)`
+    * projected to cids; same fused kernel, same bit-identity pin). */
+  def nearestCentroids(vec: Column, centers: Seq[Seq[Double]], n: Int): Column =
+    FastExpressions.nearestCids(vec, centers, n)
 
   /** Seeded MLlib k-means over an ArrayType vector column, returned as
     * plain parameter doubles (trivially persistable; metadata scale) —

@@ -43,9 +43,13 @@ case class AnnIvf(
     case m        => throw new IllegalArgumentException(s"$name: unknown metric $m")
   }
 
-  /** Shared quantizer formula — see VectorFunctions.centroidStructs. */
-  private def centroidStructs(vec: Column): Column =
-    VectorFunctions.centroidStructs(vec, centers)
+  /** Shared quantizer kernel — the fused
+    * [[graft.functions.NearestCids]] loop (value-identical to the
+    * struct-tree `centroidStructs` formulation on valid input; the
+    * struct tree emits one subtree per centroid into generated code,
+    * which cannot scale to serving-sized nlist). */
+  private def probeCids(vec: Column): Column =
+    graft.functions.FastExpressions.nearestCids(vec, centers, nprobe)
 
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, queryIdCol); requireCol(in, queryVecCol)
@@ -68,8 +72,7 @@ case class AnnIvf(
     val queries = df.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), col(queryVecCol))
     val probed = queries
-      .withColumn("__cid", explode(
-        arrayTransformCol(slice(array_sort(centroidStructs(col(queryVecCol))), 1, nprobe))))
+      .withColumn("__cid", explode(probeCids(col(queryVecCol))))
     val hits = probed.join(index, Seq("__cid"))
       .groupBy(col(queryIdCol))
       .agg(topk(col("__item_id"), coalesce(score(col(queryVecCol), col("__item_vec")),
@@ -99,9 +102,6 @@ case class AnnIvf(
   def updatedIndex(index: DataFrame, newItems: DataFrame): DataFrame =
     index.unionByName(AnnIvf.index(newItems, centers, itemIdCol, itemVecCol))
 
-  private def arrayTransformCol(sorted: Column): Column =
-    org.apache.spark.sql.functions.transform(sorted, s => s.getField("cid"))
-
   /** Relational form: one row per (query, rank, item, score). */
   def asRows(df: DataFrame): DataFrame = rowsOf(transform(df))
 
@@ -128,8 +128,8 @@ object AnnIvf {
     items.select(
       col(itemIdCol).cast("long").as("__item_id"),
       col(itemVecCol).as("__item_vec"),
-      array_min(VectorFunctions.centroidStructs(col(itemVecCol), centers))
-        .getField("cid").as("__cid"))
+      element_at(graft.functions.FastExpressions
+        .nearestCids(col(itemVecCol), centers, 1), 1).as("__cid"))
 
   /** Train the coarse quantizer (seeded MLlib k-means over the item
     * vectors) and build the fitted op — `setup_faiss` with `IVF<nlist>`

@@ -141,9 +141,8 @@ case class AnnIvfPq(
     val probed = df.select(col(queryIdCol), q)
       .withColumn("__tab", lutCol(q))
       .withColumn("__qc", qcCol(q))
-      .withColumn("__cid", explode(slice(
-        array_sort(VectorFunctions.centroidStructs(q, centers)), 1, nprobe)
-        .getField("cid")))
+      .withColumn("__cid", explode(
+        VectorFunctions.nearestCentroids(q, centers, nprobe)))
       .drop(queryVecCol)
     // ADC: element_at(qc, cid+1) + Σ_j tab[j][codes[j]] — m lookups per
     // candidate, no float-vector math after the per-query table build.

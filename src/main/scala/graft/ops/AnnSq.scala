@@ -100,9 +100,8 @@ case class AnnSq(
     val queries = df.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), col(queryVecCol))
     val probed = queries
-      .withColumn("__cid", explode(org.apache.spark.sql.functions.transform(
-        slice(array_sort(VectorFunctions.centroidStructs(col(queryVecCol), centers)),
-          1, nprobe), s => s.getField("cid"))))
+      .withColumn("__cid", explode(
+        VectorFunctions.nearestCentroids(col(queryVecCol), centers, nprobe)))
     // fused decode+dot (q · (lo + code·st) in one loop): bit-identical
     // to dot(q, decode(codes)) — same fold order, same per-term IEEE
     // arithmetic, same null discipline — but allocation-free where the
@@ -184,8 +183,7 @@ object AnnSq {
     val steps = mins.zip(maxs).map { case (lo, hi) => (hi - lo) / 255.0 }
     items.select(
       col(itemIdCol).cast("long").as("__item_id"),
-      array_min(VectorFunctions.centroidStructs(col(itemVecCol), centers))
-        .getField("cid").as("__cid"),
+      VectorFunctions.nearestCentroid(col(itemVecCol), centers).as("__cid"),
       encodeExpr(col(itemVecCol), mins, steps).as("__codes"))
   }
 

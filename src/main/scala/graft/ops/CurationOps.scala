@@ -601,11 +601,9 @@ case class SemanticDecontaminate(
         // eval buckets once by nearest centroid; corpus rows probe their
         // nprobe nearest lists (same quantizer formula as AnnIvf)
         val bucketed = evalP.withColumn("__cid",
-          array_min(V.centroidStructs(col("__ev"), centers)).getField("cid"))
-        corpus.withColumn("__cid", explode(org.apache.spark.sql.functions
-            .transform(
-              slice(array_sort(V.centroidStructs(col("__v"), centers)), 1, nprobe),
-              s => s.getField("cid"))))
+          V.nearestCentroid(col("__ev"), centers))
+        corpus.withColumn("__cid",
+            explode(V.nearestCentroids(col("__v"), centers, nprobe)))
           .join(bucketed, Seq("__cid"))
       }
     val scored = pairs

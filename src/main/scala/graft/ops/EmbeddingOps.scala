@@ -232,18 +232,23 @@ case class ClusterAssign(
 
   override def transform(df: DataFrame): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    // null guard up front (the PcaProject convention): a null vector has
-    // no nearest centroid — without the guard, struct-min over null
-    // distances would elect an arbitrary cluster
-    val best = when(col(vecCol).isNull, lit(null))
-      .otherwise(array_min(V.centroidStructs(v, centers)))
-    val out = df.withColumn("cluster_id", best.getField("cid"))
-    if (withDistance)
-      // (|c|² − 2·v·c) comes out of the struct min; add |v|² AFTER, so the
-      // fold order is exactly `(c2 - 2*dot(v,c)) + dot(v,v)` — what the
-      // dump-time oracle's SQL replays
-      out.withColumn("d2", best.getField("d") + V.dot(v, v))
-    else out
+    // fused nearest-centroid kernel (null vectors yield NULL cluster by
+    // its null discipline — the old explicit null guard's behavior);
+    // the winner's distance recomputes from the elected cid with ONE
+    // dot against the centroid DATA literal: `(c2 - 2*dot(v,c))` reads
+    // the same driver-side c2 double and the same sequential dot fold
+    // the kernel ranked with, then `+ dot(v,v)` AFTER — exactly the
+    // fold order the dump-time oracle's SQL replays
+    val cid = V.nearestCentroid(v, centers)
+    val out = df.withColumn("cluster_id", cid)
+    if (withDistance) {
+      val c2Lit = typedLit(centers.map(c => c.map(x => x * x).sum).toArray)
+      val cvLit = typedLit(centers.map(_.toArray).toArray)
+      out.withColumn("d2",
+        (element_at(c2Lit, col("cluster_id") + 1) -
+          lit(2.0) * V.dot(v, element_at(cvLit, col("cluster_id") + 1))) +
+          V.dot(v, v))
+    } else out
   }
 }
 

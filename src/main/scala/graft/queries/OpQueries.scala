@@ -567,10 +567,43 @@ object OpQueries {
              |    ELSE max_count * 10000 // ((n_items + ${n - 1}) // $n)
              |  END AS skew_bp
              |FROM agg""".stripMargin
+        // the stamped per-version occupancy lines replay as the same
+        // skew aggregate confined to each ingest prefix (batches split
+        // by item_id % 3; assignment per-item independent under the
+        // frozen centroids, counts additive across deltas)
+        def occPrefix(b: Int): String =
+          s"""SELECT 'v$b' AS version, n_items,
+             |  CAST($n AS BIGINT) AS n_buckets, n_occupied, max_count,
+             |  (n_items + ${n - 1}) // $n AS uniform_count,
+             |  CASE WHEN (n_items + ${n - 1}) // $n = 0
+             |    THEN CAST(0 AS BIGINT)
+             |    ELSE max_count * 10000 // ((n_items + ${n - 1}) // $n)
+             |  END AS skew_bp
+             |FROM (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_items,
+             |    CAST(count(*) AS BIGINT) AS n_occupied,
+             |    CAST(coalesce(max(c), 0) AS BIGINT) AS max_count
+             |  FROM (SELECT cid, count(*) AS c FROM iass
+             |    WHERE rn = 1 AND item_id % 3 <= $b GROUP BY cid))""".stripMargin
+        val occStreamSql =
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $rows),
+             |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE label <> 0 AND embedding IS NOT NULL),
+             |iass AS (SELECT item_id, cid, row_number() OVER
+             |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM items CROSS JOIN cent)
+             |SELECT * FROM (
+             |${occPrefix(0)}
+             |UNION ALL
+             |${occPrefix(1)}
+             |UNION ALL
+             |${occPrefix(2)})
+             |ORDER BY version""".stripMargin
         Seq("op_ann_ivf" -> sql, "op_ann_index_update" -> sql,
           "op_ann_ivf_stream" -> sql,
           "op_ann_ivf_recall_sampled" -> sampledSql,
-          "op_ann_ivf_skew" -> skewSql)
+          "op_ann_ivf_skew" -> skewSql,
+          "op_ann_occupancy_stream" -> occStreamSql)
       }.toMap
 
   /** op_ann_pq's oracle — the full IVF-PQ path (encode, probe, ADC
@@ -919,6 +952,41 @@ object OpQueries {
     } finally q.stop()
     val index = graft.streaming.StreamingOps.loadAnnIvfIndex(spark, dir).get
     op.asRowsIndexed(queries, index).orderBy("vec_id", "rank")
+  }
+
+  /** The STAMPED occupancy log end-to-end ([[annIvfStream]]'s 3-batch
+    * ingest fixture): each sink commit rolls its delta-chain bucket
+    * histograms into the version's 4-integer occupancy line
+    * ([[graft.streaming.StreamingOps.occupancyLog]] — the drift record
+    * between refit decisions), and this row emits the whole log. Hash-
+    * oracled: assignment is per-item independent under the frozen
+    * centroids and batches split by item_id % 3, so each version's
+    * summary replays in SQL as the IvfSkewReport aggregate confined to
+    * the id-modulo prefix — the stamped monitoring lines themselves are
+    * driver-hash-checked, not just spec-pinned. */
+  def annOccupancyStream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    val op = AnnIvf(ivfItems(spark, d), centers, "vec_id", "embedding",
+      k = 10, nprobe = math.min(8, centers.size), metric = "dot")
+    val itemRows = ivfItems(spark, d).as[(Long, Seq[Float])].collect()
+    val dir = OracleDir.tempDir("ivf_occ_stream")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.annIvfIndexSink(dir, op)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(itemRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.streaming.StreamingOps.occupancyLog(spark, dir).map { case (v, o) =>
+      (v, o.nItems, o.nBuckets, o.nOccupied, o.maxCount,
+        o.uniformCount, o.skewBp)
+    }.toDF("version", "n_items", "n_buckets", "n_occupied", "max_count",
+      "uniform_count", "skew_bp").orderBy("version")
   }
 
   /** IVF with nprobe = nlist: every inverted list is probed, so the
@@ -1997,6 +2065,7 @@ object OpQueries {
     "op_ann_ivf" -> (annIvf _),
     "op_ann_index_update" -> (annIndexUpdate _),
     "op_ann_ivf_stream" -> (annIvfStream _),
+    "op_ann_occupancy_stream" -> (annOccupancyStream _),
     "op_ann_lsh_recall" -> (annLshRecall _),
     "op_ann_lsh_recall_sampled" -> (annLshRecallSampled _),
     "op_ann_ivf_recall" -> (annIvfRecall _),

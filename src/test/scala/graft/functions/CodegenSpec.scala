@@ -215,6 +215,45 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("NearestCids is bit-identical to the sorted struct-tree formulation and stays in codegen") {
+    // the exact formulation NearestCids replaced in AnnIvf (probe:
+    // slice(array_sort(centroidStructs), 1, n) → cids; index: array_min
+    // → cid): random non-dyadic floats make this a true floating-point
+    // fold-order identity — the DuckDB oracle replays these values via
+    // the same (d, cid) window ordering, so bit-identity is the bar.
+    val rnd = new scala.util.Random(23)
+    val dim = 6
+    val centers: Seq[Seq[Double]] =
+      Seq.fill(37)(Seq.fill(dim)(rnd.nextGaussian() * 2.0))
+    val vecs = spark.sparkContext.parallelize(
+      (0 until 400).map(i =>
+        (i.toLong, Seq.fill(dim)((rnd.nextGaussian() * 3).toFloat))), 4)
+      .toDF("id", "v")
+    for (n <- Seq(1, 4, 37)) {
+      val tree = org.apache.spark.sql.functions.transform(
+        slice(array_sort(VectorFunctions.centroidStructs($"v", centers)), 1, n),
+        s => s.getField("cid"))
+      val fusedDf = vecs.select($"id",
+        FastExpressions.nearestCids($"v", centers, n).as("c"))
+      assert(generatedCode(fusedDf).contains(".compute("),
+        "expected unboxed compute call")
+      val got = fusedDf.as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      val want = vecs.select($"id", tree.as("c"))
+        .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      assert(got == want, s"fused/tree divergence at n=$n")
+    }
+    // duplicate centroids → identical distances → lowest-cid-first order
+    val dup = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
+    val tied = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    assert(tied.select(FastExpressions.nearestCids($"v", dup, 3).as("c"))
+      .as[Seq[Int]].head() == Seq(0, 2, 1))
+    // null discipline (the PqEncode precedent, stricter than the struct
+    // tree's list-0 capture): wrong length or null vector → NULL
+    val bad = Seq((1L, Seq(1.0f)), (2L, null: Seq[Float])).toDF("id", "v")
+    assert(bad.select(FastExpressions.nearestCids($"v", dup, 1).as("c"))
+      .filter($"c".isNotNull).count() == 0)
+  }
+
   test("SqDecodeDot is bit-identical to dot(q, decode(codes)) and stays in codegen") {
     // random non-dyadic floats + full-range codes: a true fold-order
     // identity check against the composed form the DuckDB oracle replays
