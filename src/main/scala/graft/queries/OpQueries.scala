@@ -320,7 +320,9 @@ object OpQueries {
       Seq(n -> sql, "op_ann_lsh_stream" -> sql,
         // pick can't be empty here — this flatMap runs inside its
         // non-empty branch, on the same dir-pinned center
-        "op_ann_lsh_skew" -> lshSkewSql(OracleDir.pick(lshCenterCache).get))
+        "op_ann_lsh_skew" -> lshSkewSql(OracleDir.pick(lshCenterCache).get),
+        "op_ann_lsh_skew_stream" ->
+          lshSkewStreamSql(OracleDir.pick(lshCenterCache).get))
     }.toMap
 
   /** op_ann_lsh_skew's oracle: the item-bucket CTE from the op_ann_lsh
@@ -364,6 +366,91 @@ object OpQueries {
        |    ELSE max_count * 10000 // ((n_items + ${nBuckets - 1}) // $nBuckets)
        |  END AS skew_bp
        |FROM agg""".stripMargin
+  }
+
+  /** op_ann_lsh_skew_stream's oracle: the op_ann_lsh_skew replay (same
+    * resolved sign matrix, strict `> 0` sign, d-ascending projection
+    * fold) computed per ingest prefix — batches split by item_id % 3
+    * and bucketing is per-item independent under the frozen center, so
+    * version v<b>'s stamped line equals the histogram over items with
+    * id % 3 <= b. */
+  private def lshSkewStreamSql(mu: Seq[Double]): String = {
+    val numBits = annLshBits
+    val dim = mu.size
+    val nBuckets = 1L << numBits
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    val signRows = (0 until numBits).map { p =>
+      val sv = (0 until dim).map { dd =>
+        val h = XxHash64Function.hash(dd, IntegerType, 42L)
+        if (((h >>> p) & 1L) == 1L) 1.0 else -1.0
+      }
+      s"($p, ${1 << p}, '${sv.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n  ")
+    def prefix(b: Int): String =
+      s"""SELECT 'v$b' AS version, n_items,
+         |  CAST($nBuckets AS BIGINT) AS n_buckets, n_occupied, max_count,
+         |  (n_items + ${nBuckets - 1}) // $nBuckets AS uniform_count,
+         |  CASE WHEN (n_items + ${nBuckets - 1}) // $nBuckets = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE max_count * 10000 // ((n_items + ${nBuckets - 1}) // $nBuckets)
+         |  END AS skew_bp
+         |FROM (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_items,
+         |    CAST(count(*) AS BIGINT) AS n_occupied,
+         |    CAST(coalesce(max(c), 0) AS BIGINT) AS max_count
+         |  FROM (SELECT bucket, count(*) AS c FROM ib
+         |    WHERE item_id % 3 <= $b GROUP BY bucket))""".stripMargin
+    s"""WITH c(mu) AS (VALUES ('${mu.mkString("[", ", ", "]")}'::DOUBLE[])),
+       |s(p, pw, sv) AS (VALUES
+       |  $signRows),
+       |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE label <> 0 AND embedding IS NOT NULL),
+       |ib AS (SELECT item_id,
+       |    CAST(sum(CASE WHEN list_inner_product(diff, sv) > 0 THEN pw ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM (SELECT item_id, list_transform(range(1, ${dim + 1}), i -> v[i] - mu[i]) AS diff
+       |    FROM items CROSS JOIN c) CROSS JOIN s
+       |  GROUP BY item_id)
+       |SELECT * FROM (
+       |${prefix(0)}
+       |UNION ALL
+       |${prefix(1)}
+       |UNION ALL
+       |${prefix(2)})
+       |ORDER BY version""".stripMargin
+  }
+
+  /** The LSH twin of [[annOccupancyStream]] — the stamped occupancy log
+    * of a 3-batch [[graft.streaming.StreamingOps.annLshIndexSink]]
+    * ingest under the frozen hyperplane center, hash-checked per
+    * version against the per-prefix sign-matrix replay. Completes the
+    * in-log monitoring symmetry for the tier whose occupancy skew is
+    * the FIT-dependent one ([[graft.ops.LshSkewReport]] — the sf1.0
+    * recsys indictment). */
+  def annLshSkewStream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val items = embeddings(spark, d).filter(col("label") =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding"))
+    val op = AnnLsh(items, "vec_id", "embedding", k = 10,
+      numBits = annLshBits, nprobe = annLshProbes, metric = "cosine",
+      center = Some(cachedLshCenter(spark, d)))
+    val itemRows = items.as[(Long, Seq[Float])].collect()
+    val dir = OracleDir.tempDir("lsh_skew_stream")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.annLshIndexSink(dir, op)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(itemRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.streaming.StreamingOps.occupancyLog(spark, dir).map { case (v, o) =>
+      (v, o.nItems, o.nBuckets, o.nOccupied, o.maxCount,
+        o.uniformCount, o.skewBp)
+    }.toDF("version", "n_items", "n_buckets", "n_occupied", "max_count",
+      "uniform_count", "skew_bp").orderBy("version")
   }
 
   /** Memoized IVF coarse-quantizer centers keyed by (sfDir, nlist,
@@ -2061,6 +2148,7 @@ object OpQueries {
     "op_ann_lsh" -> (annLsh _),
     "op_ann_lsh_stream" -> (annLshStream _),
     "op_ann_lsh_skew" -> (annLshSkew _),
+    "op_ann_lsh_skew_stream" -> (annLshSkewStream _),
     "op_ann_ivf_skew" -> (annIvfSkew _),
     "op_ann_ivf" -> (annIvf _),
     "op_ann_index_update" -> (annIndexUpdate _),
