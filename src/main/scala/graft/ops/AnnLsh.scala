@@ -193,6 +193,117 @@ private[ops] object BucketSkew {
     StructField("skew_bp", LongType)))
 }
 
+/** The QUERY-side twin of the occupancy reports: expected candidate
+  * volume of a probe workload against a bucketed index — THE quantity
+  * retrieval cost is made of (the sf1.0 recsys cliff was exactly this
+  * number: 140.6 M candidates where uniform predicted 29 M). Never
+  * materializes the probe join: candidates = Σ_b probes(b)·|bucket b| —
+  * two bucket-scale aggregates joined on bucket id, so the report costs
+  * two partial-aggregable groupBys at ANY catalog/workload size.
+  * `cost_bp` = candidates·10⁴ / (n_probes·ceil-uniform-bucket) — 10000
+  * means the workload costs exactly what the uniform sizing predicted;
+  * the LSH cliff read ~48000, the adapted k-means cells at sf1.0 read
+  * ~1800 (probed lists SMALLER than average). */
+private[ops] object ProbeCost {
+  def summarize(itemBuckets: DataFrame, probeBuckets: DataFrame,
+      nBuckets: Long): DataFrame = {
+    val ic = itemBuckets.groupBy("__b").agg(count(lit(1)).as("__ic"))
+    val pc = probeBuckets.groupBy("__b").agg(count(lit(1)).as("__pc"))
+    val joined = pc.join(ic, Seq("__b"))
+      .agg(coalesce(sum(col("__ic") * col("__pc")), lit(0L)).as("candidates"))
+    val totals = ic.agg(coalesce(sum(col("__ic")), lit(0L)).as("n_items"))
+      .crossJoin(pc.agg(coalesce(sum(col("__pc")), lit(0L)).as("n_probes")))
+    totals.crossJoin(joined)
+      .select(col("n_items"), lit(nBuckets).as("n_buckets"),
+        col("n_probes"), col("candidates"))
+      .withColumn("uniform_count",
+        expr(s"(n_items + ${nBuckets - 1}L) div ${nBuckets}L"))
+      .withColumn("uniform_candidates",
+        col("n_probes") * col("uniform_count"))
+      .withColumn("cost_bp",
+        when(col("uniform_candidates") === 0L, 0L)
+          .otherwise(expr("candidates * 10000L div uniform_candidates")))
+  }
+}
+
+/** Probe-cost report for the sign-LSH tier: the query workload's home
+  * bucket + single-bit-flip probes ([[AnnLsh]]'s exact probe set)
+  * against the item bucket histogram. */
+case class LshProbeCost(
+    items: DataFrame,
+    center: Seq[Double],
+    numBits: Int,
+    nprobe: Int,
+    itemVecCol: String = "embedding",
+    queryVecCol: String = "embedding") extends EnsembleOp {
+
+  require(numBits >= 1 && numBits <= 32, s"$name: numBits in [1, 32]")
+  require(nprobe >= 1 && nprobe <= numBits + 1, s"$name: nprobe in [1, numBits+1]")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, queryVecCol)
+    StructType(Seq(
+      StructField("n_items", LongType), StructField("n_buckets", LongType),
+      StructField("n_probes", LongType), StructField("candidates", LongType),
+      StructField("uniform_count", LongType),
+      StructField("uniform_candidates", LongType),
+      StructField("cost_bp", LongType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val mu = typedLit(center.toArray)
+    def bkt(vec: Column) =
+      graft.functions.FastExpressions.lshBucket(vec, mu, numBits)
+    val probes = array((0 until nprobe).map(i =>
+      if (i == 0) col("__home")
+      else col("__home").bitwiseXOR(lit(1 << (i - 1)))): _*)
+    ProbeCost.summarize(
+      items.filter(col(itemVecCol).isNotNull)
+        .select(bkt(col(itemVecCol)).cast("long").as("__b")),
+      df.filter(col(queryVecCol).isNotNull)
+        .withColumn("__home", bkt(col(queryVecCol)))
+        .select(explode(probes).as("__b0"))
+        .select(col("__b0").cast("long").as("__b")),
+      1L << numBits)
+  }
+}
+
+/** Probe-cost report for the k-means tiers: the workload's
+  * nprobe-nearest-centroid routing against the inverted-list
+  * histogram — covers IVF,Flat / IVF-PQ / IVF,SQ8, which share the
+  * coarse quantizer. */
+case class IvfProbeCost(
+    items: DataFrame,
+    centers: Seq[Seq[Double]],
+    nprobe: Int,
+    itemVecCol: String = "embedding",
+    queryVecCol: String = "embedding") extends EnsembleOp {
+
+  require(centers.nonEmpty, s"$name: need at least one centroid")
+  require(nprobe >= 1 && nprobe <= centers.size, s"$name: nprobe in [1, nlist]")
+
+  override def transformSchema(in: StructType): StructType = {
+    requireCol(in, queryVecCol)
+    StructType(Seq(
+      StructField("n_items", LongType), StructField("n_buckets", LongType),
+      StructField("n_probes", LongType), StructField("candidates", LongType),
+      StructField("uniform_count", LongType),
+      StructField("uniform_candidates", LongType),
+      StructField("cost_bp", LongType)))
+  }
+
+  override def transform(df: DataFrame): DataFrame =
+    ProbeCost.summarize(
+      items.filter(col(itemVecCol).isNotNull)
+        .select(graft.functions.VectorFunctions
+          .nearestCentroid(col(itemVecCol), centers).cast("long").as("__b")),
+      df.filter(col(queryVecCol).isNotNull)
+        .select(explode(graft.functions.VectorFunctions
+          .nearestCentroids(col(queryVecCol), centers, nprobe)).as("__b0"))
+        .select(col("__b0").cast("long").as("__b")),
+      centers.size.toLong)
+}
+
 /** [[LshSkewReport]]'s twin for the k-means tiers (IVF,Flat / IVF-PQ /
   * IVF,SQ8 share the coarse quantizer, so one report covers all three):
   * inverted-LIST occupancy. K-means adapts its cells to clustered

@@ -322,7 +322,9 @@ object OpQueries {
         // non-empty branch, on the same dir-pinned center
         "op_ann_lsh_skew" -> lshSkewSql(OracleDir.pick(lshCenterCache).get),
         "op_ann_lsh_skew_stream" ->
-          lshSkewStreamSql(OracleDir.pick(lshCenterCache).get))
+          lshSkewStreamSql(OracleDir.pick(lshCenterCache).get),
+        "op_ann_lsh_probe_cost" ->
+          lshProbeCostSql(OracleDir.pick(lshCenterCache).get))
     }.toMap
 
   /** op_ann_lsh_skew's oracle: the item-bucket CTE from the op_ann_lsh
@@ -366,6 +368,84 @@ object OpQueries {
        |    ELSE max_count * 10000 // ((n_items + ${nBuckets - 1}) // $nBuckets)
        |  END AS skew_bp
        |FROM agg""".stripMargin
+  }
+
+  /** Probe-cost evidence for the LSH tier ([[graft.ops.LshProbeCost]]):
+    * expected candidate volume of the op_ann_lsh query workload against
+    * its bucket histogram — the quantity the sf1.0 recsys cliff was
+    * made of, as a hash-oracled all-integer row computed from two
+    * bucket-scale aggregates (never the probe join itself). */
+  def annLshProbeCost(spark: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(spark, d)
+    val items = emb.filter(col("label") =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding"))
+    LshProbeCost(items, cachedLshCenter(spark, d), annLshBits, annLshProbes)
+      .transform(emb.filter(col("label") === 0))
+  }
+
+  /** The k-means twin ([[graft.ops.IvfProbeCost]]) over the shared
+    * IVF32 coarse quantizer — one report covers Flat/PQ/SQ8. */
+  def annIvfProbeCost(spark: SparkSession, d: String): DataFrame = {
+    val centers = cachedCenters(spark, d, nlist = 32, maxIter = 5)
+    IvfProbeCost(ivfItems(spark, d), centers,
+      nprobe = math.min(8, centers.size))
+      .transform(embeddings(spark, d).filter(col("label") === 0))
+  }
+
+  /** op_ann_lsh_probe_cost's oracle: item/probe bucket histograms from
+    * the op_ann_lsh sign-matrix replay, joined on bucket id — the
+    * Σ probes(b)·|b| formulation, identical to the op's two-aggregate
+    * plan. */
+  private def lshProbeCostSql(mu: Seq[Double]): String = {
+    val numBits = annLshBits
+    val dim = mu.size
+    val nBuckets = 1L << numBits
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    val signRows = (0 until numBits).map { p =>
+      val sv = (0 until dim).map { dd =>
+        val h = XxHash64Function.hash(dd, IntegerType, 42L)
+        if (((h >>> p) & 1L) == 1L) 1.0 else -1.0
+      }
+      s"($p, ${1 << p}, '${sv.mkString("[", ", ", "]")}'::DOUBLE[])"
+    }.mkString(",\n  ")
+    val probes = (Seq("SELECT vec_id, home AS bucket FROM qb") ++
+      (0 until (annLshProbes - 1)).map(i =>
+        s"SELECT vec_id, xor(home, ${1 << i}) FROM qb")).mkString("\n  UNION ALL ")
+    s"""WITH c(mu) AS (VALUES ('${mu.mkString("[", ", ", "]")}'::DOUBLE[])),
+       |s(p, pw, sv) AS (VALUES
+       |  $signRows),
+       |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE label <> 0 AND embedding IS NOT NULL),
+       |qs AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE label = 0 AND embedding IS NOT NULL),
+       |ib AS (SELECT item_id,
+       |    CAST(sum(CASE WHEN list_inner_product(diff, sv) > 0 THEN pw ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM (SELECT item_id, list_transform(range(1, ${dim + 1}), i -> v[i] - mu[i]) AS diff
+       |    FROM items CROSS JOIN c) CROSS JOIN s
+       |  GROUP BY item_id),
+       |qb AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN list_inner_product(diff, sv) > 0 THEN pw ELSE 0 END) AS INTEGER) AS home
+       |  FROM (SELECT vec_id, list_transform(range(1, ${dim + 1}), i -> v[i] - mu[i]) AS diff
+       |    FROM qs CROSS JOIN c) CROSS JOIN s
+       |  GROUP BY vec_id),
+       |qp AS ($probes),
+       |ic AS (SELECT bucket, count(*) AS c FROM ib GROUP BY bucket),
+       |pc AS (SELECT bucket, count(*) AS c FROM qp GROUP BY bucket),
+       |n AS (SELECT
+       |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ic) AS n_items,
+       |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM pc) AS n_probes,
+       |  (SELECT CAST(coalesce(sum(ic.c * pc.c), 0) AS BIGINT)
+       |    FROM pc JOIN ic ON pc.bucket = ic.bucket) AS candidates)
+       |SELECT n_items, CAST($nBuckets AS BIGINT) AS n_buckets, n_probes,
+       |  candidates,
+       |  (n_items + ${nBuckets - 1}) // $nBuckets AS uniform_count,
+       |  n_probes * ((n_items + ${nBuckets - 1}) // $nBuckets) AS uniform_candidates,
+       |  CASE WHEN n_probes * ((n_items + ${nBuckets - 1}) // $nBuckets) = 0
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE candidates * 10000 // (n_probes * ((n_items + ${nBuckets - 1}) // $nBuckets))
+       |  END AS cost_bp
+       |FROM n""".stripMargin
   }
 
   /** op_ann_lsh_skew_stream's oracle: the op_ann_lsh_skew replay (same
@@ -686,11 +766,42 @@ object OpQueries {
              |UNION ALL
              |${occPrefix(2)})
              |ORDER BY version""".stripMargin
+        val nprobeQ = math.min(8, centers.size)
+        val probeCostSql =
+          s"""WITH cent(cid, cv, c2) AS (VALUES
+             |  $rows),
+             |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE label <> 0 AND embedding IS NOT NULL),
+             |iass AS (SELECT item_id, cid, row_number() OVER
+             |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+             |  FROM items CROSS JOIN cent),
+             |qs AS (SELECT vec_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE label = 0 AND embedding IS NOT NULL),
+             |qass AS (SELECT vec_id, cid, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(qv, cv), cid) AS rn
+             |  FROM qs CROSS JOIN cent),
+             |ic AS (SELECT cid, count(*) AS c FROM iass WHERE rn = 1 GROUP BY cid),
+             |pc AS (SELECT cid, count(*) AS c FROM qass WHERE rn <= $nprobeQ GROUP BY cid),
+             |nn AS (SELECT
+             |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ic) AS n_items,
+             |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM pc) AS n_probes,
+             |  (SELECT CAST(coalesce(sum(ic.c * pc.c), 0) AS BIGINT)
+             |    FROM pc JOIN ic ON pc.cid = ic.cid) AS candidates)
+             |SELECT n_items, CAST($n AS BIGINT) AS n_buckets, n_probes,
+             |  candidates,
+             |  (n_items + ${n - 1}) // $n AS uniform_count,
+             |  n_probes * ((n_items + ${n - 1}) // $n) AS uniform_candidates,
+             |  CASE WHEN n_probes * ((n_items + ${n - 1}) // $n) = 0
+             |    THEN CAST(0 AS BIGINT)
+             |    ELSE candidates * 10000 // (n_probes * ((n_items + ${n - 1}) // $n))
+             |  END AS cost_bp
+             |FROM nn""".stripMargin
         Seq("op_ann_ivf" -> sql, "op_ann_index_update" -> sql,
           "op_ann_ivf_stream" -> sql,
           "op_ann_ivf_recall_sampled" -> sampledSql,
           "op_ann_ivf_skew" -> skewSql,
-          "op_ann_occupancy_stream" -> occStreamSql)
+          "op_ann_occupancy_stream" -> occStreamSql,
+          "op_ann_ivf_probe_cost" -> probeCostSql)
       }.toMap
 
   /** op_ann_pq's oracle — the full IVF-PQ path (encode, probe, ADC
@@ -2149,6 +2260,8 @@ object OpQueries {
     "op_ann_lsh_stream" -> (annLshStream _),
     "op_ann_lsh_skew" -> (annLshSkew _),
     "op_ann_lsh_skew_stream" -> (annLshSkewStream _),
+    "op_ann_lsh_probe_cost" -> (annLshProbeCost _),
+    "op_ann_ivf_probe_cost" -> (annIvfProbeCost _),
     "op_ann_ivf_skew" -> (annIvfSkew _),
     "op_ann_ivf" -> (annIvf _),
     "op_ann_index_update" -> (annIndexUpdate _),

@@ -74,6 +74,35 @@ class AnnLshSpec extends SparkSpec {
       s"empty catalog must report zeros: $r3")
   }
 
+  test("ProbeCost: candidates = Σ probes(b)·|b|, against the ceil-uniform baseline") {
+    // items 30 in list 0, 10 in list 1; a query workload probing ONLY
+    // the heavy list costs 1.5× what uniform sizing predicts
+    val items = ((1L to 30L).map(i => (i, Seq(1.0f, 0.0f))) ++
+      (31L to 40L).map(i => (i, Seq(0.0f, 5.0f)))).toDF("item_id", "embedding")
+    val centers = Seq(Seq(1.0, 0.0), Seq(0.0, 5.0))
+    val hot = (1L to 10L).map(i => (i, Seq(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val r = IvfProbeCost(items, centers, nprobe = 1,
+      queryVecCol = "embedding").transform(hot).head()
+    assert(r.getLong(0) == 40L)  // n_items
+    assert(r.getLong(2) == 10L)  // n_probes
+    assert(r.getLong(3) == 300L) // candidates = 10 × |list 0|
+    assert(r.getLong(4) == 20L)  // uniform_count
+    assert(r.getLong(5) == 200L) // uniform_candidates
+    assert(r.getLong(6) == 15000L) // cost_bp = 1.5× uniform
+    // a full probe (nprobe = nlist) costs exactly uniform by construction
+    val full = IvfProbeCost(items, centers, nprobe = 2,
+      queryVecCol = "embedding").transform(hot).head()
+    assert(full.getLong(3) == 400L && full.getLong(6) == 10000L)
+    // the LSH twin emits the same shape over sign buckets
+    val mu = Seq(0.0, 0.0)
+    val l = LshProbeCost(items, mu, numBits = 2, nprobe = 2,
+      queryVecCol = "embedding").transform(hot).head()
+    assert(l.getLong(0) == 40L && l.getLong(1) == 4L &&
+      l.getLong(2) == 20L)
+    assert(l.getLong(3) >= 0L && l.getLong(6) >= 0L)
+  }
+
   test("IvfSkewReport: list occupancy over fixed centroids, lowest-cid tie-break") {
     // two centroids; 30 items near c0, 10 near c1 → counts (30, 10)
     val items = ((1L to 30L).map(i => (i, Seq(1.0f, 0.0f))) ++
