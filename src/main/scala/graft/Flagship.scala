@@ -99,27 +99,116 @@ object Flagship {
     * cliff: 8× uniform. */
   val LshSkewBoundBp: Long = 80000L
 
+  /** The probe-cost bound (basis points of the uniform candidate
+    * volume) for the WORKLOAD-AWARE decision ([[decideRetriever]] with
+    * a query sample): the sf1.0 cliff mechanism was occupancy ×
+    * probe-correlation, and [[graft.ops.LshProbeCost]] measures exactly
+    * that product — the cliff read ~48000 bp (4.8× uniform candidate
+    * volume through the probe join), the adapted k-means cells ~1800,
+    * and a workload probing buckets at their average size reads 10000.
+    * 3× uniform sits well above healthy probe variance and well below
+    * the measured cliff. */
+  val LshCostBoundBp: Long = 30000L
+
+  /** One resolved retrieval-tier decision: the tier, which monitor
+    * decided it (`cost_bp` when a workload sample was available,
+    * `skew_bp` otherwise, `forced` for pinned tiers), the measured
+    * basis points, and the numBits the LSH tier should SERVE with —
+    * which exceeds the requested bits when the resize retry rescued a
+    * tripped fit. */
+  case class RetrieverDecision(tier: String, evidence: String, bp: Long,
+      numBits: Int)
+
   /** The ACTION half of the LSH-skew remedy ([[graft.ops.LshSkewReport]]
-    * is the trigger): probe the would-be LSH fit's bucket occupancy and
-    * pick the retrieval tier — sign-LSH while the fit geometry spreads
-    * (cheapest index: no training, one mean vector of state), k-means
-    * IVF when the catalog's cone collapses the fixed hyperplane buckets
-    * (`skew_bp > LshSkewBoundBp`), because trained centroids adapt
-    * their cells to clustered geometry where fixed planes cannot — and
-    * IVF is also the reference's own index family
-    * (merlin/systems/dag/ops/faiss.py:213-214, `IVF32,Flat`). One
-    * metadata-scale aggregate over the (persisted) item vectors; the
-    * returned skew_bp is the evidence behind the decision. */
+    * / [[graft.ops.LshProbeCost]] are the trigger half): measure the
+    * would-be LSH fit and pick the retrieval tier — sign-LSH while the
+    * fit geometry spreads (cheapest index: no training, one mean vector
+    * of state), k-means IVF when the catalog's cone collapses the fixed
+    * hyperplane buckets, because trained centroids adapt their cells to
+    * clustered geometry where fixed planes cannot — and IVF is also the
+    * reference's own index family (merlin/systems/dag/ops/faiss.py:
+    * 213-214, `IVF32,Flat`).
+    *
+    * The monitor is WORKLOAD-AWARE when a query sample is in hand
+    * (serving has the user factors): the decision quantity is then
+    * `cost_bp` — expected candidate volume of THIS workload's probes
+    * against the fit's bucket histogram vs uniform — because the
+    * measured sf1.0 cliff was occupancy × probe-correlation, and
+    * item-side occupancy alone both over-triggers (a heavy bucket no
+    * query probes costs nothing) and under-triggers (sub-bound
+    * occupancy still multiplies a workload that concentrates on the
+    * heavy buckets). Without a workload it falls back to the
+    * occupancy-only `skew_bp`. Either way the aggregates are
+    * metadata-scale (two partial-aggregable groupBys at most).
+    *
+    * A tripped fit retries sign-LSH ONCE at `numBits + retryBits`
+    * before paying the k-means fit — the cheap remedy named in
+    * [[graft.ops.LshSkewReport]]'s doc. The retry is judged in ABSOLUTE
+    * probe-cost units, against the REQUESTED sizing's uniform target
+    * (`ceil(n / 2^numBits)`, the ~64-items/bucket envelope), not the
+    * resized fit's own uniform: per-bucket uniform shrinks 2^retryBits×
+    * under more bits, so the relative bp metric is non-decreasing in
+    * bits even when the heavy bucket genuinely splits — while what the
+    * remedy protects (candidates per probe) only cares how many ITEMS
+    * the heaviest probed bucket holds. Finer buckets rescue geometries
+    * whose heavy bucket splits under the extra hyperplanes (spread mass
+    * that collided at the coarse sizing); a true cone occupies the same
+    * ±sign-pattern pair at any bit count, never splits, and still falls
+    * through to IVF. The retry costs one more metadata-scale aggregate,
+    * against the 37–43 s k-means fit it can avoid at sf1.0. */
+  def decideRetriever(itemVecs: DataFrame, center: Seq[Double],
+      numBits: Int, vecCol: String = "embedding",
+      workload: Option[DataFrame] = None,
+      workloadVecCol: String = "user_vec",
+      nprobe: Int = 4, retryBits: Int = 2): RetrieverDecision = {
+    // absolute-units numerators/denominators: heaviest-bucket items (or
+    // workload candidates) against the REQUESTED sizing's uniform, so a
+    // measurement at bits2 > numBits is comparable to the first one
+    val uniformAt = (nItems: Long) => math.max(1L,
+      (nItems + (1L << numBits) - 1) / (1L << numBits))
+    def measure(bits: Int): (String, Long) = workload match {
+      case Some(qs) =>
+        val r = graft.ops.LshProbeCost(itemVecs, center, bits,
+          nprobe = math.min(nprobe, bits + 1), itemVecCol = vecCol,
+          queryVecCol = workloadVecCol).transform(qs).head()
+        val denom = r.getAs[Long]("n_probes") * uniformAt(r.getAs[Long]("n_items"))
+        ("cost_bp", if (denom == 0L) 0L
+          else r.getAs[Long]("candidates") * 10000L / denom)
+      case None =>
+        val r = graft.ops.LshSkewReport(center, bits, vecCol)
+          .transform(itemVecs).head()
+        ("skew_bp", r.getAs[Long]("max_count") * 10000L /
+          uniformAt(r.getAs[Long]("n_items")))
+    }
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val (ev, bp) = measure(numBits)
+    val bound = if (ev == "cost_bp") LshCostBoundBp else LshSkewBoundBp
+    if (bp <= bound) RetrieverDecision("lsh", ev, bp, numBits)
+    else {
+      val bits2 = math.min(32, numBits + retryBits)
+      val (_, bp2) = if (bits2 > numBits) measure(bits2) else (ev, bp)
+      if (bits2 > numBits && bp2 <= bound) {
+        log.warn(s"LSH $ev $bp bp > $bound bp at $numBits bits — " +
+          s"resized fit to $bits2 bits ($bp2 bp at the requested " +
+          "sizing's uniform), keeping the LSH tier")
+        RetrieverDecision("lsh", ev, bp2, bits2)
+      } else {
+        log.warn(s"LSH $ev $bp bp > $bound bp at $numBits bits " +
+          s"(retry at $bits2 bits: $bp2 bp) — " +
+          "switching the retrieval tier to k-means IVF")
+        RetrieverDecision("ivf", ev, bp, numBits)
+      }
+    }
+  }
+
+  /** Occupancy-only compatibility surface over [[decideRetriever]]
+    * (no workload sample, no resize retry — the round-12 decision
+    * shape): (tier, skew_bp). */
   def chooseRetriever(itemVecs: DataFrame, center: Seq[Double],
       numBits: Int, vecCol: String = "embedding"): (String, Long) = {
-    val skewBp = graft.ops.LshSkewReport(center, numBits, vecCol)
-      .transform(itemVecs).head().getAs[Long]("skew_bp")
-    val tier = if (skewBp > LshSkewBoundBp) "ivf" else "lsh"
-    if (tier == "ivf")
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"LSH bucket skew $skewBp bp > $LshSkewBoundBp bp — " +
-        "switching the retrieval tier to k-means IVF")
-    (tier, skewBp)
+    val d = decideRetriever(itemVecs, center, numBits, vecCol,
+      retryBits = 0)
+    (d.tier, d.bp)
   }
 
   val recsysArtifacts =
@@ -197,13 +286,21 @@ object Flagship {
     // geometry spreads, IVF when the occupancy report trips
     // ([[chooseRetriever]] — the sf1.0 rehearsal's 5× cliff was exactly
     // a skewed factor cone served through fixed hyperplanes).
-    def lshOp(): graft.core.EnsembleOp = {
+    // numBits/center are fit ONCE and passed in: the "auto" branch's
+    // skew decision must measure the very hyperplanes the fitted op
+    // serves with — a recomputed mean can drift in the last bits under
+    // a different partial-agg merge order and flip borderline signs
+    // (round-12 ADVICE; the recommend() path already works this way)
+    def fitLshParams(): (Int, Seq[Double]) = {
       val numBits = math.max(4, math.min(12,
         (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
-      val center = graft.functions.VectorFunctions.meanVector(itemVecs, "embedding").toSeq
+      val center = graft.functions.VectorFunctions
+        .meanVector(itemVecs, "embedding").toSeq
+      (numBits, center)
+    }
+    def lshOp(numBits: Int, center: Seq[Double]): graft.core.EnsembleOp =
       AnnLsh(itemVecs, "user_id", "user_vec", k = retrievalK,
         numBits = numBits, nprobe = 4, metric = "dot", center = Some(center))
-    }
     def ivfOp(): graft.core.EnsembleOp = {
       val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
       AnnIvf(itemVecs, cachedIvfCenters(d, itemVecs, nlist),
@@ -211,15 +308,18 @@ object Flagship {
         nprobe = math.min(4, nlist), metric = "dot")
     }
     val retrieval: graft.core.EnsembleOp = retriever match {
-      case "lsh" => lshOp()
+      case "lsh" =>
+        val (numBits, center) = fitLshParams()
+        lshOp(numBits, center)
       case "ivf" => ivfOp()
       case "auto" =>
-        val numBits = math.max(4, math.min(12,
-          (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
-        val center = graft.functions.VectorFunctions
-          .meanVector(itemVecs, "embedding").toSeq
-        if (chooseRetriever(itemVecs, center, numBits)._1 == "lsh") lshOp()
-        else ivfOp()
+        val (numBits, center) = fitLshParams()
+        // workload-aware: the fitted user factors ARE the query
+        // workload this graph will serve, so the decision quantity is
+        // this workload's probe cost, not item occupancy alone
+        val d = decideRetriever(itemVecs, center, numBits,
+          workload = Some(userVecs), workloadVecCol = "user_vec")
+        if (d.tier == "lsh") lshOp(d.numBits, center) else ivfOp()
       case "pq" =>
         // ALS factors are rank-dim (small); aim for ~4-dim subspaces but
         // take the largest m that DIVIDES the rank (rank/4 itself need
@@ -297,18 +397,37 @@ object Flagship {
       .meanVector(itemVecs, "embedding").toSeq
     // GRAFT_RECSYS_RETRIEVER: a harness seam for driving the non-default
     // tier through the FULL Verify/oracle flow (the tier is otherwise
-    // data-decided, and healthy test catalogs never trip to IVF)
-    val tier = retriever
-      .orElse(sys.env.get("GRAFT_RECSYS_RETRIEVER"))
-      .getOrElse(chooseRetriever(itemVecs, center, numBits)._1)
+    // data-decided, and healthy test catalogs never trip to IVF).
+    // The auto decision is WORKLOAD-AWARE ([[decideRetriever]]): the
+    // request workload's own probe cost against the fit's histogram —
+    // serving has every user factor in hand, so the decision measures
+    // the quantity the remedy protects (candidate volume), with the
+    // one-shot resize retry before the k-means fit is paid.
+    val decision = retriever
+      .orElse(sys.env.get("GRAFT_RECSYS_RETRIEVER")) match {
+      case Some(t) => RetrieverDecision(t, "forced", -1L, numBits)
+      case None => decideRetriever(itemVecs, center, numBits,
+        workload = Some(withVec), workloadVecCol = "user_vec")
+    }
+    val tier = decision.tier
+    // validate BEFORE the match: its `case _` is the IVF branch, so a
+    // typo'd env value (or servingEnsemble's "pq", unsupported here)
+    // would silently serve IVF instead of failing loudly (round-12
+    // ADVICE; mirrors servingEnsemble's unknown-retriever error)
+    if (!Set("lsh", "ivf").contains(tier))
+      throw new IllegalArgumentException(
+        s"unknown retriever '$tier' (lsh|ivf, or None for skew-aware auto)")
     // (retrieved frame, item assignment artifact, user probe artifact)
     val (retrieved, itemBuckets, userBuckets) = tier match {
       case "lsh" =>
+        // the resize retry may have widened the bit count — serve and
+        // dump artifacts with the DECIDED bits, never the requested ones
+        val lshBits = decision.numBits
         val mu = typedLit(center.toArray)
         def bkt(vec: org.apache.spark.sql.Column) =
-          graft.functions.FastExpressions.lshBucket(vec, mu, numBits)
+          graft.functions.FastExpressions.lshBucket(vec, mu, lshBits)
         (AnnLsh(itemVecs, "user_id", "user_vec",
-          k = retrievalK, numBits = numBits, nprobe = 4, metric = "dot",
+          k = retrievalK, numBits = lshBits, nprobe = 4, metric = "dot",
           center = Some(center)).transform(withVec),
          itemVecs.select(col("item_id"), bkt(col("embedding")).as("bucket")),
          withVec.select(col("user_id"), bkt(col("user_vec")).as("home")))

@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.StorageQueries.oracle ++
       graft.queries.OpQueries.pcaOracle ++ // dump-time: fitted literals
       graft.queries.OpQueries.ivfOracle ++
+      graft.queries.OpQueries.refitOracle ++
       graft.queries.OpQueries.pqOracle ++
       graft.queries.OpQueries.sqOracle ++
       graft.queries.OpQueries.lshOracle ++

@@ -1224,6 +1224,70 @@ case class NearestCids(child: Expression, centers: Seq[Seq[Double]], n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Greedy BPE tokenization of a document in one fused loop — the
+  * closure strategy of [[graft.ops.BpeTokenize]] (normalize → split →
+  * per-word merge passes in learned order, word-type memoized) as a
+  * codegen'd expression instead of a Scala UDF: no per-row
+  * ScalaUDF encoder round-trip (UTF8String→String→Seq[String]→ArrayData
+  * via CatalystTypeConverters), and the enclosing WholeStageCodegen span
+  * stays intact on the `text_bpe_tokens` / chunk-packing hot path. The
+  * word kernel is [[graft.ops.BpeTokenize.applyWord]] itself — one
+  * definition, so the UDF it replaces cannot drift (CodegenSpec pins
+  * bit-identity anyway). NULL propagates (the operator's null→[] guard
+  * lives in the transform, exactly like the expression-fold strategy);
+  * the per-task word-type memo is rebuilt per deserialized task, the
+  * same lifecycle the UDF's transient memo had. */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  require(merges.nonEmpty, "bpe_tokens: empty merge list")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+  }
+
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Array[UTF8String]]()
+
+  private def wordTokens(w: String): Array[UTF8String] = {
+    var r = memo.get(w)
+    if (r == null) {
+      r = graft.ops.BpeTokenize.applyWord(w, merges)
+        .map(UTF8String.fromString).toArray
+      memo.put(w, r)
+    }
+    r
+  }
+
+  def compute(v: UTF8String): ArrayData = {
+    val words = graft.ops.BpeTokenize.normalizeLocal(v.toString).split(" ")
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val toks = wordTokens(words(i))
+        var j = 0
+        while (j < toks.length) { out += toks(j); j += 1 }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTokens", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column wrappers (Spark 4: Column↔Expression bridge lives in
   * sql.classic.ExpressionUtils). */
 object FastExpressions {
@@ -1265,4 +1329,6 @@ object FastExpressions {
     column(AdcLookupSum(expression(codes), expression(tab)))
   def nearestCids(c: Column, centers: Seq[Seq[Double]], n: Int): Column =
     column(NearestCids(expression(c), centers, n))
+  def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeTokens(expression(c), merges))
 }

@@ -139,10 +139,14 @@ case class AnnLsh(
   * candidate volume). This op is the trigger half of the remedy: one
   * partial-aggregable groupBy over bucket ids (metadata-scale output),
   * all-integer columns so the row hash-replays from the resolved sign
-  * matrix. `skew_bp = max_count·10000 div ceil(n/2^bits)` — re-center /
-  * resize the fit, or switch the catalog to the k-means tier
-  * ([[AnnIvf]], which adapts its cells to clustered geometry), when it
-  * exceeds the deployment's bound. */
+  * matrix. `skew_bp = max_count·10000 div ceil(n/2^bits)` — past the
+  * deployment's bound, [[graft.Flagship.decideRetriever]] first retries
+  * the fit resized (+2 bits, one more aggregate: finer buckets rescue
+  * mild ellipsoids whose heavy bucket splits under more hyperplanes),
+  * then switches the catalog to the k-means tier ([[AnnIvf]], which
+  * adapts its cells to clustered geometry — a true cone occupies the
+  * same ±sign-pattern pair at any bit count). The center needs no
+  * re-fit here: it is already the exact mean of the measured catalog. */
 case class LshSkewReport(
     center: Seq[Double],
     numBits: Int,
@@ -207,8 +211,16 @@ private[ops] object BucketSkew {
 private[ops] object ProbeCost {
   def summarize(itemBuckets: DataFrame, probeBuckets: DataFrame,
       nBuckets: Long): DataFrame = {
-    val ic = itemBuckets.groupBy("__b").agg(count(lit(1)).as("__ic"))
-    val pc = probeBuckets.groupBy("__b").agg(count(lit(1)).as("__pc"))
+    // a degenerate vector (null element, wrong length) gets a NULL
+    // bucket from the quantizer expressions; counting it under a NULL
+    // group would put it in n_items/n_probes while the oracle's
+    // row_number assignment gives every surviving vector a real cid —
+    // drop unassignable rows so op and oracle agree even on degenerate
+    // inputs (round-12 ADVICE)
+    val ic = itemBuckets.filter(col("__b").isNotNull)
+      .groupBy("__b").agg(count(lit(1)).as("__ic"))
+    val pc = probeBuckets.filter(col("__b").isNotNull)
+      .groupBy("__b").agg(count(lit(1)).as("__pc"))
     val joined = pc.join(ic, Seq("__b"))
       .agg(coalesce(sum(col("__ic") * col("__pc")), lit(0L)).as("candidates"))
     val totals = ic.agg(coalesce(sum(col("__ic")), lit(0L)).as("n_items"))

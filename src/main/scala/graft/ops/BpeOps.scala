@@ -269,17 +269,20 @@ object BpeTrainer {
   *  - ≤ `maxExprMerges`: the merge passes chain as [[BpeTrainer.mergePair]]
   *    fold expressions — fully codegen'd, zero serialization, the
   *    preferred path for the modest vocabularies of the driver queries.
-  *  - above it: a deterministic closure applying the SAME algorithm
+  *  - above it: the fused codegen'd kernel
+  *    ([[graft.functions.BpeTokens]]) applying the SAME algorithm
   *    (each merge in learned order, one greedy left-to-right pass —
   *    subword-nmt's apply_bpe semantics, deliberately NOT the
   *    priority-queue variant, which can diverge from in-order apply on
-  *    adversarial words) with a per-partition word-type memo: word types
-  *    repeat Zipf-style, so each distinct type tokenizes once per
-  *    partition. A 32k-merge vocabulary cannot be a 32k-deep expression
-  *    tree — data-dependent iteration is the documented boundary of
-  *    Catalyst expressibility, and this is the codebase's sanctioned
-  *    UDF-as-last-resort case. Both strategies are value-identical BY
-  *    CONSTRUCTION and BpeSpec pins the equality on a trained corpus.
+  *    adversarial words) with a per-task word-type memo: word types
+  *    repeat Zipf-style, so each distinct type tokenizes once per task.
+  *    A 32k-merge vocabulary cannot be a 32k-deep expression tree —
+  *    data-dependent iteration lives in the expression's `compute`
+  *    loop instead, inside WholeStageCodegen (formerly a Scala UDF;
+  *    the encoder round-trip was the last `udf(` in product code).
+  *    Both strategies are value-identical BY CONSTRUCTION — the word
+  *    kernel is one shared method — and BpeSpec pins the equality on a
+  *    trained corpus.
   *
   * Scale: map-side only — no shuffle at any vocabulary size; the rank
   * map broadcast is |merges| strings (metadata).
@@ -319,19 +322,14 @@ case class BpeTokenize(
           array().cast(ArrayType(StringType)))
           .otherwise(flatten(perWord)))
     } else {
-      val ms = merges // avoid serializing the whole op into the closure
-      val tokenize = udf(new (String => Seq[String]) with Serializable {
-        // per-task word-type memo (types repeat Zipf-style); transient so
-        // each task starts it fresh rather than shipping executor state
-        @transient private lazy val memo =
-          scala.collection.mutable.HashMap.empty[String, Seq[String]]
-        def apply(text: String): Seq[String] =
-          if (text == null) Seq.empty[String]
-          else BpeTokenize.normalizeLocal(text).split(" ")
-            .filter(_.nonEmpty).toSeq
-            .flatMap(w => memo.getOrElseUpdate(w, BpeTokenize.applyWord(w, ms)))
-      })
-      df.withColumn(outputCol, tokenize(col(textCol)))
+      // the fused codegen'd kernel ([[graft.functions.BpeTokens]] —
+      // applyWord + per-task word-type memo inside WholeStageCodegen, no
+      // ScalaUDF encoder round-trip); the null→[] guard mirrors the
+      // expression-fold branch so the two strategies stay value-identical
+      df.withColumn(outputCol,
+        when(col(textCol).isNull, array().cast(ArrayType(StringType)))
+          .otherwise(graft.functions.FastExpressions
+            .bpeTokens(col(textCol), merges)))
     }
   }
 }

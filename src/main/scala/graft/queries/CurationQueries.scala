@@ -222,13 +222,13 @@ object CurationQueries {
     * join, `</w>` → space — must reproduce the normalized text exactly,
     * over ALL rows, before any row is emitted). */
   def textBpeTokens(spark: SparkSession, d: String): DataFrame = {
-    // maxExprMerges = 0 forces the memoized-closure strategy: this corpus
-    // has 31 word TYPES, so each type tokenizes once per partition and
-    // every further occurrence is a map hit — the chained-fold expression
-    // path re-folds every occurrence (O(len²·merges) array copies per
-    // word) and measured 155 s vs ~2 s here at sf0.1. The strategies are
-    // value-identical (BpeSpec pins it); the codegen path stays covered
-    // by spec + the small-vocab ops.
+    // maxExprMerges = 0 forces the fused-kernel strategy
+    // (graft.functions.BpeTokens): this corpus has 31 word TYPES, so each
+    // type tokenizes once per task and every further occurrence is a
+    // memo hit — the chained-fold expression path re-folds every
+    // occurrence (O(len²·merges) array copies per word) and measured
+    // 155 s vs ~2 s here at sf0.1. The strategies are value-identical
+    // (BpeSpec pins it; CodegenSpec pins the kernel against applyWord).
     val merges = cachedBpeMerges(spark, d)
     // under Verify: persist the word-type LEXICON (word → its BPE token
     // string + count, via the same op over the distinct types). Per-word
@@ -1119,6 +1119,39 @@ object CurationQueries {
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(T.words(col("text")), 1, 5)).as("query_text"))
     idx.asRows(qs).orderBy("query_id", "rank")
+  }
+
+  /** The BM25 sink's STAMPED occupancy log ([[annOccupancyStream]]'s
+    * postings twin — round-12 VERDICT item 6): each
+    * [[graft.streaming.StreamingOps.bm25IndexSink]] commit rolls the
+    * chain's `dfreq` deltas into a per-version 4-integer line with the
+    * TERM as the bucket, so head-term postings skew between compactions
+    * is log-readable without re-scanning postings. Hash-oracled: batches
+    * split by doc_id % 3 and per-term df is additive over doc-disjoint
+    * batches, so each version's line replays in SQL as the per-term
+    * postings histogram confined to the ingest prefix. */
+  def textBm25OccupancyStream(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docRows = documents(spark, d)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val dir = OracleDir.tempDir("bm25_occ_idx")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.bm25IndexSink(dir)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(docRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.streaming.StreamingOps.occupancyLog(spark, dir).map { case (v, o) =>
+      (v, o.nItems, o.nBuckets, o.nOccupied, o.maxCount,
+        o.uniformCount, o.skewBp)
+    }.toDF("version", "n_items", "n_buckets", "n_occupied", "max_count",
+      "uniform_count", "skew_bp").orderBy("version")
   }
 
   /** Hybrid retrieval: BM25 lexical ranks fused with a document-length
@@ -2157,6 +2190,7 @@ object CurationQueries {
     "text_bm25_topk" -> (textBm25 _),
     "text_bm25_incremental" -> (textBm25Incremental _),
     "text_bm25_stream" -> (textBm25Stream _),
+    "text_bm25_occupancy_stream" -> (textBm25OccupancyStream _),
     "text_hybrid_rrf" -> (textHybridRrf _),
     "text_keywords" -> (textKeywords _),
     "text_chunks" -> (textChunks _),
@@ -2185,6 +2219,24 @@ object CurationQueries {
     "text_quality" -> (textQuality _),
     "text_quality_model" -> (textQualityModel _),
     "text_boilerplate" -> (textBoilerplate _))
+
+  /** One stamped BM25 occupancy line (prefix `b` of the 3-batch ingest)
+    * as the IndexOccupancy-derived 7-column row; expects CTE `post`
+    * (doc_id, term, tf). */
+  private def bm25OccSel(b: Int): String =
+    s"""SELECT 'v$b' AS version, n_items, n_occupied AS n_buckets,
+       |  n_occupied, max_count,
+       |  CASE WHEN n_occupied = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE (n_items + n_occupied - 1) // n_occupied END AS uniform_count,
+       |  CASE WHEN n_occupied = 0 OR (n_items + n_occupied - 1) // n_occupied = 0
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE max_count * 10000 // ((n_items + n_occupied - 1) // n_occupied)
+       |  END AS skew_bp
+       |FROM (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_items,
+       |    CAST(count(*) AS BIGINT) AS n_occupied,
+       |    CAST(coalesce(max(c), 0) AS BIGINT) AS max_count
+       |  FROM (SELECT term, count(*) AS c FROM post
+       |    WHERE doc_id % 3 <= $b GROUP BY term))""".stripMargin
 
   /** Language-ID oracle: same stopword lists, same priority order as
     * TextFunctions.langId, rendered as DuckDB SQL. */
@@ -2693,6 +2745,21 @@ object CurationQueries {
       s"""$bm25CtesSql
          |SELECT query_id, rank, doc_id, score_fp FROM bm
          |ORDER BY query_id, rank""".stripMargin,
+    // the sink's stamped per-version occupancy lines: per-term df is
+    // additive over doc-disjoint batches, so version b's 4-int line is
+    // the per-term postings histogram confined to doc_id % 3 <= b;
+    // n_buckets = n_occupied (open vocabulary has no fixed bucket count)
+    "text_bm25_occupancy_stream" ->
+      s"""WITH tokf AS (SELECT doc_id, term FROM
+         |  (SELECT doc_id, unnest($wordsSql) AS term FROM documents) WHERE len(term) > 0),
+         |post AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2)
+         |SELECT * FROM (
+         |${bm25OccSel(0)}
+         |UNION ALL
+         |${bm25OccSel(1)}
+         |UNION ALL
+         |${bm25OccSel(2)})
+         |ORDER BY version""".stripMargin,
     "text_hybrid_rrf" ->
       s"""$bm25CtesSql,
          |qual AS (SELECT doc_id, CAST(row_number() OVER

@@ -804,6 +804,88 @@ object OpQueries {
           "op_ann_ivf_probe_cost" -> probeCostSql)
       }.toMap
 
+  /** op_ann_refit_skewed's oracles, generated at dump time like
+    * [[ivfOracle]]: the occupancy log's v0–v2 lines replay as the skew
+    * aggregate under the DEGENERATE center literals (fixed constants —
+    * assignment puts every item in list 0 by construction) confined to
+    * each `item_id % 3` ingest prefix; the v3 line and the probe row
+    * replay under the FITTED refit centroids inlined as string-parsed
+    * literals. Empty until the lifecycle query has run in this JVM. */
+  def refitOracle: Map[String, String] =
+    OracleDir.pickDir(refitState.keys).map { d =>
+      def centRows(cs: Seq[Seq[Double]]): String =
+        cs.zipWithIndex.map { case (c, i) =>
+          val c2 = c.map(x => x * x).sum
+          s"($i, '${c.mkString("[", ", ", "]")}'::DOUBLE[], '$c2'::DOUBLE)"
+        }.mkString(",\n  ")
+      val centers = refitState(d)._2
+      val nd = degenerateCenters.size
+      val nr = centers.size
+      // one version's stamped 4-integer line + derived columns, as the
+      // occupancy aggregate over assignment table `tab` filtered by
+      // `pred` (the cumulative ingest prefix, or nothing for the refit)
+      def occSel(version: String, tab: String, n: Int, pred: String) =
+        s"""SELECT '$version' AS version, n_items,
+           |  CAST($n AS BIGINT) AS n_buckets, n_occupied, max_count,
+           |  (n_items + ${n - 1}) // $n AS uniform_count,
+           |  CASE WHEN (n_items + ${n - 1}) // $n = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE max_count * 10000 // ((n_items + ${n - 1}) // $n)
+           |  END AS skew_bp
+           |FROM (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_items,
+           |    CAST(count(*) AS BIGINT) AS n_occupied,
+           |    CAST(coalesce(max(c), 0) AS BIGINT) AS max_count
+           |  FROM (SELECT cid, count(*) AS c FROM $tab
+           |    WHERE rn = 1$pred GROUP BY cid))""".stripMargin
+      val logSql =
+        s"""WITH dcent(cid, cv, c2) AS (VALUES
+           |  ${centRows(degenerateCenters)}),
+           |rcent(cid, cv, c2) AS (VALUES
+           |  ${centRows(centers)}),
+           |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE label <> 0 AND embedding IS NOT NULL),
+           |dass AS (SELECT item_id, cid, row_number() OVER
+           |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+           |  FROM items CROSS JOIN dcent),
+           |rass AS (SELECT item_id, cid, row_number() OVER
+           |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+           |  FROM items CROSS JOIN rcent)
+           |SELECT * FROM (
+           |${occSel("v0", "dass", nd, " AND item_id % 3 <= 0")}
+           |UNION ALL
+           |${occSel("v1", "dass", nd, " AND item_id % 3 <= 1")}
+           |UNION ALL
+           |${occSel("v2", "dass", nd, " AND item_id % 3 <= 2")}
+           |UNION ALL
+           |${occSel("v3", "rass", nr, "")})
+           |ORDER BY version""".stripMargin
+      val nprobe = math.min(8, nr)
+      val probeSql =
+        s"""WITH cent(cid, cv, c2) AS (VALUES
+           |  ${centRows(centers)}),
+           |items AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE label <> 0),
+           |iass AS (SELECT item_id, v, cid, row_number() OVER
+           |    (PARTITION BY item_id ORDER BY c2 - 2.0 * list_inner_product(v, cv), cid) AS rn
+           |  FROM items CROSS JOIN cent),
+           |i AS (SELECT item_id, v, cid FROM iass WHERE rn = 1),
+           |qs AS (SELECT vec_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE label = 0),
+           |qass AS (SELECT vec_id, qv, cid, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY c2 - 2.0 * list_inner_product(qv, cv), cid) AS rn
+           |  FROM qs CROSS JOIN cent),
+           |probe AS (SELECT vec_id, qv, cid FROM qass WHERE rn <= $nprobe),
+           |scored AS (SELECT p.vec_id, i.item_id,
+           |    list_inner_product(p.qv, i.v) AS score
+           |  FROM probe p JOIN i ON p.cid = i.cid),
+           |ranked AS (SELECT vec_id, item_id, score, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY score DESC, item_id) AS rank
+           |  FROM scored)
+           |SELECT vec_id, CAST(rank AS INTEGER) AS rank, item_id, score FROM ranked
+           |WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
+      Map("op_ann_refit_skewed" -> logSql,
+        "op_ann_refit_skewed_probe" -> probeSql)
+    }.getOrElse(Map.empty)
+
   /** op_ann_pq's oracle — the full IVF-PQ path (encode, probe, ADC
     * nomination, exact refine) replayed in DuckDB from the fitted coarse
     * centroids and residual codebooks inlined as string-parsed literals.
@@ -1185,6 +1267,94 @@ object OpQueries {
         o.uniformCount, o.skewBp)
     }.toDF("version", "n_items", "n_buckets", "n_occupied", "max_count",
       "uniform_count", "skew_bp").orderBy("version")
+  }
+
+  /** The degenerate FROZEN quantizer behind [[annRefitSkewed]]: c0 at
+    * the origin, the rest ≥100 units outside the embedding ball
+    * (|x| ≤ ~0.53), so EVERY item lands in list 0 — a deterministic,
+    * literal-replayable way to make a sink-maintained index's stamped
+    * occupancy trip the skew bound (max_count = n_items against a
+    * 16-list uniform target reads ~16×10⁴ bp). */
+  private val degenerateCenters: Seq[Seq[Double]] =
+    (0 until 16).map(i =>
+      Seq.tabulate(64)(j => if (j == 0) i * 100.0 else 0.0))
+
+  private val RefitNlist = 32
+
+  /** (index dir, refit centers) of the last [[buildRefitSkewedIndex]]
+    * run per data dir — the probe twin reuses the refitted log, and the
+    * dump-time oracle inlines the fitted centers ([[refitOracle]]). */
+  private val refitState = scala.collection.concurrent
+    .TrieMap.empty[String, (String, Seq[Seq[Double]])]
+
+  /** The full trigger→action lifecycle under the sink: 3-batch item
+    * ingest through [[graft.streaming.StreamingOps.annIvfIndexSink]]
+    * under the degenerate frozen quantizer (every commit stamps its
+    * occupancy line, all reading "one list holds everything"), then
+    * [[graft.streaming.StreamingOps.refitAnnIvfIndexIfSkewed]] reads the
+    * LIVE stamped line — no index scan — trips on the bound, refits
+    * k-means over the indexed catalog and commits the re-assigned index
+    * as v3 with its own (now balanced) occupancy line. */
+  private def buildRefitSkewedIndex(spark: SparkSession,
+      d: String): (String, Seq[Seq[Double]]) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val op = AnnIvf(ivfItems(spark, d), degenerateCenters,
+      "vec_id", "embedding", k = 10, nprobe = 8, metric = "dot")
+    val itemRows = ivfItems(spark, d).as[(Long, Seq[Float])].collect()
+    val dir = OracleDir.tempDir("ivf_refit_skew")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("item_id", "embedding").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.annIvfIndexSink(dir, op)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(itemRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val refit = graft.streaming.StreamingOps.refitAnnIvfIndexIfSkewed(
+      spark, dir, boundBp = graft.Flagship.LshSkewBoundBp,
+      nlist = RefitNlist, maxIter = 5)
+    require(refit.isDefined,
+      "op_ann_refit_skewed: the stamped occupancy line must trip the bound")
+    val st = (dir, refit.get._2)
+    refitState(d) = st
+    st
+  }
+
+  /** Driver-facing row for the in-log skew remedy (round-12 VERDICT
+    * item 3 — [[annOccupancyStream]] covers the drift RECORD, this row
+    * covers the composed trigger→ACTION): the emitted occupancy log
+    * carries the three skewed ingest lines AND the refit commit's
+    * balanced line. Hash-oracled end to end: v0–v2 replay as the skew
+    * aggregate under the degenerate center LITERALS confined to each
+    * id-modulo prefix, v3 as the same aggregate under the dump-time
+    * refit centroid literals over the full catalog. */
+  def annRefitSkewed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (dir, _) = buildRefitSkewedIndex(spark, d)
+    graft.streaming.StreamingOps.occupancyLog(spark, dir).map { case (v, o) =>
+      (v, o.nItems, o.nBuckets, o.nOccupied, o.maxCount,
+        o.uniformCount, o.skewBp)
+    }.toDF("version", "n_items", "n_buckets", "n_occupied", "max_count",
+      "uniform_count", "skew_bp").orderBy("version")
+  }
+
+  /** The refit ACTION's serving proof: probe the refitted log version
+    * (loaded from the sink-maintained dir the lifecycle row left behind)
+    * under the refit quantizer — hash-checked against the standard IVF
+    * probe replay with the refit centers as dump-time literals. */
+  def annRefitSkewedProbe(spark: SparkSession, d: String): DataFrame = {
+    val (dir, centers) =
+      refitState.getOrElse(d, buildRefitSkewedIndex(spark, d))
+    val emb = embeddings(spark, d)
+    val queries = emb.filter(col("label") === 0)
+      .select(col("vec_id"), col("embedding"))
+    val op = AnnIvf(ivfItems(spark, d), centers, "vec_id", "embedding",
+      k = 10, nprobe = math.min(8, centers.size), metric = "dot")
+    val index = graft.streaming.StreamingOps.loadAnnIvfIndex(spark, dir).get
+    op.asRowsIndexed(queries, index).orderBy("vec_id", "rank")
   }
 
   /** IVF with nprobe = nlist: every inverted list is probed, so the
@@ -2267,6 +2437,8 @@ object OpQueries {
     "op_ann_index_update" -> (annIndexUpdate _),
     "op_ann_ivf_stream" -> (annIvfStream _),
     "op_ann_occupancy_stream" -> (annOccupancyStream _),
+    "op_ann_refit_skewed" -> (annRefitSkewed _),
+    "op_ann_refit_skewed_probe" -> (annRefitSkewedProbe _),
     "op_ann_lsh_recall" -> (annLshRecall _),
     "op_ann_lsh_recall_sampled" -> (annLshRecallSampled _),
     "op_ann_ivf_recall" -> (annIvfRecall _),

@@ -1031,6 +1031,8 @@ object StreamingOps {
           manifestEntry(delta,
             spark.read.parquet(s"$indexDir/deltas/$delta/postings"),
             "__doc_id"))
+        writeBm25Occupancy(spark, indexDir, v,
+          prevManifest.map(_.delta) :+ delta)
         writeTxn(spark, indexDir, v, appId, batchId)
         writePointer(spark, indexDir, v, live, Some(appId -> batchId))
         retainVersions.foreach(vacuumIndexVersions(spark, indexDir, _))
@@ -1039,6 +1041,31 @@ object StreamingOps {
             tierFraction = Some(AutoCompactTierFraction),
             maxKeepers = autoCompactDeltas.get - 1))
       }
+  }
+
+  /** BM25's stamp for the shared occupancy protocol ([[occupancyLog]]),
+    * with the TERM as the bucket: per-term postings skew has exactly the
+    * ANN sinks' "drift between compactions is invisible" shape (a head
+    * term's inverted list silently grows while every query touching it
+    * pays the scan), and the per-delta `dfreq` table IS the delta's
+    * bucket histogram (term → postings rows contributed), so the roll-up
+    * is a vocab-scale grouped sum over the chain's dfreq files — the
+    * postings themselves are never re-read. Open vocabulary has no fixed
+    * bucket count, so the stamped line records n_buckets = n_occupied
+    * and `skew_bp` reads max-df against the MEAN postings-per-occupied-
+    * term — trip it to trigger head-term remedies (stopword pruning,
+    * postings-list block-max reorganization) the way the ANN line
+    * triggers a quantizer refit. Compaction carries the line forward
+    * verbatim like every sink ([[compactIndexState]]). */
+  private def writeBm25Occupancy(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, version: String, deltas: Seq[String]): Unit = {
+    val s = deltas.map(d => spark.read.parquet(s"$indexDir/deltas/$d/dfreq"))
+      .reduce(_ unionByName _)
+      .groupBy(col("__term")).agg(sum(col("__df")).as("__c"))
+      .agg(coalesce(sum(col("__c")), lit(0L)),
+        count(lit(1)), coalesce(max(col("__c")), lit(0L))).head()
+    writeSmallFile(spark, s"$indexDir/$version/occupancy",
+      s"${s.getLong(0)},${s.getLong(1)},${s.getLong(1)},${s.getLong(2)}")
   }
 
   /** The union of a versioned index log's `index` deltas — the live

@@ -98,6 +98,121 @@ class FlagshipSpec extends SparkSpec {
     assert(bp2 <= Flagship.LshSkewBoundBp)
   }
 
+  test("decideRetriever: workload probe cost overrides occupancy in both directions") {
+    // (a) occupancy OVER-triggers: the cone geometry reads 150000 bp of
+    // bucket skew, but THIS workload's probes never touch the cone's two
+    // buckets — expected candidate volume is literally zero, so the
+    // workload-aware decision keeps the cheap LSH tier while the
+    // occupancy-only monitor would have paid the k-means fit for nothing
+    val dir = Seq(1.0, 2.0, 3.0, 0.5, -1.5, 0.7, 2.2, -0.9)
+    val line = (1L to 240L).map { i =>
+      val s = (i.toDouble - 120.5) / 40.0
+      (i, dir.map(x => (x * s).toFloat))
+    }.toDF("item_id", "embedding")
+    val muL = graft.functions.VectorFunctions.meanVector(line, "embedding").toSeq
+    val e0w = (1L to 40L).map { i =>
+      val s = (i.toDouble - 20.5) / 10.0
+      (i, Seq.tabulate(8)(j => if (j == 0)
+        (s + (if (i % 2 == 0) 0.01 else -0.01)).toFloat else 0.0f))
+    }.toDF("user_id", "user_vec")
+    val occOver = Flagship.chooseRetriever(line, muL, numBits = 5)
+    assert(occOver._1 == "ivf" && occOver._2 > Flagship.LshSkewBoundBp)
+    val dOver = Flagship.decideRetriever(line, muL, numBits = 5,
+      workload = Some(e0w))
+    assert(dOver.tier == "lsh" && dOver.evidence == "cost_bp" &&
+      dOver.bp == 0L,
+      s"orthogonal workload must keep LSH on a skewed-but-unprobed fit: $dOver")
+
+    // (b) occupancy UNDER-triggers: two heavy clusters whose buckets sit
+    // one probe-flip apart (xor ∈ {1,2,4} under the seed-42 hyperplanes),
+    // occupancy well under the bound — but a workload homed on one
+    // cluster probes BOTH heavy buckets in every probe set, so its
+    // candidate volume trips the cost bound the occupancy monitor missed
+    val rnd = new scala.util.Random(23)
+    def cl(center: Seq[Double], n: Int, sd: Double, base: Long) =
+      (0 until n).map(i => (base + i,
+        center.map(c => (c + rnd.nextGaussian() * sd).toFloat)))
+    val cA = Seq(0.0, 0.0, 4.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val cB = Seq(0.0, 0.0, 0.0, 0.0, -4.0, 0.0, 0.0, 0.0)
+    val items = (cl(cA, 85, 0.5, 0L) ++ cl(cB, 85, 0.5, 500L) ++
+      (0 until 250).map(i => (2000L + i,
+        Seq.fill(8)((rnd.nextGaussian() * 2.5).toFloat))))
+      .toDF("item_id", "embedding")
+    val mu = graft.functions.VectorFunctions.meanVector(items, "embedding").toSeq
+    val hot = (1L to 40L).map(i => (i,
+      cA.map(c => (c + rnd.nextGaussian() * 0.3).toFloat)))
+      .toDF("user_id", "user_vec")
+    val occUnder = Flagship.chooseRetriever(items, mu, numBits = 5)
+    assert(occUnder._1 == "lsh" && occUnder._2 <= Flagship.LshSkewBoundBp,
+      s"cluster-pair occupancy must sit under the skew bound: $occUnder")
+    // retryBits = 0 isolates the monitor comparison (the retry is (c))
+    val dUnder = Flagship.decideRetriever(items, mu, numBits = 5,
+      workload = Some(hot), retryBits = 0)
+    assert(dUnder.tier == "ivf" && dUnder.evidence == "cost_bp" &&
+      dUnder.bp > Flagship.LshCostBoundBp,
+      s"flip-correlated hot workload must trip the cost bound: $dUnder")
+    // and a spread workload over the same fit stays cheap — the cost
+    // monitor does not over-fire on benign traffic
+    val spreadW = (1L to 40L).map(i => (i,
+      Seq.fill(8)((rnd.nextGaussian() * 2.5).toFloat)))
+      .toDF("user_id", "user_vec")
+    val dSpread = Flagship.decideRetriever(items, mu, numBits = 5,
+      workload = Some(spreadW), retryBits = 0)
+    assert(dSpread.tier == "lsh" && dSpread.bp <= Flagship.LshCostBoundBp)
+
+    // (c) with the default resize retry, the SAME hot pathology resolves
+    // to LSH at numBits+2: the extra hyperplanes move the two heavy
+    // buckets out of each other's single-bit-flip probe set, so the
+    // workload's candidate volume (judged in absolute units at the
+    // requested sizing) falls back under the bound — the cheap remedy
+    // genuinely fixes this geometry and the k-means fit is never paid
+    val dRetry = Flagship.decideRetriever(items, mu, numBits = 5,
+      workload = Some(hot))
+    assert(dRetry.tier == "lsh" && dRetry.numBits == 7 &&
+      dRetry.bp <= Flagship.LshCostBoundBp,
+      s"resize must decorrelate the probe flips: $dRetry")
+  }
+
+  test("decideRetriever: the resize retry rescues a splitting heavy bucket; " +
+      "a true cone still falls through to IVF") {
+    // a blob engineered to be sign-stable on planes 0-4 (one heavy bucket
+    // at 5 bits → tripped) but sign-UNstable on planes 5-6 (its center is
+    // orthogonal to their ±1 normals), so the resized fit splits it ~4×;
+    // judged at the REQUESTED sizing's uniform the retry passes — the
+    // naive relative metric at 7 bits reads ~120000 bp and would wrongly
+    // fall through to the k-means fit (uniform shrinks 4× under +2 bits,
+    // so relative skew is non-decreasing even when the bucket splits)
+    val chat = {
+      val c = Seq(-0.5, 0.0, 1.0, 1.0, 0.0, 0.0, -1.0, -0.5)
+      val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+    }
+    val rnd = new scala.util.Random(17)
+    val blob = (0 until 150).map(i => (i.toLong,
+      chat.map(x => (x * 12.0 + rnd.nextGaussian() * 1.0).toFloat)))
+    val bg = (0 until 240).map(i => (1000L + i,
+      Seq.fill(8)((rnd.nextGaussian() * 2.0).toFloat)))
+    val items = (blob ++ bg).toDF("item_id", "embedding")
+    val mu = graft.functions.VectorFunctions.meanVector(items, "embedding").toSeq
+    val d = Flagship.decideRetriever(items, mu, numBits = 5)
+    assert(d.tier == "lsh" && d.numBits == 7 &&
+      d.bp <= Flagship.LshSkewBoundBp,
+      s"splitting blob must be rescued by the resize retry: $d")
+    // without the retry the same fit pays the k-means switch
+    val d0 = Flagship.decideRetriever(items, mu, numBits = 5, retryBits = 0)
+    assert(d0.tier == "ivf" && d0.bp > Flagship.LshSkewBoundBp)
+    // the cone retries and STILL lands IVF: it occupies one ±sign-pattern
+    // pair at any bit count, so no resize can spread it
+    val dir = Seq(1.0, 2.0, 3.0, 0.5, -1.5, 0.7, 2.2, -0.9)
+    val line = (1L to 240L).map { i =>
+      val s = (i.toDouble - 120.5) / 40.0
+      (i, dir.map(x => (x * s).toFloat))
+    }.toDF("item_id", "embedding")
+    val muL = graft.functions.VectorFunctions.meanVector(line, "embedding").toSeq
+    val dc = Flagship.decideRetriever(line, muL, numBits = 5)
+    assert(dc.tier == "ivf" && dc.numBits == 5,
+      s"the cone must fall through the retry to IVF: $dc")
+  }
+
   test("auto retriever keeps LSH on the healthy test catalog (skew below bound)") {
     // the decision the default serving graph now makes: sf0.001's ALS
     // factor fit measures ~25k bp (probe-verified), under the 80k bound,

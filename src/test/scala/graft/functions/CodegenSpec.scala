@@ -346,4 +346,34 @@ class CodegenSpec extends SparkSpec {
       .select(FastExpressions.pqEncode($"v", centers, cbs).as("e"))
     assert(bad.filter($"e".isNull).count() == 1)
   }
+
+  test("BpeTokens is bit-identical to the applyWord reference and stays in codegen") {
+    import graft.ops.BpeTokenize
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "</w>"), ("the", "</w>"),
+      ("a", "n"), ("an", "d</w>"), ("d", "</w>"))
+    // range-derived text so the projection lands inside a WSCG span;
+    // mixed case, repeated word types (exercises the per-task memo),
+    // multi-space and tab whitespace (normalize collapses), unicode
+    val texts = Seq("The the THE and", "a  and\tthe", "θ the θ", "and", "")
+    val df = spark.range(texts.length.toLong)
+      .select($"id", element_at(typedlit(texts), ($"id" + 1).cast("int")).as("text"))
+      .select($"id", FastExpressions.bpeTokens($"text", merges).as("toks"))
+    val code = generatedCode(df)
+    assert(code.contains("compute"), "BpeTokens must emit an unboxed compute call")
+    val got = df.as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = BpeTokenize.normalizeLocal(t).split(" ").filter(_.nonEmpty)
+        .toSeq.flatMap(w => BpeTokenize.applyWord(w, merges))
+      assert(got(i.toLong) == want, s"text '$t' diverged from applyWord")
+    }
+    // the operator-level guard: NULL text → [] (the retired UDF's
+    // contract), via the fused path (maxExprMerges = 0)
+    val opOut = BpeTokenize(merges, "text", maxExprMerges = 0)
+      .transform(Seq((1L, null: String), (2L, "the and")).toDF("doc_id", "text"))
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    assert(opOut(1L) == Seq.empty[String])
+    assert(opOut(2L) == Seq("the and").flatMap(_.split(" ").toSeq
+      .flatMap(w => BpeTokenize.applyWord(w, merges))))
+    assert(opOut(2L).nonEmpty)
+  }
 }

@@ -725,6 +725,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(a == f, s"maintained-index probe != rebuild probe: $a vs $f")
   }
 
+  test("bm25IndexSink stamps per-version occupancy (term buckets, df-additive), " +
+      "compaction-preserved") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the lazy dog sleeps"),
+      (3L, "quick dog quick fox"), (4L, "brown bears eat fish"),
+      (5L, "fish swim upstream"), (6L, "the fox eats the fish"))
+    val dir = tmpDir("bm25_occ_")
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.bm25IndexSink(dir)).start()
+    Seq(docs.take(2), docs.slice(2, 4), docs.drop(4)).foreach { s =>
+      src.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val log = StreamingOps.occupancyLog(spark, dir)
+    assert(log.map(_._1) == Seq("v0", "v1", "v2"),
+      s"every sink commit must stamp a line: ${log.map(_._1)}")
+    // independent reference: per-term document frequency over each prefix
+    def ref(prefix: Seq[(Long, String)]): (Long, Long, Long) = {
+      val dfs = prefix.flatMap { case (_, t) =>
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct }
+        .groupBy(identity).map(_._2.size)
+      (dfs.sum.toLong, dfs.size.toLong, dfs.max.toLong)
+    }
+    Seq(2, 4, 6).zip(log).foreach { case (n, (v, o)) =>
+      val (items, occ, mx) = ref(docs.take(n))
+      assert(o.nItems == items && o.nBuckets == occ &&
+        o.nOccupied == occ && o.maxCount == mx,
+        s"$v stamped line != per-term df histogram: $o vs ($items, $occ, $mx)")
+    }
+    // compaction rewrites files, never rows — the line carries forward
+    assert(StreamingOps.compactIndexState(spark, dir).contains("v3"))
+    val after = StreamingOps.occupancyLog(spark, dir)
+    assert(after.map(_._1) == Seq("v0", "v1", "v2", "v3"))
+    assert(after.last._2 == log.last._2,
+      "compaction must preserve the stamped occupancy verbatim")
+  }
+
   test("annIvfIndexSink: streamed assignment equals the full index build") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(7)
@@ -973,7 +1011,10 @@ class StreamingOpsSpec extends SparkSpec {
       val sub = v.listFiles().map(_.getName).toSet
         .filterNot(_.contains("_RESERVED")) // OCC marker + crc sidecar
         .filterNot(_.startsWith(".")) // FS checksum sidecars of the files
-      assert(sub.subsetOf(Set("manifest", "meta", "txn")),
+      // occupancy = the stamped one-line postings histogram summary
+      // (round-13: BM25 joined the occupancy protocol) — metadata, like
+      // the ANN sinks' stamped line
+      assert(sub.subsetOf(Set("manifest", "meta", "txn", "occupancy")),
         s"${v.getName} holds index payload, not metadata: $sub")
     }
     assert(new java.io.File(root, "deltas").listFiles().map(_.getName).toSet
