@@ -150,12 +150,18 @@ object Flagship {
     * under more bits, so the relative bp metric is non-decreasing in
     * bits even when the heavy bucket genuinely splits — while what the
     * remedy protects (candidates per probe) only cares how many ITEMS
-    * the heaviest probed bucket holds. Finer buckets rescue geometries
-    * whose heavy bucket splits under the extra hyperplanes (spread mass
-    * that collided at the coarse sizing); a true cone occupies the same
-    * ±sign-pattern pair at any bit count, never splits, and still falls
-    * through to IVF. The retry costs one more metadata-scale aggregate,
-    * against the 37–43 s k-means fit it can avoid at sf1.0. */
+    * the heaviest probed bucket holds. A cost-evidence retry must clear
+    * BOTH bounds — workload volume (cost_bp) and absolute heavy-bucket
+    * occupancy — because volume alone hides parallelism collapse: the
+    * probe join's wall-clock follows its heaviest key, and the sf1.0
+    * rehearsal measured resized-LSH serving 5× slower than IVF at a
+    * volume reading of "1.8× uniform" (SCALE.md round 13). Finer
+    * buckets rescue geometries whose heavy bucket splits under the
+    * extra hyperplanes (spread mass that collided at the coarse
+    * sizing); a true cone occupies the same ±sign-pattern pair at any
+    * bit count, never splits, and still falls through to IVF. The
+    * retry costs one or two more metadata-scale aggregates, against
+    * the 37–43 s k-means fit it can avoid at sf1.0. */
   def decideRetriever(itemVecs: DataFrame, center: Seq[Double],
       numBits: Int, vecCol: String = "embedding",
       workload: Option[DataFrame] = None,
@@ -187,14 +193,30 @@ object Flagship {
     else {
       val bits2 = math.min(32, numBits + retryBits)
       val (_, bp2) = if (bits2 > numBits) measure(bits2) else (ev, bp)
-      if (bits2 > numBits && bp2 <= bound) {
+      // the workload-aware retry must ALSO clear the absolute occupancy
+      // bound at the resized bits: cost_bp measures candidate VOLUME,
+      // but the probe join's wall-clock follows its heaviest KEY — a
+      // cone that keeps thousands of items per bucket at any bit count
+      // serializes the whole join onto a few tasks even when expected
+      // volume reads acceptable (sf1.0 rehearsal A/B: resized-LSH
+      // serving 252 s warm vs 47 s forced-IVF at cost_bp 17606, i.e.
+      // "1.8× uniform volume" hid a parallelism collapse). One more
+      // metadata-scale aggregate; the occupancy-evidence path already
+      // IS this check, so it only fires for cost evidence.
+      val occOk = workload.isEmpty || bits2 <= numBits || {
+        val r = graft.ops.LshSkewReport(center, bits2, vecCol)
+          .transform(itemVecs).head()
+        r.getAs[Long]("max_count") * 10000L /
+          uniformAt(r.getAs[Long]("n_items")) <= LshSkewBoundBp
+      }
+      if (bits2 > numBits && bp2 <= bound && occOk) {
         log.warn(s"LSH $ev $bp bp > $bound bp at $numBits bits — " +
           s"resized fit to $bits2 bits ($bp2 bp at the requested " +
           "sizing's uniform), keeping the LSH tier")
         RetrieverDecision("lsh", ev, bp2, bits2)
       } else {
         log.warn(s"LSH $ev $bp bp > $bound bp at $numBits bits " +
-          s"(retry at $bits2 bits: $bp2 bp) — " +
+          s"(retry at $bits2 bits: $bp2 bp, heavy-bucket ok: $occOk) — " +
           "switching the retrieval tier to k-means IVF")
         RetrieverDecision("ivf", ev, bp, numBits)
       }
@@ -221,6 +243,11 @@ object Flagship {
     * per JVM and repeat serving measures probe + rank, not MLlib fit.
     * Sound to memoize because itemVecs derive deterministically from
     * the prewarmed factor tables for a given dir. */
+  /** Memoized auto-tier decisions for PREFIT factor dirs — see the
+    * recommend() auto branch for the soundness argument. */
+  private val decisionCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), RetrieverDecision]
+
   private val ivfCenterCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Seq[Double]]]
 
@@ -406,8 +433,20 @@ object Flagship {
     val decision = retriever
       .orElse(sys.env.get("GRAFT_RECSYS_RETRIEVER")) match {
       case Some(t) => RetrieverDecision(t, "forced", -1L, numBits)
-      case None => decideRetriever(itemVecs, center, numBits,
-        workload = Some(withVec), workloadVecCol = "user_vec")
+      case None =>
+        // memoized per (dir, numBits) when the factors are PREFIT
+        // parquet (the offline-artifact discipline): decision inputs —
+        // item fit and user workload — derive deterministically from
+        // the frozen factor tables then, so repeat serving pays the
+        // two decision aggregates once per JVM, not per pass. An
+        // inline-fit path (no prewarm) re-decides every time: its
+        // factors are fresh MLlib state, not a stable artifact.
+        if (factorDirCache.contains(d))
+          decisionCache.getOrElseUpdate((d, numBits),
+            decideRetriever(itemVecs, center, numBits,
+              workload = Some(withVec), workloadVecCol = "user_vec"))
+        else decideRetriever(itemVecs, center, numBits,
+          workload = Some(withVec), workloadVecCol = "user_vec")
     }
     val tier = decision.tier
     // validate BEFORE the match: its `case _` is the IVF branch, so a

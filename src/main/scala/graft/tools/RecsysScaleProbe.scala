@@ -43,6 +43,18 @@ object RecsysScaleProbe {
     val (tier, bp) = t("chooseRetriever")(
       graft.Flagship.chooseRetriever(itemVecs, center, numBits))
     println(s"[probe] tier=$tier skew_bp=$bp numBits=$numBits")
+    // the round-13 decision surface: cost_bp on the REAL user workload,
+    // with the one-shot resize retry — what recommend() actually runs
+    locally {
+      val (uf0, _) = graft.Flagship.prefitFactorFrames(spark, d).get
+      val workload = uf0.select(col("id").as("user_id"),
+        col("features").as("user_vec"))
+      val dec = t("decideRetriever (workload)")(
+        graft.Flagship.decideRetriever(itemVecs, center, numBits,
+          workload = Some(workload)))
+      println(s"[probe] decide: tier=${dec.tier} ev=${dec.evidence} " +
+        s"bp=${dec.bp} bits=${dec.numBits}")
+    }
     val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
     val centers = t(s"k-means fit (nlist=$nlist)")(
       graft.functions.VectorFunctions.fitCenters(
