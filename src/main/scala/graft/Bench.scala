@@ -102,9 +102,14 @@ object Bench {
     // from plain parquet-backed frames (no live MLlib state for the
     // inter-query cache-clearing below to evict) — the serving query
     // then measures retrieval + ranking, not training
-    if (selected.exists(n =>
-        n._1 == "pipeline_recsys" || n._1 == "ml_als_recommend"))
+    if (selected.exists(_._1 == "ml_als_recommend"))
       prewarm("als")(Flagship.prewarmAlsFactors(spark, sfDir))
+    // the flagship's full offline-artifact set: factors + tier decision
+    // + (decided-IVF only) the coarse-quantizer fit — index-build work
+    // the timed serving pass must not re-pay (at sf1.0's pathological
+    // geometry the k-means fit was 40 s of the cold serving number)
+    if (selected.exists(_._1 == "pipeline_recsys"))
+      prewarm("serving")(Flagship.prewarmServing(spark, sfDir))
     // Per-query isolation, run before EVERY timed execution: earlier
     // executions leave cached blocks behind (MLlib fits persist internal
     // RDDs and never release them; ops legitimately persist inside one

