@@ -94,7 +94,7 @@ case class TargetEncoding(
     smoothing: Double = 20.0,
     leaveOneOut: Boolean = false,
     suffix: String = "_te",
-    broadcastBudgetBytes: Long = 1L << 30) extends EnsembleOp {
+    broadcastBudgetBytes: Long = 1L << 30) extends FittableOp {
 
   require(catCols.nonEmpty, s"$name: at least one categorical column required")
   require(smoothing >= 0, s"$name: smoothing must be >= 0, got $smoothing")
@@ -161,6 +161,27 @@ case class TargetEncoding(
     * NegativeSampling size-gate discipline). */
   private def dictSide(grp: DataFrame, c: String): DataFrame =
     SizeGate.gateGrouped(grp, c, valueBytes = 16L, broadcastBudgetBytes)
+
+  /** Fit prior + per-column group statistics once → join-only bound
+    * serving with the prior as a literal. */
+  override def fit(df: DataFrame, artifactDir: Option[String] = None): EnsembleOp = {
+    val intg = integral(df)
+    val y = if (intg) col(targetCol) else col(targetCol).cast("double")
+    val totRow = df.agg(sum(y).as("s"), count(y).as("n")).head()
+    require(totRow.getLong(1) > 0, s"$name: no non-null target values to fit on")
+    val prior =
+      if (intg) totRow.getLong(0).toDouble / totRow.getLong(1)
+      else totRow.getDouble(0) / totRow.getLong(1)
+    val dicts = catCols.map { c =>
+      val grp = df.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(sum(y).as(s"__te_s_$c"), count(y).as(s"__te_n_$c"))
+      val dict = FittedState.stabilize(grp, artifactDir, s"te_$c")
+      c -> (dict, FittedState.broadcastDecision(dict, c, valueBytes = 16L,
+        broadcastBudgetBytes))
+    }.toMap
+    TargetEncodingBound(catCols, targetCol, smoothing, leaveOneOut, suffix,
+      prior, intg, dicts)
+  }
 }
 
 /** Per-group statistics joined back as features — NVTabular's
@@ -178,7 +199,7 @@ case class JoinGroupby(
     keyCol: String,
     valueCols: Seq[String],
     stats: Seq[String] = Seq("count", "sum", "mean"),
-    broadcastBudgetBytes: Long = 1L << 30) extends EnsembleOp {
+    broadcastBudgetBytes: Long = 1L << 30) extends FittableOp {
 
   private val allowed = Set("count", "sum", "mean", "min", "max")
   require(valueCols.nonEmpty, s"$name: at least one value column required")
@@ -218,7 +239,8 @@ case class JoinGroupby(
     StructType(in ++ outCols(in))
   }
 
-  override def transform(df: DataFrame): DataFrame = {
+  /** The fitted per-key statistics frame (lazy). */
+  private def grouped(df: DataFrame): DataFrame = {
     val aggs: Seq[Column] = {
       val perValue = valueCols.flatMap { v =>
         // integral means derive from the EXACT long sum (one double
@@ -255,11 +277,26 @@ case class JoinGroupby(
         Seq(count(lit(1)).as(s"${keyCol}_count")) else Seq.empty
       cnt ++ perValue
     }
-    val grp = df.filter(col(keyCol).isNotNull)
+    df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
-    val side = SizeGate.gateGrouped(grp, keyCol,
-      valueBytes = 8L * aggs.length, broadcastBudgetBytes)
+  }
+
+  private def statWidth: Int =
+    stats.count(_ != "count") * valueCols.length + (if (stats.contains("count")) 1 else 0)
+
+  override def transform(df: DataFrame): DataFrame = {
+    val side = SizeGate.gateGrouped(grouped(df), keyCol,
+      valueBytes = 8L * statWidth, broadcastBudgetBytes)
     df.join(side, Seq(keyCol), "left")
+  }
+
+  /** Fit the per-key statistics once → join-only bound serving. */
+  override def fit(df: DataFrame, artifactDir: Option[String] = None): EnsembleOp = {
+    val dict = FittedState.stabilize(grouped(df), artifactDir,
+      s"joingroupby_$keyCol")
+    JoinGroupbyBound(keyCol, outCols(df.schema), dict,
+      FittedState.broadcastDecision(dict, keyCol, valueBytes = 8L * statWidth,
+        broadcastBudgetBytes))
   }
 }
 
@@ -318,7 +355,7 @@ case class FillMissing(
     constants: Map[String, Any] = Map.empty,
     medianCols: Seq[String] = Seq.empty,
     approxMedian: Boolean = false,
-    suffix: String = "_filled") extends EnsembleOp {
+    suffix: String = "_filled") extends FittableOp {
 
   require(constants.nonEmpty || medianCols.nonEmpty,
     s"$name: nothing to fill — give constants and/or medianCols")
@@ -357,20 +394,26 @@ case class FillMissing(
         StructField(c + suffix, outT(in, c), nullable = false)))
   }
 
-  override def transform(df: DataFrame): DataFrame = {
-    val medians: Map[String, Double] =
-      if (medianCols.isEmpty) Map.empty
-      else {
-        val aggs = medianCols.map { c =>
-          if (approxMedian) percentile_approx(col(c).cast("double"), lit(0.5), lit(10000)).as(c)
-          else percentile(col(c).cast("double"), lit(0.5)).as(c)
-        }
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        medianCols.zipWithIndex.map { case (c, i) =>
-          require(!row.isNullAt(i), s"$name: column '$c' is entirely null — no median to fit")
-          c -> row.getDouble(i)
-        }.toMap
+  private def fitMedians(df: DataFrame): Map[String, Double] =
+    if (medianCols.isEmpty) Map.empty
+    else {
+      val aggs = medianCols.map { c =>
+        if (approxMedian) percentile_approx(col(c).cast("double"), lit(0.5), lit(10000)).as(c)
+        else percentile(col(c).cast("double"), lit(0.5)).as(c)
       }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      medianCols.zipWithIndex.map { case (c, i) =>
+        require(!row.isNullAt(i), s"$name: column '$c' is entirely null — no median to fit")
+        c -> row.getDouble(i)
+      }.toMap
+    }
+
+  /** Fit the medians once → a literal-fill bound op. */
+  override def fit(df: DataFrame, artifactDir: Option[String] = None): EnsembleOp =
+    FillMissingBound(constants, fitMedians(df), medianCols, suffix)
+
+  override def transform(df: DataFrame): DataFrame = {
+    val medians = fitMedians(df)
     val constFilled = constants.keys.toSeq.sorted.foldLeft(df) { (d, c) =>
       // cast the (schema-validated lossless) literal to the column type
       // so the runtime type equals transformSchema's declaration

@@ -222,7 +222,7 @@ case class EmbeddingLookup(
   * high-cardinality ids/URLs, NVTabular's main use).
   */
 case class Categorify(cols: Seq[String], suffix: String = "_idx",
-    broadcastBudgetBytes: Long = 1L << 30) extends EnsembleOp {
+    broadcastBudgetBytes: Long = 1L << 30) extends FittableOp {
 
   override def transformSchema(in: StructType): StructType = {
     cols.foreach(requireCol(in, _))
@@ -260,6 +260,16 @@ case class Categorify(cols: Seq[String], suffix: String = "_idx",
     }
     Tags.tag(encoded, cols.map(c => (c + suffix) -> Seq(Tags.Categorical)): _*)
   }
+
+  /** Fit the frequency dictionaries once (rank job + gate job per column,
+    * at dictionary scale) → join-only bound serving. */
+  override def fit(df: DataFrame, artifactDir: Option[String] = None): EnsembleOp =
+    CategorifyBound(cols, suffix, cols.map { c =>
+      val dict = FittedState.stabilize(dictionary(df, c), artifactDir,
+        s"categorify_$c")
+      c -> (dict, FittedState.broadcastDecision(dict, c, valueBytes = 4L,
+        broadcastBudgetBytes))
+    }.toMap)
 
   /** Exact per-column cardinalities + suggested embedding dims — the
     * reference's `get_embedding_sizes` (workflow/__init__.py:18-65). One
@@ -299,7 +309,7 @@ case class Categorify(cols: Seq[String], suffix: String = "_idx",
   * bit-deterministic across engines and partitionings (the fixed-point
   * trick: feed money as cents). Double columns fall back to
   * `avg`/`stddev_pop`, whose partial-agg order is unspecified. */
-case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends EnsembleOp {
+case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends FittableOp {
 
   override def transformSchema(in: StructType): StructType = {
     cols.foreach(requireCol(in, _))
@@ -307,12 +317,14 @@ case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends 
       metadata = Tags.metadataFor(Seq(Tags.Continuous)))))
   }
 
-  override def transform(df: DataFrame): DataFrame = {
-    val integral = cols.filter(c => df.schema(c).dataType match {
+  private def integralCols(df: DataFrame): Set[String] =
+    cols.filter(c => df.schema(c).dataType match {
       case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
       case _ => false
     }).toSet
-    val aggs = cols.flatMap { c =>
+
+  private def momentAggs(integral: Set[String]): Seq[Column] =
+    cols.flatMap { c =>
       // square and sum in DECIMAL(38,0): the product in the input's own
       // type wraps at ~46k for ints and ~3e9 for longs (x*x per ROW, not
       // the sum) and silently corrupts mean/std; decimal keeps the sums
@@ -326,6 +338,10 @@ case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends 
       else Seq(
         avg(col(c)).as(s"__mean_$c"), stddev_pop(col(c)).as(s"__std_$c"))
     }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val integral = integralCols(df)
+    val aggs = momentAggs(integral)
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val joined = df.crossJoin(broadcast(stats))
     val scaled0 = cols.foldLeft(joined) { (d, c) =>
@@ -343,6 +359,31 @@ case class StandardScale(cols: Seq[String], suffix: String = "_scaled") extends 
     val scaled = scaled0.drop(cols.flatMap(c =>
       Seq(s"__mean_$c", s"__std_$c", s"__s1_$c", s"__s2_$c", s"__n_$c")): _*)
     Tags.tag(scaled, cols.map(c => (c + suffix) -> Seq(Tags.Continuous)): _*)
+  }
+
+  /** Fit the moments once → a pure literal projection at serve. The
+    * mean/std doubles are derived with the SAME operations the broadcast
+    * plan evaluates (decimal→double cast, double divide, Math.sqrt), so
+    * bound outputs are bit-identical to the unfitted op's. */
+  override def fit(df: DataFrame, artifactDir: Option[String] = None): EnsembleOp = {
+    val integral = integralCols(df)
+    val aggs = momentAggs(integral)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val moments = cols.map { c =>
+      if (integral(c)) {
+        val n = row.getAs[Long](s"__n_$c")
+        require(n > 0, s"$name: column '$c' is empty — no moments to fit")
+        val mean = row.getAs[java.math.BigDecimal](s"__s1_$c").doubleValue() / n
+        val std = math.sqrt(
+          row.getAs[java.math.BigDecimal](s"__s2_$c").doubleValue() / n - mean * mean)
+        c -> (mean, std)
+      } else {
+        require(!row.isNullAt(row.fieldIndex(s"__mean_$c")),
+          s"$name: column '$c' is entirely null — no moments to fit")
+        c -> (row.getAs[Double](s"__mean_$c"), row.getAs[Double](s"__std_$c"))
+      }
+    }.toMap
+    StandardScaleBound(cols, suffix, moments)
   }
 }
 
