@@ -11,6 +11,39 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * timeout so one pathological plan cannot wedge the whole round (its
   * jobs are cancelled and it reports -1). */
 object Bench {
+  /** The remeasure flag set: which rows earn an isolated re-measure,
+    * and why. UNION of (a) the top-N absolute warm regressions vs the
+    * baseline and (b) every row at ratio >= 1.5× with warm >= 0.5 s,
+    * ratio rows capped at 2N by ratio (round-13 VERDICT item 2: a fixed
+    * top-N by absolute delta spends the whole budget on the noisiest
+    * heavy family — the FE family's consistent 1.7× placed 5th on both
+    * boards and was never adjudicated). New/unparsed rows flag at full
+    * weight; with no baseline at all, the N heaviest rows flag.
+    * Returns (name, reason, baselineWarm). */
+  private[graft] def flagSet(warm: Seq[(String, Double)],
+      baselineWarm: Map[String, Double],
+      remeasureN: Int): Seq[(String, String, Option[Double])] = {
+    if (remeasureN <= 0) Seq.empty
+    else if (baselineWarm.nonEmpty) {
+      // (name, warm, delta, ratio, reason, baseline)
+      val candidates = warm.map { case (n, w) =>
+        baselineWarm.get(n) match {
+          case Some(b) => (n, w, w - b, w / math.max(b, 1e-9), "regression", Some(b))
+          case None    => (n, w, w, Double.MaxValue, "new", None)
+        }
+      }.filter(_._3 > 0)
+      val byDelta = candidates.sortBy(-_._3).take(remeasureN)
+      val byRatio = candidates
+        .filter { case (_, w, _, r, reason, _) =>
+          reason == "regression" && r >= 1.5 && w >= 0.5 }
+        .sortBy(-_._4).take(2 * remeasureN)
+        .map { case (n, w, d, r, _, b) => (n, w, d, r, "ratio", b) }
+      (byDelta ++ byRatio.filterNot(r => byDelta.exists(_._1 == r._1)))
+        .map { case (n, _, _, _, reason, b) => (n, reason, b) }
+    } else warm.sortBy(-_._2).take(remeasureN)
+      .map { case (n, _) => (n, "heaviest", None) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -238,23 +271,24 @@ object Bench {
     // regex failed to parse) are candidates too, at their full warm time
     // — otherwise a new heavy row never earns an isolated column
     // (round-12 ADVICE).
+    //
+    // The flag set is the UNION of two views (round-13 VERDICT item 2: a
+    // fixed top-N by absolute delta spends its whole budget on the
+    // noisiest heavy family, so a consistent 1.7× creep on sub-second
+    // rows placed 5th on both boards and never earned an isolated
+    // column): (a) the top-N absolute warm regressions, and (b) every
+    // row at ratio >= 1.5× its baseline with warm >= 0.5 s (the floor
+    // keeps 0.1 s-scale scheduling jitter out). The ratio rows are
+    // capped at 2N ordered by ratio so one slow window cannot unbound
+    // the isolated pass; each flagged row's ratio is written into the
+    // artifact alongside the reason.
     val flagged: Seq[(String, String, Option[Double])] = {
       val warmOk = results.filter(_._3 >= 0)
-      if (remeasureN <= 0) Seq.empty
-      else if (baselineWarm.nonEmpty) {
-        val unmatched = warmOk.map(_._1).filterNot(baselineWarm.contains)
-        if (unmatched.nonEmpty) System.err.println(
-          s"[bench] ${unmatched.size} queries absent from baseline " +
-            s"$baselinePath (new or parse drift): ${unmatched.mkString(",")}")
-        warmOk.map { case (n, _, w) =>
-          baselineWarm.get(n) match {
-            case Some(b) => (n, w - b, "regression", Some(b))
-            case None    => (n, w, "new", None)
-          }
-        }.filter(_._2 > 0).sortBy(-_._2).take(remeasureN)
-          .map { case (n, _, r, b) => (n, r, b) }
-      } else warmOk.sortBy(-_._3).take(remeasureN)
-        .map { case (n, _, _) => (n, "heaviest", None) }
+      val unmatched = warmOk.map(_._1).filterNot(baselineWarm.contains)
+      if (baselineWarm.nonEmpty && unmatched.nonEmpty) System.err.println(
+        s"[bench] ${unmatched.size} queries absent from baseline " +
+          s"$baselinePath (new or parse drift): ${unmatched.mkString(",")}")
+      flagSet(warmOk.map(t => (t._1, t._3)), baselineWarm, remeasureN)
     }
     val isolated: Map[String, Double] = flagged.map { case (n, reason, _) =>
       val fn = SparkEntry.queries(n)
@@ -306,7 +340,8 @@ object Bench {
       val iso = isolated.get(n).map(i => s""","isolated":$i""").getOrElse("")
       val fl = flaggedMeta.get(n).map { case (reason, base) =>
         s""","flagged_reason":"$reason"""" +
-          base.map(b => s""","baseline_warm":$b""").getOrElse("")
+          base.map(b => s""","baseline_warm":$b""" +
+            s""","flagged_ratio":${w / math.max(b, 1e-9)}""").getOrElse("")
       }.getOrElse("")
       s""""$n":{"cold":$c,"warm":$w$iso$fl}"""
     }.mkString(",")

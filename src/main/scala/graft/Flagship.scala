@@ -184,12 +184,17 @@ object Flagship {
     * under more bits, so the relative bp metric is non-decreasing in
     * bits even when the heavy bucket genuinely splits — while what the
     * remedy protects (candidates per probe) only cares how many ITEMS
-    * the heaviest probed bucket holds. A cost-evidence retry must clear
-    * BOTH bounds — workload volume (cost_bp) and absolute heavy-bucket
-    * occupancy — because volume alone hides parallelism collapse: the
-    * probe join's wall-clock follows its heaviest key, and the sf1.0
-    * rehearsal measured resized-LSH serving 5× slower than IVF at a
-    * volume reading of "1.8× uniform" (SCALE.md round 13). Finer
+    * the heaviest probed bucket holds. EVERY cost-evidence acceptance —
+    * the initial measure and the retry alike (round-13 ADVICE closed
+    * the initial-accept gap) — must clear BOTH bounds: workload volume
+    * (cost_bp) and the heaviest PROBED bucket's absolute occupancy
+    * (`max_probed_count` from the same report row — probed, not global,
+    * so an orthogonal workload's unprobed heavy bucket cannot
+    * re-introduce the over-trigger). Volume alone hides parallelism
+    * collapse: the probe join's wall-clock follows its heaviest key,
+    * and the sf1.0 rehearsal measured resized-LSH serving 5× slower
+    * than IVF at a volume reading of "1.8× uniform" (SCALE.md round
+    * 13). Finer
     * buckets rescue geometries whose heavy bucket splits under the
     * extra hyperplanes (spread mass that collided at the coarse
     * sizing); a true cone occupies the same ±sign-pattern pair at any
@@ -206,52 +211,62 @@ object Flagship {
     // measurement at bits2 > numBits is comparable to the first one
     val uniformAt = (nItems: Long) => math.max(1L,
       (nItems + (1L << numBits) - 1) / (1L << numBits))
-    def measure(bits: Int): (String, Long) = workload match {
+    // (evidence, volume bp, heavy-PROBED-bucket bp). Cost evidence pairs
+    // the volume metric with the heaviest probed bucket's occupancy in
+    // the same report row: volume is blind to probe-join KEY skew (the
+    // join's wall-clock follows its heaviest key — sf1.0 A/B: resized-
+    // LSH 252 s vs IVF 47 s at cost_bp 17606, "1.8× uniform volume"
+    // hiding a parallelism collapse), while GLOBAL occupancy over-
+    // triggers on heavy buckets no query probes (the orthogonal-
+    // workload case). max_probed_count is exactly the quantity between
+    // the two. Skew evidence has no workload, so its heavy bp IS its
+    // volume bp and the conjunct degenerates to the single bound.
+    def measure(bits: Int): (String, Long, Long) = workload match {
       case Some(qs) =>
         val r = graft.ops.LshProbeCost(itemVecs, center, bits,
           nprobe = math.min(nprobe, bits + 1), itemVecCol = vecCol,
           queryVecCol = workloadVecCol).transform(qs).head()
-        val denom = r.getAs[Long]("n_probes") * uniformAt(r.getAs[Long]("n_items"))
+        val uni = uniformAt(r.getAs[Long]("n_items"))
+        val denom = r.getAs[Long]("n_probes") * uni
         ("cost_bp", if (denom == 0L) 0L
-          else r.getAs[Long]("candidates") * 10000L / denom)
+          else r.getAs[Long]("candidates") * 10000L / denom,
+          r.getAs[Long]("max_probed_count") * 10000L / uni)
       case None =>
         val r = graft.ops.LshSkewReport(center, bits, vecCol)
           .transform(itemVecs).head()
-        ("skew_bp", r.getAs[Long]("max_count") * 10000L /
-          uniformAt(r.getAs[Long]("n_items")))
+        val bp = r.getAs[Long]("max_count") * 10000L /
+          uniformAt(r.getAs[Long]("n_items"))
+        ("skew_bp", bp, bp)
     }
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    val (ev, bp) = measure(numBits)
+    val (ev, bp, heavyBp) = measure(numBits)
     val bound = if (ev == "cost_bp") LshCostBoundBp else LshSkewBoundBp
-    if (bp <= bound) RetrieverDecision("lsh", ev, bp, numBits)
+    // BOTH bounds gate the initial accept too (round-13 ADVICE: volume
+    // evidence alone accepted a lightly-probed pathological bucket)
+    if (bp <= bound && heavyBp <= LshSkewBoundBp)
+      RetrieverDecision("lsh", ev, bp, numBits)
     else {
       val bits2 = math.min(32, numBits + retryBits)
-      val (_, bp2) = if (bits2 > numBits) measure(bits2) else (ev, bp)
-      // the workload-aware retry must ALSO clear the absolute occupancy
-      // bound at the resized bits: cost_bp measures candidate VOLUME,
-      // but the probe join's wall-clock follows its heaviest KEY — a
-      // cone that keeps thousands of items per bucket at any bit count
-      // serializes the whole join onto a few tasks even when expected
-      // volume reads acceptable (sf1.0 rehearsal A/B: resized-LSH
-      // serving 252 s warm vs 47 s forced-IVF at cost_bp 17606, i.e.
-      // "1.8× uniform volume" hid a parallelism collapse). One more
-      // metadata-scale aggregate; the occupancy-evidence path already
-      // IS this check, so it only fires for cost evidence.
-      val occOk = workload.isEmpty || bits2 <= numBits || {
-        val r = graft.ops.LshSkewReport(center, bits2, vecCol)
-          .transform(itemVecs).head()
-        r.getAs[Long]("max_count") * 10000L /
-          uniformAt(r.getAs[Long]("n_items")) <= LshSkewBoundBp
-      }
-      if (bits2 > numBits && bp2 <= bound && occOk) {
-        log.warn(s"LSH $ev $bp bp > $bound bp at $numBits bits — " +
-          s"resized fit to $bits2 bits ($bp2 bp at the requested " +
-          "sizing's uniform), keeping the LSH tier")
+      val (_, bp2, heavy2) =
+        if (bits2 > numBits) measure(bits2) else (ev, bp, heavyBp)
+      // resize retry judged in ABSOLUTE units (the requested sizing's
+      // uniform) on BOTH axes: candidate volume AND heaviest probed
+      // bucket. One or two more metadata-scale aggregates, against the
+      // 37-43 s k-means fit it can avoid at sf1.0.
+      if (bits2 > numBits && bp2 <= bound && heavy2 <= LshSkewBoundBp) {
+        log.warn(s"LSH $ev $bp bp (heavy-probed $heavyBp bp) tripped at " +
+          s"$numBits bits — resized fit to $bits2 bits ($bp2 bp, " +
+          s"heavy-probed $heavy2 bp at the requested sizing's uniform), " +
+          "keeping the LSH tier")
         RetrieverDecision("lsh", ev, bp2, bits2)
       } else {
-        log.warn(s"LSH $ev $bp bp > $bound bp at $numBits bits " +
-          s"(retry at $bits2 bits: $bp2 bp, heavy-bucket ok: $occOk) — " +
-          "switching the retrieval tier to k-means IVF")
+        val retryNote =
+          if (bits2 > numBits)
+            s"(retry at $bits2 bits: $bp2 bp, heavy-probed $heavy2 bp)"
+          else "(no retry: retryBits=0)"
+        log.warn(s"LSH $ev $bp bp (heavy-probed $heavyBp bp) tripped at " +
+          s"$numBits bits $retryNote — switching the retrieval tier to " +
+          "k-means IVF")
         RetrieverDecision("ivf", ev, bp, numBits)
       }
     }

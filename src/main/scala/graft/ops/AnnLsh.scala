@@ -221,13 +221,21 @@ private[ops] object ProbeCost {
       .groupBy("__b").agg(count(lit(1)).as("__ic"))
     val pc = probeBuckets.filter(col("__b").isNotNull)
       .groupBy("__b").agg(count(lit(1)).as("__pc"))
+    // max_probed_count: the heaviest PROBED bucket's item count — the
+    // key-skew quantity candidate volume is blind to (the probe join's
+    // wall-clock follows its heaviest key; sf1.0 measured resized-LSH
+    // 252 s vs IVF 47 s at a volume reading of 1.8× uniform). Over
+    // probed buckets only: a heavy bucket no query touches costs
+    // nothing (the over-trigger case the workload-aware decision
+    // exists to avoid).
     val joined = pc.join(ic, Seq("__b"))
-      .agg(coalesce(sum(col("__ic") * col("__pc")), lit(0L)).as("candidates"))
+      .agg(coalesce(sum(col("__ic") * col("__pc")), lit(0L)).as("candidates"),
+        coalesce(max(col("__ic")), lit(0L)).as("max_probed_count"))
     val totals = ic.agg(coalesce(sum(col("__ic")), lit(0L)).as("n_items"))
       .crossJoin(pc.agg(coalesce(sum(col("__pc")), lit(0L)).as("n_probes")))
     totals.crossJoin(joined)
       .select(col("n_items"), lit(nBuckets).as("n_buckets"),
-        col("n_probes"), col("candidates"))
+        col("n_probes"), col("candidates"), col("max_probed_count"))
       .withColumn("uniform_count",
         expr(s"(n_items + ${nBuckets - 1}L) div ${nBuckets}L"))
       .withColumn("uniform_candidates",
@@ -257,6 +265,7 @@ case class LshProbeCost(
     StructType(Seq(
       StructField("n_items", LongType), StructField("n_buckets", LongType),
       StructField("n_probes", LongType), StructField("candidates", LongType),
+      StructField("max_probed_count", LongType),
       StructField("uniform_count", LongType),
       StructField("uniform_candidates", LongType),
       StructField("cost_bp", LongType)))
@@ -299,6 +308,7 @@ case class IvfProbeCost(
     StructType(Seq(
       StructField("n_items", LongType), StructField("n_buckets", LongType),
       StructField("n_probes", LongType), StructField("candidates", LongType),
+      StructField("max_probed_count", LongType),
       StructField("uniform_count", LongType),
       StructField("uniform_candidates", LongType),
       StructField("cost_bp", LongType)))

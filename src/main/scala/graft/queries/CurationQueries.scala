@@ -1154,6 +1154,60 @@ object CurationQueries {
       "uniform_count", "skew_bp").orderBy("version")
   }
 
+  /** The BM25 trigger→ACTION lifecycle end-to-end
+    * ([[graft.streaming.StreamingOps.pruneBm25HeadTermsIfSkewed]] —
+    * round-13 VERDICT item 3, the lexical twin of op_ann_refit_skewed):
+    * a synthetic stopword (`zzcommon`) plus a per-doc diversifier term
+    * (`zzu<doc_id>`) appended to every document guarantee the 3-batch
+    * ingest's stamped line trips the 10×-mean bound at any scale (the
+    * natural corpus vocabulary is small and DENSE — every term near the
+    * mean — so the singleton terms are what give the head terms, the
+    * injected stopword and the dense natural vocabulary alike, a mean
+    * to stand out against); the action names the head terms from the
+    * vocab-scale dfreq roll-up and commits the stopword-pruned v3, and
+    * the row emits the full occupancy log — v0-v2 replay as per-prefix
+    * term histograms, v3 as the histogram minus the terms the pruning
+    * rule (df·10⁴/uniform > bound, the line's own arithmetic) selects —
+    * plus the pruned term list itself on the v3 row. Doc constants
+    * carry verbatim, so surviving terms score bit-identically
+    * (spec-pinned in IndexLifecycleSpec). */
+  def textBm25PruneSkewed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docRows = documents(spark, d)
+      .select(col("doc_id").cast("long"),
+        concat(col("text"), lit(" zzcommon zzu"),
+          col("doc_id").cast("string")).as("text"))
+      .as[(Long, String)].collect()
+    // the oracle emits fixed v0-v2 prefix predicates; an empty modulo
+    // class would shift the sink's version names off that mapping
+    // (round-13 ADVICE) — fail loudly here instead of hash-mismatching
+    (0 until 3).foreach(m => require(docRows.exists(_._1 % 3 == m),
+      s"textBm25PruneSkewed: doc_id % 3 == $m split is empty in $d"))
+    val dir = OracleDir.tempDir("bm25_prune_idx")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.bm25IndexSink(dir)).start()
+    try {
+      (0 until 3).foreach { m =>
+        src.addData(docRows.filter(_._1 % 3 == m).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val act = graft.streaming.StreamingOps
+      .pruneBm25HeadTermsIfSkewed(spark, dir, boundBp = 100000L)
+    require(act.nonEmpty,
+      "textBm25PruneSkewed: the synthetic stopword must trip the bound")
+    val (_, head, prunedV) = act.get
+    val prunedTerms = head.mkString(" ")
+    graft.streaming.StreamingOps.occupancyLog(spark, dir).map { case (v, o) =>
+      (v, o.nItems, o.nBuckets, o.nOccupied, o.maxCount,
+        o.uniformCount, o.skewBp, if (v == prunedV) prunedTerms else "")
+    }.toDF("version", "n_items", "n_buckets", "n_occupied", "max_count",
+      "uniform_count", "skew_bp", "pruned_terms").orderBy("version")
+  }
+
   /** Hybrid retrieval: BM25 lexical ranks fused with a document-length
     * quality prior via reciprocal-rank fusion — the multi-ranker stack
     * (lexical + prior) production retrieval runs on top of single-index
@@ -2191,6 +2245,7 @@ object CurationQueries {
     "text_bm25_incremental" -> (textBm25Incremental _),
     "text_bm25_stream" -> (textBm25Stream _),
     "text_bm25_occupancy_stream" -> (textBm25OccupancyStream _),
+    "text_bm25_prune_skewed" -> (textBm25PruneSkewed _),
     "text_hybrid_rrf" -> (textHybridRrf _),
     "text_keywords" -> (textKeywords _),
     "text_chunks" -> (textChunks _),
@@ -2759,6 +2814,49 @@ object CurationQueries {
          |${bm25OccSel(1)}
          |UNION ALL
          |${bm25OccSel(2)})
+         |ORDER BY version""".stripMargin,
+    // the prune lifecycle: v0-v2 = the per-prefix histograms over the
+    // stopword-injected corpus; the head set replays the action's own
+    // rule (df·10⁴ // uniform-of-the-live-line > 100000); v3 = the
+    // histogram minus head terms, carrying the pruned list itself
+    "text_bm25_prune_skewed" ->
+      s"""WITH docs2 AS (SELECT doc_id,
+         |  text || ' zzcommon zzu' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents),
+         |tokf AS (SELECT doc_id, term FROM
+         |  (SELECT doc_id, unnest($wordsSql) AS term FROM docs2) WHERE len(term) > 0),
+         |post AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
+         |tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+         |live AS (SELECT CAST(coalesce(sum(df), 0) AS BIGINT) AS n_items,
+         |    CAST(count(*) AS BIGINT) AS n_occupied FROM tdf),
+         |uni AS (SELECT CASE WHEN n_occupied = 0 THEN CAST(1 AS BIGINT)
+         |    ELSE (n_items + n_occupied - 1) // n_occupied END AS u FROM live),
+         |head AS (SELECT term FROM tdf, uni WHERE df * 10000 // u > 100000),
+         |post3 AS (SELECT p.doc_id, p.term FROM post p
+         |  WHERE NOT EXISTS (SELECT 1 FROM head h WHERE h.term = p.term)),
+         |pruned AS (SELECT coalesce(string_agg(term, ' ' ORDER BY term), '') AS pt
+         |  FROM head)
+         |SELECT version, n_items, n_buckets, n_occupied, max_count,
+         |  uniform_count, skew_bp, '' AS pruned_terms FROM (
+         |${bm25OccSel(0)}
+         |UNION ALL
+         |${bm25OccSel(1)}
+         |UNION ALL
+         |${bm25OccSel(2)})
+         |UNION ALL
+         |SELECT 'v3' AS version, n_items, n_occupied AS n_buckets,
+         |  n_occupied, max_count,
+         |  CASE WHEN n_occupied = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (n_items + n_occupied - 1) // n_occupied END AS uniform_count,
+         |  CASE WHEN n_occupied = 0 OR (n_items + n_occupied - 1) // n_occupied = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE max_count * 10000 // ((n_items + n_occupied - 1) // n_occupied)
+         |  END AS skew_bp,
+         |  (SELECT pt FROM pruned) AS pruned_terms
+         |FROM (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_items,
+         |    CAST(count(*) AS BIGINT) AS n_occupied,
+         |    CAST(coalesce(max(c), 0) AS BIGINT) AS max_count
+         |  FROM (SELECT term, count(*) AS c FROM post3 GROUP BY term))
          |ORDER BY version""".stripMargin,
     "text_hybrid_rrf" ->
       s"""$bm25CtesSql,

@@ -436,9 +436,11 @@ object OpQueries {
        |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ic) AS n_items,
        |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM pc) AS n_probes,
        |  (SELECT CAST(coalesce(sum(ic.c * pc.c), 0) AS BIGINT)
-       |    FROM pc JOIN ic ON pc.bucket = ic.bucket) AS candidates)
+       |    FROM pc JOIN ic ON pc.bucket = ic.bucket) AS candidates,
+       |  (SELECT CAST(coalesce(max(ic.c), 0) AS BIGINT)
+       |    FROM pc JOIN ic ON pc.bucket = ic.bucket) AS max_probed_count)
        |SELECT n_items, CAST($nBuckets AS BIGINT) AS n_buckets, n_probes,
-       |  candidates,
+       |  candidates, max_probed_count,
        |  (n_items + ${nBuckets - 1}) // $nBuckets AS uniform_count,
        |  n_probes * ((n_items + ${nBuckets - 1}) // $nBuckets) AS uniform_candidates,
        |  CASE WHEN n_probes * ((n_items + ${nBuckets - 1}) // $nBuckets) = 0
@@ -786,9 +788,11 @@ object OpQueries {
              |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ic) AS n_items,
              |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM pc) AS n_probes,
              |  (SELECT CAST(coalesce(sum(ic.c * pc.c), 0) AS BIGINT)
-             |    FROM pc JOIN ic ON pc.cid = ic.cid) AS candidates)
+             |    FROM pc JOIN ic ON pc.cid = ic.cid) AS candidates,
+             |  (SELECT CAST(coalesce(max(ic.c), 0) AS BIGINT)
+             |    FROM pc JOIN ic ON pc.cid = ic.cid) AS max_probed_count)
              |SELECT n_items, CAST($n AS BIGINT) AS n_buckets, n_probes,
-             |  candidates,
+             |  candidates, max_probed_count,
              |  (n_items + ${n - 1}) // $n AS uniform_count,
              |  n_probes * ((n_items + ${n - 1}) // $n) AS uniform_candidates,
              |  CASE WHEN n_probes * ((n_items + ${n - 1}) // $n) = 0

@@ -1053,10 +1053,10 @@ object StreamingOps {
     * postings themselves are never re-read. Open vocabulary has no fixed
     * bucket count, so the stamped line records n_buckets = n_occupied
     * and `skew_bp` reads max-df against the MEAN postings-per-occupied-
-    * term — trip it to trigger head-term remedies (stopword pruning,
-    * postings-list block-max reorganization) the way the ANN line
-    * triggers a quantizer refit. Compaction carries the line forward
-    * verbatim like every sink ([[compactIndexState]]). */
+    * term — trip it and [[pruneBm25HeadTermsIfSkewed]] commits the
+    * stopword-pruned version, the way the ANN line triggers
+    * [[refitAnnIvfIndexIfSkewed]]'s quantizer refit. Compaction carries
+    * the line forward verbatim like every sink ([[compactIndexState]]). */
   private def writeBm25Occupancy(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, version: String, deltas: Seq[String]): Unit = {
     val s = deltas.map(d => spark.read.parquet(s"$indexDir/deltas/$d/dfreq"))
@@ -1067,6 +1067,66 @@ object StreamingOps {
     writeSmallFile(spark, s"$indexDir/$version/occupancy",
       s"${s.getLong(0)},${s.getLong(1)},${s.getLong(1)},${s.getLong(2)}")
   }
+
+  /** The ACTION half of the BM25 occupancy stamp ([[writeBm25Occupancy]]
+    * is the trigger) — the lexical-index twin of
+    * [[refitAnnIvfIndexIfSkewed]], completing the trigger→action symmetry
+    * for every sink-maintained index family: when the LIVE version's
+    * stamped line reads `skew_bp > boundBp`, commit a STOPWORD-PRUNED
+    * version. The decision is in-log (one 4-integer line; postings are
+    * never scanned to decide). Acting rolls the chain's vocab-scale
+    * `dfreq` once to NAME the head terms — every term whose chain-wide
+    * postings count alone exceeds the stamped bound at the line's own
+    * uniform base (`df·10⁴/uniform > boundBp`, the same arithmetic that
+    * tripped) — then rewrites postings/dfreq minus those terms as one
+    * delta. Doc-level constants (N, Σdl → avgdl) carry VERBATIM: pruning
+    * removes postings, not documents, so every surviving term's BM25
+    * score is bit-identical by construction — head terms simply stop
+    * contributing, exactly a fitted stopword list. The head set is
+    * stopword-scale by the qualifying rule (a term must carry boundBp/10⁴
+    * × the mean per-term postings load), so the isInCollection filter
+    * stays a literal-set predicate at any corpus size; the rewrite is one
+    * bounded full pass over postings — the same cost class as
+    * [[compactIndexState]], which a tripped head term forces anyway.
+    * Single-writer contract as refit/compaction: pause the ingest sink.
+    * Returns None when healthy/untracked/absent;
+    * Some((tripped skew_bp, pruned terms, new version)) after acting —
+    * pre-prune versions stay time-travelable like every commit. */
+  def pruneBm25HeadTermsIfSkewed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, boundBp: Long,
+      appId: String = "bm25-prune"): Option[(Long, Seq[String], String)] =
+    for {
+      lv <- latestVersion(spark, indexDir)
+      occ <- readIndexOccupancy(spark, indexDir, lv)
+      if occ.skewBp > boundBp
+    } yield {
+      val deltas = readManifest(spark, s"$indexDir/$lv/manifest").map(_.delta)
+      val dfAll = spark.read.parquet(
+        deltas.map(d => s"$indexDir/deltas/$d/dfreq"): _*)
+        .groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
+      val head = dfAll
+        .filter(col("__df") * lit(10000L) / lit(occ.uniformCount) > lit(boundBp))
+        .select("__term").collect().map(_.getString(0)).sorted.toSeq
+      val pruned = dfAll.filter(!col("__term").isInCollection(head))
+      val postings = spark.read.parquet(
+        deltas.map(d => s"$indexDir/deltas/$d/postings"): _*)
+        .filter(!col("__term").isInCollection(head))
+      val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
+      val delta = "d" + v.drop(1)
+      postings.write.mode("overwrite")
+        .parquet(s"$indexDir/deltas/$delta/postings")
+      pruned.write.mode("overwrite")
+        .parquet(s"$indexDir/deltas/$delta/dfreq")
+      val (n0, s0) = readMeta(spark, s"$indexDir/$lv/meta")
+      writeMeta(spark, s"$indexDir/$v/meta", n0, s0)
+      writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
+        delta, spark.read.parquet(s"$indexDir/deltas/$delta/postings"),
+        "__doc_id")))
+      writeBm25Occupancy(spark, indexDir, v, Seq(delta))
+      writeTxn(spark, indexDir, v, appId, -1L)
+      writePointer(spark, indexDir, v, Some(lv))
+      (occ.skewBp, head, v)
+    }
 
   /** The union of a versioned index log's `index` deltas — the live
     * coded/assigned item table as one multi-path parquet scan (no
@@ -1180,8 +1240,10 @@ object StreamingOps {
   }
 
   /** The occupancy summary stamped when `version` committed; None for
-    * versions written without occupancy tracking (eval logs, BM25,
-    * pre-occupancy revisions) or vacuumed metadata. */
+    * versions written without occupancy tracking (eval logs,
+    * pre-occupancy revisions) or vacuumed metadata. BM25 versions stamp
+    * the line too ([[writeBm25Occupancy]]: term = bucket, n_buckets =
+    * n_occupied under open vocabulary). */
   def readIndexOccupancy(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, version: String): Option[IndexOccupancy] =
     readSmallFile(spark, s"$indexDir/$version/occupancy").map { t =>

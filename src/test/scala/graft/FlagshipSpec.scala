@@ -173,6 +173,38 @@ class FlagshipSpec extends SparkSpec {
       s"resize must decorrelate the probe flips: $dRetry")
   }
 
+  test("decideRetriever: low candidate VOLUME cannot accept a heavy probed bucket " +
+      "(the initial-accept key-skew conjunct)") {
+    // 300 items in one tight off-mean blob (one sign-stable bucket at 5
+    // AND 7 bits) + 40 spread; a workload where only a few users home on
+    // the blob reads LOW average volume — the sf1.0 lesson is that the
+    // probe join's wall-clock follows that one heavy KEY anyway, so the
+    // decision must trip on max_probed_count at the FIRST measure, not
+    // only in the retry (round-13 ADVICE: volume evidence alone accepted
+    // exactly this geometry)
+    val rnd = new scala.util.Random(31)
+    val bc = Seq(3.0, -2.0, 1.5, 2.5, -1.0, 0.5, -2.0, 1.0)
+    val blob = (0 until 300).map(i => (i.toLong,
+      bc.map(x => (x * 4.0 + rnd.nextGaussian() * 0.1).toFloat)))
+    val bg = (0 until 40).map(i => (1000L + i,
+      Seq.fill(8)((rnd.nextGaussian() * 6.0).toFloat)))
+    val items = (blob ++ bg).toDF("item_id", "embedding")
+    val mu = graft.functions.VectorFunctions.meanVector(items, "embedding").toSeq
+    // 4 hot users at the blob, 36 far away: volume stays under the cost
+    // bound, the probed heavy bucket does not
+    val hotFew = (1L to 4L).map(i => (i,
+      bc.map(x => (x * 4.0 + rnd.nextGaussian() * 0.1).toFloat)))
+    val coldMany = (5L to 40L).map(i => (i,
+      Seq.fill(8)((rnd.nextGaussian() * 6.0).toFloat)))
+    val w = (hotFew ++ coldMany).toDF("user_id", "user_vec")
+    val d = Flagship.decideRetriever(items, mu, numBits = 5,
+      workload = Some(w))
+    assert(d.tier == "ivf" && d.evidence == "cost_bp" &&
+      d.bp <= Flagship.LshCostBoundBp,
+      s"a lightly-probed pathological bucket must fail the initial accept " +
+        s"on the heavy-bucket conjunct even at acceptable volume: $d")
+  }
+
   test("decideRetriever: the resize retry rescues a splitting heavy bucket; " +
       "a true cone still falls through to IVF") {
     // a blob engineered to be sign-stable on planes 0-4 (one heavy bucket

@@ -84,23 +84,36 @@ class AnnLshSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val r = IvfProbeCost(items, centers, nprobe = 1,
       queryVecCol = "embedding").transform(hot).head()
-    assert(r.getLong(0) == 40L)  // n_items
-    assert(r.getLong(2) == 10L)  // n_probes
-    assert(r.getLong(3) == 300L) // candidates = 10 × |list 0|
-    assert(r.getLong(4) == 20L)  // uniform_count
-    assert(r.getLong(5) == 200L) // uniform_candidates
-    assert(r.getLong(6) == 15000L) // cost_bp = 1.5× uniform
+    assert(r.getAs[Long]("n_items") == 40L)
+    assert(r.getAs[Long]("n_probes") == 10L)
+    assert(r.getAs[Long]("candidates") == 300L) // = 10 × |list 0|
+    assert(r.getAs[Long]("max_probed_count") == 30L) // heaviest PROBED list
+    assert(r.getAs[Long]("uniform_count") == 20L)
+    assert(r.getAs[Long]("uniform_candidates") == 200L)
+    assert(r.getAs[Long]("cost_bp") == 15000L) // 1.5× uniform
     // a full probe (nprobe = nlist) costs exactly uniform by construction
     val full = IvfProbeCost(items, centers, nprobe = 2,
       queryVecCol = "embedding").transform(hot).head()
-    assert(full.getLong(3) == 400L && full.getLong(6) == 10000L)
+    assert(full.getAs[Long]("candidates") == 400L &&
+      full.getAs[Long]("cost_bp") == 10000L &&
+      full.getAs[Long]("max_probed_count") == 30L)
+    // a workload probing ONLY the light list: volume low AND the heavy
+    // list never enters max_probed_count (probed, not global — the
+    // over-trigger distinction the tier decision relies on)
+    val cold = (1L to 5L).map(i => (i, Seq(0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val light = IvfProbeCost(items, centers, nprobe = 1,
+      queryVecCol = "embedding").transform(cold).head()
+    assert(light.getAs[Long]("max_probed_count") == 10L,
+      s"global heavy list must not leak into the probed max: $light")
     // the LSH twin emits the same shape over sign buckets
     val mu = Seq(0.0, 0.0)
     val l = LshProbeCost(items, mu, numBits = 2, nprobe = 2,
       queryVecCol = "embedding").transform(hot).head()
-    assert(l.getLong(0) == 40L && l.getLong(1) == 4L &&
-      l.getLong(2) == 20L)
-    assert(l.getLong(3) >= 0L && l.getLong(6) >= 0L)
+    assert(l.getAs[Long]("n_items") == 40L && l.getAs[Long]("n_buckets") == 4L &&
+      l.getAs[Long]("n_probes") == 20L)
+    assert(l.getAs[Long]("candidates") >= 0L && l.getAs[Long]("cost_bp") >= 0L &&
+      l.getAs[Long]("max_probed_count") >= 0L)
   }
 
   test("IvfSkewReport: list occupancy over fixed centroids, lowest-cid tie-break") {

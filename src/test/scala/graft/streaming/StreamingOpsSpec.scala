@@ -763,6 +763,55 @@ class StreamingOpsSpec extends SparkSpec {
       "compaction must preserve the stamped occupancy verbatim")
   }
 
+  test("pruneBm25HeadTermsIfSkewed: in-log trigger, stopword-pruned commit, " +
+      "surviving scores bit-identical, healthy index untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    // 'common' rides every doc (the head term); everything else spreads:
+    // n_items = 48 postings over 18 terms → uniform 3, max df 12 →
+    // skew 40000 bp; the prune rule (df·10⁴/3 > 30000 ⇔ df > 9) names
+    // exactly {common}
+    val docs = (1L to 12L).map(i =>
+      (i, s"common token$i word${i % 3} tail${i % 2}"))
+    val dir = tmpDir("bm25_prune_")
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingOps.bm25IndexSink(dir)).start()
+    Seq(docs.take(5), docs.drop(5)).foreach { s =>
+      src.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val pre = StreamingOps.loadBm25Index(spark, dir).get
+    val preOcc = StreamingOps.occupancyLog(spark, dir).last._2
+    assert(preOcc.skewBp == 40000L, s"fixture arithmetic drifted: $preOcc")
+    // a healthy bound: the decision reads the line and declines in-log
+    assert(StreamingOps.pruneBm25HeadTermsIfSkewed(spark, dir, 50000L).isEmpty)
+    assert(StreamingOps.occupancyLog(spark, dir).map(_._1) == Seq("v0", "v1"),
+      "a declined prune must not commit anything")
+    // tripped: the action commits the pruned v2
+    val act = StreamingOps.pruneBm25HeadTermsIfSkewed(spark, dir, 30000L)
+    assert(act.nonEmpty)
+    val (skew, head, v) = act.get
+    assert(skew == 40000L && head == Seq("common") && v == "v2", s"$act")
+    val post = StreamingOps.loadBm25Index(spark, dir).get
+    // doc-level constants carry VERBATIM — that is the score contract
+    assert(post.docCount == pre.docCount && post.avgdl == pre.avgdl)
+    // surviving-term queries score bit-identically through the pruned index
+    val qs = Seq((1L, "token3 word0 tail1"), (2L, "token7 word1"))
+      .toDF("query_id", "query_text")
+    assert(post.asRows(qs).collect().toSeq == pre.asRows(qs).collect().toSeq,
+      "non-pruned terms must score bit-identically after the prune")
+    // the pruned term stops contributing — exactly a fitted stopword
+    val stopQ = Seq((9L, "common")).toDF("query_id", "query_text")
+    assert(post.asRows(stopQ).count() == 0 && pre.asRows(stopQ).count() > 0)
+    // the restamped line shows the head term gone
+    val occ2 = StreamingOps.readIndexOccupancy(spark, dir, v).get
+    assert(occ2.nItems == preOcc.nItems - 12 &&
+      occ2.nOccupied == preOcc.nOccupied - 1 &&
+      occ2.maxCount < preOcc.maxCount, s"restamp wrong: $occ2")
+    // pre-prune versions stay time-travelable with the term findable
+    val old = StreamingOps.loadBm25IndexAt(spark, dir, "v1").get
+    assert(old.asRows(stopQ).count() > 0)
+  }
+
   test("annIvfIndexSink: streamed assignment equals the full index build") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(7)
