@@ -1136,6 +1136,11 @@ object CurationQueries {
     val docRows = documents(spark, d)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect()
+    // the oracle emits fixed v0-v2 prefix predicates; the sink skips
+    // empty batches, so an empty modulo class would shift version names
+    // off that mapping (round-13 ADVICE) — fail loudly instead
+    (0 until 3).foreach(m => require(docRows.exists(_._1 % 3 == m),
+      s"textBm25OccupancyStream: doc_id % 3 == $m split is empty in $d"))
     val dir = OracleDir.tempDir("bm25_occ_idx")
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]

@@ -51,6 +51,19 @@ object OracleDir {
     t.toString
   }
 
+  /** Eagerly delete a [[tempDir]] a repeated lifecycle query has
+    * superseded — the exit hook bounds leakage per JVM, this bounds it
+    * per INVOCATION (a bench run re-executes lifecycle rows several
+    * times; round-13 ADVICE flagged the orphaned index dirs). */
+  def dropTempDir(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val t = java.nio.file.Paths.get(path)
+    tempDirs.remove(t)
+    if (java.nio.file.Files.exists(t))
+      java.nio.file.Files.walk(t).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   /** Write `df` (small, fit-sized) as a single-file parquet side artifact
     * named `name`, returning its path — only when Verify is dumping for
     * `d`. The ONE writer all artifact-backed oracles share. */

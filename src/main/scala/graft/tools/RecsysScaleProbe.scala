@@ -54,6 +54,31 @@ object RecsysScaleProbe {
           workload = Some(workload)))
       println(s"[probe] decide: tier=${dec.tier} ev=${dec.evidence} " +
         s"bp=${dec.bp} bits=${dec.numBits}")
+      // SHIFTING-workload rehearsal (round-13 VERDICT item 6): the
+      // memoized decision samples the FIT-TIME workload; a request mix
+      // migrating onto a hot cluster can invalidate cost_bp while the
+      // item-side skew_bp is unchanged. Worst-case migration by
+      // construction: serve ONLY the users homed on the workload's most
+      // popular bucket — every probe set concentrates — and re-run the
+      // decision fresh. The printed divergence (and the re-decision's
+      // own cost, one or two metadata-scale aggregates) is the evidence
+      // behind the re-decision policy documented on recommend().
+      val mu = typedLit(center.toArray)
+      val homed = workload.withColumn("__h",
+        graft.functions.FastExpressions.lshBucket(col("user_vec"), mu,
+          dec.numBits))
+      val topBucket = homed.groupBy("__h").count()
+        .orderBy(desc("count"), asc("__h")).head().getAs[Int]("__h")
+      val hot = homed.filter(col("__h") === topBucket).drop("__h")
+      val nHot = hot.count()
+      val drift = t("re-decide (hot-subset drift)")(
+        graft.Flagship.decideRetriever(itemVecs, center, numBits,
+          workload = Some(hot)))
+      println(s"[probe] drift: $nHot users on bucket $topBucket -> " +
+        s"tier=${drift.tier} bp=${drift.bp} " +
+        s"(fit-time: ${dec.tier}/${dec.bp} bp; " +
+        s"memoized decision ${if (drift.tier == dec.tier) "HOLDS"
+          else "DIVERGES"} under worst-case migration)")
     }
     val nlist = math.max(4, math.min(4096, (nItems / 64).toInt))
     val centers = t(s"k-means fit (nlist=$nlist)")(

@@ -245,6 +245,27 @@ class FlagshipSpec extends SparkSpec {
       s"the cone must fall through the retry to IVF: $dc")
   }
 
+  test("refreshAlsFactors invalidates memoized tier decisions (catalog-drift guard)") {
+    // the decision/centroid caches key on the factor tables' FIT ID, not
+    // the data dir: a re-prewarmed dir (new fit, same path) must earn a
+    // FRESH decision, never serve the superseded one (round-13 VERDICT 5)
+    val d = "/root/testdata/sf0.001"
+    Flagship.prewarmServing(spark, d)
+    val k1 = Flagship.cachedDecisionKeys.filter(_._1.startsWith(d + "#"))
+    assert(k1.nonEmpty, "prewarmServing must memoize a decision")
+    // idempotent re-prewarm: same fit, same key, no new entry
+    Flagship.prewarmServing(spark, d)
+    assert(Flagship.cachedDecisionKeys.filter(_._1.startsWith(d + "#")) == k1)
+    // a refreshed fit carries a new id → the next prewarm re-decides
+    Flagship.refreshAlsFactors(spark, d)
+    Flagship.prewarmServing(spark, d)
+    val k2 = Flagship.cachedDecisionKeys.filter(_._1.startsWith(d + "#"))
+    assert(k2.size == k1.size * 2 && k1.subsetOf(k2),
+      s"a refreshed fit must earn a fresh decision entry: $k1 -> $k2")
+    assert((k2 -- k1).forall(k => !k1.exists(_._1 == k._1)),
+      "the fresh entry must carry a NEW fit id, not reuse the old key")
+  }
+
   test("auto retriever keeps LSH on the healthy test catalog (skew below bound)") {
     // the decision the default serving graph now makes: sf0.001's ALS
     // factor fit measures ~25k bp (probe-verified), under the 80k bound,
