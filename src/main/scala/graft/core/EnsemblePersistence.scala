@@ -106,6 +106,58 @@ object EnsemblePersistence {
         ("broadcastBudgetBytes" -> budget)
     case StandardScale(cols, suffix) =>
       ("type" -> "StandardScale") ~ ("cols" -> cols) ~ ("suffix" -> suffix)
+    // ---- BOUND (fit-once) twins: fitted dictionaries persist as parquet
+    // side artifacts, fitted scalars as STRING-encoded doubles (JSON
+    // double rendering is round-trippable, but strings make it
+    // self-evident) — the reference's export workflow is exactly
+    // fit offline → save → serve the reload (workflow.py:24-116), so a
+    // FITTED ensemble must round-trip, not only its unfitted recipe.
+    case cb: graft.ops.CategorifyBound =>
+      val dicts = cb.cols.map { c =>
+        val p = artifactPath(dir, i, s"categorify_dict_$c")
+        cb.dicts(c)._1.write.mode("overwrite").parquet(p)
+        c -> (("path" -> p) ~ ("broadcast" -> cb.dicts(c)._2))
+      }
+      ("type" -> "CategorifyBound") ~ ("cols" -> cb.cols) ~
+        ("suffix" -> cb.suffix) ~ ("dicts" -> JObject(dicts: _*))
+    case te: graft.ops.TargetEncodingBound =>
+      val dicts = te.catCols.map { c =>
+        val p = artifactPath(dir, i, s"te_dict_$c")
+        te.dicts(c)._1.write.mode("overwrite").parquet(p)
+        c -> (("path" -> p) ~ ("broadcast" -> te.dicts(c)._2))
+      }
+      ("type" -> "TargetEncodingBound") ~ ("catCols" -> te.catCols) ~
+        ("targetCol" -> te.targetCol) ~ ("smoothing" -> te.smoothing) ~
+        ("leaveOneOut" -> te.leaveOneOut) ~ ("suffix" -> te.suffix) ~
+        ("prior" -> te.prior.toString) ~ ("integral" -> te.integral) ~
+        ("dicts" -> JObject(dicts: _*))
+    case jg: graft.ops.JoinGroupbyBound =>
+      val p = artifactPath(dir, i, "joingroupby_dict")
+      jg.dict.write.mode("overwrite").parquet(p)
+      ("type" -> "JoinGroupbyBound") ~ ("keyCol" -> jg.keyCol) ~
+        ("outFieldsJson" -> StructType(jg.outFields).json) ~
+        ("path" -> p) ~ ("broadcast" -> jg.broadcastIt)
+    case fm: graft.ops.FillMissingBound =>
+      val consts = fm.constants.map { case (c, v) =>
+        val (tag, str) = v match {
+          case s: String => ("string", s)
+          case l: Long => ("long", l.toString)
+          case x: Int => ("int", x.toString)
+          case dd: Double => ("double", dd.toString)
+          case b: Boolean => ("boolean", b.toString)
+          case other => throw new IllegalArgumentException(
+            s"FillMissingBound: unsupported constant type ${other.getClass.getName}")
+        }
+        c -> List(tag, str)
+      }
+      ("type" -> "FillMissingBound") ~ ("constants" -> consts) ~
+        ("medians" -> fm.medians.map { case (c, m) => c -> m.toString }) ~
+        ("medianCols" -> fm.medianCols) ~ ("suffix" -> fm.suffix)
+    case sb: graft.ops.StandardScaleBound =>
+      ("type" -> "StandardScaleBound") ~ ("cols" -> sb.cols) ~
+        ("suffix" -> sb.suffix) ~
+        ("moments" -> sb.moments.map { case (c, (m, sd)) =>
+          c -> List(m.toString, sd.toString) })
     case q: QueryFeatureStore =>
       val p = artifactPath(dir, i, "feature_view")
       q.features.write.mode("overwrite").parquet(p)
@@ -621,6 +673,45 @@ object EnsemblePersistence {
       case "Categorify" => Categorify(ss("cols"), s("suffix"),
         (o \ "broadcastBudgetBytes").extractOpt[Long].getOrElse(1L << 30))
       case "StandardScale" => StandardScale(ss("cols"), s("suffix"))
+      case "CategorifyBound" =>
+        val dicts = (o \ "dicts").extract[Map[String, JObject]].map {
+          case (c, j) => c -> ((spark.read.parquet((j \ "path").extract[String]),
+            (j \ "broadcast").extract[Boolean]))
+        }
+        graft.ops.CategorifyBound(ss("cols"), s("suffix"), dicts)
+      case "TargetEncodingBound" =>
+        val dicts = (o \ "dicts").extract[Map[String, JObject]].map {
+          case (c, j) => c -> ((spark.read.parquet((j \ "path").extract[String]),
+            (j \ "broadcast").extract[Boolean]))
+        }
+        graft.ops.TargetEncodingBound(ss("catCols"), s("targetCol"),
+          (o \ "smoothing").extract[Double],
+          (o \ "leaveOneOut").extract[Boolean], s("suffix"),
+          s("prior").toDouble, (o \ "integral").extract[Boolean], dicts)
+      case "JoinGroupbyBound" =>
+        graft.ops.JoinGroupbyBound(s("keyCol"),
+          org.apache.spark.sql.types.DataType.fromJson(s("outFieldsJson"))
+            .asInstanceOf[StructType].fields.toSeq,
+          spark.read.parquet(s("path")), (o \ "broadcast").extract[Boolean])
+      case "FillMissingBound" =>
+        val consts = (o \ "constants").extract[Map[String, List[String]]]
+          .map { case (c, List(tag, str)) =>
+            c -> (tag match {
+              case "string" => str: Any
+              case "long" => str.toLong
+              case "int" => str.toInt
+              case "double" => str.toDouble
+              case "boolean" => str.toBoolean
+            })
+          }
+        graft.ops.FillMissingBound(consts,
+          (o \ "medians").extract[Map[String, String]]
+            .map { case (c, m) => c -> m.toDouble },
+          ss("medianCols"), s("suffix"))
+      case "StandardScaleBound" =>
+        graft.ops.StandardScaleBound(ss("cols"), s("suffix"),
+          (o \ "moments").extract[Map[String, List[String]]]
+            .map { case (c, List(m, sd)) => c -> ((m.toDouble, sd.toDouble)) })
       case "ReciprocalRankFusion" =>
         ReciprocalRankFusion(spark.read.parquet(s("path")), s("queryCol"),
           s("itemCol"), s("rankCol"), (o \ "k0").extract[Int],

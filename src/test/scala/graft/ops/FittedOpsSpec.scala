@@ -123,6 +123,40 @@ class FittedOpsSpec extends SparkSpec {
     }
   }
 
+  test("a FITTED ensemble round-trips through EnsemblePersistence") {
+    // the reference's export workflow is fit offline → save → serve the
+    // RELOAD (workflow.py:24-116): the fitted dictionaries/scalars must
+    // survive the save, not just the unfitted recipe
+    val ens = Ensemble(Seq(
+      Categorify(Seq("cat")),
+      TargetEncoding(Seq("grp"), "qty", leaveOneOut = true),
+      JoinGroupby("grp", Seq("price"), Seq("count", "sum", "mean")),
+      FillMissing(constants = Map("qty_n" -> 0L), medianCols = Seq.empty),
+      StandardScale(Seq("qty", "price"))), fixture.schema)
+    val fitted = FittedOps.fitEnsemble(ens, fixture)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fitted_rt_")
+    try {
+      graft.core.EnsemblePersistence.save(fitted, dir.toString, spark)
+      val loaded = graft.core.EnsemblePersistence.load(dir.toString, spark)
+      val a = fitted.transform(fixture).orderBy("qty").collect()
+      val b = loaded.transform(fixture).orderBy("qty").collect()
+      assert(a.toSeq == b.toSeq, "reloaded fitted ensemble output differs")
+      // and the reload serves UNSEEN rows with the SAVED statistics —
+      // the fit is state, not a recipe re-run on the serving frame
+      val unseen = Seq(("zz", "x", 999L, Some(1L), 9.9))
+        .toDF("cat", "grp", "qty", "qty_n", "price")
+      val au = fitted.transform(unseen).collect()
+      val bu = loaded.transform(unseen).collect()
+      assert(au.toSeq == bu.toSeq)
+      // unseen category → -1 (Categorify) proves the dict came from disk
+      assert(bu.head.getAs[Int]("cat_idx") == -1)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("bound serving schedules zero eager jobs") {
     val ens = Ensemble(Seq(
       Categorify(Seq("cat")),
