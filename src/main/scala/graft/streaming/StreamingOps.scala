@@ -1028,9 +1028,9 @@ object StreamingOps {
           .getOrElse(Seq.empty)
         // zone map from the delta just written (cheap footer-stats scan)
         writeManifest(spark, s"$indexDir/$v/manifest", prevManifest :+
-          manifestEntry(delta,
-            spark.read.parquet(s"$indexDir/deltas/$delta/postings"),
-            "__doc_id"))
+          manifestEntryAt(spark, s"$indexDir/deltas/$delta/postings", delta,
+            "__doc_id",
+            spark.read.parquet(s"$indexDir/deltas/$delta/postings")))
         writeBm25Occupancy(spark, indexDir, v,
           prevManifest.map(_.delta) :+ delta)
         writeTxn(spark, indexDir, v, appId, batchId)
@@ -1119,9 +1119,9 @@ object StreamingOps {
         .parquet(s"$indexDir/deltas/$delta/dfreq")
       val (n0, s0) = readMeta(spark, s"$indexDir/$lv/meta")
       writeMeta(spark, s"$indexDir/$v/meta", n0, s0)
-      writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
-        delta, spark.read.parquet(s"$indexDir/deltas/$delta/postings"),
-        "__doc_id")))
+      writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntryAt(
+        spark, s"$indexDir/deltas/$delta/postings", delta, "__doc_id",
+        spark.read.parquet(s"$indexDir/deltas/$delta/postings"))))
       writeBm25Occupancy(spark, indexDir, v, Seq(delta))
       writeTxn(spark, indexDir, v, appId, -1L)
       writePointer(spark, indexDir, v, Some(lv))
@@ -1161,8 +1161,8 @@ object StreamingOps {
       .map(lv => readManifest(spark, s"$indexDir/$lv/manifest"))
       .getOrElse(Seq.empty)
     val manifest = prevManifest :+
-      manifestEntry(delta,
-        spark.read.parquet(s"$indexDir/deltas/$delta/index"), idCol)
+      manifestEntryAt(spark, s"$indexDir/deltas/$delta/index", delta, idCol,
+        spark.read.parquet(s"$indexDir/deltas/$delta/index"))
     writeManifest(spark, s"$indexDir/$v/manifest", manifest)
     occupancy.foreach { case (bucketCol, nBuckets) =>
       writeOccupancy(spark, indexDir, v, manifest.map(_.delta),
@@ -1363,9 +1363,9 @@ object StreamingOps {
         assigned.repartition(nFiles).write.mode("overwrite")
           .parquet(s"$indexDir/deltas/$delta/index")
         writeDeltaBucketCounts(spark, s"$indexDir/deltas/$delta", "__cid")
-        writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
-          delta, spark.read.parquet(s"$indexDir/deltas/$delta/index"),
-          "__item_id")))
+        writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntryAt(
+          spark, s"$indexDir/deltas/$delta/index", delta, "__item_id",
+          spark.read.parquet(s"$indexDir/deltas/$delta/index"))))
         writeOccupancy(spark, indexDir, v, Seq(delta), "__cid",
           centers.size.toLong)
         writeTxn(spark, indexDir, v, "ivf-refit", -1L)
@@ -1429,9 +1429,9 @@ object StreamingOps {
       coded.repartition(nFiles).write.mode("overwrite")
         .parquet(s"$indexDir/deltas/$delta/index")
       writeDeltaBucketCounts(spark, s"$indexDir/deltas/$delta", "__cid")
-      writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
-        delta, spark.read.parquet(s"$indexDir/deltas/$delta/index"),
-        "__item_id")))
+      writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntryAt(
+        spark, s"$indexDir/deltas/$delta/index", delta, "__item_id",
+        spark.read.parquet(s"$indexDir/deltas/$delta/index"))))
       writeOccupancy(spark, indexDir, v, Seq(delta), "__cid",
         op.centers.size.toLong)
       writeTxn(spark, indexDir, v, "sq-rebuild", -1L)
@@ -1474,9 +1474,9 @@ object StreamingOps {
       coded.repartition(nFiles).write.mode("overwrite")
         .parquet(s"$indexDir/deltas/$delta/index")
       writeDeltaBucketCounts(spark, s"$indexDir/deltas/$delta", "__cid")
-      writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntry(
-        delta, spark.read.parquet(s"$indexDir/deltas/$delta/index"),
-        "__item_id")))
+      writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntryAt(
+        spark, s"$indexDir/deltas/$delta/index", delta, "__item_id",
+        spark.read.parquet(s"$indexDir/deltas/$delta/index"))))
       writeOccupancy(spark, indexDir, v, Seq(delta), "__cid",
         refit.centers.size.toLong)
       writeTxn(spark, indexDir, v, "pq-rebuild", -1L)
@@ -1835,6 +1835,76 @@ object StreamingOps {
     * drop whole deltas before any parquet footer is opened. */
   case class ManifestEntry(delta: String,
       min_id: Option[Long], max_id: Option[Long])
+
+  /** Zone-map bounds from the delta's own parquet FOOTERS — the write
+    * already computed exact per-row-group min/max for integral columns,
+    * so the commit protocol reads a few KB of footer metadata instead of
+    * scheduling a Spark aggregate job per commit (the Delta/Iceberg
+    * manifest discipline; at 3 micro-batches × several sinks per
+    * lifecycle row, the per-commit job was a measurable slice of the
+    * whole streaming family's latency). Returns None — caller falls back
+    * to the aggregate — when the id column is not INT32/INT64 (string
+    * footer stats order lexicographically, NOT the numeric zone order
+    * the pruned reader compares in) or any file's stats are absent
+    * (conservative: the job recovers full pruning effectiveness).
+    * All-null blocks contribute nothing, matching the aggregate's
+    * null-skipping min/max. */
+  private[streaming] def zoneFromFooters(
+      spark: org.apache.spark.sql.SparkSession,
+      deltaPath: String, idCol: String): Option[(Option[Long], Option[Long])] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(deltaPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(p)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var any = false
+      val ok = files.forall { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, spark.sparkContext.hadoopConfiguration))
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.forall { block =>
+            block.getColumns.asScala.find(
+              _.getPath.toDotString == idCol) match {
+              case None => true // column absent from this block: no rows
+              case Some(cc) =>
+                import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                val tn = cc.getPrimitiveType.getPrimitiveTypeName
+                if (tn != INT64 && tn != INT32) false
+                else {
+                  val st = cc.getStatistics
+                  if (st == null || st.isEmpty) false
+                  else {
+                    if (st.hasNonNullValue) {
+                      mn = math.min(mn,
+                        st.genericGetMin.asInstanceOf[Number].longValue())
+                      mx = math.max(mx,
+                        st.genericGetMax.asInstanceOf[Number].longValue())
+                      any = true
+                    }
+                    true
+                  }
+                }
+            }
+          }
+        } finally reader.close()
+      }
+      if (!ok) None
+      else if (!any) Some((None, None))
+      else Some((Some(mn), Some(mx)))
+    } catch { case _: Throwable => None }
+
+  /** [[manifestEntry]] for a delta already ON DISK at `deltaPath`:
+    * footer-stats zone map when replicable, the aggregate job otherwise. */
+  private def manifestEntryAt(spark: org.apache.spark.sql.SparkSession,
+      deltaPath: String, delta: String, idCol: String,
+      fallback: => DataFrame): ManifestEntry =
+    zoneFromFooters(spark, deltaPath, idCol)
+      .map { case (mn, mx) => ManifestEntry(delta, mn, mx) }
+      .getOrElse(manifestEntry(delta, fallback, idCol))
 
   private def manifestEntry(delta: String,
       rows: DataFrame, idCol: String): ManifestEntry = {
@@ -2223,7 +2293,8 @@ object StreamingOps {
                 .map(pv => readManifest(spark, s"$stateDir/$pv/manifest"))
                 .getOrElse(Seq.empty)
               writeManifest(spark, s"$stateDir/$v/manifest",
-                prevManifest :+ manifestEntry(delta, keepers, idCol))
+                prevManifest :+ manifestEntryAt(spark,
+                  s"$stateDir/deltas/$delta", delta, idCol, keepers))
               writeTxn(spark, stateDir, v, appId, batchId)
               writePointer(spark, stateDir, v, live, Some(appId -> batchId))
               retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
@@ -2289,7 +2360,8 @@ object StreamingOps {
           .write.mode("overwrite").parquet(s"$stateDir/idxdeltas/$xdelta")
         writeIndexManifest(spark, s"$stateDir/$v/index_manifest", Seq(xdelta))
         writeManifest(spark, s"$stateDir/$v/manifest",
-          Seq(manifestEntry(delta, kept, idCol)))
+          Seq(manifestEntryAt(spark, s"$stateDir/deltas/$delta", delta,
+            idCol, kept)))
         writeTxn(spark, stateDir, v, "corpus-purge", -1L)
         writePointer(spark, stateDir, v, Some(lv))
         v

@@ -1836,6 +1836,34 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("zoneFromFooters == the aggregate zone map for integral ids; " +
+      "string ids fall back") {
+    // the commit protocol now reads zone bounds from the delta's parquet
+    // footers (no Spark job per commit) — the footer path must replicate
+    // the aggregate's long-cast min/max EXACTLY, nulls skipped, and must
+    // DECLINE (None → caller falls back to the job) for string id
+    // columns whose footer stats order lexicographically ("100" < "99")
+    val dir = tmpDir("zone_footer_")
+    val longs = Seq(Some(100L), Some(7L), None, Some(4213L))
+      .toDF("doc_id").coalesce(2)
+    longs.write.mode("overwrite").parquet(s"$dir/longs")
+    assert(StreamingOps.zoneFromFooters(spark, s"$dir/longs", "doc_id")
+      .contains((Some(7L), Some(4213L))))
+    val ints = Seq(3, 99, 12).toDF("doc_id")
+    ints.write.mode("overwrite").parquet(s"$dir/ints")
+    assert(StreamingOps.zoneFromFooters(spark, s"$dir/ints", "doc_id")
+      .contains((Some(3L), Some(99L))))
+    val strs = Seq("100", "99").toDF("doc_id")
+    strs.write.mode("overwrite").parquet(s"$dir/strs")
+    assert(StreamingOps.zoneFromFooters(spark, s"$dir/strs", "doc_id").isEmpty,
+      "string footer stats are lexicographic and must decline")
+    // all-null id column: stats carry no values → conservative (None, None)
+    val nulls = Seq[Option[Long]](None, None).toDF("doc_id")
+    nulls.write.mode("overwrite").parquet(s"$dir/nulls")
+    assert(StreamingOps.zoneFromFooters(spark, s"$dir/nulls", "doc_id")
+      .contains((None, None)))
+  }
+
   test("loadCorpusPruned skips non-overlapping deltas at the manifest level") {
     val dir = tmpDir("corpus_prune_")
     runCorpusIngest(dir, Seq(
