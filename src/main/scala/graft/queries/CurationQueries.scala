@@ -1176,7 +1176,19 @@ object CurationQueries {
     * plus the pruned term list itself on the v3 row. Doc constants
     * carry verbatim, so surviving terms score bit-identically
     * (spec-pinned in IndexLifecycleSpec). */
-  def textBm25PruneSkewed(spark: SparkSession, d: String): DataFrame = {
+  /** (pruned index dir, head terms, pruned version) of the last
+    * [[buildPrunedBm25Index]] per data dir — shared by the lifecycle row
+    * and its serving-check twin (the refitState pattern). */
+  private val bm25PruneState = scala.collection.concurrent
+    .TrieMap.empty[String, (String, Seq[String], String)]
+
+  /** The prune lifecycle's shared builder: 3-batch ingest of the
+    * stopword+diversifier-injected corpus, the in-log trip, the pruned
+    * commit. Re-runs per lifecycle-row invocation BY DESIGN (the action's
+    * cost is the measured artifact, as annRefitSkewed); superseded temp
+    * dirs are dropped eagerly. */
+  private def buildPrunedBm25Index(spark: SparkSession,
+      d: String): (String, Seq[String], String) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docRows = documents(spark, d)
@@ -1188,7 +1200,7 @@ object CurationQueries {
     // class would shift the sink's version names off that mapping
     // (round-13 ADVICE) — fail loudly here instead of hash-mismatching
     (0 until 3).foreach(m => require(docRows.exists(_._1 % 3 == m),
-      s"textBm25PruneSkewed: doc_id % 3 == $m split is empty in $d"))
+      s"buildPrunedBm25Index: doc_id % 3 == $m split is empty in $d"))
     val dir = OracleDir.tempDir("bm25_prune_idx")
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
@@ -1203,14 +1215,44 @@ object CurationQueries {
     val act = graft.streaming.StreamingOps
       .pruneBm25HeadTermsIfSkewed(spark, dir, boundBp = 100000L)
     require(act.nonEmpty,
-      "textBm25PruneSkewed: the synthetic stopword must trip the bound")
-    val (_, head, prunedV) = act.get
+      "buildPrunedBm25Index: the synthetic stopword must trip the bound")
+    bm25PruneState.get(d).map(_._1).filter(_ != dir)
+      .foreach(OracleDir.dropTempDir)
+    val st = (dir, act.get._2, act.get._3)
+    bm25PruneState(d) = st
+    st
+  }
+
+  def textBm25PruneSkewed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (dir, head, prunedV) = buildPrunedBm25Index(spark, d)
     val prunedTerms = head.mkString(" ")
     graft.streaming.StreamingOps.occupancyLog(spark, dir).map { case (v, o) =>
       (v, o.nItems, o.nBuckets, o.nOccupied, o.maxCount,
         o.uniformCount, o.skewBp, if (v == prunedV) prunedTerms else "")
     }.toDF("version", "n_items", "n_buckets", "n_occupied", "max_count",
       "uniform_count", "skew_bp", "pruned_terms").orderBy("version")
+  }
+
+  /** The prune contract as DRIVER-CHECKED evidence (the spec pins it
+    * too, but a hash row outranks a spec): probe the PRUNED index with
+    * queries mixing surviving diversifier terms and the pruned stopword —
+    * survivors must score with the FULL corpus's carried N/avgdl and
+    * their unchanged df (bit-identical to pre-prune), while the pruned
+    * term contributes nothing. The oracle replays BM25's integer-micros
+    * scoring over the post-prune postings with the pre-prune doc
+    * constants — exactly the "queries unchanged for non-pruned terms"
+    * clause as SQL. */
+  def textBm25PruneCheck(spark: SparkSession, d: String): DataFrame = {
+    val (dir, _, _) =
+      bm25PruneState.getOrElse(d, buildPrunedBm25Index(spark, d))
+    val idx = graft.streaming.StreamingOps.loadBm25Index(spark, dir).get
+    val qs = documents(spark, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").cast("long").as("query_id"),
+        concat(lit("zzu"), col("doc_id").cast("long").cast("string"),
+          lit(" zzu"), (col("doc_id").cast("long") + lit(5L)).cast("string"),
+          lit(" zzcommon")).as("query_text"))
+    idx.asRows(qs).orderBy("query_id", "rank")
   }
 
   /** Hybrid retrieval: BM25 lexical ranks fused with a document-length
@@ -2251,6 +2293,7 @@ object CurationQueries {
     "text_bm25_stream" -> (textBm25Stream _),
     "text_bm25_occupancy_stream" -> (textBm25OccupancyStream _),
     "text_bm25_prune_skewed" -> (textBm25PruneSkewed _),
+    "text_bm25_prune_check" -> (textBm25PruneCheck _),
     "text_hybrid_rrf" -> (textHybridRrf _),
     "text_keywords" -> (textKeywords _),
     "text_chunks" -> (textChunks _),
@@ -2863,6 +2906,51 @@ object CurationQueries {
          |    CAST(coalesce(max(c), 0) AS BIGINT) AS max_count
          |  FROM (SELECT term, count(*) AS c FROM post3 GROUP BY term))
          |ORDER BY version""".stripMargin,
+    // the pruned index's serving contract: BM25 integer-micros scoring
+    // over the POST-PRUNE postings with the PRE-PRUNE doc constants
+    // (N/avgdl carried verbatim, surviving df unchanged); the pruned
+    // stopword in every query contributes nothing by construction
+    "text_bm25_prune_check" ->
+      s"""WITH docs2 AS (SELECT doc_id,
+         |  text || ' zzcommon zzu' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents),
+         |tokf AS (SELECT doc_id, term FROM
+         |  (SELECT doc_id, unnest($wordsSql) AS term FROM docs2) WHERE len(term) > 0),
+         |post AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM docs2) AS n,
+         |  CAST((SELECT COALESCE(CAST(sum(dl) AS BIGINT), 0) FROM dl) AS DOUBLE) /
+         |    (SELECT count(*) FROM docs2) AS avgdl),
+         |tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+         |live AS (SELECT CAST(coalesce(sum(df), 0) AS BIGINT) AS n_items,
+         |    CAST(count(*) AS BIGINT) AS n_occupied FROM tdf),
+         |uni AS (SELECT CASE WHEN n_occupied = 0 THEN CAST(1 AS BIGINT)
+         |    ELSE (n_items + n_occupied - 1) // n_occupied END AS u FROM live),
+         |head AS (SELECT term FROM tdf, uni WHERE df * 10000 // u > 100000),
+         |post3 AS (SELECT p.doc_id, p.term, p.tf FROM post p
+         |  WHERE NOT EXISTS (SELECT 1 FROM head h WHERE h.term = p.term)),
+         |q AS (SELECT doc_id AS query_id,
+         |  'zzu' || CAST(doc_id AS VARCHAR) || ' zzu' ||
+         |    CAST(doc_id + 5 AS VARCHAR) || ' zzcommon' AS qt
+         |  FROM documents WHERE doc_id < 5),
+         |qtf AS (SELECT query_id, term, count(*) AS qtf FROM
+         |  (SELECT query_id, unnest(string_split(qt, ' ')) AS term FROM q)
+         |  WHERE len(term) > 0 GROUP BY 1, 2),
+         |qw AS (SELECT f.query_id, f.term, f.qtf,
+         |  CAST(round(1000000.0 * ln(1.0 + ((st.n - d.df) + 0.5) / (d.df + 0.5)))
+         |    AS BIGINT) AS idf6
+         |  FROM qtf f JOIN tdf d ON f.term = d.term CROSS JOIN st),
+         |sc AS (SELECT qw.query_id, p.doc_id,
+         |  CAST(sum(CAST(round((qw.qtf * qw.idf6) * ((p.tf * (1.2 + 1.0)) /
+         |    (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / st.avgdl))))) AS BIGINT))
+         |    AS BIGINT) AS score_fp
+         |  FROM qw JOIN post3 p ON qw.term = p.term
+         |  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN st
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_fp FROM (
+         |  SELECT query_id, doc_id, score_fp, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "text_hybrid_rrf" ->
       s"""$bm25CtesSql,
          |qual AS (SELECT doc_id, CAST(row_number() OVER
