@@ -33,6 +33,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("fit-once serving is bit-identical to fit-at-serve over generated frames") {
+    // the FittableOp contract on GENERATED data: for random (category,
+    // group, value) frames — nulls, duplicate keys, single-row groups,
+    // negative values included — every bound twin's output equals the
+    // unfitted op's row for row, and so does the composed chain
+    val rowGen: Gen[List[(Option[String], String, Long, Option[Long])]] =
+      Gen.chooseNum(2, 25).flatMap(n => Gen.listOfN(n, for {
+        cat <- Gen.option(Gen.oneOf("a", "b", "c", "d"))
+        grp <- Gen.oneOf("x", "y", "z")
+        qty <- Gen.chooseNum(-50L, 50L)
+        qn <- Gen.option(Gen.chooseNum(0L, 9L))
+      } yield (cat, grp, qty, qn)))
+    check(Prop.forAll(rowGen) { rows0 =>
+      // sentinel guarantees a non-null median source: an ALL-null
+      // qty_n frame makes BOTH paths throw identically (fit has
+      // nothing to fit), which is a different property than this one
+      val rows = rows0 :+ ((Some("a"): Option[String], "x", 7L,
+        Some(5L): Option[Long]))
+      val df = rows.zipWithIndex
+        .map { case ((c, g, q, n), i) => (i.toLong, c, g, q, n) }
+        .toDF("rid", "cat", "grp", "qty", "qty_n")
+      val ens = graft.core.Ensemble(Seq(
+        Categorify(Seq("grp")),
+        TargetEncoding(Seq("cat"), "qty", leaveOneOut = true),
+        JoinGroupby("grp", Seq("qty"), Seq("count", "sum", "mean")),
+        FillMissing(medianCols = Seq("qty_n")),
+        StandardScale(Seq("qty"))), df.schema)
+      val plain = ens.transform(df).orderBy("rid").collect().toSeq
+      val bound = FittedOps.fitEnsemble(ens, df)
+        .transform(df).orderBy("rid").collect().toSeq
+      plain == bound
+    }, n = 8)
+  }
+
   test("ArrayAgreeCount equals the zip_with definition on generated arrays") {
     val sigGen: Gen[List[Long]] =
       Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 3L)))
