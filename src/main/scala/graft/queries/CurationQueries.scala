@@ -2293,7 +2293,7 @@ object CurationQueries {
     "text_bm25_stream" -> (textBm25Stream _),
     "text_bm25_occupancy_stream" -> (textBm25OccupancyStream _),
     "text_bm25_prune_skewed" -> (textBm25PruneSkewed _),
-    "text_bm25_prune_check" -> (textBm25PruneCheck _),
+    "text_bm25_pruned_check" -> (textBm25PruneCheck _),
     "text_hybrid_rrf" -> (textHybridRrf _),
     "text_keywords" -> (textKeywords _),
     "text_chunks" -> (textChunks _),
@@ -2910,7 +2910,7 @@ object CurationQueries {
     // over the POST-PRUNE postings with the PRE-PRUNE doc constants
     // (N/avgdl carried verbatim, surviving df unchanged); the pruned
     // stopword in every query contributes nothing by construction
-    "text_bm25_prune_check" ->
+    "text_bm25_pruned_check" ->
       s"""WITH docs2 AS (SELECT doc_id,
          |  text || ' zzcommon zzu' || CAST(doc_id AS VARCHAR) AS text
          |  FROM documents),
