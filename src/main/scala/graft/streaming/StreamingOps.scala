@@ -1869,7 +1869,9 @@ object StreamingOps {
           reader.getFooter.getBlocks.asScala.forall { block =>
             block.getColumns.asScala.find(
               _.getPath.toDotString == idCol) match {
-              case None => true // column absent from this block: no rows
+              // id column absent from the file: decline — the aggregate
+              // fallback preserves the loud missing-column error
+              case None => false
               case Some(cc) =>
                 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
                 val tn = cc.getPrimitiveType.getPrimitiveTypeName
