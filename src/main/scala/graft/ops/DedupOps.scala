@@ -531,7 +531,15 @@ case class CosineNearDup(
     // tight-loop expression — same bits as sqrt-of-self-dot per pair
     val prepped = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(V.dot(col(vecCol), col(vecCol))).as("norm"))
+    // the streamed side inherits the SCAN's partitioning, and an exact
+    // sweep's input is catalog-scale (one small parquet split): without a
+    // repartition the n²/2 pair loop runs in ONE task while every other
+    // core idles (JobShapeProbe r14: multimodal_neardup wall 6.7 s ≈ one
+    // 6.5 s task on local[32]). Round-robin to the cluster's parallelism;
+    // the shuffled bytes are the n input vectors — noise next to the n²/2
+    // pair scores this path exists to pay (bucketed mode is the scale path)
     val a = prepped.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val b = prepped.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("va"), col("na"), col("vb"), col("nb")))
