@@ -129,17 +129,26 @@ object MlQueries {
     * nano literals), so the whole metric pipeline hash-checks. */
   def mlEvalRanking(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // EvalRanking references its ranked input twice (top-k hits + the
+    // metric-base distinct) and the relevance set twice (join + n_rel
+    // counts), so an unpersisted plan re-ran the orders⋈lineitem join +
+    // aggregation FOUR times (JobShapeProbe r14: 112 task-seconds for a
+    // metric row). Persist the shared frames; values are deterministic,
+    // so cached vs recomputed is bit-identical.
     val inter = orders(spark, d)
       .join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("query_id"), col("l_partkey").as("item_id"),
         col("l_quantity"), col("l_returnflag"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = inter.groupBy("query_id", "item_id")
       .agg(sum("l_quantity").as("qty"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("qty"), asc("item_id"))))
       .filter(col("rank") <= 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val relevant = inter.filter(col("l_returnflag") === "R")
       .select("query_id", "item_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // presentation sort lives HERE (the op emits unordered — no range
     // exchange in the serving path)
     EvalRanking(relevant, k = 10).transform(ranked).orderBy("query_id")
@@ -159,10 +168,15 @@ object MlQueries {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.expressions.Window
+    // the sink's op references `relevant` twice per micro-batch (3
+    // batches = 6 re-evaluations of the orders⋈lineitem subtree without
+    // the persist — the same EvalRanking double-reference mlEvalRanking
+    // pays, multiplied by the stream's batch count)
     val inter = orders(spark, d)
       .join(lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("query_id"), col("l_partkey").as("item_id"),
         col("l_quantity"), col("l_returnflag"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = inter.groupBy("query_id", "item_id")
       .agg(sum("l_quantity").as("qty"))
       .withColumn("rank", row_number().over(
@@ -170,6 +184,7 @@ object MlQueries {
       .filter(col("rank") <= 10)
     val relevant = inter.filter(col("l_returnflag") === "R")
       .select("query_id", "item_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val served = ranked.select(col("query_id"), col("item_id"), col("rank"))
       .as[(Long, Long, Int)].collect()
     val dir = OracleDir.tempDir("eval_stream_log")
