@@ -1005,12 +1005,16 @@ object StreamingOps {
       retainVersions: Option[Int] = None,
       autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
+      // txn dedup first (driver-side file reads, no Spark job), THEN the
+      // batch stats aggregate, whose n doubles as the emptiness gate — a
+      // separate batch.isEmpty probe was one more scheduled job per
+      // commit for information the stats pass already computes
+      if (!latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         val spark = batch.sparkSession
         import spark.implicits._
-        val (bPostings, bDfreq, bN, bSumDl) =
+        val (bPostings, _, bN, bSumDl) =
           graft.ops.Bm25Index.stats(batch, docIdCol, textCol)
+        if (bN > 0) {
         val live = latestVersion(spark, indexDir)
         val (n0, s0) = live.map(lv => readMeta(spark, s"$indexDir/$lv/meta"))
           .getOrElse((0L, 0L))
@@ -1020,7 +1024,14 @@ object StreamingOps {
         // are write-once, so the write never overlaps any reader
         bPostings.write.mode("overwrite")
           .parquet(s"$indexDir/deltas/$delta/postings")
-        bDfreq.write.mode("overwrite")
+        // the dfreq delta derives from the postings JUST WRITTEN — a
+        // per-term count over the small on-disk delta — instead of the
+        // lazy bDfreq plan, which would re-tokenize and re-aggregate the
+        // whole batch a second time (same rows by construction: bDfreq
+        // is defined as bPostings grouped by term)
+        spark.read.parquet(s"$indexDir/deltas/$delta/postings")
+          .groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+          .write.mode("overwrite")
           .parquet(s"$indexDir/deltas/$delta/dfreq")
         writeMeta(spark, s"$indexDir/$v/meta", n0 + bN, s0 + bSumDl)
         val prevManifest = live
@@ -1040,6 +1051,7 @@ object StreamingOps {
           () => compactIndexState(spark, indexDir,
             tierFraction = Some(AutoCompactTierFraction),
             maxKeepers = autoCompactDeltas.get - 1))
+        }
       }
   }
 
@@ -2249,14 +2261,17 @@ object StreamingOps {
       retainVersions: Option[Int] = None,
       autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty) {
+      {
         val spark = batch.sparkSession
         import spark.implicits._
-        val live = latestVersion(spark, stateDir)
         // per-app txn dedup across retained history (see latestTxn):
         // a batch retry after an intervening purge/optimize commit must
-        // not recommit and duplicate its keepers
+        // not recommit and duplicate its keepers. No separate
+        // batch.isEmpty probe — keepers.isEmpty below gates the commit
+        // (an empty batch has no keepers), so the pre-check was one more
+        // scheduled job per commit for a fact the labeling pass proves
         if (!latestTxn(spark, stateDir, appId).exists(_ >= batchId)) {
+          val live = latestVersion(spark, stateDir)
           val index = live.map(v => loadIndexChain(spark, stateDir, v))
             .orElse(initialIndex.map(_.select(col("content_hash"))))
             .getOrElse(Seq.empty[String].toDF("content_hash"))
