@@ -251,11 +251,17 @@ case class ScrubSharedGrams(
   override def transform(df: DataFrame): DataFrame = {
     // the ONE gram-digest definition (Decontaminate.gramDigests) — scrub,
     // decontamination and its streaming twin must never drift apart
+    // persisted: the gram frame feeds BOTH the sharedness aggregate and
+    // the semi-join that names each doc's scrub starts — unpersisted, the
+    // tokenize + per-gram double-xxhash explode (the op's dominant
+    // per-row cost) ran once per branch (JobShapeProbe r14: 2 of
+    // text_scrub_spans' 3 gram passes were this re-evaluation)
     val grams = df
       .select(col(idCol),
         posexplode(Decontaminate.gramDigests(col(textCol), n)).as(Seq("pos", "gd")))
       .select(col(idCol), col("pos"),
         col("gd.h1").as("g1"), col("gd.h2").as("g2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = grams.groupBy("g1", "g2")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
