@@ -2348,7 +2348,16 @@ object StreamingOps {
     latestVersion(spark, stateDir).map { lv =>
       val corpus = loadCorpus(spark, stateDir).get
       val tombIds = tombstones.select(col(idCol)).distinct()
-      val kept = corpus.join(tombIds, Seq(idCol), "left_anti").persist()
+      // ONE pass over the corpus serves both outputs: the left join's
+      // null-__tomb rows ARE the anti-join's keepers (tombIds is
+      // distinct, so the join never duplicates a corpus row), and the
+      // flagged projection below reads the same persisted frame — the
+      // previous two independent branches each re-read the delta chain
+      // and re-ran the tombstone join
+      val labeled = corpus
+        .join(tombIds.withColumn("__tomb", lit(true)), Seq(idCol), "left")
+        .persist()
+      val kept = labeled.filter(col("__tomb").isNull).drop("__tomb")
       try {
         val v = graft.core.VersionedDir.reserveNextVersion(spark, stateDir)
         val delta = "d" + v.drop(1)
@@ -2360,8 +2369,7 @@ object StreamingOps {
         // content. A digest retires iff every carrier is tombstoned
         // (graft.ops.Purge.updatedIndex semantics; here the corpus rows
         // already carry their digest, so no re-hashing of text).
-        val flagged = corpus
-          .join(tombIds.withColumn("__tomb", lit(true)), Seq(idCol), "left")
+        val flagged = labeled
           .filter(col("content_hash").isNotNull)
           .select(col("content_hash"),
             coalesce(col("__tomb"), lit(false)).as("__tomb"))
@@ -2382,7 +2390,7 @@ object StreamingOps {
         writeTxn(spark, stateDir, v, "corpus-purge", -1L)
         writePointer(spark, stateDir, v, Some(lv))
         v
-      } finally kept.unpersist()
+      } finally labeled.unpersist()
     }
   }
 
