@@ -1113,9 +1113,14 @@ object StreamingOps {
       if occ.skewBp > boundBp
     } yield {
       val deltas = readManifest(spark, s"$indexDir/$lv/manifest").map(_.delta)
+      // persisted: the vocab-scale roll names the head terms AND becomes
+      // the pruned dfreq delta — unpersisted, the chain's dfreq files
+      // were re-read and re-aggregated once per use
       val dfAll = spark.read.parquet(
         deltas.map(d => s"$indexDir/deltas/$d/dfreq"): _*)
         .groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
+        .persist()
+      try {
       val head = dfAll
         .filter(col("__df") * lit(10000L) / lit(occ.uniformCount) > lit(boundBp))
         .select("__term").collect().map(_.getString(0)).sorted.toSeq
@@ -1138,6 +1143,7 @@ object StreamingOps {
       writeTxn(spark, indexDir, v, appId, -1L)
       writePointer(spark, indexDir, v, Some(lv))
       (occ.skewBp, head, v)
+      } finally dfAll.unpersist()
     }
 
   /** The union of a versioned index log's `index` deltas — the live
