@@ -322,6 +322,42 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_cold":$qsCold,"n_queries":${results.size},"heaviest_warm":$heaviest,"total_warm":$total,"queries":$qs}"""
     println(line)
+    // Round-14 VERDICT item 2 (measurement contract, not a timing change):
+    // the driver archives only the last ~2000 chars of stdout and sbt
+    // prints its own "[success] ..." trailer AFTER us, so the ~7 KB full
+    // line above always loses its head to the tail window — the driver's
+    // parse returned null in r13 AND r14 and PERF per_query/scaling came
+    // up empty. Emit a SECOND, self-contained summary line, capped well
+    // under the window, as the LAST thing we print: same contract keys,
+    // `queries` holding the heaviest warm rows that fit the budget, plus
+    // a pointer to the complete per-run artifact. Additions-only — the
+    // full line still prints first and lands whole in $SPARK_GRAFT_BENCH_OUT
+    // and the bench_results artifacts.
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val geoVsBaseline: String = {
+      val ratios = results.collect { case (n, _, w) if w > 0 =>
+        baselineWarm.get(n).filter(_ > 0).map(_ / w) }.flatten
+      if (ratios.isEmpty) "null"
+      else r3(math.exp(ratios.map(math.log).sum / ratios.size)).toString
+    }
+    val artName = s"bench_results_c$cpus.json"
+    val summaryHead =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"total_warm":${r3(total)},""" +
+      s""""cpus":$cpus,"summary":true,"full_results":"$artName",""" +
+      s""""geomean_speedup_vs_baseline":$geoVsBaseline,"queries":{"""
+    val summaryBudget = 1500
+    val entries = results.filter(_._3 >= 0).sortBy(-_._3)
+      .map { case (n, _, w) => s""""$n":${r3(w)}""" }
+    val acc = new StringBuilder
+    entries.foreach { e =>
+      val sep = if (acc.isEmpty) 0 else 1
+      if (summaryHead.length + acc.length + sep + e.length + 2 <= summaryBudget) {
+        if (acc.nonEmpty) acc.append(',')
+        acc.append(e)
+      }
+    }
+    println(summaryHead + acc.toString + "}}")
     // also land the line in a file: the driver captures only the last 4 KB
     // of stdout, which truncated the first ~24 queries out of BENCH_r03
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
@@ -350,13 +386,19 @@ object Bench {
         if (baselineWarm.isEmpty) "null" else "\"" + baselinePath + "\""},""" +
       s""""queries":{$perQuery}}"""
     // a selective local run must not clobber the committed full-board
-    // artifact the next round's baseline deltas read
-    if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get(artPath),
-        (art + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $artPath: $e") }
-    else System.err.println(
+    // artifact the next round's baseline deltas read. The driver runs the
+    // full board TWICE (32- and 8-core) and each run overwrote the same
+    // bench_results.json (round-14 VERDICT: the 32-core artifact was lost
+    // under the 8-core run's) — so every full run ALSO writes a
+    // core-count-suffixed copy the next run cannot clobber.
+    if (only.isEmpty) {
+      Seq(artPath, artName).distinct.foreach { ap =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(ap),
+          (art + "\n").getBytes("UTF-8"))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write $ap: $e") }
+      }
+    } else System.err.println(
       s"[bench] selective run — skipped writing $artPath")
     spark.stop()
   }

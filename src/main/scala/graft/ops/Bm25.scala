@@ -182,6 +182,29 @@ object Bm25Index {
       if (s.isNullAt(1)) 0L else s.getLong(1))
   }
 
+  /** [[stats]] with the two scalar aggregates OBSERVED on the tokenize
+    * stage instead of computed by their own action: returns (postings,
+    * observation), where the observation yields `n` / `sdl` — the exact
+    * [[stats]] expressions over the exact same rows, so the values are
+    * bit-identical — once ANY action over `postings` completes. Lets a
+    * streaming commit pay ONE tokenize pass (the postings write) where
+    * stats-then-write paid two, and drops the separate stats job
+    * (guide §1.2: remove passes). */
+  def statsObserved(docs: DataFrame, docIdCol: String, textCol: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val toks = docs.select(col(docIdCol).cast("long").as("__doc_id"),
+      arrayFilter(T.words(col(textCol)), w => length(w) > 0).as("__ws"))
+      .observe(obs, count(lit(1)).as("n"),
+        sum(coalesce(size(col("__ws")), lit(0))).as("sdl"))
+    val postings = toks
+      .select(col("__doc_id"), size(col("__ws")).as("__dl"),
+        explode(col("__ws")).as("__term"))
+      .groupBy(col("__doc_id"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    (postings, obs)
+  }
+
   /** Build the inverted index over a corpus: postings + document
     * frequencies + (N, avgdl). Tokenization is the canonical
     * [[TextFunctions.words]] normal form shared with the dedup family.

@@ -150,7 +150,15 @@ object MlQueries {
       .select("query_id", "item_id").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // presentation sort lives HERE (the op emits unordered — no range
-    // exchange in the serving path)
+    // exchange in the serving path). The three persists stay live in the
+    // returned plan BY DESIGN: materialize-then-release (persist the
+    // output, count, unpersist the inputs) was measured at +0.5-0.6 s on
+    // this row in r15 (the output cache write costs more than it saves),
+    // and repeated invocations do NOT grow storage — each call builds
+    // plan-identical frames and the CacheManager dedups persists by
+    // canonicalized plan, so the session holds ONE entry per frame
+    // however many times the query runs (pinned by MlQueriesSpec's
+    // cache-growth spec).
     EvalRanking(relevant, k = 10).transform(ranked).orderBy("query_id")
   }
 
@@ -184,11 +192,22 @@ object MlQueries {
       .filter(col("rank") <= 10)
     val relevant = inter.filter(col("l_returnflag") === "R")
       .select("query_id", "item_id").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val served = ranked.select(col("query_id"), col("item_id"), col("rank"))
       .as[(Long, Long, Int)].collect()
     val dir = OracleDir.tempDir("eval_stream_log")
     val op = EvalRanking(relevant, k = 10)
+    // persist the op's SHARED relevance subplans, not the raw set: every
+    // micro-batch's transform reads these two query-scale frames, and
+    // without the caches each batch re-derived them from the
+    // orders⋈lineitem subtree (JobTraceProbe r15: 5.7–7.2 task-s per
+    // batch of invariant relevance work). One materializing count here
+    // fills both; the big join feeding them is then RELEASED before the
+    // stream starts — nothing batch-variant lives in storage.
+    op.relFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    op.relCountsFrame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    op.relCountsFrame.count()
+    inter.unpersist(false)
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Int)]
     val q = src.toDF().toDF("query_id", "item_id", "rank").writeStream
@@ -199,7 +218,13 @@ object MlQueries {
         src.addData(served.filter(_._1 % 3 == m).toIndexedSeq: _*)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the eval log is on disk — the relevance caches are dead weight
+      // from here on (round-14 ADVICE: they were pinned for the session)
+      op.relFrame.unpersist(false)
+      op.relCountsFrame.unpersist(false)
+    }
     graft.streaming.StreamingOps.loadEvalLog(spark, dir).get
       .drop("batch_id").orderBy("query_id")
   }

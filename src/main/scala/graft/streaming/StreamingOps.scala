@@ -14,6 +14,26 @@ import java.sql.Timestamp
   */
 object StreamingOps {
 
+  // ——— fixed side-table schemas ————————————————————————————————————————
+  // Schemas of the commit protocol's own side tables, exactly as the
+  // writers in this file produce them. Supplying them at read time skips
+  // parquet schema INFERENCE, which in Spark 4 schedules a ~30 ms
+  // footer-reading job per `spark.read.parquet` call — the commit paths
+  // made 2-4 such calls per streaming commit, on rows whose wall time IS
+  // jobs × the per-job scheduling floor (JobTraceProbe r15; guide §1.2).
+  // Data tables with caller-defined schemas (corpus deltas, ANN index
+  // deltas) keep inference — only protocol-owned layouts are pinned.
+  import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType, IntegerType}
+  private val bcountsSchema = StructType(Seq(
+    StructField("__b", LongType), StructField("__c", LongType)))
+  private val dfreqSchema = StructType(Seq(
+    StructField("__term", StringType), StructField("__df", LongType)))
+  private val postingsSchema = StructType(Seq(
+    StructField("__doc_id", LongType), StructField("__dl", IntegerType),
+    StructField("__term", StringType), StructField("__tf", LongType)))
+  private val digestIndexSchema = StructType(Seq(
+    StructField("content_hash", StringType)))
+
   /** Watermarked sliding-window event aggregation: counts and value sums
     * per (window, event_type); late data beyond the watermark is dropped. */
   def windowedEventCounts(
@@ -959,9 +979,9 @@ object StreamingOps {
     else Some {
       val deltas = readManifest(spark, s"$indexDir/$version/manifest")
         .map(_.delta)
-      val postings = spark.read.parquet(
+      val postings = spark.read.schema(postingsSchema).parquet(
         deltas.map(d => s"$indexDir/deltas/$d/postings"): _*)
-      val dfreq = spark.read.parquet(
+      val dfreq = spark.read.schema(dfreqSchema).parquet(
         deltas.map(d => s"$indexDir/deltas/$d/dfreq"): _*)
         .groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
       val (n, sumDl) = readMeta(spark, s"$indexDir/$version/meta")
@@ -1012,24 +1032,42 @@ object StreamingOps {
       if (!latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         val spark = batch.sparkSession
         import spark.implicits._
-        val (bPostings, _, bN, bSumDl) =
-          graft.ops.Bm25Index.stats(batch, docIdCol, textCol)
-        if (bN > 0) {
+        // ONE tokenize pass serves the whole commit: the postings land
+        // in a tmp delta with the scale stats (n, Σdl) OBSERVED on the
+        // tokenize stage — the previous separate stats job re-tokenized
+        // the batch just to learn two scalars (guide §1.2: remove
+        // passes). The dir renames into the reserved version only when
+        // docs exist, so the emptiness gate and version/batch mapping
+        // are unchanged; a crashed tmp dir is unreferenced garbage.
+        val (bPostings, obs) =
+          graft.ops.Bm25Index.statsObserved(batch, docIdCol, textCol)
+        val tmp = s"$indexDir/deltas/_tmp-$appId-$batchId"
+        bPostings.write.mode("overwrite").parquet(s"$tmp/postings")
+        val bN = obs.get("n").asInstanceOf[Long]
+        val bSumDl = obs.get("sdl") match {
+          case null => 0L
+          case s => s.asInstanceOf[Long]
+        }
+        val (fs, _) = graft.core.VersionedDir.fsOf(spark, indexDir)
+        if (bN == 0L)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        else {
         val live = latestVersion(spark, indexDir)
         val (n0, s0) = live.map(lv => readMeta(spark, s"$indexDir/$lv/meta"))
           .getOrElse((0L, 0L))
         val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
         val delta = "d" + v.drop(1)
-        // materialize delta + metadata BEFORE the pointer moves; deltas
-        // are write-once, so the write never overlaps any reader
-        bPostings.write.mode("overwrite")
-          .parquet(s"$indexDir/deltas/$delta/postings")
+        // delta + metadata all materialize BEFORE the pointer moves;
+        // deltas are write-once, so the write never overlaps any reader
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(s"$indexDir/deltas/$delta"))
         // the dfreq delta derives from the postings JUST WRITTEN — a
         // per-term count over the small on-disk delta — instead of the
         // lazy bDfreq plan, which would re-tokenize and re-aggregate the
         // whole batch a second time (same rows by construction: bDfreq
         // is defined as bPostings grouped by term)
-        spark.read.parquet(s"$indexDir/deltas/$delta/postings")
+        spark.read.schema(postingsSchema)
+          .parquet(s"$indexDir/deltas/$delta/postings")
           .groupBy(col("__term")).agg(count(lit(1)).as("__df"))
           .write.mode("overwrite")
           .parquet(s"$indexDir/deltas/$delta/dfreq")
@@ -1041,7 +1079,8 @@ object StreamingOps {
         writeManifest(spark, s"$indexDir/$v/manifest", prevManifest :+
           manifestEntryAt(spark, s"$indexDir/deltas/$delta/postings", delta,
             "__doc_id",
-            spark.read.parquet(s"$indexDir/deltas/$delta/postings")))
+            spark.read.schema(postingsSchema)
+              .parquet(s"$indexDir/deltas/$delta/postings")))
         writeBm25Occupancy(spark, indexDir, v,
           prevManifest.map(_.delta) :+ delta)
         writeTxn(spark, indexDir, v, appId, batchId)
@@ -1071,11 +1110,16 @@ object StreamingOps {
     * the line forward verbatim like every sink ([[compactIndexState]]). */
   private def writeBm25Occupancy(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, version: String, deltas: Seq[String]): Unit = {
-    val s = deltas.map(d => spark.read.parquet(s"$indexDir/deltas/$d/dfreq"))
+    val s = deltas.map(d => spark.read.schema(dfreqSchema)
+        .parquet(s"$indexDir/deltas/$d/dfreq"))
       .reduce(_ unionByName _)
       .groupBy(col("__term")).agg(sum(col("__df")).as("__c"))
       .agg(coalesce(sum(col("__c")), lit(0L)),
-        count(lit(1)), coalesce(max(col("__c")), lit(0L))).head()
+        count(lit(1)), coalesce(max(col("__c")), lit(0L)))
+      // collect, not head: executeTake's incremental partition scans
+      // scheduled up to 3 jobs for this single-row aggregate per commit
+      // (JobTraceProbe r15); collect is one job over the one partition
+      .collect()(0)
     writeSmallFile(spark, s"$indexDir/$version/occupancy",
       s"${s.getLong(0)},${s.getLong(1)},${s.getLong(1)},${s.getLong(2)}")
   }
@@ -1116,7 +1160,7 @@ object StreamingOps {
       // persisted: the vocab-scale roll names the head terms AND becomes
       // the pruned dfreq delta — unpersisted, the chain's dfreq files
       // were re-read and re-aggregated once per use
-      val dfAll = spark.read.parquet(
+      val dfAll = spark.read.schema(dfreqSchema).parquet(
         deltas.map(d => s"$indexDir/deltas/$d/dfreq"): _*)
         .groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
         .persist()
@@ -1125,7 +1169,7 @@ object StreamingOps {
         .filter(col("__df") * lit(10000L) / lit(occ.uniformCount) > lit(boundBp))
         .select("__term").collect().map(_.getString(0)).sorted.toSeq
       val pruned = dfAll.filter(!col("__term").isInCollection(head))
-      val postings = spark.read.parquet(
+      val postings = spark.read.schema(postingsSchema).parquet(
         deltas.map(d => s"$indexDir/deltas/$d/postings"): _*)
         .filter(!col("__term").isInCollection(head))
       val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
@@ -1138,7 +1182,8 @@ object StreamingOps {
       writeMeta(spark, s"$indexDir/$v/meta", n0, s0)
       writeManifest(spark, s"$indexDir/$v/manifest", Seq(manifestEntryAt(
         spark, s"$indexDir/deltas/$delta/postings", delta, "__doc_id",
-        spark.read.parquet(s"$indexDir/deltas/$delta/postings"))))
+        spark.read.schema(postingsSchema)
+          .parquet(s"$indexDir/deltas/$delta/postings"))))
       writeBm25Occupancy(spark, indexDir, v, Seq(delta))
       writeTxn(spark, indexDir, v, appId, -1L)
       writePointer(spark, indexDir, v, Some(lv))
@@ -1165,15 +1210,35 @@ object StreamingOps {
       indexDir: String, batchIndex: DataFrame, idCol: String,
       appId: String, batchId: Long, retainVersions: Option[Int],
       occupancy: Option[(String, Long)] = None): Unit = {
+    // ONE action serves assignment AND the emptiness gate: the batch's
+    // index rows land in a tmp delta with an OBSERVED row count, and the
+    // dir is renamed into the reserved version only when rows exist —
+    // the previous separate `batch.isEmpty` probe was up to two extra
+    // scheduled take-jobs per commit (JobTraceProbe r15), on rows whose
+    // wall time is jobs × the per-job floor. A crashed tmp dir is
+    // unreferenced garbage no manifest lists; the next vacuum reclaims
+    // it. Version reservation still happens only for non-empty batches,
+    // so the log's version/batch mapping is unchanged.
+    val tmp = s"$indexDir/deltas/_tmp-$appId-$batchId"
+    val obs = org.apache.spark.sql.Observation()
+    batchIndex.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    val n = obs.get("n").asInstanceOf[Long]
+    val (fs, _) = graft.core.VersionedDir.fsOf(spark, indexDir)
+    if (n == 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      return
+    }
     val live = latestVersion(spark, indexDir)
     val v = graft.core.VersionedDir.reserveNextVersion(spark, indexDir)
     val delta = "d" + v.drop(1)
-    batchIndex.write.mode("overwrite")
-      .parquet(s"$indexDir/deltas/$delta/index")
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$indexDir/deltas/$delta"))
     // per-delta bucket histogram (O(min(batch, buckets)) rows — counted
     // from the batch alone, never the accumulated index)
     occupancy.foreach { case (bucketCol, _) =>
-      writeDeltaBucketCounts(spark, s"$indexDir/deltas/$delta", bucketCol)
+      writeDeltaBucketCounts(spark, s"$indexDir/deltas/$delta", bucketCol,
+        Some(batchIndex.schema))
     }
     val prevManifest = live
       .map(lv => readManifest(spark, s"$indexDir/$lv/manifest"))
@@ -1210,11 +1275,16 @@ object StreamingOps {
 
   private def writeDeltaBucketCounts(
       spark: org.apache.spark.sql.SparkSession,
-      deltaDir: String, bucketCol: String): Unit =
-    spark.read.parquet(s"$deltaDir/index")
+      deltaDir: String, bucketCol: String,
+      indexSchema: Option[StructType] = None): Unit = {
+    // the caller just WROTE the delta, so its schema is in hand —
+    // supplying it skips the per-read schema-inference job
+    val reader = indexSchema.fold(spark.read)(spark.read.schema)
+    reader.parquet(s"$deltaDir/index")
       .groupBy(col(bucketCol).cast("long").as("__b"))
       .agg(count(lit(1)).as("__c"))
       .coalesce(1).write.mode("overwrite").parquet(s"$deltaDir/bcounts")
+  }
 
   /** The chain's per-bucket counts: sum of the deltas' `bcounts`
     * histograms; a delta missing its side file (written by a
@@ -1226,7 +1296,8 @@ object StreamingOps {
     val (fs, p) = graft.core.VersionedDir.fsOf(spark, indexDir)
     val per = deltas.map { d =>
       if (fs.exists(new org.apache.hadoop.fs.Path(p, s"deltas/$d/bcounts")))
-        spark.read.parquet(s"$indexDir/deltas/$d/bcounts")
+        spark.read.schema(bcountsSchema)
+          .parquet(s"$indexDir/deltas/$d/bcounts")
       else
         spark.read.parquet(s"$indexDir/deltas/$d/index")
           .groupBy(col(bucketCol).cast("long").as("__b"))
@@ -1241,7 +1312,9 @@ object StreamingOps {
       bucketCol: String, nBuckets: Long): Unit = {
     val s = chainBucketCounts(spark, indexDir, deltas, bucketCol)
       .agg(coalesce(sum(col("__c")), lit(0L)),
-        count(lit(1)), coalesce(max(col("__c")), lit(0L))).head()
+        count(lit(1)), coalesce(max(col("__c")), lit(0L)))
+      // collect, not head — see writeBm25Occupancy
+      .collect()(0)
     writeSmallFile(spark, s"$indexDir/$version/occupancy",
       s"${s.getLong(0)},$nBuckets,${s.getLong(1)},${s.getLong(2)}")
   }
@@ -1325,8 +1398,7 @@ object StreamingOps {
       retainVersions: Option[Int] = None,
       autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
+      if (!latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnIvf.index(batch, op.centers,
             op.itemIdCol, op.itemVecCol),
@@ -1539,8 +1611,7 @@ object StreamingOps {
       retainVersions: Option[Int] = None,
       autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, outDir, appId).exists(_ >= batchId)) {
+      if (!latestTxn(batch.sparkSession, outDir, appId).exists(_ >= batchId)) {
         val spark = batch.sparkSession
         // metric rows are QUERY-scale (one per evaluated query in the
         // batch) — coalesce to one file per delta so the log's physical
@@ -1640,7 +1711,14 @@ object StreamingOps {
             val bytes = paths.map(pp => fs.getContentSummary(
               new org.apache.hadoop.fs.Path(pp)).getLength).sum
             val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-            val unioned = spark.read.parquet(paths: _*)
+            // protocol-owned tables read with their fixed schemas (no
+            // inference job); data tables (index) keep inference
+            val unioned = (t match {
+              case "dfreq" => spark.read.schema(dfreqSchema)
+              case "bcounts" => spark.read.schema(bcountsSchema)
+              case "postings" => spark.read.schema(postingsSchema)
+              case _ => spark.read
+            }).parquet(paths: _*)
             // partial pre-roll is exact: the loader still sums per
             // term/bucket across deltas, so rolling up WITHIN the merged
             // set commutes
@@ -1756,8 +1834,7 @@ object StreamingOps {
       retainVersions: Option[Int] = None,
       autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
+      if (!latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnSq.index(batch, op.centers, op.mins, op.maxs,
             op.itemIdCol, op.itemVecCol),
@@ -1789,8 +1866,7 @@ object StreamingOps {
       retainVersions: Option[Int] = None,
       autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
+      if (!latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnIvfPq.index(batch, op.centers, op.codebooks,
             op.itemIdCol, op.itemVecCol),
@@ -1826,8 +1902,7 @@ object StreamingOps {
       autoCompactDeltas: Option[Int] = None): (DataFrame, Long) => Unit = {
     val mu = op.resolvedCenter
     (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty &&
-          !latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
+      if (!latestTxn(batch.sparkSession, indexDir, appId).exists(_ >= batchId)) {
         commitIndexDelta(batch.sparkSession, indexDir,
           graft.ops.AnnLsh.index(batch, mu, op.numBits,
             op.itemIdCol, op.itemVecCol),
@@ -2205,7 +2280,9 @@ object StreamingOps {
   private def loadIndexChain(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, version: String): DataFrame = {
     val names = readIndexManifest(spark, s"$stateDir/$version/index_manifest")
-    spark.read.parquet(names.map(n => s"$stateDir/idxdeltas/$n"): _*)
+    // fixed protocol schema — skips the per-read schema-inference job
+    spark.read.schema(digestIndexSchema)
+      .parquet(names.map(n => s"$stateDir/idxdeltas/$n"): _*)
   }
 
   private def readIndexManifest(spark: org.apache.spark.sql.SparkSession,
@@ -2285,49 +2362,66 @@ object StreamingOps {
             idCol, textCol, normalized)
           val keepers = op.transform(batch).filter(col("dup_kind").isNull)
             .drop("dup_kind").withColumn("ingest_batch", lit(batchId))
-            .persist()
-          try {
-            if (!keepers.isEmpty) {
-              val v = graft.core.VersionedDir.reserveNextVersion(spark, stateDir)
-              val delta = "d" + v.drop(1)
-              keepers.write.mode("overwrite")
-                .parquet(s"$stateDir/deltas/$delta")
-              // the index DELTA is the batch's own accepted digests —
-              // O(batch) bytes, never the cumulative index; distinct by
-              // construction across deltas (a digest already in the
-              // chain labels its carrier an index-dup, never a keeper).
-              // A seeded first commit folds initialIndex in — one-time.
-              val xdelta = "x" + v.drop(1)
-              val newDigests =
-                keepers.filter(col("content_hash").isNotNull)
-                  .select(col("content_hash")).distinct()
-              (if (live.isEmpty && initialIndex.isDefined)
-                 index.select(col("content_hash")).union(newDigests).distinct()
-               else newDigests)
-                .write.mode("overwrite")
-                .parquet(s"$stateDir/idxdeltas/$xdelta")
-              val prevIdxM = live
-                .map(pv => readIndexManifest(spark,
-                  s"$stateDir/$pv/index_manifest"))
-                .getOrElse(Seq.empty)
-              writeIndexManifest(spark, s"$stateDir/$v/index_manifest",
-                prevIdxM :+ xdelta)
-              val prevManifest = live
-                .map(pv => readManifest(spark, s"$stateDir/$pv/manifest"))
-                .getOrElse(Seq.empty)
-              writeManifest(spark, s"$stateDir/$v/manifest",
-                prevManifest :+ manifestEntryAt(spark,
-                  s"$stateDir/deltas/$delta", delta, idCol, keepers))
-              writeTxn(spark, stateDir, v, appId, batchId)
-              writePointer(spark, stateDir, v, live, Some(appId -> batchId))
-              retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
-              maybeCompact(spark, stateDir, autoCompactDeltas,
-                retainVersions,
-                () => compactCorpusState(spark, stateDir, idCol = idCol,
-                  tierFraction = Some(AutoCompactTierFraction),
-                  maxKeepers = autoCompactDeltas.get - 1))
-            }
-          } finally keepers.unpersist()
+          // ONE labeling pass serves the whole commit: the keepers land
+          // in a tmp delta with an OBSERVED row count (the emptiness
+          // gate — the previous persist + isEmpty pair cost one more
+          // scheduled job and a payload-sized cache entry per commit),
+          // the dir is renamed into the reserved version only when
+          // keepers exist, and the digest delta derives from the parquet
+          // JUST WRITTEN instead of re-reading the labeling plan's cache
+          // (same rows by construction — the delta IS the keepers).
+          // A crashed tmp dir is unreferenced garbage no manifest lists;
+          // vacuumCorpusDeltas reclaims it.
+          val tmp = s"$stateDir/deltas/_tmp-$appId-$batchId"
+          val obs = org.apache.spark.sql.Observation()
+          keepers.observe(obs, count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(tmp)
+          val nKeep = obs.get("n").asInstanceOf[Long]
+          val (fs, _) = graft.core.VersionedDir.fsOf(spark, stateDir)
+          if (nKeep == 0L)
+            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          else {
+            val v = graft.core.VersionedDir.reserveNextVersion(spark, stateDir)
+            val delta = "d" + v.drop(1)
+            fs.rename(new org.apache.hadoop.fs.Path(tmp),
+              new org.apache.hadoop.fs.Path(s"$stateDir/deltas/$delta"))
+            val written = spark.read.schema(keepers.schema)
+              .parquet(s"$stateDir/deltas/$delta")
+            // the index DELTA is the batch's own accepted digests —
+            // O(batch) bytes, never the cumulative index; distinct by
+            // construction across deltas (a digest already in the
+            // chain labels its carrier an index-dup, never a keeper).
+            // A seeded first commit folds initialIndex in — one-time.
+            val xdelta = "x" + v.drop(1)
+            val newDigests =
+              written.filter(col("content_hash").isNotNull)
+                .select(col("content_hash")).distinct()
+            (if (live.isEmpty && initialIndex.isDefined)
+               index.select(col("content_hash")).union(newDigests).distinct()
+             else newDigests)
+              .write.mode("overwrite")
+              .parquet(s"$stateDir/idxdeltas/$xdelta")
+            val prevIdxM = live
+              .map(pv => readIndexManifest(spark,
+                s"$stateDir/$pv/index_manifest"))
+              .getOrElse(Seq.empty)
+            writeIndexManifest(spark, s"$stateDir/$v/index_manifest",
+              prevIdxM :+ xdelta)
+            val prevManifest = live
+              .map(pv => readManifest(spark, s"$stateDir/$pv/manifest"))
+              .getOrElse(Seq.empty)
+            writeManifest(spark, s"$stateDir/$v/manifest",
+              prevManifest :+ manifestEntryAt(spark,
+                s"$stateDir/deltas/$delta", delta, idCol, written))
+            writeTxn(spark, stateDir, v, appId, batchId)
+            writePointer(spark, stateDir, v, live, Some(appId -> batchId))
+            retainVersions.foreach(vacuumIndexVersions(spark, stateDir, _))
+            maybeCompact(spark, stateDir, autoCompactDeltas,
+              retainVersions,
+              () => compactCorpusState(spark, stateDir, idCol = idCol,
+                tierFraction = Some(AutoCompactTierFraction),
+                maxKeepers = autoCompactDeltas.get - 1))
+          }
         }
       }
   }
