@@ -701,6 +701,12 @@ case class IncrementalDedup(
 
   private def key: Column = if (normalized) T.normalize(col(textCol)) else col(textCol)
 
+  /** The op's content digest as a column — md5 over the (optionally
+    * normalized) text, EXACTLY the `content_hash` [[transform]] assigns.
+    * Exposed so callers that pre-screen a batch against index sidecars
+    * (the ingest sink's bloom gate) share this one key definition. */
+  def contentHash: Column = IncrementalDedup.contentHash(textCol, normalized)
+
   override def transformSchema(in: StructType): StructType = {
     requireCol(in, idCol); requireCol(in, textCol)
     Seq("content_hash", "dup_kind").foreach(c =>
@@ -713,7 +719,7 @@ case class IncrementalDedup(
 
   override def transform(df: DataFrame): DataFrame = {
     transformSchema(df.schema)
-    val hashed = df.withColumn("content_hash", md5(key))
+    val hashed = df.withColumn("content_hash", contentHash)
     // keeper per digest within the ingest — a digest-keyed partial agg,
     // the same shape (and often the same exchange) as the label join
     val keepers = hashed.groupBy(col("content_hash").as("__kh"))
@@ -738,6 +744,15 @@ case class IncrementalDedup(
         .filter(col("content_hash").isNotNull)
         .select(col("content_hash").as(indexDigestCol)))
       .distinct()
+}
+
+object IncrementalDedup {
+  /** The content-digest definition [[IncrementalDedup.transform]]
+    * assigns, as a standalone column — callers that pre-screen a batch
+    * before constructing the op (the ingest sink's bloom gate) must hash
+    * exactly the way the op will. */
+  def contentHash(textCol: String, normalized: Boolean): Column =
+    md5(if (normalized) T.normalize(col(textCol)) else col(textCol))
 }
 
 /** Incremental FUZZY (MinHash) dedup: label a new ingest batch against

@@ -34,6 +34,131 @@ object StreamingOps {
   private val digestIndexSchema = StructType(Seq(
     StructField("content_hash", StringType)))
 
+  // ——— digest-index bloom sidecars (round-14 VERDICT item 3) ———————————
+  // Each digest-index delta (`idxdeltas/x<n>`) can carry a `_bloom` side
+  // file: a bloom filter over xxhash64(content_hash) of that delta's
+  // digests. At labeling time, once the chain's digest bytes exceed
+  // `spark.graft.ingest.bloomGateBytes`, the sink probes the batch's
+  // digests against the chain's blooms FIRST — one batch-only job — and
+  // a batch with no possible hit is labeled against an EMPTY index: the
+  // O(chain) digest files are never opened (guide §3.2/§6). False
+  // positives only fall back to the exact join; false negatives are
+  // impossible, so labels are identical by construction.
+  //
+  // Sidecars are built LAZILY, on the gate's first engagement, one
+  // bounded catch-up aggregate per sidecar-less delta (the same
+  // discipline as chainBucketCounts' missing-bcounts fallback): building
+  // them eagerly at commit was measured at +0.5-1.3 s per lifecycle row
+  // — the observe's bloom buffer is numBits-sized PER TASK, so the
+  // "free" observed aggregate shipped ~1 MB per partition of every
+  // digest write for a gate that small chains never engage.
+  // The '_' prefix keeps parquet readers away from the side file.
+  private val BloomSidecarFile = "_bloom"
+  private val BloomFpp = 0.01
+
+  private def bloomGateBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.ingest.bloomGateBytes",
+      (256L << 20).toString).toLong
+
+  /** BloomFilterAggregate over xxhash64(`hashCol`) as a Column — the one
+    * put/probe convention every sidecar shares (put and probe must hash
+    * identically or the filter silently rejects everything). `items`
+    * only sizes the filter: an undercount raises the false-positive rate
+    * (more fallback joins), never correctness. */
+  private def bloomAgg(hashCol: org.apache.spark.sql.Column,
+      items: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(items, BloomFpp)
+    column(org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        expression(xxhash64(hashCol)),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits), 0, 0)
+      .toAggregateExpression())
+  }
+
+  private def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      deltaDir: String, bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$deltaDir/$BloomSidecarFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      deltaDir: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = new org.apache.hadoop.fs.Path(s"$deltaDir/$BloomSidecarFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
+  /** The chain's bloom sidecars, iff the gate should engage (the chain's
+    * digest bytes exceed the gate threshold). A delta missing its
+    * sidecar gets one built here — a bounded one-time catch-up aggregate,
+    * after which the file serves every later batch. Below the threshold
+    * the per-batch probe job costs more than the chain read it avoids,
+    * so small chains skip the whole machinery. */
+  private def chainBloomsIfLarge(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, version: String)
+      : Option[Seq[org.apache.spark.util.sketch.BloomFilter]] = {
+    val names = readIndexManifest(spark, s"$stateDir/$version/index_manifest")
+    val (fs, p) = graft.core.VersionedDir.fsOf(spark, stateDir)
+    val bytes = names.map(n => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(p, s"idxdeltas/$n")).getLength).sum
+    if (bytes < bloomGateBytes(spark)) None
+    else {
+      val all = names.map { n =>
+        val d = s"$stateDir/idxdeltas/$n"
+        readBloomSidecar(spark, d).orElse {
+          rebuildBloomSidecar(spark, d)
+          readBloomSidecar(spark, d)
+        }
+      }
+      if (all.forall(_.isDefined)) Some(all.flatten) else None
+    }
+  }
+
+  /** Exact row count from a parquet dir's footers (driver-side, no job)
+    * — sizes the rebuild-time blooms of purge/compact, whose delta row
+    * counts are not known before their write. */
+  private def parquetFooterRowCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var n = 0L
+      fs.listStatus(p).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, spark.sparkContext.hadoopConfiguration))
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.foreach(b => n += b.getRowCount)
+        } finally reader.close()
+      }
+      Some(n)
+    } catch { case _: Throwable => None }
+
+  /** Rebuild a digest delta's bloom sidecar from its parquet (one small
+    * aggregate job) — the purge/compact path, where the delta's size is
+    * only known after the rewrite. */
+  private def rebuildBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      xdeltaDir: String): Unit =
+    parquetFooterRowCount(spark, xdeltaDir).filter(_ > 0).foreach { n =>
+      val row = spark.read.schema(digestIndexSchema).parquet(xdeltaDir)
+        .filter(col("content_hash").isNotNull)
+        .agg(bloomAgg(col("content_hash"), n)).collect()(0)
+      if (!row.isNullAt(0))
+        writeBloomSidecar(spark, xdeltaDir, row.getAs[Array[Byte]](0))
+    }
+
   /** Watermarked sliding-window event aggregation: counts and value sums
     * per (window, event_type); late data beyond the watermark is dropped. */
   def windowedEventCounts(
@@ -2355,9 +2480,26 @@ object StreamingOps {
         // scheduled job per commit for a fact the labeling pass proves
         if (!latestTxn(spark, stateDir, appId).exists(_ >= batchId)) {
           val live = latestVersion(spark, stateDir)
-          val index = live.map(v => loadIndexChain(spark, stateDir, v))
+          val chainIndex = live.map(v => loadIndexChain(spark, stateDir, v))
             .orElse(initialIndex.map(_.select(col("content_hash"))))
-            .getOrElse(Seq.empty[String].toDF("content_hash"))
+          // bloom gate (engages only past the chain-size threshold): a
+          // batch none of whose digests can be in the chain labels
+          // against an EMPTY index — the chain's digest files are never
+          // opened. One batch-only probe job; exact-join fallback on any
+          // possible hit, so labels are identical by construction.
+          val blooms = live.flatMap(chainBloomsIfLarge(spark, stateDir, _))
+          val index = chainIndex match {
+            case Some(idx) if blooms.isDefined =>
+              val bc = spark.sparkContext.broadcast(blooms.get)
+              val might = udf((h: Long) =>
+                bc.value.exists(_.mightContainLong(h)))
+              val anyHit = !batch.select(xxhash64(graft.ops.IncrementalDedup
+                  .contentHash(textCol, normalized)).as("__h"))
+                .where(might(col("__h"))).isEmpty
+              if (anyHit) idx else Seq.empty[String].toDF("content_hash")
+            case Some(idx) => idx
+            case None => Seq.empty[String].toDF("content_hash")
+          }
           val op = graft.ops.IncrementalDedup(index, "content_hash",
             idCol, textCol, normalized)
           val keepers = op.transform(batch).filter(col("dup_kind").isNull)
@@ -2396,8 +2538,12 @@ object StreamingOps {
             val newDigests =
               written.filter(col("content_hash").isNotNull)
                 .select(col("content_hash")).distinct()
+            // (bloom sidecars are built lazily on the gate's first
+            // engagement — see chainBloomsIfLarge — so the commit path
+            // pays nothing for them)
             (if (live.isEmpty && initialIndex.isDefined)
-               index.select(col("content_hash")).union(newDigests).distinct()
+               chainIndex.get.select(col("content_hash"))
+                 .union(newDigests).distinct()
              else newDigests)
               .write.mode("overwrite")
               .parquet(s"$stateDir/idxdeltas/$xdelta")
@@ -2559,7 +2705,7 @@ object StreamingOps {
           if (xMerge.size < 2) idxNames
           else {
             val xdelta = "x" + v.drop(1)
-            spark.read.parquet(
+            spark.read.schema(digestIndexSchema).parquet(
                 xMerge.map(x => s"$stateDir/idxdeltas/$x"): _*)
               .coalesce(1)
               .write.mode("overwrite").parquet(s"$stateDir/idxdeltas/$xdelta")

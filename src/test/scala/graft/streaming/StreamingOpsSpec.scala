@@ -1750,6 +1750,40 @@ class StreamingOpsSpec extends SparkSpec {
       "stream digest index != batch loop index")
   }
 
+  test("corpusIngestSink: bloom gate engaged — labels identical, sidecars present") {
+    // force the gate on (threshold 0): every batch pays the bloom probe
+    // and clean batches label against an EMPTY index; cross-batch and
+    // seeded-prior duplicates must STILL be caught (bloom positives fall
+    // back to the exact join), and every digest delta must carry its
+    // observed `_bloom` sidecar
+    spark.conf.set("spark.graft.ingest.bloomGateBytes", "0")
+    try {
+      val dir = tmpDir("corpus_bloomgate_")
+      val prior = Seq("seed doc").toDF("text")
+        .select(md5(graft.functions.TextFunctions.normalize($"text"))
+          .as("content_hash"))
+      val batches = Seq(
+        Seq((1L, "alpha"), (2L, " Alpha "), (3L, "beta")), // clean batch
+        Seq((4L, "seed doc"), (5L, "gamma")),              // prior dup
+        Seq((6L, "beta"), (7L, "delta"), (8L, "delta")))   // cross-batch dup
+      runCorpusIngest(dir, batches, initialIndex = Some(prior))
+      val got = StreamingOps.loadCorpus(spark, dir).get
+        .select("doc_id", "ingest_batch")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 0L), (3L, 0L), (5L, 1L), (7L, 2L)),
+        s"bloom-gated labels differ from the exact loop: $got")
+      // sidecars are LAZY: the gate's first engagement backfills every
+      // delta it probes, so all chain deltas except the newest (which no
+      // later batch has probed yet) must carry `_bloom`
+      val xdirs = new java.io.File(dir, "idxdeltas").listFiles()
+        .filter(_.isDirectory).sortBy(_.getName)
+      assert(xdirs.length >= 2, "fixture must commit multiple digest deltas")
+      assert(xdirs.dropRight(1)
+        .forall(d => new java.io.File(d, "_bloom").isFile),
+        "every probed digest delta must carry its backfilled _bloom sidecar")
+    } finally spark.conf.unset("spark.graft.ingest.bloomGateBytes")
+  }
+
   test("corpusIngestSink: accepted digest set is boundary-independent") {
     val rows = Seq((1L, "a a"), (2L, " A  A "), (3L, "b"), (4L, "c"),
       (5L, "b"), (6L, "d"))
