@@ -1784,6 +1784,80 @@ class StreamingOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ingest.bloomGateBytes")
   }
 
+  test("corpusIngestSink: bloom gate — a clean batch never scans sidecar'd chain deltas") {
+    // the gate's I/O contract: once a chain delta carries its `_bloom`
+    // sidecar, a batch with no possible hit labels against an EMPTY
+    // index — that delta's digest files must never appear in any plan
+    // the clean batch's commit executes (the whole point of the gate:
+    // O(bloom probe) instead of O(chain) reads per clean batch)
+    spark.conf.set("spark.graft.ingest.bloomGateBytes", "0")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = tmpDir("corpus_bloomio_")
+      // three distinct-content batches: x1..x3 committed; each gated
+      // probe backfills the PRIOR deltas' sidecars, so after this every
+      // delta except the newest carries `_bloom`
+      runCorpusIngest(dir, Seq(
+        Seq((1L, "alpha")), Seq((2L, "beta")), Seq((3L, "gamma"))))
+      val pre = new java.io.File(dir, "idxdeltas").listFiles()
+        .filter(d => d.isDirectory && new java.io.File(d, "_bloom").isFile)
+        .map(_.getName).toSet
+      assert(pre.nonEmpty, "fixture must have sidecar'd deltas to protect")
+      // record every file-scan root executed during the clean batch's
+      // commit (AQE hides stages under AdaptiveSparkPlanExec/QueryStageExec
+      // — recurse through both)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val scanned = scala.collection.concurrent.TrieMap.empty[String, Unit]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          scans(qe.executedPlan).foreach(
+            _.relation.location.rootPaths.foreach(p =>
+              scanned.put(p.toString, ())))
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ex: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        // fresh appId: the txn log dedups (appId, batchId), and this
+        // stream restarts batch ids at 0 over the existing state dir
+        val src = MemoryStream[(Long, String)]
+        val q = src.toDS().toDF("doc_id", "text").writeStream
+          .foreachBatch(StreamingOps.corpusIngestSink(dir,
+            appId = "bloomio-probe"))
+          .start()
+        src.addData((9L, "omega")) // content no prior batch carries
+        q.processAllAvailable()
+        q.stop()
+        // the execution-listener bus is async: settle until no new scan
+        // roots arrive (bounded)
+        var last = -1
+        var spins = 0
+        while (scanned.size != last && spins < 50) {
+          last = scanned.size; spins += 1; Thread.sleep(100)
+        }
+      } finally spark.listenerManager.unregister(listener)
+      // positive control: the commit DID execute observed file scans
+      // (the written-delta read-back at minimum), so the collector works
+      assert(scanned.keys.exists(_.contains("/deltas/")),
+        s"collector saw no commit scans at all: ${scanned.keys.toSeq}")
+      val chainScans = scanned.keys.filter(p =>
+        pre.exists(n => p.contains(s"idxdeltas/$n")))
+      assert(chainScans.isEmpty,
+        s"clean gated batch re-read sidecar'd chain deltas: $chainScans")
+    } finally spark.conf.unset("spark.graft.ingest.bloomGateBytes")
+  }
+
   test("corpusIngestSink: accepted digest set is boundary-independent") {
     val rows = Seq((1L, "a a"), (2L, " A  A "), (3L, "b"), (4L, "c"),
       (5L, "b"), (6L, "d"))
